@@ -1,0 +1,26 @@
+"""cloud_volume_spark — a PySpark-native analytics engine with the
+capabilities of seung-lab/cloud-volume.
+
+A volume is a DataFrame of chunks ``(mip, cx, cy, cz, morton, encoding,
+blob)`` plus a JSON ``info`` catalog (reference:
+``datasource/precomputed/metadata.py``). Every cloud-volume operation is
+a relational plan over that table: partition-pruned scan → codec pandas
+UDF → assemble / aggregate / rewrite.
+
+Layers:
+- ``geometry``  — Vec/Bbox predicate algebra (reference ``lib.py:263-1013``)
+- ``catalog``   — ``info`` JSON catalog (reference ``metadata.py:77-155``)
+- ``codecs``    — per-chunk encode/decode UDF kernels (reference ``chunks.py``)
+- ``volume``    — Volume reader/writer: cutout, write, unique, remap …
+- ``operators`` — relational + training-data-pipeline operators
+  (dedup, similarity, text analysis) over ordinary DataFrames
+"""
+
+from cloud_volume_spark.session import get_spark
+from cloud_volume_spark.geometry import Vec, Bbox
+from cloud_volume_spark.catalog import VolumeInfo
+from cloud_volume_spark.volume import Volume
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "Vec", "Bbox", "VolumeInfo", "Volume", "__version__"]

@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the chunk-table workload.
+
+Replaces the reference's hand-rolled execution stack (thread pools,
+green threads, multiprocess fan-out — ``threaded_queue.py``,
+``scheduler.py``) with Spark's scheduler. Defaults are sized for
+local[32] testing but the knobs are the ones that matter on a
+1000-executor cluster: AQE on (runtime re-plan, skew-join splitting),
+Arrow on (pandas-UDF batches), shuffle partitions bounded by AQE
+coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cloud-volume-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Every setting here is also correct at cluster scale:
+    - AQE coalesces the static shuffle-partition count at runtime and
+      splits skewed joins (hot morton keys / hot labels).
+    - Arrow makes mapInPandas/applyInPandas codec UDFs batch-columnar.
+    - ``maxPartitionBytes`` 128 MB keeps scan tasks ≥ the ~4 MB/task
+      floor that BASELINE.md shows is needed to amortize request
+      overhead, without exceeding executor memory at 100 TB.
+    """
+    # make this package importable in Python workers regardless of the
+    # caller's cwd (executors unpickle UDFs that reference our modules)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pythonpath if pythonpath else "")
+        )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

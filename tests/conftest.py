@@ -1,0 +1,28 @@
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cloud_volume_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="cvs-tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,68 @@
+"""Codec kernel fidelity (reference test/test_chunks.py pattern)."""
+
+import numpy as np
+import pytest
+
+from cloud_volume_spark import codecs
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "uint32", "uint64", "float32"])
+@pytest.mark.parametrize("compression", [None, "gzip", "zlib"])
+def test_raw_roundtrip(dtype, compression):
+    rng = np.random.default_rng(7)
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        arr = rng.integers(0, 200, size=(17, 13, 9, 2)).astype(dtype)
+    else:
+        arr = rng.random(size=(17, 13, 9, 2)).astype(dtype)
+    blob = codecs.compress_stream(codecs.encode(arr, "raw"), compression)
+    back = codecs.decode(
+        codecs.decompress_stream(blob, compression), "raw", arr.shape, dtype
+    )
+    assert np.array_equal(arr, back)
+
+
+def test_raw_is_fortran_order_bytes():
+    arr = np.arange(8, dtype=np.uint8).reshape((2, 2, 2, 1))
+    blob = codecs.encode(arr, "raw")
+    # F-order: x varies fastest
+    assert blob == bytes(np.asfortranarray(arr).ravel(order="F"))
+
+
+def test_read_voxel_raw_matches_decode():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, size=(10, 11, 12, 3)).astype(np.uint8)
+    blob = codecs.encode(arr, "raw")
+    for pt in [(0, 0, 0), (9, 10, 11), (4, 5, 6)]:
+        got = codecs.read_voxel(blob, "raw", arr.shape, "uint8", pt)
+        assert np.array_equal(got, arr[pt[0], pt[1], pt[2], :])
+
+
+def test_labels_and_contains():
+    arr = np.zeros((8, 8, 8, 1), dtype=np.uint32)
+    arr[0, 0, 0] = 7
+    arr[3, 3, 3] = 42
+    blob = codecs.encode(arr, "raw")
+    assert set(codecs.labels(blob, "raw", arr.shape, "uint32")) == {0, 7, 42}
+    assert codecs.contains(blob, "raw", arr.shape, "uint32", 42)
+    assert not codecs.contains(blob, "raw", arr.shape, "uint32", 43)
+
+
+def test_remap_array():
+    arr = np.array([[1, 2], [3, 1]], dtype=np.uint32)
+    out = codecs.remap_array(arr, {1: 10, 2: 20})
+    assert out.tolist() == [[10, 20], [3, 10]]
+    with pytest.raises(KeyError):
+        codecs.remap_array(arr, {1: 10}, preserve_missing=False)
+
+
+def test_mask_except():
+    arr = np.array([0, 1, 2, 3, 1], dtype=np.uint32)
+    out = codecs.mask_except(arr, [1])
+    assert out.tolist() == [0, 1, 0, 0, 1]
+    out2 = codecs.mask_except(arr, [2], preserve_zeros=True)
+    assert out2.tolist() == [0, 0, 2, 0, 0]
+
+
+def test_deterministic_gzip():
+    data = b"hello world" * 100
+    assert codecs.compress_stream(data, "gzip") == codecs.compress_stream(data, "gzip")

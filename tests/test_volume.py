@@ -1,0 +1,269 @@
+"""Volume engine golden tests — numpy as oracle, mirroring the
+reference's own strategy (test/layer_harness.py, test_cloudvolume.py)."""
+
+import numpy as np
+import pytest
+
+from cloud_volume_spark.geometry import AlignmentError, Bbox, OutOfBoundsError
+from cloud_volume_spark.volume import EmptyVolumeException, Volume
+
+
+@pytest.fixture()
+def image_vol(spark, rng, tmp_path):
+    """F1 fixture: 128^3 uint8 image, chunk 64^3 (FIXTURES.md)."""
+    arr = rng.integers(0, 255, size=(128, 128, 128, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "image"), chunk_size=(64, 64, 64)
+    )
+    return vol, arr
+
+
+@pytest.fixture()
+def seg_vol(spark, rng, tmp_path):
+    """F2 fixture: 128x128x64 uint32 segmentation, ~200 labels."""
+    arr = rng.integers(0, 200, size=(128, 128, 64, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "seg"), chunk_size=(64, 64, 64)
+    )
+    return vol, arr
+
+
+def test_roundtrip_whole_volume(image_vol):
+    vol, arr = image_vol
+    out = vol.cutout(Bbox((0, 0, 0), (128, 128, 128)))
+    assert out.dtype == arr.dtype
+    assert np.array_equal(out, arr)
+
+
+def test_roundtrip_unaligned_cutout(image_vol):
+    vol, arr = image_vol
+    out = vol.cutout(Bbox((10, 20, 30), (100, 90, 80)))
+    assert np.array_equal(out, arr[10:100, 20:90, 30:80, :])
+
+
+def test_getitem_slices(image_vol):
+    vol, arr = image_vol
+    assert np.array_equal(vol[5:20, 7:31, 64:70], arr[5:20, 7:31, 64:70, :])
+    assert np.array_equal(vol[:, :, :], arr)
+
+
+def test_bounded_raises(image_vol):
+    vol, _ = image_vol
+    with pytest.raises(OutOfBoundsError):
+        vol.cutout(Bbox((0, 0, 0), (256, 128, 128)))
+
+
+def test_autocrop(image_vol):
+    vol, arr = image_vol
+    vol.autocrop = True
+    out = vol.cutout(Bbox((100, 100, 100), (200, 200, 200)))
+    assert np.array_equal(out, arr[100:128, 100:128, 100:128, :])
+    vol.autocrop = False
+
+
+def test_aligned_write(image_vol, rng):
+    vol, arr = image_vol
+    patch = rng.integers(0, 255, size=(64, 64, 64, 1)).astype(np.uint8)
+    vol.upload(patch, offset=(64, 64, 0))
+    out = vol.cutout(Bbox((0, 0, 0), (128, 128, 128)))
+    arr = arr.copy()
+    arr[64:128, 64:128, 0:64, :] = patch
+    assert np.array_equal(out, arr)
+
+
+def test_non_aligned_write(image_vol, rng):
+    vol, arr = image_vol
+    patch = rng.integers(0, 255, size=(30, 30, 30, 1)).astype(np.uint8)
+    vol.upload(patch, offset=(50, 50, 50))
+    out = vol.cutout(Bbox((0, 0, 0), (128, 128, 128)))
+    expected = arr.copy()
+    expected[50:80, 50:80, 50:80, :] = patch
+    assert np.array_equal(out, expected)
+
+
+def test_setitem_scalar_broadcast(image_vol):
+    vol, arr = image_vol
+    vol[0:64, 0:64, 0:64] = 7
+    out = vol[0:64, 0:64, 0:64]
+    assert np.all(out == 7)
+
+
+def test_setitem_shape_mismatch(image_vol, rng):
+    vol, _ = image_vol
+    with pytest.raises(AlignmentError):
+        vol[0:10, 0:10, 0:10] = rng.integers(0, 255, size=(5, 5, 5, 1)).astype(np.uint8)
+
+
+def test_fill_missing(spark, rng, tmp_path):
+    arr = rng.integers(1, 255, size=(64, 64, 64, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "fm"), chunk_size=(64, 64, 64))
+    # widen the declared volume so chunks beyond the written one are missing
+    vol.info.info["scales"][0]["size"] = [128, 128, 128]
+    vol.info.commit(vol.base_path)
+    with pytest.raises(EmptyVolumeException):
+        vol.cutout(Bbox((0, 0, 0), (128, 128, 128)), fill_missing=False)
+    out = vol.cutout(Bbox((0, 0, 0), (128, 128, 128)), fill_missing=True)
+    assert np.array_equal(out[:64, :64, :64], arr)
+    assert np.all(out[64:, :, :] == 0)
+
+
+def test_background_color(spark, rng, tmp_path):
+    arr = rng.integers(1, 255, size=(64, 64, 64, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "bg"), chunk_size=(64, 64, 64))
+    vol.info.info["background_color"] = 111
+    vol.info.info["scales"][0]["size"] = [128, 64, 64]
+    vol.info.commit(vol.base_path)
+    out = vol.cutout(Bbox((0, 0, 0), (128, 64, 64)), fill_missing=True)
+    assert np.all(out[64:, :, :] == 111)
+
+
+def test_exists_and_delete(image_vol):
+    vol, _ = image_vol
+    ex = vol.exists(Bbox((0, 0, 0), (128, 128, 128)))
+    assert len(ex) == 8 and all(ex.values())
+    vol.delete(Bbox((0, 0, 0), (64, 128, 128)))
+    ex = vol.exists(Bbox((0, 0, 0), (128, 128, 128)))
+    assert sum(ex.values()) == 4
+    assert not ex[(0, 0, 0)] and ex[(1, 1, 1)]
+
+
+def test_delete_black_uploads(spark, tmp_path):
+    arr = np.zeros((128, 64, 64, 1), dtype=np.uint8)
+    arr[0:64] = 5
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "dbu"), chunk_size=(64, 64, 64))
+    vol.delete_all()
+    vol.upload(arr, offset=(0, 0, 0), delete_black_uploads=True)
+    ex = vol.exists(Bbox((0, 0, 0), (128, 64, 64)))
+    assert ex[(0, 0, 0)] and not ex[(1, 0, 0)]
+    out = vol.cutout(Bbox((0, 0, 0), (128, 64, 64)), fill_missing=True)
+    assert np.array_equal(out, arr)
+
+
+def test_read_voxel(image_vol):
+    vol, arr = image_vol
+    for pt in [(0, 0, 0), (127, 127, 127), (63, 64, 65)]:
+        assert np.array_equal(vol.read_voxel(pt), arr[pt[0], pt[1], pt[2], :])
+
+
+def test_download_points(seg_vol, rng):
+    vol, arr = seg_vol
+    pts = [(int(x), int(y), int(z)) for x, y, z in
+           rng.integers(0, (128, 128, 64), size=(20, 3))]
+    got = {(r.x, r.y, r.z): r.value for r in vol.download_points(pts).collect()}
+    for p in pts:
+        assert got[p] == arr[p[0], p[1], p[2], 0]
+
+
+def test_unique_whole_and_bbox(seg_vol):
+    vol, arr = seg_vol
+    got = {r.label for r in vol.unique().collect()}
+    assert got == set(np.unique(arr).tolist())
+    bbox = Bbox((10, 10, 10), (100, 70, 50))
+    got2 = {r.label for r in vol.unique(bbox).collect()}
+    assert got2 == set(np.unique(arr[10:100, 10:70, 10:50]).tolist())
+
+
+def test_unique_approx(seg_vol):
+    vol, arr = seg_vol
+    n = vol.unique(approx=True).collect()[0].approx_labels
+    true_n = len(np.unique(arr))
+    assert abs(n - true_n) / true_n < 0.15
+
+
+def test_label_mask_read(seg_vol):
+    vol, arr = seg_vol
+    lbl = int(arr[5, 5, 5, 0])
+    mask = vol.cutout(Bbox((0, 0, 0), (128, 128, 64)), label=lbl)
+    assert mask.dtype == bool
+    assert np.array_equal(mask, arr == lbl)
+
+
+def test_mask_except_read(seg_vol):
+    vol, arr = seg_vol
+    keep = [int(arr[0, 0, 0, 0]), int(arr[60, 60, 30, 0])]
+    out = vol.cutout(Bbox((0, 0, 0), (128, 128, 64)), mask_except=keep)
+    expected = np.where(np.isin(arr, keep), arr, 0)
+    assert np.array_equal(out, expected)
+
+
+def test_renumber(seg_vol):
+    vol, arr = seg_vol
+    out, remap = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)), renumber=True)
+    sub = arr[:64, :64, :64]
+    assert len(remap) == len(np.unique(sub))
+    # applying the inverse map restores the original
+    inv = {v: k for k, v in remap.items()}
+    restored = np.vectorize(inv.get)(out)
+    assert np.array_equal(restored, sub)
+
+
+def test_apply_remap(seg_vol):
+    vol, arr = seg_vol
+    mapping = {int(l): int(l) + 1000 for l in np.unique(arr)[:50]}
+    vol.apply_remap(mapping)
+    out = vol.cutout(Bbox((0, 0, 0), (128, 128, 64)))
+    import cloud_volume_spark.codecs as codecs
+    expected = codecs.remap_array(arr, mapping)
+    assert np.array_equal(out, expected)
+
+
+def test_downsample_image(spark, rng, tmp_path):
+    arr = rng.integers(0, 255, size=(64, 64, 32, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "ds"), chunk_size=(32, 32, 32))
+    mip1 = vol.downsample(0, factor=(2, 2, 1))
+    out = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)), mip=mip1)
+    expected = (
+        arr.reshape(32, 2, 32, 2, 32, 1, 1).mean(axis=(1, 3, 5)).astype(np.uint8)
+    )
+    assert np.array_equal(out, expected)
+
+
+def test_downsample_segmentation(spark, rng, tmp_path):
+    arr = rng.integers(0, 50, size=(64, 64, 32, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "dsseg"), chunk_size=(32, 32, 32))
+    mip1 = vol.downsample(0, factor=(2, 2, 1))
+    out = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)), mip=mip1)
+    assert np.array_equal(out, arr[::2, ::2, :, :])
+
+
+def test_transfer_roundtrip(image_vol, tmp_path):
+    vol, arr = image_vol
+    dest = vol.transfer_to(str(tmp_path / "xfer"), compression="zlib")
+    out = dest.cutout(Bbox((0, 0, 0), (128, 128, 128)))
+    assert np.array_equal(out, arr)
+
+
+def test_multichannel_float(spark, rng, tmp_path):
+    """F3 fixture: float32 3-channel affinities."""
+    arr = rng.random(size=(64, 64, 64, 3)).astype(np.float32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "aff"), chunk_size=(32, 32, 32))
+    out = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+    assert np.array_equal(out, arr)
+    sub = vol[10:20, 10:20, 10:20]
+    assert np.array_equal(sub, arr[10:20, 10:20, 10:20, :])
+
+
+def test_voxels_df(spark, rng, tmp_path):
+    arr = rng.integers(0, 9, size=(8, 8, 8, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "vox"), chunk_size=(8, 8, 8))
+    rows = vol.voxels_df().collect()
+    assert len(rows) == 512
+    for r in rows[:50]:
+        assert r.value == arr[r.x, r.y, r.z, r.c]
+
+
+def test_mip_locks(image_vol, rng):
+    vol, _ = image_vol
+    vol.info.lock_mips([0])
+    with pytest.raises(PermissionError):
+        vol.upload(np.zeros((64, 64, 64, 1), dtype=np.uint8), offset=(0, 0, 0))
+    vol.info.unlock_mips([0])
+
+
+def test_blocks_df_large_path(image_vol):
+    vol, arr = image_vol
+    df = vol.blocks_df(Bbox((0, 0, 0), (128, 128, 128)))
+    total = sum(
+        (r.x1 - r.x0) * (r.y1 - r.y0) * (r.z1 - r.z0) for r in df.collect()
+    )
+    assert total == 128 ** 3
