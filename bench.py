@@ -1,0 +1,173 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the
+volumetric write/read throughput probe that maps onto BASELINE.md's
+MB/s numbers (1024×1024×100 uint8 ≈ 100 MB logical, gzip raw chunks —
+the reference's benchmark geometry, `benchmarks/benchmark.py:13-50`).
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "volume": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+
+# queries that scale linearly; the quadratic all-pairs verifiers
+# (ngram_jaccard_pairs, embedding_neardup_pairs) are correctness-gate
+# only and excluded from the headline set.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "top_customers_per_nation",
+    "rollup_revenue",
+    "events_running_total",
+    "events_sessionize",
+    "events_asof_latest_order",
+    "vox_unique_bbox",
+    "vox_label_envelope",
+    "vox_point_lookup",
+    "vox_remap",
+    "vox_exists",
+    "vox_downsample",
+    "graphene_label_decode",
+    "doc_token_stats",
+    "doc_subword_count",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "doc_langid",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "ann_topk_cosine",
+    "srp_ann_topk",
+]
+
+VOL_SHAPE = (1024, 1024, 100)
+VOL_CHUNK = (256, 256, 50)
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    from cloud_volume_spark.operators import all_queries
+
+    qs = all_queries()
+    times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_volume(spark) -> dict:
+    """Distributed 100 MB volume roundtrip (write then read), gzip raw
+    chunks — comparable to BASELINE.md image-uint8 gzip rows."""
+    from cloud_volume_spark.catalog import VolumeInfo
+    from cloud_volume_spark.geometry import Bbox
+    from cloud_volume_spark.volume import BLOCK_SCHEMA, Volume
+
+    base = tempfile.mkdtemp(prefix="cvs_bench_")
+    try:
+        info = VolumeInfo.create(
+            layer_type="image", data_type="uint8", num_channels=1,
+            resolution=(1, 1, 1), voxel_offset=(0, 0, 0),
+            volume_size=VOL_SHAPE, chunk_size=VOL_CHUNK, encoding="raw",
+        )
+        vol = Volume.create(spark, os.path.join(base, "vol"), info)
+        cs = VOL_CHUNK
+        grid = [VOL_SHAPE[i] // cs[i] for i in range(3)]
+        coords = [
+            (cx, cy, cz)
+            for cz in range(grid[2])
+            for cy in range(grid[1])
+            for cx in range(grid[0])
+        ]
+        coords_df = spark.createDataFrame(coords, "cx int, cy int, cz int")
+
+        csx, csy, csz = cs
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    rng = np.random.default_rng(r.cx * 1000 + r.cy * 100 + r.cz)
+                    arr = rng.integers(
+                        0, 255, size=(csx, csy, csz, 1)
+                    ).astype(np.uint8)
+                    rows.append((
+                        r.cx * csx, (r.cx + 1) * csx,
+                        r.cy * csy, (r.cy + 1) * csy,
+                        r.cz * csz, (r.cz + 1) * csz,
+                        np.ascontiguousarray(arr.transpose()).tobytes(),
+                    ))
+                yield pd.DataFrame(
+                    rows, columns=["x0", "x1", "y0", "y1", "z0", "z1", "blob"]
+                )
+
+        blocks = coords_df.repartition(len(coords)).mapInPandas(
+            gen, schema=BLOCK_SCHEMA
+        )
+        logical_mb = int(np.prod(VOL_SHAPE)) / 1e6
+
+        t0 = time.perf_counter()
+        vol.write_blocks_df(blocks, mip=0, compression="gzip")
+        write_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = vol.cutout(Bbox((0, 0, 0), VOL_SHAPE))
+        read_sec = time.perf_counter() - t0
+        assert out.shape[:3] == VOL_SHAPE
+
+        return {
+            "logical_mb": round(logical_mb, 1),
+            "write_sec": round(write_sec, 3),
+            "read_sec": round(read_sec, 3),
+            "write_mbps": round(logical_mb / write_sec, 1),
+            "read_mbps": round(logical_mb / read_sec, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> None:
+    from cloud_volume_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="cvs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Arrow paths once so timings measure steady state
+    from cloud_volume_spark.operators import all_queries
+    all_queries()["q6_revenue_forecast"](spark, sf_dir).collect()
+
+    t_total = time.perf_counter()
+    times = bench_queries(spark, sf_dir)
+    vol_stats = bench_volume(spark)
+    total = round(time.perf_counter() - t_total, 3)
+
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "volume": vol_stats,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,422 @@
+"""Core relational operators over the TPC-H-ish test tables.
+
+These exercise the engine surface a cloud-volume user gets "for free"
+by moving to Spark (SURVEY.md §2.4 notes the reference has no
+grouping-sets, windows, or top-k — here they are): scan+filter+agg,
+multi-way broadcast joins, top-k, rollup, window functions,
+sessionization, and as-of style joins.
+
+Scale notes (100 TB design):
+- dimension tables (region/nation/customer/supplier/part) are
+  broadcast; only lineitem/orders/events shuffle, on their join keys.
+- aggregations are expressed as groupBy so Catalyst plans partial
+  (map-side) aggregation before the exchange.
+- doubles that cross the duckdb oracle are rounded (4 dp) to absorb
+  summation-order differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from cloud_volume_spark.operators.common import load
+
+
+# ---------------------------------------------------------------------------
+# q1 — pricing summary (TPC-H Q1 shape): the flagship scan+agg
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3 — shipping priority (join + top-k)
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       FLOOR(EPOCH(o_orderdate))::BIGINT AS o_orderdate_epoch,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5 — local supplier volume (5-way join, broadcast dims)
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q6 — revenue forecast (pure filter+agg; predicate pushdown showcase)
+# ---------------------------------------------------------------------------
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# top customers — window rank over join+agg
+# ---------------------------------------------------------------------------
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    revenue = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    return (
+        revenue.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "total_spend", "rnk")
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+WITH revenue AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name, c_nationkey
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_nationkey
+        ORDER BY total_spend DESC, c_custkey ASC
+    ) AS rnk
+    FROM revenue
+)
+SELECT n_name, c_custkey, c_name, total_spend, rnk
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup — hierarchical aggregate (region → nation)
+# ---------------------------------------------------------------------------
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT r_name, n_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: running totals (window), sessionization (gaps-and-islands),
+# as-of join (latest order per user before the event stream)
+# ---------------------------------------------------------------------------
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id,
+       FLOOR(EPOCH(ts))::BIGINT AS ts_epoch,
+       ROUND(SUM(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS running_value
+FROM events
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-timeout sessions per user: the batch gaps-and-islands
+    form of what :mod:`cloud_volume_spark.streaming` does incrementally."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    with_id = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH with_gap AS (
+    SELECT *,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *,
+           CASE WHEN prev_ts IS NULL
+                     OR EPOCH(ts) - EPOCH(prev_ts) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM with_gap
+), with_id AS (
+    SELECT *,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       FLOOR(EPOCH(MIN(ts)))::BIGINT AS session_start_epoch,
+       FLOOR(EPOCH(MAX(ts)))::BIGINT AS session_end_epoch,
+       ROUND(SUM(value), 4) AS session_value
+FROM with_id
+GROUP BY user_id, session_id
+"""
+
+
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's most recent
+    order at-or-before the event time — the pattern behind graphene's
+    timestamped supervoxel→root resolution (SURVEY §2.3), expressed as
+    window-over-union rather than a per-row server call."""
+    events = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    orders = load(spark, sf_dir, "orders")
+    latest = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("latest_order_date"),
+        )
+    )
+    return (
+        events.join(
+            F.broadcast(latest), events.user_id == latest.o_custkey, "left"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            F.unix_timestamp("latest_order_date").alias("latest_order_epoch"),
+        )
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH latest AS (
+    SELECT o_custkey, MAX(o_orderdate) AS latest_order_date
+    FROM orders GROUP BY o_custkey
+)
+SELECT event_id, user_id,
+       FLOOR(EPOCH(ts))::BIGINT AS ts_epoch,
+       FLOOR(EPOCH(latest_order_date))::BIGINT AS latest_order_epoch
+FROM events LEFT JOIN latest ON user_id = o_custkey
+WHERE event_type = 'purchase'
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "top_customers_per_nation": top_customers_per_nation,
+    "rollup_revenue": rollup_revenue,
+    "events_running_total": events_running_total,
+    "events_sessionize": events_sessionize,
+    "events_asof_latest_order": events_asof_latest_order,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "q6_revenue_forecast": Q6_SQL,
+    "top_customers_per_nation": TOP_CUSTOMERS_SQL,
+    "rollup_revenue": ROLLUP_SQL,
+    "events_running_total": EVENTS_RUNNING_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_asof_latest_order": EVENTS_ASOF_SQL,
+}

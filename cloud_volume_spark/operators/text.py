@@ -1,0 +1,237 @@
+"""Text analysis operators over the ``documents`` table — the
+training-data-pipeline surface (token stats, quality scoring,
+language-ID heuristic, fingerprinting).
+
+All expressions are JVM-side built-ins (split/transform/filter/md5) —
+no Python UDFs in these paths — and every operator has a duckdb oracle
+with the exact same computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_volume_spark.operators.common import load
+
+STOPWORDS = ("the", "a", "of", "in", "to")
+
+# language marker tokens for the n-gram/stopword-vote language-ID
+# heuristic; deterministic and mirrored exactly in the oracle SQL.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "value"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "un", "est"),
+    "de": ("der", "die", "und", "ist", "ein"),
+    "zh": ("shi", "de", "he", "zai", "le"),
+}
+
+
+def _tokens(col):
+    return F.split(F.trim(col), " ")
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, mean token
+    length (the BPE-ish regex variant is ``doc_subword_count``)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            (F.length(F.trim("text")) - F.size(toks) + 1) / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_tokens,
+       LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS n_distinct_tokens,
+       ROUND(
+         (LENGTH(TRIM(text)) - LEN(STRING_SPLIT(TRIM(text), ' ')) + 1)
+         / LEN(STRING_SPLIT(TRIM(text), ' '))::DOUBLE, 4
+       ) AS avg_token_len
+FROM documents
+"""
+
+
+def doc_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting: tokens further split at 4-char
+    boundaries (an approximation of byte-pair merges with a fixed
+    merge budget), plus chars-per-subword — the usual "token budget"
+    estimator for LLM corpora."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    # each word of length L contributes ceil(L/4) subwords
+    subwords = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / F.lit(4.0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        subwords.alias("n_subwords"),
+        F.round(F.length(F.trim("text")) / subwords, 4).alias("chars_per_subword"),
+    )
+
+
+SUBWORD_SQL = """
+SELECT doc_id,
+       LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(TRIM(text), ' '),
+                               t -> CEIL(LENGTH(t) / 4.0)::BIGINT))::BIGINT
+           AS n_subwords,
+       ROUND(LENGTH(TRIM(text)) /
+             LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(TRIM(text), ' '),
+                                     t -> CEIL(LENGTH(t) / 4.0)::BIGINT))::DOUBLE,
+             4) AS chars_per_subword
+FROM documents
+"""
+
+
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation × (1 − stopword
+    ratio), plus its components — the filter most pipelines run before
+    training-data inclusion."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tok = F.size(toks)
+    stop_ratio = n_stop / n_tok
+    len_score = F.least(F.lit(1.0), F.length("text") / F.lit(500.0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(len_score, 4).alias("length_score"),
+        # integer basis points: floor(x*1e4+0.5) is the same fp op chain
+        # in both engines, unlike ROUND whose half-way mode differs
+        F.floor(len_score * (1 - stop_ratio) * 10000 + 0.5)
+        .cast("long")
+        .alias("quality_score_bp"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH scored AS (
+    SELECT doc_id,
+           LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_tokens,
+           LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+               t -> t IN {STOPWORDS!r})) AS n_stop,
+           LEAST(1.0, LENGTH(text) / 500.0) AS len_score
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       ROUND(n_stop / n_tokens::DOUBLE, 4) AS stopword_ratio,
+       ROUND(len_score, 4) AS length_score,
+       FLOOR(len_score * (1 - n_stop / n_tokens::DOUBLE) * 10000 + 0.5)::BIGINT
+           AS quality_score_bp
+FROM scored
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint over normalized text —
+    the content-addressing primitive exact dedup builds on."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fingerprint,
+       LENGTH(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS norm_len
+FROM documents
+"""
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language vote (n-gram-heuristic family): score per
+    language = number of that language's marker tokens present;
+    deterministic argmax with fixed tie-break order en>es>fr>de>zh."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]) & (scores["en"] >= scores["zh"]),
+            "en",
+        )
+        .when(
+            (scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"])
+            & (scores["es"] >= scores["zh"]),
+            "es",
+        )
+        .when(
+            (scores["fr"] >= scores["de"]) & (scores["fr"] >= scores["zh"]), "fr"
+        )
+        .when(scores["de"] >= scores["zh"], "de")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+def _markers_sql(lang: str) -> str:
+    return (
+        f"LEN(LIST_FILTER(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' ')), "
+        f"t -> t IN {LANG_MARKERS[lang]!r}))"
+    )
+
+
+LANGID_SQL = f"""
+WITH scores AS (
+    SELECT doc_id, lang,
+           {_markers_sql('en')} AS s_en,
+           {_markers_sql('es')} AS s_es,
+           {_markers_sql('fr')} AS s_fr,
+           {_markers_sql('de')} AS s_de,
+           {_markers_sql('zh')} AS s_zh
+    FROM documents
+), pred AS (
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+             WHEN s_de >= s_zh THEN 'de'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM scores
+)
+SELECT doc_id, predicted_lang, lang AS labeled_lang,
+       (predicted_lang = lang)::INT AS is_match
+FROM pred
+"""
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_subword_count": doc_subword_count,
+    "doc_quality_score": doc_quality_score,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_langid": doc_langid,
+}
+
+ORACLE_SQL = {
+    "doc_token_stats": TOKEN_STATS_SQL,
+    "doc_subword_count": SUBWORD_SQL,
+    "doc_quality_score": QUALITY_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "doc_langid": LANGID_SQL,
+}

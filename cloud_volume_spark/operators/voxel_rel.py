@@ -1,0 +1,286 @@
+"""Volumetric operators in relational form, oracle-checkable.
+
+The native volumetric engine (:mod:`cloud_volume_spark.volume`) is
+verified against numpy (tests/test_volume.py). This module exposes the
+SAME operator semantics — bbox cutout scans, distinct labels, label
+envelopes, point lookups, broadcast remaps, existence probes,
+downsample reductions, graphene bit-field codecs — over a deterministic
+voxel table derived from ``lineitem``, so each operator also runs under
+the driver's duckdb-oracle gate (SURVEY.md §2.1/§2.3/§2.4 rows:
+unique ``rx.py:898``, label bbox ``spatial_index.py:697``, scattered
+points ``frontends/precomputed.py:873``, remap ``chunks.py:395``,
+exists ``image/__init__.py:484``, graphene codec
+``datasource/graphene/metadata.py:183``).
+
+The derivation: every lineitem row becomes a voxel
+``(x, y, z, label) = (l_orderkey%32, l_partkey%32, l_suppkey%16,
+l_partkey%97)``; collisions are resolved by MIN(label) where a unique
+voxel value is required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_volume_spark.operators.common import load
+
+VOXELS_SQL = """
+    SELECT (l_orderkey % 32)::INT AS x,
+           (l_partkey % 32)::INT AS y,
+           (l_suppkey % 16)::INT AS z,
+           (l_partkey % 97)::BIGINT AS label
+    FROM lineitem
+"""
+
+
+def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % 32).cast("int").alias("x"),
+        (F.col("l_partkey") % 32).cast("int").alias("y"),
+        (F.col("l_suppkey") % 16).cast("int").alias("z"),
+        (F.col("l_partkey") % 97).cast("long").alias("label"),
+    )
+
+
+# -- unique labels in bbox (reference rx.unique) ---------------------------
+
+def vox_unique_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _voxels(spark, sf_dir)
+    return (
+        v.where(F.col("x").between(4, 20))
+        .where(F.col("y").between(8, 24))
+        .where(F.col("z").between(2, 10))
+        .select("label")
+        .distinct()
+    )
+
+
+VOX_UNIQUE_SQL = f"""
+WITH voxels AS ({VOXELS_SQL})
+SELECT DISTINCT label FROM voxels
+WHERE x BETWEEN 4 AND 20 AND y BETWEEN 8 AND 24 AND z BETWEEN 2 AND 10
+"""
+
+
+# -- per-label bounding envelope (reference spatial_index.get_bbox) --------
+
+def vox_label_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _voxels(spark, sf_dir)
+    return v.groupBy("label").agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+        F.min("z").alias("z0"), F.max("z").alias("z1"),
+        F.count(F.lit(1)).alias("n_voxels"),
+    )
+
+
+VOX_ENVELOPE_SQL = f"""
+WITH voxels AS ({VOXELS_SQL})
+SELECT label,
+       MIN(x) AS x0, MAX(x) AS x1,
+       MIN(y) AS y0, MAX(y) AS y1,
+       MIN(z) AS z0, MAX(z) AS z1,
+       COUNT(*) AS n_voxels
+FROM voxels GROUP BY label
+"""
+
+
+# -- scattered point lookup (reference download_points) --------------------
+
+_POINTS = [(1, 1, 1), (5, 9, 2), (17, 3, 11), (31, 31, 15), (8, 16, 4)]
+
+
+def vox_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _voxels(spark, sf_dir)
+    pts = spark.createDataFrame(_POINTS, schema="x int, y int, z int")
+    return (
+        v.join(F.broadcast(pts), on=["x", "y", "z"], how="inner")
+        .groupBy("x", "y", "z")
+        .agg(F.min("label").alias("value"))
+    )
+
+
+VOX_POINTS_SQL = f"""
+WITH voxels AS ({VOXELS_SQL}),
+pts(x, y, z) AS (VALUES {", ".join(str(p) for p in _POINTS)})
+SELECT v.x, v.y, v.z, MIN(v.label) AS value
+FROM voxels v JOIN pts USING (x, y, z)
+GROUP BY v.x, v.y, v.z
+"""
+
+
+# -- broadcast-join label remap (reference chunks.remap / graphene agglomerate)
+
+def vox_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary remap through a mapping table (supervoxel→root
+    pattern): labels whose (label % 25) matches a nation key < 10 are
+    re-rooted to nationkey+1000."""
+    v = _voxels(spark, sf_dir)
+    nation = load(spark, sf_dir, "nation")
+    mapping = nation.where(F.col("n_nationkey") < 10).select(
+        F.col("n_nationkey").cast("long").alias("old_label"),
+        (F.col("n_nationkey") + 1000).cast("long").alias("new_label"),
+    )
+    return (
+        v.join(
+            F.broadcast(mapping),
+            (F.col("label") % 25) == F.col("old_label"),
+            "left",
+        )
+        .select(
+            F.coalesce("new_label", "label").alias("resolved_label"),
+        )
+        .groupBy("resolved_label")
+        .agg(F.count(F.lit(1)).alias("n_voxels"))
+    )
+
+
+VOX_REMAP_SQL = f"""
+WITH voxels AS ({VOXELS_SQL}),
+mapping AS (
+    SELECT n_nationkey::BIGINT AS old_label,
+           (n_nationkey + 1000)::BIGINT AS new_label
+    FROM nation WHERE n_nationkey < 10
+)
+SELECT COALESCE(new_label, label) AS resolved_label,
+       COUNT(*) AS n_voxels
+FROM voxels LEFT JOIN mapping ON (label % 25) = old_label
+GROUP BY COALESCE(new_label, label)
+"""
+
+
+# -- existence probe (reference image exists; anti-join vs generated grid) --
+
+def vox_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which 8x8x8 grid cells of the full 64x64x32 declared grid hold no
+    voxels — generated grid anti-joined against observed cells."""
+    v = _voxels(spark, sf_dir)
+    cells = v.select(
+        (F.col("x") / 8).cast("int").alias("gx"),
+        (F.col("y") / 8).cast("int").alias("gy"),
+        (F.col("z") / 8).cast("int").alias("gz"),
+    ).distinct()
+    gx = spark.range(8).select(F.col("id").cast("int").alias("gx"))
+    gy = spark.range(8).select(F.col("id").cast("int").alias("gy"))
+    gz = spark.range(4).select(F.col("id").cast("int").alias("gz"))
+    grid = gx.crossJoin(gy).crossJoin(gz)
+    return grid.join(cells, on=["gx", "gy", "gz"], how="left_anti")
+
+
+VOX_EXISTS_SQL = f"""
+WITH voxels AS ({VOXELS_SQL}),
+cells AS (
+    SELECT DISTINCT (x // 8)::INT AS gx, (y // 8)::INT AS gy, (z // 8)::INT AS gz
+    FROM voxels
+),
+grid AS (
+    SELECT gx.range::INT AS gx, gy.range::INT AS gy, gz.range::INT AS gz
+    FROM range(8) gx, range(8) gy, range(4) gz
+)
+SELECT g.gx, g.gy, g.gz
+FROM grid g LEFT JOIN cells c USING (gx, gy, gz)
+WHERE c.gx IS NULL
+"""
+
+
+# -- relational downsample (reference downsample; groupBy reduction) -------
+
+def vox_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _voxels(spark, sf_dir)
+    return (
+        v.groupBy(
+            (F.col("x") / 2).cast("int").alias("px"),
+            (F.col("y") / 2).cast("int").alias("py"),
+            F.col("z").alias("pz"),
+        )
+        .agg(
+            F.round(F.avg("label"), 4).alias("mean_label"),
+            F.count(F.lit(1)).alias("n_voxels"),
+        )
+    )
+
+
+VOX_DOWNSAMPLE_SQL = f"""
+WITH voxels AS ({VOXELS_SQL})
+SELECT (x // 2)::INT AS px, (y // 2)::INT AS py, z AS pz,
+       ROUND(AVG(label), 4) AS mean_label,
+       COUNT(*) AS n_voxels
+FROM voxels GROUP BY 1, 2, 3
+"""
+
+
+# -- graphene label bit-field codec (reference graphene/metadata.py:183) ---
+
+def graphene_label_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack (layer, x, y, z, segid) bit-fields into a uint64-style id
+    and unpack them with pure SQL bit ops — the graphene label codec
+    as Catalyst expressions (layer:4 | x:8 | y:8 | z:8 | segid:32)."""
+    li = load(spark, sf_dir, "lineitem")
+    packed = li.select(
+        (
+            F.shiftleft((F.col("l_orderkey") % 15) + 1, 56)
+            + F.shiftleft(F.col("l_partkey") % 256, 48)
+            + F.shiftleft(F.col("l_suppkey") % 256, 40)
+            + F.shiftleft((F.col("l_linenumber") % 256).cast("long"), 32)
+            + (F.col("l_orderkey") * 7 + F.col("l_partkey")) % 4294967296
+        ).alias("packed_id")
+    )
+    return (
+        packed.select(
+            "packed_id",
+            F.shiftright("packed_id", 56).bitwiseAND(F.lit(15)).alias("layer"),
+            F.shiftright("packed_id", 48).bitwiseAND(F.lit(255)).alias("cx"),
+            F.shiftright("packed_id", 40).bitwiseAND(F.lit(255)).alias("cy"),
+            F.shiftright("packed_id", 32).bitwiseAND(F.lit(255)).alias("cz"),
+            F.col("packed_id").bitwiseAND(F.lit(4294967295)).alias("segid"),
+        )
+        .groupBy("layer")
+        .agg(
+            F.count(F.lit(1)).alias("n_labels"),
+            F.max("cx").alias("max_cx"),
+            F.max("cy").alias("max_cy"),
+            F.max("cz").alias("max_cz"),
+            F.max("segid").alias("max_segid"),
+        )
+    )
+
+
+GRAPHENE_SQL = """
+WITH packed AS (
+    SELECT ((l_orderkey % 15) + 1) << 56
+           | ((l_partkey % 256) << 48)
+           | ((l_suppkey % 256) << 40)
+           | ((l_linenumber % 256)::BIGINT << 32)
+           | ((l_orderkey * 7 + l_partkey) % 4294967296) AS packed_id
+    FROM lineitem
+)
+SELECT (packed_id >> 56) & 15 AS layer,
+       COUNT(*) AS n_labels,
+       MAX((packed_id >> 48) & 255) AS max_cx,
+       MAX((packed_id >> 40) & 255) AS max_cy,
+       MAX((packed_id >> 32) & 255) AS max_cz,
+       MAX(packed_id & 4294967295) AS max_segid
+FROM packed GROUP BY layer
+"""
+
+
+QUERIES = {
+    "vox_unique_bbox": vox_unique_bbox,
+    "vox_label_envelope": vox_label_envelope,
+    "vox_point_lookup": vox_point_lookup,
+    "vox_remap": vox_remap,
+    "vox_exists": vox_exists,
+    "vox_downsample": vox_downsample,
+    "graphene_label_decode": graphene_label_decode,
+}
+
+ORACLE_SQL = {
+    "vox_unique_bbox": VOX_UNIQUE_SQL,
+    "vox_label_envelope": VOX_ENVELOPE_SQL,
+    "vox_point_lookup": VOX_POINTS_SQL,
+    "vox_remap": VOX_REMAP_SQL,
+    "vox_exists": VOX_EXISTS_SQL,
+    "vox_downsample": VOX_DOWNSAMPLE_SQL,
+    "graphene_label_decode": GRAPHENE_SQL,
+}

@@ -51,14 +51,24 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-mode driver hosts all executor threads — size the heap
+        # for 32 concurrent codec tasks on multi-MB chunk blobs
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # chunk rows carry MB-scale blobs; keep Arrow batches bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # tolerate TIMESTAMP(NANOS) parquet (events.ts): read as long,
+        # converted back to timestamp in operators.common.load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
