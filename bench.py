@@ -122,21 +122,30 @@ def bench_volume(spark) -> dict:
         )
         logical_mb = int(np.prod(VOL_SHAPE)) / 1e6
 
-        t0 = time.perf_counter()
-        vol.write_blocks_df(blocks, mip=0, compression="gzip")
-        write_sec = time.perf_counter() - t0
+        # reference methodology (benchmarks/benchmark.py): repeats of the
+        # whole-volume roundtrip; first iteration warms JIT + file paths,
+        # best of the remaining two is reported.
+        write_secs, read_secs = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vol.write_blocks_df(blocks, mip=0, compression="gzip")
+            write_secs.append(time.perf_counter() - t0)
 
-        t0 = time.perf_counter()
-        out = vol.cutout(Bbox((0, 0, 0), VOL_SHAPE))
-        read_sec = time.perf_counter() - t0
-        assert out.shape[:3] == VOL_SHAPE
+            t0 = time.perf_counter()
+            out = vol.cutout(Bbox((0, 0, 0), VOL_SHAPE))
+            read_secs.append(time.perf_counter() - t0)
+            assert out.shape[:3] == VOL_SHAPE
 
+        write_sec = min(write_secs[1:])
+        read_sec = min(read_secs[1:])
         return {
             "logical_mb": round(logical_mb, 1),
             "write_sec": round(write_sec, 3),
             "read_sec": round(read_sec, 3),
             "write_mbps": round(logical_mb / write_sec, 1),
             "read_mbps": round(logical_mb / read_sec, 1),
+            "write_secs_all": [round(s, 3) for s in write_secs],
+            "read_secs_all": [round(s, 3) for s in read_secs],
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -150,9 +159,16 @@ def main() -> None:
     spark = get_spark(app_name="cvs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/Arrow paths once so timings measure steady state
+    # warm the JVM/Arrow paths + Python UDF workers once so timings
+    # measure steady state, not daemon spin-up
     from cloud_volume_spark.operators import all_queries
     all_queries()["q6_revenue_forecast"](spark, sf_dir).collect()
+    (
+        spark.range(64)
+        .repartition(64)
+        .mapInPandas(lambda it: it, schema="id long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     t_total = time.perf_counter()
     times = bench_queries(spark, sf_dir)

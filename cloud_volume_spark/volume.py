@@ -402,6 +402,7 @@ class Volume:
             out.repartition("slab")
             .sortWithinPartitions("morton")
             .write.mode("overwrite")
+            .option("compression", "none")  # blobs carry their own gzip
             .partitionBy("mip", "slab")
             .parquet(tmp)
         )
@@ -442,18 +443,27 @@ class Volume:
                 out = []
                 for r in pdf.itertuples(index=False):
                     shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
-                    arr = codecs.decode(r.blob, "raw", shape, dtype)
                     cx = int((r.x0 - voff[0]) // cs[0])
                     cy = int((r.y0 - voff[1]) // cs[1])
                     cz = int((r.z0 - voff[2]) // cs[2])
-                    blob = codecs.compress_stream(
-                        codecs.encode(arr, encoding), comp or None
-                    )
-                    if seg:
-                        uniq = np.unique(arr)
-                        stats = [int(u) for u in uniq] if uniq.size <= LABELS_STATS_CAP else None
-                    else:
+                    if encoding == "raw" and not seg:
+                        # block bytes ARE the raw encoding — skip the
+                        # decode/encode round trip entirely
+                        blob = codecs.compress_stream(r.blob, comp or None)
                         stats = None
+                    else:
+                        arr = codecs.decode(r.blob, "raw", shape, dtype)
+                        blob = codecs.compress_stream(
+                            codecs.encode(arr, encoding), comp or None
+                        )
+                        if seg:
+                            uniq = np.unique(arr)
+                            stats = (
+                                [int(u) for u in uniq]
+                                if uniq.size <= LABELS_STATS_CAP else None
+                            )
+                        else:
+                            stats = None
                     morton = int(compressed_morton_code((cx, cy, cz), grid))
                     out.append((
                         int(mip), _slab_of(morton), cx, cy, cz, morton,
@@ -547,34 +557,43 @@ class Volume:
                 "use blocks_df()/voxels_df() for DataFrame output"
             )
 
-        pieces_df = self._decoded_pieces_df(bbox, mip)
+        pruned = self._pruned(bbox, mip)
         if label is not None:
             # stats-column data skipping before any decode
-            pruned = self._pruned(bbox, mip)
             pruned = pruned.where(
                 F.col("labels_stats").isNull()
                 | F.array_contains("labels_stats", int(label))
             )
-            pieces_df = self._decoded_pieces_from(pruned, bbox, mip)
+
+        # Driver-decode fast path: the cutout is already driver-bounded
+        # (MAX_ASSEMBLE_VOXELS), so collect the ENCODED blobs via Arrow
+        # and decode+shade locally — one Arrow hop, no executor Python
+        # stage, no second 100 MB round trip. blocks_df() remains the
+        # distributed decode path for larger-than-driver outputs.
+        rows = pruned.select(
+            "x0", "x1", "y0", "y1", "z0", "z1",
+            "encoding", "compression", "blob",
+        ).toPandas()
+        rows = list(rows.itertuples(index=False))
 
         bg = self.info.background_color()
         out = np.full(shape, bg, dtype=dtype)
-        rows = pieces_df.collect()
 
         if not fill:
             cs = self.info.chunk_size(mip)
             voff = self.info.voxel_offset(mip)
             expected = bbox.clamp(self.info.bounds(mip)).num_chunks(cs, voff)
-            got = len(rows) if label is None else None
-            if label is None and got < expected:
+            if label is None and len(rows) < expected:
                 raise EmptyVolumeException(
-                    f"{expected - got} missing chunks in {bbox} (fill_missing=False)"
+                    f"{expected - len(rows)} missing chunks in {bbox} "
+                    "(fill_missing=False)"
                 )
 
         for r in rows:
             piece_bbox = Bbox((r.x0, r.y0, r.z0), (r.x1, r.y1, r.z1))
             pshape = tuple(piece_bbox.size3()) + (nc,)
-            arr = np.frombuffer(r.blob, dtype=dtype).reshape(pshape[::-1]).transpose()
+            raw = codecs.decompress_stream(r.blob, r.compression or None)
+            arr = codecs.decode(raw, r.encoding, pshape, dtype)
             shade(out, bbox, arr, piece_bbox)
 
         if label is not None:
@@ -1090,7 +1109,7 @@ class Volume:
         (
             out.repartition("slab").sortWithinPartitions("morton")
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "none")
             .partitionBy("mip", "slab")
             .parquet(dest.chunks_path)
         )
