@@ -1,0 +1,186 @@
+"""Annotation layers as first-class DataFrames.
+
+The reference stores typed geometry sets (POINT/LINE/AABB/ELLIPSOID/
+POLYLINE) with typed properties and named relationships, indexed three
+ways: by id, by spatial grid cell, by relationship
+(``datasource/precomputed/annotation/metadata.py:18-39``,
+``reader.py:193/:224/:308``). Its own ``pandas()`` exporter
+(``annotation/metadata.py:129,233``) shows the model is already
+tabular — here the table IS the layer:
+
+    annotations(id LONG, x DOUBLE, y DOUBLE, z DOUBLE,
+                [x2,y2,z2 | rx,ry,rz | points], <props...>,
+                rel_<name> ARRAY<LONG>)
+
+- by-id lookup        → ``WHERE id IN (...)``       (reader.py:193)
+- bbox query          → coordinate range filter      (reader.py:224)
+- relationship query  → explode(rel_) filter / join  (reader.py:308)
+- spatial grid        → derived (gx,gy,gz) cell cols; parquet min/max
+                        stats prune exactly like the reference's
+                        ``.spatial`` cell files
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_volume_spark.geometry import Bbox
+
+ANNOTATION_TYPES = ("POINT", "LINE", "AXIS_ALIGNED_BOUNDING_BOX", "ELLIPSOID")
+
+# reference annotation/metadata.py:27-39
+PROPERTY_DTYPES = (
+    "uint8", "int8", "uint16", "int16", "uint32", "int32",
+    "float32", "rgb", "rgba",
+)
+
+
+class AnnotationLayer:
+    """One annotation layer = a DataFrame + a small JSON catalog."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        annotation_type: str = "POINT",
+        properties: Optional[dict] = None,
+        relationships: Optional[Sequence[str]] = None,
+        grid_cell: Sequence[float] = (128, 128, 128),
+    ):
+        if annotation_type not in ANNOTATION_TYPES:
+            raise ValueError(f"unsupported annotation type {annotation_type}")
+        self.spark = spark
+        self.base_path = base_path
+        self.annotation_type = annotation_type
+        self.properties = dict(properties or {})
+        for dtype in self.properties.values():
+            if dtype not in PROPERTY_DTYPES:
+                raise ValueError(f"unsupported property dtype {dtype}")
+        self.relationships = list(relationships or [])
+        self.grid_cell = tuple(float(g) for g in grid_cell)
+
+    # ---- catalog ------------------------------------------------------
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.base_path, "annotations")
+
+    def commit_info(self) -> None:
+        os.makedirs(self.base_path, exist_ok=True)
+        info = {
+            "@type": "neuroglancer_annotations_v1",
+            "annotation_type": self.annotation_type,
+            "properties": [
+                {"id": k, "type": v} for k, v in self.properties.items()
+            ],
+            "relationships": [{"id": r, "key": f"rel_{r}"} for r in self.relationships],
+            "spatial": [{
+                "key": "grid",
+                "chunk_size": list(self.grid_cell),
+            }],
+        }
+        with open(os.path.join(self.base_path, "info"), "w") as f:
+            f.write(json.dumps(info, sort_keys=True))
+
+    @classmethod
+    def open(cls, spark: SparkSession, base_path: str) -> "AnnotationLayer":
+        with open(os.path.join(base_path, "info")) as f:
+            info = json.load(f)
+        return cls(
+            spark, base_path,
+            annotation_type=info["annotation_type"],
+            properties={p["id"]: p["type"] for p in info.get("properties", [])},
+            relationships=[r["id"] for r in info.get("relationships", [])],
+            grid_cell=info["spatial"][0]["chunk_size"],
+        )
+
+    # ---- write --------------------------------------------------------
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        """Persist annotations; derives the spatial-grid cell columns so
+        parquet stats give the same pruning the reference's grid files
+        do. Cluster by cell so a bbox query touches few row groups."""
+        gx = F.floor(F.col("x") / self.grid_cell[0]).cast("int")
+        gy = F.floor(F.col("y") / self.grid_cell[1]).cast("int")
+        gz = F.floor(F.col("z") / self.grid_cell[2]).cast("int")
+        out = (
+            df.withColumn("gx", gx).withColumn("gy", gy).withColumn("gz", gz)
+            .repartitionByRange("gz", "gy", "gx")
+            .sortWithinPartitions("gz", "gy", "gx", "id")
+        )
+        out.write.mode(mode).parquet(self.data_path)
+        self.commit_info()
+
+    # ---- reads (reference annotation/reader.py) -----------------------
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_path)
+
+    def ids(self) -> DataFrame:
+        """reader.py:58-105."""
+        return self.df().select("id")
+
+    def get_by_id(self, ids: Iterable[int]) -> DataFrame:
+        """reader.py:193-222."""
+        return self.df().where(F.col("id").isin([int(i) for i in ids]))
+
+    def get_by_bbox(self, bbox: Bbox, exact: bool = True) -> DataFrame:
+        """reader.py:224-306: coarse pass = grid-cell ranges (pruned
+        scan), ``exact`` crops to the precise box like the reference's
+        post-filter (annotation/metadata.py:62-111)."""
+        (x0, y0, z0), (x1, y1, z1) = bbox.minpt, bbox.maxpt
+        gcell = self.grid_cell
+        df = (
+            self.df()
+            .where(F.col("gx").between(
+                int(x0 // gcell[0]), int((x1 - 1) // gcell[0])))
+            .where(F.col("gy").between(
+                int(y0 // gcell[1]), int((y1 - 1) // gcell[1])))
+            .where(F.col("gz").between(
+                int(z0 // gcell[2]), int((z1 - 1) // gcell[2])))
+        )
+        if exact:
+            df = (
+                df.where(F.col("x").between(float(x0), float(x1) - 1e-9))
+                .where(F.col("y").between(float(y0), float(y1) - 1e-9))
+                .where(F.col("z").between(float(z0), float(z1) - 1e-9))
+            )
+        return df
+
+    def get_by_relationship(self, relationship: str, labels: Iterable[int]) -> DataFrame:
+        """reader.py:308-354: all annotations related to these segids."""
+        col = f"rel_{relationship}"
+        if relationship not in self.relationships:
+            raise KeyError(f"unknown relationship {relationship}")
+        labels = [int(l) for l in labels]
+        return self.df().where(
+            F.arrays_overlap(F.col(col), F.array(*[F.lit(l) for l in labels]))
+        )
+
+    def relationship_index(self, relationship: str) -> DataFrame:
+        """Inverted (segid → annotation ids) table — the materialized
+        form of the reference's by-relationship key-value dir."""
+        col = f"rel_{relationship}"
+        return (
+            self.df()
+            .select("id", F.explode(F.array_distinct(col)).alias("segid"))
+            .groupBy("segid")
+            .agg(F.sort_array(F.collect_list("id")).alias("annotation_ids"))
+        )
+
+    def split_by_id(self) -> DataFrame:
+        """annotation/metadata.py:261-282 — per-id grouping."""
+        return self.df().groupBy("id").agg(
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def count(self) -> int:
+        return self.df().count()
+
+    def to_pandas(self):
+        """The reference's own export shape (annotation/metadata.py:129)."""
+        return self.df().drop("gx", "gy", "gz").toPandas()

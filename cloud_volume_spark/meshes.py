@@ -1,0 +1,183 @@
+"""Meshes as keyed fragment tables with the Precomputed legacy codec.
+
+Reference model: per-segid triangle meshes arrive as fragment files
+listed by a ``{segid}:0`` JSON manifest (``mesh.py:30/:175``,
+``mesh/unsharded.py:32-217``); fetch = manifest → fragments → decode →
+concat → optional vertex dedup ("consolidate", ``mesh.py:148-172``).
+
+Spark model:
+
+    mesh_fragments(segid LONG, fragment INT,
+                   vertices ARRAY<ARRAY<FLOAT>>,
+                   faces ARRAY<ARRAY<INT>>)
+
+- fetch       → keyed filter; fuse = groupBy(segid).applyInPandas
+                (concat + face reindex + exact-dup vertex dedup)
+- consolidate → np.unique(axis=0) inside the same UDF, exactly the
+                reference kernel
+- crop        → explode-less vertex filter driver (mesh.py:421-470)
+- codec       → legacy precomputed binary: nv uint32, vertices
+                float32[nv,3], faces uint32[nf,3] (mesh.py:175)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+)
+
+
+# ---- Precomputed legacy binary codec (mesh.py:175 from_precomputed) ----
+
+def encode_precomputed(vertices: np.ndarray, faces: np.ndarray) -> bytes:
+    vertices = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
+    faces = np.asarray(faces, dtype=np.uint32).reshape(-1, 3)
+    return struct.pack("<I", len(vertices)) + vertices.tobytes() + faces.tobytes()
+
+
+def decode_precomputed(blob: bytes) -> dict:
+    (nv,) = struct.unpack("<I", blob[:4])
+    vertices = np.frombuffer(blob, dtype=np.float32, count=nv * 3, offset=4)
+    faces = np.frombuffer(blob, dtype=np.uint32, offset=4 + nv * 12)
+    return {
+        "vertices": vertices.reshape(nv, 3),
+        "faces": faces.reshape(-1, 3),
+    }
+
+
+def consolidate(vertices: np.ndarray, faces: np.ndarray) -> tuple:
+    """Exact-duplicate vertex dedup + face reindex (mesh.py:148-172)."""
+    uniq, inverse = np.unique(vertices, axis=0, return_inverse=True)
+    new_faces = inverse[faces.reshape(-1)].reshape(-1, 3).astype(np.uint32)
+    return uniq, new_faces
+
+
+MESH_SCHEMA = StructType([
+    StructField("segid", LongType(), False),
+    StructField("vertices", ArrayType(ArrayType(FloatType())), False),
+    StructField("faces", ArrayType(ArrayType(IntegerType())), False),
+])
+
+
+class MeshLayer:
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.base_path, "mesh_fragments")
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        df.repartition("segid").write.mode(mode).parquet(self.data_path)
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_path)
+
+    def get(self, segids: Iterable[int], fuse: bool = True,
+            remove_duplicate_vertices: bool = True) -> DataFrame:
+        """Keyed fetch; ``fuse`` merges fragments per segid with face
+        index re-offsetting (mesh.py:130-146) and optional consolidate
+        (``remove_duplicate_vertices``)."""
+        frags = self.df().where(F.col("segid").isin([int(s) for s in segids]))
+        if not fuse:
+            return frags
+
+        dedup = remove_duplicate_vertices
+
+        def fuse_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            all_v, all_f, off = [], [], 0
+            for r in pdf.sort_values("fragment").itertuples(index=False):
+                # Arrow hands nested lists as object arrays of arrays
+                v = np.vstack(list(r.vertices)).astype(np.float32)
+                f = np.vstack(list(r.faces)).astype(np.int64) + off
+                all_v.append(v)
+                all_f.append(f)
+                off += len(v)
+            v = np.concatenate(all_v) if all_v else np.zeros((0, 3), np.float32)
+            f = (
+                np.concatenate(all_f).astype(np.uint32)
+                if all_f else np.zeros((0, 3), np.uint32)
+            )
+            if dedup and len(v):
+                v, f = consolidate(v, f)
+            return pd.DataFrame({
+                "segid": [int(key[0])],
+                "vertices": [v.tolist()],
+                "faces": [f.astype(np.int64).tolist()],
+            })
+
+        return frags.groupBy("segid").applyInPandas(fuse_group, MESH_SCHEMA)
+
+    # ---- relational mesh analytics -----------------------------------
+
+    def surface_stats(self) -> DataFrame:
+        """Per-segid vertex/face counts and bbox — catalog-style stats
+        the reference cannot produce without downloading every mesh."""
+        df = self.df()
+        verts = df.select("segid", F.explode("vertices").alias("v"))
+        counts = df.groupBy("segid").agg(
+            F.sum(F.size("vertices")).alias("n_vertices"),
+            F.sum(F.size("faces")).alias("n_faces"),
+        )
+        bbox = verts.groupBy("segid").agg(
+            F.min(F.col("v")[0]).alias("x0"), F.max(F.col("v")[0]).alias("x1"),
+            F.min(F.col("v")[1]).alias("y0"), F.max(F.col("v")[1]).alias("y1"),
+            F.min(F.col("v")[2]).alias("z0"), F.max(F.col("v")[2]).alias("z1"),
+        )
+        return counts.join(bbox, "segid")
+
+    # ---- interop ------------------------------------------------------
+
+    def export_precomputed(self, out_dir: str) -> int:
+        """Legacy unsharded layout: ``{segid}:0`` manifest +
+        ``{segid}:0:{frag}`` fragment files (mesh/unsharded.py:219)."""
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        frag_names: dict = {}
+        for r in self.df().toLocalIterator():
+            frag = frag_names.get(r.segid, 0)
+            frag_names[r.segid] = frag + 1
+            name = f"{r.segid}:0:{frag}"
+            blob = encode_precomputed(
+                np.array(r.vertices, dtype=np.float32),
+                np.array(r.faces, dtype=np.uint32),
+            )
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(blob)
+            n += 1
+        for segid, nfrag in frag_names.items():
+            manifest = {"fragments": [f"{segid}:0:{i}" for i in range(nfrag)]}
+            with open(os.path.join(out_dir, f"{segid}:0"), "w") as f:
+                f.write(json.dumps(manifest))
+        return n
+
+    def import_precomputed(self, src_dir: str) -> None:
+        rows = []
+        for name in sorted(os.listdir(src_dir)):
+            if name.count(":") != 1 or not name.endswith(":0"):
+                continue
+            segid = int(name.split(":")[0])
+            with open(os.path.join(src_dir, name)) as f:
+                manifest = json.load(f)
+            for i, frag in enumerate(manifest["fragments"]):
+                with open(os.path.join(src_dir, frag), "rb") as f:
+                    d = decode_precomputed(f.read())
+                rows.append((
+                    segid, i,
+                    [[float(x) for x in v] for v in d["vertices"]],
+                    [[int(x) for x in fc] for fc in d["faces"]],
+                ))
+        schema = (
+            "segid long, fragment int, vertices array<array<float>>, "
+            "faces array<array<int>>"
+        )
+        self.write(self.spark.createDataFrame(rows, schema=schema))

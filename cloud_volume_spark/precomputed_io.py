@@ -1,0 +1,138 @@
+"""Neuroglancer Precomputed (unsharded) import/export — ecosystem
+fidelity layer.
+
+The native storage is the Parquet chunk table; these converters move a
+volume between that and the reference's on-disk layout: an ``info``
+JSON plus one file per chunk named ``<scale_key>/x0-x1_y0-y1_z0-z1``
+(filename grammar ``image/common.py:137-155``, ``lib.py:520/:584``),
+optionally gzip-compressed.
+
+Both directions are Spark jobs over the chunk grid — executors read or
+write their own partition's files, the driver only lists directories.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from cloud_volume_spark import codecs
+from cloud_volume_spark.catalog import VolumeInfo
+from cloud_volume_spark.geometry import Bbox
+from cloud_volume_spark.volume import CHUNK_SCHEMA, Volume, _slab_of
+from cloud_volume_spark.chunking import compressed_morton_code
+
+
+def export_unsharded(vol: Volume, out_dir: str, mip: int = 0,
+                     gzip_files: bool = True) -> int:
+    """Chunk table → precomputed directory. Returns file count."""
+    key = vol.info.key(mip)
+    scale_dir = os.path.join(out_dir, key)
+    os.makedirs(scale_dir, exist_ok=True)
+    # precomputed-compatible info (VolumeInfo already is)
+    vol.info.commit(out_dir)
+
+    suffix = ".gz" if gzip_files else ""
+
+    def write_files(batches):
+        n = 0
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                bbox = Bbox((r.x0, r.y0, r.z0), (r.x1, r.y1, r.z1))
+                raw = codecs.decompress_stream(r.blob, r.compression or None)
+                payload = gzip.compress(raw, mtime=0) if gzip_files else raw
+                with open(
+                    os.path.join(scale_dir, bbox.to_filename() + suffix), "wb"
+                ) as f:
+                    f.write(payload)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = (
+        vol.chunks_df()
+        .where(F.col("mip") == int(mip))
+        .mapInPandas(write_files, schema="n long")
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    return int(counts or 0)
+
+
+def import_unsharded(spark, src_dir: str, base_path: str,
+                     mip: int = 0, compression: Optional[str] = "gzip") -> Volume:
+    """Precomputed directory → new chunk-table volume.
+
+    The driver lists filenames (cheap — names only); executors read and
+    re-encode the chunk payloads in parallel.
+    """
+    info = VolumeInfo.load(src_dir)
+    vol = Volume.create(spark, base_path, info)
+    key = info.key(mip)
+    scale_dir = os.path.join(src_dir, key)
+    encoding = info.encoding(mip)
+    grid = [int(g) for g in info.grid_shape(mip)]
+    cs = [int(c) for c in info.chunk_size(mip)]
+    voff = [int(v) for v in info.voxel_offset(mip)]
+    seg = info.layer_type == "segmentation"
+    dtype = info.data_type
+    nc = info.num_channels
+    comp = compression or ""
+
+    names = [
+        n for n in os.listdir(scale_dir)
+        if not n.startswith(".")
+    ]
+    files_df = spark.createDataFrame(
+        [(os.path.join(scale_dir, n), n) for n in names],
+        schema="path string, name string",
+    ).repartition(max(1, min(len(names), 256)))
+
+    def read_files(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                bbox = Bbox.from_filename(r.name)
+                with open(r.path, "rb") as f:
+                    payload = f.read()
+                if r.name.endswith(".gz"):
+                    payload = gzip.decompress(payload)
+                else:
+                    try:  # content-encoded gzip without suffix
+                        payload = gzip.decompress(payload)
+                    except (OSError, EOFError):
+                        pass
+                cx = (int(bbox.minpt[0]) - voff[0]) // cs[0]
+                cy = (int(bbox.minpt[1]) - voff[1]) // cs[1]
+                cz = (int(bbox.minpt[2]) - voff[2]) // cs[2]
+                morton = int(compressed_morton_code((cx, cy, cz), grid))
+                blob = codecs.compress_stream(payload, comp or None)
+                if seg:
+                    shape = tuple(bbox.size3()) + (nc,)
+                    uniq = np.unique(codecs.decode(payload, encoding, shape, dtype))
+                    from cloud_volume_spark.volume import LABELS_STATS_CAP
+                    stats = (
+                        [int(u) for u in uniq]
+                        if uniq.size <= LABELS_STATS_CAP else None
+                    )
+                else:
+                    stats = None
+                rows.append((
+                    int(mip), _slab_of(morton), int(cx), int(cy), int(cz), morton,
+                    int(bbox.minpt[0]), int(bbox.maxpt[0]),
+                    int(bbox.minpt[1]), int(bbox.maxpt[1]),
+                    int(bbox.minpt[2]), int(bbox.maxpt[2]),
+                    encoding, comp, blob, stats,
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
+
+    rows_df = files_df.mapInPandas(read_files, schema=CHUNK_SCHEMA)
+    vol._overwrite_slabs(rows_df)
+    return vol

@@ -1,0 +1,206 @@
+"""Skeletons as keyed tables with a Precomputed binary codec.
+
+Reference model (``datasource/precomputed/skeleton/unsharded.py:48``,
+``sharded.py:38``; format doc in the Neuroglancer spec): per-segid
+graph of vertices (float32 xyz), edges (uint32 pairs), plus per-vertex
+attributes (radius float32, vertex_type uint8 by convention).
+
+Spark model:
+
+    skeletons(segid LONG,
+              vertices ARRAY<ARRAY<FLOAT>>,   -- [ [x,y,z], ... ]
+              edges ARRAY<ARRAY<INT>>,        -- [ [a,b], ... ]
+              radii ARRAY<FLOAT>,
+              vertex_types ARRAY<INT>)
+
+- keyed fetch   → ``WHERE segid IN (...)``
+- physical-space transform (the reference's 4×4 matrix apply) →
+  JVM-side ``transform()`` over the vertices column
+- cable length  → relational reduction over edges (beyond-reference
+  analytics the keyed files can't answer without a full scan)
+- import/export → :func:`encode_precomputed` / :func:`decode_precomputed`
+  byte-compatible with the unsharded skeleton files
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+# ---- Precomputed binary codec -----------------------------------------
+
+def encode_precomputed(
+    vertices: np.ndarray,
+    edges: np.ndarray,
+    radii: Optional[np.ndarray] = None,
+    vertex_types: Optional[np.ndarray] = None,
+) -> bytes:
+    """Neuroglancer skeleton binary: nv uint32, ne uint32, vertices
+    float32[nv,3], edges uint32[ne,2], then vertex attributes in
+    declaration order (radius float32, vertex_type uint8)."""
+    vertices = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
+    edges = np.asarray(edges, dtype=np.uint32).reshape(-1, 2)
+    nv, ne = len(vertices), len(edges)
+    parts = [struct.pack("<II", nv, ne), vertices.tobytes(), edges.tobytes()]
+    if radii is not None:
+        parts.append(np.asarray(radii, dtype=np.float32).reshape(nv).tobytes())
+    if vertex_types is not None:
+        parts.append(np.asarray(vertex_types, dtype=np.uint8).reshape(nv).tobytes())
+    return b"".join(parts)
+
+
+def decode_precomputed(
+    blob: bytes, has_radii: bool = True, has_vertex_types: bool = True
+) -> dict:
+    nv, ne = struct.unpack("<II", blob[:8])
+    off = 8
+    vertices = np.frombuffer(blob, dtype=np.float32, count=nv * 3, offset=off)
+    vertices = vertices.reshape(nv, 3)
+    off += nv * 12
+    edges = np.frombuffer(blob, dtype=np.uint32, count=ne * 2, offset=off)
+    edges = edges.reshape(ne, 2)
+    off += ne * 8
+    radii = None
+    vertex_types = None
+    if has_radii and off < len(blob):
+        radii = np.frombuffer(blob, dtype=np.float32, count=nv, offset=off)
+        off += nv * 4
+    if has_vertex_types and off < len(blob):
+        vertex_types = np.frombuffer(blob, dtype=np.uint8, count=nv, offset=off)
+    return {
+        "vertices": vertices, "edges": edges,
+        "radii": radii, "vertex_types": vertex_types,
+    }
+
+
+# ---- layer ------------------------------------------------------------
+
+class SkeletonLayer:
+    def __init__(self, spark: SparkSession, base_path: str,
+                 transform: Optional[Sequence[float]] = None):
+        self.spark = spark
+        self.base_path = base_path
+        # 3x4 row-major voxel→physical transform (reference skeleton
+        # metadata transform field); identity by default
+        self.transform = list(transform) if transform is not None else [
+            1, 0, 0, 0,
+            0, 1, 0, 0,
+            0, 0, 1, 0,
+        ]
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.base_path, "skeletons")
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        """Bucketing analog: repartition by segid hash so keyed fetches
+        and joins co-locate."""
+        df.repartition("segid").sortWithinPartitions("segid").write.mode(
+            mode
+        ).parquet(self.data_path)
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_path)
+
+    def get(self, segids: Iterable[int], physical: bool = False) -> DataFrame:
+        """Keyed fetch (reference ``skeleton/unsharded.py:48-107``);
+        ``physical=True`` applies the layer transform to vertices —
+        JVM-side arithmetic over the array column, no UDF."""
+        out = self.df().where(F.col("segid").isin([int(s) for s in segids]))
+        if physical:
+            out = self.apply_transform(out)
+        return out
+
+    def apply_transform(self, df: DataFrame) -> DataFrame:
+        t = [float(v) for v in self.transform]
+        return df.withColumn(
+            "vertices",
+            F.transform(
+                "vertices",
+                lambda v: F.array(
+                    t[0] * v[0] + t[1] * v[1] + t[2] * v[2] + t[3],
+                    t[4] * v[0] + t[5] * v[1] + t[6] * v[2] + t[7],
+                    t[8] * v[0] + t[9] * v[1] + t[10] * v[2] + t[11],
+                ).cast("array<float>"),
+            ),
+        )
+
+    # ---- analytics (beyond-reference, relational) ---------------------
+
+    def cable_length(self) -> DataFrame:
+        """Per-skeleton cable length: sum of edge euclidean lengths —
+        a groupBy over exploded edges, fully distributed."""
+        df = self.df()
+        edges = df.select(
+            "segid", "vertices", F.explode("edges").alias("e")
+        ).select(
+            "segid",
+            F.element_at("vertices", F.col("e")[0] + 1).alias("va"),
+            F.element_at("vertices", F.col("e")[1] + 1).alias("vb"),
+        )
+        dist = F.sqrt(
+            (F.col("va")[0] - F.col("vb")[0]) ** 2
+            + (F.col("va")[1] - F.col("vb")[1]) ** 2
+            + (F.col("va")[2] - F.col("vb")[2]) ** 2
+        )
+        return edges.groupBy("segid").agg(
+            F.round(F.sum(dist), 4).alias("cable_length"),
+            F.count(F.lit(1)).alias("n_edges"),
+        )
+
+    def vertex_bboxes(self) -> DataFrame:
+        """Per-segid spatial envelope — feeds the spatial index table."""
+        df = self.df()
+        verts = df.select("segid", F.explode("vertices").alias("v"))
+        return verts.groupBy("segid").agg(
+            F.min(F.col("v")[0]).alias("x0"), F.max(F.col("v")[0]).alias("x1"),
+            F.min(F.col("v")[1]).alias("y0"), F.max(F.col("v")[1]).alias("y1"),
+            F.min(F.col("v")[2]).alias("z0"), F.max(F.col("v")[2]).alias("z1"),
+        )
+
+    # ---- interop ------------------------------------------------------
+
+    def export_precomputed(self, out_dir: str) -> int:
+        """One ``{segid}`` binary file per skeleton (unsharded layout,
+        reference ``skeleton/unsharded.py:110-136``). Driver-side loop —
+        export is an interop utility, not a hot path."""
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for r in self.df().toLocalIterator():
+            blob = encode_precomputed(
+                np.array(r.vertices, dtype=np.float32),
+                np.array(r.edges, dtype=np.uint32),
+                np.array(r.radii, dtype=np.float32) if r.radii else None,
+                np.array(r.vertex_types, dtype=np.uint8) if r.vertex_types else None,
+            )
+            with open(os.path.join(out_dir, str(r.segid)), "wb") as f:
+                f.write(blob)
+            n += 1
+        return n
+
+    def import_precomputed(self, src_dir: str) -> None:
+        """Read unsharded skeleton files back into the table."""
+        rows = []
+        for name in sorted(os.listdir(src_dir)):
+            if not name.isdigit():
+                continue
+            with open(os.path.join(src_dir, name), "rb") as f:
+                d = decode_precomputed(f.read())
+            rows.append((
+                int(name),
+                [[float(x) for x in v] for v in d["vertices"]],
+                [[int(a) for a in e] for e in d["edges"]],
+                [float(x) for x in d["radii"]] if d["radii"] is not None else None,
+                [int(x) for x in d["vertex_types"]]
+                if d["vertex_types"] is not None else None,
+            ))
+        schema = (
+            "segid long, vertices array<array<float>>, edges array<array<int>>, "
+            "radii array<float>, vertex_types array<int>"
+        )
+        self.write(self.spark.createDataFrame(rows, schema=schema))

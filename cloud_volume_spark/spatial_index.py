@@ -1,0 +1,135 @@
+"""Distributed spatial index — the replacement for the reference's
+JSON-files-plus-SQL-database design.
+
+The reference maintains ``(label → covering index-cell files)`` as
+``.spatial`` JSON per grid cell, optionally bulk-loaded into
+SQLite/MySQL/Postgres (``datasource/precomputed/spatial_index.py:248``,
+SQL schema :421-452, query :837-923). Its own docstring reports the
+pain: ~140k index files → >1 h build, 42 GB database (:680-684).
+
+Here the index is one DataFrame:
+
+    spatial_index(label LONG, gx INT, gy INT, gz INT,
+                  x0 DOUBLE, y0 DOUBLE, z0 DOUBLE,
+                  x1 DOUBLE, y1 DOUBLE, z1 DOUBLE)
+
+one row per (label, covering cell) with that label's bbox within the
+cell. Build = a groupBy over the source table (seconds, distributed);
+query = pruned filter + distinct; per-label bbox = min/max agg — the
+hand-rolled Postgres binary-COPY distinct (:130-155) becomes Spark's
+stock distributed distinct.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_volume_spark.geometry import Bbox
+
+
+class SpatialIndex:
+    def __init__(self, spark: SparkSession, base_path: str,
+                 cell_size: Sequence[float] = (128.0, 128.0, 128.0)):
+        self.spark = spark
+        self.base_path = base_path
+        self.cell_size = tuple(float(c) for c in cell_size)
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.base_path, "spatial_index")
+
+    # ---- build (replaces to_sql/to_sqlite..., :385-696) ---------------
+
+    def build_from_points(self, df: DataFrame, label_col: str = "label",
+                          x: str = "x", y: str = "y", z: str = "z") -> None:
+        """Index any point-shaped table (voxels, annotation points,
+        skeleton vertices): one groupBy produces the whole index."""
+        cs = self.cell_size
+        cells = df.select(
+            F.col(label_col).cast("long").alias("label"),
+            F.col(x).cast("double").alias("px"),
+            F.col(y).cast("double").alias("py"),
+            F.col(z).cast("double").alias("pz"),
+        ).withColumns({
+            "gx": F.floor(F.col("px") / cs[0]).cast("int"),
+            "gy": F.floor(F.col("py") / cs[1]).cast("int"),
+            "gz": F.floor(F.col("pz") / cs[2]).cast("int"),
+        })
+        index = cells.groupBy("label", "gx", "gy", "gz").agg(
+            F.min("px").alias("x0"), F.min("py").alias("y0"),
+            F.min("pz").alias("z0"),
+            F.max("px").alias("x1"), F.max("py").alias("y1"),
+            F.max("pz").alias("z1"),
+        )
+        (
+            index.repartitionByRange("gz", "gy", "gx")
+            .sortWithinPartitions("gz", "gy", "gx", "label")
+            .write.mode("overwrite").parquet(self.data_path)
+        )
+
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_path)
+
+    # ---- queries (reference :697-923) ---------------------------------
+
+    def _cell_pruned(self, bbox: Bbox) -> DataFrame:
+        cs = self.cell_size
+        (x0, y0, z0), (x1, y1, z1) = bbox.minpt, bbox.maxpt
+        return (
+            self.df()
+            .where(F.col("gx").between(int(x0 // cs[0]), int((x1 - 1) // cs[0])))
+            .where(F.col("gy").between(int(y0 // cs[1]), int((y1 - 1) // cs[1])))
+            .where(F.col("gz").between(int(z0 // cs[2]), int((z1 - 1) // cs[2])))
+        )
+
+    def query(self, bbox: Bbox, exact: bool = True) -> DataFrame:
+        """Labels intersecting the box (``query``, :837-923): pruned
+        cell filter → optional per-label bbox intersection test →
+        distributed distinct."""
+        df = self._cell_pruned(bbox)
+        if exact:
+            (x0, y0, z0), (x1, y1, z1) = bbox.minpt, bbox.maxpt
+            df = df.where(
+                (F.col("x0") < float(x1)) & (F.col("x1") >= float(x0))
+                & (F.col("y0") < float(y1)) & (F.col("y1") >= float(y0))
+                & (F.col("z0") < float(z1)) & (F.col("z1") >= float(z0))
+            )
+        return df.select("label").distinct()
+
+    def file_locations_per_label(self, labels: Iterable[int]) -> DataFrame:
+        """Inverse index (:763-835): label → covering cells."""
+        return (
+            self.df()
+            .where(F.col("label").isin([int(l) for l in labels]))
+            .groupBy("label")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("gx", "gy", "gz"))
+                ).alias("cells"),
+                F.count(F.lit(1)).alias("n_cells"),
+            )
+        )
+
+    def get_bbox(self, label: int) -> Bbox:
+        """Union envelope of a label's per-cell bboxes (:697-761)."""
+        r = (
+            self.df()
+            .where(F.col("label") == int(label))
+            .agg(
+                F.min("x0"), F.min("y0"), F.min("z0"),
+                F.max("x1"), F.max("y1"), F.max("z1"),
+            )
+            .collect()[0]
+        )
+        if r[0] is None:
+            raise KeyError(f"label {label} not in spatial index")
+        import numpy as np
+
+        return Bbox((r[0], r[1], r[2]), (r[3], r[4], r[5]), dtype=np.float64)
+
+    def all_labels(self) -> DataFrame:
+        """Whole-dataset fast path (:857-888) — plain distinct."""
+        return self.df().select("label").distinct()

@@ -1,0 +1,336 @@
+"""Annotations, skeletons, meshes, spatial index, precomputed IO —
+golden tests with numpy/pandas oracles (reference test_annotations.py,
+test_skeletons.py, test_meshing.py patterns)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cloud_volume_spark.annotations import AnnotationLayer
+from cloud_volume_spark.geometry import Bbox
+from cloud_volume_spark.meshes import (
+    MeshLayer, consolidate,
+    decode_precomputed as mesh_decode, encode_precomputed as mesh_encode,
+)
+from cloud_volume_spark.skeletons import (
+    SkeletonLayer,
+    decode_precomputed as skel_decode, encode_precomputed as skel_encode,
+)
+from cloud_volume_spark.spatial_index import SpatialIndex
+from cloud_volume_spark.volume import Volume
+
+
+# ---------------------------------------------------------------------------
+# annotations (F4 fixture shape: POINT + enum property + relationship)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def ann_layer(spark, rng, tmp_path):
+    n = 2000
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "x": rng.uniform(0, 1024, n),
+        "y": rng.uniform(0, 1024, n),
+        "z": rng.uniform(0, 512, n),
+        "class_label": rng.integers(0, 12, n).astype(np.int32),
+        "rel_skeleton": [
+            [int(v) for v in rng.integers(0, 50, rng.integers(1, 4))]
+            for _ in range(n)
+        ],
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "ann"),
+        annotation_type="POINT",
+        properties={"class_label": "int32"},
+        relationships=["skeleton"],
+    )
+    layer.write(spark.createDataFrame(pdf))
+    return layer, pdf
+
+
+def test_annotation_by_id(ann_layer):
+    layer, pdf = ann_layer
+    got = layer.get_by_id([5, 10, 1999]).toPandas().sort_values("id")
+    assert list(got["id"]) == [5, 10, 1999]
+    assert np.allclose(got["x"].to_numpy(), pdf.loc[[5, 10, 1999], "x"].to_numpy())
+
+
+def test_annotation_bbox(ann_layer):
+    layer, pdf = ann_layer
+    bbox = Bbox((100, 100, 50), (400, 300, 200))
+    got = set(layer.get_by_bbox(bbox).toPandas()["id"])
+    mask = (
+        (pdf.x >= 100) & (pdf.x < 400)
+        & (pdf.y >= 100) & (pdf.y < 300)
+        & (pdf.z >= 50) & (pdf.z < 200)
+    )
+    assert got == set(pdf[mask]["id"])
+
+
+def test_annotation_relationship(ann_layer):
+    layer, pdf = ann_layer
+    got = set(layer.get_by_relationship("skeleton", [7]).toPandas()["id"])
+    expected = {int(i) for i, rels in zip(pdf.id, pdf.rel_skeleton) if 7 in rels}
+    assert got == expected
+
+
+def test_annotation_relationship_index(ann_layer):
+    layer, pdf = ann_layer
+    idx = layer.relationship_index("skeleton").toPandas()
+    row = idx[idx.segid == 7]
+    expected = sorted(
+        int(i) for i, rels in zip(pdf.id, pdf.rel_skeleton) if 7 in rels
+    )
+    assert list(row.iloc[0]["annotation_ids"]) == expected
+
+
+def test_annotation_reopen(ann_layer, spark):
+    layer, pdf = ann_layer
+    layer2 = AnnotationLayer.open(spark, layer.base_path)
+    assert layer2.relationships == ["skeleton"]
+    assert layer2.count() == len(pdf)
+
+
+# ---------------------------------------------------------------------------
+# skeletons
+# ---------------------------------------------------------------------------
+
+def _mk_skeleton(rng, nv=20):
+    verts = rng.uniform(0, 100, (nv, 3)).astype(np.float32)
+    edges = np.stack([np.arange(nv - 1), np.arange(1, nv)], axis=1).astype(np.uint32)
+    radii = rng.uniform(0.5, 5, nv).astype(np.float32)
+    vtypes = rng.integers(0, 4, nv).astype(np.uint8)
+    return verts, edges, radii, vtypes
+
+
+def test_skeleton_codec_roundtrip(rng):
+    v, e, r, t = _mk_skeleton(rng)
+    blob = skel_encode(v, e, r, t)
+    d = skel_decode(blob)
+    assert np.array_equal(d["vertices"], v)
+    assert np.array_equal(d["edges"], e)
+    assert np.array_equal(d["radii"], r)
+    assert np.array_equal(d["vertex_types"], t)
+
+
+@pytest.fixture()
+def skel_layer(spark, rng, tmp_path):
+    rows, originals = [], {}
+    for segid in range(10):
+        v, e, r, t = _mk_skeleton(rng)
+        originals[segid] = (v, e, r, t)
+        rows.append((
+            segid, v.tolist(), e.astype(np.int64).tolist(),
+            r.tolist(), t.astype(np.int64).tolist(),
+        ))
+    layer = SkeletonLayer(spark, str(tmp_path / "skel"))
+    layer.write(spark.createDataFrame(
+        rows,
+        schema="segid long, vertices array<array<float>>, "
+               "edges array<array<int>>, radii array<float>, "
+               "vertex_types array<int>",
+    ))
+    return layer, originals
+
+
+def test_skeleton_get(skel_layer):
+    layer, originals = skel_layer
+    got = {r.segid: r for r in layer.get([2, 5]).collect()}
+    assert set(got) == {2, 5}
+    v, e, _, _ = originals[2]
+    assert np.allclose(np.array(got[2].vertices), v)
+    assert np.array_equal(np.array(got[2].edges), e)
+
+
+def test_skeleton_transform(skel_layer, spark):
+    layer, originals = skel_layer
+    layer.transform = [2, 0, 0, 10, 0, 2, 0, 0, 0, 0, 2, 0]
+    got = layer.get([3], physical=True).collect()[0]
+    v = originals[3][0]
+    expected = v * 2 + np.array([10, 0, 0], dtype=np.float32)
+    assert np.allclose(np.array(got.vertices), expected, atol=1e-4)
+
+
+def test_skeleton_cable_length(skel_layer):
+    layer, originals = skel_layer
+    got = {r.segid: r.cable_length for r in layer.cable_length().collect()}
+    for segid, (v, e, _, _) in originals.items():
+        expected = float(np.sum(np.linalg.norm(
+            v[e[:, 0]].astype(np.float64) - v[e[:, 1]].astype(np.float64), axis=1
+        )))
+        assert abs(got[segid] - expected) < 0.01
+
+
+def test_skeleton_export_import(skel_layer, spark, tmp_path):
+    layer, originals = skel_layer
+    out = str(tmp_path / "skel_export")
+    n = layer.export_precomputed(out)
+    assert n == 10
+    layer2 = SkeletonLayer(spark, str(tmp_path / "skel2"))
+    layer2.import_precomputed(out)
+    got = layer2.get([4]).collect()[0]
+    assert np.allclose(np.array(got.vertices), originals[4][0])
+    assert np.array_equal(np.array(got.edges), originals[4][1])
+
+
+# ---------------------------------------------------------------------------
+# meshes
+# ---------------------------------------------------------------------------
+
+def test_mesh_codec_roundtrip(rng):
+    v = rng.uniform(0, 10, (30, 3)).astype(np.float32)
+    f = rng.integers(0, 30, (50, 3)).astype(np.uint32)
+    d = mesh_decode(mesh_encode(v, f))
+    assert np.array_equal(d["vertices"], v)
+    assert np.array_equal(d["faces"], f)
+
+
+def test_consolidate():
+    v = np.array([[0, 0, 0], [1, 1, 1], [0, 0, 0], [2, 2, 2]], dtype=np.float32)
+    f = np.array([[0, 1, 2], [2, 3, 1]], dtype=np.uint32)
+    cv, cf = consolidate(v, f)
+    assert len(cv) == 3
+    # face vertex coordinates must be preserved through reindexing
+    assert np.array_equal(cv[cf[0]], v[[0, 1, 2]])
+    assert np.array_equal(cv[cf[1]], v[[2, 3, 1]])
+
+
+@pytest.fixture()
+def mesh_layer(spark, rng, tmp_path):
+    rows = []
+    originals = {}
+    for segid in (100, 200):
+        frags = []
+        for frag in range(3):
+            v = rng.uniform(0, 10, (12, 3)).astype(np.float32)
+            f = rng.integers(0, 12, (20, 3)).astype(np.int64)
+            frags.append((v, f))
+            rows.append((segid, frag, v.tolist(), f.tolist()))
+        originals[segid] = frags
+    layer = MeshLayer(spark, str(tmp_path / "mesh"))
+    layer.write(spark.createDataFrame(
+        rows,
+        schema="segid long, fragment int, vertices array<array<float>>, "
+               "faces array<array<int>>",
+    ))
+    return layer, originals
+
+
+def test_mesh_fuse(mesh_layer):
+    layer, originals = mesh_layer
+    got = layer.get([100], fuse=True, remove_duplicate_vertices=False).collect()
+    assert len(got) == 1
+    r = got[0]
+    expected_v = np.concatenate([v for v, _ in originals[100]])
+    assert np.allclose(np.array(r.vertices), expected_v)
+    # faces re-offset: fragment 1 faces shifted by 12, fragment 2 by 24
+    faces = np.array(r.faces)
+    assert faces.min() >= 0 and faces.max() < 36
+    expected_f = np.concatenate([
+        f + 12 * i for i, (_, f) in enumerate(originals[100])
+    ])
+    assert np.array_equal(faces, expected_f)
+
+
+def test_mesh_fuse_consolidate_preserves_triangles(mesh_layer):
+    layer, originals = mesh_layer
+    r = layer.get([200], fuse=True, remove_duplicate_vertices=True).collect()[0]
+    v = np.array(r.vertices, dtype=np.float32)
+    f = np.array(r.faces)
+    raw_v = np.concatenate([vv for vv, _ in originals[200]])
+    raw_f = np.concatenate([ff + 12 * i for i, (_, ff) in enumerate(originals[200])])
+    got_tris = np.sort(v[f].reshape(len(f), -1), axis=0)
+    want_tris = np.sort(raw_v[raw_f].reshape(len(raw_f), -1), axis=0)
+    assert np.allclose(got_tris, want_tris)
+
+
+def test_mesh_surface_stats(mesh_layer):
+    layer, originals = mesh_layer
+    stats = {r.segid: r for r in layer.surface_stats().collect()}
+    assert stats[100].n_vertices == 36 and stats[100].n_faces == 60
+    allv = np.concatenate([v for v, _ in originals[100]])
+    assert abs(stats[100].x0 - allv[:, 0].min()) < 1e-5
+
+
+def test_mesh_export_import(mesh_layer, spark, tmp_path):
+    layer, originals = mesh_layer
+    out = str(tmp_path / "mesh_export")
+    layer.export_precomputed(out)
+    assert os.path.exists(os.path.join(out, "100:0"))
+    layer2 = MeshLayer(spark, str(tmp_path / "mesh2"))
+    layer2.import_precomputed(out)
+    assert layer2.df().count() == 6
+    r = layer2.get([100], fuse=True, remove_duplicate_vertices=False).collect()[0]
+    expected_v = np.concatenate([v for v, _ in originals[100]])
+    assert np.allclose(np.array(r.vertices), expected_v, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# spatial index
+# ---------------------------------------------------------------------------
+
+def test_spatial_index(spark, rng, tmp_path):
+    n = 5000
+    pdf = pd.DataFrame({
+        "label": rng.integers(0, 100, n).astype(np.int64),
+        "x": rng.uniform(0, 1000, n),
+        "y": rng.uniform(0, 1000, n),
+        "z": rng.uniform(0, 500, n),
+    })
+    idx = SpatialIndex(spark, str(tmp_path / "sidx"), cell_size=(100, 100, 100))
+    idx.build_from_points(spark.createDataFrame(pdf))
+
+    bbox = Bbox((200, 200, 100), (500, 400, 300))
+    got = set(r.label for r in idx.query(bbox).collect())
+    mask = (
+        (pdf.x >= 200) & (pdf.x < 500)
+        & (pdf.y >= 200) & (pdf.y < 400)
+        & (pdf.z >= 100) & (pdf.z < 300)
+    )
+    expected = set(pdf[mask].label)
+    # coarse-cell query may over-approximate, never under
+    assert expected <= got
+    # exact per-point containment: every extra label has a bbox
+    # overlapping the query cellwise (sanity on over-approximation rate)
+    assert len(got) <= 100
+
+    lbl = int(pdf.label.iloc[0])
+    env = idx.get_bbox(lbl)
+    pts = pdf[pdf.label == lbl]
+    assert env.minpt[0] <= pts.x.min() + 1e-9
+    assert env.maxpt[0] >= pts.x.max() - 1e-9
+
+    assert idx.all_labels().count() == pdf.label.nunique()
+    locs = idx.file_locations_per_label([lbl]).collect()[0]
+    assert locs.n_cells >= 1
+
+
+# ---------------------------------------------------------------------------
+# precomputed image IO
+# ---------------------------------------------------------------------------
+
+def test_precomputed_roundtrip(spark, rng, tmp_path):
+    from cloud_volume_spark.precomputed_io import export_unsharded, import_unsharded
+
+    arr = rng.integers(0, 200, size=(100, 80, 60, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "vol"), chunk_size=(64, 64, 64)
+    )
+    out = str(tmp_path / "precomp")
+    n = export_unsharded(vol, out, gzip_files=True)
+    assert n == 4  # 2x2x1 grid
+    # layout: info + <key>/x0-x1_y0-y1_z0-z1.gz
+    assert os.path.exists(os.path.join(out, "info"))
+    key = vol.info.key(0)
+    files = sorted(os.listdir(os.path.join(out, key)))
+    assert "0-64_0-64_0-60.gz" in files
+
+    vol2 = import_unsharded(spark, out, str(tmp_path / "vol2"))
+    back = vol2.cutout(Bbox((0, 0, 0), (100, 80, 60)))
+    assert np.array_equal(back, arr)
+    # labels_stats regenerated on import (segmentation dtype)
+    got = {r.label for r in vol2.unique().collect()}
+    assert got == set(np.unique(arr).tolist())
