@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "simhash_fingerprints",
     "ann_topk_cosine",
     "srp_ann_topk",
+    "mm_image_features",
+    "mm_video_frame_sample",
 ]
 
 VOL_SHAPE = (1024, 1024, 100)

@@ -1,0 +1,134 @@
+"""Graphene semantics tests (reference test_graphene.py patterns:
+label codec golden checks, roots/leaves resolution, timestamped
+agglomeration, masked reads)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_volume_spark.geometry import Bbox
+from cloud_volume_spark.graphene import GrapheneLabelCodec, GrapheneLayer
+from cloud_volume_spark.volume import Volume
+
+
+def test_codec_py_roundtrip():
+    codec = GrapheneLabelCodec(layer_bits=8, spatial_bits=(10, 10, 10))
+    for vals in [(1, 0, 0, 0, 7), (4, 1023, 5, 900, 123456), (12, 3, 3, 3, 1)]:
+        packed = codec.pack_py(*vals)
+        d = codec.unpack_py(packed)
+        assert (d["layer"], d["x"], d["y"], d["z"], d["segid"]) == vals
+
+
+def test_codec_sql_matches_py(spark):
+    codec = GrapheneLabelCodec(layer_bits=8, spatial_bits=(10, 10, 10))
+    rows = [(2, 17, 40, 999, 424242), (1, 0, 0, 0, 1)]
+    df = spark.createDataFrame(
+        rows, schema="layer int, x int, y int, z int, segid long"
+    )
+    packed = df.select(
+        codec.pack(F.col("layer"), F.col("x"), F.col("y"), F.col("z"),
+                   F.col("segid")).alias("label"),
+        "layer", "x", "y", "z", "segid",
+    )
+    un = packed.select("label", "layer", "x", "y", "z", "segid",
+                       *[v.alias(f"u_{k}") for k, v in
+                         codec.unpack(F.col("label")).items()])
+    for r in un.collect():
+        assert r.u_layer == r.layer and r.u_x == r.x and r.u_y == r.y
+        assert r.u_z == r.z and r.u_segid == r.segid
+        assert r.label == codec.pack_py(r.layer, r.x, r.y, r.z, r.segid)
+
+
+@pytest.fixture()
+def graphene(spark, tmp_path):
+    layer = GrapheneLayer(spark, str(tmp_path / "graph"))
+    # supervoxels 1..10; before T1: roots 100/200; edit at T1 moves
+    # supervoxel 5 from root 100 to root 200
+    rows = []
+    for sv in range(1, 6):
+        if sv == 5:
+            rows.append((sv, 100, "2024-01-01 00:00:00", "2024-06-01 00:00:00"))
+            rows.append((sv, 200, "2024-06-01 00:00:00", None))
+        else:
+            rows.append((sv, 100, "2024-01-01 00:00:00", None))
+    for sv in range(6, 11):
+        rows.append((sv, 200, "2024-01-01 00:00:00", None))
+    df = spark.createDataFrame(
+        rows, schema="supervoxel long, root long, valid_from string, valid_to string"
+    )
+    layer.write_mapping(
+        df.withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    )
+    return layer
+
+
+def test_get_roots_current(graphene):
+    got = {r.supervoxel: r.root for r in graphene.get_roots(range(1, 11)).collect()}
+    assert got[1] == 100 and got[4] == 100
+    assert got[5] == 200  # after the edit
+    assert got[6] == 200
+
+
+def test_get_roots_asof(graphene):
+    got = {
+        r.supervoxel: r.root
+        for r in graphene.get_roots(range(1, 11), timestamp="2024-03-01").collect()
+    }
+    assert got[5] == 100  # before the edit
+
+
+def test_unmapped_supervoxel_identity(graphene):
+    got = {r.supervoxel: r.root for r in graphene.get_roots([999]).collect()}
+    assert got[999] == 999
+
+
+def test_get_leaves(graphene):
+    now_leaves = {r.supervoxel for r in graphene.get_leaves(200).collect()}
+    assert now_leaves == {5, 6, 7, 8, 9, 10}
+    old_leaves = {
+        r.supervoxel
+        for r in graphene.get_leaves(200, timestamp="2024-03-01").collect()
+    }
+    assert old_leaves == {6, 7, 8, 9, 10}
+
+
+def test_roots_histogram(graphene):
+    got = {r.root: r.n_supervoxels for r in graphene.roots_histogram().collect()}
+    assert got == {100: 4, 200: 6}
+
+
+def test_agglomerate_cutout(graphene, spark, rng, tmp_path):
+    arr = rng.integers(1, 11, size=(64, 64, 32, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "segvol"),
+                            chunk_size=(32, 32, 32))
+    bbox = Bbox((0, 0, 0), (64, 64, 32))
+    out = graphene.agglomerate_cutout(vol, bbox)
+    expected = np.where(
+        (arr <= 4), 100, 200
+    ).astype(np.uint32)
+    assert np.array_equal(out, expected)
+    # as-of: supervoxel 5 still maps to 100
+    out_old = graphene.agglomerate_cutout(vol, bbox, timestamp="2024-03-01")
+    expected_old = np.where(arr <= 5, 100, 200).astype(np.uint32)
+    assert np.array_equal(out_old, expected_old)
+
+
+def test_mask_by_root(graphene, spark, rng, tmp_path):
+    arr = rng.integers(1, 11, size=(32, 32, 32, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "segvol2"),
+                            chunk_size=(32, 32, 32))
+    out = graphene.mask_by_root(vol, Bbox((0, 0, 0), (32, 32, 32)), root=100)
+    expected = np.where(arr <= 4, arr, 0).astype(np.uint32)
+    assert np.array_equal(out, expected)
+
+
+def test_resolve_column_scale_path(graphene, spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], schema="label long"
+    )
+    got = {
+        r.label: r.root
+        for r in graphene.resolve_column(df, "label").collect()
+    }
+    assert got[3] == 100 and got[5] == 200 and got[10] == 200

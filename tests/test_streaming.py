@@ -1,0 +1,77 @@
+"""Streaming operators must converge to the batch answers when the
+backlog is processed with the availableNow trigger."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.streaming import (
+    read_events_stream, session_window_stats, windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "part-0.parquet")
+    )
+    return str(d)
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark, windowed_event_counts(stream, "10 minutes"), "win_counts"
+    ).toPandas()
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            F.col("w").end.alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "window_end", "event_type"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b)
+    assert (g["n_events"].to_numpy() == b["n_events"].to_numpy()).all()
+    assert (g["total_value"].to_numpy() == b["total_value"].to_numpy()).all()
+
+
+def test_session_windows_cover_all_events(spark, sf_dir, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark, session_window_stats(stream, gap="30 minutes"), "sessions"
+    ).toPandas()
+    n_events_total = load(spark, sf_dir, "events").count()
+    assert got["n_events"].sum() == n_events_total
+    # session windows are disjoint per user
+    for uid, grp in got.groupby("user_id"):
+        ordered = grp.sort_values("session_start")
+        starts = ordered["session_start"].to_numpy()
+        ends = ordered["session_end"].to_numpy()
+        assert (starts[1:] >= ends[:-1]).all()
