@@ -1114,3 +1114,166 @@ class Volume:
             .parquet(dest.chunks_path)
         )
         return dest
+
+    # ------------------------------------------------------------------
+    # raw reads / cache views (reference frontends download_files,
+    # memory_cutout; image/__init__.py:303-358, :559-601)
+    # ------------------------------------------------------------------
+
+    def download_files(self, bbox_or_slices=None, mip: int = 0) -> DataFrame:
+        """Raw chunk rows for a region, blobs untouched (reference
+        ``download_files`` — cache warming / transfers). Column-pruned
+        scan; filename column mirrors the precomputed naming."""
+        bbox = (
+            self.info.bounds(mip) if bbox_or_slices is None
+            else self._resolve_bbox(bbox_or_slices, mip)
+        )
+        return self._pruned(bbox, mip).select(
+            F.concat_ws(
+                "_",
+                F.concat_ws("-", "x0", "x1"),
+                F.concat_ws("-", "y0", "y1"),
+                F.concat_ws("-", "z0", "z1"),
+            ).alias("filename"),
+            "cx", "cy", "cz", "morton", "encoding", "compression", "blob",
+        )
+
+    def memory_cutout(self, bbox_or_slices=None, mip: int = 0) -> DataFrame:
+        """Materialized in-memory view of a region's decoded blocks —
+        the ``mem://`` throwaway-volume analog (reference
+        ``frontends/precomputed.py:712-747``): a cached DataFrame
+        instead of a second storage backend."""
+        df = self.blocks_df(bbox_or_slices, mip).persist()
+        df.count()  # force materialization
+        return df
+
+    def shard_stats(self, mip: int = 0) -> DataFrame:
+        """Per-slab chunk counts and byte sizes from the table alone —
+        the ``ShardReader.list_labels``-style index-only statistics scan
+        (reference ``sharding.py:790-820``); no blob bytes are read."""
+        return (
+            self.chunks_df()
+            .where(F.col("mip") == int(mip))
+            .groupBy("slab")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.length("blob")).alias("stored_bytes"),
+                F.min("morton").alias("morton_lo"),
+                F.max("morton").alias("morton_hi"),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # re-chunk transfer (reference xfer rerender strategy, xfer.py:59-102)
+    # ------------------------------------------------------------------
+
+    def rechunk_to(
+        self,
+        dest_base: str,
+        new_chunk_size: Sequence[int],
+        mip: int = 0,
+        compression: Optional[str] = "gzip",
+    ) -> "Volume":
+        """Transfer into a volume with a different chunk geometry — the
+        reference's "rerender" strategy as one shuffle-on-target-cell
+        job: decode each source chunk, split it across the target grid,
+        groupBy target cell, assemble + encode. Scales as a single
+        exchange keyed by target chunk."""
+        info = self.info.clone()
+        new_cs = [int(c) for c in new_chunk_size]
+        for s in info.info["scales"]:
+            s["chunk_sizes"] = [list(new_cs)]
+        dest = Volume.create(self.spark, dest_base, info)
+
+        cs_to = np.asarray(new_cs)
+        voff = np.asarray(info.voxel_offset(mip))
+        bounds_to = info.bounds(mip)
+        grid_to = [int(g) for g in info.grid_shape(mip)]
+        dtype = info.data_type
+        nc = info.num_channels
+        seg = info.layer_type == "segmentation"
+        encoding = self.info.encoding(mip)
+        comp = compression or ""
+
+        piece_schema = StructType([
+            StructField("tcx", IntegerType(), False),
+            StructField("tcy", IntegerType(), False),
+            StructField("tcz", IntegerType(), False),
+            StructField("x0", IntegerType(), False),
+            StructField("x1", IntegerType(), False),
+            StructField("y0", IntegerType(), False),
+            StructField("y1", IntegerType(), False),
+            StructField("z0", IntegerType(), False),
+            StructField("z1", IntegerType(), False),
+            StructField("blob", BinaryType(), False),
+        ])
+
+        def split_pieces(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
+                    raw = codecs.decompress_stream(r.blob, r.compression or None)
+                    arr = codecs.decode(raw, r.encoding, shape, dtype)
+                    src_bbox = Bbox((r.x0, r.y0, r.z0), (r.x1, r.y1, r.z1))
+                    for (tcx, tcy, tcz) in src_bbox.grid_coords(cs_to, voff):
+                        cell = Bbox.from_delta(
+                            voff + np.array([tcx, tcy, tcz]) * cs_to, cs_to
+                        ).clamp(bounds_to)
+                        inter = Bbox.intersection(cell, src_bbox)
+                        if inter.empty():
+                            continue
+                        lo = np.asarray(inter.minpt) - np.asarray(src_bbox.minpt)
+                        hi = np.asarray(inter.maxpt) - np.asarray(src_bbox.minpt)
+                        piece = np.ascontiguousarray(
+                            arr[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2], :]
+                            .transpose()
+                        ).tobytes()
+                        rows.append((
+                            int(tcx), int(tcy), int(tcz),
+                            int(inter.minpt[0]), int(inter.maxpt[0]),
+                            int(inter.minpt[1]), int(inter.maxpt[1]),
+                            int(inter.minpt[2]), int(inter.maxpt[2]),
+                            piece,
+                        ))
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in piece_schema.fields]
+                )
+
+        def assemble_cell(key, pdf):
+            tcx, tcy, tcz = (int(k) for k in key)
+            cell = Bbox.from_delta(
+                voff + np.array([tcx, tcy, tcz]) * cs_to, cs_to
+            ).clamp(bounds_to)
+            out = np.zeros(tuple(cell.size3()) + (nc,), dtype=dtype)
+            for r in pdf.itertuples(index=False):
+                pb = Bbox((r.x0, r.y0, r.z0), (r.x1, r.y1, r.z1))
+                pshape = tuple(pb.size3()) + (nc,)
+                arr = np.frombuffer(r.blob, dtype=dtype).reshape(
+                    pshape[::-1]
+                ).transpose()
+                shade(out, cell, arr, pb)
+            blob = codecs.compress_stream(codecs.encode(out, encoding), comp or None)
+            if seg:
+                uniq = np.unique(out)
+                stats = (
+                    [int(u) for u in uniq] if uniq.size <= LABELS_STATS_CAP else None
+                )
+            else:
+                stats = None
+            morton = int(compressed_morton_code((tcx, tcy, tcz), grid_to))
+            return pd.DataFrame([(
+                int(mip), _slab_of(morton), tcx, tcy, tcz, morton,
+                int(cell.minpt[0]), int(cell.maxpt[0]),
+                int(cell.minpt[1]), int(cell.maxpt[1]),
+                int(cell.minpt[2]), int(cell.maxpt[2]),
+                encoding, comp, blob, stats,
+            )], columns=[f.name for f in CHUNK_SCHEMA.fields])
+
+        src = self.chunks_df().where(F.col("mip") == int(mip))
+        pieces = src.mapInPandas(split_pieces, schema=piece_schema)
+        out = pieces.groupBy("tcx", "tcy", "tcz").applyInPandas(
+            assemble_cell, CHUNK_SCHEMA
+        )
+        dest._overwrite_slabs(out)
+        return dest

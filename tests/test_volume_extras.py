@@ -1,0 +1,72 @@
+"""download_files / memory_cutout / shard_stats / rechunk_to /
+provenance golden tests."""
+
+import numpy as np
+import pytest
+
+from cloud_volume_spark.geometry import Bbox
+from cloud_volume_spark.provenance import Provenance
+from cloud_volume_spark.volume import Volume
+
+
+@pytest.fixture()
+def vol(spark, rng, tmp_path):
+    arr = rng.integers(0, 200, size=(96, 96, 48, 1)).astype(np.uint32)
+    v = Volume.from_numpy(spark, arr, str(tmp_path / "vx"), chunk_size=(32, 32, 32))
+    return v, arr
+
+
+def test_download_files(vol):
+    v, arr = vol
+    rows = v.download_files(Bbox((0, 0, 0), (64, 64, 48))).collect()
+    assert len(rows) == 2 * 2 * 2
+    names = {r.filename for r in rows}
+    assert "0-32_0-32_0-32" in names
+    for r in rows:
+        assert r.compression == "gzip" and len(r.blob) > 0
+
+
+def test_memory_cutout(vol):
+    v, arr = vol
+    df = v.memory_cutout(Bbox((0, 0, 0), (96, 96, 48)))
+    total = sum((r.x1 - r.x0) * (r.y1 - r.y0) * (r.z1 - r.z0) for r in df.collect())
+    assert total == 96 * 96 * 48
+    df.unpersist()
+
+
+def test_shard_stats(vol):
+    v, arr = vol
+    stats = v.shard_stats().collect()
+    assert sum(r.n_chunks for r in stats) == 3 * 3 * 2
+    assert all(r.stored_bytes > 0 for r in stats)
+
+
+def test_rechunk_roundtrip(vol, tmp_path):
+    v, arr = vol
+    # 32^3 -> 48x48x24: non-divisible geometry, pieces span targets
+    dest = v.rechunk_to(str(tmp_path / "rechunk"), (48, 48, 24))
+    assert tuple(dest.info.chunk_size(0)) == (48, 48, 24)
+    out = dest.cutout(Bbox((0, 0, 0), (96, 96, 48)))
+    assert np.array_equal(out, arr)
+    # chunk grid really changed
+    ex = dest.exists(Bbox((0, 0, 0), (96, 96, 48)))
+    assert len(ex) == 2 * 2 * 2 and all(ex.values())
+    # stats survived the rechunk for segmentation dtype
+    got = {r.label for r in dest.unique(Bbox((0, 0, 0), (50, 50, 30))).collect()}
+    assert got == set(np.unique(arr[:50, :50, :30]).tolist())
+
+
+def test_provenance_roundtrip(tmp_path):
+    p = Provenance(description="test vol", owners=["ci@example.com"])
+    p.add_processing("downsample", factor=[2, 2, 1], mip=1)
+    p.commit(str(tmp_path))
+    p2 = Provenance.load(str(tmp_path))
+    assert p2.description == "test vol"
+    assert p2.owners == ["ci@example.com"]
+    assert p2.processing[0]["method"] == "downsample"
+    assert p2.processing[0]["factor"] == [2, 2, 1]
+
+
+def test_provenance_missing_is_empty(tmp_path):
+    p = Provenance.load(str(tmp_path / "nope"))
+    assert p.description == "" and p.processing == []
