@@ -118,10 +118,12 @@ def encode(
     if encoding == "raw":
         return img.tobytes()
     if encoding == "compressed_segmentation":
-        if not HAS_CSEG:
-            raise EncodingUnavailable("compressed_segmentation not installed")
         arr = np.asfortranarray(img.transpose())
-        return cseg.compress(arr, block_size=tuple(block_size), order="F")
+        if HAS_CSEG:
+            return cseg.compress(arr, block_size=tuple(block_size), order="F")
+        from cloud_volume_spark import cseg as np_cseg
+
+        return np_cseg.compress(arr, block_size=block_size)
     if encoding == "crackle":
         if not HAS_CRACKLE:
             raise EncodingUnavailable("crackle not installed")
@@ -155,10 +157,15 @@ def decode(
             )
         return arr.reshape(shape[::-1]).transpose()
     if encoding == "compressed_segmentation":
-        if not HAS_CSEG:
-            raise EncodingUnavailable("compressed_segmentation not installed")
-        return cseg.decompress(
-            bytes(blob), shape[:3], dtype, block_size=tuple(block_size), order="F"
+        if HAS_CSEG:
+            return cseg.decompress(
+                bytes(blob), shape[:3], dtype, block_size=tuple(block_size),
+                order="F",
+            ).reshape(shape)
+        from cloud_volume_spark import cseg as np_cseg
+
+        return np_cseg.decompress(
+            bytes(blob), shape[:3], dtype, block_size=block_size
         ).reshape(shape)
     if encoding == "crackle":
         if not HAS_CRACKLE:
@@ -179,6 +186,10 @@ def labels(blob: bytes, encoding: str, shape, dtype) -> np.ndarray:
     codec supports it; raw falls back to decode+unique (vectorized)."""
     if encoding == "crackle" and HAS_CRACKLE:
         return crackle.labels(bytes(blob))
+    if encoding == "compressed_segmentation" and not HAS_CSEG:
+        from cloud_volume_spark import cseg as np_cseg
+
+        return np_cseg.labels(bytes(blob), shape, dtype)
     arr = decode(blob, encoding, shape, dtype)
     return np.unique(arr)
 

@@ -420,3 +420,250 @@ ORACLE_SQL = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_asof_latest_order": EVENTS_ASOF_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# second wave: anti/semi joins, correlated patterns, pivot, set ops,
+# distribution stats — rounding out the relational operator surface
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never placed an order."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern: orders priced above 1.5x their
+    customer's average — decorrelated to window sums. Prices are
+    quantized to integer cents before aggregating so the predicate is
+    exact integer arithmetic (a float sum's addition order would
+    otherwise flip boundary rows between engines)."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cents", cents)
+        .withColumn("sum_cents", F.sum("cents").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .where(F.col("cents") * F.col("cnt") * 2 > F.col("sum_cents") * 3)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("cents").alias("totalprice_cents"),
+            F.floor(F.col("sum_cents") / F.col("cnt")).cast("long")
+            .alias("cust_avg_cents"),
+        )
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+WITH w AS (
+    SELECT o_orderkey, o_custkey,
+           FLOOR(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+           SUM(FLOOR(o_totalprice * 100 + 0.5)::BIGINT)
+               OVER (PARTITION BY o_custkey) AS sum_cents,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+    FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       cents AS totalprice_cents,
+       FLOOR(sum_cents / cnt)::BIGINT AS cust_avg_cents
+FROM w WHERE cents * cnt * 2 > sum_cents * 3
+"""
+
+
+def urgent_orders_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (TPC-H Q4 shape): priority histogram of orders having
+    at least one line item shipped after the order date."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    qualifying = li.where(F.col("l_shipdate") > F.lit("1996-01-01")).select(
+        "l_orderkey"
+    )
+    return (
+        orders.join(qualifying, orders.o_orderkey == qualifying.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+URGENT_ORDERS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-01-01'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def brand_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation (deterministic column names in
+    both engines): part counts and avg retail price per brand, split by
+    size class."""
+    part = load(spark, sf_dir, "part")
+    small = F.when(F.col("p_size") < 25, 1).otherwise(0)
+    large = F.when(F.col("p_size") >= 25, 1).otherwise(0)
+    return part.groupBy("p_brand").agg(
+        F.sum(small).alias("n_small"),
+        F.sum(large).alias("n_large"),
+        F.round(F.sum(F.col("p_retailprice") * small), 2).alias("small_value"),
+        F.round(F.sum(F.col("p_retailprice") * large), 2).alias("large_value"),
+    )
+
+
+BRAND_PIVOT_SQL = """
+SELECT p_brand,
+       SUM(CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS n_small,
+       SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS n_large,
+       ROUND(SUM(p_retailprice * CASE WHEN p_size < 25 THEN 1 ELSE 0 END), 2)
+           AS small_value,
+       ROUND(SUM(p_retailprice * CASE WHEN p_size >= 25 THEN 1 ELSE 0 END), 2)
+           AS large_value
+FROM part GROUP BY p_brand
+"""
+
+
+def nations_customers_no_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: nation keys having customers EXCEPT those having
+    suppliers."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    with_cust = customer.select(F.col("c_nationkey").alias("nk")).distinct()
+    with_supp = supplier.select(F.col("s_nationkey").alias("nk")).distinct()
+    return (
+        with_cust.exceptAll(with_supp)
+        .join(F.broadcast(nation), F.col("nk") == nation.n_nationkey)
+        .select(F.col("nk").alias("n_nationkey"), "n_name")
+    )
+
+
+NATIONS_EXCEPT_SQL = """
+WITH wc AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+ws AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+SELECT nk AS n_nationkey, n_name
+FROM (SELECT nk FROM wc EXCEPT SELECT nk FROM ws) d
+JOIN nation ON nk = n_nationkey
+"""
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) distribution of per-customer spend."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("decile_spend"),
+        )
+    )
+
+
+DECILES_SQL = """
+WITH spend AS (
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders GROUP BY o_custkey
+), tiled AS (
+    SELECT *, NTILE(10) OVER (ORDER BY spend ASC, o_custkey ASC) AS decile
+    FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers, ROUND(SUM(spend), 2) AS decile_spend
+FROM tiled GROUP BY decile
+"""
+
+
+def largest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 (max_by pattern) with deterministic tie-break."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("largest_orderkey"),
+            F.round("o_totalprice", 2).alias("largest_totalprice"),
+        )
+    )
+
+
+LARGEST_ORDER_SQL = """
+WITH ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) AS rn
+    FROM orders
+)
+SELECT o_custkey, o_orderkey AS largest_orderkey,
+       ROUND(o_totalprice, 2) AS largest_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+
+def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-total via window over a grouped aggregate."""
+    events = load(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "event_type", "n", "total_value",
+        F.floor(F.col("n") * 1000000 / F.sum("n").over(w)).alias("share_ppm"),
+    )
+
+
+EVENT_SHARE_SQL = """
+WITH counts AS (
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n, total_value,
+       FLOOR(n * 1000000 / SUM(n) OVER ())::BIGINT AS share_ppm
+FROM counts
+"""
+
+
+QUERIES.update({
+    "customers_without_orders": customers_without_orders,
+    "orders_above_customer_avg": orders_above_customer_avg,
+    "urgent_orders_with_lineitems": urgent_orders_with_lineitems,
+    "brand_type_pivot": brand_type_pivot,
+    "nations_customers_no_suppliers": nations_customers_no_suppliers,
+    "customer_spend_deciles": customer_spend_deciles,
+    "largest_order_per_customer": largest_order_per_customer,
+    "event_type_share": event_type_share,
+})
+
+ORACLE_SQL.update({
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
+    "urgent_orders_with_lineitems": URGENT_ORDERS_SQL,
+    "brand_type_pivot": BRAND_PIVOT_SQL,
+    "nations_customers_no_suppliers": NATIONS_EXCEPT_SQL,
+    "customer_spend_deciles": DECILES_SQL,
+    "largest_order_per_customer": LARGEST_ORDER_SQL,
+    "event_type_share": EVENT_SHARE_SQL,
+})
