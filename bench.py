@@ -55,6 +55,14 @@ BENCH_QUERIES = [
     "srp_ann_topk",
     "mm_image_features",
     "mm_video_frame_sample",
+    "customers_without_orders",
+    "orders_above_customer_avg",
+    "urgent_orders_with_lineitems",
+    "brand_type_pivot",
+    "nations_customers_no_suppliers",
+    "customer_spend_deciles",
+    "largest_order_per_customer",
+    "event_type_share",
 ]
 
 VOL_SHAPE = (1024, 1024, 100)

@@ -589,12 +589,23 @@ class Volume:
                     "(fill_missing=False)"
                 )
 
-        for r in rows:
+        def decode_shade(r):
             piece_bbox = Bbox((r.x0, r.y0, r.z0), (r.x1, r.y1, r.z1))
             pshape = tuple(piece_bbox.size3()) + (nc,)
             raw = codecs.decompress_stream(r.blob, r.compression or None)
             arr = codecs.decode(raw, r.encoding, pshape, dtype)
             shade(out, bbox, arr, piece_bbox)
+
+        # chunks paint disjoint regions and gunzip/numpy release the
+        # GIL, so driver assembly threads scale near-linearly
+        if len(rows) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(rows))) as pool:
+                list(pool.map(decode_shade, rows))
+        else:
+            for r in rows:
+                decode_shade(r)
 
         if label is not None:
             return out == dtype.type(label)

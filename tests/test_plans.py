@@ -1,0 +1,70 @@
+"""Physical-plan quality gates: the optimizations we design for must
+actually appear in `.explain` output — pruning pushed to the scan,
+dimensions broadcast, no Python UDFs in JVM-only paths."""
+
+import numpy as np
+import pytest
+
+from cloud_volume_spark.geometry import Bbox
+from cloud_volume_spark.operators import all_queries
+from cloud_volume_spark.volume import Volume
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_cutout_scan_is_pruned(spark, rng, tmp_path):
+    arr = rng.integers(0, 99, size=(128, 128, 64, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "p"), chunk_size=(64, 64, 64))
+    plan = _plan(vol._pruned(Bbox((0, 0, 0), (64, 64, 64)), 0))
+    # partition pruning on mip + pushed chunk-coordinate predicates
+    assert "PartitionFilters" in plan
+    assert "mip" in plan
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(cx," in plan or "cx#" in plan
+
+
+def test_unique_fast_path_prunes_blob_column(spark, rng, tmp_path):
+    arr = rng.integers(0, 99, size=(128, 128, 64, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "q"), chunk_size=(64, 64, 64))
+    # whole-volume unique: every chunk interior → stats-only branch
+    # must not read the blob column in its scan
+    plan = _plan(vol.unique(Bbox((0, 0, 0), (128, 128, 64))))
+    # two scans exist (fast + slow); the fast one reads labels_stats only
+    assert "labels_stats" in plan
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(all_queries()["q5_local_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the big fact join may be broadcast at this SF too; what must NOT
+    # happen is a cartesian/BNL join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    for name in ["doc_token_stats", "doc_quality_score", "doc_fingerprint",
+                 "doc_langid", "dedup_exact", "minhash_signatures"]:
+        plan = _plan(all_queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+
+
+def test_point_lookup_is_broadcast_join(spark, sf_dir):
+    plan = _plan(all_queries()["vox_point_lookup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    """The scan must receive the shipdate predicate and the aggregation
+    must combine map-side before the exchange (AQE hides codegen spans
+    until execution, so assert the structural properties instead)."""
+    plan = _plan(all_queries()["q1_pricing_summary"](spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    assert "l_orderkey" not in plan
