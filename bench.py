@@ -141,6 +141,11 @@ def bench_volume(spark) -> dict:
             vol.write_blocks_df(blocks, mip=0, compression="gzip")
             write_secs.append(time.perf_counter() - t0)
 
+            # settle writeback so the read phase isn't timed against the
+            # write's dirty-page flush (reference benchmarks upload and
+            # download as separate tests)
+            os.sync()
+
             t0 = time.perf_counter()
             out = vol.cutout(Bbox((0, 0, 0), VOL_SHAPE))
             read_secs.append(time.perf_counter() - t0)

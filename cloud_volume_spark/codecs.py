@@ -77,9 +77,11 @@ def compress_stream(data: bytes, method: Optional[str]) -> bytes:
     if method in (None, "", "none"):
         return data
     if method == "gzip":
-        # mtime=0 for deterministic bytes (golden tests)
+        # mtime=0 for deterministic bytes (golden tests); level 6 =
+        # zlib default — GzipFile's own default of 9 costs ~2-3x CPU
+        # for <1% size on chunk data
         buf = io.BytesIO()
-        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0, compresslevel=6) as f:
             f.write(data)
         return buf.getvalue()
     if method == "zlib":

@@ -213,6 +213,85 @@ class Volume:
             .where(F.col("cz").between(zlo, zhi))
         )
 
+    def _local_chunks_dir(self) -> Optional[str]:
+        """Filesystem directory of the chunk table, or None when the
+        volume lives on a remote store (s3a/gs/…)."""
+        p = self.chunks_path
+        if p.startswith("file://"):
+            return p[len("file://"):]
+        if "://" in p:
+            return None
+        return p
+
+    def _collect_encoded_rows(self, bbox: Bbox, mip: int, columns: list):
+        """Driver-bounded encoded-chunk fetch.
+
+        On a local filesystem, read the pruned parquet fragments
+        directly with pyarrow (threaded, zero JVM hop, fragment-level
+        slab pruning via the morton Z-order) — the serving-path analog
+        of the reference's LRU/point-read fast path (SURVEY §4,
+        ``rx.py:381-430``). Returns None when the path is remote so
+        callers fall back to the Spark scan; the distributed
+        ``blocks_df`` path is unaffected.
+        """
+        local = self._local_chunks_dir()
+        if local is None:
+            return None
+        if not os.path.isdir(local):
+            return []
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        from pyarrow import compute as pc
+
+        cs = self.info.chunk_size(mip)
+        off = self.info.voxel_offset(mip)
+        (xlo, xhi), (ylo, yhi), (zlo, zhi) = bbox.grid_ranges(cs, off)
+        filt = (
+            (pc.field("mip") == int(mip))
+            & (pc.field("cx") >= xlo) & (pc.field("cx") <= xhi)
+            & (pc.field("cy") >= ylo) & (pc.field("cy") <= yhi)
+            & (pc.field("cz") >= zlo) & (pc.field("cz") <= zhi)
+        )
+        # fragment pruning: the candidate slab set is derivable from the
+        # grid ranges (slab = morton >> SLAB_SHIFT), so whole partition
+        # directories drop out before any file is opened
+        grid = [int(g) for g in self.info.grid_shape(mip)]
+        n_cells = (xhi - xlo + 1) * (yhi - ylo + 1) * (zhi - zlo + 1)
+        if 0 < n_cells <= 1 << 20:
+            xs = np.arange(max(xlo, 0), min(xhi, grid[0] - 1) + 1)
+            ys = np.arange(max(ylo, 0), min(yhi, grid[1] - 1) + 1)
+            zs = np.arange(max(zlo, 0), min(zhi, grid[2] - 1) + 1)
+            if len(xs) and len(ys) and len(zs):
+                gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+                pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+                slabs = np.unique(
+                    compressed_morton_code(pts, grid).astype(np.int64)
+                    >> SLAB_SHIFT
+                )
+                filt = filt & pc.field("slab").isin([int(s) for s in slabs])
+            else:
+                return []
+        try:
+            dset = pads.dataset(local, format="parquet", partitioning="hive")
+            tbl = dset.to_table(columns=columns, filter=filt)
+        except (FileNotFoundError, pa.ArrowInvalid):
+            return []
+        cols = {}
+        for name in columns:
+            col = tbl.column(name)
+            if name == "blob":
+                # zero-copy buffers; gzip/np.frombuffer take any
+                # buffer-protocol object
+                cols[name] = [s.as_buffer() for s in col]
+            else:
+                cols[name] = col.to_pylist()
+        from types import SimpleNamespace
+
+        return [
+            SimpleNamespace(**{name: cols[name][i] for name in columns})
+            for i in range(tbl.num_rows)
+        ]
+
     def _resolve_bbox(self, bbox_or_slices, mip: int) -> Bbox:
         bounds = self.info.bounds(mip)
         if isinstance(bbox_or_slices, Bbox):
@@ -389,6 +468,25 @@ class Volume:
 
         self._overwrite_slabs(out)
 
+    def _commit_bucket(self):
+        """Shuffle key for commit writes: ``morton >> k`` where ``k``
+        groups ~16 MB of chunk data per output file. Z-order stays
+        intact (each file covers a contiguous morton range inside its
+        slab dir) while small volumes still fan out across writers —
+        ``repartition("slab")`` alone collapses a one-slab write to a
+        single task. Hash-based, so no sampling pass over the (possibly
+        expensive-to-recompute) encode stage, unlike repartitionByRange."""
+        info = self.info
+        chunk_bytes = int(
+            np.prod(info.chunk_size(0))
+        ) * info.dtype.itemsize * info.num_channels
+        bucket_chunks = 1
+        while bucket_chunks < (1 << SLAB_SHIFT) and \
+                bucket_chunks * max(chunk_bytes, 1) < (16 << 20):
+            bucket_chunks *= 2
+        shift = bucket_chunks.bit_length() - 1
+        return F.shiftrightunsigned(F.col("morton"), shift)
+
     def _overwrite_slabs(self, out: DataFrame, drop: Optional[Iterable[tuple]] = None) -> None:
         """Copy-on-write commit: stage the touched ``(mip, slab)``
         partitions in a temp dataset, then swap directories into place.
@@ -399,8 +497,8 @@ class Volume:
         tmp = self.chunks_path + ".tmp-commit"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            out.repartition("slab")
-            .sortWithinPartitions("morton")
+            out.repartition(F.col("mip"), self._commit_bucket())
+            .sortWithinPartitions("slab", "morton")
             .write.mode("overwrite")
             .option("compression", "none")  # blobs carry their own gzip
             .partitionBy("mip", "slab")
@@ -557,24 +655,32 @@ class Volume:
                 "use blocks_df()/voxels_df() for DataFrame output"
             )
 
-        pruned = self._pruned(bbox, mip)
-        if label is not None:
-            # stats-column data skipping before any decode
-            pruned = pruned.where(
-                F.col("labels_stats").isNull()
-                | F.array_contains("labels_stats", int(label))
-            )
-
         # Driver-decode fast path: the cutout is already driver-bounded
-        # (MAX_ASSEMBLE_VOXELS), so collect the ENCODED blobs via Arrow
-        # and decode+shade locally — one Arrow hop, no executor Python
-        # stage, no second 100 MB round trip. blocks_df() remains the
-        # distributed decode path for larger-than-driver outputs.
-        rows = pruned.select(
-            "x0", "x1", "y0", "y1", "z0", "z1",
-            "encoding", "compression", "blob",
-        ).toPandas()
-        rows = list(rows.itertuples(index=False))
+        # (MAX_ASSEMBLE_VOXELS), so collect the ENCODED blobs and
+        # decode+shade locally — no executor Python stage, no second
+        # 100 MB round trip. On local storage the collect itself runs
+        # through pyarrow directly; blocks_df() remains the distributed
+        # decode path for larger-than-driver outputs.
+        sel = ["x0", "x1", "y0", "y1", "z0", "z1",
+               "encoding", "compression", "blob"]
+        want_stats = label is not None
+        rows = self._collect_encoded_rows(
+            bbox, mip, sel + (["labels_stats"] if want_stats else [])
+        )
+        if rows is None:
+            pruned = self._pruned(bbox, mip)
+            if want_stats:
+                # stats-column data skipping before any decode
+                pruned = pruned.where(
+                    F.col("labels_stats").isNull()
+                    | F.array_contains("labels_stats", int(label))
+                )
+            rows = list(pruned.select(*sel).toPandas().itertuples(index=False))
+        elif want_stats:
+            rows = [
+                r for r in rows
+                if r.labels_stats is None or int(label) in r.labels_stats
+            ]
 
         bg = self.info.background_color()
         out = np.full(shape, bg, dtype=dtype)
@@ -716,7 +822,13 @@ class Volume:
         only that voxel (reference ``rx.py:381-430``)."""
         pt = np.asarray(xyz, dtype=np.int64)
         bbox = Bbox(pt, pt + 1)
-        row = self._pruned(bbox, mip).collect()
+        row = self._collect_encoded_rows(
+            bbox, mip,
+            ["x0", "x1", "y0", "y1", "z0", "z1",
+             "encoding", "compression", "blob"],
+        )
+        if row is None:
+            row = self._pruned(bbox, mip).collect()
         if not row:
             if self.fill_missing:
                 return np.full(
@@ -967,8 +1079,11 @@ class Volume:
         # full-mip rewrite → write to temp subdir then swap slabs in
         tmp = self.chunks_path + ".remap.tmp"
         (
-            out.repartition("slab").sortWithinPartitions("morton")
-            .write.mode("overwrite").partitionBy("mip", "slab").parquet(tmp)
+            out.repartition(F.col("mip"), self._commit_bucket())
+            .sortWithinPartitions("slab", "morton")
+            .write.mode("overwrite")
+            .option("compression", "none")  # blobs carry their own gzip
+            .partitionBy("mip", "slab").parquet(tmp)
         )
         mip_dir = os.path.join(self.chunks_path, f"mip={mip}")
         if os.path.exists(mip_dir):
