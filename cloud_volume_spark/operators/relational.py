@@ -17,6 +17,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -561,15 +563,77 @@ JOIN nation ON nk = n_nationkey
 """
 
 
+def global_row_number(
+    df: DataFrame,
+    order_col: str,
+    tie_cols: Sequence[str] = (),
+    out_col: str = "_rn",
+    nbuckets: int = 64,
+) -> tuple:
+    """Exact global ``row_number`` without the single-partition window
+    (``Window.orderBy`` with no partition moves ALL rows to one task —
+    the WindowExec degradation warning; fatal at 100 TB).
+
+    The distributed pattern: (1) range-bucket rows on approx-quantile
+    boundaries — collected once, so every downstream job shares the same
+    literal boundaries; (2) rank inside each bucket with an ordinary
+    partitioned window (bucket-parallel); (3) add broadcast per-bucket
+    prefix-sum offsets. Exactness does not depend on boundary quality —
+    skewed boundaries only unbalance bucket sizes.
+
+    Returns ``(df_with_out_col, total_rows)``.
+    """
+    df = df.persist()
+    qs = [i / nbuckets for i in range(1, nbuckets)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(F.col(order_col) > b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    df = df.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["n"]
+        for r in df.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_bkt").orderBy(
+        F.asc(order_col), *[F.asc(t) for t in tie_cols]
+    )
+    out = df.withColumn(
+        out_col,
+        (F.row_number().over(w) + off_map[F.col("_bkt")]).cast("long"),
+    ).drop("_bkt")
+    return out, acc
+
+
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(10) distribution of per-customer spend."""
+    """ntile(10) distribution of per-customer spend, built on the
+    scalable :func:`global_row_number` instead of a global NTILE
+    window (same results; bucket-parallel instead of one-task)."""
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
-    w = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
+    ranked, n = global_row_number(spend, "spend", ("o_custkey",))
+    # NTILE(k): first n%k tiles get n//k+1 rows, the rest n//k
+    q, rem = divmod(n, 10)
+    big = rem * (q + 1)
+    rn = F.col("_rn")
+    decile = F.when(
+        rn <= big, F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((rn - 1 - big) / max(q, 1)) + 1)
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -628,10 +692,10 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
-    w = Window.partitionBy()
-    return counts.select(
+    total = counts.agg(F.sum("n").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "event_type", "n", "total_value",
-        F.floor(F.col("n") * 1000000 / F.sum("n").over(w)).alias("share_ppm"),
+        F.floor(F.col("n") * 1000000 / F.col("_total")).alias("share_ppm"),
     )
 
 
