@@ -175,13 +175,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/Arrow paths + Python UDF workers once so timings
-    # measure steady state, not daemon spin-up
+    # measure steady state, not daemon spin-up: scan+agg, broadcast
+    # join, window, local-relation createDataFrame, codegen'd
+    # regexp/md5, and a Python worker pool each get one tiny exercise
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as SW
     from cloud_volume_spark.operators import all_queries
     all_queries()["q6_revenue_forecast"](spark, sf_dir).collect()
     (
         spark.range(64)
         .repartition(64)
         .mapInPandas(lambda it: it, schema="id long")
+        .write.format("noop").mode("overwrite").save()
+    )
+    small = spark.createDataFrame([(1, "a b  c")], "id long, s string")
+    (
+        spark.range(256).join(SF.broadcast(small), on="id", how="left")
+        .select(
+            "id",
+            SF.md5(SF.regexp_replace(SF.coalesce("s", SF.lit("")), r"\s+", " ")),
+            SF.row_number().over(SW.partitionBy("id").orderBy("id")),
+        )
         .write.format("noop").mode("overwrite").save()
     )
 
