@@ -60,6 +60,43 @@ def consolidate(vertices: np.ndarray, faces: np.ndarray) -> tuple:
     return uniq, new_faces
 
 
+def deduplicate_chunk_boundaries(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    chunk_size,
+    offset=(0, 0, 0),
+) -> tuple:
+    """Fuse the crack vertices per-chunk meshing leaves behind: a
+    vertex is merged only when it (a) lies exactly on a chunk boundary
+    plane and (b) occurs exactly twice — once from each side (reference
+    ``mesh.py:379-419``, non-draco path; the draco-grid variant needs
+    the absent draco codec and stays gated). Interior duplicates, e.g.
+    intentional seams, are preserved."""
+    vertices = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
+    faces = np.asarray(faces).reshape(-1, 3)
+    if len(vertices) == 0:
+        return vertices, faces.astype(np.uint32)
+
+    rel = vertices - np.asarray(offset, dtype=np.float32)
+    on_boundary = np.any(np.mod(rel, np.asarray(chunk_size)) == 0, axis=1)
+    _, inverse, counts = np.unique(
+        vertices, axis=0, return_inverse=True, return_counts=True
+    )
+    merge = (counts[inverse] == 2) & on_boundary
+
+    # 4th column: a unique serial keeps non-merged rows distinct under
+    # np.unique; merged pairs share (x, y, z, -1) and collapse
+    keyed = np.hstack([vertices, np.arange(len(vertices))[:, None]])
+    keyed[merge, 3] = -1.0
+    new_keyed, new_faces = np.unique(
+        keyed[faces.ravel()], axis=0, return_inverse=True
+    )
+    return (
+        new_keyed[:, :3].astype(np.float32),
+        new_faces.astype(np.uint32).reshape(-1, 3),
+    )
+
+
 MESH_SCHEMA = StructType([
     StructField("segid", LongType(), False),
     StructField("vertices", ArrayType(ArrayType(FloatType())), False),
@@ -83,15 +120,18 @@ class MeshLayer:
         return self.spark.read.parquet(self.data_path)
 
     def get(self, segids: Iterable[int], fuse: bool = True,
-            remove_duplicate_vertices: bool = True) -> DataFrame:
+            remove_duplicate_vertices: bool = True,
+            boundary_chunk_size=None, boundary_offset=(0, 0, 0)) -> DataFrame:
         """Keyed fetch; ``fuse`` merges fragments per segid with face
         index re-offsetting (mesh.py:130-146) and optional consolidate
-        (``remove_duplicate_vertices``)."""
+        (``remove_duplicate_vertices``). ``boundary_chunk_size`` applies
+        the chunk-boundary crack fuse instead (mesh.py:379-419)."""
         frags = self.df().where(F.col("segid").isin([int(s) for s in segids]))
         if not fuse:
             return frags
 
-        dedup = remove_duplicate_vertices
+        dedup = remove_duplicate_vertices and boundary_chunk_size is None
+        bcs, boff = boundary_chunk_size, boundary_offset
 
         def fuse_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
             all_v, all_f, off = [], [], 0
@@ -109,6 +149,8 @@ class MeshLayer:
             )
             if dedup and len(v):
                 v, f = consolidate(v, f)
+            if bcs is not None and len(v):
+                v, f = deduplicate_chunk_boundaries(v, f, bcs, boff)
             return pd.DataFrame({
                 "segid": [int(key[0])],
                 "vertices": [v.tolist()],

@@ -354,3 +354,167 @@ class ShardFileReader:
                 yield label, _maybe_decompress(
                     self.blob[offset:offset + size], self.spec.data_encoding
                 )
+
+
+# ---------------------------------------------------------------------------
+# shard packing parameter solvers (export fidelity; reference
+# sharding.py:985-1058 hashed, :1060-1213 image). Native storage is
+# Parquet, where row-group sizing plays this role — these exist so
+# export_sharded can emit ecosystem-standard layouts.
+# ---------------------------------------------------------------------------
+
+def compute_shard_params_for_hashed(
+    num_labels: int,
+    shard_index_bytes: int = 2 ** 13,
+    minishard_index_bytes: int = 2 ** 15,
+    min_shards: int = 1,
+) -> tuple:
+    """(shard_bits, minishard_bits, preshift_bits) for uniformly hashed
+    keys (meshes/skeletons). Index-size model: a minishard index row is
+    3 uint64s, a shard index row 2 uint64s; preshift bits carry no
+    information for random keys, so they stay 0."""
+    import math
+
+    assert min_shards >= 1
+    if num_labels <= 0:
+        return (0, 0, 0)
+
+    mini_per_shard = shard_index_bytes / 16.0
+    labels_per_mini = minishard_index_bytes / 24.0
+    labels_per_shard = mini_per_shard * labels_per_mini
+
+    if num_labels >= labels_per_shard:
+        minishard_bits = math.ceil(math.log2(mini_per_shard))
+        shard_bits = math.ceil(math.log2(
+            num_labels / (labels_per_mini * (2 ** minishard_bits))
+        ))
+    elif num_labels >= labels_per_mini:
+        minishard_bits = math.ceil(math.log2(num_labels / labels_per_mini))
+        shard_bits = 0
+    else:
+        minishard_bits = 0
+        shard_bits = 0
+
+    # pack shards near capacity; tolerate ~10% overflow before
+    # splitting, halve the shard count when under ~55% utilized
+    utilization = num_labels / (labels_per_shard * (2 ** shard_bits))
+    if utilization <= 0.55:
+        shard_bits -= 1
+    shard_bits = max(shard_bits, 0)
+
+    min_shard_bits = int(round(math.log2(min_shards)))
+    grow = max(min_shard_bits - shard_bits, 0)
+    shard_bits = max(shard_bits + grow, min_shard_bits)
+    minishard_bits = max(minishard_bits - grow, 0)
+    return (int(shard_bits), int(minishard_bits), 0)
+
+
+def compute_shard_params_for_image(
+    dataset_size,
+    chunk_size,
+    encoding: str = "raw",
+    dtype="uint8",
+    uncompressed_shard_bytesize: int = int(3.5e9),
+    max_shard_index_bytes: int = 8192,
+    max_minishard_index_bytes: int = 40000,
+    max_labels_per_minishard: int = 4000,
+    minishard_index_encoding: str = "gzip",
+    data_encoding: str = "gzip",
+) -> "ShardingSpecification":
+    """Recommend an image sharding spec: shards ≲3.5 GB uncompressed,
+    shard index ≲8 KiB, minishard index ≲40 KB with hundreds-to-
+    thousands of morton-coded chunks each; every bit of the compressed
+    morton code is allocated to preshift/minishard/shard."""
+    import math
+
+    dataset_size = [int(v) for v in dataset_size]
+    chunk_size = [int(v) for v in chunk_size]
+    byte_width = np.dtype(dtype).itemsize
+
+    grid = [
+        int(math.ceil(dataset_size[i] / chunk_size[i])) for i in range(3)
+    ]
+    num_chunks = 1
+    for g in grid:
+        num_chunks *= g
+    # information content of the compressed morton code
+    max_bits = sum(int(math.ceil(math.log2(max(g, 1)))) for g in grid)
+
+    chunk_voxels = chunk_size[0] * chunk_size[1] * chunk_size[2]
+    chunks_per_shard = math.ceil(
+        uncompressed_shard_bytesize / (chunk_voxels * byte_width)
+    )
+    chunks_per_shard = 2 ** int(math.log2(chunks_per_shard))
+    if num_chunks < chunks_per_shard:
+        chunks_per_shard = 2 ** int(math.ceil(math.log2(num_chunks)))
+
+    num_shards = num_chunks / chunks_per_shard
+
+    def solve_bits():
+        sb = int(math.ceil(math.log2(max(num_shards, 1))))
+        pb = int(math.ceil(math.log2(chunks_per_shard)))
+        return sb, min(pb, max_bits - sb)
+
+    shard_bits, preshift_bits = solve_bits()
+
+    labels_per_mini = float(chunks_per_shard)
+    minishard_bits = 0
+    while labels_per_mini > max_labels_per_minishard:
+        labels_per_mini /= 2.0
+        minishard_bits += 1
+        mini_index_size = 24 * labels_per_mini
+        shard_index_size = 16 * (2 ** minishard_bits)
+        mini_too_big = (
+            mini_index_size > max_minishard_index_bytes
+            and minishard_bits > preshift_bits
+        )
+        if mini_too_big or shard_index_size > max_shard_index_bytes:
+            # back off one minishard level and split shards instead
+            minishard_bits -= 1
+            num_shards *= 2
+            shard_bits, preshift_bits = solve_bits()
+
+    # minishard bits are carved out of the preshift allocation; rounding
+    # slack lands in shard bits below
+    preshift_bits -= minishard_bits
+    if dataset_size[2] == chunk_size[2]:
+        # single-chunk z (2D-ish datasets): morton codes exhaust z
+        # quickly, so extra xy bits become available to preshift
+        extra = preshift_bits // 3
+        i = 0
+        while i < extra:
+            max_bits += 1
+            preshift_bits += 1
+            if preshift_bits % 3 != 0:
+                i += 1
+
+    shard_bits = max(max_bits - preshift_bits - minishard_bits, 0)
+
+    if max_bits > 64:
+        raise ValueError(
+            f"chunk grid needs {max_bits} morton bits (>64); increase "
+            f"chunk size. dataset={dataset_size} chunk={chunk_size}"
+        )
+    if preshift_bits < 0:
+        raise ValueError(
+            f"negative preshift_bits: ({shard_bits}, {minishard_bits}, "
+            f"{preshift_bits}) of {max_bits}"
+        )
+    if preshift_bits + shard_bits + minishard_bits > max_bits:
+        raise ValueError(
+            f"bit allocation {preshift_bits}+{shard_bits}+{minishard_bits} "
+            f"exceeds {max_bits} morton bits"
+        )
+
+    if encoding in ("jpeg", "png", "kempressed", "fpzip", "zfpc"):
+        data_encoding = "raw"  # already entropy-coded
+
+    return ShardingSpecification(
+        "neuroglancer_uint64_sharded_v1",
+        hash="identity",
+        minishard_bits=minishard_bits,
+        minishard_index_encoding=minishard_index_encoding,
+        preshift_bits=preshift_bits,
+        shard_bits=shard_bits,
+        data_encoding=data_encoding,
+    )

@@ -334,3 +334,93 @@ def test_precomputed_roundtrip(spark, rng, tmp_path):
     # labels_stats regenerated on import (segmentation dtype)
     got = {r.label for r in vol2.unique().collect()}
     assert got == set(np.unique(arr).tolist())
+
+
+def test_boundary_dedup_merges_only_doubled_boundary_vertices():
+    from cloud_volume_spark.meshes import deduplicate_chunk_boundaries
+
+    # two triangles sharing an edge on the x=64 chunk boundary plane,
+    # written as 6 vertices (each boundary vertex appears twice)
+    v = np.array([
+        [60, 10, 10], [64, 10, 10], [64, 20, 10],   # left-chunk tri
+        [64, 10, 10], [64, 20, 10], [70, 15, 10],   # right-chunk tri
+        [30, 30, 30], [30, 30, 30], [40, 40, 40],   # interior duplicate pair
+    ], dtype=np.float32)
+    f = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]], dtype=np.uint32)
+
+    nv, nf = deduplicate_chunk_boundaries(v, f, (64, 64, 64))
+    # the two boundary pairs fuse; the interior duplicate (not on a
+    # boundary plane) must NOT fuse
+    assert nf.shape == (3, 3)
+    tris = nv[nf.ravel()].reshape(3, 3, 3)
+    orig = v[f.ravel()].reshape(3, 3, 3)
+    assert np.allclose(np.sort(tris.reshape(-1, 3), axis=0),
+                       np.sort(orig.reshape(-1, 3), axis=0))
+    # 9 verts - 2 fused pairs = 7 distinct rows referenced
+    assert len(nv) == 7
+    # interior pair kept both copies: rows equal to (30,30,30) appear twice
+    assert int((nv == np.float32(30)).all(axis=1).sum()) == 2
+
+
+def test_boundary_dedup_respects_occurrence_count():
+    from cloud_volume_spark.meshes import deduplicate_chunk_boundaries
+
+    # boundary vertex appearing 3 times must not merge (reference
+    # merges only count==2)
+    v = np.array([
+        [64, 0, 0], [64, 0, 0], [64, 0, 0],
+        [1, 2, 3], [4, 5, 6], [7, 8, 9],
+    ], dtype=np.float32)
+    f = np.array([[0, 3, 4], [1, 4, 5], [2, 3, 5]], dtype=np.uint32)
+    nv, nf = deduplicate_chunk_boundaries(v, f, (64, 64, 64))
+    assert int((nv == np.array([64, 0, 0], np.float32)).all(axis=1).sum()) == 3
+
+
+def test_mesh_get_boundary_dedup(mesh_layer):
+    layer, originals = mesh_layer
+    r = layer.get([100], boundary_chunk_size=(64, 64, 64)).collect()[0]
+    v = np.array(r.vertices, dtype=np.float32)
+    f = np.array(r.faces)
+    raw_v = np.concatenate([vv for vv, _ in originals[100]])
+    raw_f = np.concatenate(
+        [ff + 12 * i for i, (_, ff) in enumerate(originals[100])]
+    )
+    # triangle soup is geometrically unchanged
+    got = np.sort(v[f.ravel()].reshape(len(f), -1), axis=0)
+    want = np.sort(raw_v[raw_f.ravel()].reshape(len(raw_f), -1), axis=0)
+    assert np.allclose(got, want)
+
+
+def test_shard_params_hashed_golden():
+    """Golden constants from reference test_sharding.py:474-556."""
+    from cloud_volume_spark.sharding import compute_shard_params_for_hashed
+
+    assert compute_shard_params_for_hashed(10**9, 2**13, 2**15) == (11, 9, 0)
+    assert compute_shard_params_for_hashed(10**6, 2**13, 2**15) == (1, 9, 0)
+    assert compute_shard_params_for_hashed(10**7, 2**13, 2**15) == (4, 9, 0)
+    assert compute_shard_params_for_hashed(1000, 2**13, 2**15) == (0, 0, 0)
+    assert compute_shard_params_for_hashed(0, 0, 0) == (0, 0, 0)
+    assert compute_shard_params_for_hashed(10000, 2**13, 2**15) == (0, 3, 0)
+    assert compute_shard_params_for_hashed(10**9, 2**10, 2**15) == (14, 6, 0)
+    assert compute_shard_params_for_hashed(10**9, 2**13, 2**13) == (13, 9, 0)
+    assert compute_shard_params_for_hashed(
+        1000, 2**13, 2**15, min_shards=1000
+    ) == (10, 0, 0)
+
+
+def test_shard_params_image_golden():
+    """Reference test_broken_dataset (test_sharding.py:448-472): the
+    bit allocation must cover all 20 morton bits; jpeg forces raw
+    data encoding."""
+    from cloud_volume_spark.sharding import compute_shard_params_for_image
+
+    spec = compute_shard_params_for_image(
+        (10240, 10240, 990), (128, 128, 20), encoding="jpeg", dtype="uint8"
+    )
+    assert spec.shard_bits + spec.minishard_bits + spec.preshift_bits == 20
+    assert spec.data_encoding == "raw"
+    # round-trips through spec validation
+    spec2 = compute_shard_params_for_image(
+        (1024, 1024, 1024), (64, 64, 64), encoding="raw", dtype="uint64"
+    )
+    assert spec2.shard_bits >= 0 and spec2.preshift_bits >= 0
