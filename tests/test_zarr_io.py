@@ -1,0 +1,143 @@
+"""zarr2/zarr3/n5 interop round-trips (numpy oracle, mirroring the
+reference's test_zarr.py strategy of random-volume roundtrips)."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cloud_volume_spark.geometry import Bbox
+from cloud_volume_spark.volume import Volume
+from cloud_volume_spark.zarr_io import (
+    crc32c,
+    decode_zarr3_chunk,
+    encode_zarr3_chunk,
+    export_zarr2,
+    export_zarr3,
+    import_n5,
+    import_zarr2,
+    import_zarr3,
+)
+
+
+def test_crc32c_golden():
+    # RFC 3720 check value for "123456789"
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_zarr3_chunk_codec_roundtrip():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 1 << 16, size=(2, 4, 6, 8)).astype(np.uint16)
+    for codecs in (
+        [{"name": "bytes", "configuration": {"endian": "little"}}],
+        [{"name": "bytes", "configuration": {"endian": "big"}},
+         {"name": "gzip", "configuration": {"level": 1}}],
+        [{"name": "bytes", "configuration": {"endian": "little"}},
+         {"name": "gzip", "configuration": {"level": 5}},
+         {"name": "crc32c"}],
+    ):
+        blob = encode_zarr3_chunk(arr, codecs)
+        back = decode_zarr3_chunk(blob, codecs, np.uint16, arr.shape)
+        assert np.array_equal(back, arr), codecs
+
+
+def test_zarr3_crc_detects_corruption():
+    arr = np.arange(24, dtype=np.uint8).reshape(1, 2, 3, 4)
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}},
+              {"name": "crc32c"}]
+    blob = bytearray(encode_zarr3_chunk(arr, codecs))
+    blob[0] ^= 0xFF
+    with pytest.raises(ValueError, match="crc32c"):
+        decode_zarr3_chunk(bytes(blob), codecs, np.uint8, arr.shape)
+
+
+def test_zarr3_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 1000, size=(50, 40, 30, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "vol"), chunk_size=(32, 32, 16)
+    )
+    n = export_zarr3(vol, str(tmp_path / "z3"))
+    assert n == 2 * 2 * 2  # ceil(50/32) x ceil(40/32) x ceil(30/16)
+
+    vol2 = import_zarr3(spark, str(tmp_path / "z3"), str(tmp_path / "vol2"))
+    assert vol2.info.layer_type == "segmentation"
+    out = vol2.cutout(Bbox((0, 0, 0), (50, 40, 30)))
+    assert np.array_equal(out, arr)
+    # partial cutout across the padded-edge chunk
+    out = vol2.cutout(Bbox((20, 20, 10), (50, 40, 30)))
+    assert np.array_equal(out, arr[20:, 20:, 10:, :])
+
+
+def test_zarr3_roundtrip_with_offset_and_channels(spark, tmp_path):
+    rng = np.random.default_rng(32)
+    arr = rng.integers(0, 255, size=(40, 32, 20, 3)).astype(np.uint8)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "vol"), chunk_size=(16, 16, 16),
+        voxel_offset=(64, 32, 16),
+    )
+    export_zarr3(vol, str(tmp_path / "z3"))
+    vol2 = import_zarr3(spark, str(tmp_path / "z3"), str(tmp_path / "vol2"))
+    assert [int(v) for v in vol2.info.voxel_offset(0)] == [64, 32, 16]
+    out = vol2.cutout(Bbox((64, 32, 16), (104, 64, 36)))
+    assert np.array_equal(out, arr)
+
+
+def test_zarr2_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(21)
+    arr = rng.integers(0, 60000, size=(33, 47, 25, 1)).astype(np.uint16)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "vol"), chunk_size=(16, 16, 16)
+    )
+    n = export_zarr2(vol, str(tmp_path / "z2"))
+    assert n == 3 * 3 * 2
+    assert os.path.isfile(str(tmp_path / "z2" / ".zarray"))
+
+    vol2 = import_zarr2(spark, str(tmp_path / "z2"), str(tmp_path / "vol2"))
+    out = vol2.cutout(Bbox((0, 0, 0), (33, 47, 25)))
+    assert np.array_equal(out, arr)
+
+
+def test_import_n5(spark, tmp_path):
+    """Synthesize a spec-conformant n5 layout by hand: big-endian
+    payload, dimension 0 fastest, clamped edge blocks, gzip."""
+    rng = np.random.default_rng(5)
+    size = (40, 30, 20)
+    bs = (16, 16, 16)
+    arr = rng.integers(0, 1 << 30, size=size).astype(np.uint32)
+
+    sdir = tmp_path / "n5" / "s0"
+    os.makedirs(sdir)
+    with open(sdir / "attributes.json", "w") as f:
+        json.dump({
+            "dimensions": list(size),
+            "blockSize": list(bs),
+            "dataType": "uint32",
+            "compression": {"type": "gzip"},
+        }, f)
+
+    for cx in range((size[0] + bs[0] - 1) // bs[0]):
+        for cy in range((size[1] + bs[1] - 1) // bs[1]):
+            for cz in range((size[2] + bs[2] - 1) // bs[2]):
+                x0, y0, z0 = cx * bs[0], cy * bs[1], cz * bs[2]
+                block = arr[x0:x0 + bs[0], y0:y0 + bs[1], z0:z0 + bs[2]]
+                dims = block.shape
+                header = (0).to_bytes(2, "big") + (3).to_bytes(2, "big")
+                for d in dims:
+                    header += int(d).to_bytes(4, "big")
+                payload = block.astype(">u4").tobytes(order="F")
+                os.makedirs(sdir / str(cx) / str(cy), exist_ok=True)
+                with open(sdir / str(cx) / str(cy) / str(cz), "wb") as f:
+                    f.write(header + gzip.compress(payload))
+
+    vol = import_n5(spark, str(tmp_path / "n5"), str(tmp_path / "vol"))
+    out = vol.cutout(Bbox((0, 0, 0), size))
+    assert np.array_equal(out[..., 0], arr)
+    # label analytics work on the imported volume (stats got built)
+    labels = {
+        r.label for r in vol.unique(Bbox((0, 0, 0), (16, 16, 16))).collect()
+    }
+    assert labels == set(np.unique(arr[:16, :16, :16]).tolist())
