@@ -11,5 +11,6 @@ layer's parquet dataset.
 from cloud_volume_spark.streaming.windowed import (  # noqa: F401
     read_events_stream,
     session_window_stats,
+    streaming_label_envelope,
     windowed_event_counts,
 )

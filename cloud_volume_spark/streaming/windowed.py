@@ -79,3 +79,78 @@ def session_window_stats(
             "user_id", "n_events", "session_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming spatial-index maintenance
+# ---------------------------------------------------------------------------
+
+ENVELOPE_STATE_SCHEMA = StructType([
+    StructField("n", LongType(), True),
+    StructField("x0", LongType(), True),
+    StructField("x1", LongType(), True),
+    StructField("y0", LongType(), True),
+    StructField("y1", LongType(), True),
+    StructField("z0", LongType(), True),
+    StructField("z1", LongType(), True),
+])
+
+ENVELOPE_OUT_SCHEMA = StructType([
+    StructField("label", LongType(), True),
+    StructField("n_voxels", LongType(), True),
+    StructField("x0", LongType(), True),
+    StructField("x1", LongType(), True),
+    StructField("y0", LongType(), True),
+    StructField("y1", LongType(), True),
+    StructField("z0", LongType(), True),
+    StructField("z1", LongType(), True),
+])
+
+
+def streaming_label_envelope(points: DataFrame) -> DataFrame:
+    """Incrementally maintained per-label bounding envelope — the
+    streaming counterpart of ``SpatialIndex.get_bbox`` (reference
+    ``spatial_index.py:697-761``): as labeled points arrive, each
+    label's envelope/count state expands monotonically and every batch
+    emits the updated envelopes.
+
+    ``points``: streaming DataFrame (label LONG, x LONG, y LONG,
+    z LONG). Custom stateful logic = ``applyInPandasWithState``, the
+    engine's escape hatch when windows/aggregations can't express the
+    semantics (state here outlives any window: envelopes never close).
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, x0, x1, y0, y1, z0, z1 = state.get
+        else:
+            n = 0
+            x0 = y0 = z0 = None
+            x1 = y1 = z1 = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            lo = pdf[["x", "y", "z"]].min()
+            hi = pdf[["x", "y", "z"]].max()
+            x0 = int(lo.x) if x0 is None else min(x0, int(lo.x))
+            y0 = int(lo.y) if y0 is None else min(y0, int(lo.y))
+            z0 = int(lo.z) if z0 is None else min(z0, int(lo.z))
+            x1 = int(hi.x) if x1 is None else max(x1, int(hi.x))
+            y1 = int(hi.y) if y1 is None else max(y1, int(hi.y))
+            z1 = int(hi.z) if z1 is None else max(z1, int(hi.z))
+        state.update((n, x0, x1, y0, y1, z0, z1))
+        yield pd.DataFrame({
+            "label": [int(key[0])], "n_voxels": [n],
+            "x0": [x0], "x1": [x1], "y0": [y0], "y1": [y1],
+            "z0": [z0], "z1": [z1],
+        })
+
+    return points.groupBy("label").applyInPandasWithState(
+        update,
+        outputStructType=ENVELOPE_OUT_SCHEMA,
+        stateStructType=ENVELOPE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -75,3 +75,60 @@ def test_session_windows_cover_all_events(spark, sf_dir, events_dir):
         starts = ordered["session_start"].to_numpy()
         ends = ordered["session_end"].to_numpy()
         assert (starts[1:] >= ends[:-1]).all()
+
+
+def test_streaming_label_envelope_matches_batch(spark, tmp_path):
+    """applyInPandasWithState envelope accumulation: feed labeled
+    points in two file batches; the final emitted state per label must
+    equal the batch groupBy envelope over all points."""
+    import numpy as np
+    import pandas as pd
+
+    from cloud_volume_spark.streaming import streaming_label_envelope
+
+    rng = np.random.default_rng(9)
+    pts = pd.DataFrame({
+        "label": rng.integers(1, 6, 400).astype("int64"),
+        "x": rng.integers(0, 100, 400).astype("int64"),
+        "y": rng.integers(0, 100, 400).astype("int64"),
+        "z": rng.integers(0, 50, 400).astype("int64"),
+    })
+    d = tmp_path / "pts"
+    d.mkdir()
+    spark.createDataFrame(pts.iloc[:200]).coalesce(1).write.parquet(
+        str(d / "b0")
+    )
+    spark.createDataFrame(pts.iloc[200:]).coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+
+    stream = (
+        spark.readStream
+        .schema("label long, x long, y long, z long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_label_envelope(stream)
+        .writeStream.format("memory").queryName("env")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from env").toPandas()
+    # update mode emits one row per label per batch; last emission wins
+    got = got.groupby("label").last().reset_index()
+
+    want = (
+        pts.groupby("label")
+        .agg(
+            n_voxels=("x", "size"),
+            x0=("x", "min"), x1=("x", "max"),
+            y0=("y", "min"), y1=("y", "max"),
+            z0=("z", "min"), z1=("z", "max"),
+        )
+        .reset_index()
+    )
+    got = got.sort_values("label").reset_index(drop=True)
+    want = want.sort_values("label").reset_index(drop=True)
+    for col in ["label", "n_voxels", "x0", "x1", "y0", "y1", "z0", "z1"]:
+        assert list(got[col].astype(int)) == list(want[col].astype(int)), col
