@@ -158,7 +158,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(

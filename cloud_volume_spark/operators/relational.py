@@ -7,8 +7,11 @@ multi-way broadcast joins, top-k, rollup, window functions,
 sessionization, and as-of style joins.
 
 Scale notes (100 TB design):
-- dimension tables (region/nation/customer/supplier/part) are
-  broadcast; only lineitem/orders/events shuffle, on their join keys.
+- bounded dimensions (region=5, nation=25 rows) carry explicit
+  broadcast hints; tables that grow with scale (customer, supplier,
+  per-key aggregates) carry NO hint — AQE broadcasts them while they
+  fit and falls back to shuffle joins when they don't, so the same
+  plan text is safe at any SF.
 - aggregations are expressed as groupBy so Catalyst plans partial
   (map-side) aggregation before the exchange.
 - doubles that cross the duckdb oracle are rounded (4 dp) to absorb
@@ -86,7 +89,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -132,8 +135,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -202,7 +205,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
     revenue = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name", "c_nationkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
     )
@@ -246,7 +249,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -375,7 +378,7 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         events.join(
-            F.broadcast(latest), events.user_id == latest.o_custkey, "left"
+            latest, events.user_id == latest.o_custkey, "left"
         )
         .select(
             "event_id",
