@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "simhash_fingerprints",
     "ann_topk_cosine",
     "srp_ann_topk",
+    "ivf_ann_topk",
     "mm_image_features",
     "mm_video_frame_sample",
     "customers_without_orders",
