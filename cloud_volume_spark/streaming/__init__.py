@@ -9,6 +9,7 @@ layer's parquet dataset.
 """
 
 from cloud_volume_spark.streaming.windowed import (  # noqa: F401
+    ingest_annotations_stream,
     read_events_stream,
     session_window_stats,
     streaming_label_envelope,

@@ -154,3 +154,37 @@ def streaming_label_envelope(points: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming annotation ingest
+# ---------------------------------------------------------------------------
+
+def ingest_annotations_stream(layer, src_dir: str, checkpoint_dir: str,
+                              schema: str = "id long, x double, y double, z double"):
+    """Incremental annotation ingest: new parquet files appearing under
+    ``src_dir`` (an upstream producer's drop bucket) stream-append into
+    ``layer``'s dataset with the same spatial-grid cell columns the
+    batch writer derives, so bbox queries prune identically on streamed
+    rows. Returns the StreamingQuery; run with
+    ``trigger(availableNow=True)`` semantics via ``.awaitTermination``
+    after the backlog drains, or leave running for continuous ingest."""
+    spark = layer.spark
+    gx = F.floor(F.col("x") / layer.grid_cell[0]).cast("int")
+    gy = F.floor(F.col("y") / layer.grid_cell[1]).cast("int")
+    gz = F.floor(F.col("z") / layer.grid_cell[2]).cast("int")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(src_dir)
+        .withColumn("gx", gx).withColumn("gy", gy).withColumn("gz", gz)
+    )
+    return (
+        stream.writeStream
+        .format("parquet")
+        .option("path", layer.data_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

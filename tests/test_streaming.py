@@ -132,3 +132,41 @@ def test_streaming_label_envelope_matches_batch(spark, tmp_path):
     want = want.sort_values("label").reset_index(drop=True)
     for col in ["label", "n_voxels", "x0", "x1", "y0", "y1", "z0", "z1"]:
         assert list(got[col].astype(int)) == list(want[col].astype(int)), col
+
+
+def test_ingest_annotations_stream(spark, tmp_path):
+    """Streamed annotation files land in the layer with grid-cell
+    columns; bbox reads see exactly the streamed rows."""
+    import pandas as pd
+
+    from cloud_volume_spark.annotations import AnnotationLayer
+    from cloud_volume_spark.geometry import Bbox
+    from cloud_volume_spark.streaming import ingest_annotations_stream
+
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "ann"), annotation_type="POINT",
+        grid_cell=(64, 64, 64),
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    batch1 = pd.DataFrame({
+        "id": [1, 2], "x": [10.0, 200.0], "y": [10.0, 20.0], "z": [5.0, 70.0],
+    })
+    batch2 = pd.DataFrame({
+        "id": [3], "x": [30.0], "y": [40.0], "z": [50.0],
+    })
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(str(src / "b0"))
+    spark.createDataFrame(batch2).coalesce(1).write.parquet(str(src / "b1"))
+
+    q = ingest_annotations_stream(
+        layer, str(src) + "/*", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    layer.commit_info()
+
+    assert layer.count() == 3
+    got = layer.get_by_bbox(Bbox((0, 0, 0), (64, 64, 64))).collect()
+    assert sorted(r.id for r in got) == [1, 3]
+    # grid-cell columns derived during the stream
+    row = {r.id: r for r in layer.df().collect()}[2]
+    assert (row.gx, row.gy, row.gz) == (3, 0, 1)
