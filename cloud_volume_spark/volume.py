@@ -1178,6 +1178,23 @@ class Volume:
         self._overwrite_slabs(out)
         return to_mip
 
+    def generate_pyramid(self, num_mips: int, factor: Sequence[int] = (2, 2, 1),
+                         compression: Optional[str] = "gzip") -> list:
+        """Materialize ``num_mips`` additional downsample levels (the
+        full mip hierarchy the reference's ``add_scale`` registers but
+        leaves to Igneous to fill). Each level is one reduction job over
+        the previous; returns the new mip indices."""
+        made = []
+        mip = max(
+            (i for i in range(len(self.info.info["scales"]))
+             if self.has_data(i)),
+            default=0,
+        )
+        for _ in range(int(num_mips)):
+            mip = self.downsample(mip, factor, compression=compression)
+            made.append(mip)
+        return made
+
     # ------------------------------------------------------------------
     # transfer (reference image/xfer.py — one read→transform→write job)
     # ------------------------------------------------------------------

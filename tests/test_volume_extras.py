@@ -70,3 +70,26 @@ def test_provenance_roundtrip(tmp_path):
 def test_provenance_missing_is_empty(tmp_path):
     p = Provenance.load(str(tmp_path / "nope"))
     assert p.description == "" and p.processing == []
+
+
+def test_generate_pyramid(spark, tmp_path):
+    import numpy as np
+
+    from cloud_volume_spark.geometry import Bbox
+    from cloud_volume_spark.volume import Volume
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 255, size=(64, 64, 16, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "pyr"), chunk_size=(16, 16, 16)
+    )
+    made = vol.generate_pyramid(2, factor=(2, 2, 1))
+    assert made == [1, 2]
+    for mip, f in [(1, 2), (2, 4)]:
+        assert vol.has_data(mip)
+        out = vol.cutout(
+            Bbox((0, 0, 0), (64 // f, 64 // f, 16)), mip=mip
+        )
+        # mean downsample of the top-left block matches numpy
+        want = arr[:f, :f, :1, 0].mean()
+        assert abs(float(out[0, 0, 0, 0]) - want) <= 1.0
