@@ -12,6 +12,14 @@ Layers:
 - ``catalog``   — ``info`` JSON catalog (reference ``metadata.py:77-155``)
 - ``codecs``    — per-chunk encode/decode UDF kernels (reference ``chunks.py``)
 - ``volume``    — Volume reader/writer: cutout, write, unique, remap …
+- ``meshes`` / ``skeletons`` / ``annotations`` / ``spatial_index`` —
+  sibling object layers as keyed DataFrames
+- ``precomputed_io`` / ``sharding`` / ``zarr_io`` / ``multilod`` —
+  ecosystem format interop (precomputed unsharded+sharded, zarr v2/v3,
+  n5, multi-LOD mesh manifests)
+- ``graphene``  — supervoxel→root mapping tables with as-of timestamps
+- ``streaming`` — Structured Streaming extensions (windowed/session
+  aggregation, stateful label envelopes, annotation ingest)
 - ``operators`` — relational + training-data-pipeline operators
   (dedup, similarity, text analysis) over ordinary DataFrames
 """
@@ -20,7 +28,15 @@ from cloud_volume_spark.session import get_spark
 from cloud_volume_spark.geometry import Vec, Bbox
 from cloud_volume_spark.catalog import VolumeInfo
 from cloud_volume_spark.volume import Volume
+from cloud_volume_spark.annotations import AnnotationLayer
+from cloud_volume_spark.meshes import MeshLayer
+from cloud_volume_spark.skeletons import SkeletonLayer
+from cloud_volume_spark.spatial_index import SpatialIndex
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "Vec", "Bbox", "VolumeInfo", "Volume", "__version__"]
+__all__ = [
+    "get_spark", "Vec", "Bbox", "VolumeInfo", "Volume",
+    "AnnotationLayer", "MeshLayer", "SkeletonLayer", "SpatialIndex",
+    "__version__",
+]
