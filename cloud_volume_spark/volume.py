@@ -494,6 +494,7 @@ class Volume:
         snapshot-commit a table format (Delta/Iceberg) would give us,
         done by hand for plain parquet. ``drop`` lists (mip, slab)
         partitions whose every row was deleted."""
+        self._lru_clear()
         tmp = self.chunks_path + ".tmp-commit"
         shutil.rmtree(tmp, ignore_errors=True)
         (
@@ -817,18 +818,68 @@ class Volume:
     # point reads (reference rx.py:381-430, frontends scattered_points)
     # ------------------------------------------------------------------
 
+    def enable_lru(self, max_bytes: int = 256 * 1024 * 1024) -> None:
+        """Driver-side encoded-chunk LRU for the point-read serving
+        path (reference ``lru.py:190-349`` wired at
+        ``image/__init__.py:66-69``): repeated ``read_voxel`` calls
+        that land in cached chunks skip storage entirely. Byte-bounded;
+        invalidated on every write commit."""
+        from collections import OrderedDict
+        self._lru = OrderedDict()
+        self._lru_bytes = 0
+        self._lru_max_bytes = int(max_bytes)
+
+    def _lru_get(self, key):
+        lru = getattr(self, "_lru", None)
+        if lru is None or key not in lru:
+            return None
+        lru.move_to_end(key)
+        return lru[key]
+
+    def _lru_put(self, key, row) -> None:
+        lru = getattr(self, "_lru", None)
+        if lru is None:
+            return
+        size = len(row.blob) + 64
+        if size > self._lru_max_bytes:
+            return
+        if key in lru:
+            self._lru_bytes -= len(lru[key].blob) + 64
+        lru[key] = row
+        lru.move_to_end(key)
+        self._lru_bytes += size
+        while self._lru_bytes > self._lru_max_bytes:
+            _, old = lru.popitem(last=False)
+            self._lru_bytes -= len(old.blob) + 64
+
+    def _lru_clear(self) -> None:
+        if getattr(self, "_lru", None) is not None:
+            self._lru.clear()
+            self._lru_bytes = 0
+
     def read_voxel(self, xyz: Sequence[int], mip: int = 0) -> np.ndarray:
         """Single-voxel fast path: prune to exactly one chunk, decode
-        only that voxel (reference ``rx.py:381-430``)."""
+        only that voxel (reference ``rx.py:381-430``); LRU-accelerated
+        when :meth:`enable_lru` was called."""
         pt = np.asarray(xyz, dtype=np.int64)
         bbox = Bbox(pt, pt + 1)
-        row = self._collect_encoded_rows(
-            bbox, mip,
-            ["x0", "x1", "y0", "y1", "z0", "z1",
-             "encoding", "compression", "blob"],
-        )
-        if row is None:
-            row = self._pruned(bbox, mip).collect()
+        cs = self.info.chunk_size(mip)
+        voff = self.info.voxel_offset(mip)
+        (cx, _), (cy, _), (cz, _) = bbox.grid_ranges(cs, voff)
+        key = (int(mip), int(cx), int(cy), int(cz))
+        cached = self._lru_get(key)
+        if cached is not None:
+            row = [cached]
+        else:
+            row = self._collect_encoded_rows(
+                bbox, mip,
+                ["x0", "x1", "y0", "y1", "z0", "z1",
+                 "encoding", "compression", "blob"],
+            )
+            if row is None:
+                row = self._pruned(bbox, mip).collect()
+            if row:
+                self._lru_put(key, row[0])
         if not row:
             if self.fill_missing:
                 return np.full(
@@ -1027,6 +1078,7 @@ class Volume:
             )
         else:
             # every chunk in the touched slabs was deleted
+            self._lru_clear()
             for s in slabs:
                 path = os.path.join(self.chunks_path, f"mip={mip}", f"slab={s}")
                 if os.path.exists(path):
@@ -1034,6 +1086,7 @@ class Volume:
         survivors.unpersist()
 
     def delete_all(self) -> None:
+        self._lru_clear()
         if os.path.exists(self.chunks_path):
             shutil.rmtree(self.chunks_path)
 

@@ -93,3 +93,51 @@ def test_generate_pyramid(spark, tmp_path):
         # mean downsample of the top-left block matches numpy
         want = arr[:f, :f, :1, 0].mean()
         assert abs(float(out[0, 0, 0, 0]) - want) <= 1.0
+
+
+def test_read_voxel_lru(spark, tmp_path):
+    import time
+
+    import numpy as np
+
+    from cloud_volume_spark.volume import Volume
+
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 1000, size=(64, 64, 32, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "lru"), chunk_size=(32, 32, 32)
+    )
+    vol.enable_lru(max_bytes=64 * 1024 * 1024)
+
+    v1 = vol.read_voxel((10, 20, 5))
+    t0 = time.perf_counter()
+    v2 = vol.read_voxel((11, 21, 6))  # same chunk → cache hit
+    hit_time = time.perf_counter() - t0
+    assert int(v1[0]) == int(arr[10, 20, 5, 0])
+    assert int(v2[0]) == int(arr[11, 21, 6, 0])
+    assert hit_time < 0.05, f"LRU hit took {hit_time:.3f}s"
+    assert len(vol._lru) == 1
+
+    # write invalidates
+    vol[0:32, 0:32, 0:32] = np.zeros((32, 32, 32, 1), np.uint32)
+    assert len(vol._lru) == 0
+    assert int(vol.read_voxel((10, 20, 5))[0]) == 0
+
+
+def test_lru_eviction_is_byte_bounded(spark, tmp_path):
+    import numpy as np
+
+    from cloud_volume_spark.volume import Volume
+
+    rng = np.random.default_rng(29)
+    arr = rng.integers(0, 255, size=(64, 64, 64, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "lru2"), chunk_size=(32, 32, 32),
+        compression=None,
+    )
+    # each raw chunk is 32^3 = 32 KiB; cap at ~2 chunks
+    vol.enable_lru(max_bytes=70 * 1024)
+    for pt in [(0, 0, 0), (40, 0, 0), (0, 40, 0), (0, 0, 40)]:
+        vol.read_voxel(pt)
+    assert len(vol._lru) <= 2
+    assert vol._lru_bytes <= 70 * 1024
