@@ -134,6 +134,21 @@ class Volume:
     def chunks_path(self) -> str:
         return os.path.join(self.base_path, "chunks")
 
+    # sibling-object accessors, mirroring the reference frontend's
+    # vol.mesh / vol.skeleton handles (frontends/precomputed.py)
+
+    @property
+    def mesh(self):
+        from cloud_volume_spark.meshes import MeshLayer
+        return MeshLayer(self.spark, os.path.join(self.base_path, "mesh"))
+
+    @property
+    def skeleton(self):
+        from cloud_volume_spark.skeletons import SkeletonLayer
+        return SkeletonLayer(
+            self.spark, os.path.join(self.base_path, "skeletons")
+        )
+
     @classmethod
     def open(cls, spark: SparkSession, base_path: str) -> "Volume":
         return cls(spark, base_path, VolumeInfo.load(base_path))

@@ -141,3 +141,29 @@ def test_lru_eviction_is_byte_bounded(spark, tmp_path):
         vol.read_voxel(pt)
     assert len(vol._lru) <= 2
     assert vol._lru_bytes <= 70 * 1024
+
+
+def test_mesh_skeleton_accessors(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from cloud_volume_spark.meshes import MESH_SCHEMA
+    from cloud_volume_spark.volume import Volume
+
+    arr = np.zeros((32, 32, 32, 1), np.uint32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "sib"), chunk_size=(32, 32, 32)
+    )
+    v = [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    f = [[0, 1, 2]]
+    frag = spark.createDataFrame(
+        pd.DataFrame({
+            "segid": [7], "fragment": [0], "vertices": [v], "faces": [f],
+        })
+    )
+    vol.mesh.write(frag)
+    got = vol.mesh.get([7]).collect()
+    assert len(got) == 1 and got[0].segid == 7
+    # accessor is rooted under the volume dir
+    assert vol.mesh.base_path.startswith(str(tmp_path / "sib"))
+    assert vol.skeleton.base_path.startswith(str(tmp_path / "sib"))
