@@ -121,3 +121,28 @@ def test_morton_codes_bijective_on_grid(grid, seed):
     import math
     bits = sum(int(math.ceil(math.log2(max(g, 1)))) for g in grid)
     assert all(int(c) < 2 ** max(bits, 1) for c in codes)
+
+
+@given(
+    st.sampled_from(["uint32", "uint64"]),
+    st.tuples(st.integers(1, 20), st.integers(1, 20), st.integers(1, 12)),
+    st.integers(1, 64),   # distinct label count: stresses LUT widths
+    st.integers(0, 2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_cseg_roundtrip_and_labels(dtype, shape, nlabels, seed):
+    """Pure-numpy compressed_segmentation: roundtrip + LUT-only label
+    listing agree with the array for arbitrary shapes (incl. non-
+    block-aligned edges) and label cardinalities (bit-width sweep)."""
+    from cloud_volume_spark import cseg
+
+    rng = np.random.default_rng(seed)
+    pool = rng.integers(0, 2**40, size=nlabels).astype(dtype)
+    arr = np.asfortranarray(
+        pool[rng.integers(0, nlabels, size=shape)][..., np.newaxis]
+    )
+    blob = cseg.compress(arr[..., 0], block_size=(8, 8, 8))
+    back = cseg.decompress(blob, shape, np.dtype(dtype), block_size=(8, 8, 8))
+    assert np.array_equal(back.reshape(shape), arr[..., 0])
+    got = set(cseg.labels(blob, shape, np.dtype(dtype)).tolist())
+    assert set(np.unique(arr).tolist()) == got
