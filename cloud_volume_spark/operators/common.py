@@ -7,6 +7,12 @@ from pyspark.sql.types import LongType
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects unless this legacy flag is on.  The flag is runtime
+        # settable, so set it here rather than relying on the session builder —
+        # harness-created sessions (driver, notebooks) won't have it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
         # events.ts is TIMESTAMP(NANOS); with

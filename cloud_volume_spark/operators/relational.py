@@ -517,16 +517,20 @@ GROUP BY o_orderpriority
 
 def brand_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot as conditional aggregation (deterministic column names in
-    both engines): part counts and avg retail price per brand, split by
-    size class."""
+    both engines): part counts and retail-price totals per brand, split
+    by size class.  Prices are quantized to integer cents before
+    summing — integer addition is order-independent, so Spark and the
+    oracle agree bit-for-bit regardless of partial-aggregation order
+    (same trick as orders_above_customer_avg)."""
     part = load(spark, sf_dir, "part")
     small = F.when(F.col("p_size") < 25, 1).otherwise(0)
     large = F.when(F.col("p_size") >= 25, 1).otherwise(0)
+    cents = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
     return part.groupBy("p_brand").agg(
         F.sum(small).alias("n_small"),
         F.sum(large).alias("n_large"),
-        F.round(F.sum(F.col("p_retailprice") * small), 2).alias("small_value"),
-        F.round(F.sum(F.col("p_retailprice") * large), 2).alias("large_value"),
+        F.sum(cents * small).alias("small_value_cents"),
+        F.sum(cents * large).alias("large_value_cents"),
     )
 
 
@@ -534,10 +538,10 @@ BRAND_PIVOT_SQL = """
 SELECT p_brand,
        SUM(CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS n_small,
        SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS n_large,
-       ROUND(SUM(p_retailprice * CASE WHEN p_size < 25 THEN 1 ELSE 0 END), 2)
-           AS small_value,
-       ROUND(SUM(p_retailprice * CASE WHEN p_size >= 25 THEN 1 ELSE 0 END), 2)
-           AS large_value
+       SUM(FLOOR(p_retailprice * 100 + 0.5)::BIGINT
+           * CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS small_value_cents,
+       SUM(FLOOR(p_retailprice * 100 + 0.5)::BIGINT
+           * CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS large_value_cents
 FROM part GROUP BY p_brand
 """
 
