@@ -33,6 +33,16 @@ SUPPORTED_DTYPES = (
 LAYER_TYPES = ("image", "segmentation")
 
 
+class CyclicRedirectError(ValueError):
+    """info ``redirect`` chain revisited a location (reference
+    ``exceptions.CyclicRedirect``)."""
+
+
+class TooManyRedirectsError(ValueError):
+    """info ``redirect`` chain exceeded the hop budget (reference
+    ``exceptions.TooManyRedirects``)."""
+
+
 def _mip_key(resolution: Sequence) -> str:
     """Precomputed scale key, e.g. resolution (4,4,40) → ``"4_4_40"``.
 
@@ -51,6 +61,8 @@ class VolumeInfo:
 
     def __init__(self, info: dict):
         self.info = info
+        self.base_path: str = ""        # set by load(): post-redirect location
+        self.redirected_from: list = []  # redirect hops taken to get here
         self.validate()
 
     # ---- constructors -------------------------------------------------
@@ -101,9 +113,45 @@ class VolumeInfo:
         return cls(json.loads(text))
 
     @classmethod
-    def load(cls, base_path: str) -> "VolumeInfo":
-        with open(os.path.join(base_path, "info"), "r") as f:
-            return cls.from_json(f.read())
+    def load(cls, base_path: str, max_redirects: int = 10) -> "VolumeInfo":
+        """Load ``<base_path>/info``, following ``redirect`` links up to
+        ``max_redirects`` hops (reference ``metadata.py:224-293``
+        redirectable_fetch_info semantics: a self-redirect terminates,
+        a revisited location raises CyclicRedirectError, exceeding the
+        hop budget raises TooManyRedirectsError).  Returns the info with
+        ``redirected_from`` recorded on the instance."""
+        from cloud_volume_spark.fs import PathOps
+
+        visited: list = []
+        path = base_path
+        if max_redirects <= 0:
+            info = cls.from_json(
+                PathOps(path).read_bytes(f"{path}/info").decode("utf-8"))
+            info.base_path = path
+            info.redirected_from = []
+            return info
+        for _ in range(max_redirects):
+            info = cls.from_json(
+                PathOps(path).read_bytes(f"{path}/info").decode("utf-8"))
+            target = info.info.get("redirect")
+            if not target:
+                break
+            target = target.rstrip("/")
+            if target == path:
+                break
+            if target in visited:
+                hops = "\n\t".join(
+                    f"{i + 1}. {v}" for i, v in enumerate(visited))
+                raise CyclicRedirectError(
+                    f"redirect cycle starting at {base_path}:\n\t{hops}")
+            visited.append(path)
+            path = target
+        else:
+            raise TooManyRedirectsError(
+                f"more than {max_redirects} redirect hops from {base_path}")
+        info.base_path = path
+        info.redirected_from = visited
+        return info
 
     # ---- validation ---------------------------------------------------
 
@@ -249,9 +297,10 @@ class VolumeInfo:
         return json.dumps(self.info, sort_keys=True)
 
     def commit(self, base_path: str) -> None:
-        os.makedirs(base_path, exist_ok=True)
-        with open(os.path.join(base_path, "info"), "w") as f:
-            f.write(self.to_json())
+        from cloud_volume_spark.fs import PathOps
+        ops = PathOps(base_path)
+        ops.makedirs(base_path)
+        ops.write_bytes(f"{base_path}/info", self.to_json().encode("utf-8"))
 
     def clone(self) -> "VolumeInfo":
         return VolumeInfo(json.loads(self.to_json()))

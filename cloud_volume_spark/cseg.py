@@ -1,14 +1,18 @@
 """Pure-numpy compressed_segmentation codec (Neuroglancer block-LUT
 format, uint32/uint64).
 
-Layout per the public format description (offset-addressed, one
-channel): the volume is cut into ``block_size`` blocks on a grid with x
+Layout per the public format description (offset-addressed): the file
+opens with a per-channel offset table — one uint32 per channel giving
+the word offset of that channel's data from the start of the file (a
+single-channel file therefore begins with the word ``1``).  Within a
+channel the volume is cut into ``block_size`` blocks on a grid with x
 varying fastest; each block has a 2×uint32 header —
 
     word0 = lut_offset_in_words | (encoded_bits << 24)
     word1 = encoded_values_offset_in_words
 
-offsets are uint32-word offsets from the channel start. Block voxels
+offsets are uint32-word offsets from the channel start (so a reader
+indexes the file at ``channel_offset + stored_offset``). Block voxels
 are flattened x-fastest (Fortran), dictionary-encoded against a sorted
 LUT of the block's distinct values, and bit-packed LSB-first into
 uint32 words with ``encoded_bits`` ∈ {0,1,2,4,8,16,32}. LUT entries
@@ -121,7 +125,9 @@ def compress(arr: np.ndarray, block_size: Sequence[int] = (8, 8, 8)) -> bytes:
                 headers[bi * 2 + 1] = np.uint32(values_offset)
                 bi += 1
 
-    out = np.concatenate([headers] + body) if body else headers
+    # channel offset table: single channel starting right after the table
+    channel_table = np.array([1], dtype=np.uint32)
+    out = np.concatenate([channel_table, headers] + body)
     return out.astype(np.uint32).tobytes()
 
 
@@ -142,12 +148,13 @@ def decompress(
     out = np.zeros((sx, sy, sz), dtype=dtype)
     bi = 0
     block_voxels = bx * by * bz
+    ch = int(words[0])  # channel offset table (single channel)
     for z0 in range(0, gz * bz, bz):
         for y0 in range(0, gy * by, by):
             for x0 in range(0, gx * bx, bx):
-                w0 = int(words[bi * 2])
-                values_offset = int(words[bi * 2 + 1])
-                lut_offset = w0 & 0xFFFFFF
+                w0 = int(words[ch + bi * 2])
+                values_offset = ch + int(words[ch + bi * 2 + 1])
+                lut_offset = ch + (w0 & 0xFFFFFF)
                 bits = w0 >> 24
                 n_words = (
                     (block_voxels * bits + 31) // 32 if bits else 0
@@ -187,10 +194,11 @@ def labels(blob: bytes, shape: Sequence[int], dtype,
     block_voxels = bx * by * bz
 
     luts = []
+    ch = int(words[0])  # channel offset table (single channel)
     for bi in range(n_blocks):
-        w0 = int(words[bi * 2])
-        values_offset = int(words[bi * 2 + 1])
-        lut_offset = w0 & 0xFFFFFF
+        w0 = int(words[ch + bi * 2])
+        values_offset = ch + int(words[ch + bi * 2 + 1])
+        lut_offset = ch + (w0 & 0xFFFFFF)
         bits = w0 >> 24
         if bits == 0:
             n_lut = 1

@@ -52,6 +52,7 @@ from pyspark.sql.types import (
 
 from cloud_volume_spark import codecs
 from cloud_volume_spark.catalog import VolumeInfo
+from cloud_volume_spark.fs import PathOps
 from cloud_volume_spark.chunking import compressed_morton_code
 from cloud_volume_spark.geometry import (
     AlignmentError, Bbox, OutOfBoundsError, Vec, reify_slices,
@@ -125,6 +126,8 @@ class Volume:
         self.autocrop = False
         self.fill_missing = False
         self.default_mip = 0
+        self.read_only = False
+        self._fs = PathOps(base_path, spark)
 
     # ------------------------------------------------------------------
     # catalog / lifecycle
@@ -150,8 +153,15 @@ class Volume:
         )
 
     @classmethod
-    def open(cls, spark: SparkSession, base_path: str) -> "Volume":
-        return cls(spark, base_path, VolumeInfo.load(base_path))
+    def open(cls, spark: SparkSession, base_path: str,
+             max_redirects: int = 10) -> "Volume":
+        """Open a volume, following info ``redirect`` links (reference
+        ``metadata.py:224-293``). A redirected volume opens read-only,
+        matching the reference's ReadOnlyException on write."""
+        info = VolumeInfo.load(base_path, max_redirects=max_redirects)
+        vol = cls(spark, info.base_path or base_path, info)
+        vol.read_only = bool(info.redirected_from)
+        return vol
 
     @classmethod
     def create(cls, spark: SparkSession, base_path: str, info: VolumeInfo) -> "Volume":
@@ -208,9 +218,12 @@ class Volume:
 
     def has_data(self, mip: int) -> bool:
         """Reference ``image/__init__.py:102-118``."""
+        from pyspark.errors import AnalysisException
+        if not self._fs.exists(self.chunks_path):
+            return False
         try:
             return len(self.chunks_df().where(F.col("mip") == mip).take(1)) > 0
-        except Exception:
+        except AnalysisException:  # table dir exists but holds no parquet
             return False
 
     def _pruned(self, bbox: Bbox, mip: int) -> DataFrame:
@@ -391,6 +404,11 @@ class Volume:
         directly; non-aligned writes read-modify-write the boundary
         shell (reference ``tx.upload:140-191`` — same concurrent-write
         caveat as ``datasource/__init__.py:9-35``)."""
+        if self.read_only:
+            raise PermissionError(
+                "volume was opened through an info redirect; writes are "
+                "disabled (reference ReadOnlyException semantics)"
+            )
         self.info.check_mip_writable(mip)
         if arr.ndim == 3:
             arr = arr[..., np.newaxis]
@@ -458,12 +476,21 @@ class Volume:
         """Merge new chunk rows into the table, rewriting only touched
         ``(mip, slab)`` partitions (dynamic partition overwrite)."""
         new_df = self.spark.createDataFrame(rows, schema=CHUNK_SCHEMA)
-        touched_slabs = sorted({r[1] for r in rows})
+        write_slabs = {r[1] for r in rows}
         replaced = {(r[2], r[3], r[4]) for r in rows}
+        # slabs holding delete-only keys must be scanned too, or an
+        # all-black rewrite leaves the stale chunk in place
+        delete_slabs: set = set()
         if extra_deletes:
             replaced |= set(extra_deletes)
+            grid = [int(g) for g in self.info.grid_shape(mip)]
+            delete_slabs = {
+                _slab_of(int(compressed_morton_code(c, grid)))
+                for c in extra_deletes
+            }
+        touched_slabs = sorted(write_slabs | delete_slabs)
 
-        if os.path.exists(self.chunks_path):
+        if self._fs.exists(self.chunks_path):
             existing = (
                 self.chunks_df()
                 .where(F.col("mip") == int(mip))
@@ -478,10 +505,20 @@ class Volume:
                 F.broadcast(keys), on=["mip", "cx", "cy", "cz"], how="left_anti"
             )
             out = survivors.unionByName(new_df)
+            drop: list = []
+            if delete_slabs - write_slabs:
+                # delete-only slabs with no survivors produce no output
+                # partition — remove their directories explicitly
+                out = out.cache()
+                live = {
+                    r.slab for r in out.select("slab").distinct().collect()
+                }
+                drop = [(mip, s) for s in (delete_slabs - write_slabs) - live]
+            self._overwrite_slabs(out, drop=drop)
+            if delete_slabs - write_slabs:
+                out.unpersist()
         else:
-            out = new_df
-
-        self._overwrite_slabs(out)
+            self._overwrite_slabs(new_df)
 
     def _commit_bucket(self):
         """Shuffle key for commit writes: ``morton >> k`` where ``k``
@@ -508,10 +545,15 @@ class Volume:
         The rewrite unit is the slab, never the table — this is the
         snapshot-commit a table format (Delta/Iceberg) would give us,
         done by hand for plain parquet. ``drop`` lists (mip, slab)
-        partitions whose every row was deleted."""
+        partitions whose every row was deleted.
+
+        All path manipulation routes through :class:`PathOps` (Hadoop
+        FileSystem for s3a/gs/hdfs/file URIs, os/shutil for plain local
+        paths) so the commit works against any store Spark can write."""
         self._lru_clear()
+        fs = self._fs
         tmp = self.chunks_path + ".tmp-commit"
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.rmtree(tmp)
         (
             out.repartition(F.col("mip"), self._commit_bucket())
             .sortWithinPartitions("slab", "morton")
@@ -520,22 +562,22 @@ class Volume:
             .partitionBy("mip", "slab")
             .parquet(tmp)
         )
-        for mip_dir in os.listdir(tmp):
+        for mip_dir in fs.listdir(tmp):
             if not mip_dir.startswith("mip="):
                 continue
-            for slab_dir in os.listdir(os.path.join(tmp, mip_dir)):
+            for slab_dir in fs.listdir(f"{tmp}/{mip_dir}"):
                 if not slab_dir.startswith("slab="):
                     continue
-                dest = os.path.join(self.chunks_path, mip_dir, slab_dir)
-                if os.path.exists(dest):
-                    shutil.rmtree(dest)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                os.rename(os.path.join(tmp, mip_dir, slab_dir), dest)
-        shutil.rmtree(tmp, ignore_errors=True)
+                dest = f"{self.chunks_path}/{mip_dir}/{slab_dir}"
+                if fs.exists(dest):
+                    fs.rmtree(dest)
+                fs.makedirs(f"{self.chunks_path}/{mip_dir}")
+                fs.rename(f"{tmp}/{mip_dir}/{slab_dir}", dest)
+        fs.rmtree(tmp)
         for (mip, slab) in (drop or ()):
-            path = os.path.join(self.chunks_path, f"mip={mip}", f"slab={slab}")
-            if os.path.exists(path):
-                shutil.rmtree(path)
+            path = f"{self.chunks_path}/mip={mip}/slab={slab}"
+            if fs.exists(path):
+                fs.rmtree(path)
 
     def write_blocks_df(self, blocks: DataFrame, mip: int = 0,
                         compression: Optional[str] = "gzip") -> None:
@@ -1071,7 +1113,7 @@ class Volume:
         slabs = sorted({
             _slab_of(int(compressed_morton_code(c, grid))) for c in doomed
         })
-        if not os.path.exists(self.chunks_path):
+        if not self._fs.exists(self.chunks_path):
             return
         existing = (
             self.chunks_df()
@@ -1095,15 +1137,15 @@ class Volume:
             # every chunk in the touched slabs was deleted
             self._lru_clear()
             for s in slabs:
-                path = os.path.join(self.chunks_path, f"mip={mip}", f"slab={s}")
-                if os.path.exists(path):
-                    shutil.rmtree(path)
+                path = f"{self.chunks_path}/mip={mip}/slab={s}"
+                if self._fs.exists(path):
+                    self._fs.rmtree(path)
         survivors.unpersist()
 
     def delete_all(self) -> None:
         self._lru_clear()
-        if os.path.exists(self.chunks_path):
-            shutil.rmtree(self.chunks_path)
+        if self._fs.exists(self.chunks_path):
+            self._fs.rmtree(self.chunks_path)
 
     # ------------------------------------------------------------------
     # label rewrites (reference chunks.remap / frontends mask)
@@ -1144,8 +1186,14 @@ class Volume:
 
         src = self.chunks_df().where(F.col("mip") == int(mip))
         out = src.mapInPandas(rewrite, schema=CHUNK_SCHEMA)
-        # full-mip rewrite → write to temp subdir then swap slabs in
+        # full-mip rewrite → write to temp subdir then swap the mip dir
+        # in (PathOps: works on local paths and Hadoop-FS URIs alike);
+        # clear the point-read LRU or it would serve stale pre-remap
+        # labels afterwards
+        self._lru_clear()
+        fs = self._fs
         tmp = self.chunks_path + ".remap.tmp"
+        fs.rmtree(tmp)
         (
             out.repartition(F.col("mip"), self._commit_bucket())
             .sortWithinPartitions("slab", "morton")
@@ -1153,11 +1201,11 @@ class Volume:
             .option("compression", "none")  # blobs carry their own gzip
             .partitionBy("mip", "slab").parquet(tmp)
         )
-        mip_dir = os.path.join(self.chunks_path, f"mip={mip}")
-        if os.path.exists(mip_dir):
-            shutil.rmtree(mip_dir)
-        os.rename(os.path.join(tmp, f"mip={mip}"), mip_dir)
-        shutil.rmtree(tmp, ignore_errors=True)
+        mip_dir = f"{self.chunks_path}/mip={mip}"
+        if fs.exists(mip_dir):
+            fs.rmtree(mip_dir)
+        fs.rename(f"{tmp}/mip={mip}", mip_dir)
+        fs.rmtree(tmp)
 
     # ------------------------------------------------------------------
     # downsample (beyond-reference: the actual reduction job)
@@ -1192,11 +1240,22 @@ class Volume:
 
         src = self.chunks_df().where(F.col("mip") == int(from_mip))
 
-        # child chunk → its parent target chunk key
+        # child chunk → its parent target chunk key, on the offset-relative
+        # grid (cell = voff_to + tc*cs_to below must invert this exactly;
+        # a nonzero voxel_offset would otherwise shift every key)
         src = (
-            src.withColumn("tcx", F.floor(F.col("x0") / (fx * int(cs_to[0]))).cast("int"))
-            .withColumn("tcy", F.floor(F.col("y0") / (fy * int(cs_to[1]))).cast("int"))
-            .withColumn("tcz", F.floor(F.col("z0") / (fz * int(cs_to[2]))).cast("int"))
+            src.withColumn(
+                "tcx",
+                F.floor((F.floor(F.col("x0") / fx) - int(voff_to[0]))
+                        / int(cs_to[0])).cast("int"))
+            .withColumn(
+                "tcy",
+                F.floor((F.floor(F.col("y0") / fy) - int(voff_to[1]))
+                        / int(cs_to[1])).cast("int"))
+            .withColumn(
+                "tcz",
+                F.floor((F.floor(F.col("z0") / fz) - int(voff_to[2]))
+                        / int(cs_to[2])).cast("int"))
         )
 
         def reduce_group(key, pdf):

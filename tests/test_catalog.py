@@ -85,3 +85,56 @@ def test_float_resolution_key():
         volume_size=(64, 64, 64), chunk_size=(32, 32, 32),
     )
     assert info.key(0) == "4.5_4.5_40"
+
+
+# ---- info redirects (reference metadata.py:224-293, test 1891) --------
+
+def _commit_with_redirect(path, target=None):
+    info = _info()
+    if target is not None:
+        info.info["redirect"] = target
+    info.commit(path)
+    return info
+
+
+def test_redirect_chain_resolves(tmp_path):
+    for i in range(5):
+        _commit_with_redirect(
+            str(tmp_path / f"r{i}"), target=str(tmp_path / f"r{i+1}"))
+    _commit_with_redirect(str(tmp_path / "r5"))
+    got = VolumeInfo.load(str(tmp_path / "r0"))
+    assert got.base_path == str(tmp_path / "r5")
+    assert len(got.redirected_from) == 5
+
+
+def test_redirect_self_terminates(tmp_path):
+    p = str(tmp_path / "self")
+    _commit_with_redirect(p, target=p)
+    got = VolumeInfo.load(p)
+    assert got.base_path == p
+
+
+def test_redirect_cycle_raises(tmp_path):
+    from cloud_volume_spark.catalog import CyclicRedirectError
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _commit_with_redirect(a, target=b)
+    _commit_with_redirect(b, target=a)
+    with pytest.raises(CyclicRedirectError):
+        VolumeInfo.load(a)
+
+
+def test_redirect_too_many_raises(tmp_path):
+    from cloud_volume_spark.catalog import TooManyRedirectsError
+    for i in range(12):
+        _commit_with_redirect(
+            str(tmp_path / f"t{i}"), target=str(tmp_path / f"t{i+1}"))
+    _commit_with_redirect(str(tmp_path / "t12"))
+    with pytest.raises(TooManyRedirectsError):
+        VolumeInfo.load(str(tmp_path / "t0"), max_redirects=10)
+
+
+def test_redirect_max_zero_skips_following(tmp_path):
+    p = str(tmp_path / "z0")
+    _commit_with_redirect(p, target=str(tmp_path / "z1"))
+    got = VolumeInfo.load(p, max_redirects=0)
+    assert got.base_path == p  # redirect not followed

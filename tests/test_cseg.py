@@ -27,9 +27,37 @@ def test_bit_widths(n_labels, rng):
 def test_constant_block_zero_bits():
     arr = np.full((16, 16, 16), 7, dtype=np.uint32)
     blob = cseg.compress(arr)
-    # 0-bit encoding: 8 blocks x (2 header + 1 LUT word) only
-    assert len(blob) == 4 * (8 * 2 + 8 * 1)
+    # 1 channel-table word + 8 blocks x (2 header + 1 LUT word)
+    assert len(blob) == 4 * (1 + 8 * 2 + 8 * 1)
     assert np.array_equal(cseg.decompress(blob, (16, 16, 16), "uint32"), arr)
+
+
+def test_channel_offset_table():
+    # Neuroglancer spec: file opens with one uint32 per channel giving
+    # the channel's word offset; single-channel files start with 1
+    # (reference test/test_chunks.py asserts compressed[0] == 1).
+    arr = np.arange(8 * 8 * 8, dtype=np.uint32).reshape((8, 8, 8))
+    words = np.frombuffer(cseg.compress(arr), dtype=np.uint32)
+    assert words[0] == 1
+
+
+@pytest.mark.parametrize("dtype", ["uint32", "uint64"])
+def test_cross_validate_c_wheel(dtype, rng):
+    """Byte-level cross-check against the C compressed_segmentation
+    wheel when installed (optional dep, mirroring the reference's
+    gating at chunks.py:22-68)."""
+    cs = pytest.importorskip("compressed_segmentation")
+    arr = rng.integers(0, 1000, size=(16, 13, 9)).astype(dtype)
+    ours = cseg.compress(arr)
+    # theirs decodes ours …
+    theirs_view = cs.decompress(
+        ours, arr.shape, dtype=np.dtype(dtype), block_size=(8, 8, 8),
+        order="F",
+    )
+    assert np.array_equal(np.asarray(theirs_view).reshape(arr.shape, order="F"), arr)
+    # … and we decode theirs
+    theirs = cs.compress(np.asfortranarray(arr), block_size=(8, 8, 8), order="F")
+    assert np.array_equal(cseg.decompress(theirs, arr.shape, dtype), arr)
 
 
 def test_labels_fast_path(rng):

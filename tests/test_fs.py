@@ -1,0 +1,89 @@
+"""Storage-agnostic commit protocol: the same write/read/delete
+roundtrips, addressed through a URI scheme (file://) so every path
+operation exercises the Hadoop FileSystem branch of PathOps instead of
+os/shutil — the local stand-in for s3a://gs:// deployment."""
+
+import numpy as np
+import pytest
+
+from cloud_volume_spark.fs import PathOps, is_local, local_part
+from cloud_volume_spark.geometry import Bbox
+from cloud_volume_spark.volume import Volume
+
+
+def test_path_classification():
+    assert is_local("/tmp/x")
+    assert is_local("relative/x")
+    assert not is_local("s3a://bucket/x")
+    assert not is_local("file:///tmp/x")  # URI: routed through Hadoop FS
+    assert local_part("file:///tmp/x") == "/tmp/x"
+    assert local_part("/tmp/x") == "/tmp/x"
+    assert local_part("s3a://bucket/x") is None
+
+
+def test_pathops_hadoop_branch(spark, tmp_path):
+    base = f"file://{tmp_path}/h"
+    ops = PathOps(base, spark)
+    ops.makedirs(f"{base}/d1")
+    assert ops.exists(f"{base}/d1")
+    ops.write_bytes(f"{base}/d1/f.bin", b"\x00\x01payload")
+    assert ops.read_bytes(f"{base}/d1/f.bin") == b"\x00\x01payload"
+    assert ops.listdir(f"{base}/d1") == ["f.bin"]
+    ops.rename(f"{base}/d1", f"{base}/d2")
+    assert not ops.exists(f"{base}/d1") and ops.exists(f"{base}/d2")
+    ops.rmtree(f"{base}/d2")
+    assert not ops.exists(f"{base}/d2")
+    assert ops.listdir(f"{base}/missing") == []
+
+
+@pytest.fixture()
+def uri_vol(spark, rng, tmp_path):
+    arr = rng.integers(0, 255, size=(128, 64, 64, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(
+        spark, arr, f"file://{tmp_path}/urivol", chunk_size=(64, 64, 64)
+    )
+    return vol, arr
+
+
+def test_uri_write_read_roundtrip(uri_vol):
+    vol, arr = uri_vol
+    out = vol.cutout(Bbox((0, 0, 0), (128, 64, 64)))
+    assert np.array_equal(out, arr)
+    # unaligned cutout exercises the Spark scan fallback too
+    out = vol.cutout(Bbox((10, 5, 3), (100, 60, 50)))
+    assert np.array_equal(out, arr[10:100, 5:60, 3:50, :])
+
+
+def test_uri_open_and_overwrite(spark, uri_vol, rng):
+    vol, arr = uri_vol
+    reopened = Volume.open(spark, vol.base_path)
+    patch = rng.integers(0, 255, size=(64, 64, 64, 1)).astype(np.uint8)
+    reopened.upload(patch, offset=(64, 0, 0))
+    arr[64:, :, :, :] = patch
+    out = reopened.cutout(Bbox((0, 0, 0), (128, 64, 64)))
+    assert np.array_equal(out, arr)
+
+
+def test_uri_delete(uri_vol):
+    vol, _ = uri_vol
+    vol.delete(Bbox((0, 0, 0), (64, 64, 64)))
+    ex = vol.exists(Bbox((0, 0, 0), (128, 64, 64)))
+    assert not ex[(0, 0, 0)] and ex[(1, 0, 0)]
+    vol.delete_all()
+    assert not vol.has_data(0)
+
+
+def test_volume_open_follows_redirect_and_is_read_only(spark, rng, tmp_path):
+    arr = rng.integers(0, 255, size=(64, 64, 64, 1)).astype(np.uint8)
+    real = Volume.from_numpy(
+        spark, arr, str(tmp_path / "real"), chunk_size=(64, 64, 64)
+    )
+    alias_info = real.info.clone()
+    alias_info.info["redirect"] = str(tmp_path / "real")
+    alias_info.commit(str(tmp_path / "alias"))
+    vol = Volume.open(spark, str(tmp_path / "alias"))
+    assert vol.base_path == str(tmp_path / "real")
+    out = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+    assert np.array_equal(out, arr)
+    with pytest.raises(PermissionError):
+        vol.upload(arr, offset=(0, 0, 0))

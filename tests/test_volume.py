@@ -139,6 +139,19 @@ def test_delete_black_uploads(spark, tmp_path):
     assert np.array_equal(out, arr)
 
 
+def test_delete_black_rewrite_removes_stale_chunks(spark, tmp_path):
+    """An all-black rewrite of a previously-nonblack chunk must delete
+    it even when its slab receives no surviving writes."""
+    arr = np.full((128, 64, 64, 1), 5, dtype=np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "dbr"), chunk_size=(64, 64, 64))
+    black = np.zeros_like(arr)
+    vol.upload(black, offset=(0, 0, 0), delete_black_uploads=True)
+    ex = vol.exists(Bbox((0, 0, 0), (128, 64, 64)))
+    assert not any(ex.values()), f"stale chunks survived: {ex}"
+    out = vol.cutout(Bbox((0, 0, 0), (128, 64, 64)), fill_missing=True)
+    assert np.array_equal(out, black)
+
+
 def test_read_voxel(image_vol):
     vol, arr = image_vol
     for pt in [(0, 0, 0), (127, 127, 127), (63, 64, 65)]:
@@ -224,6 +237,25 @@ def test_downsample_segmentation(spark, rng, tmp_path):
     mip1 = vol.downsample(0, factor=(2, 2, 1))
     out = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)), mip=mip1)
     assert np.array_equal(out, arr[::2, ::2, :, :])
+
+
+def test_downsample_with_voxel_offset(spark, rng, tmp_path):
+    """Nonzero voxel_offset must not shift parent chunk keys (the grid
+    is offset-relative; a floor(x0/(f*cs)) key would misplace every
+    chunk for offset 128, chunk 64, factor 2)."""
+    arr = rng.integers(0, 255, size=(128, 128, 64, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "dsoff"), chunk_size=(64, 64, 64),
+        voxel_offset=(128, 64, 32),
+    )
+    mip1 = vol.downsample(0, factor=(2, 2, 1))
+    voff1 = vol.info.voxel_offset(mip1)
+    size1 = vol.info.volume_size(mip1)
+    out = vol.cutout(Bbox(voff1, np.add(voff1, size1)), mip=mip1)
+    expected = (
+        arr.reshape(64, 2, 64, 2, 64, 1, 1).mean(axis=(1, 3, 5)).astype(np.uint8)
+    )
+    assert np.array_equal(out, expected)
 
 
 def test_transfer_roundtrip(image_vol, tmp_path):
