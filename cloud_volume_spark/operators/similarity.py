@@ -10,8 +10,9 @@
 - ``srp_ann_topk``: the scale path — signed-random-projection (SRP)
   LSH bucketing with exact rerank inside the bucket. At 100 TB the
   brute-force product is infeasible; SRP buckets turn it into a
-  bucket-local join. (No SQL oracle: the projection matrix is
-  generated; the driver records a rows-only check.)
+  bucket-local join. The projection planes are fixed seed-42 literals
+  embedded identically in the Spark plan and the duckdb oracle SQL, so
+  it gets a full cross-engine oracle like IVF.
 """
 
 from __future__ import annotations
@@ -26,6 +27,19 @@ TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query set
 NEARDUP_THRESHOLD = 0.8
 SRP_BITS = 8
+DIM = 64  # embeddings table vector width (TESTDATA.md)
+
+# fixed projection planes, embedded as float64 literals in BOTH engines
+_SRP_PLANES = np.random.default_rng(42).standard_normal((SRP_BITS, DIM))
+
+# OR-amplified banding for near-dup candidate generation: a pair is a
+# candidate if any band's full bit pattern matches. 8 bands x 4 bits
+# gives ~98% recall at cos=0.8 (p = 1 - acos(s)/pi per bit).
+NEARDUP_BANDS = 8
+NEARDUP_BAND_BITS = 4
+_ND_PLANES = np.random.default_rng(4242).standard_normal(
+    (NEARDUP_BANDS * NEARDUP_BAND_BITS, DIM)
+)
 
 
 def _as_double(col):
@@ -96,18 +110,55 @@ SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+def _plane_array(plane) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in plane])
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold).
-    Self-join shape; the SRP variant bounds it at scale."""
+    """Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold),
+    generated through OR-amplified SRP bands — never an all-pairs
+    product. Each vector hashes to NEARDUP_BANDS 4-bit codes; pairs
+    colliding in any band become candidates (shuffle on (band, code)),
+    then exact cosine rerank keeps sim ≥ threshold. False positives are
+    impossible (exact rerank); band count bounds the false-negative
+    rate (~98% recall at the 0.8 threshold; tests/test_plans.py pins
+    full recall on a planted-duplicate fixture). The sf-bounded duckdb
+    oracle remains the exact all-pairs SQL."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    band_codes = []
+    for b in range(NEARDUP_BANDS):
+        code = F.lit(0)
+        for j in range(NEARDUP_BAND_BITS):
+            plane = _ND_PLANES[b * NEARDUP_BAND_BITS + j]
+            code = code + F.when(
+                _dot(_plane_array(plane), F.col("embedding")) > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+        band_codes.append(code)
+    # candidates carry ids only — vectors re-join by id afterwards, so
+    # the band shuffle moves 12-byte rows, not 512-byte embeddings
+    banded = emb.select(
+        "vec_id", F.posexplode(F.array(*band_codes)).alias("band", "code")
+    )
+    a = banded.select(
+        F.col("vec_id").alias("id_a"), "band", "code"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("id_b"), "band", "code"
+    )
+    cand = (
+        a.join(b, on=["band", "code"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(va, on="id_a").join(vb, on="id_b")
         .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") >= NEARDUP_THRESHOLD)
     )
@@ -137,15 +188,12 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact cosine rerank. Bucket join replaces the cross join —
     at 1000 executors this shuffles on bucket id, not N×Q."""
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((SRP_BITS, dim))
 
     bucket = F.lit(0)
     for j in range(SRP_BITS):
-        plane_lit = F.array(*[F.lit(float(v)) for v in planes[j]])
         bucket = bucket + F.when(
-            _dot(plane_lit, F.col("embedding")) > 0, F.lit(1 << j)
+            _dot(_plane_array(_SRP_PLANES[j]), F.col("embedding")) > 0,
+            F.lit(1 << j),
         ).otherwise(F.lit(0))
 
     withb = emb.select(
@@ -288,6 +336,42 @@ SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+def _plane_sql(plane) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+
+
+# the same seed-42 planes as float64 literals in duckdb SQL — signs of
+# the projections (hence buckets) agree bit-for-bit across engines
+_SRP_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN LIST_SUM(LIST_TRANSFORM("
+    f"LIST_ZIP({_plane_sql(_SRP_PLANES[j])}, embedding::DOUBLE[]),"
+    f" p -> p[1] * p[2])) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(SRP_BITS)
+)
+
+SRP_ANN_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec,
+           {_SRP_BUCKET_SQL} AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, vec AS qvec, bucket
+    FROM emb WHERE vec_id < {N_QUERIES}
+), cand AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_COS_SQL.format(a='e.vec', b='q.qvec')} AS sim
+    FROM emb e JOIN q ON e.bucket = q.bucket
+    WHERE e.vec_id <> q.query_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rnk
+    FROM cand
+)
+SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -298,6 +382,6 @@ QUERIES = {
 ORACLE_SQL = {
     "ann_topk_cosine": ANN_TOPK_SQL,
     "embedding_neardup_pairs": NEARDUP_SQL,
-    # srp_ann_topk: generated projection matrix — rows-only check
+    "srp_ann_topk": SRP_ANN_SQL,
     "ivf_ann_topk": IVF_ANN_SQL,
 }

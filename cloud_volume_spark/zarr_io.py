@@ -112,9 +112,18 @@ def _compress_named(data: bytes, name: str, level: int) -> bytes:
 
 
 def decode_zarr3_chunk(binary: bytes, codec_list, dtype, chunk_dims) -> np.ndarray:
-    """bytes → C-order array shaped ``chunk_dims`` (array axis order)."""
+    """bytes → C-order array shaped ``chunk_dims`` (array axis order).
+
+    The decode chain runs the codec list in reverse, so each stage must
+    invert its encode counterpart: the bytes stage deserializes to the
+    *transposed* dims (that is the shape that was serialized), and the
+    transpose stage applies the inverse permutation."""
     dtype = np.dtype(dtype)
     nbytes = int(np.prod(chunk_dims)) * dtype.itemsize
+    perm = None
+    for codec in codec_list:
+        if codec.get("name") == "transpose":
+            perm = list((codec.get("configuration", {}) or {})["order"])
     arr = binary
     for codec in reversed(codec_list):
         name = codec.get("name", "bytes")
@@ -124,14 +133,17 @@ def decode_zarr3_chunk(binary: bytes, codec_list, dtype, chunk_dims) -> np.ndarr
                 ">" if cfg.get("endian") == "big" else "<"
             )
             arr = np.frombuffer(arr, dtype=dt).astype(dtype, copy=False)
-            arr = arr.reshape(chunk_dims, order="C")
+            stored_dims = (
+                tuple(chunk_dims[i] for i in perm) if perm else chunk_dims
+            )
+            arr = arr.reshape(stored_dims, order="C")
         elif name == "crc32c":
             stored = int.from_bytes(arr[-4:], "little")
             if stored != crc32c(arr[:-4]):
                 raise ValueError("crc32c mismatch in zarr chunk")
             arr = arr[:-4]
         elif name == "transpose":
-            arr = np.transpose(arr, axes=cfg["order"])
+            arr = np.transpose(arr, axes=np.argsort(cfg["order"]))
         else:
             arr = _decompress_named(arr, name, nbytes)
     return arr

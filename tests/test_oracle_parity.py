@@ -66,6 +66,6 @@ def test_all_queries_have_entries():
     assert set(ORACLES) <= set(QUERIES)
     no_oracle = set(QUERIES) - set(ORACLES)
     assert no_oracle <= {
-        "srp_ann_topk", "mm_image_features", "mm_image_resize",
+        "mm_image_features", "mm_image_resize",
         "mm_video_frame_sample", "mm_audio_features",
     }

@@ -68,3 +68,58 @@ def test_q1_pushdown_and_partial_agg(spark, sf_dir):
     assert "partial_sum" in plan
     # column pruning: only the 7 needed columns reach the scan
     assert "l_orderkey" not in plan
+
+
+def test_neardup_pairs_plan_has_no_cartesian(spark, sf_dir):
+    """embedding_neardup_pairs must route through SRP band buckets —
+    a cross join here is the canonical 100 TB scale-killer."""
+    plan = _plan(all_queries()["embedding_neardup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_srp_ann_plan_has_no_cartesian(spark, sf_dir):
+    plan = _plan(all_queries()["srp_ann_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_band_lsh_full_recall_on_planted_dups(spark, tmp_path):
+    """The band-LSH candidate generation must recover every planted
+    near-duplicate pair that the exact cross join finds on a fixture
+    with known duplicates (deterministic: fixed seed, fixed planes)."""
+    import pandas as pd
+    from cloud_volume_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, S.DIM)).astype(np.float32)
+    rows = [(i, base[i]) for i in range(40)]
+    # plant 10 near-dups: small perturbations of existing vectors
+    for k in range(10):
+        v = base[k] + 0.15 * rng.standard_normal(S.DIM).astype(np.float32)
+        rows.append((100 + k, v))
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1].tolist() for r in rows],
+         "label": 0}
+    )
+    sf = tmp_path / "sfplant"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "embeddings.parquet"))
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs(spark, str(sf)).collect()
+    }
+    # exact reference: numpy all-pairs
+    ids = [r[0] for r in rows]
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    simm = Vn @ Vn.T
+    want = {
+        (ids[i], ids[j])
+        for i in range(len(ids)) for j in range(len(ids))
+        if ids[i] < ids[j] and round(simm[i, j], 6) >= S.NEARDUP_THRESHOLD
+    }
+    assert len(want) >= 8, "fixture should contain planted near-dups"
+    assert got == want

@@ -141,3 +141,35 @@ def test_import_n5(spark, tmp_path):
         r.label for r in vol.unique(Bbox((0, 0, 0), (16, 16, 16))).collect()
     }
     assert labels == set(np.unique(arr[:16, :16, :16]).tolist())
+
+
+def test_transpose_codec_roundtrip(rng):
+    """Encode/decode with a transpose codec must invert exactly — the
+    decode path applies the inverse permutation to the transposed-dims
+    byte stream (zarr v3 spec: codecs run in reverse on decode)."""
+    from cloud_volume_spark.zarr_io import decode_zarr3_chunk, encode_zarr3_chunk
+    arr = rng.integers(0, 1000, size=(4, 6, 8)).astype(np.uint16)
+    codecs_list = [
+        {"name": "transpose", "configuration": {"order": [2, 0, 1]}},
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "gzip", "configuration": {"level": 5}},
+    ]
+    blob = encode_zarr3_chunk(arr, codecs_list)
+    back = decode_zarr3_chunk(blob, codecs_list, "uint16", (4, 6, 8))
+    assert np.array_equal(back, arr)
+
+
+def test_transpose_codec_external_layout(rng):
+    """A non-identity transpose serializes axis-permuted bytes; verify
+    against a hand-built reference byte stream (what an external zarr3
+    writer would produce)."""
+    from cloud_volume_spark.zarr_io import decode_zarr3_chunk
+    arr = rng.integers(0, 255, size=(3, 4, 5)).astype(np.uint8)
+    order = [1, 2, 0]
+    external = np.transpose(arr, axes=order).tobytes(order="C")
+    codecs_list = [
+        {"name": "transpose", "configuration": {"order": order}},
+        {"name": "bytes", "configuration": {"endian": "little"}},
+    ]
+    back = decode_zarr3_chunk(external, codecs_list, "uint8", (3, 4, 5))
+    assert np.array_equal(back, arr)
