@@ -30,13 +30,34 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cloud_volume_spark.geometry import Bbox
 
-ANNOTATION_TYPES = ("POINT", "LINE", "AXIS_ALIGNED_BOUNDING_BOX", "ELLIPSOID")
+ANNOTATION_TYPES = (
+    "POINT", "LINE", "AXIS_ALIGNED_BOUNDING_BOX", "ELLIPSOID", "POLYLINE",
+)
 
 # reference annotation/metadata.py:27-39
 PROPERTY_DTYPES = (
     "uint8", "int8", "uint16", "int16", "uint32", "int32",
     "float32", "rgb", "rgba",
 )
+
+
+def _normalize_property(spec) -> dict:
+    """A property spec is either a dtype string or a dict
+    ``{"type": dtype[, "enum_values": [...], "enum_labels": [...]]}``
+    (reference annotation/metadata.py:356-399: enum_values are the
+    stored numbers, enum_labels the display strings)."""
+    if isinstance(spec, str):
+        spec = {"type": spec}
+    spec = dict(spec)
+    if spec.get("type") not in PROPERTY_DTYPES:
+        raise ValueError(f"unsupported property dtype {spec.get('type')}")
+    has_vals = "enum_values" in spec
+    has_labels = "enum_labels" in spec
+    if has_vals != has_labels:
+        raise ValueError("enum_values and enum_labels must come together")
+    if has_vals and len(spec["enum_values"]) != len(spec["enum_labels"]):
+        raise ValueError("enum_values and enum_labels must be same length")
+    return spec
 
 
 class AnnotationLayer:
@@ -56,10 +77,9 @@ class AnnotationLayer:
         self.spark = spark
         self.base_path = base_path
         self.annotation_type = annotation_type
-        self.properties = dict(properties or {})
-        for dtype in self.properties.values():
-            if dtype not in PROPERTY_DTYPES:
-                raise ValueError(f"unsupported property dtype {dtype}")
+        self.properties = {
+            k: _normalize_property(v) for k, v in (properties or {}).items()
+        }
         self.relationships = list(relationships or [])
         self.grid_cell = tuple(float(g) for g in grid_cell)
 
@@ -75,7 +95,7 @@ class AnnotationLayer:
             "@type": "neuroglancer_annotations_v1",
             "annotation_type": self.annotation_type,
             "properties": [
-                {"id": k, "type": v} for k, v in self.properties.items()
+                {"id": k, **v} for k, v in self.properties.items()
             ],
             "relationships": [{"id": r, "key": f"rel_{r}"} for r in self.relationships],
             "spatial": [{
@@ -93,7 +113,10 @@ class AnnotationLayer:
         return cls(
             spark, base_path,
             annotation_type=info["annotation_type"],
-            properties={p["id"]: p["type"] for p in info.get("properties", [])},
+            properties={
+                p["id"]: {k: v for k, v in p.items() if k != "id"}
+                for p in info.get("properties", [])
+            },
             relationships=[r["id"] for r in info.get("relationships", [])],
             grid_cell=info["spatial"][0]["chunk_size"],
         )
@@ -181,6 +204,20 @@ class AnnotationLayer:
     def count(self) -> int:
         return self.df().count()
 
+    def properties_enum(self) -> dict:
+        """{prop: {stored_value: label}} for enum-labeled properties
+        (reference annotation/metadata.py:390-399)."""
+        return {
+            k: dict(zip(v["enum_values"], v["enum_labels"]))
+            for k, v in self.properties.items() if "enum_values" in v
+        }
+
     def to_pandas(self):
-        """The reference's own export shape (annotation/metadata.py:129)."""
-        return self.df().drop("gx", "gy", "gz").toPandas()
+        """The reference's own export shape (annotation/metadata.py:129):
+        enum-labeled properties surface as pandas categoricals mapped
+        through their labels (metadata.py:141-143)."""
+        pdf = self.df().drop("gx", "gy", "gz").toPandas()
+        for name, enum_dict in self.properties_enum().items():
+            if name in pdf.columns:
+                pdf[name] = pdf[name].map(enum_dict).astype("category")
+        return pdf

@@ -53,6 +53,79 @@ def decode_precomputed(blob: bytes) -> dict:
     }
 
 
+# ---- interchange formats (reference mesh.py:208-314) -------------------
+
+def to_obj(vertices: np.ndarray, faces: np.ndarray) -> bytes:
+    """Wavefront OBJ export, matching the reference's layout exactly
+    (``mesh.py:278-284``): ``v %.5f %.5f %.5f`` lines then 1-indexed
+    ``f a b c`` lines, newline-terminated, utf-8."""
+    vertices = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
+    faces = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+    objdata = []
+    objdata += [
+        "v {:.5f} {:.5f} {:.5f}".format(*vertex) for vertex in vertices
+    ]
+    objdata += ["f {} {} {}".format(*face) for face in (faces + 1)]
+    return ("\n".join(objdata) + "\n").encode("utf8")
+
+
+def from_obj(data) -> dict:
+    """OBJ import (reference ``mesh.py:222-275``): supports plain
+    ``f a b c`` and ``f a/t/n ...`` face syntax; returns 0-indexed
+    faces."""
+    import re
+    if isinstance(data, bytes):
+        data = data.decode("utf8")
+    vertices, faces = [], []
+    face_cplx = re.compile(
+        r"f\s+(\d+)/(\d*)?/(\d+)?\s+(\d+)/(\d*)?/(\d+)?\s+(\d+)/(\d*)?/(\d+)?"
+    )
+    face_simple = re.compile(r"f\s+(\d+)\s+(\d+)\s+(\d+)")
+    vertex_re = re.compile(r"v\s+([-\d\.e]+)\s+([-\d\.e]+)\s+([-\d\.e]+)")
+    for line in data.split("\n"):
+        line = line.strip()
+        if not line or line[0] == "#":
+            continue
+        if line[0] == "f":
+            if "/" in line:
+                g = face_cplx.match(line).groups()
+                faces.append((int(g[0]), int(g[3]), int(g[6])))
+            else:
+                g = face_simple.match(line).groups()
+                faces.append((int(g[0]), int(g[1]), int(g[2])))
+        elif line[0] == "v" and line[1] not in ("t", "n"):
+            g = vertex_re.match(line).groups()
+            vertices.append(tuple(float(x) for x in g))
+    return {
+        "vertices": np.array(vertices, dtype=np.float32).reshape(-1, 3),
+        "faces": (np.array(faces, dtype=np.int64) - 1)
+        .astype(np.uint32).reshape(-1, 3),
+    }
+
+
+def to_ply(vertices: np.ndarray, faces: np.ndarray) -> bytes:
+    """Binary little-endian PLY export, byte-identical to the
+    reference's layout (``mesh.py:286-314``): ascii header, float32
+    vertex triples, then int32 faces each prefixed by a count of 3."""
+    vertices = np.asarray(vertices, dtype=np.float32).reshape(-1, 3)
+    faces = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
+    header = (
+        "ply\n"
+        "format binary_little_endian 1.0\n"
+        f"element vertex {len(vertices)}\n"
+        "property float x\n"
+        "property float y\n"
+        "property float z\n"
+        f"element face {len(faces)}\n"
+        "property list int int vertex_indices\n"
+        "end_header\n"
+    )
+    plydata = bytearray(header.encode("utf8"))
+    plydata.extend(vertices.tobytes("C"))
+    plydata.extend(np.insert(faces, 0, 3, axis=1).tobytes("C"))
+    return bytes(plydata)
+
+
 def consolidate(vertices: np.ndarray, faces: np.ndarray) -> tuple:
     """Exact-duplicate vertex dedup + face reindex (mesh.py:148-172)."""
     uniq, inverse = np.unique(vertices, axis=0, return_inverse=True)
@@ -158,6 +231,46 @@ class MeshLayer:
             })
 
         return frags.groupBy("segid").applyInPandas(fuse_group, MESH_SCHEMA)
+
+    def save(self, segids, filepath=None, file_format: str = "ply") -> bytes:
+        """Export one-or-more segids as a single obj/ply/precomputed
+        file (reference ``mesh/unsharded.py:284-340`` save semantics:
+        fuse + dedup, segids concatenated into one mesh, default
+        filename ``{first}.{fmt}`` or ``{first}_{last}.{fmt}``).
+        Returns the encoded bytes; writes them when ``filepath`` (path
+        or file-like) is given."""
+        segids = [int(s) for s in (
+            [segids] if np.isscalar(segids) else segids
+        )]
+        rows = sorted(self.get(segids).collect(), key=lambda r: r.segid)
+        all_v, all_f, off = [], [], 0
+        for r in rows:
+            v = np.array(r.vertices, dtype=np.float32).reshape(-1, 3)
+            f = np.array(r.faces, dtype=np.int64).reshape(-1, 3) + off
+            all_v.append(v)
+            all_f.append(f)
+            off += len(v)
+        v = np.concatenate(all_v) if all_v else np.zeros((0, 3), np.float32)
+        f = np.concatenate(all_f) if all_f else np.zeros((0, 3), np.int64)
+
+        if file_format == "obj":
+            data = to_obj(v, f)
+        elif file_format == "ply":
+            data = to_ply(v, f)
+        elif file_format == "precomputed":
+            data = encode_precomputed(v, f.astype(np.uint32))
+        else:
+            raise NotImplementedError(
+                "Only .obj, .ply, and precomputed are currently supported."
+            )
+
+        if filepath is not None:
+            try:
+                filepath.write(data)
+            except AttributeError:
+                with open(filepath, "wb") as fh:
+                    fh.write(data)
+        return data
 
     # ---- relational mesh analytics -----------------------------------
 

@@ -78,6 +78,97 @@ def decode_precomputed(
     }
 
 
+# ---- SWC interchange (public format: id type x y z radius parent) -----
+
+def to_swc(vertices, edges, radii=None, vertex_types=None,
+           offset=(0, 0, 0)) -> str:
+    """Standard SWC text: one ``id type x y z radius parent`` line per
+    vertex, ids 1-based in traversal order, root parent = -1. The
+    edge graph becomes a parent tree by BFS from the lowest-index
+    vertex of each connected component (the interchange surface the
+    reference exposes through its skeleton object's ``to_swc``)."""
+    vertices = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    n = len(vertices)
+    radii = (
+        np.asarray(radii, dtype=np.float64).reshape(n)
+        if radii is not None else np.full(n, 1.0)
+    )
+    vertex_types = (
+        np.asarray(vertex_types, dtype=np.int64).reshape(n)
+        if vertex_types is not None else np.zeros(n, dtype=np.int64)
+    )
+    adj: list = [[] for _ in range(n)]
+    for a, b in edges:
+        adj[a].append(int(b))
+        adj[b].append(int(a))
+
+    order: list = []          # traversal order of vertex indices
+    parent = np.full(n, -1, dtype=np.int64)  # parent VERTEX index
+    seen = np.zeros(n, dtype=bool)
+    for root in range(n):
+        if seen[root]:
+            continue
+        seen[root] = True
+        queue = [root]
+        while queue:
+            cur = queue.pop(0)
+            order.append(cur)
+            for nxt in sorted(adj[cur]):
+                if not seen[nxt]:
+                    seen[nxt] = True
+                    parent[nxt] = cur
+                    queue.append(nxt)
+
+    swc_id = np.zeros(n, dtype=np.int64)  # vertex index → 1-based swc id
+    for i, vi in enumerate(order):
+        swc_id[vi] = i + 1
+    ox, oy, oz = (float(o) for o in offset)
+    lines = ["# id type x y z radius parent"]
+    for vi in order:
+        p = -1 if parent[vi] < 0 else int(swc_id[parent[vi]])
+        x, y, z = vertices[vi]
+        lines.append(
+            f"{int(swc_id[vi])} {int(vertex_types[vi])} "
+            f"{x + ox:.6f} {y + oy:.6f} {z + oz:.6f} "
+            f"{radii[vi]:.6f} {p}"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def from_swc(text) -> dict:
+    """SWC text → vertices/edges/radii/vertex_types arrays (0-indexed
+    edges; vertex order = line order)."""
+    if isinstance(text, bytes):
+        text = text.decode("utf8")
+    ids, rows = [], []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        ids.append(int(parts[0]))
+        rows.append((
+            int(parts[1]), float(parts[2]), float(parts[3]),
+            float(parts[4]), float(parts[5]), int(parts[6]),
+        ))
+    index = {sid: i for i, sid in enumerate(ids)}
+    vertices = np.array([[r[1], r[2], r[3]] for r in rows], dtype=np.float32)
+    radii = np.array([r[4] for r in rows], dtype=np.float32)
+    vertex_types = np.array([r[0] for r in rows], dtype=np.uint8)
+    edges = np.array(
+        [
+            sorted((index[sid], index[r[5]]))
+            for sid, r in zip(ids, rows) if r[5] != -1
+        ],
+        dtype=np.uint32,
+    ).reshape(-1, 2)
+    return {
+        "vertices": vertices.reshape(-1, 3), "edges": edges,
+        "radii": radii, "vertex_types": vertex_types,
+    }
+
+
 # ---- layer ------------------------------------------------------------
 
 class SkeletonLayer:
@@ -182,6 +273,29 @@ class SkeletonLayer:
                 f.write(blob)
             n += 1
         return n
+
+    def save_swc(self, segid: int, filepath=None,
+                 physical: bool = False) -> str:
+        """Export one skeleton as SWC text (optionally in physical
+        space via the layer transform)."""
+        rows = self.get([int(segid)], physical=physical).collect()
+        if not rows:
+            raise KeyError(f"no skeleton for segid {segid}")
+        r = rows[0]
+        text = to_swc(
+            np.array(r.vertices, dtype=np.float64),
+            np.array(r.edges, dtype=np.int64).reshape(-1, 2),
+            np.array(r.radii, dtype=np.float64) if r.radii else None,
+            np.array(r.vertex_types, dtype=np.int64)
+            if r.vertex_types else None,
+        )
+        if filepath is not None:
+            try:
+                filepath.write(text)
+            except AttributeError:
+                with open(filepath, "w") as f:
+                    f.write(text)
+        return text
 
     def import_precomputed(self, src_dir: str) -> None:
         """Read unsharded skeleton files back into the table."""

@@ -424,3 +424,215 @@ def test_shard_params_image_golden():
         (1024, 1024, 1024), (64, 64, 64), encoding="raw", dtype="uint64"
     )
     assert spec2.shard_bits >= 0 and spec2.preshift_bits >= 0
+
+
+# ---------------------------------------------------------------------------
+# interchange formats: obj / ply / swc (reference mesh.py:208-314)
+# ---------------------------------------------------------------------------
+
+def test_mesh_to_obj_golden():
+    from cloud_volume_spark.meshes import from_obj, to_obj
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], dtype=np.float32)
+    f = np.array([[0, 1, 2]], dtype=np.uint32)
+    data = to_obj(v, f)
+    assert data == (
+        b"v 0.00000 0.00000 0.00000\n"
+        b"v 1.00000 0.00000 0.00000\n"
+        b"v 0.00000 1.00000 0.00000\n"
+        b"f 1 2 3\n"
+    )
+    back = from_obj(data)
+    assert np.array_equal(back["vertices"], v)
+    assert np.array_equal(back["faces"], f)
+
+
+def test_mesh_from_obj_complex_faces():
+    from cloud_volume_spark.meshes import from_obj
+    text = "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1/4/7 2/5/8 3/6/9\n"
+    back = from_obj(text)
+    assert np.array_equal(back["faces"], [[0, 1, 2]])
+
+
+def test_mesh_to_ply_golden():
+    from cloud_volume_spark.meshes import to_ply
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], dtype=np.float32)
+    f = np.array([[0, 1, 2]], dtype=np.uint32)
+    data = to_ply(v, f)
+    header, _, body = data.partition(b"end_header\n")
+    assert b"element vertex 3" in header
+    assert b"element face 1" in header
+    assert body[:36] == v.tobytes("C")
+    assert np.array_equal(
+        np.frombuffer(body[36:], dtype=np.int32), [3, 0, 1, 2]
+    )
+
+
+def test_mesh_layer_save_formats(mesh_layer, tmp_path):
+    from cloud_volume_spark.meshes import from_obj
+    layer, frames = mesh_layer
+    data = layer.save(100, file_format="obj")
+    back = from_obj(data)
+    assert len(back["vertices"]) > 0
+    ply = layer.save(100, filepath=str(tmp_path / "m.ply"), file_format="ply")
+    assert ply.startswith(b"ply\nformat binary_little_endian 1.0\n")
+    assert (tmp_path / "m.ply").read_bytes() == ply
+    pre = layer.save(100, file_format="precomputed")
+    d = mesh_decode(pre)
+    # obj serializes %.5f — compare within that precision
+    assert np.allclose(d["vertices"], back["vertices"], atol=1e-5)
+
+
+def test_swc_golden_and_roundtrip():
+    from cloud_volume_spark.skeletons import from_swc, to_swc
+    v = np.array([[0, 0, 0], [2, 0, 0], [2, 2, 0], [5, 5, 5]], dtype=np.float64)
+    e = np.array([[0, 1], [1, 2]], dtype=np.int64)  # vertex 3 isolated root
+    radii = np.array([1.0, 0.5, 0.25, 2.0])
+    types = np.array([1, 3, 3, 0])
+    text = to_swc(v, e, radii, types)
+    assert text == (
+        "# id type x y z radius parent\n"
+        "1 1 0.000000 0.000000 0.000000 1.000000 -1\n"
+        "2 3 2.000000 0.000000 0.000000 0.500000 1\n"
+        "3 3 2.000000 2.000000 0.000000 0.250000 2\n"
+        "4 0 5.000000 5.000000 5.000000 2.000000 -1\n"
+    )
+    back = from_swc(text)
+    assert np.allclose(back["vertices"], v)
+    assert np.array_equal(back["edges"], e)
+    assert np.allclose(back["radii"], radii)
+    assert np.array_equal(back["vertex_types"], types)
+
+
+def test_skeleton_save_swc(skel_layer, tmp_path):
+    from cloud_volume_spark.skeletons import from_swc
+    layer, data = skel_layer
+    text = layer.save_swc(1, filepath=str(tmp_path / "s.swc"))
+    assert (tmp_path / "s.swc").read_text() == text
+    back = from_swc(text)
+    want_v = np.asarray(data[1][0], dtype=np.float32)
+    assert len(back["vertices"]) == len(want_v)
+    # BFS reorders vertices; compare as sets of rounded rows
+    got = {tuple(np.round(r, 3)) for r in back["vertices"]}
+    want = {tuple(np.round(r, 3)) for r in want_v}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# multi-LOD fetch (reference multilod.py:99-164)
+# ---------------------------------------------------------------------------
+
+def test_multilod_layer_lod_selective_fetch(spark, tmp_path):
+    from cloud_volume_spark.multilod import (
+        MultiLodManifest, MultiLodMeshLayer, encode_lod_fragment,
+        to_stored_model_space,
+    )
+    vqb = 16
+    # lod0: two fragments; lod1: one fragment
+    rngl = np.random.default_rng(3)
+    frag_meshes = {
+        (0, 0): (rngl.uniform(0, 1, (10, 3)), rngl.integers(0, 10, (6, 3))),
+        (0, 1): (rngl.uniform(0, 1, (8, 3)), rngl.integers(0, 8, (4, 3))),
+        (1, 0): (rngl.uniform(0, 1, (5, 3)), rngl.integers(0, 5, (2, 3))),
+    }
+    q = 2 ** vqb - 1
+    payloads = {
+        k: encode_lod_fragment(np.round(m[0] * q).astype(np.uint32), m[1], vqb)
+        for k, m in frag_meshes.items()
+    }
+    manifest = MultiLodManifest(
+        chunk_shape=(10, 10, 10), grid_origin=(0, 0, 0),
+        lod_scales=[1.0, 2.0], vertex_offsets=[[0, 0, 0], [0, 0, 0]],
+        fragment_positions=[[[0, 0, 0], [1, 0, 0]], [[0, 0, 0]]],
+        fragment_offsets=[
+            [len(payloads[(0, 0)]), len(payloads[(0, 1)])],
+            [len(payloads[(1, 0)])],
+        ],
+        segment_id=77,
+    )
+    layer = MultiLodMeshLayer(spark, str(tmp_path / "ml"), vqb)
+    layer.put(77, manifest, [
+        [payloads[(0, 0)], payloads[(0, 1)]],
+        [payloads[(1, 0)]],
+    ])
+
+    got1 = layer.get(77, lod=1)[77]
+    assert len(got1[0]) == 5 and len(got1[1]) == 2
+    # dequantized lod1 vertices: chunk_shape * 2 * (pos + q/qmax)
+    qv = np.round(frag_meshes[(1, 0)][0] * q)
+    want = 10 * 2 * (0 + qv / q)
+    assert np.allclose(got1[0], want)
+
+    got0 = layer.get(77, lod=0)[77]
+    assert len(got0[0]) == 18 and len(got0[1]) == 10
+    # fragment 1 of lod0 is shifted by its grid position (1,0,0)
+    assert got0[0][10:, 0].min() >= 10.0 - 1e-6
+
+    with pytest.raises(ValueError):
+        layer.get(77, lod=2)
+    with pytest.raises(KeyError):
+        layer.get_manifest(99)
+    m = layer.get_manifest(77)
+    assert m == manifest
+
+
+# ---------------------------------------------------------------------------
+# POLYLINE + enum-labeled properties (annotation/metadata.py:18-39,390)
+# ---------------------------------------------------------------------------
+
+def test_polyline_and_enum_roundtrip(spark, rng, tmp_path):
+    n = 50
+    enum_values = list(range(12))
+    enum_labels = [f"class_{i}" for i in range(12)]
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "x": rng.uniform(0, 256, n),
+        "y": rng.uniform(0, 256, n),
+        "z": rng.uniform(0, 256, n),
+        "points": [
+            [[float(a), float(b), float(c)] for a, b, c in
+             rng.uniform(0, 256, (4, 3))]
+            for _ in range(n)
+        ],
+        "cell_type": rng.integers(0, 12, n).astype(np.int32),
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "poly"),
+        annotation_type="POLYLINE",
+        properties={"cell_type": {
+            "type": "int32",
+            "enum_values": enum_values,
+            "enum_labels": enum_labels,
+        }},
+    )
+    layer.write(spark.createDataFrame(pdf))
+
+    back = AnnotationLayer.open(spark, str(tmp_path / "poly"))
+    assert back.annotation_type == "POLYLINE"
+    assert back.properties["cell_type"]["enum_labels"] == enum_labels
+    assert back.properties_enum() == {
+        "cell_type": dict(zip(enum_values, enum_labels))
+    }
+    out = back.to_pandas().sort_values("id").reset_index(drop=True)
+    assert out["cell_type"].dtype.name == "category"
+    want = pdf["cell_type"].map(dict(zip(enum_values, enum_labels)))
+    assert list(out["cell_type"]) == list(want)
+    assert len(out["points"][0]) == 4
+
+
+def test_enum_property_validation(spark, tmp_path):
+    with pytest.raises(ValueError):
+        AnnotationLayer(
+            spark, str(tmp_path / "bad1"),
+            properties={"p": {"type": "int32", "enum_values": [1]}},
+        )
+    with pytest.raises(ValueError):
+        AnnotationLayer(
+            spark, str(tmp_path / "bad2"),
+            properties={"p": {
+                "type": "int32", "enum_values": [1], "enum_labels": ["a", "b"],
+            }},
+        )
+    with pytest.raises(ValueError):
+        AnnotationLayer(
+            spark, str(tmp_path / "bad3"), annotation_type="SPLINE",
+        )
