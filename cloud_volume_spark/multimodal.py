@@ -277,12 +277,52 @@ def mm_audio_features(spark, sf_dir: str) -> DataFrame:
     return audio_features(assets_from_documents(spark, sf_dir))
 
 
+def mm_asset_stats(spark, sf_dir: str) -> DataFrame:
+    """Asset-table statistics computed on the opaque blob column itself
+    (byte length, digest, per-kind metadata) — fully SQL-expressible,
+    so the multimodal block's asset derivation and blob handling get a
+    real cross-engine oracle row even though the FakeCodec pixel
+    stream does not (DuckDB's md5 is VARCHAR-only; the decode stream
+    feeds digest bytes back into md5 and so cannot be re-expressed
+    there — those four operators carry exact-value pytest oracles in
+    tests/test_multimodal.py instead)."""
+    assets = assets_from_documents(spark, sf_dir)
+    return assets.select(
+        "asset_id", "kind",
+        F.length("blob").alias("byte_len"),
+        F.md5("blob").alias("blob_md5"),
+        F.coalesce(F.col("width"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).alias("height"),
+        F.coalesce(F.col("sample_rate"), F.lit(-1)).alias("sample_rate"),
+        F.coalesce(F.col("duration_ms"), F.lit(-1)).alias("duration_ms"),
+    )
+
+
+MM_ASSET_STATS_SQL = """
+SELECT doc_id AS asset_id,
+       ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS kind,
+       OCTET_LENGTH(ENCODE(text)) AS byte_len,
+       MD5(text) AS blob_md5,
+       CASE WHEN doc_id % 3 != 1 THEN 64 ELSE -1 END AS width,
+       CASE WHEN doc_id % 3 != 1 THEN 48 ELSE -1 END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE -1 END AS sample_rate,
+       CASE WHEN doc_id % 3 != 0 THEN 2500 ELSE -1 END AS duration_ms
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_image_features": mm_image_features,
     "mm_image_resize": mm_image_resize,
     "mm_video_frame_sample": mm_video_frame_sample,
     "mm_audio_features": mm_audio_features,
+    "mm_asset_stats": mm_asset_stats,
 }
 
-# FakeCodec md5-stream decode is not SQL-expressible: rows-only checks
-ORACLE_SQL: dict = {}
+# FakeCodec md5-stream decode is not SQL-expressible (see
+# mm_asset_stats docstring): the four decode-path entries get
+# rows-only driver checks + exact-value pytest oracles; the asset
+# derivation itself is fully oracle-checked.
+ORACLE_SQL: dict = {
+    "mm_asset_stats": MM_ASSET_STATS_SQL,
+}

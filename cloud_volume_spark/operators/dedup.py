@@ -142,10 +142,26 @@ FROM bands a JOIN bands b
 """
 
 
+DOC_FREQ_CAP = 100  # shingles in more docs than this are dropped
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle —
-    the ground-truth verifier for the MinHash/LSH approximations."""
+    the ground-truth verifier for the MinHash/LSH approximations.
+
+    Shingles appearing in more than DOC_FREQ_CAP documents are dropped
+    before the self-join (standard df-cap practice): one stop-phrase
+    shared by k docs otherwise creates a k² join bucket — the quadratic
+    blowup that melts this at scale. The cap is applied identically in
+    the duckdb oracle, so parity is exact over the capped universe."""
     sh = _shingles(spark, sf_dir).distinct()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= DOC_FREQ_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -173,7 +189,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH shingles AS (SELECT DISTINCT * FROM ({SHINGLES_SQL})),
+WITH all_shingles AS (SELECT DISTINCT * FROM ({SHINGLES_SQL})),
+rare AS (
+    SELECT shingle FROM all_shingles
+    GROUP BY shingle HAVING COUNT(*) <= {DOC_FREQ_CAP}
+),
+shingles AS (
+    SELECT s.* FROM all_shingles s JOIN rare USING (shingle)
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared

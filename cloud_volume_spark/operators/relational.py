@@ -623,15 +623,31 @@ def global_row_number(
     return out, acc
 
 
+GLOBAL_RANK_SMALL_N = 10_000_000  # below this, one-task window is cheaper
+
+
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(10) distribution of per-customer spend, built on the
     scalable :func:`global_row_number` instead of a global NTILE
-    window (same results; bucket-parallel instead of one-task)."""
+    window (same results; bucket-parallel instead of one-task).
+
+    Small-input fast path: when the aggregated row count is under
+    GLOBAL_RANK_SMALL_N, the plain single-partition window wins — the
+    distributed ranking's extra driver round-trips (quantiles +
+    per-bucket counts) are cluster insurance that only pays off when
+    one task cannot hold the rows."""
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("spend")
-    )
-    ranked, n = global_row_number(spend, "spend", ("o_custkey",))
+    ).persist()
+    n = spend.count()
+    if n < GLOBAL_RANK_SMALL_N:
+        w = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
+        ranked = spend.withColumn(
+            "_rn", F.row_number().over(w).cast("long")
+        )
+    else:
+        ranked, n = global_row_number(spend, "spend", ("o_custkey",))
     # NTILE(k): first n%k tiles get n//k+1 rows, the rest n//k
     q, rem = divmod(n, 10)
     big = rem * (q + 1)

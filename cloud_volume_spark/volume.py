@@ -97,6 +97,22 @@ class EmptyVolumeException(ValueError):
     (reference ``rx.py`` EmptyVolumeException semantics)."""
 
 
+def _label_to_signed(v) -> int:
+    """uint64 label → the two's-complement bit pattern that fits
+    Spark's signed LongType. ``labels_stats`` and every label predicate
+    store/compare this representation; graphene ids above 2^63 appear
+    negative in the table but round-trip exactly (the convention Spark,
+    BigQuery, and parquet INT64 all use for unsigned payloads)."""
+    v = int(v)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _stats_list(uniq: np.ndarray):
+    if uniq.size > LABELS_STATS_CAP:
+        return None
+    return [_label_to_signed(u) for u in uniq]
+
+
 def shade(dest: np.ndarray, dest_bbox: Bbox, src: np.ndarray, src_bbox: Bbox) -> None:
     """Paint ``src`` into ``dest`` over the bbox intersection — THE
     assembly primitive (reference ``image/common.py:176-227``)."""
@@ -377,9 +393,7 @@ class Volume:
             blob = codecs.compress_stream(blob, compression)
             if seg:
                 uniq = np.unique(piece)
-                stats = (
-                    [int(u) for u in uniq] if uniq.size <= LABELS_STATS_CAP else None
-                )
+                stats = _stats_list(uniq)
             else:
                 stats = None
             morton = int(compressed_morton_code((cx, cy, cz), grid))
@@ -613,11 +627,7 @@ class Volume:
                             codecs.encode(arr, encoding), comp or None
                         )
                         if seg:
-                            uniq = np.unique(arr)
-                            stats = (
-                                [int(u) for u in uniq]
-                                if uniq.size <= LABELS_STATS_CAP else None
-                            )
+                            stats = _stats_list(np.unique(arr))
                         else:
                             stats = None
                     morton = int(compressed_morton_code((cx, cy, cz), grid))
@@ -728,16 +738,18 @@ class Volume:
         if rows is None:
             pruned = self._pruned(bbox, mip)
             if want_stats:
-                # stats-column data skipping before any decode
+                # stats-column data skipping before any decode (stats
+                # hold the signed bit pattern — see _label_to_signed)
                 pruned = pruned.where(
                     F.col("labels_stats").isNull()
-                    | F.array_contains("labels_stats", int(label))
+                    | F.array_contains("labels_stats", _label_to_signed(label))
                 )
             rows = list(pruned.select(*sel).toPandas().itertuples(index=False))
         elif want_stats:
             rows = [
                 r for r in rows
-                if r.labels_stats is None or int(label) in r.labels_stats
+                if r.labels_stats is None
+                or _label_to_signed(label) in r.labels_stats
             ]
 
         bg = self.info.background_color()
@@ -841,18 +853,28 @@ class Volume:
         dtype = self.info.data_type
 
         is_int = np.issubdtype(np.dtype(dtype), np.integer)
-        from pyspark.sql.types import DoubleType
+        # uint64 (graphene ids use the high bit) cannot live in a signed
+        # LongType — ids above 2^63 would wrap negative. Decimal(20,0)
+        # holds the full range; the slower conversion applies only to
+        # uint64 volumes.
+        is_u64 = np.dtype(dtype) == np.dtype("uint64")
+        from pyspark.sql.types import DecimalType, DoubleType
 
+        value_type = (
+            DecimalType(20, 0) if is_u64
+            else (LongType() if is_int else DoubleType())
+        )
         schema = StructType([
             StructField("x", IntegerType(), False),
             StructField("y", IntegerType(), False),
             StructField("z", IntegerType(), False),
             StructField("c", IntegerType(), False),
-            StructField("value", LongType() if is_int else DoubleType(), False),
+            StructField("value", value_type, False),
         ])
         nc = self.info.num_channels
 
         def explode(batches):
+            from decimal import Decimal
             for pdf in batches:
                 for r in pdf.itertuples(index=False):
                     shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
@@ -861,12 +883,19 @@ class Volume:
                         np.arange(r.x0, r.x1), np.arange(r.y0, r.y1),
                         np.arange(r.z0, r.z1), np.arange(nc), indexing="ij",
                     )
+                    vals = arr.ravel()
+                    if is_u64:
+                        value = pd.Series(
+                            [Decimal(int(v)) for v in vals], dtype=object
+                        )
+                    else:
+                        value = vals.astype(np.int64 if is_int else np.float64)
                     yield pd.DataFrame({
                         "x": xs.ravel().astype(np.int32),
                         "y": ys.ravel().astype(np.int32),
                         "z": zs.ravel().astype(np.int32),
                         "c": cs_.ravel().astype(np.int32),
-                        "value": arr.ravel().astype(np.int64 if is_int else np.float64),
+                        "value": value,
                     })
 
         return blocks.mapInPandas(explode, schema=schema)
@@ -1077,7 +1106,19 @@ class Volume:
         labels = fast.unionByName(slow)
         if approx:
             return labels.agg(F.approx_count_distinct("label").alias("approx_labels"))
-        return labels.distinct()
+        labels = labels.distinct()
+        if np.dtype(dtype) == np.dtype("uint64"):
+            # internal representation is the signed bit pattern; present
+            # true unsigned values at the API edge (ids above 2^63 need
+            # Decimal(20,0) — LongType cannot hold them)
+            labels = labels.select(
+                F.expr(
+                    "CASE WHEN label < 0 THEN CAST(label AS DECIMAL(20,0)) "
+                    "+ 18446744073709551616 "
+                    "ELSE CAST(label AS DECIMAL(20,0)) END"
+                ).alias("label")
+            )
+        return labels
 
     # ------------------------------------------------------------------
     # existence / delete (reference image/__init__.py:484-557)
@@ -1176,7 +1217,7 @@ class Volume:
                         codecs.encode(arr, r.encoding), r.compression or None
                     )
                     uniq = np.unique(arr)
-                    stats = [int(u) for u in uniq] if uniq.size <= LABELS_STATS_CAP else None
+                    stats = _stats_list(uniq)
                     rows.append((
                         r.mip, r.slab, r.cx, r.cy, r.cz, r.morton,
                         r.x0, r.x1, r.y0, r.y1, r.z0, r.z1,
@@ -1287,7 +1328,7 @@ class Volume:
             blob = codecs.compress_stream(codecs.encode(out, encoding), comp or None)
             if seg:
                 uniq = np.unique(out)
-                stats = [int(u) for u in uniq] if uniq.size <= LABELS_STATS_CAP else None
+                stats = _stats_list(uniq)
             else:
                 stats = None
             morton = int(compressed_morton_code((tcx, tcy, tcz), grid_to))
@@ -1526,9 +1567,7 @@ class Volume:
             blob = codecs.compress_stream(codecs.encode(out, encoding), comp or None)
             if seg:
                 uniq = np.unique(out)
-                stats = (
-                    [int(u) for u in uniq] if uniq.size <= LABELS_STATS_CAP else None
-                )
+                stats = _stats_list(uniq)
             else:
                 stats = None
             morton = int(compressed_morton_code((tcx, tcy, tcz), grid_to))

@@ -71,3 +71,86 @@ def test_audio_features(assets):
         assert r.n_samples == 16000 * 500 // 1000
         assert 0 < r.rms < 1
         assert r.zero_crossings > 0
+
+
+# ---------------------------------------------------------------------------
+# independent exact-value oracles: recompute every operator's expected
+# output from the spec with hashlib directly (no FakeCodec reuse), so a
+# codec regression cannot self-verify.
+# ---------------------------------------------------------------------------
+
+def _stream(blob: bytes, n: int) -> np.ndarray:
+    import hashlib
+    seed = hashlib.md5(blob).digest()
+    reps = (n + 15) // 16
+    raw = b"".join(
+        hashlib.md5(seed + i.to_bytes(4, "little")).digest()
+        for i in range(reps)
+    )
+    return np.frombuffer(raw, dtype=np.uint8)[:n]
+
+
+FIXED_BLOB = b"multimodal-oracle-fixture"
+
+
+def test_image_features_exact_oracle(spark):
+    w, h = 16, 8
+    df = spark.createDataFrame(
+        [(1, "image", FIXED_BLOB, "fake", w, h, None, None)],
+        schema=ASSET_SCHEMA,
+    )
+    r = image_features(df).collect()[0]
+    img = _stream(FIXED_BLOB, w * h * 3).reshape(h, w, 3)
+    luma = img.astype(np.float64).mean(axis=2)
+    hist = np.bincount(img.ravel(), minlength=256)
+    p = hist[hist > 0] / hist.sum()
+    assert r.mean_luma == luma.mean()
+    assert r.std_luma == luma.std()
+    assert r.entropy_bits == -(p * np.log2(p)).sum()
+    assert r.aspect_ratio == w / h
+
+
+def test_image_resize_exact_oracle(spark):
+    w, h, ow, oh = 16, 8, 4, 4
+    df = spark.createDataFrame(
+        [(1, "image", FIXED_BLOB, "fake", w, h, None, None)],
+        schema=ASSET_SCHEMA,
+    )
+    r = image_resize(df, ow, oh).collect()[0]
+    img = _stream(FIXED_BLOB, w * h * 3).reshape(h, w, 3)
+    ys = (np.arange(oh) * h // oh).astype(np.int64)
+    xs = (np.arange(ow) * w // ow).astype(np.int64)
+    assert bytes(r.pixels) == img[np.ix_(ys, xs)].tobytes()
+
+
+def test_video_frames_exact_oracle(spark):
+    df = spark.createDataFrame(
+        [(1, "video", FIXED_BLOB, "fake", 64, 48, None, 2500)],
+        schema=ASSET_SCHEMA,
+    )
+    rows = sorted(
+        video_frame_sample(df, every_ms=1000, frame_w=8, frame_h=8).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 1]
+    for r in rows:
+        want = _stream(
+            FIXED_BLOB + int(r.frame_idx).to_bytes(4, "little"), 8 * 8 * 3
+        )
+        assert bytes(r.pixels) == want.tobytes()
+
+
+def test_audio_features_exact_oracle(spark):
+    sr, dur = 8000, 250
+    df = spark.createDataFrame(
+        [(1, "audio", FIXED_BLOB, "fake", None, None, sr, dur)],
+        schema=ASSET_SCHEMA,
+    )
+    r = audio_features(df).collect()[0]
+    n = sr * dur // 1000
+    x = (_stream(FIXED_BLOB, n).astype(np.float32) - 127.5) / 127.5
+    assert r.n_samples == n
+    assert r.rms == float(np.sqrt((x.astype(np.float64) ** 2).mean()))
+    assert r.zero_crossings == int(
+        np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))
+    )

@@ -284,6 +284,26 @@ def test_voxels_df(spark, rng, tmp_path):
         assert r.value == arr[r.x, r.y, r.z, r.c]
 
 
+def test_voxels_df_uint64_above_signed_range(spark, rng, tmp_path):
+    """graphene-style ids above 2^63 must survive the relational view
+    (Decimal(20,0), not a wrapped-negative signed long)."""
+    big = np.uint64(2**63 + 12345)
+    arr = np.full((8, 8, 8, 1), big, dtype=np.uint64)
+    arr[0, 0, 0, 0] = np.uint64(7)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "vox64"), chunk_size=(8, 8, 8))
+    rows = vol.voxels_df().collect()
+    assert len(rows) == 512
+    got = {int(r.value) for r in rows}
+    assert got == {7, 2**63 + 12345}
+    # unique() surfaces true unsigned values too
+    labels = {int(r.label) for r in vol.unique().collect()}
+    assert labels == {7, 2**63 + 12345}
+    # label mask uses the same representation for stats skipping
+    mask = vol.cutout(Bbox((0, 0, 0), (8, 8, 8)), label=int(big))
+    assert mask[0, 0, 0, 0] == False  # noqa: E712
+    assert mask[1:, :, :, :].all()
+
+
 def test_mip_locks(image_vol, rng):
     vol, _ = image_vol
     vol.info.lock_mips([0])
