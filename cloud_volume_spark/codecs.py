@@ -43,6 +43,14 @@ except ImportError:  # pragma: no cover
     HAS_JPEG = False
 
 try:  # pragma: no cover - optional dep
+    import pyspng  # noqa: F401
+
+    HAS_PYSPNG = True
+except ImportError:  # pragma: no cover
+    pyspng = None
+    HAS_PYSPNG = False
+
+try:  # pragma: no cover - optional dep
     import crackle  # noqa: F401
 
     HAS_CRACKLE = True
@@ -134,9 +142,36 @@ def encode(
         if not HAS_COMPRESSO:
             raise EncodingUnavailable("compresso not installed")
         return compresso.compress(np.asfortranarray(img.transpose())[..., 0])
+    if encoding == "png":
+        arr2d = _as2d_image(img.transpose())  # back to (sx,sy,sz,c)
+        if HAS_PYSPNG:
+            return pyspng.encode(np.ascontiguousarray(arr2d))
+        from cloud_volume_spark import png_io
+
+        return png_io.encode(arr2d)
     if encoding == "jpeg":
-        raise EncodingUnavailable("simplejpeg not installed")
+        if not HAS_JPEG:
+            raise EncodingUnavailable("simplejpeg not installed")
+        arr2d = np.ascontiguousarray(_as2d_image(img.transpose()))
+        if arr2d.dtype != np.uint8:
+            raise ValueError("jpeg requires uint8")
+        if arr2d.shape[2] == 1:
+            return simplejpeg.encode_jpeg(
+                arr2d, colorspace="GRAY", colorsubsampling="GRAY"
+            )
+        return simplejpeg.encode_jpeg(arr2d, colorspace="RGB")
     raise ValueError(f"Unknown encoding: {encoding}")
+
+
+def _as2d_image(arr: np.ndarray) -> np.ndarray:
+    """(sx, sy, sz, c) → (sz·sy, sx, c) image matrix — the reference's
+    ``as2d`` layout (``chunks.py:207-218``), whose C-order raveled bytes
+    equal the F-order voxel sequence for single-channel chunks."""
+    while arr.ndim < 4:
+        arr = arr[..., np.newaxis]
+    nc = arr.shape[3]
+    r = np.moveaxis(arr.T, 0, -1)  # (sz, sy, sx, c)
+    return r.reshape(r.shape[0] * r.shape[1], r.shape[2], nc)
 
 
 def decode(
@@ -177,6 +212,27 @@ def decode(
         if not HAS_COMPRESSO:
             raise EncodingUnavailable("compresso not installed")
         return np.asarray(compresso.decompress(bytes(blob))).reshape(shape)
+    if encoding == "png":
+        if HAS_PYSPNG:
+            img = pyspng.load(bytes(blob))
+        else:
+            from cloud_volume_spark import png_io
+
+            img = png_io.decode(bytes(blob))
+        # reference decode_png: ravel → F-order reshape (chunks.py:348)
+        return (
+            np.asarray(img).ravel().astype(dtype, copy=False)
+            .reshape(shape, order="F")
+        )
+    if encoding == "jpeg":
+        if not HAS_JPEG:
+            raise EncodingUnavailable("simplejpeg not installed")
+        colorspace = "RGB" if len(shape) > 3 and shape[3] > 1 else "GRAY"
+        data = simplejpeg.decode_jpeg(bytes(blob), colorspace=colorspace)
+        return (
+            np.asarray(data).ravel().astype(dtype, copy=False)
+            .reshape(shape, order="F")
+        )
     raise ValueError(f"Unknown encoding: {encoding}")
 
 
