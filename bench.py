@@ -22,9 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import pandas as pd
 
-# queries that scale linearly; the quadratic all-pairs verifiers
-# (ngram_jaccard_pairs, embedding_neardup_pairs) are correctness-gate
-# only and excluded from the headline set.
+# queries that scale linearly; the one remaining quadratic verifier
+# (ngram_jaccard_pairs, df-capped but still a shingle self-join) is
+# correctness-gate only and excluded from the headline set.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -50,12 +50,15 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash_fingerprints",
     "ann_topk_cosine",
+    "embedding_neardup_pairs",
     "srp_ann_topk",
     "ivf_ann_topk",
     "mm_image_features",
     "mm_video_frame_sample",
+    "mm_asset_stats",
     "customers_without_orders",
     "orders_above_customer_avg",
     "urgent_orders_with_lineitems",

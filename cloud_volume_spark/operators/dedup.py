@@ -3,9 +3,12 @@ SimHash, and n-gram Jaccard.
 
 Portability design: every hash is built from ``md5`` (identical in
 Spark and DuckDB), so the duckdb oracle computes bit-identical
-signatures — the MinHash "permutations" are ``min(md5(j || '|' ||
-shingle))`` string minima, and SimHash bits come from the high bit of
-successive md5 hex digits. No engine-specific hash functions anywhere.
+signatures — the MinHash "permutations" are string minima over
+8-hex-char (32-bit) slices of two salted digests (2 md5 calls per
+shingle yield all 8 hash functions — md5-per-permutation would cost
+4x the hashing in the hot aggregation), and SimHash bits come from
+the high bit of successive md5 hex digits. No engine-specific hash
+functions anywhere.
 
 Scale notes: shingling explodes ~(len-7) rows per doc; the LSH
 band-join is a shuffle on band hash (bounded buckets), never an
@@ -69,10 +72,21 @@ FROM documents GROUP BY MD5(text)
 
 
 def _signature_cols():
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(N_HASHES)
-    ]
+    # hash j = 8-hex slice (j%4) of md5(salt(j//4) | shingle): two md5
+    # evaluations per shingle feed all N_HASHES minima
+    cols = []
+    for j in range(N_HASHES):
+        salt = "ab"[j // 4]
+        off = 1 + 8 * (j % 4)
+        cols.append(
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}|"), F.col("shingle"))),
+                    off, 8,
+                )
+            ).alias(f"h{j}")
+        )
+    return cols
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +97,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIG_SQL_COLS = ", ".join(
-    f"MIN(MD5('{j}|' || shingle)) AS h{j}" for j in range(N_HASHES)
+    f"MIN(SUBSTR(MD5('{'ab'[j // 4]}|' || shingle), {1 + 8 * (j % 4)}, 8)) "
+    f"AS h{j}"
+    for j in range(N_HASHES)
 )
 
 MINHASH_SQL = f"""
@@ -213,6 +229,131 @@ WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared)::DOUBLE >= {JACCARD_THRESHOLD}
 """
 
 
+MAX_CC_ITERS = 20  # ≥ graph diameter in label-propagation rounds
+CC_SMALL_EDGES = 5_000_000  # below this, driver union-find beats job rounds
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the LSH
+    candidate-pair graph, labeled by the component's minimum doc_id
+    (the canonical document a dedup pipeline keeps). Docs with no
+    near-duplicate edge are their own singleton cluster.
+
+    Spark side: iterative min-label propagation — each round every doc
+    takes the min of its own label and its neighbors' labels, a
+    shuffle-join per round, converging in ≤ diameter rounds (the
+    simple form of the large-star/small-star CC algorithm; lineage is
+    truncated each round so plans stay bounded). DuckDB oracle: the
+    same fixpoint as a recursive CTE. This is the one operator in the
+    suite whose control flow is inherently iterative — the loop lives
+    in the driver, the data never leaves executors."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+
+    if pairs.count() <= CC_SMALL_EDGES:
+        # small-graph fast path: union-find on the driver (exact same
+        # fixpoint, none of the per-round job overhead); the broadcast
+        # mapping joins back onto the full doc set so singletons keep
+        # their own id
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs.collect():
+            ra, rb = find(r.doc_a), find(r.doc_b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        mapping = [(x, find(x)) for x in list(parent)]
+        pairs.unpersist()
+        if not mapping:
+            return docs.select(
+                "doc_id", F.col("doc_id").alias("cluster_id")
+            )
+        mdf = spark.createDataFrame(mapping, schema="doc_id long, comp long")
+        return docs.join(F.broadcast(mdf), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        )
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+    for _ in range(MAX_CC_ITERS):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("v"), F.col("comp").alias("vcomp")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("ncomp"))
+            .withColumnRenamed("u", "doc_id")
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()  # materialize + truncate lineage
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    pairs.unpersist()
+    return labels.select("doc_id", F.col("comp").alias("cluster_id"))
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE shingles AS ({{shingles}}),
+sigs AS (
+    SELECT doc_id, {{sig_cols}}
+    FROM shingles GROUP BY doc_id
+),
+bands AS ({{bands}}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk (u, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, w.comp FROM walk w JOIN edges e ON e.v = w.u
+)
+SELECT u AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY u
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash over word tokens: bit b of the fingerprint is the sign of
     the sum of ±1 votes from each token's md5 hex digit b (high bit of
@@ -270,6 +411,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLE_SQL = {
@@ -278,4 +420,7 @@ ORACLE_SQL = {
     "minhash_lsh_pairs": LSH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "simhash_fingerprints": SIMHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL.format(
+        shingles=SHINGLES_SQL, sig_cols=_SIG_SQL_COLS, bands=_BANDS_SQL
+    ),
 }

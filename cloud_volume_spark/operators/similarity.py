@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -33,10 +34,16 @@ DIM = 64  # embeddings table vector width (TESTDATA.md)
 _SRP_PLANES = np.random.default_rng(42).standard_normal((SRP_BITS, DIM))
 
 # OR-amplified banding for near-dup candidate generation: a pair is a
-# candidate if any band's full bit pattern matches. 8 bands x 4 bits
-# gives ~98% recall at cos=0.8 (p = 1 - acos(s)/pi per bit).
-NEARDUP_BANDS = 8
-NEARDUP_BAND_BITS = 4
+# candidate if any band's full bit pattern matches. Band width trades
+# recall against bucket size: random-pair collisions scale ~N²·L·2^-b,
+# so b must be sized ≳ log2(N) to keep candidates near-linear (for a
+# 100 TB corpus, raise NEARDUP_BAND_BITS and L together, or pre-shard
+# by IVF centroid). 16 bands × 12 bits: recall ≈ 1-(1-p^12)^16 with
+# p = 1 - acos(s)/π per bit — ≈ 0.93 at cos 0.9, ≈ 1.0 above 0.95
+# (where real embedding near-dups live), while random collisions are
+# 2^-12 per band.
+NEARDUP_BANDS = 16
+NEARDUP_BAND_BITS = 12
 _ND_PLANES = np.random.default_rng(4242).standard_normal(
     (NEARDUP_BANDS * NEARDUP_BAND_BITS, DIM)
 )
@@ -58,16 +65,28 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _with_norm(df: DataFrame, vec_col: str = "embedding",
+               out: str = "nrm") -> DataFrame:
+    """Precompute each vector's norm once. Per-pair expressions then
+    evaluate one 64-element fold (the dot) instead of three — the
+    norms are just column references. sqrt/product are deterministic
+    double ops, so sim values stay bitwise identical to an oracle that
+    recomputes the norms inline."""
+    return df.withColumn(out, _norm(F.col(vec_col)))
+
+
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
-    )
+    ))
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = emb.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
     sim = _dot(F.col("embedding"), F.col("qvec")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qvec"))
+        F.col("nrm") * F.col("qnrm")
     )
     scored = pairs.select(
         "query_id",
@@ -117,30 +136,40 @@ def _plane_array(plane) -> F.Column:
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b, sim ≥ threshold),
     generated through OR-amplified SRP bands — never an all-pairs
-    product. Each vector hashes to NEARDUP_BANDS 4-bit codes; pairs
-    colliding in any band become candidates (shuffle on (band, code)),
-    then exact cosine rerank keeps sim ≥ threshold. False positives are
-    impossible (exact rerank); band count bounds the false-negative
-    rate (~98% recall at the 0.8 threshold; tests/test_plans.py pins
-    full recall on a planted-duplicate fixture). The sf-bounded duckdb
-    oracle remains the exact all-pairs SQL."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    product. Each vector hashes to NEARDUP_BANDS band codes of
+    NEARDUP_BAND_BITS bits; pairs colliding in any band become
+    candidates (shuffle on (band, code)), then exact cosine rerank
+    keeps sim ≥ threshold. False positives are impossible (exact
+    rerank); band width/count bound the false-negative rate (see the
+    constant's sizing note; tests/test_plans.py pins full recall on a
+    planted-duplicate fixture). The sf-bounded duckdb oracle remains
+    the exact all-pairs SQL."""
+    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
-    )
-    band_codes = []
-    for b in range(NEARDUP_BANDS):
-        code = F.lit(0)
-        for j in range(NEARDUP_BAND_BITS):
-            plane = _ND_PLANES[b * NEARDUP_BAND_BITS + j]
-            code = code + F.when(
-                _dot(_plane_array(plane), F.col("embedding")) > 0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-        band_codes.append(code)
+    ))
+
+    # all 32 plane projections in one Arrow-batched numpy matmul —
+    # 32 interpreted aggregate() lambdas per row would dominate the
+    # runtime. Candidate generation only: the exact JVM-side cosine
+    # rerank below decides membership, so the engine-exactness
+    # requirement stays on the rerank, not the hashing.
+    planes_t = _ND_PLANES.T  # (DIM, 32)
+    weights = (1 << np.arange(NEARDUP_BAND_BITS, dtype=np.int64))
+
+    @F.pandas_udf("array<int>")
+    def band_codes_udf(col: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        bits = (mat @ planes_t) > 0  # (n, BANDS*BITS)
+        codes = (
+            bits.reshape(len(mat), NEARDUP_BANDS, NEARDUP_BAND_BITS)
+            @ weights
+        ).astype(np.int32)
+        return pd.Series(list(codes))
+
     # candidates carry ids only — vectors re-join by id afterwards, so
     # the band shuffle moves 12-byte rows, not 512-byte embeddings
     banded = emb.select(
-        "vec_id", F.posexplode(F.array(*band_codes)).alias("band", "code")
+        "vec_id", F.posexplode(band_codes_udf("embedding")).alias("band", "code")
     )
     a = banded.select(
         F.col("vec_id").alias("id_a"), "band", "code"
@@ -154,9 +183,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    va = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         cand.join(va, on="id_a").join(vb, on="id_b")
         .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
@@ -196,17 +231,18 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1 << j),
         ).otherwise(F.lit(0))
 
-    withb = emb.select(
-        "vec_id", _as_double("embedding").alias("embedding")
+    withb = _with_norm(
+        emb.select("vec_id", _as_double("embedding").alias("embedding"))
     ).withColumn("bucket", bucket)
     q = withb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket"),
     )
     cand = withb.join(q, on="bucket").where(F.col("vec_id") != F.col("query_id"))
     sim = _dot(F.col("embedding"), F.col("qvec")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qvec"))
+        F.col("nrm") * F.col("qnrm")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -232,49 +268,53 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full duckdb oracle. At scale: assignment is O(N·NLIST) map-side
     work against broadcast centroids; the candidate join shuffles on
     centroid id — inverted lists, never the N×Q product."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
-    )
+    ))
     cents = emb.where(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + NLIST)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
 
     csim = F.round(
         _dot(F.col("embedding"), F.col("cvec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("cvec"))),
+        / (F.col("nrm") * F.col("cnrm")),
         6,
     )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     assign = (
         emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cent_id", csim.alias("csim"))
+        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("csim"))
         .withColumn("crnk", F.row_number().over(wv))
         .where(F.col("crnk") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        .select("vec_id", "embedding", "nrm", "cent_id")
     )
 
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
     qsim = F.round(
         _dot(F.col("qvec"), F.col("cvec"))
-        / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        / (F.col("qnrm") * F.col("cnrm")),
         6,
     )
     probe = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qvec", "cent_id", qsim.alias("qsim"))
+        .select("query_id", "qvec", "qnrm", "cent_id", qsim.alias("qsim"))
         .withColumn("qrnk", F.row_number().over(wq))
         .where(F.col("qrnk") <= NPROBE)
-        .select("query_id", "qvec", "cent_id")
+        .select("query_id", "qvec", "qnrm", "cent_id")
     )
 
     cand = assign.join(probe, on="cent_id").where(
         F.col("vec_id") != F.col("query_id")
     )
     sim = _dot(F.col("embedding"), F.col("qvec")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qvec"))
+        F.col("nrm") * F.col("qnrm")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
