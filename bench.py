@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "dedup_clusters",
+    "dedup_keep_best",
+    "corpus_sample_stratified",
+    "tfidf_top_terms",
+    "doc_context_windows",
+    "doc_policy_scan",
     "simhash_fingerprints",
     "ann_topk_cosine",
     "embedding_neardup_pairs",
@@ -140,7 +145,7 @@ def bench_volume(spark) -> dict:
         # whole-volume roundtrip; first iteration warms JIT + file paths,
         # best of the remaining two is reported.
         write_secs, read_secs = [], []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             vol.write_blocks_df(blocks, mip=0, compression="gzip")
             write_secs.append(time.perf_counter() - t0)

@@ -7,11 +7,13 @@ aggregates them for the driver's correctness gate.
 """
 
 from cloud_volume_spark.operators import (  # noqa: F401
-    dedup, relational, similarity, text, voxel_rel,
+    corpus, dedup, relational, similarity, text, voxel_rel,
 )
 from cloud_volume_spark import multimodal
 
-ALL_MODULES = [relational, voxel_rel, text, dedup, similarity, multimodal]
+ALL_MODULES = [
+    relational, voxel_rel, text, dedup, similarity, corpus, multimodal,
+]
 
 
 def all_queries():

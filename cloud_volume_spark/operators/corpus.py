@@ -1,0 +1,330 @@
+"""Corpus-construction operators — the selection/shaping stage of a
+training-data pipeline, downstream of the text/dedup analysis modules:
+deterministic stratified sampling, tf-idf salient terms, fixed-window
+context chunking (training-sample generation), policy pattern scanning
+(PII + keyword), and keep-best-representative dedup.
+
+Determinism design (same rules as the sibling modules): every sampled
+set, rank, and score is reproducible across engines — sampling keys are
+md5 prefixes (never RAND), floats are emitted as integer basis points
+or rounded after an identical fp op chain, and ties break on explicit
+columns. All hot paths are JVM built-ins; no Python UDFs.
+
+Scale notes: sampling and scanning are map-only (no shuffle).  tf-idf
+shuffles twice (term counts, then doc-frequency join) — the df side is
+a term-level aggregate, orders of magnitude smaller than the corpus,
+and broadcast when bounded.  Context chunking explodes ~n_tokens/STRIDE
+rows per doc, the same bounded-explode shape as shingling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.operators.dedup import (
+    _BANDS_SQL,
+    _SIG_SQL_COLS,
+    SHINGLES_SQL,
+    dedup_clusters,
+)
+from cloud_volume_spark.operators.text import STOPWORDS, doc_quality_score
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+
+# per-language keep rates in 1/256ths of the md5 keyspace: the first
+# hex byte of md5('sample|' || doc_id) is compared against the stratum
+# threshold. en is downsampled harder (it dominates web corpora); the
+# long-tail languages keep more — the standard rebalancing move.
+SAMPLE_RATE_HEX = {"en": "40", "es": "80", "fr": "80", "de": "80", "zh": "80"}
+DEFAULT_RATE_HEX = "20"
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff the first hex
+    byte of ``md5('sample|' || doc_id)`` falls below its language
+    stratum's threshold. Hash-based (never RAND) so the sample is
+    reproducible run-to-run, engine-to-engine, and — critically at
+    100 TB — shard-to-shard without coordination: pure map-side filter,
+    no shuffle, no driver state."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    thresh = F.lit(DEFAULT_RATE_HEX)
+    for lang, hx in SAMPLE_RATE_HEX.items():
+        thresh = F.when(F.col("lang") == lang, F.lit(hx)).otherwise(thresh)
+    return (
+        docs.withColumn("sample_key", key)
+        .where(F.col("sample_key") < thresh)
+        .select("doc_id", "lang", "source", "sample_key")
+    )
+
+
+_RATE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN '{hx}'" for lang, hx in SAMPLE_RATE_HEX.items()
+)
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang, source,
+       SUBSTR(MD5('sample|' || doc_id::VARCHAR), 1, 2) AS sample_key
+FROM documents
+WHERE SUBSTR(MD5('sample|' || doc_id::VARCHAR), 1, 2)
+      < (CASE {_RATE_CASE} ELSE '{DEFAULT_RATE_HEX}' END)
+"""
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K salient terms per document by tf·idf with
+    ``idf = ln((N+1)/(df+1))`` (smoothed), emitted as integer basis
+    points. Two shuffles: per-(doc,term) counts, then a join against
+    the term-level doc-frequency aggregate — which is vocabulary-sized,
+    not corpus-sized, so it broadcasts at any realistic scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_bp",
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                * 10000
+                + 0.5
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_bp"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "score_bp", "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, t.term
+    FROM documents, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS t(term)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (
+    SELECT term, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           FLOOR(tf.tf * LN((n.n_docs + 1) / (df.df + 1.0)) * 10000
+                 + 0.5)::BIGINT AS score_bp
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_bp DESC, term ASC
+    ) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, score_bp, rank FROM ranked
+WHERE rank <= {TFIDF_TOP_K}
+"""
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+
+WINDOW_TOKENS = 64
+WINDOW_STRIDE = 48  # 16-token overlap between consecutive windows
+
+
+def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample generation: slice each document's token stream
+    into ``WINDOW_TOKENS``-token windows every ``WINDOW_STRIDE`` tokens
+    (overlapping, like LLM pretraining context packing with stride).
+    Emits a content hash per window rather than the window text — the
+    row stays ~50 bytes no matter the window size. Bounded explode
+    (~n_tokens/stride rows per doc), all JVM built-ins."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    n_tok = F.size(toks)
+    windows = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((n_tok - 1) / WINDOW_STRIDE).cast("int"),
+            )
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * WINDOW_STRIDE + 1, WINDOW_TOKENS
+    )
+    return windows.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+CONTEXT_WINDOWS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents
+),
+windows AS (
+    SELECT doc_id, toks, s.chunk_idx
+    FROM base,
+         UNNEST(GENERATE_SERIES(0, (LEN(toks) - 1) // {WINDOW_STRIDE}))
+             AS s(chunk_idx)
+),
+sliced AS (
+    SELECT doc_id, chunk_idx,
+           toks[chunk_idx * {WINDOW_STRIDE} + 1 :
+                chunk_idx * {WINDOW_STRIDE} + {WINDOW_TOKENS}] AS chunk
+    FROM windows
+)
+SELECT doc_id, chunk_idx,
+       LEN(chunk) AS n_chunk_tokens,
+       MD5(ARRAY_TO_STRING(chunk, ' ')) AS chunk_hash
+FROM sliced
+"""
+
+# ---------------------------------------------------------------------------
+# policy pattern scan (PII + keyword)
+
+# portable regex subset (identical semantics in Java regex and RE2):
+# character classes, bounded/unbounded quantifiers, alternation.
+PAT_EMAIL = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[.][a-zA-Z][a-zA-Z]+"
+PAT_NUMBER = "[0-9][0-9][0-9][0-9]+"  # 4+ digit runs: IDs, phones, SSN frags
+PAT_KEYWORD = "(table|value|row)"  # stand-in for a policy keyword list
+
+
+def doc_policy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy pattern scan: count PII-shaped matches (emails, long
+    digit runs) and policy-keyword matches per document, with a flag
+    for any PII hit — the filter/redaction precursor every corpus
+    pipeline runs. Pure map-side regex counting, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    n_email = F.size(F.expr(f"regexp_extract_all(text, '{PAT_EMAIL}', 0)"))
+    n_number = F.size(F.expr(f"regexp_extract_all(text, '{PAT_NUMBER}', 0)"))
+    n_keyword = F.size(F.expr(f"regexp_extract_all(text, '{PAT_KEYWORD}', 0)"))
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_number.alias("n_digit_runs"),
+        n_keyword.alias("n_keywords"),
+        ((n_email > 0) | (n_number > 0)).cast("int").alias("pii_flag"),
+    )
+
+
+POLICY_SCAN_SQL = f"""
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(text, '{PAT_EMAIL}')) AS n_emails,
+       LEN(REGEXP_EXTRACT_ALL(text, '{PAT_NUMBER}')) AS n_digit_runs,
+       LEN(REGEXP_EXTRACT_ALL(text, '{PAT_KEYWORD}')) AS n_keywords,
+       (LEN(REGEXP_EXTRACT_ALL(text, '{PAT_EMAIL}')) > 0
+        OR LEN(REGEXP_EXTRACT_ALL(text, '{PAT_NUMBER}')) > 0)::INT AS pii_flag
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# keep-best dedup
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final dedup decision: within each near-duplicate cluster
+    (connected components over the MinHash-LSH candidate graph), keep
+    the highest-quality document (tie → lowest doc_id). This is the
+    composition a production pipeline actually ships — cluster, score,
+    pick one representative — rather than naive keep-first."""
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = doc_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score_bp"
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score_bp"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score_bp",
+        (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
+    )
+
+
+KEEP_BEST_SQL = f"""
+WITH RECURSIVE shingles AS ({SHINGLES_SQL}),
+sigs AS (
+    SELECT doc_id, {_SIG_SQL_COLS}
+    FROM shingles GROUP BY doc_id
+),
+bands AS ({_BANDS_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk (u, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, w.comp FROM walk w JOIN edges e ON e.v = w.u
+),
+clusters AS (SELECT u AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY u),
+quality AS (
+    SELECT doc_id,
+           FLOOR(LEAST(1.0, LENGTH(text) / 500.0)
+                 * (1 - LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                        t -> t IN {STOPWORDS!r}))
+                      / LEN(STRING_SPLIT(TRIM(text), ' '))::DOUBLE)
+                 * 10000 + 0.5)::BIGINT AS quality_score_bp
+    FROM documents
+)
+SELECT c.doc_id, c.cluster_id, q.quality_score_bp,
+       (ROW_NUMBER() OVER (
+            PARTITION BY c.cluster_id
+            ORDER BY q.quality_score_bp DESC, c.doc_id ASC
+        ) = 1)::INT AS is_kept
+FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
+"""
+
+
+QUERIES = {
+    "corpus_sample_stratified": corpus_sample_stratified,
+    "tfidf_top_terms": tfidf_top_terms,
+    "doc_context_windows": doc_context_windows,
+    "doc_policy_scan": doc_policy_scan,
+    "dedup_keep_best": dedup_keep_best,
+}
+
+ORACLE_SQL = {
+    "corpus_sample_stratified": SAMPLE_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "doc_context_windows": CONTEXT_WINDOWS_SQL,
+    "doc_policy_scan": POLICY_SCAN_SQL,
+    "dedup_keep_best": KEEP_BEST_SQL,
+}
