@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs",
     "srp_ann_topk",
     "ivf_ann_topk",
+    "embedding_kmeans",
     "mm_image_features",
     "mm_video_frame_sample",
     "mm_asset_stats",

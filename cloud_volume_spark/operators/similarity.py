@@ -412,11 +412,140 @@ SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _sqdist_lit(vcol, cvec) -> F.Column:
+    """Rounded squared L2 distance between an array column and a
+    literal centroid. Rounding to 6dp before the argmin keeps the
+    engines' last-bit summation differences from ever flipping an
+    assignment."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vcol,
+                F.array(*[F.lit(float(x)) for x in cvec]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column: deterministic init
+    (the first KMEANS_K vectors by vec_id), KMEANS_ITERS fixed
+    iterations, centroid means rounded to 6dp each round. The rounding
+    is the cross-engine synchronization point: both engines feed the
+    identical rounded centroids into the next round, so the iteration
+    trajectories — and the final assignment — match bit-for-bit, which
+    is what lets an inherently iterative algorithm carry a full SQL
+    oracle (unrolled CTE rounds).
+
+    Scale shape: centroids are driver-side literals (k·dim doubles),
+    so assignment is pure map-side Catalyst expressions — argmin is a
+    when-chain over k distance columns, NO shuffle and no window; the
+    only shuffle per round is the partial-aggregated per-dimension
+    mean. This is exactly how distributed Lloyd's is supposed to look:
+    broadcast centroids out, tree-aggregate sums back."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in emb.where(F.col("vec_id") < KMEANS_K).collect()
+    }
+
+    def assign(df, cdict):
+        cids = sorted(cdict)
+        dcols = {c: _sqdist_lit(F.col("v"), cdict[c]) for c in cids}
+        cluster = F.lit(cids[-1])
+        for idx in range(len(cids) - 2, -1, -1):
+            c = cids[idx]
+            rest = [dcols[c2] for c2 in cids[idx + 1:]]
+            later_min = rest[0] if len(rest) == 1 else F.least(*rest)
+            cluster = F.when(dcols[c] <= later_min, F.lit(c)).otherwise(cluster)
+        sq = dcols[cids[-1]]
+        for idx in range(len(cids) - 2, -1, -1):
+            sq = F.least(dcols[cids[idx]], sq)
+        return df.withColumn("cluster", cluster).withColumn("sq_dist", sq)
+
+    for _ in range(KMEANS_ITERS):
+        means = (
+            assign(emb, cents)
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mv"))
+            .collect()
+        )
+        nxt: dict = {}
+        for r in means:
+            nxt.setdefault(int(r.cluster), [0.0] * DIM)[int(r.pos)] = float(r.mv)
+        cents = nxt
+    return assign(emb, cents).select("vec_id", "cluster", "sq_dist")
+
+
+_KM_DIST = (
+    "ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({v}, {c}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+)
+
+
+def _kmeans_sql() -> str:
+    parts = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cent_id, v AS cv FROM emb "
+        f"WHERE vec_id < {KMEANS_K})",
+    ]
+    for t in range(KMEANS_ITERS):
+        parts.append(f"""a{t} AS (
+    SELECT vec_id, v, cent_id AS cluster FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_KM_DIST.format(v='e.v', c='c.cv')} ASC,
+                            c.cent_id ASC
+               ) AS rn
+        FROM emb e CROSS JOIN c{t} c
+    ) WHERE rn = 1)""")
+        parts.append(f"""m{t} AS (
+    SELECT cluster, i, ROUND(AVG(v[i]), 6) AS mv
+    FROM a{t}, UNNEST(GENERATE_SERIES(1, {DIM})) AS s(i)
+    GROUP BY cluster, i)""")
+        parts.append(f"""c{t + 1} AS (
+    SELECT cluster AS cent_id, LIST(mv ORDER BY i) AS cv
+    FROM m{t} GROUP BY cluster)""")
+    final = KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, cluster, sq_dist FROM (
+    SELECT e.vec_id, c.cent_id AS cluster,
+           {_KM_DIST.format(v='e.v', c='c.cv')} AS sq_dist,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_KM_DIST.format(v='e.v', c='c.cv')} ASC,
+                        c.cent_id ASC
+           ) AS rn
+    FROM emb e CROSS JOIN c{final} c
+) WHERE rn = 1
+"""
+    )
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "srp_ann_topk": srp_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
+    "embedding_kmeans": embedding_kmeans,
 }
 
 ORACLE_SQL = {
@@ -424,4 +553,5 @@ ORACLE_SQL = {
     "embedding_neardup_pairs": NEARDUP_SQL,
     "srp_ann_topk": SRP_ANN_SQL,
     "ivf_ann_topk": IVF_ANN_SQL,
+    "embedding_kmeans": KMEANS_SQL,
 }
