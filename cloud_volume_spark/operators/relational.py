@@ -353,7 +353,7 @@ WITH with_gap AS (
            ) AS session_id
     FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, session_id::BIGINT AS session_id,
        COUNT(*) AS n_events,
        FLOOR(EPOCH(MIN(ts)))::BIGINT AS session_start_epoch,
        FLOOR(EPOCH(MAX(ts)))::BIGINT AS session_end_epoch,
@@ -536,12 +536,14 @@ def brand_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BRAND_PIVOT_SQL = """
 SELECT p_brand,
-       SUM(CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS n_small,
-       SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS n_large,
+       SUM(CASE WHEN p_size < 25 THEN 1 ELSE 0 END)::BIGINT AS n_small,
+       SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END)::BIGINT AS n_large,
        SUM(FLOOR(p_retailprice * 100 + 0.5)::BIGINT
-           * CASE WHEN p_size < 25 THEN 1 ELSE 0 END) AS small_value_cents,
+           * CASE WHEN p_size < 25 THEN 1 ELSE 0 END)::BIGINT
+           AS small_value_cents,
        SUM(FLOOR(p_retailprice * 100 + 0.5)::BIGINT
-           * CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS large_value_cents
+           * CASE WHEN p_size >= 25 THEN 1 ELSE 0 END)::BIGINT
+           AS large_value_cents
 FROM part GROUP BY p_brand
 """
 

@@ -13,29 +13,47 @@ from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
-# events.ts is TIMESTAMP(NANOS) parquet — read as long ns (the session
-# sets spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
-# matching operators.common.load
-EVENTS_SCHEMA = StructType([
-    StructField("event_id", LongType(), True),
-    StructField("ts", LongType(), True),
-    StructField("user_id", LongType(), True),
-    StructField("event_type", StringType(), True),
-    StructField("value", DoubleType(), True),
-    StructField("props", StringType(), True),
-])
+def _events_schema(ts_type) -> StructType:
+    return StructType([
+        StructField("event_id", LongType(), True),
+        StructField("ts", ts_type, True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ])
+
+
+# Default: fixtures carry ts as parquet timestamp[us].
+EVENTS_SCHEMA = _events_schema(TimestampType())
 
 
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream over a directory of event parquet files.
     New files appearing in the directory are discovered incrementally —
-    the ingestion pattern for a bucket fed by an upstream producer."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    the ingestion pattern for a bucket fed by an upstream producer.
+
+    readStream needs a declared schema, so probe the files with a batch
+    read first and mirror ``operators.common.load``'s dtype guard: older
+    fixtures store TIMESTAMP(NANOS) (arriving as BIGINT ns under
+    ``nanosAsLong``), current ones timestamp[us] — support both rather
+    than hard-coding a unit.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = isinstance(
+        spark.read.parquet(src_dir).schema["ts"].dataType, LongType
+    )
+    stream = (
+        spark.readStream
+        .schema(_events_schema(LongType() if ts_is_long else TimestampType()))
         .option("maxFilesPerTrigger", 8)
         .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
 
 
 def windowed_event_counts(
