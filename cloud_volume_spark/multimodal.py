@@ -51,24 +51,39 @@ ASSET_SCHEMA = StructType([
 
 class FakeCodec:
     """Deterministic stand-in decoder: bytes → uint8 array whose values
-    are a keyed hash stream. Same blob → same 'pixels', any shape."""
+    are a keyed hash stream. Same blob → same 'pixels', any shape.
+
+    The stream is keyed on *hex strings* — block ``i`` of the pixel
+    stream is ``md5(seed_hex + '|' + str(i))`` where ``seed_hex =
+    md5(blob).hexdigest()`` — so a SQL engine whose md5 is
+    VARCHAR-only (DuckDB) can regenerate the identical byte stream:
+    every mm_* driver query therefore carries a full cross-engine
+    oracle."""
 
     @staticmethod
-    def decode_image(blob: bytes, width: int, height: int, channels: int = 3) -> np.ndarray:
-        n = width * height * channels
-        out = np.empty(n, dtype=np.uint8)
-        seed = hashlib.md5(blob).digest()
-        # expand the 16-byte digest into a deterministic byte stream
+    def stream(seed_hex: str, n: int) -> np.ndarray:
         reps = (n + 15) // 16
-        stream = np.frombuffer(
-            b"".join(
-                hashlib.md5(seed + i.to_bytes(4, "little")).digest()
-                for i in range(reps)
-            ),
-            dtype=np.uint8,
+        raw = b"".join(
+            hashlib.md5((seed_hex + "|" + str(i)).encode("ascii")).digest()
+            for i in range(reps)
         )
-        out[:] = stream[:n]
-        return out.reshape(height, width, channels)
+        return np.frombuffer(raw, dtype=np.uint8)[:n]
+
+    @staticmethod
+    def decode_image(blob: bytes, width: int, height: int,
+                     channels: int = 3, seed_hex: str | None = None) -> np.ndarray:
+        if seed_hex is None:
+            seed_hex = hashlib.md5(blob).hexdigest()
+        n = width * height * channels
+        return FakeCodec.stream(seed_hex, n).reshape(height, width, channels)
+
+    @staticmethod
+    def frame_seed(blob: bytes, frame_idx: int) -> str:
+        """Per-frame stream key: md5(md5(blob) || '#' || idx), all in
+        hex-string space so it round-trips through SQL md5."""
+        return hashlib.md5(
+            (hashlib.md5(blob).hexdigest() + "#" + str(frame_idx)).encode("ascii")
+        ).hexdigest()
 
     @staticmethod
     def decode_audio(blob: bytes, n_samples: int) -> np.ndarray:
@@ -99,20 +114,32 @@ IMAGE_FEATURES_SCHEMA = StructType([
 def image_features(assets: DataFrame) -> DataFrame:
     """Decode → per-image feature extraction, Arrow-batched. The
     feature math is real; decode goes through FakeCodec when no codec
-    library exists."""
+    library exists.
+
+    mean/std are computed from exact integer sums (sum of bytes, sum of
+    squared per-pixel 3-byte sums) followed by one fixed float
+    expression — every intermediate is exact in float64, so any engine
+    evaluating the same closed form (see MM_IMAGE_FEATURES_SQL)
+    reproduces the doubles bit-for-bit regardless of summation order."""
+    import math
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 img = FakeCodec.decode_image(r.blob, r.width, r.height)
-                luma = img.astype(np.float64).mean(axis=2)
+                npix = int(r.width) * int(r.height)
+                s3 = img.astype(np.int64).sum(axis=2)
+                s1 = int(s3.sum())
+                s2 = int((s3 * s3).sum())
+                mean = s1 / (3.0 * npix)
+                var = s2 / (9.0 * npix) - mean * mean
                 hist = np.bincount(img.ravel(), minlength=256)
                 p = hist[hist > 0] / hist.sum()
                 rows.append((
                     int(r.asset_id),
-                    float(luma.mean()),
-                    float(luma.std()),
+                    mean,
+                    math.sqrt(var if var > 0 else 0.0),
                     float(-(p * np.log2(p)).sum()),
                     float(r.width / r.height),
                 ))
@@ -179,8 +206,10 @@ def video_frame_sample(assets: DataFrame, every_ms: int = 1000,
             for r in pdf.itertuples(index=False):
                 n_frames = max(1, int(r.duration_ms) // every_ms)
                 for i in range(n_frames):
-                    frame_blob = r.blob + i.to_bytes(4, "little")
-                    img = FakeCodec.decode_image(frame_blob, frame_w, frame_h)
+                    img = FakeCodec.decode_image(
+                        r.blob, frame_w, frame_h,
+                        seed_hex=FakeCodec.frame_seed(r.blob, i),
+                    )
                     rows.append((
                         int(r.asset_id), i, i * every_ms, img.tobytes()
                     ))
@@ -204,19 +233,30 @@ AUDIO_FEATURES_SCHEMA = StructType([
 
 
 def audio_features(assets: DataFrame) -> DataFrame:
-    """RMS + zero-crossing count over decoded samples."""
+    """RMS + zero-crossing count over decoded samples.
+
+    RMS of the normalized signal ``x = (b - 127.5)/127.5`` is computed
+    as ``sqrt(sum((b-127.5)^2) / (127.5^2 * n))``: each ``(b-127.5)^2``
+    term is a dyadic rational exact in float64 and the running sum stays
+    well under 2^53, so the sum is exact in any order and the final
+    divide+sqrt are single correctly-rounded ops — bit-identical across
+    engines (see MM_AUDIO_FEATURES_SQL). A zero crossing is a sign flip
+    of x, i.e. of ``b <= 127``."""
+    import math
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                n = int(r.sample_rate) * int(r.duration_ms) // 1000
-                x = FakeCodec.decode_audio(r.blob, max(n, 1))
+                n = max(int(r.sample_rate) * int(r.duration_ms) // 1000, 1)
+                raw = FakeCodec.decode_image(r.blob, n, 1, 1).ravel()
+                s = float(((raw.astype(np.float64) - 127.5) ** 2).sum())
+                neg = raw <= 127
                 rows.append((
                     int(r.asset_id),
-                    float(np.sqrt((x.astype(np.float64) ** 2).mean())),
-                    int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))),
-                    len(x),
+                    math.sqrt(s / (127.5 * 127.5 * n)),
+                    int(np.sum(neg[1:] != neg[:-1])),
+                    n,
                 ))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
@@ -253,14 +293,22 @@ def assets_from_documents(spark, sf_dir: str) -> DataFrame:
 
 
 def mm_image_features(spark, sf_dir: str) -> DataFrame:
-    return image_features(assets_from_documents(spark, sf_dir))
+    # mean/std/aspect are bit-deterministic closed forms (see
+    # image_features); entropy sums 256 log2 terms whose order differs
+    # between engines, so it alone is rounded for the value-hash.
+    return image_features(assets_from_documents(spark, sf_dir)).withColumn(
+        "entropy_bits", F.round("entropy_bits", 4)
+    )
 
 
 def mm_image_resize(spark, sf_dir: str) -> DataFrame:
     out = image_resize(assets_from_documents(spark, sf_dir), 16, 12)
-    # driver value-hash: binary pixels replaced by a stable digest
+    # driver value-hash: binary pixels digested via their lowercase hex
+    # (DuckDB md5 is VARCHAR-only, so hex-space md5 is the cross-engine
+    # common denominator)
     return out.select(
-        "asset_id", "width", "height", F.md5("pixels").alias("pixels_md5")
+        "asset_id", "width", "height",
+        F.md5(F.lower(F.hex("pixels"))).alias("pixels_md5"),
     )
 
 
@@ -269,7 +317,8 @@ def mm_video_frame_sample(spark, sf_dir: str) -> DataFrame:
         assets_from_documents(spark, sf_dir), every_ms=1000, frame_w=8, frame_h=8
     )
     return out.select(
-        "asset_id", "frame_idx", "ts_ms", F.md5("pixels").alias("pixels_md5")
+        "asset_id", "frame_idx", "ts_ms",
+        F.md5(F.lower(F.hex("pixels"))).alias("pixels_md5"),
     )
 
 
@@ -279,13 +328,10 @@ def mm_audio_features(spark, sf_dir: str) -> DataFrame:
 
 def mm_asset_stats(spark, sf_dir: str) -> DataFrame:
     """Asset-table statistics computed on the opaque blob column itself
-    (byte length, digest, per-kind metadata) — fully SQL-expressible,
-    so the multimodal block's asset derivation and blob handling get a
-    real cross-engine oracle row even though the FakeCodec pixel
-    stream does not (DuckDB's md5 is VARCHAR-only; the decode stream
-    feeds digest bytes back into md5 and so cannot be re-expressed
-    there — those four operators carry exact-value pytest oracles in
-    tests/test_multimodal.py instead)."""
+    (byte length, digest, per-kind metadata) — the simplest of the
+    multimodal oracle rows: it validates the asset derivation and blob
+    handling, while the four decode-path oracles above regenerate the
+    FakeCodec pixel stream in SQL."""
     assets = assets_from_documents(spark, sf_dir)
     return assets.select(
         "asset_id", "kind",
@@ -301,13 +347,126 @@ def mm_asset_stats(spark, sf_dir: str) -> DataFrame:
 MM_ASSET_STATS_SQL = """
 SELECT doc_id AS asset_id,
        ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS kind,
-       OCTET_LENGTH(ENCODE(text)) AS byte_len,
+       OCTET_LENGTH(ENCODE(text))::INT AS byte_len,
        MD5(text) AS blob_md5,
        CASE WHEN doc_id % 3 != 1 THEN 64 ELSE -1 END AS width,
        CASE WHEN doc_id % 3 != 1 THEN 48 ELSE -1 END AS height,
        CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE -1 END AS sample_rate,
        CASE WHEN doc_id % 3 != 0 THEN 2500 ELSE -1 END AS duration_ms
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-engine oracles: FakeCodec's stream is keyed on hex-string md5
+# (block i of seed s = md5(s || '|' || i)), so DuckDB regenerates the
+# exact byte stream with MD5/SUBSTR/STRPOS.  _HEXVAL extracts byte j of
+# a 32-char digest hex string as an integer.
+# ---------------------------------------------------------------------------
+
+_HEXVAL = (
+    "STRPOS('0123456789abcdef', SUBSTR(bh, 2*j + 1, 1)) * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(bh, 2*j + 2, 1)) - 17"
+)
+
+# images: doc_id % 3 = 0, 64x48x3 = 9216 bytes = 576 blocks, 3072 px
+MM_IMAGE_FEATURES_SQL = f"""
+WITH img AS (
+    SELECT doc_id AS asset_id, MD5(text) AS seed
+    FROM documents WHERE doc_id % 3 = 0
+), blocks AS (
+    SELECT asset_id, blk, MD5(seed || '|' || blk) AS bh
+    FROM img, generate_series(0, 575) b(blk)
+), bytes AS (
+    SELECT asset_id, blk * 16 + j AS idx, {_HEXVAL} AS val
+    FROM blocks, generate_series(0, 15) g(j)
+), px AS (
+    SELECT asset_id, idx // 3 AS p, SUM(val) AS s3
+    FROM bytes GROUP BY 1, 2
+), moments AS (
+    SELECT asset_id, SUM(s3)::DOUBLE AS s1, SUM(s3 * s3)::DOUBLE AS s2
+    FROM px GROUP BY 1
+), ent AS (
+    SELECT asset_id, -SUM((c / 9216.0) * LOG2(c / 9216.0)) AS entropy
+    FROM (SELECT asset_id, val, COUNT(*)::DOUBLE AS c FROM bytes GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT m.asset_id,
+       m.s1 / (3.0 * 3072) AS mean_luma,
+       SQRT(m.s2 / (9.0 * 3072)
+            - (m.s1 / (3.0 * 3072)) * (m.s1 / (3.0 * 3072))) AS std_luma,
+       ROUND(e.entropy, 4) AS entropy_bits,
+       64.0 / 48.0 AS aspect_ratio
+FROM moments m JOIN ent e USING (asset_id)
+"""
+
+# resize 64x48 -> 16x12 nearest-neighbor: output byte (oy, ox, c) is
+# source byte ((oy*4)*64 + ox*4)*3 + c; pixels_md5 = md5 of the
+# lowercase hex of the gathered bytes (a digest hex pair per byte)
+MM_IMAGE_RESIZE_SQL = """
+WITH img AS (
+    SELECT doc_id AS asset_id, MD5(text) AS seed
+    FROM documents WHERE doc_id % 3 = 0
+), pos AS (
+    SELECT asset_id, seed, oy.y AS oy, ox.x AS ox, ch.c AS c,
+           ((oy.y * 4) * 64 + ox.x * 4) * 3 + ch.c AS idx
+    FROM img,
+         generate_series(0, 11) oy(y),
+         generate_series(0, 15) ox(x),
+         generate_series(0, 2) ch(c)
+), gathered AS (
+    SELECT asset_id, oy, ox, c,
+           SUBSTR(MD5(seed || '|' || (idx // 16)), 2 * (idx % 16) + 1, 2)
+               AS hexpair
+    FROM pos
+)
+SELECT asset_id, 16 AS width, 12 AS height,
+       MD5(STRING_AGG(hexpair, '' ORDER BY oy, ox, c)) AS pixels_md5
+FROM gathered GROUP BY asset_id
+"""
+
+# video: doc_id % 3 = 2, duration 2500ms -> 2 frames of 8x8x3 = 192
+# bytes = 12 whole digests, so the frame's hex is just the concatenated
+# block hashes
+MM_VIDEO_FRAME_SAMPLE_SQL = """
+WITH vid AS (
+    SELECT doc_id AS asset_id, MD5(text) AS seed
+    FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+    SELECT asset_id, f.i AS frame_idx, MD5(seed || '#' || f.i) AS fseed
+    FROM vid, generate_series(0, 1) f(i)
+), blocks AS (
+    SELECT asset_id, frame_idx, blk, MD5(fseed || '|' || blk) AS bh
+    FROM frames, generate_series(0, 11) b(blk)
+)
+SELECT asset_id, frame_idx::INT AS frame_idx,
+       (frame_idx * 1000)::INT AS ts_ms,
+       MD5(STRING_AGG(bh, '' ORDER BY blk)) AS pixels_md5
+FROM blocks GROUP BY asset_id, frame_idx
+"""
+
+# audio: doc_id % 3 = 1, 8000 Hz * 2.5 s = 20000 samples = 1250 blocks
+MM_AUDIO_FEATURES_SQL = f"""
+WITH aud AS (
+    SELECT doc_id AS asset_id, MD5(text) AS seed
+    FROM documents WHERE doc_id % 3 = 1
+), blocks AS (
+    SELECT asset_id, blk, MD5(seed || '|' || blk) AS bh
+    FROM aud, generate_series(0, 1249) b(blk)
+), bytes AS (
+    SELECT asset_id, blk * 16 + j AS idx, {_HEXVAL} AS val
+    FROM blocks, generate_series(0, 15) g(j)
+), lagged AS (
+    SELECT asset_id, val,
+           LAG(val) OVER (PARTITION BY asset_id ORDER BY idx) AS pv
+    FROM bytes
+)
+SELECT asset_id,
+       SQRT(SUM((val - 127.5) * (val - 127.5)) / (127.5 * 127.5 * 20000)) AS rms,
+       SUM(CASE WHEN pv IS NOT NULL AND (val <= 127) != (pv <= 127)
+                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+       20000::BIGINT AS n_samples
+FROM lagged GROUP BY asset_id
 """
 
 
@@ -319,10 +478,10 @@ QUERIES = {
     "mm_asset_stats": mm_asset_stats,
 }
 
-# FakeCodec md5-stream decode is not SQL-expressible (see
-# mm_asset_stats docstring): the four decode-path entries get
-# rows-only driver checks + exact-value pytest oracles; the asset
-# derivation itself is fully oracle-checked.
 ORACLE_SQL: dict = {
+    "mm_image_features": MM_IMAGE_FEATURES_SQL,
+    "mm_image_resize": MM_IMAGE_RESIZE_SQL,
+    "mm_video_frame_sample": MM_VIDEO_FRAME_SAMPLE_SQL,
+    "mm_audio_features": MM_AUDIO_FEATURES_SQL,
     "mm_asset_stats": MM_ASSET_STATS_SQL,
 }

@@ -79,15 +79,19 @@ def test_audio_features(assets):
 # codec regression cannot self-verify.
 # ---------------------------------------------------------------------------
 
-def _stream(blob: bytes, n: int) -> np.ndarray:
+def _stream_hex(seed_hex: str, n: int) -> np.ndarray:
     import hashlib
-    seed = hashlib.md5(blob).digest()
     reps = (n + 15) // 16
     raw = b"".join(
-        hashlib.md5(seed + i.to_bytes(4, "little")).digest()
+        hashlib.md5((seed_hex + "|" + str(i)).encode()).digest()
         for i in range(reps)
     )
     return np.frombuffer(raw, dtype=np.uint8)[:n]
+
+
+def _stream(blob: bytes, n: int) -> np.ndarray:
+    import hashlib
+    return _stream_hex(hashlib.md5(blob).hexdigest(), n)
 
 
 FIXED_BLOB = b"multimodal-oracle-fixture"
@@ -101,13 +105,22 @@ def test_image_features_exact_oracle(spark):
     )
     r = image_features(df).collect()[0]
     img = _stream(FIXED_BLOB, w * h * 3).reshape(h, w, 3)
-    luma = img.astype(np.float64).mean(axis=2)
+    # spec: exact integer sums + one fixed float expression (bit-
+    # deterministic across engines), entropy from the byte histogram
+    import math
+    s3 = img.astype(np.int64).sum(axis=2)
+    s1, s2, npx = int(s3.sum()), int((s3 * s3).sum()), w * h
+    mean = s1 / (3.0 * npx)
     hist = np.bincount(img.ravel(), minlength=256)
     p = hist[hist > 0] / hist.sum()
-    assert r.mean_luma == luma.mean()
-    assert r.std_luma == luma.std()
+    assert r.mean_luma == mean
+    assert r.std_luma == math.sqrt(s2 / (9.0 * npx) - mean * mean)
     assert r.entropy_bits == -(p * np.log2(p)).sum()
     assert r.aspect_ratio == w / h
+    # sanity vs the numpy-float formulation (different rounding path)
+    luma = img.astype(np.float64).mean(axis=2)
+    assert abs(r.mean_luma - luma.mean()) < 1e-9
+    assert abs(r.std_luma - luma.std()) < 1e-9
 
 
 def test_image_resize_exact_oracle(spark):
@@ -133,10 +146,12 @@ def test_video_frames_exact_oracle(spark):
         key=lambda r: r.frame_idx,
     )
     assert [r.frame_idx for r in rows] == [0, 1]
+    import hashlib
     for r in rows:
-        want = _stream(
-            FIXED_BLOB + int(r.frame_idx).to_bytes(4, "little"), 8 * 8 * 3
-        )
+        fseed = hashlib.md5(
+            (hashlib.md5(FIXED_BLOB).hexdigest() + "#" + str(r.frame_idx)).encode()
+        ).hexdigest()
+        want = _stream_hex(fseed, 8 * 8 * 3)
         assert bytes(r.pixels) == want.tobytes()
 
 
@@ -148,9 +163,15 @@ def test_audio_features_exact_oracle(spark):
     )
     r = audio_features(df).collect()[0]
     n = sr * dur // 1000
-    x = (_stream(FIXED_BLOB, n).astype(np.float32) - 127.5) / 127.5
+    raw = _stream(FIXED_BLOB, n)
+    # spec: rms of x=(b-127.5)/127.5 via the exact-sum closed form;
+    # zero crossing = sign flip of x, i.e. of (b <= 127)
+    import math
+    s = float(((raw.astype(np.float64) - 127.5) ** 2).sum())
+    neg = raw <= 127
     assert r.n_samples == n
-    assert r.rms == float(np.sqrt((x.astype(np.float64) ** 2).mean()))
-    assert r.zero_crossings == int(
-        np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))
-    )
+    assert r.rms == math.sqrt(s / (127.5 * 127.5 * n))
+    assert r.zero_crossings == int(np.sum(neg[1:] != neg[:-1]))
+    # sanity vs the per-sample float32 normalization (decode_audio path)
+    x = (raw.astype(np.float32) - 127.5) / 127.5
+    assert abs(r.rms - float(np.sqrt((x.astype(np.float64) ** 2).mean()))) < 1e-6
