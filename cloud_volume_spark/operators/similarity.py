@@ -34,15 +34,19 @@ DIM = 64  # embeddings table vector width (TESTDATA.md)
 _SRP_PLANES = np.random.default_rng(42).standard_normal((SRP_BITS, DIM))
 
 # OR-amplified banding for near-dup candidate generation: a pair is a
-# candidate if any band's full bit pattern matches. Band width trades
-# recall against bucket size: random-pair collisions scale ~N²·L·2^-b,
-# so b must be sized ≳ log2(N) to keep candidates near-linear (for a
-# 100 TB corpus, raise NEARDUP_BAND_BITS and L together, or pre-shard
-# by IVF centroid). 16 bands × 12 bits: recall ≈ 1-(1-p^12)^16 with
-# p = 1 - acos(s)/π per bit — ≈ 0.93 at cos 0.9, ≈ 1.0 above 0.95
-# (where real embedding near-dups live), while random collisions are
-# 2^-12 per band.
-NEARDUP_BANDS = 16
+# candidate if any band's full bit pattern matches. Per-bit agreement
+# is p = 1 - acos(s)/π, so recall = 1-(1-p^b)^L. Sizing is driven by
+# the *threshold* (the operator's contract is "all pairs with sim ≥
+# NEARDUP_THRESHOLD", verified against an exact all-pairs oracle), not
+# by where "typical" near-dups live: at s = 0.80, p ≈ 0.795 and
+# p^12 ≈ 0.064, so L = 180 bands leave a miss probability of
+# (1-0.064)^180 ≈ 7e-6 — recall ≈ 1 at the contract boundary and
+# better above it. Random-pair collisions stay 2^-12 per band
+# (~N²·L·2^-b candidates), so b must grow ≳ log2(N) at scale: for a
+# 100 TB corpus raise NEARDUP_BAND_BITS with log2(N) and re-solve
+# L = ln(miss)/ln(1-p^b) at the threshold, or pre-shard by IVF
+# centroid so N is per-shard.
+NEARDUP_BANDS = 180
 NEARDUP_BAND_BITS = 12
 _ND_PLANES = np.random.default_rng(4242).standard_normal(
     (NEARDUP_BANDS * NEARDUP_BAND_BITS, DIM)

@@ -123,3 +123,59 @@ def test_neardup_band_lsh_full_recall_on_planted_dups(spark, tmp_path):
     }
     assert len(want) >= 8, "fixture should contain planted near-dups"
     assert got == want
+
+
+def test_neardup_recall_at_threshold_band(spark, tmp_path):
+    """Planted pairs with sim inside [0.80, 0.90) — the band just above
+    the contract threshold where under-sized OR-amplification loses
+    recall first (VERDICT r3 item 4). Every planted pair must survive
+    the banded candidate generation and match the exact all-pairs
+    reference."""
+    import pandas as pd
+    from cloud_volume_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # background: random vectors (pairwise sim ~ N(0, 1/sqrt(64)))
+    for i in range(40):
+        rows.append((i, rng.standard_normal(S.DIM)))
+    # plant pairs at controlled cosine: v = s*u_hat + sqrt(1-s^2)*w_hat
+    for k, s in enumerate([0.801, 0.82, 0.85, 0.87, 0.899, 0.805, 0.86, 0.88]):
+        u = rng.standard_normal(S.DIM)
+        u_hat = u / np.linalg.norm(u)
+        w = rng.standard_normal(S.DIM)
+        w -= (w @ u_hat) * u_hat
+        w_hat = w / np.linalg.norm(w)
+        v = s * u_hat + np.sqrt(1.0 - s * s) * w_hat
+        rows.append((200 + 2 * k, u_hat))
+        rows.append((201 + 2 * k, v))
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [np.asarray(r[1], dtype=np.float32).tolist() for r in rows],
+         "label": 0}
+    )
+    sf = tmp_path / "sfband"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "embeddings.parquet"))
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_neardup_pairs(spark, str(sf)).collect()
+    }
+    ids = [r[0] for r in rows]
+    V = np.stack([
+        np.asarray(np.asarray(r[1], dtype=np.float32), dtype=np.float64)
+        for r in rows
+    ])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    simm = Vn @ Vn.T
+    want = {
+        (ids[i], ids[j])
+        for i in range(len(ids)) for j in range(len(ids))
+        if ids[i] < ids[j] and round(simm[i, j], 6) >= S.NEARDUP_THRESHOLD
+    }
+    assert len(want) >= 8, "all planted pairs must sit above threshold"
+    # at least the 8 planted pairs are in the weak band [0.80, 0.90)
+    weak = {p for p in want if round(simm[ids.index(p[0]), ids.index(p[1])], 6) < 0.90}
+    assert len(weak) >= 8
+    assert got == want
