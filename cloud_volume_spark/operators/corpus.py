@@ -27,7 +27,7 @@ from cloud_volume_spark.operators.dedup import (
     _BANDS_SQL,
     _SIG_SQL_COLS,
     SHINGLES_SQL,
-    dedup_clusters,
+    materialized_clusters,
 )
 from cloud_volume_spark.operators.text import STOPWORDS, doc_quality_score
 
@@ -254,8 +254,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (connected components over the MinHash-LSH candidate graph), keep
     the highest-quality document (tie → lowest doc_id). This is the
     composition a production pipeline actually ships — cluster, score,
-    pick one representative — rather than naive keep-first."""
-    clusters = dedup_clusters(spark, sf_dir)
+    pick one representative — rather than naive keep-first.
+
+    Consumes the *materialized* cluster map (compute-once per
+    session/dataset, the in-process analog of joining a written
+    cluster table), so running clusters + keep-best in one suite pays
+    the shingle→LSH→CC cost once."""
+    clusters = materialized_clusters(spark, sf_dir)
     quality = doc_quality_score(spark, sf_dir).select(
         "doc_id", "quality_score_bp"
     )

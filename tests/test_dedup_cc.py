@@ -1,0 +1,36 @@
+"""Connected-components paths: the driver union-find fast path and the
+distributed min-label-propagation path must produce the identical
+labeling, the distributed path must fail loudly on non-convergence,
+and the materialized cluster map must be compute-once per session."""
+
+import pytest
+
+from cloud_volume_spark.operators import dedup
+
+
+def _labels(df):
+    return {(r.doc_id, r.cluster_id) for r in df.collect()}
+
+
+def test_distributed_cc_matches_union_find(spark, sf_dir, monkeypatch):
+    fast = _labels(dedup.dedup_clusters(spark, sf_dir))
+    # force the >CC_SMALL_EDGES branch: same fixpoint, executor-side
+    monkeypatch.setattr(dedup, "CC_SMALL_EDGES", -1)
+    dist = _labels(dedup.dedup_clusters(spark, sf_dir))
+    assert dist == fast
+    # sanity: the fixture actually contains non-singleton clusters
+    assert any(d != c for d, c in fast)
+
+
+def test_distributed_cc_raises_on_nonconvergence(spark, sf_dir, monkeypatch):
+    monkeypatch.setattr(dedup, "CC_SMALL_EDGES", -1)
+    monkeypatch.setattr(dedup, "MAX_CC_ITERS", 0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(spark, sf_dir)
+
+
+def test_materialized_clusters_is_compute_once(spark, sf_dir):
+    a = dedup.materialized_clusters(spark, sf_dir)
+    b = dedup.materialized_clusters(spark, sf_dir)
+    assert a is b
+    assert _labels(a) == _labels(dedup.dedup_clusters(spark, sf_dir))
