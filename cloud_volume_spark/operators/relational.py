@@ -657,7 +657,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile = F.when(
         rn <= big, F.floor((rn - 1) / (q + 1)) + 1
     ).otherwise(rem + F.floor((rn - 1 - big) / max(q, 1)) + 1)
-    return (
+    out = (
         ranked.withColumn("decile", decile.cast("int"))
         .groupBy("decile")
         .agg(
@@ -665,6 +665,13 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("spend"), 2).alias("decile_spend"),
         )
     )
+    # the result is bounded (≤10 rows): materialize it now so the
+    # intermediate persist can be released deterministically instead of
+    # leaking until session end
+    rows = out.collect()
+    schema = out.schema
+    spend.unpersist()
+    return spark.createDataFrame(rows, schema=schema)
 
 
 DECILES_SQL = """
