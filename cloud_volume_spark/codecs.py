@@ -9,10 +9,11 @@ layer in the reference).
 
 These are plain numpy functions; ``volume.py`` wraps them in
 ``mapInPandas`` pandas UDFs so execution is Arrow-batched. Optional
-C codecs (compressed_segmentation, jpeg, png, fpzip, compresso,
-crackle) are gated behind try-imports exactly like the reference gates
-its optional deps (``chunks.py:22-68``); absent codecs raise a clear
-error at use, not import, time.
+C codecs are gated behind try-imports exactly like the reference gates
+its optional deps (``chunks.py:22-68``); compressed_segmentation, png,
+and jpeg fall back to pure-Python/numpy implementations (``cseg.py``,
+``png_io.py``, ``jpeg_io.py``) when the C wheel is absent, while
+compresso/crackle raise a clear error at use, not import, time.
 """
 
 from __future__ import annotations
@@ -150,16 +151,18 @@ def encode(
 
         return png_io.encode(arr2d)
     if encoding == "jpeg":
-        if not HAS_JPEG:
-            raise EncodingUnavailable("simplejpeg not installed")
         arr2d = np.ascontiguousarray(_as2d_image(img.transpose()))
         if arr2d.dtype != np.uint8:
             raise ValueError("jpeg requires uint8")
-        if arr2d.shape[2] == 1:
-            return simplejpeg.encode_jpeg(
-                arr2d, colorspace="GRAY", colorsubsampling="GRAY"
-            )
-        return simplejpeg.encode_jpeg(arr2d, colorspace="RGB")
+        if HAS_JPEG:
+            if arr2d.shape[2] == 1:
+                return simplejpeg.encode_jpeg(
+                    arr2d, colorspace="GRAY", colorsubsampling="GRAY"
+                )
+            return simplejpeg.encode_jpeg(arr2d, colorspace="RGB")
+        from cloud_volume_spark import jpeg_io
+
+        return jpeg_io.encode(arr2d)
     raise ValueError(f"Unknown encoding: {encoding}")
 
 
@@ -225,10 +228,13 @@ def decode(
             .reshape(shape, order="F")
         )
     if encoding == "jpeg":
-        if not HAS_JPEG:
-            raise EncodingUnavailable("simplejpeg not installed")
-        colorspace = "RGB" if len(shape) > 3 and shape[3] > 1 else "GRAY"
-        data = simplejpeg.decode_jpeg(bytes(blob), colorspace=colorspace)
+        if HAS_JPEG:
+            colorspace = "RGB" if len(shape) > 3 and shape[3] > 1 else "GRAY"
+            data = simplejpeg.decode_jpeg(bytes(blob), colorspace=colorspace)
+        else:
+            from cloud_volume_spark import jpeg_io
+
+            data = jpeg_io.decode(bytes(blob))
         return (
             np.asarray(data).ravel().astype(dtype, copy=False)
             .reshape(shape, order="F")
