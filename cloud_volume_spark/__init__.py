@@ -32,11 +32,12 @@ from cloud_volume_spark.annotations import AnnotationLayer
 from cloud_volume_spark.meshes import MeshLayer
 from cloud_volume_spark.skeletons import SkeletonLayer
 from cloud_volume_spark.spatial_index import SpatialIndex
+from cloud_volume_spark.images import save_images
 
 __version__ = "0.1.0"
 
 __all__ = [
     "get_spark", "Vec", "Bbox", "VolumeInfo", "Volume",
     "AnnotationLayer", "MeshLayer", "SkeletonLayer", "SpatialIndex",
-    "__version__",
+    "save_images", "__version__",
 ]
