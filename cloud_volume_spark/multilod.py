@@ -188,16 +188,47 @@ def encode_lod_fragment(qvertices: np.ndarray, faces: np.ndarray,
     )
 
 
+class UnsupportedMeshEncoding(NotImplementedError):
+    """Fragment payload uses a codec not available in this environment."""
+
+
 def decode_lod_fragment(blob: bytes,
                         vertex_quantization_bits: int = 16) -> tuple:
-    try:
-        import DracoPy  # noqa: F401 — reference fragment codec
-        # a real deployment would attempt draco first; raw is our format
-    except ImportError:
-        pass
+    blob = bytes(blob)
+    if blob[:5] == b"DRACO":
+        # externally produced neuroglancer precomputed multi-LOD data
+        # (the reference decodes via DracoPy, multilod.py:99-164)
+        try:
+            import DracoPy
+        except ImportError:
+            raise UnsupportedMeshEncoding(
+                "fragment payload is draco-encoded (DRACO bitstream "
+                "magic) but DracoPy is not installed in this "
+                "environment. Install DracoPy to import externally "
+                "produced neuroglancer multi-LOD meshes, or re-encode "
+                "the fragments with encode_lod_fragment's raw "
+                "quantized format."
+            ) from None
+        mesh = DracoPy.decode(blob)  # pragma: no cover - dep absent here
+        qv = np.asarray(mesh.points).reshape(-1, 3)
+        fc = np.asarray(mesh.faces, dtype=np.uint32).reshape(-1, 3)
+        return qv, fc
+    if len(blob) < 8:
+        raise UnsupportedMeshEncoding(
+            f"fragment payload too short ({len(blob)} bytes) to carry "
+            "the raw quantized header — unknown fragment codec"
+        )
     nv, nf = struct.unpack_from("<II", blob, 0)
     dtype = "<u2" if vertex_quantization_bits <= 16 else "<u4"
     itemsize = 2 if vertex_quantization_bits <= 16 else 4
+    expected = 8 + nv * 3 * itemsize + nf * 3 * 4
+    if len(blob) != expected:
+        raise UnsupportedMeshEncoding(
+            f"fragment payload length {len(blob)} does not match the "
+            f"raw quantized layout for nv={nv}, nf={nf} (expected "
+            f"{expected} bytes) — the payload likely uses an "
+            "unsupported codec"
+        )
     qv = np.frombuffer(blob, dtype, nv * 3, 8).reshape(nv, 3)
     fc = np.frombuffer(blob, "<u4", nf * 3, 8 + nv * 3 * itemsize).reshape(nf, 3)
     return qv, fc

@@ -93,3 +93,25 @@ def test_stored_model_space_scaling():
     assert np.allclose(v0, [64, 64, 40])
     v1 = from_stored_model_space(corner, m, 1, bits, 0)
     assert np.allclose(v1, [128, 128, 80])
+
+
+def test_draco_fragment_raises_precise_unsupported_error():
+    """Externally produced draco fragments must fail with a precise,
+    actionable error when DracoPy is absent — not a garbage parse."""
+    from cloud_volume_spark.multilod import (
+        UnsupportedMeshEncoding, decode_lod_fragment,
+    )
+
+    with pytest.raises(UnsupportedMeshEncoding, match="draco-encoded"):
+        decode_lod_fragment(b"DRACO\x02\x02" + b"\x00" * 64)
+
+
+def test_garbage_fragment_raises_unsupported_error():
+    from cloud_volume_spark.multilod import (
+        UnsupportedMeshEncoding, decode_lod_fragment,
+    )
+
+    with pytest.raises(UnsupportedMeshEncoding, match="unsupported codec"):
+        decode_lod_fragment(b"\x05\x00\x00\x00\x01\x00\x00\x00" + b"\x00" * 7)
+    with pytest.raises(UnsupportedMeshEncoding, match="too short"):
+        decode_lod_fragment(b"\x01\x02")
