@@ -63,7 +63,9 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "embedding_kmeans",
     "mm_image_features",
+    "mm_image_resize",
     "mm_video_frame_sample",
+    "mm_audio_features",
     "mm_asset_stats",
     "customers_without_orders",
     "orders_above_customer_avg",
