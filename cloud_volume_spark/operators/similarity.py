@@ -418,6 +418,12 @@ SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {TOP_K}
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
+# assignment strategy switch: the explicit when-chain argmin builds
+# O(k^2) expression nodes (each branch wraps a least() over the
+# remaining distances) — fine to ~16 clusters, hostile to codegen
+# beyond; the array-fold argmin is O(k) nodes and holds to k in the
+# hundreds/thousands
+KMEANS_WHEN_CHAIN_MAX = 16
 
 
 def _sqdist_lit(vcol, cvec) -> F.Column:
@@ -439,6 +445,54 @@ def _sqdist_lit(vcol, cvec) -> F.Column:
     )
 
 
+def _assign_fold(df: DataFrame, cdict: dict) -> DataFrame:
+    """Argmin over a literal array<struct<cid,cv>> via a single
+    ``aggregate`` fold — the k≫16 assignment path. Semantics are
+    bit-identical to the when-chain (rounded squared distances,
+    earliest centroid id wins ties), so the two strategies are
+    interchangeable under the SQL oracle; the plan stays O(k) nodes
+    and map-side (broadcast-literal centroids, no join, no shuffle)."""
+    cids = sorted(cdict)
+    cents = F.array(*[
+        F.struct(
+            F.lit(int(c)).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in cdict[c]]).alias("cv"),
+        )
+        for c in cids
+    ])
+
+    def sqdist(cv):
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    init = F.struct(
+        F.lit(-1).cast("int").alias("cid"),
+        F.lit(None).cast("double").alias("sq"),
+    )
+
+    def step(acc, cent):
+        sq = sqdist(cent["cv"])
+        better = acc["sq"].isNull() | (sq < acc["sq"])
+        return F.when(
+            better,
+            F.struct(cent["cid"].alias("cid"), sq.alias("sq")),
+        ).otherwise(acc)
+
+    best = F.aggregate(cents, init, step)
+    return (
+        df.withColumn("_best", best)
+        .withColumn("cluster", F.col("_best.cid"))
+        .withColumn("sq_dist", F.col("_best.sq"))
+        .drop("_best")
+    )
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column: deterministic init
     (the first KMEANS_K vectors by vec_id), KMEANS_ITERS fixed
@@ -451,10 +505,12 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: centroids are driver-side literals (k·dim doubles),
     so assignment is pure map-side Catalyst expressions — argmin is a
-    when-chain over k distance columns, NO shuffle and no window; the
-    only shuffle per round is the partial-aggregated per-dimension
-    mean. This is exactly how distributed Lloyd's is supposed to look:
-    broadcast centroids out, tree-aggregate sums back."""
+    when-chain over k distance columns up to KMEANS_WHEN_CHAIN_MAX
+    clusters and an O(k)-node array-fold argmin (:func:`_assign_fold`)
+    beyond, NO shuffle and no window either way; the only shuffle per
+    round is the partial-aggregated per-dimension mean. This is
+    exactly how distributed Lloyd's is supposed to look: broadcast
+    centroids out, tree-aggregate sums back."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
@@ -464,6 +520,8 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
 
     def assign(df, cdict):
+        if len(cdict) > KMEANS_WHEN_CHAIN_MAX:
+            return _assign_fold(df, cdict)
         cids = sorted(cdict)
         dcols = {c: _sqdist_lit(F.col("v"), cdict[c]) for c in cids}
         cluster = F.lit(cids[-1])
