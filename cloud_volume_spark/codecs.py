@@ -68,7 +68,10 @@ except ImportError:  # pragma: no cover
     HAS_COMPRESSO = False
 
 
-ENCODINGS = ("raw", "compressed_segmentation", "jpeg", "png", "compresso", "crackle")
+ENCODINGS = (
+    "raw", "compressed_segmentation", "jpeg", "png", "compresso", "crackle",
+    "npz", "npz_uint8",
+)
 
 # second-stage stream compression applied after encoding
 # (reference: cloudfiles compress= plumbing; should_compress
@@ -112,7 +115,7 @@ def should_compress(encoding: str, layer_type: str) -> Optional[str]:
     """Default second-stage choice: gzip only where it helps
     (reference ``datasource/precomputed/common.py:18-29``) — raw and
     cseg compress well; jpeg/png are already entropy-coded."""
-    if encoding in ("jpeg", "png", "crackle", "compresso"):
+    if encoding in ("jpeg", "png", "crackle", "compresso", "npz", "npz_uint8"):
         return None
     return "gzip"
 
@@ -150,6 +153,16 @@ def encode(
         from cloud_volume_spark import png_io
 
         return png_io.encode(arr2d)
+    if encoding in ("npz", "npz_uint8"):
+        # zlib-wrapped .npy of the chunk (reference chunks.py:286-301):
+        # the npy header carries shape/dtype/order, so the blob is
+        # self-describing and readable with numpy alone
+        arr = np.asfortranarray(img.transpose())  # (sx, sy, sz, c)
+        if encoding == "npz_uint8":
+            arr = (arr * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return zlib.compress(buf.getvalue())
     if encoding == "jpeg":
         arr2d = np.ascontiguousarray(_as2d_image(img.transpose()))
         if arr2d.dtype != np.uint8:
@@ -226,6 +239,24 @@ def decode(
         return (
             np.asarray(img).ravel().astype(dtype, copy=False)
             .reshape(shape, order="F")
+        )
+    if encoding in ("npz", "npz_uint8"):
+        arr = np.load(
+            io.BytesIO(zlib.decompress(bytes(blob))), allow_pickle=False
+        )
+        arr = np.asarray(arr)
+        if arr.shape == shape:
+            return arr.astype(dtype, copy=False)
+        # reference-produced npz of a 3D chunk is saved channel-first
+        # with a prepended singleton axis (chunks.py:296-297)
+        if (
+            arr.ndim == 4 and arr.shape[0] == 1
+            and len(shape) == 4 and shape[3] == 1
+            and arr.shape[1:] == shape[:3]
+        ):
+            return np.moveaxis(arr, 0, -1).astype(dtype, copy=False)
+        raise ValueError(
+            f"npz chunk shape mismatch: stored {arr.shape}, want {shape}"
         )
     if encoding == "jpeg":
         if HAS_JPEG:

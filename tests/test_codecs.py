@@ -66,3 +66,53 @@ def test_mask_except():
 def test_deterministic_gzip():
     data = b"hello world" * 100
     assert codecs.compress_stream(data, "gzip") == codecs.compress_stream(data, "gzip")
+
+
+def test_npz_roundtrip_dtypes():
+    import numpy as np
+    from cloud_volume_spark import codecs
+
+    rng = np.random.default_rng(9)
+    for dt in (np.uint8, np.uint16, np.uint32, np.uint64, np.float32):
+        if np.issubdtype(dt, np.floating):
+            arr = rng.random((9, 7, 5, 1)).astype(dt)
+        else:
+            arr = rng.integers(0, 200, (9, 7, 5, 1)).astype(dt)
+        blob = codecs.encode(arr, "npz")
+        back = codecs.decode(blob, "npz", arr.shape, dt)
+        assert np.array_equal(back, arr), dt
+
+
+def test_npz_uint8_scales_unit_floats():
+    import numpy as np
+    from cloud_volume_spark import codecs
+
+    arr = np.linspace(0.0, 1.0, 3 * 3 * 2).reshape(3, 3, 2, 1).astype(np.float32)
+    blob = codecs.encode(arr, "npz_uint8")
+    back = codecs.decode(blob, "npz_uint8", arr.shape, np.uint8)
+    assert back.dtype == np.uint8
+    assert np.array_equal(back, (arr * 255).astype(np.uint8))
+
+
+def test_npz_decodes_reference_channel_first_layout():
+    """A reference-produced npz stores a 3D chunk as (1, sx, sy, sz)
+    (chunks.py:296-297); decode must map it back to (sx, sy, sz, 1)."""
+    import io
+    import zlib
+    import numpy as np
+    from cloud_volume_spark import codecs
+
+    rng = np.random.default_rng(4)
+    chunk = rng.integers(0, 99, (6, 5, 4), dtype=np.uint16)
+    buf = io.BytesIO()
+    np.save(buf, chunk[np.newaxis, ...])
+    blob = zlib.compress(buf.getvalue())
+    back = codecs.decode(blob, "npz", (6, 5, 4, 1), np.uint16)
+    assert np.array_equal(back[..., 0], chunk)
+
+
+def test_npz_no_second_stage():
+    from cloud_volume_spark import codecs
+
+    assert codecs.should_compress("npz", "image") is None
+    assert codecs.should_compress("npz_uint8", "image") is None
