@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "doc_quality_score",
     "doc_fingerprint",
     "doc_langid",
+    "doc_repetition",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",

@@ -220,15 +220,83 @@ FROM pred
 """
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the corpus-quality family popularized by
+    large-LM data pipelines): fraction of duplicate word bigrams and
+    the most-frequent-token share. High values mark boilerplate,
+    keyword stuffing, and generation loops — standard drop criteria
+    upstream of training. JVM-side only: bigrams are built with
+    transform over an index sequence, no Python UDF; fractions are
+    ratios of exact integer counts rounded identically in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    n_bi = F.size(bigrams)
+    dup_bi = n_bi - F.size(F.array_distinct(bigrams))
+    with_top = docs.select(
+        "doc_id", n.alias("n_tokens"), n_bi.alias("n_bigrams"),
+        dup_bi.alias("n_dup_bigrams"),
+        F.explode(toks).alias("tok"),
+    ).groupBy("doc_id", "n_tokens", "n_bigrams", "n_dup_bigrams", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).groupBy("doc_id", "n_tokens", "n_bigrams", "n_dup_bigrams").agg(
+        F.max("c").alias("top_tok")
+    )
+    return with_top.select(
+        "doc_id", "n_tokens",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("n_dup_bigrams") / F.col("n_bigrams"), 4),
+        ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        F.round(F.col("top_tok") / F.col("n_tokens"), 4).alias("top_token_frac"),
+    )
+
+
+REPETITION_SQL = """
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks
+    FROM documents
+), bi AS (
+    SELECT doc_id, LEN(toks) AS n_tokens,
+           [toks[i] || ' ' || toks[i + 1]
+            FOR i IN GENERATE_SERIES(1, GREATEST(LEN(toks) - 1, 0))]
+               AS bigrams
+    FROM base
+), bistats AS (
+    SELECT doc_id, n_tokens, LEN(bigrams) AS n_bigrams,
+           LEN(bigrams) - LEN(LIST_DISTINCT(bigrams)) AS n_dup_bigrams
+    FROM bi
+), topt AS (
+    SELECT doc_id, MAX(c) AS top_tok FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM base, UNNEST(toks) AS t(tok)
+        GROUP BY doc_id, tok
+    ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CASE WHEN b.n_bigrams > 0
+            THEN ROUND(b.n_dup_bigrams / b.n_bigrams::DOUBLE, 4)
+            ELSE 0.0 END AS dup_bigram_frac,
+       ROUND(t.top_tok / b.n_tokens::DOUBLE, 4) AS top_token_frac
+FROM bistats b JOIN topt t USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_subword_count": doc_subword_count,
     "doc_quality_score": doc_quality_score,
     "doc_fingerprint": doc_fingerprint,
     "doc_langid": doc_langid,
+    "doc_repetition": doc_repetition,
 }
 
 ORACLE_SQL = {
+    "doc_repetition": REPETITION_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "doc_subword_count": SUBWORD_SQL,
     "doc_quality_score": QUALITY_SQL,
