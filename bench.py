@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_keep_best",
     "corpus_sample_stratified",
+    "corpus_pack_sequences",
     "tfidf_top_terms",
     "doc_context_windows",
     "doc_policy_scan",

@@ -318,15 +318,63 @@ FROM clusters c JOIN quality q ON q.doc_id = c.doc_id
 """
 
 
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each source shard,
+    documents are concatenated in doc_id order and cut into
+    PACK_BUDGET-token bins; each doc reports its bin and offset (docs
+    may straddle bins, as in GPT-style packing). The running sum is a
+    per-source window — packing parallelizes across shards exactly as
+    production pipelines pack per input file, no global order needed."""
+    docs = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.trim("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(n_toks).over(w) - n_toks
+    return docs.select(
+        "doc_id", "source",
+        n_toks.alias("n_tokens"),
+        F.floor(start / PACK_BUDGET).cast("long").alias("bin_id"),
+        (start % PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH counted AS (
+    SELECT doc_id, source,
+           LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_tokens
+    FROM documents
+), cum AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS start
+    FROM counted
+)
+SELECT doc_id, source, n_tokens,
+       (start // {PACK_BUDGET})::BIGINT AS bin_id,
+       (start % {PACK_BUDGET})::BIGINT AS bin_offset
+FROM cum
+"""
+
+
 QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_context_windows": doc_context_windows,
     "doc_policy_scan": doc_policy_scan,
     "dedup_keep_best": dedup_keep_best,
+    "corpus_pack_sequences": corpus_pack_sequences,
 }
 
 ORACLE_SQL = {
+    "corpus_pack_sequences": PACK_SEQUENCES_SQL,
     "corpus_sample_stratified": SAMPLE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "doc_context_windows": CONTEXT_WINDOWS_SQL,
