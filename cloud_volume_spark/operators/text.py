@@ -229,24 +229,41 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform over an index sequence, no Python UDF; fractions are
     ratios of exact integer counts rounded identically in the oracle."""
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    step = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    m = F.greatest(n - 1, F.lit(0))
+    # bigrams as zip_with over two slices: O(L) per doc. (The naive
+    # transform(sequence, i -> element_at(toks, i)...) form inlines the
+    # split into every lambda element after project collapse — O(L^2)
+    # per doc, 50x slower on real documents.)
+    bigrams = F.zip_with(
+        F.slice("toks", 1, m), F.slice("toks", 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    n_bi = F.size(bigrams)
-    dup_bi = n_bi - F.size(F.array_distinct(bigrams))
-    with_top = docs.select(
-        "doc_id", n.alias("n_tokens"), n_bi.alias("n_bigrams"),
-        dup_bi.alias("n_dup_bigrams"),
-        F.explode(toks).alias("tok"),
-    ).groupBy("doc_id", "n_tokens", "n_bigrams", "n_dup_bigrams", "tok").agg(
-        F.count(F.lit(1)).alias("c")
-    ).groupBy("doc_id", "n_tokens", "n_bigrams", "n_dup_bigrams").agg(
-        F.max("c").alias("top_tok")
+    # top-token share without an explode+groupBy shuffle: longest run
+    # of equal neighbors in the sorted token array, one fold per doc
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
-    return with_top.select(
+
+    def run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(
+        F.array_sort("toks"), acc0, run_step, lambda acc: acc["best"]
+    )
+    stats = step.select(
+        "doc_id", n.alias("n_tokens"),
+        F.size(bigrams).alias("n_bigrams"),
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+        .alias("n_dup_bigrams"),
+        top.alias("top_tok"),
+    )
+    return stats.select(
         "doc_id", "n_tokens",
         F.when(
             F.col("n_bigrams") > 0,
