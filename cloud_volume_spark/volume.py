@@ -1458,6 +1458,23 @@ class Volume:
         df.count()  # force materialization
         return df
 
+    def save_images(self, bbox_or_slices=None, mip: int = 0,
+                    directory: str | None = None, axis: str = "z",
+                    channel: int | None = None, global_norm: bool = True,
+                    image_format: str = "PNG") -> str:
+        """Cutout → per-slice image export (the reference's
+        ``vol[...]`` + ``save_images`` workflow, ``lib.py:1015-1118``):
+        materializes the region and writes one PNG/JPEG per slice via
+        :func:`cloud_volume_spark.images.save_images`; returns the
+        output directory."""
+        from cloud_volume_spark.images import save_images as _save
+
+        arr = self.cutout(bbox_or_slices, mip=mip)
+        return _save(
+            arr, directory=directory, axis=axis, channel=channel,
+            global_norm=global_norm, image_format=image_format,
+        )
+
     def shard_stats(self, mip: int = 0) -> DataFrame:
         """Per-slab chunk counts and byte sizes from the table alone —
         the ``ShardReader.list_labels``-style index-only statistics scan

@@ -93,3 +93,23 @@ def test_png_bytes_golden_stable(tmp_path):
         digest2 = hashlib.md5(f.read()).hexdigest()
     assert digest == digest2
     assert digest == "69159413c616ab10a4e8b62041ce69b2"
+
+
+def test_volume_save_images(spark, tmp_path):
+    """Volume cutout -> slice export end to end."""
+    from cloud_volume_spark import Bbox, Volume
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 255, (16, 12, 3, 1), dtype=np.uint8)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "v"), chunk_size=(8, 8, 4)
+    )
+    out = vol.save_images(
+        Bbox((0, 0, 0), (16, 12, 3)), directory=str(tmp_path / "imgs")
+    )
+    files = sorted(os.listdir(out))
+    assert files == [f"{i:05d}.png" for i in range(3)]
+    with open(os.path.join(out, "00001.png"), "rb") as f:
+        img = png_io.decode(f.read())
+    want = np.flipud(np.rot90(arr[:, :, 1, 0], 1))
+    assert np.array_equal(img.squeeze(), want)

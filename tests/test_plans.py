@@ -48,7 +48,8 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 
 def test_text_ops_stay_jvm_side(spark, sf_dir):
     for name in ["doc_token_stats", "doc_quality_score", "doc_fingerprint",
-                 "doc_langid", "dedup_exact", "minhash_signatures"]:
+                 "doc_langid", "doc_repetition", "corpus_pack_sequences",
+                 "dedup_exact", "minhash_signatures"]:
         plan = _plan(all_queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
