@@ -10,8 +10,10 @@ layer's parquet dataset.
 
 from cloud_volume_spark.streaming.windowed import (  # noqa: F401
     ingest_annotations_stream,
+    read_documents_stream,
     read_events_stream,
     session_window_stats,
+    streaming_exact_dedup,
     streaming_label_envelope,
     windowed_event_counts,
 )

@@ -206,3 +206,33 @@ def ingest_annotations_stream(layer, src_dir: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup
+# ---------------------------------------------------------------------------
+
+def read_documents_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a directory of documents parquet files
+    (schema probed from the files, as for events)."""
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_dir)
+    )
+
+
+def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Incremental exact dedup: the first document seen per content
+    hash passes, later duplicates are dropped — the streaming
+    counterpart of ``operators.dedup.dedup_exact`` for a corpus that
+    arrives file-by-file. ``dropDuplicates`` keeps one state row per
+    distinct hash (16-byte keys — bounded by corpus cardinality, not
+    stream length); cap state age with
+    ``withWatermark + dropDuplicatesWithinWatermark`` when the dedup
+    contract is time-bounded rather than global."""
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"])
+    )

@@ -166,3 +166,26 @@ def test_volume_jpeg_end_to_end(spark, tmp_path):
     out = vol.cutout(Bbox((0, 0, 0), (64, 64, 16)))
     d = np.abs(out.astype(int) - arr.astype(int))
     assert d.max() <= 15 and d.mean() <= 3.0
+
+
+def test_transfer_transcode_raw_to_jpeg(spark, tmp_path):
+    """Lossy transcode transfer (the reference's transcode strategy,
+    xfer.py + chunks.py transcode): raw uint8 volume re-encoded to
+    jpeg on copy, destination reads back within lossy tolerance."""
+    from cloud_volume_spark import Bbox, Volume
+
+    x, y, z = np.mgrid[0:32, 0:32, 0:8]
+    arr = (
+        100 + 70 * np.sin(x / 6.0) * np.cos(y / 5.0) + 6 * z
+    ).clip(0, 255).astype(np.uint8)[..., np.newaxis]
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "src"), chunk_size=(16, 16, 4),
+        layer_type="image",
+    )
+    dest = vol.transfer_to(
+        str(tmp_path / "dst"), encoding="jpeg", compression=None
+    )
+    assert dest.info.encoding(0) == "jpeg"
+    out = dest.cutout(Bbox((0, 0, 0), (32, 32, 8)))
+    d = np.abs(out.astype(int) - arr.astype(int))
+    assert d.max() <= 15 and d.mean() <= 3.0

@@ -170,3 +170,39 @@ def test_ingest_annotations_stream(spark, tmp_path):
     # grid-cell columns derived during the stream
     row = {r.id: r for r in layer.df().collect()}[2]
     assert (row.gx, row.gy, row.gz) == (3, 0, 1)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """First-seen-per-hash streaming dedup must pass exactly one doc
+    per distinct content hash — same hash set and count as the batch
+    exact dedup."""
+    from cloud_volume_spark.streaming import (
+        read_documents_stream, streaming_exact_dedup,
+    )
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(str(d), "part-0.parquet"),
+    )
+    stream = streaming_exact_dedup(read_documents_stream(spark, str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select content_hash from sdedup").toPandas()
+
+    batch = (
+        load(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+        .toPandas()
+    )
+    assert len(got) == len(batch)
+    assert set(got.content_hash) == set(batch.content_hash)
+    assert got.content_hash.is_unique
