@@ -146,3 +146,48 @@ def test_cseg_roundtrip_and_labels(dtype, shape, nlabels, seed):
     assert np.array_equal(back.reshape(shape), arr[..., 0])
     got = set(cseg.labels(blob, shape, np.dtype(dtype)).tolist())
     assert set(np.unique(arr).tolist()) == got
+
+
+# ---------------------------------------------------------------------------
+# codec properties: npz is lossless for any array; jpeg decode is total
+# on encoder output with bounded error for any uint8 image
+# ---------------------------------------------------------------------------
+
+@given(
+    st.tuples(
+        st.integers(1, 24), st.integers(1, 24), st.integers(1, 6),
+    ),
+    st.sampled_from(["uint8", "uint16", "uint32", "float32"]),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_npz_roundtrip_lossless(shape, dtype, seed):
+    from cloud_volume_spark import codecs
+
+    rng = np.random.default_rng(seed)
+    full = shape + (1,)
+    if dtype == "float32":
+        arr = rng.standard_normal(full).astype(dtype)
+    else:
+        arr = rng.integers(0, np.iinfo(dtype).max, full).astype(dtype)
+    blob = codecs.encode(arr, "npz")
+    assert np.array_equal(codecs.decode(blob, "npz", full, dtype), arr)
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.integers(1, 100), st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_decode_total_and_bounded(h, w, quality, seed):
+    from cloud_volume_spark import jpeg_io
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = jpeg_io.decode(jpeg_io.encode(img, quality))
+    assert out.shape == (h, w) and out.dtype == np.uint8
+    # error bounded by quantization: q<=100 keeps every coefficient
+    # within its table step; even pure noise stays within ~2x the
+    # largest Annex-K luma step at the chosen quality
+    if quality >= 95:
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
