@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "simhash_fingerprints",
     "ann_topk_cosine",
     "embedding_neardup_pairs",
+    "embedding_dedup_keep",
     "srp_ann_topk",
     "ivf_ann_topk",
     "embedding_kmeans",

@@ -236,28 +236,26 @@ CC_SMALL_EDGES = 1_000_000  # below this, driver union-find beats job rounds
                             # min-label propagation)
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clusters: connected components over the LSH
-    candidate-pair graph, labeled by the component's minimum doc_id
-    (the canonical document a dedup pipeline keeps). Docs with no
-    near-duplicate edge are their own singleton cluster.
+def connected_components(
+    spark: SparkSession, nodes: DataFrame, pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected components over an undirected pair graph, labeled by
+    each component's minimum node id; isolated nodes are their own
+    singleton component. ``nodes``: one column ``id_col``; ``pairs``:
+    columns (u, v). Returns (``id_col``, cluster_id).
 
-    Spark side: iterative min-label propagation — each round every doc
-    takes the min of its own label and its neighbors' labels, a
-    shuffle-join per round, converging in ≤ diameter rounds (the
-    simple form of the large-star/small-star CC algorithm; lineage is
-    truncated each round so plans stay bounded). DuckDB oracle: the
-    same fixpoint as a recursive CTE. This is the one operator in the
-    suite whose control flow is inherently iterative — the loop lives
-    in the driver, the data never leaves executors."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir).persist()
+    Small graphs (≤ CC_SMALL_EDGES edges, ~16 MB collected) run
+    union-find on the driver — exact same fixpoint, none of the
+    per-round job overhead. Larger graphs run iterative min-label
+    propagation: each round every node takes the min of its own label
+    and its neighbors', a shuffle-join per round converging in ≤
+    diameter rounds (the simple form of the large-star/small-star CC
+    algorithm; lineage is truncated each round so plans stay bounded),
+    failing loudly if MAX_CC_ITERS is exhausted."""
+    pairs = pairs.toDF("u", "v").persist()
 
     if pairs.count() <= CC_SMALL_EDGES:
-        # small-graph fast path: union-find on the driver (exact same
-        # fixpoint, none of the per-round job overhead); the broadcast
-        # mapping joins back onto the full doc set so singletons keep
-        # their own id
         parent: dict = {}
 
         def find(x):
@@ -269,7 +267,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             return root
 
         for r in pairs.collect():
-            ra, rb = find(r.doc_a), find(r.doc_b)
+            ra, rb = find(r.u), find(r.v)
             if ra != rb:
                 if ra < rb:
                     parent[rb] = ra
@@ -278,40 +276,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         mapping = [(x, find(x)) for x in list(parent)]
         pairs.unpersist()
         if not mapping:
-            return docs.select(
-                "doc_id", F.col("doc_id").alias("cluster_id")
+            return nodes.select(
+                id_col, F.col(id_col).alias("cluster_id")
             )
-        mdf = spark.createDataFrame(mapping, schema="doc_id long, comp long")
-        return docs.join(F.broadcast(mdf), "doc_id", "left").select(
-            "doc_id",
-            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        mdf = spark.createDataFrame(mapping, schema=f"{id_col} long, comp long")
+        return nodes.join(F.broadcast(mdf), id_col, "left").select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
         )
 
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        )
+        pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .persist()
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+    labels = nodes.select(id_col, F.col(id_col).alias("comp"))
     converged = False
     for _ in range(MAX_CC_ITERS):
         neigh = (
             edges.join(
                 labels.select(
-                    F.col("doc_id").alias("v"), F.col("comp").alias("vcomp")
+                    F.col(id_col).alias("v"), F.col("comp").alias("vcomp")
                 ),
                 "v",
             )
             .groupBy("u")
             .agg(F.min("vcomp").alias("ncomp"))
-            .withColumnRenamed("u", "doc_id")
+            .withColumnRenamed("u", id_col)
         )
         new = (
-            labels.join(neigh, "doc_id", "left")
+            labels.join(neigh, id_col, "left")
             .select(
-                "doc_id",
+                id_col,
                 F.least(
                     F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                 ).alias("comp"),
@@ -319,7 +314,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # materialize + truncate lineage
         )
         changed = (
-            new.join(labels.withColumnRenamed("comp", "old"), "doc_id")
+            new.join(labels.withColumnRenamed("comp", "old"), id_col)
             .where(F.col("comp") != F.col("old"))
             .count()
         )
@@ -334,13 +329,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # downstream (keep-best would keep multiple docs of one true
         # cluster) — fail loudly instead
         raise RuntimeError(
-            f"dedup_clusters: min-label propagation did not converge in "
-            f"{MAX_CC_ITERS} rounds; the candidate graph has a path "
+            f"connected_components: min-label propagation did not "
+            f"converge in {MAX_CC_ITERS} rounds; the graph has a path "
             f"longer than MAX_CC_ITERS — raise MAX_CC_ITERS (rounds "
             f"needed ~ graph diameter) or use alternating large/small-"
             f"star contraction for long-chain graphs"
         )
-    return labels.select("doc_id", F.col("comp").alias("cluster_id"))
+    return labels.select(id_col, F.col("comp").alias("cluster_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the LSH
+    candidate-pair graph, labeled by the component's minimum doc_id
+    (the canonical document a dedup pipeline keeps). Docs with no
+    near-duplicate edge are their own singleton cluster. DuckDB
+    oracle: the same fixpoint as a recursive CTE. The component loop
+    (the one inherently iterative control flow in the suite) lives in
+    :func:`connected_components` — the loop runs on the driver, the
+    data never leaves executors."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(spark, docs, pairs, "doc_id")
 
 
 # session-scoped materialized cluster maps: at 100 TB you compute the

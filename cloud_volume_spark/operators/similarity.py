@@ -221,6 +221,54 @@ SELECT id_a, id_b, sim FROM scored WHERE sim >= {NEARDUP_THRESHOLD}
 """
 
 
+def embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level dedup decision: connected components over the
+    near-duplicate pair graph (sim ≥ NEARDUP_THRESHOLD, banded
+    candidates + exact rerank), keep the minimum vec_id per component —
+    the embedding-space analog of ``dedup_keep_best``. Reuses the
+    shared :func:`~cloud_volume_spark.operators.dedup.connected_components`
+    engine (driver union-find small, min-label propagation large)."""
+    from cloud_volume_spark.operators.dedup import connected_components
+
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    cc = connected_components(spark, ids, pairs, "vec_id")
+    return cc.select(
+        "vec_id", "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("is_kept"),
+    )
+
+
+EMBEDDING_DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+), scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+                                     p -> p[1] * p[2]))
+             / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> x * x)))
+                * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> x * x)))),
+             6
+           ) AS sim
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+), pairs AS (
+    SELECT id_a, id_b FROM scored WHERE sim >= {NEARDUP_THRESHOLD}
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM pairs
+), walk (u, comp) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.u, w.comp FROM walk w JOIN edges e ON e.v = w.u
+)
+SELECT u AS vec_id, MIN(comp) AS cluster_id,
+       (u = MIN(comp))::INT AS is_kept
+FROM walk GROUP BY u
+"""
+
+
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: signed random projections (seed=42) hash each
     vector to an SRP_BITS bucket; queries search only their bucket,
@@ -605,6 +653,7 @@ KMEANS_SQL = _kmeans_sql()
 QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_dedup_keep": embedding_dedup_keep,
     "srp_ann_topk": srp_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_kmeans": embedding_kmeans,
@@ -613,6 +662,7 @@ QUERIES = {
 ORACLE_SQL = {
     "ann_topk_cosine": ANN_TOPK_SQL,
     "embedding_neardup_pairs": NEARDUP_SQL,
+    "embedding_dedup_keep": EMBEDDING_DEDUP_KEEP_SQL,
     "srp_ann_topk": SRP_ANN_SQL,
     "ivf_ann_topk": IVF_ANN_SQL,
     "embedding_kmeans": KMEANS_SQL,

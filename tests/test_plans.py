@@ -180,3 +180,42 @@ def test_neardup_recall_at_threshold_band(spark, tmp_path):
     weak = {p for p in want if round(simm[ids.index(p[0]), ids.index(p[1])], 6) < 0.90}
     assert len(weak) >= 8
     assert got == want
+
+
+def test_embedding_dedup_keep_planted_components(spark, tmp_path):
+    """Planted near-dup chains: keep exactly one representative (the
+    min id) per connected component, singletons keep themselves."""
+    import pandas as pd
+    from cloud_volume_spark.operators import similarity as S
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.standard_normal(S.DIM)) for i in range(20)]
+    # a 3-chain: u~v~w with sim(u,w) below threshold
+    u = rng.standard_normal(S.DIM)
+    u /= np.linalg.norm(u)
+    w1 = rng.standard_normal(S.DIM)
+    w1 -= (w1 @ u) * u
+    w1 /= np.linalg.norm(w1)
+    s = 0.85
+    v = s * u + np.sqrt(1 - s * s) * w1
+    w = s * v + np.sqrt(1 - s * s) * (u - (u @ v) * v) / np.linalg.norm(
+        u - (u @ v) * v
+    )
+    rows += [(100, u), (101, v), (102, w)]
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [np.asarray(r[1], dtype=np.float32).tolist() for r in rows],
+         "label": 0}
+    )
+    sf = tmp_path / "sfkeep"
+    sf.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(sf / "embeddings.parquet"))
+
+    out = {r.vec_id: (r.cluster_id, r.is_kept)
+           for r in S.embedding_dedup_keep(spark, str(sf)).collect()}
+    assert out[100] == (100, 1)
+    assert out[101][0] == 100 and out[101][1] == 0
+    assert out[102][0] == 100 and out[102][1] == 0
+    # background vectors are singletons keeping themselves
+    for i in range(20):
+        assert out[i] == (i, 1)
