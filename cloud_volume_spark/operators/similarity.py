@@ -583,6 +583,9 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             sq = F.least(dcols[cids[idx]], sq)
         return df.withColumn("cluster", cluster).withColumn("sq_dist", sq)
 
+    # per-round means via posexplode + (cluster, pos) partial-agg: the
+    # shuffle moves only partial aggregates (partitions × k × DIM rows)
+    # — identical volume to a DIM-column agg, measured faster locally
     for _ in range(KMEANS_ITERS):
         means = (
             assign(emb, cents)
