@@ -61,11 +61,8 @@ def test_query_matches_oracle(name, spark, sf_dir, ddb):
 
 
 def test_all_queries_have_entries():
-    # every oracle has a query; queries without oracle are the declared
-    # non-SQL-expressible set
-    assert set(ORACLES) <= set(QUERIES)
-    no_oracle = set(QUERIES) - set(ORACLES)
-    assert no_oracle <= {
-        "mm_image_features", "mm_image_resize",
-        "mm_video_frame_sample", "mm_audio_features",
-    }
+    # every oracle has a query AND every query has an oracle: since the
+    # FakeCodec stream moved to hex-md5 keys (round 4), even the
+    # multimodal decode paths are SQL-expressible — nothing ships
+    # without a cross-engine check
+    assert set(ORACLES) == set(QUERIES)
