@@ -76,7 +76,15 @@ ENCODINGS = (
 # second-stage stream compression applied after encoding
 # (reference: cloudfiles compress= plumbing; should_compress
 #  datasource/precomputed/common.py:18-29)
-COMPRESSIONS = (None, "", "gzip", "zlib")
+COMPRESSIONS = (None, "", "gzip", "zlib", "br")
+
+try:  # pragma: no cover - optional dep (reference: cloudfiles br support)
+    import brotli
+
+    HAS_BROTLI = True
+except ImportError:  # pragma: no cover
+    brotli = None
+    HAS_BROTLI = False
 
 
 class EncodingUnavailable(RuntimeError):
@@ -98,6 +106,13 @@ def compress_stream(data: bytes, method: Optional[str]) -> bytes:
         return buf.getvalue()
     if method == "zlib":
         return zlib.compress(data)
+    if method == "br":
+        if not HAS_BROTLI:
+            raise EncodingUnavailable(
+                "brotli second-stage compression requires the brotli "
+                "package; use gzip/zlib in this environment"
+            )
+        return brotli.compress(data)
     raise ValueError(f"Unknown compression: {method}")
 
 
@@ -108,6 +123,13 @@ def decompress_stream(data: bytes, method: Optional[str]) -> bytes:
         return gzip.decompress(data)
     if method == "zlib":
         return zlib.decompress(data)
+    if method == "br":
+        if not HAS_BROTLI:
+            raise EncodingUnavailable(
+                "this chunk is brotli-compressed but the brotli package "
+                "is not installed"
+            )
+        return brotli.decompress(data)
     raise ValueError(f"Unknown compression: {method}")
 
 

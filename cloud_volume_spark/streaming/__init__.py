@@ -4,8 +4,10 @@ The reference has no streaming semantics at all (SURVEY.md §2.4 —
 zarr's ``t`` axis is a stored dimension, batch-read only). These
 operators extend the engine with incremental ingestion over the same
 event tables: windowed aggregation with watermarks, session windows,
-and a streaming annotation-ingest path that appends to an annotation
-layer's parquet dataset.
+streaming exact dedup (first-seen per content hash), a custom stateful
+label-envelope maintainer (applyInPandasWithState), and a streaming
+annotation-ingest path that appends to an annotation layer's parquet
+dataset.
 """
 
 from cloud_volume_spark.streaming.windowed import (  # noqa: F401

@@ -116,3 +116,19 @@ def test_npz_no_second_stage():
 
     assert codecs.should_compress("npz", "image") is None
     assert codecs.should_compress("npz_uint8", "image") is None
+
+
+def test_brotli_second_stage_gated():
+    from cloud_volume_spark import codecs
+
+    if codecs.HAS_BROTLI:
+        data = b"chunk payload " * 100
+        assert codecs.decompress_stream(
+            codecs.compress_stream(data, "br"), "br"
+        ) == data
+    else:
+        import pytest as _pytest
+        with _pytest.raises(codecs.EncodingUnavailable, match="brotli"):
+            codecs.compress_stream(b"x", "br")
+        with _pytest.raises(codecs.EncodingUnavailable, match="brotli"):
+            codecs.decompress_stream(b"x", "br")
