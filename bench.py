@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_revenue_forecast",
+    "q7_nation_trade",
+    "q10_returned_items",
     "top_customers_per_nation",
     "rollup_revenue",
     "events_running_total",

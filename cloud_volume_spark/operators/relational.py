@@ -742,7 +742,116 @@ FROM counts
 """
 
 
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: bilateral trade volume between supplier and
+    customer nations by ship year. The two nation joins broadcast (25
+    rows); the lineitem–orders join is the one real shuffle. Pair
+    selection uses name ordering (supp < cust) instead of the spec's
+    fixture-specific nation constants so it runs on any nation set."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       YEAR(l_shipdate)::BIGINT AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: top-20 customers by revenue lost to returned
+    items — join-heavy aggregation plus a deterministic top-k (rounded
+    revenue desc, custkey asc)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+    )
+
+
+Q10_SQL = """
+WITH agg AS (
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+)
+SELECT *
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY revenue DESC, c_custkey ASC
+    ) AS rnk
+    FROM agg
+)
+WHERE rnk <= 20
+"""
+
+
 QUERIES.update({
+    "q7_nation_trade": q7_nation_trade,
+    "q10_returned_items": q10_returned_items,
     "customers_without_orders": customers_without_orders,
     "orders_above_customer_avg": orders_above_customer_avg,
     "urgent_orders_with_lineitems": urgent_orders_with_lineitems,
@@ -754,6 +863,8 @@ QUERIES.update({
 })
 
 ORACLE_SQL.update({
+    "q7_nation_trade": Q7_SQL,
+    "q10_returned_items": Q10_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
     "urgent_orders_with_lineitems": URGENT_ORDERS_SQL,
