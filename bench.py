@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q6_revenue_forecast",
     "q7_nation_trade",
     "q10_returned_items",
+    "q14_promo_revenue",
     "top_customers_per_nation",
     "rollup_revenue",
     "events_running_total",

@@ -849,8 +849,49 @@ WHERE rnk <= 20
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: promo revenue share for one ship month — a
+    part⨝lineitem join feeding a conditional-aggregate ratio. Parity
+    convention: the ratio is computed from integer-cent sums (exact in
+    any order), one float division + round at the end."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = load(spark, sf_dir, "part")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", 1).otherwise(0)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(cents * promo).alias("promo_cents"),
+        F.sum(cents).alias("total_cents"),
+        F.round(
+            F.sum(cents * promo) * 100 / F.sum(cents), 4
+        ).alias("promo_share_pct"),
+    )
+
+
+Q14_SQL = """
+SELECT SUM(cents * promo)::BIGINT AS promo_cents,
+       SUM(cents)::BIGINT AS total_cents,
+       ROUND(SUM(cents * promo) * 100 / SUM(cents)::DOUBLE, 4)
+           AS promo_share_pct
+FROM (
+    SELECT FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT
+               AS cents,
+           CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
+    "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
     "customers_without_orders": customers_without_orders,
     "orders_above_customer_avg": orders_above_customer_avg,
@@ -864,6 +905,7 @@ QUERIES.update({
 
 ORACLE_SQL.update({
     "q7_nation_trade": Q7_SQL,
+    "q14_promo_revenue": Q14_SQL,
     "q10_returned_items": Q10_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
