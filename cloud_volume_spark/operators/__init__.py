@@ -11,8 +11,13 @@ from cloud_volume_spark.operators import (  # noqa: F401
 )
 from cloud_volume_spark import multimodal
 
+# Registration order matters: the correctness driver validates the first 50
+# registered queries, so the least-locally-verifiable families (multimodal,
+# corpus — incl. corpus_pack_sequences) go first.  The queries that fall
+# outside the window rotate per round; everything is additionally covered by
+# tests/test_oracle_parity.py, which runs ALL queries against DuckDB.
 ALL_MODULES = [
-    relational, voxel_rel, text, dedup, similarity, corpus, multimodal,
+    multimodal, corpus, similarity, dedup, text, voxel_rel, relational,
 ]
 
 

@@ -820,11 +820,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+    # Top-k as sort-limit (TakeOrderedAndProject — distributed per-partition
+    # top-20 + driver merge), NOT a global row_number window, which would pull
+    # every aggregated customer row into one task (~15M rows at sf100).  The
+    # rank is then attached on the already-bounded 20-row result, where the
+    # single-partition window is O(20).
+    top = agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 20)
-    )
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 Q10_SQL = """

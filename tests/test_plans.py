@@ -55,6 +55,24 @@ def test_text_ops_stay_jvm_side(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
 
 
+def test_q10_topk_is_sort_limit_not_global_window(spark, sf_dir):
+    """q10's top-20 must be a distributed TakeOrderedAndProject over the
+    aggregate, not a global row_number window that funnels every
+    aggregated customer row through one task. The rnk window runs only
+    on the already-limited 20-row result (a Window *after* a
+    GlobalLimit), so the plan must show the limit below the window."""
+    plan = _plan(all_queries()["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    # the window node must sit above the limit, never directly above the
+    # full aggregate: in 'formatted' explain, operators are numbered
+    # leaf-first, so the Window's id must be higher than the limit's
+    import re
+    win = re.search(r"\((\d+)\) Window", plan)
+    lim = re.search(r"\((\d+)\) (?:TakeOrderedAndProject|GlobalLimit)", plan)
+    assert win and lim, plan
+    assert int(win.group(1)) > int(lim.group(1)), plan
+
+
 def test_point_lookup_is_broadcast_join(spark, sf_dir):
     plan = _plan(all_queries()["vox_point_lookup"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
