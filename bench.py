@@ -200,6 +200,12 @@ def main() -> None:
     from pyspark.sql.window import Window as SW
     from cloud_volume_spark.operators import all_queries
     all_queries()["q6_revenue_forecast"](spark, sf_dir).collect()
+    # the 64-way SUM(CASE) simhash aggregate takes ~8-10 s of one-time
+    # whole-stage-codegen (Janino) compilation at that expression count;
+    # run the query once so the timed pass measures the data path, not
+    # the compiler (generated classes are cached per source)
+    all_queries()["simhash_fingerprints"](spark, sf_dir) \
+        .write.format("noop").mode("overwrite").save()
     (
         spark.range(64)
         .repartition(64)

@@ -38,9 +38,22 @@ def _normalize_float(img: np.ndarray) -> np.ndarray:
 def _encode_slice(img2d: np.ndarray, image_format: str) -> bytes:
     fmt = image_format.upper()
     if fmt == "JPEG":
-        if img2d.dtype != np.uint8:
-            img2d = _normalize_float(img2d.astype(np.float64))
-        return jpeg_io.encode(img2d)
+        if img2d.dtype == np.dtype(np.uint8):
+            return jpeg_io.encode(img2d)
+        if img2d.dtype == np.dtype(np.uint16):
+            # fixed dtype-based mapping (high byte), NOT per-slice
+            # min-max: identical voxel values must encode to identical
+            # pixels across slices and volumes
+            return jpeg_io.encode((img2d >> 8).astype(np.uint8))
+        if np.issubdtype(img2d.dtype, np.floating):
+            # floats are explicitly normalized (volume-wide upstream
+            # when global_norm, else per slice) — same rule as PNG
+            return jpeg_io.encode(_normalize_float(img2d.astype(np.float64)))
+        raise ValueError(
+            f"JPEG export does not support dtype {img2d.dtype}: JPEG is "
+            "lossy and has no defined mapping for label volumes — use "
+            "image_format='PNG' (RGBA label mapping) instead"
+        )
     if fmt != "PNG":
         raise ValueError(
             f"unsupported image_format {image_format!r}: PNG and JPEG "

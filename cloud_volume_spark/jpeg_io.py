@@ -455,6 +455,13 @@ def decode(blob: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them before reading the marker code (the
+        # libjpeg next_marker loop), else 0xFF 0xFF <marker> misparses.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            break
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

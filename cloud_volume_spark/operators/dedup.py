@@ -18,6 +18,8 @@ pairs that share a shingle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cloud_volume_spark.operators.common import load
@@ -356,19 +358,53 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # component labeling once, write it to a table, and every downstream
 # consumer (keep-best, reporting, re-sharding) joins that table — it is
 # never re-derived from raw text per consumer. In-process, the analog
-# is a persisted DataFrame keyed by (application, sf_dir).
+# is a persisted DataFrame keyed by (application, dataset fingerprint).
 _CLUSTER_CACHE: dict = {}
+_CLUSTER_CACHE_MAX = 8
+
+
+def _dataset_fingerprint(sf_dir: str) -> tuple:
+    """Identity of the documents table including content version, so a
+    rewrite of the parquet under the same path invalidates the cache."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
+
+
+def clear_cluster_cache() -> None:
+    """Unpersist and drop every cached cluster map (call on session
+    stop, or from tests)."""
+    while _CLUSTER_CACHE:
+        _, df = _CLUSTER_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 def materialized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster map with compute-once semantics per (session, dataset).
     First call builds and persists the labeling; later calls (including
     from other operators, e.g. ``dedup_keep_best``) reuse the cached
-    map, so composite pipelines pay the shingle→LSH→CC cost once."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    map, so composite pipelines pay the shingle→LSH→CC cost once.
+    Bounded: oldest entries are unpersisted and evicted beyond
+    ``_CLUSTER_CACHE_MAX``; entries from other (stopped) applications
+    are evicted eagerly."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, _dataset_fingerprint(sf_dir))
     df = _CLUSTER_CACHE.get(key)
     if df is not None:
         return df
+    # entries keyed to a different applicationId belong to a stopped
+    # session — their persisted blocks are gone; drop the references
+    for k in [k for k in _CLUSTER_CACHE if k[0] != app_id]:
+        _CLUSTER_CACHE.pop(k)
+    while len(_CLUSTER_CACHE) >= _CLUSTER_CACHE_MAX:
+        oldest = next(iter(_CLUSTER_CACHE))
+        _CLUSTER_CACHE.pop(oldest).unpersist()
     df = dedup_clusters(spark, sf_dir).persist()
     df.count()  # materialize eagerly: consumers join a built map
     _CLUSTER_CACHE[key] = df

@@ -39,10 +39,26 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     ``nanosAsLong``), current ones timestamp[us] — support both rather
     than hard-coding a unit.
     """
+    try:
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        prior = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_is_long = isinstance(
         spark.read.parquet(src_dir).schema["ts"].dataType, LongType
     )
+    if not ts_is_long:
+        # restore: the stream doesn't need the legacy conf, so don't
+        # leave a session-global toggle behind as a probe side effect
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+    # else: the conf stays set for the session — the parquet reader
+    # needs it for the lifetime of the ns-unit stream, not only the
+    # probe; callers mixing ns-event streams with other TIMESTAMP(NANOS)
+    # batch reads in one session inherit BIGINT-ns there too (documented
+    # session-level requirement rather than a silent per-read toggle)
     stream = (
         spark.readStream
         .schema(_events_schema(LongType() if ts_is_long else TimestampType()))

@@ -34,3 +34,25 @@ def test_materialized_clusters_is_compute_once(spark, sf_dir):
     b = dedup.materialized_clusters(spark, sf_dir)
     assert a is b
     assert _labels(a) == _labels(dedup.dedup_clusters(spark, sf_dir))
+
+
+def test_cluster_cache_evicts_and_unpersists(spark, sf_dir, monkeypatch):
+    """The materialized-cluster cache is bounded: beyond
+    _CLUSTER_CACHE_MAX the oldest entry is unpersisted and dropped."""
+    from cloud_volume_spark.operators import dedup
+    dedup.clear_cluster_cache()
+    monkeypatch.setattr(dedup, "_CLUSTER_CACHE_MAX", 2)
+    app = spark.sparkContext.applicationId
+    d1 = spark.range(1).persist()
+    d1.count()
+    d2 = spark.range(2).persist()
+    d2.count()
+    dedup._CLUSTER_CACHE[(app, ("x", 0, 0))] = d1
+    dedup._CLUSTER_CACHE[(app, ("y", 0, 0))] = d2
+    df = dedup.materialized_clusters(spark, sf_dir)
+    assert df is dedup.materialized_clusters(spark, sf_dir)  # cache hit
+    assert (app, ("x", 0, 0)) not in dedup._CLUSTER_CACHE  # oldest out
+    assert not d1.storageLevel.useMemory  # and unpersisted
+    assert d2.storageLevel.useMemory  # newer synthetic entry survives
+    dedup.clear_cluster_cache()
+    assert not df.storageLevel.useMemory

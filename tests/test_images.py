@@ -113,3 +113,25 @@ def test_volume_save_images(spark, tmp_path):
         img = png_io.decode(f.read())
     want = np.flipud(np.rot90(arr[:, :, 1, 0], 1))
     assert np.array_equal(img.squeeze(), want)
+
+
+def test_uint16_jpeg_fixed_mapping(tmp_path):
+    """uint16 JPEG export uses a fixed high-byte mapping, not
+    data-dependent min-max: the same voxel value must produce the same
+    pixel regardless of what else is in the slice."""
+    from cloud_volume_spark import jpeg_io
+    a = np.full((16, 16, 1), 0x3700, dtype=np.uint16)
+    b = a.copy()
+    b[0, 0, 0] = 0xFFFF  # different slice max must not rescale others
+    out_a = save_images(a, str(tmp_path / "a"), axis="z", image_format="JPEG")
+    out_b = save_images(b, str(tmp_path / "b"), axis="z", image_format="JPEG")
+    img_a = jpeg_io.decode(open(os.path.join(out_a, "00000.jpeg"), "rb").read())
+    img_b = jpeg_io.decode(open(os.path.join(out_b, "00000.jpeg"), "rb").read())
+    assert abs(int(img_a[8, 8]) - 0x37) <= 4
+    assert abs(int(img_b[8, 8]) - 0x37) <= 4
+
+
+def test_label_jpeg_raises(tmp_path):
+    arr = np.arange(16, dtype=np.uint32).reshape(4, 4, 1)
+    with pytest.raises(ValueError, match="JPEG export does not support"):
+        save_images(arr, str(tmp_path / "l"), axis="z", image_format="JPEG")

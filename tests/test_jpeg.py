@@ -189,3 +189,26 @@ def test_transfer_transcode_raw_to_jpeg(spark, tmp_path):
     out = dest.cutout(Bbox((0, 0, 0), (32, 32, 8)))
     d = np.abs(out.astype(int) - arr.astype(int))
     assert d.max() <= 15 and d.mean() <= 3.0
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code; the decoder must not treat a fill 0xFF as the marker."""
+    img = _smooth(24, 24)
+    blob = jpeg_io.encode(img, quality=90)
+    # inject fill bytes before every non-entropy marker after SOI
+    out = bytearray(blob[:2])
+    pos = 2
+    # headers run until SOS; pad each marker there with 0xFF 0xFF
+    while pos < len(blob):
+        assert blob[pos] == 0xFF
+        marker = blob[pos + 1]
+        out += b"\xFF\xFF" + blob[pos:pos + 2]
+        seglen = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+        out += blob[pos + 2:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDA:  # SOS: rest is entropy-coded + EOI
+            out += blob[pos:]
+            break
+    padded = jpeg_io.decode(bytes(out))
+    assert np.array_equal(padded, jpeg_io.decode(blob))
