@@ -231,7 +231,11 @@ WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared)::DOUBLE >= {JACCARD_THRESHOLD}
 """
 
 
-MAX_CC_ITERS = 20  # ≥ graph diameter in label-propagation rounds
+MAX_CC_ITERS = 20   # outer propagation rounds; with pointer jumping each
+                    # round covers exponentially growing distance, so 20
+                    # handles diameters far beyond any real dedup graph
+MAX_CC_JUMPS = 16   # inner pointer-jumping steps per round (each doubles
+                    # the distance a label has traveled: 2^16 per round)
 CC_SMALL_EDGES = 1_000_000  # below this, driver union-find beats job rounds
                             # (~16 MB of edge rows collected — comfortably
                             # inside driver memory; above it, distributed
@@ -249,12 +253,17 @@ def connected_components(
 
     Small graphs (≤ CC_SMALL_EDGES edges, ~16 MB collected) run
     union-find on the driver — exact same fixpoint, none of the
-    per-round job overhead. Larger graphs run iterative min-label
-    propagation: each round every node takes the min of its own label
-    and its neighbors', a shuffle-join per round converging in ≤
-    diameter rounds (the simple form of the large-star/small-star CC
-    algorithm; lineage is truncated each round so plans stay bounded),
-    failing loudly if MAX_CC_ITERS is exhausted."""
+    per-round job overhead. Larger graphs run min-label propagation
+    accelerated by pointer jumping: each outer round every node takes
+    the min of its own label and its neighbors' (one shuffle join),
+    then labels are repeatedly composed with themselves
+    (``comp ← comp(comp)``, the shortcutting step of star-contraction /
+    Kiveris et al. "Connected Components in MapReduce and Beyond"),
+    which doubles per step the distance a min label has traveled — a
+    path of length L collapses in ~log2(L) jumps instead of L
+    propagation rounds. Lineage is truncated every step so plans stay
+    bounded; fails loudly if MAX_CC_ITERS is exhausted (unreachable
+    below diameter ~2**(MAX_CC_ITERS·MAX_CC_JUMPS))."""
     pairs = pairs.toDF("u", "v").persist()
 
     if pairs.count() <= CC_SMALL_EDGES:
@@ -315,6 +324,35 @@ def connected_components(
             )
             .localCheckpoint()  # materialize + truncate lineage
         )
+        # pointer jumping: comp ← comp(comp) against the *updated*
+        # mapping, so each step doubles the hop distance already
+        # folded into the labels (u→u-2, then u-4, u-8, …)
+        for _j in range(MAX_CC_JUMPS):
+            jumped = (
+                new.join(
+                    new.select(
+                        F.col(id_col).alias("comp"),
+                        F.col("comp").alias("cc2"),
+                    ),
+                    "comp",
+                    "left",
+                )
+                .select(
+                    id_col,
+                    F.least(
+                        F.col("comp"), F.coalesce("cc2", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint()
+            )
+            n_jumped = (
+                jumped.join(new.withColumnRenamed("comp", "old"), id_col)
+                .where(F.col("comp") != F.col("old"))
+                .count()
+            )
+            new = jumped
+            if n_jumped == 0:
+                break
         changed = (
             new.join(labels.withColumnRenamed("comp", "old"), id_col)
             .where(F.col("comp") != F.col("old"))
@@ -331,11 +369,10 @@ def connected_components(
         # downstream (keep-best would keep multiple docs of one true
         # cluster) — fail loudly instead
         raise RuntimeError(
-            f"connected_components: min-label propagation did not "
-            f"converge in {MAX_CC_ITERS} rounds; the graph has a path "
-            f"longer than MAX_CC_ITERS — raise MAX_CC_ITERS (rounds "
-            f"needed ~ graph diameter) or use alternating large/small-"
-            f"star contraction for long-chain graphs"
+            f"connected_components: label propagation with pointer "
+            f"jumping did not converge in {MAX_CC_ITERS} rounds "
+            f"(covers diameters beyond 2**{MAX_CC_ITERS * MAX_CC_JUMPS})"
+            f" — raise MAX_CC_ITERS / MAX_CC_JUMPS"
         )
     return labels.select(id_col, F.col("comp").alias("cluster_id"))
 

@@ -56,3 +56,32 @@ def test_cluster_cache_evicts_and_unpersists(spark, sf_dir, monkeypatch):
     assert d2.storageLevel.useMemory  # newer synthetic entry survives
     dedup.clear_cluster_cache()
     assert not df.storageLevel.useMemory
+
+
+def test_chain_graph_converges_via_pointer_jumping(spark, monkeypatch):
+    """A 50-node path graph has diameter 49 — plain min-label
+    propagation would need 49 rounds (> MAX_CC_ITERS) but pointer
+    jumping collapses it in ~log2(49) label compositions. The labeling
+    must still match the driver union-find answer (everything in one
+    component labeled by the min id)."""
+    monkeypatch.setattr(dedup, "CC_SMALL_EDGES", -1)
+    n = 50
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    out = _labels(dedup.connected_components(spark, nodes, pairs))
+    assert out == {(i, 0) for i in range(n)}
+
+
+def test_two_chains_and_singleton(spark, monkeypatch):
+    monkeypatch.setattr(dedup, "CC_SMALL_EDGES", -1)
+    nodes = spark.createDataFrame([(i,) for i in range(61)], "doc_id long")
+    pairs = spark.createDataFrame(
+        # chain 0..29 wired high-to-low, chain 30..59 low-to-high, 60 isolated
+        [(i + 1, i) for i in range(29)] + [(i, i + 1) for i in range(30, 59)],
+        "u long, v long",
+    )
+    out = _labels(dedup.connected_components(spark, nodes, pairs))
+    want = {(i, 0) for i in range(30)} | {(i, 30) for i in range(30, 60)} | {(60, 60)}
+    assert out == want
