@@ -184,6 +184,46 @@ def bench_volume(spark) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_spatial_index(spark) -> dict:
+    """Distributed spatial-index build — the headline BASELINE.md claim
+    (reference docstring, ``spatial_index.py:680-684``: ~140k .spatial
+    JSON files take >1 hour to bulk-load into a 42 GB SQLite database;
+    the gate is beating that by ≥10x). Here: synthesize 20M labeled
+    points over 1M distinct labels JVM-side, then one groupBy + sorted
+    parquet write builds the whole queryable index."""
+    from pyspark.sql import functions as SF
+
+    from cloud_volume_spark.spatial_index import SpatialIndex
+
+    n_points, n_labels, space = 20_000_000, 1_000_000, 16384
+    base = tempfile.mkdtemp(prefix="cvs_spatial_")
+    try:
+        pts = spark.range(n_points).select(
+            (SF.col("id") % n_labels).alias("label"),
+            (SF.abs(SF.hash("id", SF.lit(1))) % space).cast("double").alias("x"),
+            (SF.abs(SF.hash("id", SF.lit(2))) % space).cast("double").alias("y"),
+            (SF.abs(SF.hash("id", SF.lit(3))) % space).cast("double").alias("z"),
+        )
+        idx = SpatialIndex(spark, base, cell_size=(512.0, 512.0, 512.0))
+        t0 = time.perf_counter()
+        idx.build_from_points(pts)
+        build_sec = time.perf_counter() - t0
+        index_rows = idx.df().count()
+        size_mb = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(idx.data_path) for f in fs
+        ) / 1e6
+        return {
+            "points": n_points,
+            "labels": n_labels,
+            "build_sec": round(build_sec, 3),
+            "index_rows": index_rows,
+            "index_mb": round(size_mb, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from cloud_volume_spark.session import get_spark
 
@@ -226,6 +266,7 @@ def main() -> None:
     t_total = time.perf_counter()
     times = bench_queries(spark, sf_dir)
     vol_stats = bench_volume(spark)
+    spatial_stats = bench_spatial_index(spark)
     total = round(time.perf_counter() - t_total, 3)
 
     print(json.dumps({
@@ -235,6 +276,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "volume": vol_stats,
+        "spatial_index": spatial_stats,
     }))
 
 
