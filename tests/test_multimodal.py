@@ -175,3 +175,74 @@ def test_audio_features_exact_oracle(spark):
     # sanity vs the per-sample float32 normalization (decode_audio path)
     x = (raw.astype(np.float32) - 127.5) / 127.5
     assert abs(r.rms - float(np.sqrt((x.astype(np.float64) ** 2).mean()))) < 1e-6
+
+
+@pytest.fixture()
+def real_assets(spark, rng):
+    """Assets whose blobs are ACTUAL encoded images (pure-Python PNG and
+    JPEG encoders), so decode='real' exercises a genuine decode."""
+    from cloud_volume_spark import jpeg_io, png_io
+
+    imgs, rows = {}, []
+    # smooth gradient (JPEG-friendly) and noise (PNG exact)
+    y, x = np.mgrid[0:48, 0:64]
+    grad = np.stack(
+        [(x * 2) % 256, (y * 3) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+    gray = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    imgs[0] = grad
+    rows.append((0, "image", png_io.encode(grad), "png", 64, 48, None, None))
+    imgs[1] = noise
+    rows.append((1, "image", png_io.encode(noise), "png", 40, 32, None, None))
+    imgs[2] = np.stack([gray] * 3, axis=-1)
+    rows.append((2, "image", png_io.encode(gray), "png", 24, 24, None, None))
+    imgs[3] = grad  # lossy — compared with tolerance
+    rows.append(
+        (3, "image", jpeg_io.encode(grad, quality=95), "jpeg", 64, 48, None, None)
+    )
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA), imgs
+
+
+def test_real_decode_image_features(real_assets):
+    assets, imgs = real_assets
+    got = {r.asset_id: r for r in image_features(assets, decode="real").collect()}
+    assert len(got) == 4
+    for aid in (0, 1, 2):  # PNG: lossless, features must match exactly
+        img = imgs[aid]
+        luma = img.astype(np.float64).mean(axis=2)
+        assert abs(got[aid].mean_luma - luma.mean()) < 1e-9
+        assert abs(got[aid].aspect_ratio - img.shape[1] / img.shape[0]) < 1e-9
+    # JPEG of a smooth gradient: decoded luma close to the source
+    luma = imgs[3].astype(np.float64).mean(axis=2)
+    assert abs(got[3].mean_luma - luma.mean()) < 2.0
+
+
+def test_real_decode_image_resize(real_assets):
+    assets, imgs = real_assets
+    out = {
+        r.asset_id: r
+        for r in image_resize(assets, 16, 12, decode="real").collect()
+    }
+    img = imgs[1]  # PNG noise: resize must equal numpy nearest-neighbor
+    h, w = img.shape[:2]
+    ys = (np.arange(12) * h // 12).astype(np.int64)
+    xs = (np.arange(16) * w // 16).astype(np.int64)
+    want = img[np.ix_(ys, xs)]
+    got = np.frombuffer(out[1].pixels, dtype=np.uint8).reshape(12, 16, 3)
+    assert np.array_equal(got, want)
+
+
+def test_real_decode_unknown_magic_raises():
+    from cloud_volume_spark.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError, match="unrecognized image magic"):
+        decode_image_real(b"\x00\x01\x02\x03 not an image")
+
+
+def test_fake_queries_unchanged_by_real_path(assets):
+    """The registered mm_* queries stay on the FakeCodec stream: default
+    decode must be 'fake' and produce the oracle-parity values."""
+    a = image_features(assets).collect()
+    b = image_features(assets, decode="fake").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
