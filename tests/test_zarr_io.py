@@ -173,3 +173,89 @@ def test_transpose_codec_external_layout(rng):
     ]
     back = decode_zarr3_chunk(external, codecs_list, "uint8", (3, 4, 5))
     assert np.array_equal(back, arr)
+
+
+SHARD_CODECS = [{
+    "name": "sharding_indexed",
+    "configuration": {
+        "chunk_shape": [1, 8, 8, 8],
+        "codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "gzip", "configuration": {"level": 5}},
+        ],
+        "index_codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "crc32c"},
+        ],
+        "index_location": "end",
+    },
+}]
+
+
+def test_sharding_indexed_chunk_roundtrip(rng):
+    from cloud_volume_spark.zarr_io import decode_zarr3_chunk, encode_zarr3_chunk
+    arr = rng.integers(0, 65535, size=(1, 16, 16, 16)).astype(np.uint16)
+    blob = encode_zarr3_chunk(arr, SHARD_CODECS)
+    out = decode_zarr3_chunk(blob, SHARD_CODECS, np.uint16, (1, 16, 16, 16))
+    assert np.array_equal(out, arr)
+
+
+def test_sharding_indexed_elides_fill_chunks(rng):
+    from cloud_volume_spark.zarr_io import decode_zarr3_chunk, encode_zarr3_chunk
+    arr = np.zeros((1, 16, 16, 16), dtype=np.uint16)
+    arr[0, :8, :8, :8] = rng.integers(1, 100, size=(8, 8, 8))
+    full = encode_zarr3_chunk(arr, SHARD_CODECS)
+    elided = encode_zarr3_chunk(arr, SHARD_CODECS, fill_value=0)
+    assert len(elided) < len(full)  # 7 of 8 inner chunks dropped
+    out = decode_zarr3_chunk(elided, SHARD_CODECS, np.uint16, (1, 16, 16, 16))
+    assert np.array_equal(out, arr)  # missing chunks -> fill_value
+
+
+def test_sharding_indexed_index_location_start(rng):
+    from cloud_volume_spark.zarr_io import decode_zarr3_chunk, encode_zarr3_chunk
+    import copy
+    codecs = copy.deepcopy(SHARD_CODECS)
+    codecs[0]["configuration"]["index_location"] = "start"
+    arr = rng.integers(0, 255, size=(1, 8, 16, 8)).astype(np.uint8)
+    blob = encode_zarr3_chunk(arr, codecs)
+    out = decode_zarr3_chunk(blob, codecs, np.uint8, (1, 8, 16, 8))
+    assert np.array_equal(out, arr)
+
+
+def test_sharding_indexed_corrupt_index_detected(rng):
+    from cloud_volume_spark.zarr_io import decode_zarr3_chunk, encode_zarr3_chunk
+    arr = rng.integers(0, 255, size=(1, 8, 8, 8)).astype(np.uint8)
+    blob = bytearray(encode_zarr3_chunk(arr, SHARD_CODECS))
+    blob[-6] ^= 0xFF  # flip a bit inside the index
+    with pytest.raises(ValueError, match="shard index"):
+        decode_zarr3_chunk(bytes(blob), SHARD_CODECS, np.uint8, (1, 8, 8, 8))
+
+
+def test_zarr3_sharded_export_import_roundtrip(spark, tmp_path):
+    """Full volume roundtrip through a sharded zarr3 store — the format
+    the reference refuses (zarr3/image.py:150)."""
+    rng = np.random.default_rng(47)
+    arr = rng.integers(0, 1000, size=(40, 40, 24, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "vol"), chunk_size=(16, 16, 16)
+    )
+    codecs = [{
+        "name": "sharding_indexed",
+        "configuration": {
+            "chunk_shape": [1, 8, 8, 8],
+            "codecs": [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "gzip", "configuration": {"level": 5}},
+            ],
+            "index_codecs": [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "crc32c"},
+            ],
+        },
+    }]
+    export_zarr3(vol, str(tmp_path / "z3"), codec_list=codecs)
+    vol2 = import_zarr3(spark, str(tmp_path / "z3"), str(tmp_path / "vol2"))
+    out = vol2.cutout(Bbox((0, 0, 0), (40, 40, 24)))
+    assert np.array_equal(out, arr)
+    out = vol2.cutout(Bbox((10, 10, 10), (40, 40, 24)))
+    assert np.array_equal(out, arr[10:, 10:, 10:, :])
