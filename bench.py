@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "doc_langid",
     "doc_repetition",
+    "doc_quality_filter",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -58,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "corpus_sample_stratified",
     "corpus_pack_sequences",
+    "corpus_contamination",
     "tfidf_top_terms",
     "doc_context_windows",
     "doc_policy_scan",

@@ -364,6 +364,91 @@ FROM cum
 """
 
 
+CONTAM_NGRAM = 5     # word n-gram width for decontamination
+CONTAM_MOD = 97      # doc_id % CONTAM_MOD == 0 → "benchmark" holdout
+
+
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word 5-gram with a held-out benchmark set (here: ``doc_id %
+    CONTAM_MOD == 0``, standing in for checked-in eval sets). The
+    benchmark's distinct-gram table is tiny and explicitly broadcast —
+    at 100 TB the corpus side streams map-only through the broadcast
+    hash join and aggregates per doc; no all-pairs, no big shuffle on
+    the gram column."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    n = F.size(toks)
+    # Spark's sequence(1, 0) counts *down*; guard short docs explicitly
+    idxs = F.when(
+        n >= CONTAM_NGRAM,
+        F.sequence(F.lit(1), n - (CONTAM_NGRAM - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM))),
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % CONTAM_MOD == 0)
+        .select("gram").distinct()
+    )
+    corpus_grams = grams.where(F.col("doc_id") % CONTAM_MOD != 0)
+    hits = (
+        corpus_grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated"))
+    )
+    base = docs.where(F.col("doc_id") % CONTAM_MOD != 0).select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split(F.trim("text"), " ")) - (CONTAM_NGRAM - 1),
+            F.lit(0),
+        ).cast("long").alias("n_grams"),
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0)
+        .cast("int").alias("contaminated"),
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(toks[s.i : s.i + {CONTAM_NGRAM - 1}], ' '))
+               AS gram
+    FROM base,
+         UNNEST(GENERATE_SERIES(1, LEN(toks) - {CONTAM_NGRAM - 1})) AS s(i)
+),
+bench AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_MOD} = 0
+),
+hits AS (
+    SELECT c.doc_id, COUNT(DISTINCT c.gram) AS n_contaminated
+    FROM grams c JOIN bench b ON c.gram = b.gram
+    WHERE c.doc_id % {CONTAM_MOD} != 0
+    GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       GREATEST(LEN(STRING_SPLIT(TRIM(d.text), ' ')) - {CONTAM_NGRAM - 1},
+                0)::BIGINT AS n_grams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       (COALESCE(h.n_contaminated, 0) > 0)::INT AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {CONTAM_MOD} != 0
+"""
+
+
 QUERIES = {
     "corpus_sample_stratified": corpus_sample_stratified,
     "tfidf_top_terms": tfidf_top_terms,
@@ -371,9 +456,11 @@ QUERIES = {
     "doc_policy_scan": doc_policy_scan,
     "dedup_keep_best": dedup_keep_best,
     "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_contamination": corpus_contamination,
 }
 
 ORACLE_SQL = {
+    "corpus_contamination": CONTAMINATION_SQL,
     "corpus_pack_sequences": PACK_SEQUENCES_SQL,
     "corpus_sample_stratified": SAMPLE_SQL,
     "tfidf_top_terms": TFIDF_SQL,

@@ -303,6 +303,71 @@ FROM bistats b JOIN topt t USING (doc_id)
 """
 
 
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1 shape, bounds
+# adapted to the synthetic corpus's 10-99-word documents so both
+# branches of every rule are exercised)
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_DISTINCT_RATIO = 0.2
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter: hard rule composition (word-count
+    bounds, mean-word-length bounds, distinct-word ratio, stopword
+    presence) → per-rule flags + the final keep/drop verdict. All
+    JVM-side built-ins, map-only — the shape of every production
+    pretraining filter pass. Float comparisons are made on ROUND(_, 4)
+    values so any engine computing the same closed form agrees."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    mean_wlen = F.round((F.length(F.trim("text")) - n + 1) / n, 4)
+    distinct_ratio = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    stop_hit = F.exists(toks, lambda t: t.isin(*STOPWORDS)).cast("int")
+    df = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_hit.alias("stop_hit"),
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN
+        )
+        & (F.col("distinct_ratio") >= GOPHER_MIN_DISTINCT_RATIO)
+        & (F.col("stop_hit") == 1)
+    )
+    return df.withColumn("passes", passes.cast("int"))
+
+
+QUALITY_FILTER_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_words,
+           ROUND((LENGTH(TRIM(text)) - LEN(STRING_SPLIT(TRIM(text), ' ')) + 1)
+                 / LEN(STRING_SPLIT(TRIM(text), ' '))::DOUBLE, 4)
+               AS mean_word_len,
+           ROUND(LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' ')))
+                 / LEN(STRING_SPLIT(TRIM(text), ' '))::DOUBLE, 4)
+               AS distinct_ratio,
+           (LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                            t -> t IN {STOPWORDS!r})) > 0)::INT AS stop_hit
+    FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, distinct_ratio, stop_hit,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WLEN}
+                               AND {GOPHER_MAX_MEAN_WLEN}
+        AND distinct_ratio >= {GOPHER_MIN_DISTINCT_RATIO}
+        AND stop_hit = 1)::INT AS passes
+FROM base
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_subword_count": doc_subword_count,
@@ -310,9 +375,11 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_langid": doc_langid,
     "doc_repetition": doc_repetition,
+    "doc_quality_filter": doc_quality_filter,
 }
 
 ORACLE_SQL = {
+    "doc_quality_filter": QUALITY_FILTER_SQL,
     "doc_repetition": REPETITION_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "doc_subword_count": SUBWORD_SQL,

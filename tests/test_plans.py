@@ -49,10 +49,19 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 def test_text_ops_stay_jvm_side(spark, sf_dir):
     for name in ["doc_token_stats", "doc_quality_score", "doc_fingerprint",
                  "doc_langid", "doc_repetition", "corpus_pack_sequences",
-                 "dedup_exact", "minhash_signatures"]:
+                 "dedup_exact", "minhash_signatures", "doc_quality_filter"]:
         plan = _plan(all_queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+
+
+def test_contamination_is_broadcast_join(spark, sf_dir):
+    """The benchmark gram set must be broadcast: the corpus side streams
+    map-only through a BroadcastHashJoin, never shuffling on the gram
+    column."""
+    plan = _plan(all_queries()["corpus_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q10_topk_is_sort_limit_not_global_window(spark, sf_dir):
