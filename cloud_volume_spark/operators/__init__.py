@@ -7,17 +7,18 @@ aggregates them for the driver's correctness gate.
 """
 
 from cloud_volume_spark.operators import (  # noqa: F401
-    corpus, dedup, relational, similarity, text, voxel_rel,
+    corpus, curation, dedup, relational, similarity, text, voxel_rel,
 )
 from cloud_volume_spark import multimodal
 
 # Registration order matters: the correctness driver validates the first 50
 # registered queries, so the least-locally-verifiable families (multimodal,
-# corpus — incl. corpus_pack_sequences) go first.  The queries that fall
+# corpus, curation — the round-5 additions) go first.  The queries that fall
 # outside the window rotate per round; everything is additionally covered by
 # tests/test_oracle_parity.py, which runs ALL queries against DuckDB.
 ALL_MODULES = [
-    multimodal, corpus, similarity, dedup, text, voxel_rel, relational,
+    multimodal, corpus, curation, similarity, dedup, text, voxel_rel,
+    relational,
 ]
 
 

@@ -1,0 +1,330 @@
+"""Corpus-curation operators — the mixture/quality-shaping stage of a
+training-data pipeline, complementing the text/dedup/corpus modules:
+cross-document boilerplate n-gram detection (the line-dedup analog for
+unstructured text), domain-mixture sampling against target weights,
+token-length bucketing (the packing planner's input histogram), and
+unigram-entropy quality scoring.
+
+Determinism design (same rules as the sibling modules): sampling keys
+are md5 prefixes compared against integer-arithmetic-derived hex
+thresholds (never RAND, never engine-specific hashes); entropy is
+emitted as a rounded integer after an identical fp op chain in both
+engines; buckets are CASE chains over exact integer token counts.
+
+Scale notes: ``mixture_sample`` aggregates one source-level count
+table (rows = #sources, trivially broadcast) then filters map-side —
+the corpus never shuffles. ``boilerplate_ngrams`` has one gram-level
+shuffle to build the frequency table; the boilerplate set it emits is
+many orders of magnitude smaller than the corpus and is broadcast back
+for the per-doc scoring join, the same shape as benchmark
+decontamination (`corpus.corpus_contamination`). ``token_bucket_stats``
+is a map-side-combine aggregate to a handful of rows.  ``doc_entropy``
+shuffles once on (doc_id, term) with partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_volume_spark.operators.common import load
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate n-grams
+
+BOILER_NGRAM = 5       # word n-gram width
+BOILER_MIN_DOCS = 2    # gram is boilerplate if it appears in >= this many docs
+
+
+def _word_grams(docs: DataFrame, width: int) -> DataFrame:
+    """(doc_id, gram-md5) for every word ``width``-gram, bounded explode."""
+    toks = F.split(F.trim("text"), " ")
+    n = F.size(toks)
+    # Spark's sequence(1, 0) counts *down*; guard short docs explicitly
+    idxs = F.when(
+        n >= width, F.sequence(F.lit(1), n - (width - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width))),
+            )
+        ).alias("gram"),
+    )
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: word 5-grams occurring in
+    >= BOILER_MIN_DOCS distinct documents are 'boilerplate' (headers,
+    footers, templates — the unstructured-text analog of C4-style line
+    dedup); each doc is scored by the fraction of its gram positions
+    that are boilerplate, in basis points.
+
+    Scale: the gram→doc-frequency aggregate is the one big shuffle
+    (same volume as shingling); the resulting boilerplate gram set is
+    tiny (vocabulary-of-cliches-sized) and broadcast back onto the
+    corpus gram stream, so the scoring join is map-side."""
+    docs = load(spark, sf_dir, "documents")
+    grams = _word_grams(docs, BOILER_NGRAM)
+    boiler = (
+        grams.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(boiler), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    toks = F.split(F.trim("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.size(toks) - (BOILER_NGRAM - 1), F.lit(0))
+        .cast("long").alias("n_grams"),
+    )
+    n_boiler = F.coalesce("n_boiler", F.lit(0)).cast("long")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_boiler.alias("n_boiler"),
+        # floor(x+0.5): the repo-wide portable rounding chain (DuckDB's
+        # double->bigint cast rounds; Spark's truncates)
+        F.floor(
+            F.when(F.col("n_grams") > 0, n_boiler * 10000 / F.col("n_grams"))
+            .otherwise(F.lit(0.0)) + 0.5
+        ).cast("bigint").alias("boiler_bp"),
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(toks[s.i : s.i + {BOILER_NGRAM - 1}], ' '))
+               AS gram
+    FROM base,
+         UNNEST(GENERATE_SERIES(1, LEN(toks) - {BOILER_NGRAM - 1})) AS s(i)
+),
+boiler AS (
+    SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gram
+    ) WHERE n_docs >= {BOILER_MIN_DOCS}
+),
+hits AS (
+    SELECT g.doc_id, COUNT(*) AS n_boiler
+    FROM grams g JOIN boiler b ON g.gram = b.gram
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       GREATEST(LEN(STRING_SPLIT(TRIM(d.text), ' ')) - {BOILER_NGRAM - 1},
+                0)::BIGINT AS n_grams,
+       COALESCE(h.n_boiler, 0)::BIGINT AS n_boiler,
+       FLOOR((CASE WHEN GREATEST(LEN(STRING_SPLIT(TRIM(d.text), ' '))
+                           - {BOILER_NGRAM - 1}, 0) > 0
+             THEN COALESCE(h.n_boiler, 0) * 10000.0
+                  / GREATEST(LEN(STRING_SPLIT(TRIM(d.text), ' '))
+                             - {BOILER_NGRAM - 1}, 0)
+             ELSE 0.0 END) + 0.5)::BIGINT AS boiler_bp
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# domain-mixture sampling
+
+# relative mixture weights per source; unnamed sources weigh 1
+MIX_WEIGHTS = {"src0": 3, "src1": 2}
+MIX_DEFAULT_W = 1
+MIX_BUDGET_DEN = 4  # sample ~1/4 of the corpus overall
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: pick a deterministic subset whose
+    source composition approaches target weights under a global budget.
+    Per-source keep rate (in 1/256ths of the md5 keyspace, exact
+    integer arithmetic so both engines derive the identical threshold):
+
+        t_s = min(255, 256 * w_s * N / (BUDGET_DEN * W_total * c_s))
+
+    then keep a doc iff the first md5 hex byte of ``md5('mix|'||doc_id)``
+    is lexically below ``printf('%02x', t_s)``.
+
+    Scale: the only aggregate is the per-source count table (#sources
+    rows); it joins back broadcast, so the corpus side is a pure
+    map-side filter — no shuffle of the data, no driver state, and the
+    same doc set regardless of partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    # W_total over *sources present* is data-dependent; fold the default
+    # weight in via the count table instead of a constant.
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c_s"))
+    wcol = F.lit(MIX_DEFAULT_W)
+    for src, w in MIX_WEIGHTS.items():
+        wcol = F.when(F.col("source") == src, F.lit(w)).otherwise(wcol)
+    counts = counts.withColumn("w_s", wcol.cast("bigint"))
+    totals = counts.agg(
+        F.sum("c_s").alias("n_total"), F.sum("w_s").alias("w_total")
+    )
+    thresh = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(255).cast("bigint"),
+            F.floor(
+                (F.lit(256) * F.col("w_s") * F.col("n_total"))
+                / (F.lit(MIX_BUDGET_DEN) * F.col("w_total") * F.col("c_s"))
+            ).cast("bigint"),
+        ).alias("t_s"),
+    ).select(
+        "source", F.format_string("%02x", F.col("t_s").cast("int")).alias("t_hex")
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return (
+        docs.join(F.broadcast(thresh), "source")
+        .withColumn("mix_key", key)
+        .where(F.col("mix_key") < F.col("t_hex"))
+        .select("doc_id", "source", "mix_key", "t_hex")
+    )
+
+
+_W_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items()
+)
+
+MIXTURE_SQL = f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS c_s,
+           (CASE {_W_CASE} ELSE {MIX_DEFAULT_W} END)::BIGINT AS w_s
+    FROM documents GROUP BY source
+),
+totals AS (
+    SELECT SUM(c_s) AS n_total, SUM(w_s) AS w_total FROM counts
+),
+thresh AS (
+    SELECT source,
+           PRINTF('%02x', LEAST(255, FLOOR(
+               (256 * w_s * n_total)
+               / ({MIX_BUDGET_DEN} * w_total * c_s)))::INT) AS t_hex
+    FROM counts, totals
+)
+SELECT d.doc_id, d.source,
+       SUBSTR(MD5('mix|' || d.doc_id::VARCHAR), 1, 2) AS mix_key,
+       t.t_hex
+FROM documents d JOIN thresh t ON d.source = t.source
+WHERE SUBSTR(MD5('mix|' || d.doc_id::VARCHAR), 1, 2) < t.t_hex
+"""
+
+# ---------------------------------------------------------------------------
+# token-length bucketing
+
+_BUCKETS = [16, 32, 64, 128, 256]
+
+
+def token_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram: docs bucketed by token count (the
+    packing planner's input — bucket populations decide bin size and
+    expected padding waste). Map-side-combine aggregate to a
+    handful of rows; no meaningful shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim("text"), " "))
+    bucket = F.lit(f"ge{_BUCKETS[-1]:04d}")
+    for b in reversed(_BUCKETS):
+        bucket = F.when(n < b, F.lit(f"lt{b:04d}")).otherwise(bucket)
+    return (
+        docs.select(
+            bucket.alias("bucket"),
+            n.cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+_BUCKET_CASE = " ".join(
+    f"WHEN LEN(STRING_SPLIT(TRIM(text), ' ')) < {b} THEN 'lt{b:04d}'"
+    for b in _BUCKETS
+)
+
+TOKEN_BUCKET_SQL = f"""
+WITH base AS (
+    SELECT (CASE {_BUCKET_CASE} ELSE 'ge{_BUCKETS[-1]:04d}' END) AS bucket,
+           LEN(STRING_SPLIT(TRIM(text), ' '))::BIGINT AS n_tokens,
+           n_chars::BIGINT AS n_chars
+    FROM documents
+)
+SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
+       SUM(n_chars) AS sum_chars, MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM base GROUP BY bucket
+"""
+
+# ---------------------------------------------------------------------------
+# unigram entropy
+
+def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-entropy quality score per document:
+    ``H = ln(n) - sum(c*ln(c))/n`` over term counts c — low-entropy docs
+    are repetitive/templated (drop candidates), emitted as an integer
+    ``round(H * 1e4)`` so both engines agree after an identical fp op
+    chain. One (doc_id, term) shuffle with map-side partials, then a
+    per-doc aggregate; term cardinality per doc is bounded by doc
+    length, so no skew beyond the longest document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
+    )
+    counts = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    cls = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    h = F.log(n.cast("double")) - cls / n.cast("double")
+    return counts.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.floor(h * 10000 + 0.5).cast("bigint").alias("entropy_e4"),
+    )
+
+
+ENTROPY_SQL = """
+WITH counts AS (
+    SELECT doc_id, term, COUNT(*) AS c
+    FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS term
+        FROM documents
+    ) GROUP BY doc_id, term
+)
+SELECT doc_id,
+       SUM(c)::BIGINT AS n_tokens,
+       COUNT(*)::BIGINT AS n_distinct,
+       FLOOR((LN(SUM(c)::DOUBLE)
+              - SUM(c::DOUBLE * LN(c::DOUBLE)) / SUM(c)::DOUBLE)
+             * 10000 + 0.5)::BIGINT AS entropy_e4
+FROM counts GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "boilerplate_ngrams": boilerplate_ngrams,
+    "mixture_sample": mixture_sample,
+    "token_bucket_stats": token_bucket_stats,
+    "doc_entropy": doc_entropy,
+}
+
+ORACLE_SQL = {
+    "boilerplate_ngrams": BOILERPLATE_SQL,
+    "mixture_sample": MIXTURE_SQL,
+    "token_bucket_stats": TOKEN_BUCKET_SQL,
+    "doc_entropy": ENTROPY_SQL,
+}

@@ -269,6 +269,101 @@ FROM walk GROUP BY u
 """
 
 
+SEMDEDUP_NLIST = 16       # coarse clusters (vec_id 100..116 as centroids)
+SEMDEDUP_T = 0.8          # within-cluster cosine threshold
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest coarse
+    centroid, then *within each cluster* drop any item that has a
+    lower-id cluster-mate with cosine >= SEMDEDUP_T. The clustering
+    bounds the pairwise comparison to cluster-sized blocks — the whole
+    point of the method — so there is never an N x N product; at scale
+    NLIST grows with N to hold cluster size ~constant, keeping the
+    per-cluster self-join O(N * avg_cluster). Centroids are the same
+    deterministic sample the IVF operator uses, which keeps the full
+    operator SQL-expressible for the duckdb oracle.
+
+    Unlike :func:`embedding_dedup_keep` (global LSH graph + connected
+    components), the keep decision here is local to a cluster — the
+    trade the SemDeDup paper makes for linear scaling."""
+    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    ))
+    cents = emb.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + SEMDEDUP_NLIST)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("cvec"))
+        / (F.col("nrm") * F.col("cnrm")),
+        6,
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("csim"))
+        .withColumn("crnk", F.row_number().over(wv))
+        .where(F.col("crnk") == 1)
+        .select("vec_id", "embedding", "nrm", "cent_id")
+    )
+    a = assign.select(
+        "cent_id", F.col("vec_id").alias("id_hi"),
+        F.col("embedding").alias("e_hi"), F.col("nrm").alias("n_hi"),
+    )
+    b = assign.select(
+        "cent_id", F.col("vec_id").alias("id_lo"),
+        F.col("embedding").alias("e_lo"), F.col("nrm").alias("n_lo"),
+    )
+    sim = F.round(
+        _dot(F.col("e_hi"), F.col("e_lo")) / (F.col("n_hi") * F.col("n_lo")), 6
+    )
+    dups = (
+        a.join(b, on="cent_id")
+        .where(F.col("id_hi") > F.col("id_lo"))
+        .where(sim >= SEMDEDUP_T)
+        .groupBy(F.col("id_hi").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id", "cent_id",
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        (F.coalesce("n_dups", F.lit(0)) == 0).cast("int").alias("is_kept"),
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+), cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec FROM emb
+    WHERE vec_id >= 100 AND vec_id < {100 + SEMDEDUP_NLIST}
+), assign AS (
+    SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {{cos}} DESC, c.cent_id ASC
+               ) AS crnk
+        FROM emb e CROSS JOIN cents c
+    ) WHERE crnk = 1
+), dups AS (
+    SELECT hi.vec_id AS vec_id, COUNT(*) AS n_dups
+    FROM assign hi JOIN assign lo
+      ON hi.cent_id = lo.cent_id AND hi.vec_id > lo.vec_id
+    WHERE {{sim}} >= {SEMDEDUP_T}
+    GROUP BY hi.vec_id
+)
+SELECT a.vec_id, a.cent_id,
+       COALESCE(d.n_dups, 0)::BIGINT AS n_dups,
+       (COALESCE(d.n_dups, 0) = 0)::INT AS is_kept
+FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+"""
+
+
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: signed random projections (seed=42) hash each
     vector to an SRP_BITS bucket; queries search only their bucket,
@@ -384,6 +479,11 @@ _COS_SQL = (
     "ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}), p -> p[1] * p[2]))"
     " / (SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> x * x)))"
     " * SQRT(LIST_SUM(LIST_TRANSFORM({b}, x -> x * x)))), 6)"
+)
+
+SEMDEDUP_SQL = SEMDEDUP_SQL.format(
+    cos=_COS_SQL.format(a="e.embedding", b="c.cvec"),
+    sim=_COS_SQL.format(a="hi.embedding", b="lo.embedding"),
 )
 
 IVF_ANN_SQL = f"""
@@ -657,6 +757,7 @@ QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_dedup_keep": embedding_dedup_keep,
+    "semantic_dedup": semantic_dedup,
     "srp_ann_topk": srp_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_kmeans": embedding_kmeans,
@@ -666,6 +767,7 @@ ORACLE_SQL = {
     "ann_topk_cosine": ANN_TOPK_SQL,
     "embedding_neardup_pairs": NEARDUP_SQL,
     "embedding_dedup_keep": EMBEDDING_DEDUP_KEEP_SQL,
+    "semantic_dedup": SEMDEDUP_SQL,
     "srp_ann_topk": SRP_ANN_SQL,
     "ivf_ann_topk": IVF_ANN_SQL,
     "embedding_kmeans": KMEANS_SQL,

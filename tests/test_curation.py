@@ -1,0 +1,175 @@
+"""Behavioral tests for the curation operators (beyond the duckdb
+oracle parity in test_oracle_parity.py): semantic invariants verified
+against independent numpy recomputation on the sf0.001 tables."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cloud_volume_spark.operators.curation import (
+    BOILER_NGRAM,
+    MIX_BUDGET_DEN,
+    MIX_DEFAULT_W,
+    MIX_WEIGHTS,
+    boilerplate_ngrams,
+    doc_entropy,
+    mixture_sample,
+    token_bucket_stats,
+)
+from cloud_volume_spark.operators.similarity import (
+    SEMDEDUP_NLIST,
+    SEMDEDUP_T,
+    semantic_dedup,
+)
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_doc_entropy_matches_numpy(spark, sf_dir):
+    out = doc_entropy(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = _docs(spark, sf_dir)
+    for _, row in docs.head(50).iterrows():
+        toks = row["text"].strip().split(" ")
+        vals, counts = np.unique(toks, return_counts=True)
+        p = counts / counts.sum()
+        h = -(p * np.log(p)).sum()
+        got = out.loc[row["doc_id"]]
+        assert got["n_tokens"] == len(toks)
+        assert got["n_distinct"] == len(vals)
+        assert abs(got["entropy_e4"] - round(h * 10000)) <= 1
+    # low-entropy detector sanity: entropy <= ln(n_distinct)
+    assert (
+        out["entropy_e4"] <= np.log(out["n_distinct"]) * 10000 + 1
+    ).all()
+
+
+def test_token_bucket_stats_partitions_corpus(spark, sf_dir):
+    out = token_bucket_stats(spark, sf_dir).toPandas()
+    docs = _docs(spark, sf_dir)
+    assert out["n_docs"].sum() == len(docs)
+    n_tokens = docs["text"].str.strip().str.split(" ").str.len()
+    assert out["sum_tokens"].sum() == n_tokens.sum()
+    assert out["sum_chars"].sum() == docs["n_chars"].sum()
+    # buckets honor their boundaries
+    for _, row in out.iterrows():
+        name = row["bucket"]
+        if name.startswith("lt"):
+            assert row["max_tokens"] < int(name[2:])
+        else:
+            assert row["min_tokens"] >= int(name[2:])
+
+
+def test_mixture_sample_rates_follow_weights(spark, sf_dir):
+    sel = mixture_sample(spark, sf_dir).toPandas()
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupby("source").size()
+    picked = sel.groupby("source").size().reindex(counts.index).fillna(0)
+    # thresholds monotone in weight: heavier sources keep a larger share
+    thresh = sel.groupby("source")["t_hex"].first()
+    w = {s: MIX_WEIGHTS.get(s, MIX_DEFAULT_W) for s in counts.index}
+    for a in counts.index:
+        for b in counts.index:
+            if w[a] > w[b] and a in thresh.index and b in thresh.index:
+                assert thresh[a] >= thresh[b]
+    # each source's realized rate is within 3 sigma of t_s/256
+    n_total = len(docs)
+    w_total = sum(w[s] for s in counts.index)
+    for s in counts.index:
+        t = min(255, (256 * w[s] * n_total) // (MIX_BUDGET_DEN * w_total * counts[s]))
+        rate = t / 256
+        sigma = np.sqrt(max(rate * (1 - rate) * counts[s], 1.0))
+        assert abs(picked[s] - rate * counts[s]) <= 3 * sigma + 1
+
+
+def test_mixture_sample_is_deterministic(spark, sf_dir):
+    a = mixture_sample(spark, sf_dir).toPandas().sort_values("doc_id")
+    b = mixture_sample(spark, sf_dir).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_boilerplate_ngrams_invariants(spark, sf_dir):
+    out = boilerplate_ngrams(spark, sf_dir).toPandas()
+    docs = _docs(spark, sf_dir)
+    assert len(out) == len(docs)
+    assert (out["n_boiler"] <= out["n_grams"]).all()
+    assert out["boiler_bp"].between(0, 10000).all()
+    # independent recomputation of the boilerplate gram set
+    grams = {}
+    for _, row in docs.iterrows():
+        toks = row["text"].strip().split(" ")
+        gs = {
+            " ".join(toks[i : i + BOILER_NGRAM])
+            for i in range(max(len(toks) - BOILER_NGRAM + 1, 0))
+        }
+        for g in gs:
+            grams.setdefault(g, set()).add(row["doc_id"])
+    boiler = {g for g, ids in grams.items() if len(ids) >= 2}
+    exp = {}
+    for _, row in docs.iterrows():
+        toks = row["text"].strip().split(" ")
+        n = max(len(toks) - BOILER_NGRAM + 1, 0)
+        nb = sum(
+            1
+            for i in range(n)
+            if " ".join(toks[i : i + BOILER_NGRAM]) in boiler
+        )
+        exp[row["doc_id"]] = (n, nb)
+    got = out.set_index("doc_id")
+    for doc_id, (n, nb) in exp.items():
+        assert got.loc[doc_id, "n_grams"] == n
+        assert got.loc[doc_id, "n_boiler"] == nb
+
+
+def test_semantic_dedup_matches_numpy(spark, sf_dir):
+    out = (
+        semantic_dedup(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    cmask = (ids >= 100) & (ids < 100 + SEMDEDUP_NLIST)
+    cents = vecs[cmask]
+    cent_ids = ids[cmask]
+    nrm = np.linalg.norm(vecs, axis=1)
+    cnrm = np.linalg.norm(cents, axis=1)
+    sims = np.round(vecs @ cents.T / np.outer(nrm, cnrm), 6)
+    # argmax with cent_id asc tie-break: stable argmax over -sims
+    best = np.argmax(sims, axis=1)
+    assign = cent_ids[best]
+    got_assign = out.set_index("vec_id")["cent_id"]
+    assert (got_assign.loc[ids].to_numpy() == assign).all()
+    # keep decision: dropped iff a lower-id same-cluster mate with sim >= T
+    full = np.round(vecs @ vecs.T / np.outer(nrm, nrm), 6)
+    for i, vid in enumerate(ids):
+        mates = np.where((assign == assign[i]) & (ids < vid))[0]
+        n_dups = int((full[i, mates] >= SEMDEDUP_T).sum())
+        assert out.set_index("vec_id").loc[vid, "n_dups"] == n_dups
+        assert out.set_index("vec_id").loc[vid, "is_kept"] == int(n_dups == 0)
+
+
+def test_semantic_dedup_keeps_at_least_one_per_cluster(spark, sf_dir):
+    out = semantic_dedup(spark, sf_dir).toPandas()
+    kept = out.groupby("cent_id")["is_kept"].sum()
+    assert (kept >= 1).all()
+    # the minimum id in every cluster is always kept
+    min_ids = out.groupby("cent_id")["vec_id"].min()
+    m = out.set_index("vec_id")
+    for vid in min_ids:
+        assert m.loc[vid, "is_kept"] == 1
