@@ -165,9 +165,12 @@ def encode(
             raise EncodingUnavailable("crackle not installed")
         return crackle.compress(np.asfortranarray(img.transpose())[..., 0])
     if encoding == "compresso":
-        if not HAS_COMPRESSO:
-            raise EncodingUnavailable("compresso not installed")
-        return compresso.compress(np.asfortranarray(img.transpose())[..., 0])
+        arr = np.asfortranarray(img.transpose())[..., 0]
+        if HAS_COMPRESSO:
+            return compresso.compress(arr)
+        from cloud_volume_spark import compresso_io
+
+        return compresso_io.compress(arr)
     if encoding == "png":
         arr2d = _as2d_image(img.transpose())  # back to (sx,sy,sz,c)
         if HAS_PYSPNG:
@@ -247,9 +250,11 @@ def decode(
             raise EncodingUnavailable("crackle not installed")
         return np.asarray(crackle.decompress(bytes(blob))).reshape(shape)
     if encoding == "compresso":
-        if not HAS_COMPRESSO:
-            raise EncodingUnavailable("compresso not installed")
-        return np.asarray(compresso.decompress(bytes(blob))).reshape(shape)
+        if HAS_COMPRESSO:
+            return np.asarray(compresso.decompress(bytes(blob))).reshape(shape)
+        from cloud_volume_spark import compresso_io
+
+        return compresso_io.decompress(bytes(blob)).reshape(shape)
     if encoding == "png":
         if HAS_PYSPNG:
             img = pyspng.load(bytes(blob))
@@ -303,6 +308,12 @@ def labels(blob: bytes, encoding: str, shape, dtype) -> np.ndarray:
     codec supports it; raw falls back to decode+unique (vectorized)."""
     if encoding == "crackle" and HAS_CRACKLE:
         return crackle.labels(bytes(blob))
+    if encoding == "compresso" and not HAS_COMPRESSO:
+        # pure-python stream: the ids + explicit-correction streams
+        # enumerate every label without unpacking windows or running CC
+        from cloud_volume_spark import compresso_io
+
+        return compresso_io.labels(bytes(blob)).astype(dtype, copy=False)
     if encoding == "compressed_segmentation" and not HAS_CSEG:
         from cloud_volume_spark import cseg as np_cseg
 

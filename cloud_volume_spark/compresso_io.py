@@ -1,0 +1,393 @@
+"""Pure-numpy compresso codec for segmentation chunks.
+
+Implements the Compresso algorithm (Matejek, Haehn, Lekschas, Mitzenmacher,
+Pfister — "Compresso: Efficient Compression of Segmentation Data For
+Connectomics", MICCAI 2017): a per-slice decomposition of a labeled volume
+into
+
+  * a **boundary bitmap** B, where ``B[x,y,z] = 1`` iff the voxel's label
+    differs from its +x or +y neighbor (4-connectivity within a z-slice),
+    stored as bit-packed ``xstep x ystep`` windows deduplicated through a
+    frequency-sorted value LUT;
+  * an **ids stream**: for every z-slice, the original label of each
+    4-connected component of non-boundary voxels, in first-raster-occurrence
+    order (components are label-uniform by construction: two adjacent
+    non-boundary voxels always share a label);
+  * a **locations stream** of corrections for the boundary voxels the
+    neighbor-propagation rule cannot determine.
+
+Key decode property exploited here (and by the paper): a boundary voxel
+whose ``-x`` or ``-y`` neighbor is *non-boundary* is fully determined —
+``B[x-1,y]=0`` means ``label[x-1,y] == label[x,y]`` by the definition of B.
+Only voxels whose left **and** up neighbors are both boundary (or out of
+bounds) consume a correction entry.
+
+Container framing follows the public seung-lab/compresso stream header
+(36-byte little-endian header, magic ``cpso``, format version 0, counted
+ids/values/locations streams; reference consumer:
+/root/reference/cloudvolume/chunks.py:107-167, which delegates to the
+``compresso`` wheel). The sub-encodings the published algorithm leaves
+open are fixed here and documented below:
+
+  * ``values``: distinct window bitpatterns, descending frequency then
+    ascending value; windows stream holds LUT indices sized uint8/16/32
+    by LUT cardinality.
+  * ``locations``: one uint64 per indeterminate boundary voxel, raster
+    order per slice: ``0`` = copy already-decoded ``-x`` neighbor, ``1`` =
+    copy ``-y`` neighbor, ``2`` = copy same-(x,y) voxel of the previous
+    slice, else ``3 + label`` explicit.
+
+Streams produced by this encoder roundtrip losslessly (property-tested);
+byte-level interop with the C wheel is cross-checked when ``compresso``
+is installed (test gated, the same pattern as compressed_segmentation in
+``cseg.py``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"cpso"
+FORMAT_VERSION = 0
+HEADER_FMT = "<4sBBHHHBBBQIQB"  # 36 bytes
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+assert HEADER_SIZE == 36
+
+DEFAULT_STEPS = (4, 4, 1)
+
+
+class CompressoError(ValueError):
+    pass
+
+
+def _window_dtype(bits: int):
+    if bits <= 8:
+        return np.uint8
+    if bits <= 16:
+        return np.uint16
+    if bits <= 32:
+        return np.uint32
+    return np.uint64
+
+
+def _index_dtype(n: int):
+    if n <= (1 << 8):
+        return np.uint8
+    if n <= (1 << 16):
+        return np.uint16
+    return np.uint32
+
+
+def _boundary_map(cube: np.ndarray) -> np.ndarray:
+    """B[x,y,z]=1 iff label differs from +x or +y neighbor (in-slice)."""
+    sx, sy, sz = cube.shape
+    b = np.zeros(cube.shape, dtype=bool)
+    if sx > 1:
+        b[:-1, :, :] |= cube[:-1, :, :] != cube[1:, :, :]
+    if sy > 1:
+        b[:, :-1, :] |= cube[:, :-1, :] != cube[:, 1:, :]
+    return b
+
+
+def _slice_components(nonb: np.ndarray) -> tuple[np.ndarray, int]:
+    """4-connected components of a 2D bool mask (True = in-component),
+    numbered 1..K by first occurrence in raster (y-major, x-fastest)
+    order. Run-based union-find: nodes are maximal x-runs, so the
+    Python-level loop is over runs (hundreds), not voxels."""
+    sx, sy = nonb.shape
+    # runs per y-row: a run is a maximal consecutive-x True interval
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    # collect runs: for each row y, list of (x0, x1, run_id), x1 exclusive
+    rows: list[list[tuple[int, int, int]]] = []
+    col = nonb  # [x, y]
+    for y in range(sy):
+        mask = col[:, y]
+        if not mask.any():
+            rows.append([])
+            continue
+        d = np.diff(mask.astype(np.int8))
+        starts = list(np.where(d == 1)[0] + 1)
+        ends = list(np.where(d == -1)[0] + 1)
+        if mask[0]:
+            starts.insert(0, 0)
+        if mask[-1]:
+            ends.append(sx)
+        row = []
+        for x0, x1 in zip(starts, ends):
+            rid = len(parent)
+            parent.append(rid)
+            row.append((int(x0), int(x1), rid))
+        rows.append(row)
+    # vertical unions between overlapping runs in adjacent rows
+    for y in range(1, sy):
+        above, here = rows[y - 1], rows[y]
+        if not above or not here:
+            continue
+        i = j = 0
+        while i < len(above) and j < len(here):
+            a0, a1, aid = above[i]
+            b0, b1, bid = here[j]
+            if a0 < b1 and b0 < a1:
+                union(aid, bid)
+            if a1 < b1:
+                i += 1
+            else:
+                j += 1
+    # label image, numbering components by first raster occurrence
+    labels = np.zeros((sx, sy), dtype=np.int32)
+    root_to_comp: dict[int, int] = {}
+    k = 0
+    for y in range(sy):
+        for x0, x1, rid in rows[y]:
+            r = find(rid)
+            c = root_to_comp.get(r)
+            if c is None:
+                k += 1
+                c = k
+                root_to_comp[r] = c
+            labels[x0:x1, y] = c
+    return labels, k
+
+
+def compress(cube: np.ndarray, steps=DEFAULT_STEPS) -> bytes:
+    """Encode a 3D labeled array (x, y, z order) to a compresso stream."""
+    if cube.ndim != 3:
+        raise CompressoError(f"expected 3d array, got shape {cube.shape}")
+    xstep, ystep, zstep = steps
+    if zstep != 1:
+        raise CompressoError("only zstep=1 windows are supported")
+    sx, sy, sz = cube.shape
+    dtype = cube.dtype
+    data_width = dtype.itemsize
+    bits = xstep * ystep * zstep
+    wdtype = _window_dtype(bits)
+
+    bmap = _boundary_map(cube)
+
+    # --- windows: bit-pack xstep x ystep blocks per slice
+    gx = -(-sx // xstep)
+    gy = -(-sy // ystep)
+    padded = np.zeros((gx * xstep, gy * ystep, sz), dtype=bool)
+    padded[:sx, :sy, :] = bmap
+    # [gx, xstep, gy, ystep, z] -> window bit index = y_in * xstep + x_in
+    blocks = padded.reshape(gx, xstep, gy, ystep, sz)
+    weights = (
+        np.left_shift(
+            np.ones((xstep, ystep), dtype=np.uint64),
+            (np.arange(xstep)[:, None]
+             + np.arange(ystep)[None, :] * xstep).astype(np.uint64),
+        )
+    )
+    windows = np.einsum(
+        "axbyz,xy->zba", blocks.astype(np.uint64), weights,
+        dtype=np.uint64, casting="unsafe",
+    ).ravel()  # z-major, then window-y, then window-x
+
+    vals, inv, counts = np.unique(
+        windows, return_inverse=True, return_counts=True
+    )
+    order = np.lexsort((vals, -counts.astype(np.int64)))
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    lut = vals[order].astype(wdtype)
+    win_idx = rank[inv].astype(_index_dtype(len(lut)))
+
+    # --- per-slice components -> ids; indeterminate boundary corrections
+    ids: list[int] = []
+    locations: list[int] = []
+    for z in range(sz):
+        sl = cube[:, :, z]
+        bz = bmap[:, :, z]
+        comp, k = _slice_components(~bz)
+        if k:
+            # first raster occurrence of each component, y-major raster
+            flat = comp.T.ravel()  # y-major: [y, x] -> x-fastest
+            first = np.full(k + 1, flat.size, dtype=np.int64)
+            seen = np.unique(flat, return_index=True)
+            for c, pos in zip(seen[0], seen[1]):
+                if c > 0:
+                    first[c] = pos
+            lab_flat = sl.T.ravel()
+            for c in np.argsort(first[1:]) + 1:
+                ids.append(int(lab_flat[first[c]]))
+        # corrections: boundary voxels with no non-boundary -x/-y neighbor
+        bx, by = np.nonzero(bz)
+        if bx.size:
+            o = np.lexsort((bx, by))  # raster: y-major, x-fastest
+            bx, by = bx[o], by[o]
+            left_ok = (bx > 0) & ~bz[np.maximum(bx - 1, 0), by]
+            up_ok = (by > 0) & ~bz[bx, np.maximum(by - 1, 0)]
+            ind = ~(left_ok | up_ok)
+            for x, y in zip(bx[ind], by[ind]):
+                true = sl[x, y]
+                if x > 0 and sl[x - 1, y] == true:
+                    locations.append(0)
+                elif y > 0 and sl[x, y - 1] == true:
+                    locations.append(1)
+                elif z > 0 and cube[x, y, z - 1] == true:
+                    locations.append(2)
+                else:
+                    locations.append(3 + int(true))
+
+    header = struct.pack(
+        HEADER_FMT, MAGIC, FORMAT_VERSION, data_width, sx, sy, sz,
+        xstep, ystep, zstep, len(ids), len(lut), len(locations), 4,
+    )
+    return b"".join([
+        header,
+        np.asarray(ids, dtype=dtype).tobytes(),
+        lut.tobytes(),
+        np.asarray(locations, dtype=np.uint64).tobytes(),
+        win_idx.tobytes(),
+    ])
+
+
+def labels(blob: bytes) -> np.ndarray:
+    """Distinct labels in a compresso stream *without* decoding the
+    volume — the ids stream plus explicit location corrections already
+    enumerate every label present (the reference exposes the same
+    fast path through the crackle/compresso wheels,
+    /root/reference/cloudvolume/chunks.py:388)."""
+    (dtype, _, _, id_size, _, location_size, _, p_ids, p_vals, p_locs,
+     _) = _parse_header(blob)
+    ids = np.frombuffer(blob, dtype=dtype, count=id_size, offset=p_ids)
+    locs = np.frombuffer(blob, dtype=np.uint64, count=location_size,
+                         offset=p_locs)
+    explicit = (locs[locs >= 3] - 3).astype(ids.dtype)
+    return np.unique(np.concatenate([ids, explicit]))
+
+
+def _parse_header(blob: bytes):
+    if len(blob) < HEADER_SIZE:
+        raise CompressoError("stream shorter than compresso header")
+    (magic, ver, data_width, sx, sy, sz, xstep, ystep, zstep,
+     id_size, value_size, location_size, connectivity) = struct.unpack(
+        HEADER_FMT, blob[:HEADER_SIZE]
+    )
+    if magic != MAGIC:
+        raise CompressoError(f"bad compresso magic {magic!r}")
+    if ver != FORMAT_VERSION:
+        raise CompressoError(f"unsupported compresso format version {ver}")
+    if connectivity != 4:
+        raise CompressoError(
+            f"unsupported connectivity {connectivity} (only 4 supported)"
+        )
+    dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}.get(
+        data_width
+    )
+    if dtype is None:
+        raise CompressoError(f"bad data width {data_width}")
+    p_ids = HEADER_SIZE
+    p_vals = p_ids + id_size * data_width
+    p_locs = p_vals + value_size * np.dtype(
+        _window_dtype(xstep * ystep * zstep)
+    ).itemsize
+    p_wins = p_locs + location_size * 8
+    return (np.dtype(dtype), (sx, sy, sz), (xstep, ystep, zstep), id_size,
+            value_size, location_size, connectivity, p_ids, p_vals, p_locs,
+            p_wins)
+
+
+def decompress(blob: bytes) -> np.ndarray:
+    """Decode a compresso stream to a 3D labeled array (x, y, z)."""
+    (dtype, shape, steps, id_size, value_size, location_size, _,
+     p_ids, p_vals, p_locs, p_wins) = _parse_header(blob)
+    sx, sy, sz = shape
+    xstep, ystep, zstep = steps
+    bits = xstep * ystep * zstep
+    wdtype = _window_dtype(bits)
+
+    ids = np.frombuffer(blob, dtype=dtype, count=id_size, offset=p_ids)
+    lut = np.frombuffer(blob, dtype=wdtype, count=value_size, offset=p_vals)
+    locs = np.frombuffer(
+        blob, dtype=np.uint64, count=location_size, offset=p_locs
+    )
+
+    gx = -(-sx // xstep)
+    gy = -(-sy // ystep)
+    n_windows = gx * gy * sz
+    idt = _index_dtype(value_size)
+    win_idx = np.frombuffer(blob, dtype=idt, count=n_windows, offset=p_wins)
+    windows = lut[win_idx].reshape(sz, gy, gx)
+
+    # unpack bits -> boundary map
+    shifts = (
+        np.arange(xstep)[:, None] + np.arange(ystep)[None, :] * xstep
+    ).astype(np.uint64)
+    bitblocks = (
+        (windows[..., None, None] >> shifts) & np.uint64(1)
+    ).astype(bool)  # [z, gy, gx, xstep, ystep]
+    bmap = np.transpose(bitblocks, (2, 3, 1, 4, 0)).reshape(
+        gx * xstep, gy * ystep, sz
+    )[:sx, :sy, :]
+
+    out = np.zeros(shape, dtype=dtype)
+    id_pos = 0
+    loc_pos = 0
+    for z in range(sz):
+        bz = bmap[:, :, z]
+        comp, k = _slice_components(~bz)
+        if k:
+            slice_ids = np.concatenate(
+                [np.zeros(1, dtype=dtype), ids[id_pos:id_pos + k]]
+            )
+            if len(slice_ids) != k + 1:
+                raise CompressoError("ids stream exhausted mid-slice")
+            out[:, :, z] = slice_ids[comp]
+            id_pos += k
+        # resolve boundary voxels in raster order
+        sl = out[:, :, z]
+        bx, by = np.nonzero(bz)
+        if not bx.size:
+            continue
+        o = np.lexsort((bx, by))
+        bx, by = bx[o], by[o]
+        left_nb = (bx > 0) & ~bz[np.maximum(bx - 1, 0), by]
+        up_nb = (by > 0) & ~bz[bx, np.maximum(by - 1, 0)]
+        # determined voxels can be filled from the component image in
+        # any order; indeterminate ones must go raster with the stream
+        for x, y, lok, uok in zip(bx, by, left_nb, up_nb):
+            if lok:
+                sl[x, y] = sl[x - 1, y]
+            elif uok:
+                sl[x, y] = sl[x, y - 1]
+            else:
+                if loc_pos >= location_size:
+                    raise CompressoError("locations stream exhausted")
+                code = int(locs[loc_pos])
+                loc_pos += 1
+                if code == 0:
+                    sl[x, y] = sl[x - 1, y]
+                elif code == 1:
+                    sl[x, y] = sl[x, y - 1]
+                elif code == 2:
+                    sl[x, y] = out[x, y, z - 1]
+                else:
+                    sl[x, y] = dtype.type(code - 3)
+    if id_pos != id_size:
+        raise CompressoError(
+            f"ids stream length mismatch: used {id_pos} of {id_size}"
+        )
+    if loc_pos != location_size:
+        raise CompressoError(
+            f"locations stream length mismatch: used {loc_pos} "
+            f"of {location_size}"
+        )
+    return out

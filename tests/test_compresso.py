@@ -1,0 +1,141 @@
+"""Pure-numpy compresso codec tests: roundtrip sweeps over label
+topologies and dtypes, the ids-stream labels fast path, header error
+paths, and the codecs.py integration (reference consumer:
+/root/reference/cloudvolume/chunks.py:107-167)."""
+
+import numpy as np
+import pytest
+
+from cloud_volume_spark import codecs, compresso_io
+
+
+def _blobby(shape, nseeds, dtype, rng):
+    """Nearest-seed labeling — contiguous blobs like real segmentation."""
+    pts = rng.integers(0, shape, size=(nseeds, 3))
+    labs = rng.integers(1, 1_000_000, size=nseeds)
+    grids = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    out = np.zeros(shape, dtype=np.int64)
+    d2 = None
+    for p, l in zip(pts, labs):
+        dd = sum((g - c) ** 2 for g, c in zip(grids, p))
+        if d2 is None:
+            d2, out[:] = dd, l
+        else:
+            m = dd < d2
+            out[m] = l
+            d2 = np.minimum(d2, dd)
+    return out.astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", ["uint16", "uint32", "uint64"])
+@pytest.mark.parametrize(
+    "shape", [(32, 32, 8), (17, 23, 5), (4, 4, 1), (1, 1, 1), (64, 64, 4)]
+)
+def test_roundtrip_blobby(dtype, shape, rng):
+    arr = _blobby(shape, 6, dtype, rng)
+    blob = compresso_io.compress(arr)
+    assert np.array_equal(compresso_io.decompress(blob), arr)
+
+
+@pytest.mark.parametrize(
+    "kind", ["constant", "checkerboard", "all_distinct", "random_small"]
+)
+def test_roundtrip_degenerate(kind, rng):
+    shape = (16, 16, 4)
+    if kind == "constant":
+        arr = np.full(shape, 9, dtype=np.uint32)
+    elif kind == "checkerboard":
+        arr = (np.indices(shape).sum(0) % 2 * 7 + 1).astype(np.uint32)
+    elif kind == "all_distinct":
+        arr = np.arange(np.prod(shape), dtype=np.uint32).reshape(shape)
+    else:
+        arr = rng.integers(0, 4, size=shape).astype(np.uint32)
+    blob = compresso_io.compress(arr)
+    assert np.array_equal(compresso_io.decompress(blob), arr)
+
+
+def test_compresses_blobby_volumes(rng):
+    arr = _blobby((64, 64, 8), 8, np.uint64, rng)
+    blob = compresso_io.compress(arr)
+    assert len(blob) < arr.nbytes / 10  # the format's whole point
+
+
+def test_labels_fast_path(rng):
+    arr = _blobby((32, 32, 8), 10, np.uint32, rng)
+    blob = compresso_io.compress(arr)
+    assert np.array_equal(compresso_io.labels(blob), np.unique(arr))
+
+
+def test_labels_includes_explicit_corrections():
+    # a single-voxel region fully surrounded by boundary never appears
+    # in the ids stream — it lives only in the locations corrections
+    arr = np.ones((5, 5, 1), dtype=np.uint32)
+    arr[2, 2, 0] = 77
+    blob = compresso_io.compress(arr)
+    assert np.array_equal(compresso_io.decompress(blob), arr)
+    assert 77 in compresso_io.labels(blob)
+
+
+def test_header_error_paths():
+    with pytest.raises(compresso_io.CompressoError):
+        compresso_io.decompress(b"nope")
+    arr = np.ones((4, 4, 1), dtype=np.uint32)
+    blob = bytearray(compresso_io.compress(arr))
+    blob[:4] = b"xxxx"
+    with pytest.raises(compresso_io.CompressoError):
+        compresso_io.decompress(bytes(blob))
+    blob = bytearray(compresso_io.compress(arr))
+    blob[4] = 250  # bogus format version
+    with pytest.raises(compresso_io.CompressoError):
+        compresso_io.decompress(bytes(blob))
+
+
+def test_codecs_integration(rng):
+    arr = _blobby((32, 32, 8), 6, np.uint32, rng)[..., None]  # (x,y,z,c)
+    blob = codecs.encode(arr, "compresso")
+    back = codecs.decode(blob, "compresso", arr.shape, "uint32")
+    assert np.array_equal(back, arr)
+    assert np.array_equal(
+        codecs.labels(blob, "compresso", arr.shape, "uint32"), np.unique(arr)
+    )
+    assert codecs.contains(blob, "compresso", arr.shape, "uint32",
+                           arr[3, 3, 3, 0])
+    assert not codecs.contains(blob, "compresso", arr.shape, "uint32", 2**60)
+
+
+def test_second_stage_is_identity():
+    # compresso output is already compact; the default second stage
+    # must not gzip it (reference datasource/precomputed/common.py)
+    assert codecs.should_compress("compresso", "segmentation") is None
+
+
+def test_cross_validate_c_wheel(rng):
+    """Byte-level cross-check against the compresso wheel when
+    installed (optional dep, mirroring the reference's gating at
+    chunks.py:40-42)."""
+    cw = pytest.importorskip("compresso")
+    arr = _blobby((32, 32, 8), 6, np.uint32, rng)
+    assert np.array_equal(
+        np.asarray(cw.decompress(compresso_io.compress(arr))), arr
+    )
+    assert np.array_equal(
+        compresso_io.decompress(bytes(cw.compress(arr))), arr
+    )
+
+
+def test_volume_compresso_roundtrip(spark, rng, tmp_path):
+    """End-to-end: segmentation volume written with encoding=compresso,
+    distributed transcode from raw, and cutout equality."""
+    from cloud_volume_spark import Bbox, Volume
+
+    arr = _blobby((64, 64, 32), 8, np.uint32, rng)[..., None]
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "seg_raw"), chunk_size=(32, 32, 32)
+    )
+    dest = vol.transfer_to(str(tmp_path / "seg_cpso"), encoding="compresso")
+    assert dest.info.encoding(0) == "compresso"
+    out = dest.cutout(Bbox((0, 0, 0), (64, 64, 32)))
+    assert np.array_equal(out, arr)
+    # non-aligned window through the compresso decode path
+    sub = dest.cutout(Bbox((5, 9, 3), (50, 47, 29)))
+    assert np.array_equal(sub, arr[5:50, 9:47, 3:29, :])
