@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "doc_langid",
     "doc_repetition",
     "doc_quality_filter",
+    "doc_entropy",
+    "token_bucket_stats",
+    "boilerplate_ngrams",
+    "mixture_sample",
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -70,6 +74,7 @@ BENCH_QUERIES = [
     "srp_ann_topk",
     "ivf_ann_topk",
     "embedding_kmeans",
+    "semantic_dedup",
     "mm_image_features",
     "mm_image_resize",
     "mm_video_frame_sample",
@@ -248,6 +253,11 @@ def main() -> None:
     # the compiler (generated classes are cached per source)
     all_queries()["simhash_fingerprints"](spark, sf_dir) \
         .write.format("noop").mode("overwrite").save()
+    # gram-explode + count-distinct + broadcast-join codegen is the
+    # other expensive first-compile shape (contamination/boilerplate);
+    # warm it at the smallest sf so the timed pass is steady-state
+    all_queries()["corpus_contamination"](spark, "/root/testdata/sf0.001") \
+        .write.format("noop").mode("overwrite").save()
     (
         spark.range(64)
         .repartition(64)
@@ -274,6 +284,17 @@ def main() -> None:
     total = round(time.perf_counter() - t_total, 3)
     spatial_stats = bench_spatial_index(spark)
 
+    # environment probe: host contention varies round-to-round (VM on a
+    # shared box); loadavg + a fixed single-thread python loop let the
+    # cross-round comparison normalize for it
+    with open("/proc/loadavg") as fh:
+        load1 = float(fh.read().split()[0])
+    t_probe = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    cpu_probe = round(time.perf_counter() - t_probe, 3)
+
     print(json.dumps({
         "metric": "total_wall_sec",
         "value": total,
@@ -282,6 +303,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "volume": vol_stats,
         "spatial_index": spatial_stats,
+        "env": {"load1": load1, "cpu_probe_sec": cpu_probe},
     }))
 
 
