@@ -15,8 +15,8 @@ volumes between that and the standard on-disk layouts:
   behind an import-try.
 - **zarr2**: ``.zarray`` JSON, chunk keys ``i.j.k`` (configurable
   separator), compressor ``zlib``/``gzip``/null, order C or F.
-- **n5** (import only, as in the reference): ``attributes.json`` +
-  ``s<mip>/<x>/<y>/<z>`` blocks — big-endian 16-byte-ish header
+- **n5** (import + export; the reference reads only): ``attributes.json``
+  + ``s<mip>/<x>/<y>/<z>`` blocks — big-endian 16-byte-ish header
   (mode, ndim, per-dim int32 sizes) + big-endian payload, dimension 0
   fastest; edge blocks are clamped, not padded.
 
@@ -740,8 +740,78 @@ def import_zarr2(spark, src_dir: str, base_path: str,
 
 
 # --------------------------------------------------------------------------
-# n5 import (read-only, as in the reference)
+# n5 (the reference reads only — datasource/n5/image.py has no writer;
+# export here exceeds it, like the zarr3 sharding_indexed support)
 # --------------------------------------------------------------------------
+
+def export_n5(vol: Volume, out_dir: str, mip: int = 0,
+              level: int = 5) -> int:
+    """Chunk table → n5 dataset dir (``attributes.json`` +
+    ``s0/<x>/<y>/<z>`` blocks, gzip compression). Layout mirrors what
+    :func:`import_n5` consumes — and what the reference's reader
+    (``datasource/n5/image.py:44-90``) expects: big-endian
+    mode/ndim/per-dim-int32 header, dimension 0 fastest, edge blocks
+    clamped to the true extent rather than padded."""
+    info = vol.info
+    cs = [int(c) for c in info.chunk_size(mip)]
+    size = [int(s) for s in info.volume_size(mip)]
+    nc = info.num_channels
+    dtype = info.dtype
+
+    scale_dir = os.path.join(out_dir, "s0")
+    os.makedirs(scale_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "attributes.json"), "w") as f:
+        json.dump({"n5": "2.5.1"}, f)
+    dims = size + ([nc] if nc > 1 else [])
+    bs = cs + ([nc] if nc > 1 else [])
+    with open(os.path.join(scale_dir, "attributes.json"), "w") as f:
+        json.dump({
+            "dimensions": dims,
+            "blockSize": bs,
+            "dataType": str(dtype),
+            "compression": {"type": "gzip", "level": level},
+        }, f, indent=2)
+
+    ndim = 4 if nc > 1 else 3
+
+    def write_blocks(batches):
+        n = 0
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
+                raw = cvs_codecs.decompress_stream(
+                    r.blob, r.compression or None
+                )
+                arr = cvs_codecs.decode(raw, r.encoding, shape, dtype)
+                bdims = list(shape[:3]) + ([nc] if nc > 1 else [])
+                header = (
+                    (0).to_bytes(2, "big")
+                    + ndim.to_bytes(2, "big")
+                    + b"".join(d.to_bytes(4, "big") for d in bdims)
+                )
+                if nc == 1:
+                    arr = arr[..., 0]
+                body = gzip.compress(
+                    np.asfortranarray(arr).astype(
+                        dtype.newbyteorder(">"), copy=False
+                    ).tobytes(order="F"),
+                    compresslevel=level,
+                )
+                bdir = os.path.join(scale_dir, str(r.cx), str(r.cy))
+                os.makedirs(bdir, exist_ok=True)
+                with open(os.path.join(bdir, str(r.cz)), "wb") as f:
+                    f.write(header + body)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = (
+        vol.chunks_df()
+        .where(f"mip = {int(mip)}")
+        .mapInPandas(write_blocks, schema="n long")
+        .collect()
+    )
+    return int(sum(r.n for r in counts))
+
 
 def import_n5(spark, src_dir: str, base_path: str, mip: int = 0,
               compression: Optional[str] = "gzip") -> Volume:

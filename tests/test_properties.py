@@ -191,3 +191,25 @@ def test_jpeg_decode_total_and_bounded(h, w, quality, seed):
     # largest Annex-K luma step at the chosen quality
     if quality >= 95:
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
+
+
+seg_dtypes = st.sampled_from(["uint16", "uint32", "uint64"])
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    seg_dtypes,
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_compresso_roundtrip_property(sx, sy, sz, nlabels, dtype, seed):
+    from cloud_volume_spark import compresso_io
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, nlabels, size=(sx, sy, sz)).astype(dtype)
+    blob = compresso_io.compress(arr)
+    assert np.array_equal(compresso_io.decompress(blob), arr)
+    assert np.array_equal(compresso_io.labels(blob), np.unique(arr))

@@ -259,3 +259,33 @@ def test_zarr3_sharded_export_import_roundtrip(spark, tmp_path):
     assert np.array_equal(out, arr)
     out = vol2.cutout(Bbox((10, 10, 10), (40, 40, 24)))
     assert np.array_equal(out, arr[10:, 10:, 10:, :])
+
+
+def test_export_n5_roundtrip(spark, tmp_path):
+    from cloud_volume_spark.zarr_io import export_n5
+
+    rng = np.random.default_rng(55)
+    arr = rng.integers(0, 9000, size=(33, 47, 25, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "vol"), chunk_size=(16, 16, 16)
+    )
+    n = export_n5(vol, str(tmp_path / "n5"))
+    assert n == 3 * 3 * 2
+    assert os.path.isfile(str(tmp_path / "n5" / "s0" / "attributes.json"))
+    vol2 = import_n5(spark, str(tmp_path / "n5"), str(tmp_path / "vol2"))
+    out = vol2.cutout(Bbox((0, 0, 0), (33, 47, 25)))
+    assert np.array_equal(out, arr)
+
+
+def test_export_n5_multichannel(spark, tmp_path):
+    from cloud_volume_spark.zarr_io import export_n5
+
+    rng = np.random.default_rng(56)
+    arr = rng.random(size=(20, 18, 10, 3)).astype(np.float32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "vol"), chunk_size=(16, 16, 8)
+    )
+    export_n5(vol, str(tmp_path / "n5"))
+    vol2 = import_n5(spark, str(tmp_path / "n5"), str(tmp_path / "vol2"))
+    out = vol2.cutout(Bbox((0, 0, 0), (20, 18, 10)))
+    assert np.array_equal(out, arr)
