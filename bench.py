@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "doc_quality_filter",
     "doc_entropy",
+    "doc_perplexity",
     "token_bucket_stats",
     "boilerplate_ngrams",
     "mixture_sample",

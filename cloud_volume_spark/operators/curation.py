@@ -315,11 +315,75 @@ FROM counts GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity proxy
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity proxy: mean negative
+    log-likelihood of each document under the corpus's own unigram
+    distribution, ``nll = -(1/n) * sum ln(c_term / N_total)`` — the
+    cheap stand-in for the LM-perplexity filter (CCNet-style: docs far
+    from the corpus distribution are junk candidates; docs too close
+    are boilerplate). Emitted as ``floor(nll * 1e4 + 0.5)``.
+
+    Scale: the term-frequency table is vocabulary-sized (bounded by the
+    language, not the corpus), so it broadcasts; the corpus side is one
+    (doc, term) count shuffle with map-side partials plus the per-doc
+    aggregate — the same two-shuffle shape as tf-idf."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
+    )
+    counts = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = counts.groupBy("term").agg(F.sum("c").alias("cg"))
+    total = vocab.agg(F.sum("cg").alias("n_total"))
+    scored = (
+        counts.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+    )
+    n = F.sum("c")
+    ll = F.sum(
+        F.col("c").cast("double")
+        * F.log(F.col("cg").cast("double") / F.col("n_total").cast("double"))
+    )
+    return scored.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.floor((-ll / n.cast("double")) * 10000 + 0.5)
+        .cast("bigint").alias("nll_e4"),
+    )
+
+
+PERPLEXITY_SQL = """
+WITH counts AS (
+    SELECT doc_id, term, COUNT(*) AS c
+    FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS term
+        FROM documents
+    ) GROUP BY doc_id, term
+),
+vocab AS (
+    SELECT term, SUM(c) AS cg FROM counts GROUP BY term
+),
+total AS (
+    SELECT SUM(cg) AS n_total FROM vocab
+)
+SELECT c.doc_id,
+       SUM(c.c)::BIGINT AS n_tokens,
+       FLOOR((-SUM(c.c::DOUBLE * LN(v.cg::DOUBLE / t.n_total::DOUBLE))
+              / SUM(c.c)::DOUBLE) * 10000 + 0.5)::BIGINT AS nll_e4
+FROM counts c JOIN vocab v ON c.term = v.term CROSS JOIN total t
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = {
     "boilerplate_ngrams": boilerplate_ngrams,
     "mixture_sample": mixture_sample,
     "token_bucket_stats": token_bucket_stats,
     "doc_entropy": doc_entropy,
+    "doc_perplexity": doc_perplexity,
 }
 
 ORACLE_SQL = {
@@ -327,4 +391,5 @@ ORACLE_SQL = {
     "mixture_sample": MIXTURE_SQL,
     "token_bucket_stats": TOKEN_BUCKET_SQL,
     "doc_entropy": ENTROPY_SQL,
+    "doc_perplexity": PERPLEXITY_SQL,
 }

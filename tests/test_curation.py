@@ -173,3 +173,22 @@ def test_semantic_dedup_keeps_at_least_one_per_cluster(spark, sf_dir):
     m = out.set_index("vec_id")
     for vid in min_ids:
         assert m.loc[vid, "is_kept"] == 1
+
+
+def test_doc_perplexity_matches_numpy(spark, sf_dir):
+    from collections import Counter
+
+    from cloud_volume_spark.operators.curation import doc_perplexity
+
+    out = doc_perplexity(spark, sf_dir).toPandas().set_index("doc_id")
+    docs = _docs(spark, sf_dir)
+    vocab = Counter()
+    for t in docs["text"]:
+        vocab.update(t.strip().split(" "))
+    n_total = sum(vocab.values())
+    for _, row in docs.head(40).iterrows():
+        toks = row["text"].strip().split(" ")
+        nll = -np.mean([np.log(vocab[t] / n_total) for t in toks])
+        got = out.loc[row["doc_id"]]
+        assert got["n_tokens"] == len(toks)
+        assert abs(got["nll_e4"] - np.floor(nll * 10000 + 0.5)) <= 1
