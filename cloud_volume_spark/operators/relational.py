@@ -897,6 +897,18 @@ QUERIES.update({
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
     "customers_without_orders": customers_without_orders,
+})
+
+# the driver's correctness window covers the first 50 registered
+# queries; q10's top-k was rewritten this round (sort-limit instead of
+# a single-partition window), so it must sit inside the window for a
+# fresh driver row — re-key the dict with it first
+QUERIES = {
+    "q10_returned_items": QUERIES["q10_returned_items"],
+    **{k: v for k, v in QUERIES.items() if k != "q10_returned_items"},
+}
+
+QUERIES.update({
     "orders_above_customer_avg": orders_above_customer_avg,
     "urgent_orders_with_lineitems": urgent_orders_with_lineitems,
     "brand_type_pivot": brand_type_pivot,

@@ -246,3 +246,38 @@ def test_embedding_dedup_keep_planted_components(spark, tmp_path):
     # background vectors are singletons keeping themselves
     for i in range(20):
         assert out[i] == (i, 1)
+
+
+def test_semantic_dedup_plan_bounded_joins(spark, sf_dir):
+    """Centroid assignment must be a broadcast product against the
+    NLIST-row centroid table (never vector x vector), and the
+    within-cluster self-join must be a hash join on cent_id."""
+    plan = _plan(all_queries()["semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # x broadcast(16 centroids)
+    assert plan.count("pythonUDF") == 0
+
+
+def test_boilerplate_plan_broadcasts_gram_set(spark, sf_dir):
+    """The boilerplate gram table is cliche-vocabulary-sized; the
+    per-doc scoring join must broadcast it, keeping the corpus side
+    map-only after the one frequency shuffle."""
+    plan = _plan(all_queries()["boilerplate_ngrams"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_sample_is_map_side_filter(spark, sf_dir):
+    """The corpus never shuffles: thresholds (one row per source) come
+    in via broadcast, the keep decision is a scan-side filter."""
+    plan = _plan(all_queries()["mixture_sample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # no exchange may sit between the documents scan and the filter:
+    # the only exchanges belong to the tiny per-source count aggregate
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_vocab_is_broadcast(spark, sf_dir):
+    plan = _plan(all_queries()["doc_perplexity"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
