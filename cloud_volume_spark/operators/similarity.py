@@ -662,6 +662,21 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
+    # iterative algorithm: the parsed/casted vectors are read once and
+    # cached across Lloyd rounds (KMEANS_ITERS mean jobs + the final
+    # assignment all scan it) — the standard persist point for
+    # distributed k-means; MEMORY_AND_DISK so a 100 TB run degrades to
+    # spill, not recompute-from-parquet per round
+    from pyspark import StorageLevel
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _kmeans_rounds(emb)
+    finally:
+        emb.unpersist()
+
+
+def _kmeans_rounds(emb: DataFrame) -> DataFrame:
     cents = {
         int(r.vec_id): [float(x) for x in r.v]
         for r in emb.where(F.col("vec_id") < KMEANS_K).collect()
