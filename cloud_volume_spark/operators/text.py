@@ -313,14 +313,11 @@ GOPHER_MAX_MEAN_WLEN = 10.0
 GOPHER_MIN_DISTINCT_RATIO = 0.2
 
 
-def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality filter: hard rule composition (word-count
-    bounds, mean-word-length bounds, distinct-word ratio, stopword
-    presence) → per-rule flags + the final keep/drop verdict. All
-    JVM-side built-ins, map-only — the shape of every production
-    pretraining filter pass. Float comparisons are made on ROUND(_, 4)
-    values so any engine computing the same closed form agrees."""
-    docs = load(spark, sf_dir, "documents")
+def quality_filter_frame(docs: DataFrame) -> DataFrame:
+    """The Gopher rule columns over any documents frame — map-only
+    built-ins, so the same plan fragment runs in batch and inside a
+    Structured Streaming micro-batch (see
+    :func:`~cloud_volume_spark.streaming.streaming_quality_filter`)."""
     toks = _tokens(F.col("text"))
     n = F.size(toks)
     mean_wlen = F.round((F.length(F.trim("text")) - n + 1) / n, 4)
@@ -342,6 +339,16 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_hit") == 1)
     )
     return df.withColumn("passes", passes.cast("int"))
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter: hard rule composition (word-count
+    bounds, mean-word-length bounds, distinct-word ratio, stopword
+    presence) → per-rule flags + the final keep/drop verdict. All
+    JVM-side built-ins, map-only — the shape of every production
+    pretraining filter pass. Float comparisons are made on ROUND(_, 4)
+    values so any engine computing the same closed form agrees."""
+    return quality_filter_frame(load(spark, sf_dir, "documents"))
 
 
 QUALITY_FILTER_SQL = f"""

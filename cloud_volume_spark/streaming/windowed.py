@@ -239,6 +239,19 @@ def read_documents_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def streaming_quality_filter(docs: DataFrame) -> DataFrame:
+    """Gopher-rule quality filtering over a document stream: keeps the
+    passing docs with their per-rule flags. The rules are the exact
+    plan fragment the batch operator uses
+    (``operators.text.quality_filter_frame``) — map-only expressions,
+    so they run stateless inside each micro-batch and the streaming
+    output provably equals the batch verdicts (tested availableNow ≡
+    batch)."""
+    from cloud_volume_spark.operators.text import quality_filter_frame
+
+    return quality_filter_frame(docs).where(F.col("passes") == 1)
+
+
 def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
     """Incremental exact dedup: the first document seen per content
     hash passes, later duplicates are dropped — the streaming

@@ -206,3 +206,40 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(batch)
     assert set(got.content_hash) == set(batch.content_hash)
     assert got.content_hash.is_unique
+
+
+def test_streaming_quality_filter_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming Gopher filter must pass exactly the docs the
+    batch operator passes, with identical rule columns."""
+    from cloud_volume_spark.operators.text import doc_quality_filter
+    from cloud_volume_spark.streaming import (
+        read_documents_stream, streaming_quality_filter,
+    )
+
+    d = tmp_path / "docs_qstream"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(str(d), "part-0.parquet"),
+    )
+    stream = streaming_quality_filter(read_documents_stream(spark, str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("squality")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import pandas as pd
+
+    got = (
+        spark.sql("select * from squality").toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    batch = doc_quality_filter(spark, sf_dir).toPandas()
+    batch = (
+        batch[batch["passes"] == 1]
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
