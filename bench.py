@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "corpus_sample_stratified",
     "corpus_pack_sequences",
     "corpus_contamination",
+    "corpus_curate",
     "tfidf_top_terms",
     "doc_context_windows",
     "doc_policy_scan",

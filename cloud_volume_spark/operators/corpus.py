@@ -449,7 +449,60 @@ WHERE d.doc_id % {CONTAM_MOD} != 0
 """
 
 
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline
+
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole selection pipeline as one composed plan: Gopher
+    quality filter ∧ near-duplicate keep-best ∧ domain-mixture sample
+    → the final training-corpus document set. This is the query a
+    production run actually executes — the stage operators exist
+    separately for observability, but selection ships as a single job
+    so Catalyst fuses the map-side filters and the corpus is scanned
+    once per branch, not once per stage.
+
+    Scale: quality + mixture are map-only predicates; keep-best rides
+    the materialized cluster map (computed once per session/dataset).
+    The three semi-join-shaped intersections hash-join on doc_id —
+    at 100 TB each side is a projected id set, a fraction of corpus
+    width, and AQE picks broadcast when a stage filters hard."""
+    from cloud_volume_spark.operators.curation import mixture_sample
+    from cloud_volume_spark.operators.text import doc_quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    qf = doc_quality_filter(spark, sf_dir).where(
+        F.col("passes") == 1
+    ).select("doc_id")
+    kb = dedup_keep_best(spark, sf_dir).where(
+        F.col("is_kept") == 1
+    ).select("doc_id")
+    mx = mixture_sample(spark, sf_dir).select("doc_id")
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(qf, "doc_id")
+        .join(kb, "doc_id")
+        .join(mx, "doc_id")
+    )
+
+
+def _curate_sql() -> str:
+    from cloud_volume_spark.operators.curation import MIXTURE_SQL
+    from cloud_volume_spark.operators.text import QUALITY_FILTER_SQL
+
+    return f"""
+WITH qf AS (SELECT * FROM ({QUALITY_FILTER_SQL}) t WHERE passes = 1),
+kb AS (SELECT * FROM ({KEEP_BEST_SQL}) t WHERE is_kept = 1),
+mx AS (SELECT * FROM ({MIXTURE_SQL}) t)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+JOIN qf ON qf.doc_id = d.doc_id
+JOIN kb ON kb.doc_id = d.doc_id
+JOIN mx ON mx.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
+    "corpus_curate": corpus_curate,
     "corpus_sample_stratified": corpus_sample_stratified,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_context_windows": doc_context_windows,
@@ -460,6 +513,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_curate": _curate_sql(),
     "corpus_contamination": CONTAMINATION_SQL,
     "corpus_pack_sequences": PACK_SEQUENCES_SQL,
     "corpus_sample_stratified": SAMPLE_SQL,
