@@ -297,6 +297,146 @@ class SkeletonLayer:
                     f.write(text)
         return text
 
+    def export_sharded(self, out_dir: str, spec=None) -> int:
+        """Sharded skeleton archive (reference
+        ``skeleton/sharded.py:22-106``): segids murmur-hashed into
+        ``.shard`` files; an ``info`` JSON carries the sharding spec,
+        transform, and vertex-attribute declarations. One
+        ``applyInPandas`` group per shard synthesizes its file —
+        shard-parallel like the image path
+        (:func:`precomputed_io.export_sharded`). Returns shard count."""
+        import json
+
+        import pandas as pd
+
+        from cloud_volume_spark.sharding import (
+            ShardingSpecification, synthesize_shard_file,
+        )
+
+        if spec is None:
+            spec = ShardingSpecification(
+                preshift_bits=0, hash="murmurhash3_x86_128",
+                minishard_bits=3, shard_bits=4,
+                minishard_index_encoding="gzip", data_encoding="gzip",
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "info"), "w") as f:
+            json.dump({
+                "@type": "neuroglancer_skeletons",
+                "transform": [float(v) for v in self.transform],
+                "vertex_attributes": [
+                    {"id": "radius", "data_type": "float32",
+                     "num_components": 1},
+                    {"id": "vertex_types", "data_type": "uint8",
+                     "num_components": 1},
+                ],
+                "sharding": spec.to_dict(),
+            }, f, indent=2)
+
+        spec_dict = spec.to_dict()
+
+        def shard_no_of(segid: int) -> str:
+            return spec.compute_shard_location(segid)[0]
+
+        shard_udf = F.udf(shard_no_of, "string")
+
+        def write_shard(keyvals, pdf):
+            sp = ShardingSpecification.from_dict(spec_dict)
+            group = {}
+            for r in pdf.itertuples(index=False):
+                # arrow hands array<array<float>> to pandas as an
+                # object array of per-row arrays — stack, don't cast
+                group[int(r.segid)] = encode_precomputed(
+                    np.stack([
+                        np.asarray(v, dtype=np.float32) for v in r.vertices
+                    ]) if len(r.vertices) else
+                    np.zeros((0, 3), dtype=np.float32),
+                    np.stack([
+                        np.asarray(e, dtype=np.uint32) for e in r.edges
+                    ]) if len(r.edges) else
+                    np.zeros((0, 2), dtype=np.uint32),
+                    np.asarray(r.radii, dtype=np.float32)
+                    if r.radii is not None else None,
+                    np.asarray(r.vertex_types, dtype=np.uint8)
+                    if r.vertex_types is not None else None,
+                )
+            blob = synthesize_shard_file(sp, group)
+            shard_no = str(keyvals[0])
+            with open(os.path.join(out_dir, f"{shard_no}.shard"), "wb") as f:
+                f.write(blob)
+            return pd.DataFrame(
+                {"shard": [shard_no], "n": [len(group)]}
+            )
+
+        counts = (
+            self.df()
+            .withColumn("shard_no", shard_udf("segid"))
+            .groupBy("shard_no")
+            .applyInPandas(write_shard, schema="shard string, n long")
+            .collect()
+        )
+        return len(counts)
+
+    def import_sharded(self, src_dir: str) -> None:
+        """Read a sharded skeleton archive back into the table
+        (reference ``skeleton/sharded.py``: spec from the layer info,
+        label→shard via the murmur hash, 3-level index walk). Shard
+        files parse in parallel — one executor task per ``.shard``."""
+        import json
+
+        import pandas as pd
+
+        from cloud_volume_spark.sharding import (
+            ShardFileReader, ShardingSpecification,
+        )
+
+        with open(os.path.join(src_dir, "info")) as f:
+            info = json.load(f)
+        spec_dict = info["sharding"]
+        if info.get("transform"):
+            self.transform = [float(v) for v in info["transform"]]
+        paths = sorted(
+            os.path.join(src_dir, p) for p in os.listdir(src_dir)
+            if p.endswith(".shard")
+        )
+        files_df = self.spark.createDataFrame(
+            [(p,) for p in paths], schema="path string"
+        ).repartition(max(1, min(len(paths), 64)))
+
+        schema = (
+            "segid long, vertices array<array<float>>, "
+            "edges array<array<int>>, radii array<float>, "
+            "vertex_types array<int>"
+        )
+
+        def read_shards(batches):
+            sp = ShardingSpecification.from_dict(spec_dict)
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    with open(r.path, "rb") as f:
+                        reader = ShardFileReader(sp, f.read())
+                    for segid, blob in reader.items():
+                        d = decode_precomputed(blob)
+                        rows.append((
+                            int(segid),
+                            [[float(x) for x in v] for v in d["vertices"]],
+                            [[int(a) for a in e] for e in d["edges"]],
+                            [float(x) for x in d["radii"]]
+                            if d["radii"] is not None else None,
+                            [int(x) for x in d["vertex_types"]]
+                            if d["vertex_types"] is not None else None,
+                        ))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "segid", "vertices", "edges", "radii",
+                        "vertex_types",
+                    ],
+                )
+
+        self.write(files_df.mapInPandas(read_shards, schema=schema))
+
     def import_precomputed(self, src_dir: str) -> None:
         """Read unsharded skeleton files back into the table."""
         rows = []
