@@ -243,9 +243,25 @@ def _maybe_decompress(data: bytes, encoding: str) -> bytes:
 
 
 def synthesize_shard_file(spec: ShardingSpecification,
-                          label_group: Dict[int, bytes]) -> bytes:
+                          label_group: Dict[int, bytes],
+                          prefix_group: Optional[Dict[int, bytes]] = None
+                          ) -> bytes:
     """Assemble one ``.shard``: [fixed index | minishard data | minishard
-    indices] (reference ``synthesize_shard_file`` :868-983 semantics)."""
+    indices] (reference ``synthesize_shard_file`` :868-983 semantics).
+
+    ``prefix_group`` places extra *unindexed* bytes immediately before a
+    label's value — the neuroglancer sharded multi-LOD mesh layout,
+    where fragment data precedes the indexed manifest and readers
+    locate it as ``manifest_offset - total_fragment_size`` (reference
+    ``mesh/multilod.py:262-283``). The minishard offset column is
+    delta-encoded, so a prefix is just a nonzero delta; requires
+    ``data_encoding == 'raw'`` (ranged fragment reads cannot span a
+    compressed value)."""
+    if prefix_group and spec.data_encoding != "raw":
+        raise SpecViolation(
+            "prefix data requires data_encoding == 'raw'"
+        )
+    prefix_group = prefix_group or {}
     by_minishard: Dict[int, Dict[int, bytes]] = {}
     for label, binary in label_group.items():
         _, minishard_no = spec.compute_shard_location(label)
@@ -260,10 +276,11 @@ def synthesize_shard_file(spec: ShardingSpecification,
         last_label = 0
         for i, label in enumerate(labels):
             binary = _maybe_compress(grp[label], spec.data_encoding)
+            prefix = prefix_group.get(label, b"")
             index[0, i] = label - last_label
-            index[1, i] = 0
+            index[1, i] = len(prefix)
             index[2, i] = len(binary)
-            components.append(binary)
+            components.append(prefix + binary)
             last_label = label
         minishardnos.append(minishard_no)
         indices.append(index)
@@ -332,6 +349,24 @@ class ShardFileReader:
         offset, size = int(match[0, 1]), int(match[0, 2])
         return _maybe_decompress(
             self.blob[offset:offset + size], self.spec.data_encoding
+        )
+
+    def get_with_offset(self, label: int):
+        """→ (value bytes, absolute byte offset) — the offset lets
+        multi-LOD mesh readers slice the unindexed fragment data that
+        precedes the manifest (reference's 'tweak to sharding.py',
+        ``mesh/multilod.py:140,262``)."""
+        _, minishard_no = self.spec.compute_shard_location(label)
+        idx = self.minishard_index(minishard_no)
+        match = idx[idx[:, 0] == np.uint64(label)]
+        if len(match) == 0:
+            return None, None
+        offset, size = int(match[0, 1]), int(match[0, 2])
+        return (
+            _maybe_decompress(
+                self.blob[offset:offset + size], self.spec.data_encoding
+            ),
+            offset,
         )
 
     def list_labels(self) -> np.ndarray:

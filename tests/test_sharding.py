@@ -115,3 +115,34 @@ def test_sharded_volume_roundtrip(spark, rng, tmp_path):
     assert np.array_equal(back, arr)
     got = {r.label for r in vol2.unique().collect()}
     assert got == set(np.unique(arr).tolist())
+
+
+def test_prefix_data_requires_raw_encoding():
+    from cloud_volume_spark.sharding import (
+        ShardFileReader, ShardingSpecification, SpecViolation,
+        synthesize_shard_file,
+    )
+    import pytest as _pytest
+
+    gz = ShardingSpecification(
+        preshift_bits=0, hash="identity", minishard_bits=2, shard_bits=2,
+        data_encoding="gzip",
+    )
+    with _pytest.raises(SpecViolation):
+        synthesize_shard_file(gz, {1: b"v"}, {1: b"prefix"})
+
+    raw = ShardingSpecification(
+        preshift_bits=0, hash="identity", minishard_bits=2, shard_bits=2,
+        data_encoding="raw",
+    )
+    blob = synthesize_shard_file(
+        raw, {1: b"value1", 9: b"value9"}, {1: b"AAAA", 9: b"BB"}
+    )
+    r = ShardFileReader(raw, blob)
+    v, off = r.get_with_offset(1)
+    assert v == b"value1"
+    # the prefix bytes sit immediately before the indexed value
+    assert blob[off - 4:off] == b"AAAA"
+    v9, off9 = r.get_with_offset(9)
+    assert v9 == b"value9" and blob[off9 - 2:off9] == b"BB"
+    assert r.get(5) is None and r.get_with_offset(5) == (None, None)
