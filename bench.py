@@ -267,7 +267,13 @@ def main() -> None:
     # gram-explode + count-distinct + broadcast-join codegen is the
     # other expensive first-compile shape (contamination/boilerplate);
     # warm it at the smallest sf so the timed pass is steady-state
-    all_queries()["corpus_contamination"](spark, "/root/testdata/sf0.001") \
+    warm_sf = sf_dir
+    for cand in ("sf0.001", "sf0.01"):
+        c = os.path.join(os.path.dirname(sf_dir.rstrip("/")), cand)
+        if os.path.isdir(c):
+            warm_sf = c
+            break
+    all_queries()["corpus_contamination"](spark, warm_sf) \
         .write.format("noop").mode("overwrite").save()
     (
         spark.range(64)
@@ -286,15 +292,16 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    t_vol = time.perf_counter()
     times, runs = bench_queries(spark, sf_dir)
     t_vol = time.perf_counter()
     vol_stats = bench_volume(spark)
     vol_wall = time.perf_counter() - t_vol
-    # headline total stays comparable across rounds: sum of per-query
-    # steady-state times + the volume roundtrip wall (NOT the doubled
-    # two-pass wall the min-of-2 methodology now incurs); the index
-    # build is its own number
+    # METHODOLOGY CHANGE (round 5): value = sum of per-query min-of-2
+    # steady-state times + the volume roundtrip wall. Earlier rounds
+    # reported single-pass wall clock, which on this shared host swung
+    # up to 4x with no code change; queries_method/queries_runs mark
+    # the change so cross-round readers compare per-query minima, not
+    # this headline against pre-r5 headlines.
     total = round(sum(times.values()) + vol_wall, 3)
     spatial_stats = bench_spatial_index(spark)
 

@@ -56,6 +56,7 @@ HEADER_SIZE = struct.calcsize(HEADER_FMT)
 assert HEADER_SIZE == 36
 
 DEFAULT_STEPS = (4, 4, 1)
+MASK64 = (1 << 64) - 1
 
 
 class CompressoError(ValueError):
@@ -244,6 +245,16 @@ def compress(cube: np.ndarray, steps=DEFAULT_STEPS) -> bytes:
                 elif z > 0 and cube[x, y, z - 1] == true:
                     locations.append(2)
                 else:
+                    if int(true) > MASK64 - 3:
+                        # the 3+label code space cannot hold the top
+                        # 3 uint64 values; raise precisely rather than
+                        # overflow the stream
+                        raise CompressoError(
+                            f"label {int(true)} >= 2**64-3 cannot be "
+                            "stored as an explicit compresso "
+                            "correction; renumber or use another "
+                            "encoding"
+                        )
                     locations.append(3 + int(true))
 
     header = struct.pack(
@@ -361,26 +372,31 @@ def decompress(blob: bytes) -> np.ndarray:
         bx, by = bx[o], by[o]
         left_nb = (bx > 0) & ~bz[np.maximum(bx - 1, 0), by]
         up_nb = (by > 0) & ~bz[bx, np.maximum(by - 1, 0)]
-        # determined voxels can be filled from the component image in
-        # any order; indeterminate ones must go raster with the stream
-        for x, y, lok, uok in zip(bx, by, left_nb, up_nb):
-            if lok:
+        # determined voxels copy from a NON-boundary neighbor already
+        # present in the component image — order-independent, so fill
+        # them vectorized (the overwhelming majority on real data)
+        lx, ly = bx[left_nb], by[left_nb]
+        sl[lx, ly] = sl[lx - 1, ly]
+        up_only = up_nb & ~left_nb
+        ux, uy = bx[up_only], by[up_only]
+        sl[ux, uy] = sl[ux, uy - 1]
+        # indeterminate voxels consume the correction stream in raster
+        # order; codes 0/1 may reference boundary voxels resolved
+        # earlier in the same raster pass, so this loop stays serial
+        ind = ~(left_nb | up_nb)
+        for x, y in zip(bx[ind], by[ind]):
+            if loc_pos >= location_size:
+                raise CompressoError("locations stream exhausted")
+            code = int(locs[loc_pos])
+            loc_pos += 1
+            if code == 0:
                 sl[x, y] = sl[x - 1, y]
-            elif uok:
+            elif code == 1:
                 sl[x, y] = sl[x, y - 1]
+            elif code == 2:
+                sl[x, y] = out[x, y, z - 1]
             else:
-                if loc_pos >= location_size:
-                    raise CompressoError("locations stream exhausted")
-                code = int(locs[loc_pos])
-                loc_pos += 1
-                if code == 0:
-                    sl[x, y] = sl[x - 1, y]
-                elif code == 1:
-                    sl[x, y] = sl[x, y - 1]
-                elif code == 2:
-                    sl[x, y] = out[x, y, z - 1]
-                else:
-                    sl[x, y] = dtype.type(code - 3)
+                sl[x, y] = dtype.type(code - 3)
     if id_pos != id_size:
         raise CompressoError(
             f"ids stream length mismatch: used {id_pos} of {id_size}"

@@ -119,8 +119,18 @@ def _decode_rgb(decode: str, blob: bytes, width: int, height: int) -> np.ndarray
     """Dispatch FakeCodec vs real decode, normalized to (H, W, 3) uint8."""
     if decode == "real":
         img = decode_image_real(blob)
+        # bit depth first: 16-bit channels scale to 8 (high byte)
+        if img.dtype != np.uint8:
+            if img.dtype == np.uint16:
+                img = (img >> 8).astype(np.uint8)
+            else:
+                img = np.clip(img, 0, 255).astype(np.uint8)
+        # then channel count: gray -> RGB, gray+alpha/RGBA drop alpha
         if img.ndim == 2:
             img = np.stack([img, img, img], axis=-1)
+        elif img.shape[2] == 2:  # gray + alpha (PNG color type 4)
+            g = img[:, :, 0]
+            img = np.stack([g, g, g], axis=-1)
         elif img.shape[2] == 4:
             img = img[:, :, :3]
         return np.ascontiguousarray(img)

@@ -376,23 +376,10 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the corpus side streams map-only through the broadcast
     hash join and aggregates per doc; no all-pairs, no big shuffle on
     the gram column."""
+    from cloud_volume_spark.operators.curation import _word_grams
+
     docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), " ")
-    n = F.size(toks)
-    # Spark's sequence(1, 0) counts *down*; guard short docs explicitly
-    idxs = F.when(
-        n >= CONTAM_NGRAM,
-        F.sequence(F.lit(1), n - (CONTAM_NGRAM - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idxs,
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM))),
-            )
-        ).alias("gram"),
-    )
+    grams = _word_grams(docs, CONTAM_NGRAM)
     bench = (
         grams.where(F.col("doc_id") % CONTAM_MOD == 0)
         .select("gram").distinct()

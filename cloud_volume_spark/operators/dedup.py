@@ -314,6 +314,9 @@ def connected_components(
             .agg(F.min("vcomp").alias("ncomp"))
             .withColumnRenamed("u", id_col)
         )
+        # carry a per-row changed flag through the checkpoint so
+        # convergence detection is a count over the already-
+        # materialized result — not a second join+shuffle per step
         new = (
             labels.join(neigh, id_col, "left")
             .select(
@@ -321,9 +324,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce("ncomp", F.col("comp")) < F.col("comp")
+                ).cast("int").alias("chg"),
             )
             .localCheckpoint()  # materialize + truncate lineage
         )
+        round_changed = new.agg(F.sum("chg")).collect()[0][0] or 0
+        new = new.select(id_col, "comp")
         # pointer jumping: comp ← comp(comp) against the *updated*
         # mapping, so each step doubles the hop distance already
         # folded into the labels (u→u-2, then u-4, u-8, …)
@@ -342,24 +350,19 @@ def connected_components(
                     F.least(
                         F.col("comp"), F.coalesce("cc2", F.col("comp"))
                     ).alias("comp"),
+                    (
+                        F.coalesce("cc2", F.col("comp")) < F.col("comp")
+                    ).cast("int").alias("chg"),
                 )
                 .localCheckpoint()
             )
-            n_jumped = (
-                jumped.join(new.withColumnRenamed("comp", "old"), id_col)
-                .where(F.col("comp") != F.col("old"))
-                .count()
-            )
-            new = jumped
+            n_jumped = jumped.agg(F.sum("chg")).collect()[0][0] or 0
+            round_changed += n_jumped
+            new = jumped.select(id_col, "comp")
             if n_jumped == 0:
                 break
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "old"), id_col)
-            .where(F.col("comp") != F.col("old"))
-            .count()
-        )
         labels = new
-        if changed == 0:
+        if round_changed == 0:
             converged = True
             break
     edges.unpersist()

@@ -341,15 +341,7 @@ class ShardFileReader:
         return idx
 
     def get(self, label: int) -> Optional[bytes]:
-        _, minishard_no = self.spec.compute_shard_location(label)
-        idx = self.minishard_index(minishard_no)
-        match = idx[idx[:, 0] == np.uint64(label)]
-        if len(match) == 0:
-            return None
-        offset, size = int(match[0, 1]), int(match[0, 2])
-        return _maybe_decompress(
-            self.blob[offset:offset + size], self.spec.data_encoding
-        )
+        return self.get_with_offset(label)[0]
 
     def get_with_offset(self, label: int):
         """→ (value bytes, absolute byte offset) — the offset lets

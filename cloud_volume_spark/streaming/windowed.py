@@ -44,9 +44,18 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     except Exception:
         prior = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_long = isinstance(
-        spark.read.parquet(src_dir).schema["ts"].dataType, LongType
-    )
+    try:
+        ts_is_long = isinstance(
+            spark.read.parquet(src_dir).schema["ts"].dataType, LongType
+        )
+    except Exception:
+        # probe failed (missing dir, bad files): restore the conf so a
+        # throwing call cannot leak the session-global toggle
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+        raise
     if not ts_is_long:
         # restore: the stream doesn't need the legacy conf, so don't
         # leave a session-global toggle behind as a probe side effect

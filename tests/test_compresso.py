@@ -139,3 +139,16 @@ def test_volume_compresso_roundtrip(spark, rng, tmp_path):
     # non-aligned window through the compresso decode path
     sub = dest.cutout(Bbox((5, 9, 3), (50, 47, 29)))
     assert np.array_equal(sub, arr[5:50, 9:47, 3:29, :])
+
+
+def test_explicit_label_overflow_raises():
+    # a lone near-max uint64 label fully surrounded by boundary needs
+    # an explicit correction, which the 3+label code space cannot hold
+    arr = np.ones((5, 5, 1), dtype=np.uint64)
+    arr[2, 2, 0] = 2 ** 64 - 1
+    with pytest.raises(compresso_io.CompressoError):
+        compresso_io.compress(arr)
+    # one step below the reserved range still roundtrips
+    arr[2, 2, 0] = 2 ** 64 - 4
+    blob = compresso_io.compress(arr)
+    assert np.array_equal(compresso_io.decompress(blob), arr)

@@ -246,3 +246,25 @@ def test_fake_queries_unchanged_by_real_path(assets):
     a = image_features(assets).collect()
     b = image_features(assets, decode="fake").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_decode_rgb_normalizes_depth_and_alpha(rng):
+    """_decode_rgb's (H, W, 3) uint8 contract must hold for 16-bit and
+    gray+alpha PNGs, not just 8-bit gray/RGB/RGBA."""
+    from cloud_volume_spark import png_io
+    from cloud_volume_spark.multimodal import _decode_rgb
+
+    g16 = rng.integers(0, 2 ** 16, (10, 12)).astype(np.uint16)
+    out = _decode_rgb("real", png_io.encode(g16), 12, 10)
+    assert out.shape == (10, 12, 3) and out.dtype == np.uint8
+    assert np.array_equal(out[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+    ga = rng.integers(0, 256, (8, 9, 2)).astype(np.uint8)
+    out = _decode_rgb("real", png_io.encode(ga), 9, 8)
+    assert out.shape == (8, 9, 3) and out.dtype == np.uint8
+    assert np.array_equal(out[:, :, 0], ga[:, :, 0])  # alpha dropped
+
+    rgba16 = rng.integers(0, 2 ** 16, (6, 7, 4)).astype(np.uint16)
+    out = _decode_rgb("real", png_io.encode(rgba16), 7, 6)
+    assert out.shape == (6, 7, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, (rgba16[:, :, :3] >> 8).astype(np.uint8))
