@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "boilerplate_ngrams",
     "mixture_sample",
     "dedup_exact",
+    "dedup_incremental",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "dedup_clusters",

@@ -529,8 +529,89 @@ FROM votes
 """
 
 
+INGEST_MOD = 10  # docs with doc_id % INGEST_MOD == 0 form the incoming batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch (here ``doc_id %
+    INGEST_MOD == 0``, standing in for today's crawl) is checked for
+    near-duplicates against the *existing* corpus via the MinHash-LSH
+    band index — the asymmetric production shape, where the corpus is
+    never self-joined and only new docs pay the candidate lookup.
+
+    Output per incoming doc: the canonical existing duplicate
+    (``dup_of``, min doc_id among band matches, -1 if none), how many
+    existing docs matched, and the keep verdict.
+
+    Scale: the incoming batch's band table is days-of-data small and
+    explicitly broadcast; the corpus band side streams map-only through
+    the broadcast hash join — no corpus shuffle, no corpus self-join.
+    (A standing corpus would keep its band table materialized; here
+    both sides derive from the same parquet for oracle parity.)"""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+                for b in range(N_HASHES // 2)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    is_new = F.col("doc_id") % INGEST_MOD == 0
+    new_b = bands.where(is_new).select(
+        F.col("doc_id").alias("new_id"), "band", "band_hash"
+    )
+    old_b = bands.where(~is_new)
+    matches = (
+        old_b.join(F.broadcast(new_b), ["band", "band_hash"])
+        .groupBy("new_id")
+        .agg(
+            F.min("doc_id").alias("dup_of"),
+            F.countDistinct("doc_id").alias("n_dup_candidates"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % INGEST_MOD == 0).select("doc_id")
+    return base.join(
+        matches.withColumnRenamed("new_id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("dup_of", F.lit(-1)).cast("bigint").alias("dup_of"),
+        F.coalesce("n_dup_candidates", F.lit(0)).cast("bigint")
+        .alias("n_dup_candidates"),
+        (F.coalesce("n_dup_candidates", F.lit(0)) == 0)
+        .cast("int").alias("is_kept"),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH shingles AS ({SHINGLES_SQL}),
+sigs AS (
+    SELECT doc_id, {_SIG_SQL_COLS}
+    FROM shingles GROUP BY doc_id
+),
+bands AS ({_BANDS_SQL}),
+matches AS (
+    SELECT n.doc_id AS new_id, MIN(o.doc_id) AS dup_of,
+           COUNT(DISTINCT o.doc_id) AS n_dup_candidates
+    FROM bands n JOIN bands o
+      ON n.band = o.band AND n.band_hash = o.band_hash
+    WHERE n.doc_id % {INGEST_MOD} = 0 AND o.doc_id % {INGEST_MOD} != 0
+    GROUP BY n.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(m.dup_of, -1)::BIGINT AS dup_of,
+       COALESCE(m.n_dup_candidates, 0)::BIGINT AS n_dup_candidates,
+       (COALESCE(m.n_dup_candidates, 0) = 0)::INT AS is_kept
+FROM documents d LEFT JOIN matches m ON m.new_id = d.doc_id
+WHERE d.doc_id % {INGEST_MOD} = 0
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -540,6 +621,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "minhash_signatures": MINHASH_SQL,
     "minhash_lsh_pairs": LSH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

@@ -192,3 +192,32 @@ def test_doc_perplexity_matches_numpy(spark, sf_dir):
         got = out.loc[row["doc_id"]]
         assert got["n_tokens"] == len(toks)
         assert abs(got["nll_e4"] - np.floor(nll * 10000 + 0.5)) <= 1
+
+
+def test_dedup_incremental_planted(spark, tmp_path):
+    """An incoming doc that duplicates an existing doc must be flagged
+    with that doc as dup_of; a unique incoming doc must be kept."""
+    import pandas as pd
+
+    from cloud_volume_spark.operators.dedup import dedup_incremental
+
+    # per-doc disjoint vocabularies so only the planted pair collides
+    texts = {
+        i: " ".join(f"w{i}x{j}" for j in range(40)) for i in range(20)
+    }
+    texts[10] = texts[7]          # incoming dup of existing doc 7
+    pdf = pd.DataFrame({
+        "doc_id": list(range(20)),
+        "text": [texts[i] for i in range(20)],
+        "lang": ["en"] * 20,
+        "source": ["src0"] * 20,
+        "n_chars": [len(texts[i]) for i in range(20)],
+    })
+    d = tmp_path / "inc"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    out = dedup_incremental(spark, str(d)).toPandas().set_index("doc_id")
+    assert set(out.index) == {0, 10}
+    assert out.loc[10, "dup_of"] == 7
+    assert out.loc[10, "is_kept"] == 0
+    assert out.loc[0, "is_kept"] == 1 and out.loc[0, "dup_of"] == -1
