@@ -630,3 +630,49 @@ ORACLE_SQL = {
         shingles=SHINGLES_SQL, sig_cols=_SIG_SQL_COLS, bands=_BANDS_SQL
     ),
 }
+
+
+def signature_frame_maponly(docs: DataFrame) -> DataFrame:
+    """MinHash signatures computed per-row over the shingle *array* —
+    no explode, no groupBy, so the identical signature math
+    (:func:`minhash_signatures`) runs as pure map-side expressions.
+    This is the streaming-safe form: a file stream of documents can
+    band-index itself without stateful aggregation (see
+    ``streaming.streaming_incremental_dedup``)."""
+    toks = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {SHINGLE_W - 1}, 1),"
+        f" {SHINGLE_STEP}), i -> substr(text, i, {SHINGLE_W}))"
+    )
+    def _hash_min(salt: str, off: int):
+        # closure factory: pyspark reads the lambda's arity, so default
+        # args would make it look like a 3-arg higher-order lambda
+        def fn(s):
+            return F.substring(
+                F.md5(F.concat(F.lit(f"{salt}|"), s)), off, 8
+            )
+        return fn
+
+    cols = [F.col("doc_id")]
+    for j in range(N_HASHES):
+        salt = "ab"[j // 4]
+        off = 1 + 8 * (j % 4)
+        cols.append(
+            F.array_min(
+                F.transform(toks, _hash_min(salt, off))
+            ).alias(f"h{j}")
+        )
+    return docs.select(*cols)
+
+
+def band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) from a signature frame — the shared
+    banding used by the self-join, incremental, and streaming paths."""
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+                for b in range(N_HASHES // 2)
+            ])
+        ).alias("band", "band_hash"),
+    )

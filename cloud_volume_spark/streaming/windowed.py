@@ -274,3 +274,32 @@ def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
         docs.withColumn("content_hash", F.md5("text"))
         .dropDuplicates(["content_hash"])
     )
+
+
+def streaming_incremental_dedup(docs_stream: DataFrame,
+                                static_docs: DataFrame) -> DataFrame:
+    """Stream-static incremental dedup: a file stream of incoming
+    documents is checked against a *static* corpus through the
+    MinHash-LSH band index. The stream side computes signatures with
+    pure map-side array expressions (``dedup.signature_frame_maponly``
+    — no explode+groupBy, so no stateful aggregation is needed), joins
+    the corpus band table (stream-static join: Spark broadcasts or
+    rescans the static side per micro-batch), and emits each duplicate
+    incoming doc once (dropDuplicates state keyed on doc_id).
+
+    Output: ``doc_id, dup_of`` rows for incoming docs that near-match
+    an existing doc — the streaming mirror of
+    ``dedup.dedup_incremental``'s ``is_kept = 0`` set."""
+    from cloud_volume_spark.operators.dedup import (
+        band_frame, signature_frame_maponly,
+    )
+
+    static_bands = band_frame(signature_frame_maponly(static_docs)).select(
+        F.col("doc_id").alias("dup_of"), "band", "band_hash"
+    )
+    new_bands = band_frame(signature_frame_maponly(docs_stream))
+    return (
+        new_bands.join(static_bands, ["band", "band_hash"])
+        .select("doc_id", "dup_of")
+        .dropDuplicates(["doc_id"])
+    )

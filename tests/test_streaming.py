@@ -243,3 +243,43 @@ def test_streaming_quality_filter_matches_batch(spark, sf_dir, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, batch)
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static incremental dedup: the incoming-doc stream joined
+    against the static corpus band table must flag exactly the docs the
+    batch dedup_incremental marks as duplicates."""
+    import pandas as pd
+
+    from cloud_volume_spark.operators.dedup import (
+        INGEST_MOD, dedup_incremental,
+    )
+    from cloud_volume_spark.streaming import (
+        read_documents_stream, streaming_incremental_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = tmp_path / "inc_stream"
+    d.mkdir()
+    docs.where(F.col("doc_id") % INGEST_MOD == 0).toPandas().to_parquet(
+        str(d / "part-0.parquet")
+    )
+    static_docs = docs.where(F.col("doc_id") % INGEST_MOD != 0)
+
+    stream = streaming_incremental_dedup(
+        read_documents_stream(spark, str(d)), static_docs
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sincdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(
+        r.doc_id for r in spark.sql("select doc_id from sincdedup").collect()
+    )
+    batch = dedup_incremental(spark, sf_dir).toPandas()
+    want = set(batch[batch["is_kept"] == 0]["doc_id"])
+    assert got == want and len(want) > 0
