@@ -16,6 +16,9 @@ from cloud_volume_spark import multimodal
 # corpus, curation — the round-5 additions) go first.  The queries that fall
 # outside the window rotate per round; everything is additionally covered by
 # tests/test_oracle_parity.py, which runs ALL queries against DuckDB.
+# ROUND-6 ROTATION: move `relational` toward the front — its 16 tail
+# entries (q6, rollup, events_*, q7/q14, the subquery family) sat outside
+# the round-5 window and should regain driver rows next round.
 ALL_MODULES = [
     multimodal, corpus, curation, similarity, dedup, text, voxel_rel,
     relational,
