@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_asof_latest_order",
     "vox_unique_bbox",
+    "vox_label_histogram",
     "vox_label_envelope",
     "vox_point_lookup",
     "vox_remap",

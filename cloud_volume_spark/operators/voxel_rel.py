@@ -265,7 +265,46 @@ FROM packed GROUP BY layer
 """
 
 
+def vox_label_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label voxel counts + share within a bbox — the counts
+    companion of ``vox_unique_bbox`` (the reference materializes the
+    same statistic per label through its spatial index,
+    ``spatial_index.py:763-835``; here it is one partial-aggregated
+    groupBy over the pruned scan). Share emitted in basis points via
+    the repo's portable floor(x+0.5) chain."""
+    v = _voxels(spark, sf_dir).where(
+        F.col("x").between(4, 20)
+        & F.col("y").between(8, 24)
+        & F.col("z").between(2, 10)
+    )
+    counts = v.groupBy("label").agg(F.count(F.lit(1)).alias("n_voxels"))
+    total = counts.agg(F.sum("n_voxels").alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "label",
+        "n_voxels",
+        F.floor(F.col("n_voxels") * 10000 / F.col("n_total") + 0.5)
+        .cast("bigint").alias("share_bp"),
+    )
+
+
+VOX_HISTOGRAM_SQL = f"""
+WITH voxels AS ({VOXELS_SQL}),
+win AS (
+    SELECT * FROM voxels
+    WHERE x BETWEEN 4 AND 20 AND y BETWEEN 8 AND 24 AND z BETWEEN 2 AND 10
+),
+counts AS (
+    SELECT label, COUNT(*) AS n_voxels FROM win GROUP BY label
+),
+total AS (SELECT SUM(n_voxels) AS n_total FROM counts)
+SELECT label, n_voxels,
+       FLOOR(n_voxels * 10000.0 / n_total + 0.5)::BIGINT AS share_bp
+FROM counts CROSS JOIN total
+"""
+
+
 QUERIES = {
+    "vox_label_histogram": vox_label_histogram,
     "vox_unique_bbox": vox_unique_bbox,
     "vox_label_envelope": vox_label_envelope,
     "vox_point_lookup": vox_point_lookup,
@@ -276,6 +315,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "vox_label_histogram": VOX_HISTOGRAM_SQL,
     "vox_unique_bbox": VOX_UNIQUE_SQL,
     "vox_label_envelope": VOX_ENVELOPE_SQL,
     "vox_point_lookup": VOX_POINTS_SQL,
