@@ -20,10 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from cloud_volume_spark.operators.relational import q1_pricing_summary
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    ``corpus_curate`` is the query this engine exists for: quality
+    filter ∧ keep-best near-dedup ∧ mixture sampling fused into one
+    plan riding the materialized MinHash-LSH cluster map — the
+    curation pass a production training-data run actually executes.
+    """
+    from cloud_volume_spark.operators.corpus import corpus_curate
+
+    return corpus_curate(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -3,9 +3,11 @@ volumetric write/read throughput probe that maps onto BASELINE.md's
 MB/s numbers (1024×1024×100 uint8 ≈ 100 MB logical, gzip raw chunks —
 the reference's benchmark geometry, `benchmarks/benchmark.py:13-50`).
 
-Prints ONE JSON line:
-  {"metric": "total_wall_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "volume": {...}}
+Prints a full-fidelity "FULL {...}" line (also written to
+BENCH_FULL.json) followed by ONE compact final JSON line sized for the
+driver's 2,000-char stdout tail:
+  {"metric": "steady_state_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "volume": {...}, ...}
 """
 
 from __future__ import annotations
@@ -103,14 +105,23 @@ def bench_queries(spark, sf_dir: str) -> tuple:
     state: the first pass absorbs one-time whole-stage-codegen and any
     transient host contention — this VM shares a box and single runs
     swing up to 4x with zero code change). Both passes are emitted in
-    ``queries_runs`` so the raw data stays visible."""
+    ``queries_runs`` (side payload) so the raw data stays visible."""
     from cloud_volume_spark.operators import all_queries
+    from cloud_volume_spark.operators.dedup import clear_cluster_cache
+
+    # compute-once caches would make a second pass a cache read, not a
+    # query (r5 reported 0.024 s for a 3.2 s clustering job); reset
+    # before EVERY pass so both timed runs do the actual work. The
+    # compute-once pipeline semantic stays covered by pytest.
+    resets = {"dedup_clusters": clear_cluster_cache}
 
     qs = all_queries()
     times, runs = {}, {}
     for name in BENCH_QUERIES:
         per = []
         for _ in range(2):
+            if name in resets:
+                resets[name]()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -298,12 +309,10 @@ def main() -> None:
     t_vol = time.perf_counter()
     vol_stats = bench_volume(spark)
     vol_wall = time.perf_counter() - t_vol
-    # METHODOLOGY CHANGE (round 5): value = sum of per-query min-of-2
-    # steady-state times + the volume roundtrip wall. Earlier rounds
-    # reported single-pass wall clock, which on this shared host swung
-    # up to 4x with no code change; queries_method/queries_runs mark
-    # the change so cross-round readers compare per-query minima, not
-    # this headline against pre-r5 headlines.
+    # value = sum of per-query min-of-2 steady-state times + the volume
+    # roundtrip wall.  Named `steady_state_total_sec` (not r4's
+    # single-pass `total_wall_sec`) because the semantics changed in r5
+    # and the old name invited apples-to-oranges cross-round reads.
     total = round(sum(times.values()) + vol_wall, 3)
     spatial_stats = bench_spatial_index(spark)
 
@@ -317,9 +326,14 @@ def main() -> None:
     for i in range(5_000_000):
         acc += i
     cpu_probe = round(time.perf_counter() - t_probe, 3)
+    env = {"load1": load1, "cpu_probe_sec": cpu_probe}
 
-    print(json.dumps({
-        "metric": "total_wall_sec",
+    # Full-fidelity payload: printed on an EARLIER line and written to
+    # BENCH_FULL.json, because the driver captures only the last 2,000
+    # characters of stdout — round 5's single fat line (~4.8 KB) blew
+    # that budget and the round recorded no bench numbers at all.
+    full = {
+        "metric": "steady_state_total_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
@@ -328,8 +342,38 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "volume": vol_stats,
         "spatial_index": spatial_stats,
-        "env": {"load1": load1, "cpu_probe_sec": cpu_probe},
-    }))
+        "env": env,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    print("FULL " + json.dumps(full))
+
+    # Final line: the driver's contract (metric/value/unit/queries/sf),
+    # kept under the 2,000-char tail with a hard guard that drops the
+    # optional blocks (never the contract fields) if it ever grows.
+    compact = {
+        "metric": "steady_state_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "sf": full["sf"],
+        "volume": {k: vol_stats[k]
+                   for k in ("logical_mb", "write_mbps", "read_mbps")},
+        "spatial_index": {k: spatial_stats[k]
+                          for k in ("points", "build_sec", "index_mb")},
+        "env": env,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in ("env", "spatial_index", "volume"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -12,16 +12,19 @@ from cloud_volume_spark.operators import (  # noqa: F401
 from cloud_volume_spark import multimodal
 
 # Registration order matters: the correctness driver validates the first 50
-# registered queries, so the least-locally-verifiable families (multimodal,
-# corpus, curation — the round-5 additions) go first.  The queries that fall
-# outside the window rotate per round; everything is additionally covered by
-# tests/test_oracle_parity.py, which runs ALL queries against DuckDB.
-# ROUND-6 ROTATION: move `relational` toward the front — its 16 tail
-# entries (q6, rollup, events_*, q7/q14, the subquery family) sat outside
-# the round-5 window and should regain driver rows next round.
+# registered queries; the order rotates per round so every query gets a
+# driver row across consecutive rounds, with tests/test_oracle_parity.py
+# running ALL queries against DuckDB as the local backstop.
+# ROUND-6 ROTATION (executing the round-5 note): `relational` moves to the
+# front — its 17 tail entries (q5/q6/q7/q14, top_customers_per_nation,
+# rollup_revenue, events_*, the subquery family) sat outside the round-5
+# window. `curation` stays in-window (token_bucket_stats oracle cast fixed
+# this round; boilerplate/perplexity join shapes changed). Out of window
+# this round — all green in CORRECTNESS_r05: multimodal (5), corpus (8),
+# similarity tail (4).
 ALL_MODULES = [
-    multimodal, corpus, curation, similarity, dedup, text, voxel_rel,
-    relational,
+    relational, curation, voxel_rel, dedup, text, similarity,
+    corpus, multimodal,
 ]
 
 

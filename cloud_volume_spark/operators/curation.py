@@ -14,10 +14,10 @@ engines; buckets are CASE chains over exact integer token counts.
 Scale notes: ``mixture_sample`` aggregates one source-level count
 table (rows = #sources, trivially broadcast) then filters map-side —
 the corpus never shuffles. ``boilerplate_ngrams`` has one gram-level
-shuffle to build the frequency table; the boilerplate set it emits is
-many orders of magnitude smaller than the corpus and is broadcast back
-for the per-doc scoring join, the same shape as benchmark
-decontamination (`corpus.corpus_contamination`). ``token_bucket_stats``
+shuffle to build the frequency table; unlike benchmark decontamination
+(`corpus.corpus_contamination`, whose gram set is genuinely small and
+fixed), the boilerplate set grows with the corpus, so the scoring join
+is left unhinted for AQE to pick. ``token_bucket_stats``
 is a map-side-combine aggregate to a handful of rows.  ``doc_entropy``
 shuffles once on (doc_id, term) with partial aggregation.
 """
@@ -62,9 +62,10 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     that are boilerplate, in basis points.
 
     Scale: the gram→doc-frequency aggregate is the one big shuffle
-    (same volume as shingling); the resulting boilerplate gram set is
-    tiny (vocabulary-of-cliches-sized) and broadcast back onto the
-    corpus gram stream, so the scoring join is map-side."""
+    (same volume as shingling); the boilerplate gram set grows with the
+    corpus on web text (every common phrase has df >= 2), so the scoring
+    join is unhinted — AQE broadcasts it while small, shuffle-joins on
+    ``gram`` when it is not."""
     docs = load(spark, sf_dir, "documents")
     grams = _word_grams(docs, BOILER_NGRAM)
     boiler = (
@@ -74,8 +75,13 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= BOILER_MIN_DOCS)
         .select("gram")
     )
+    # No broadcast hint: on web-scale corpora the df>=2 gram set grows
+    # roughly with the corpus (every common phrase qualifies), so a forced
+    # broadcast would OOM the driver at 100 TB. Unhinted, AQE broadcasts
+    # while the set is small and falls back to a shuffle join on `gram`
+    # (same key distribution as the df aggregate) when it is not.
     hits = (
-        grams.join(F.broadcast(boiler), "gram")
+        grams.join(boiler, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_boiler"))
     )
@@ -263,8 +269,8 @@ WITH base AS (
            n_chars::BIGINT AS n_chars
     FROM documents
 )
-SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens,
-       SUM(n_chars) AS sum_chars, MIN(n_tokens) AS min_tokens,
+SELECT bucket, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens,
+       SUM(n_chars)::BIGINT AS sum_chars, MIN(n_tokens) AS min_tokens,
        MAX(n_tokens) AS max_tokens
 FROM base GROUP BY bucket
 """
@@ -326,8 +332,9 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the corpus distribution are junk candidates; docs too close
     are boilerplate). Emitted as ``floor(nll * 1e4 + 0.5)``.
 
-    Scale: the term-frequency table is vocabulary-sized (bounded by the
-    language, not the corpus), so it broadcasts; the corpus side is one
+    Scale: the term-frequency table grows with the corpus (Heaps' law
+    on raw web text), so it is joined unhinted — AQE broadcasts it while
+    small and shuffle-joins on ``term`` otherwise; the corpus side is one
     (doc, term) count shuffle with map-side partials plus the per-doc
     aggregate — the same two-shuffle shape as tf-idf."""
     docs = load(spark, sf_dir, "documents")
@@ -339,8 +346,14 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = counts.groupBy("term").agg(F.sum("c").alias("cg"))
     total = vocab.agg(F.sum("cg").alias("n_total"))
+    # No broadcast hint on vocab: Heaps' law means raw-web unigram
+    # vocabulary keeps growing with corpus size (typos/URLs/numbers), so
+    # the term-frequency table is NOT bounded at 100 TB. Unhinted, AQE
+    # broadcasts while small and shuffle-joins on `term` (the same key
+    # the vocab aggregate already shuffled on) when it is not. `total`
+    # is a single row and stays an explicit broadcast.
     scored = (
-        counts.join(F.broadcast(vocab), "term")
+        counts.join(vocab, "term")
         .crossJoin(F.broadcast(total))
     )
     n = F.sum("c")

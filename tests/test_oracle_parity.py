@@ -51,7 +51,19 @@ def test_query_matches_oracle(name, spark, sf_dir, ddb):
     )
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
-        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+        s_float = np.issubdtype(sv.dtype, np.floating)
+        o_float = np.issubdtype(ov.dtype, np.floating)
+        # dtype-CLASS must agree: the driver hashes exact string reprs,
+        # so an int column on one side and float on the other ("3849"
+        # vs "3849.0") fails there even when values match — e.g. an
+        # uncast DuckDB SUM() returning HUGEINT→float (r5's
+        # token_bucket_stats). Catch it locally.
+        assert s_float == o_float, (
+            f"{name}: column {c} dtype-class mismatch "
+            f"(spark {sv.dtype} vs oracle {ov.dtype}) — add a ::BIGINT "
+            f"cast or align types; the driver's exact hash will fail"
+        )
+        if s_float:
             assert np.allclose(
                 sv.astype(np.float64), ov.astype(np.float64),
                 rtol=0, atol=0, equal_nan=True,

@@ -258,13 +258,16 @@ def test_semantic_dedup_plan_bounded_joins(spark, sf_dir):
     assert plan.count("pythonUDF") == 0
 
 
-def test_boilerplate_plan_broadcasts_gram_set(spark, sf_dir):
-    """The boilerplate gram table is cliche-vocabulary-sized; the
-    per-doc scoring join must broadcast it, keeping the corpus side
-    map-only after the one frequency shuffle."""
+def test_boilerplate_plan_no_forced_broadcast(spark, sf_dir):
+    """The df>=2 gram set grows with the corpus on web text, so the
+    scoring join must NOT be a forced broadcast (driver OOM at 100 TB):
+    unhinted equi-join on `gram` — AQE may still broadcast while small,
+    but the plan must stay a hash/merge join, never a cartesian."""
     plan = _plan(all_queries()["boilerplate_ngrams"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join on gram present in some hash/merge form
+    assert "Join" in plan
 
 
 def test_mixture_sample_is_map_side_filter(spark, sf_dir):
@@ -277,7 +280,12 @@ def test_mixture_sample_is_map_side_filter(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_perplexity_vocab_is_broadcast(spark, sf_dir):
+def test_perplexity_vocab_not_forced_broadcast(spark, sf_dir):
+    """Unigram vocab grows with the corpus (Heaps' law) — the vocab
+    join must be unhinted (AQE decides); only the one-row n_total may
+    be an explicit broadcast. No cartesian anywhere."""
     plan = _plan(all_queries()["doc_perplexity"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # the single-row `total` crossJoin legitimately compiles to a
+    # broadcast nested loop; the vocab join itself must be an equi-join
+    assert "Join" in plan
