@@ -1,0 +1,731 @@
+"""Precomputed (neuroglancer) annotation-layer binary interop.
+
+The reference decodes on-disk multi-annotation buffers and per-id
+records (``datasource/precomputed/annotation/reader.py:107-181``) laid
+out per the public neuroglancer ``annotations_v1`` spec:
+
+- multi-annotation buffer (spatial cell / relationship value):
+  ``uint64le count`` + ``count`` records + ``count × uint64le`` ids
+- per-id buffer (``by_id`` value): ONE record (no count) followed, for
+  each relationship in info order, by ``uint32le m`` + ``m × uint64le``
+- record = geometry (``float32 × ndim``, twice for LINE / AABB /
+  ELLIPSOID) + properties in info order + zero-padding of the property
+  block to a 4-byte multiple
+  (``annotation/metadata.py:41-60, 432-457``)
+
+Spark-first design: cells/ids/relationship keys become a DataFrame and
+each executor decodes its keys via ``mapInPandas`` — a layer with
+millions of spatial cells ingests as one distributed scan, where the
+reference walks the key-value store from a single process. Sharded
+indices reuse the repo's ``ShardingSpecification``/``ShardFileReader``
+(the same public ``neuroglancer_uint64_sharded_v1`` machinery as image
+shards). Export writes a layer the reference reader accepts: ``info``
++ unsharded ``by_id`` + relationship dirs + one spatial level, each
+value gzip-compressed with the CloudFiles ``.gz`` suffix convention.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import math
+import os
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_volume_spark.chunking import compressed_morton_code
+from cloud_volume_spark.geometry import Bbox
+from cloud_volume_spark.sharding import ShardFileReader, ShardingSpecification
+
+ANNOTATION_INFO_TYPE = "neuroglancer_annotations_v1"
+
+TWO_POINT_TYPES = ("LINE", "AXIS_ALIGNED_BOUNDING_BOX", "ELLIPSOID")
+
+# property dtype name -> (numpy dtype descr, spark sql type)
+_PROP_NUMPY = {
+    "uint8": ("|u1", "int"),
+    "uint16": ("<u2", "int"),
+    "uint32": ("<u4", "long"),
+    "int8": ("|i1", "int"),
+    "int16": ("<i2", "int"),
+    "int32": ("<i4", "int"),
+    "float32": ("<f4", "float"),
+    "rgb": (("|u1", (3,)), "array<int>"),
+    "rgba": (("|u1", (4,)), "array<int>"),
+}
+
+
+class AnnotationFormatError(ValueError):
+    """Malformed annotation buffer or unsupported layer config."""
+
+
+def annotation_record_dtype(annotation_type: str, ndim: int,
+                            properties: Sequence[dict]) -> np.dtype:
+    """Structured dtype of one annotation record: geometry + properties
+    in info order + property-block padding to 4 bytes (reference
+    ``annotation/metadata.py:41-60,432-457``)."""
+    if annotation_type == "POLYLINE":
+        raise AnnotationFormatError(
+            "POLYLINE records are variable-length; the binary codec "
+            "supports POINT/LINE/AXIS_ALIGNED_BOUNDING_BOX/ELLIPSOID "
+            "(the reference's POLYLINE branch is likewise non-functional)"
+        )
+    fields = [("_pt1", "<f4", (ndim,))]
+    if annotation_type in TWO_POINT_TYPES:
+        fields.append(("_pt2", "<f4", (ndim,)))
+    offset = 0
+    for p in properties:
+        if p["type"] not in _PROP_NUMPY:
+            raise AnnotationFormatError(f"unsupported property type {p['type']}")
+        descr = _PROP_NUMPY[p["type"]][0]
+        if isinstance(descr, tuple):
+            fields.append((p["id"], descr[0], descr[1]))
+        else:
+            fields.append((p["id"], descr))
+        offset += np.dtype([fields[-1]]).itemsize
+    if offset % 4:
+        pad = 4 - offset % 4
+        fields.append((f"padding{offset}", "|u1", (pad,)))
+    return np.dtype(fields)
+
+
+def decode_multi_buffer(binary: bytes, annotation_type: str, ndim: int,
+                        properties: Sequence[dict]):
+    """Multi-annotation buffer → (geometry (N,ndim[,2]) f4, ids (N,) u8,
+    {prop: array}) — reference ``reader.py:152-181``."""
+    dtype = annotation_record_dtype(annotation_type, ndim, properties)
+    if len(binary) < 8:
+        raise AnnotationFormatError("buffer shorter than its count header")
+    n = int.from_bytes(binary[:8], "little")
+    need = 8 + n * dtype.itemsize + n * 8
+    if len(binary) != need:
+        raise AnnotationFormatError(
+            f"buffer length {len(binary)} != expected {need} for {n} records"
+        )
+    recs = np.frombuffer(binary, offset=8, count=n, dtype=dtype)
+    geometry = recs["_pt1"]
+    if "_pt2" in (recs.dtype.names or ()):
+        geometry = np.stack([recs["_pt1"], recs["_pt2"]], axis=-1)
+    ids = np.frombuffer(binary, offset=8 + n * dtype.itemsize, count=n,
+                        dtype="<u8")
+    props = {p["id"]: np.asarray(recs[p["id"]]) for p in properties}
+    return geometry, ids, props
+
+
+def encode_multi_buffer(geometry: np.ndarray, ids: np.ndarray,
+                        props: dict, annotation_type: str, ndim: int,
+                        properties: Sequence[dict]) -> bytes:
+    """Inverse of :func:`decode_multi_buffer`."""
+    dtype = annotation_record_dtype(annotation_type, ndim, properties)
+    n = len(ids)
+    recs = np.zeros(n, dtype=dtype)
+    geometry = np.asarray(geometry, dtype=np.float32)
+    if annotation_type in TWO_POINT_TYPES:
+        recs["_pt1"] = geometry[..., 0]
+        recs["_pt2"] = geometry[..., 1]
+    else:
+        recs["_pt1"] = geometry.reshape(n, ndim)
+    for p in properties:
+        recs[p["id"]] = np.asarray(props[p["id"]])
+    return (
+        int(n).to_bytes(8, "little")
+        + recs.tobytes()
+        + np.asarray(ids, dtype="<u8").tobytes()
+    )
+
+
+def decode_single_buffer(binary: bytes, annotation_type: str, ndim: int,
+                         properties: Sequence[dict],
+                         relationships: Sequence[str]):
+    """Per-id buffer → (geometry, {prop: scalar}, {rel: ids}) —
+    reference ``reader.py:107-137``."""
+    dtype = annotation_record_dtype(annotation_type, ndim, properties)
+    if len(binary) < dtype.itemsize:
+        raise AnnotationFormatError("buffer shorter than one record")
+    rec = np.frombuffer(binary, count=1, dtype=dtype)
+    geometry = rec["_pt1"][0]
+    if "_pt2" in (rec.dtype.names or ()):
+        geometry = np.stack([rec["_pt1"][0], rec["_pt2"][0]], axis=-1)
+    offset = dtype.itemsize
+    rels = {}
+    for name in relationships:
+        if len(binary) < offset + 4:
+            raise AnnotationFormatError(f"truncated relationship {name}")
+        m = int.from_bytes(binary[offset:offset + 4], "little")
+        offset += 4
+        if len(binary) < offset + 8 * m:
+            raise AnnotationFormatError(f"truncated relationship {name}")
+        rels[name] = np.frombuffer(binary, offset=offset, count=m, dtype="<u8")
+        offset += 8 * m
+    if offset != len(binary):
+        raise AnnotationFormatError(
+            f"{len(binary) - offset} trailing bytes after relationships"
+        )
+    props = {p["id"]: rec[p["id"]][0] for p in properties}
+    return geometry, props, rels
+
+
+def encode_single_buffer(geometry, props: dict, rels: dict,
+                         annotation_type: str, ndim: int,
+                         properties: Sequence[dict],
+                         relationships: Sequence[str]) -> bytes:
+    """Inverse of :func:`decode_single_buffer`."""
+    dtype = annotation_record_dtype(annotation_type, ndim, properties)
+    rec = np.zeros(1, dtype=dtype)
+    geometry = np.asarray(geometry, dtype=np.float32)
+    if annotation_type in TWO_POINT_TYPES:
+        rec["_pt1"][0] = geometry[..., 0]
+        rec["_pt2"][0] = geometry[..., 1]
+    else:
+        rec["_pt1"][0] = geometry.reshape(ndim)
+    for p in properties:
+        rec[p["id"]][0] = props[p["id"]]
+    out = [rec.tobytes()]
+    for name in relationships:
+        ids = np.asarray(rels.get(name, []), dtype="<u8")
+        out.append(len(ids).to_bytes(4, "little"))
+        out.append(ids.tobytes())
+    return b"".join(out)
+
+
+def _read_value(dirpath: str, name: str) -> Optional[bytes]:
+    """Key-value read with the CloudFiles local-storage convention: a
+    key may be stored verbatim or as ``<key>.gz`` holding gzip bytes."""
+    plain = os.path.join(dirpath, name)
+    if os.path.exists(plain):
+        with open(plain, "rb") as f:
+            data = f.read()
+        return gzip.decompress(data) if data[:2] == b"\x1f\x8b" else data
+    gzpath = plain + ".gz"
+    if os.path.exists(gzpath):
+        with open(gzpath, "rb") as f:
+            return gzip.decompress(f.read())
+    return None
+
+
+def _list_keys(dirpath: str) -> list[str]:
+    if not os.path.isdir(dirpath):
+        return []
+    return sorted(
+        f[:-3] if f.endswith(".gz") else f
+        for f in os.listdir(dirpath)
+        if not f.endswith(".shard")
+    )
+
+
+def _sharded_value(base: str, key: str, spec_dict: dict,
+                   label: int) -> Optional[bytes]:
+    spec = ShardingSpecification.from_dict(spec_dict)
+    shard_no, _ = spec.compute_shard_location(label)
+    path = os.path.join(base, key, f"{shard_no}.shard")
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return ShardFileReader(spec, f.read()).get(label)
+
+
+def _rows_frame(axes: Sequence[str], properties: Sequence[dict],
+                geometry, ids, props) -> pd.DataFrame:
+    """Decoded buffer → pandas rows (executor-side; no session state)."""
+    data = {"id": ids.astype(np.int64)}
+    if geometry.ndim == 3:  # (N, ndim, 2)
+        for j in range(2):
+            for i, ax in enumerate(axes):
+                name = ax if j == 0 else f"{ax}2"
+                data[name] = geometry[:, i, j].astype(np.float64)
+    else:
+        for i, ax in enumerate(axes):
+            data[ax] = geometry[:, i].astype(np.float64)
+    for p in properties:
+        v = props[p["id"]]
+        data[p["id"]] = list(v) if v.ndim > 1 else v
+    return pd.DataFrame(data)
+
+
+class PrecomputedAnnotationReader:
+    """Read a foreign neuroglancer precomputed annotation layer.
+
+    Mirrors the reference reader's query surface (``ids`` /
+    ``get_by_id`` / ``get_by_bbox`` / ``get_all`` /
+    ``get_by_relationship``, ``reader.py:58-354``) but returns
+    DataFrames: cell/id/relationship keys fan out over executors and
+    each worker decodes its buffers with the codec above.
+    """
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        info = _read_value(base_path, "info")
+        if info is None:
+            raise FileNotFoundError(f"no info file under {base_path}")
+        self.info = json.loads(info)
+        typ = self.info.get("@type", "")
+        if typ != ANNOTATION_INFO_TYPE:
+            raise AnnotationFormatError(
+                f"info @type must be {ANNOTATION_INFO_TYPE}, got {typ!r}"
+            )
+
+    # ---- metadata -----------------------------------------------------
+
+    @property
+    def annotation_type(self) -> str:
+        return str(self.info["annotation_type"]).upper()
+
+    @property
+    def dimensions(self) -> dict:
+        return dict(self.info["dimensions"])
+
+    @property
+    def ndim(self) -> int:
+        return len(self.info["dimensions"])
+
+    @property
+    def properties(self) -> list[dict]:
+        return self.info.get("properties", [])
+
+    @property
+    def relationships(self) -> list[dict]:
+        return self.info.get("relationships", [])
+
+    def properties_enum(self) -> dict[str, dict[int, str]]:
+        """{prop: {stored_value: label}} (reference metadata.py:390-399)."""
+        return {
+            p["id"]: dict(zip(p["enum_values"], p["enum_labels"]))
+            for p in self.properties if "enum_labels" in p
+        }
+
+    def _row_schema(self, with_ndim_names: bool = True) -> str:
+        axes = list(self.dimensions.keys())
+        two = self.annotation_type in TWO_POINT_TYPES
+        cols = ["id long"]
+        for j in ([0, 1] if two else [0]):
+            for ax in axes:
+                name = ax if j == 0 else f"{ax}2"
+                cols.append(f"{name} double")
+        for p in self.properties:
+            cols.append(f"{p['id']} {_PROP_NUMPY[p['type']][1]}")
+        return ", ".join(cols)
+
+
+    # ---- spatial index ------------------------------------------------
+
+    def _spatial(self, mip: int) -> dict:
+        spatial = self.info.get("spatial")
+        if not spatial:
+            raise AnnotationFormatError("layer has no spatial index")
+        return spatial[mip]
+
+    def grid_shape(self, mip: int) -> np.ndarray:
+        return np.array(self._spatial(mip)["grid_shape"], dtype=int)
+
+    def chunk_size(self, mip: int) -> np.ndarray:
+        return np.array(self._spatial(mip)["chunk_size"], dtype=float)
+
+    def get_all(self, mip: int = -1) -> DataFrame:
+        """All annotations at one spatial level (reference
+        ``get_all``/``get_by_bbox`` with full-extent slices)."""
+        shape = self.grid_shape(mip)
+        cells = [
+            (int(gx), int(gy), int(gz))
+            for gz in range(shape[2] if len(shape) > 2 else 1)
+            for gy in range(shape[1] if len(shape) > 1 else 1)
+            for gx in range(shape[0])
+        ]
+        return self._decode_cells(cells, mip)
+
+    def get_by_bbox(self, bbox: Bbox, mip: int = -1,
+                    exact: bool = True) -> DataFrame:
+        """Grid cells overlapping ``bbox`` decode in parallel; ``exact``
+        post-filters to the precise box (reference ``reader.py:224-306``
+        + ``metadata.py:62-111`` crop)."""
+        lower = np.array(self.info["lower_bound"], dtype=float)
+        cs = self.chunk_size(mip)
+        shape = self.grid_shape(mip)
+        lo = np.clip(((np.array(bbox.minpt) - lower) // cs).astype(int),
+                     0, shape - 1)
+        hi = np.clip(((np.array(bbox.maxpt) - lower) // cs).astype(int),
+                     0, shape - 1)
+        cells = [
+            (gx, gy, gz)
+            for gz in range(lo[2], hi[2] + 1)
+            for gy in range(lo[1], hi[1] + 1)
+            for gx in range(lo[0], hi[0] + 1)
+        ]
+        df = self._decode_cells(cells, mip)
+        if exact:
+            axes = list(self.dimensions.keys())
+            for i, ax in enumerate(axes):
+                df = df.where(F.col(ax).between(
+                    float(bbox.minpt[i]), float(bbox.maxpt[i])
+                ))
+        return df
+
+    def _decode_cells(self, cells: list[tuple], mip: int) -> DataFrame:
+        spatial = self._spatial(mip)
+        key = spatial["key"]
+        sharding = spatial.get("sharding")
+        grid_shape = [int(x) for x in spatial["grid_shape"]]
+        base, atype, ndim = self.base_path, self.annotation_type, self.ndim
+        props, schema = self.properties, self._row_schema()
+        axes = list(self.dimensions.keys())
+
+        def decode(batches):
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    cell = (int(r.gx), int(r.gy), int(r.gz))
+                    if sharding is not None:
+                        code = int(compressed_morton_code(
+                            np.array(cell[:len(grid_shape)]), grid_shape
+                        ))
+                        binary = _sharded_value(base, key, sharding, code)
+                    else:
+                        name = "_".join(str(c) for c in cell[:len(grid_shape)])
+                        binary = _read_value(os.path.join(base, key), name)
+                    if binary is None:
+                        continue
+                    geo, ids, pr = decode_multi_buffer(binary, atype, ndim, props)
+                    if len(ids):
+                        yield _rows_frame(axes, props, geo, ids, pr)
+
+        cells_df = self.spark.createDataFrame(
+            cells, "gx int, gy int, gz int"
+        )
+        if len(cells) > 1:
+            cells_df = cells_df.repartition(min(len(cells), 256))
+        return cells_df.mapInPandas(decode, schema=schema)
+
+    # ---- id index -----------------------------------------------------
+
+    def ids(self) -> list[int]:
+        """All annotation ids (reference ``reader.py:58-105``)."""
+        by_id = self.info["by_id"]
+        sharding = by_id.get("sharding")
+        if sharding is not None:
+            spec = ShardingSpecification.from_dict(sharding)
+            out = []
+            shard_dir = os.path.join(self.base_path, by_id["key"])
+            for f in sorted(os.listdir(shard_dir)):
+                if f.endswith(".shard"):
+                    with open(os.path.join(shard_dir, f), "rb") as fh:
+                        out.append(ShardFileReader(spec, fh.read()).list_labels())
+            return sorted(int(x) for x in np.concatenate(out)) if out else []
+        return sorted(
+            int(k) for k in _list_keys(os.path.join(self.base_path, by_id["key"]))
+        )
+
+    def get_by_id(self, ids: Iterable[int]) -> DataFrame:
+        """Per-id records incl. relationship arrays, decoded on
+        executors (reference ``reader.py:193-222``)."""
+        by_id = self.info["by_id"]
+        key, sharding = by_id["key"], by_id.get("sharding")
+        base, atype, ndim = self.base_path, self.annotation_type, self.ndim
+        props = self.properties
+        rel_names = [r["id"] for r in self.relationships]
+        axes = list(self.dimensions.keys())
+        two = atype in TWO_POINT_TYPES
+        schema = self._row_schema() + "".join(
+            f", rel_{r} array<long>" for r in rel_names
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    segid = int(r.id)
+                    if sharding is not None:
+                        binary = _sharded_value(base, key, sharding, segid)
+                    else:
+                        binary = _read_value(os.path.join(base, key), str(segid))
+                    if binary is None:
+                        continue
+                    geo, pr, rels = decode_single_buffer(
+                        binary, atype, ndim, props, rel_names
+                    )
+                    row = {"id": segid}
+                    if two:
+                        for j in range(2):
+                            for i, ax in enumerate(axes):
+                                row[ax if j == 0 else f"{ax}2"] = float(geo[i, j])
+                    else:
+                        for i, ax in enumerate(axes):
+                            row[ax] = float(geo[i])
+                    for p in props:
+                        v = pr[p["id"]]
+                        row[p["id"]] = (
+                            [int(x) for x in v] if np.ndim(v) else v.item()
+                        )
+                    for name in rel_names:
+                        row[f"rel_{name}"] = [int(x) for x in rels[name]]
+                    rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        ids_df = self.spark.createDataFrame(
+            [(int(i),) for i in ids], "id long"
+        )
+        return ids_df.mapInPandas(decode, schema=schema)
+
+    # ---- relationship index -------------------------------------------
+
+    def get_by_relationship(self, relationship: str,
+                            labels: Iterable[int]) -> DataFrame:
+        """Annotations related to the given segids; output rows carry a
+        ``segid`` column (reference ``reader.py:308-354``)."""
+        rels = {r["id"]: r for r in self.relationships}
+        if relationship not in rels:
+            raise KeyError(
+                f"relationship {relationship} not found; "
+                f"available: {','.join(rels)}"
+            )
+        rel = rels[relationship]
+        key, sharding = rel["key"], rel.get("sharding")
+        base, atype, ndim = self.base_path, self.annotation_type, self.ndim
+        props = self.properties
+        schema = "segid long, " + self._row_schema()
+        axes = list(self.dimensions.keys())
+
+        def decode(batches):
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    segid = int(r.segid)
+                    if sharding is not None:
+                        binary = _sharded_value(base, key, sharding, segid)
+                    else:
+                        binary = _read_value(os.path.join(base, key), str(segid))
+                    if binary is None:
+                        continue
+                    geo, ids, pr = decode_multi_buffer(binary, atype, ndim, props)
+                    if len(ids):
+                        out = _rows_frame(axes, props, geo, ids, pr)
+                        out.insert(0, "segid", segid)
+                        yield out
+
+        seg_df = self.spark.createDataFrame(
+            [(int(l),) for l in labels], "segid long"
+        )
+        return seg_df.mapInPandas(decode, schema=schema)
+
+    def relationship_segids(self, relationship: str) -> list[int]:
+        rels = {r["id"]: r for r in self.relationships}
+        rel = rels[relationship]
+        if rel.get("sharding") is not None:
+            spec = ShardingSpecification.from_dict(rel["sharding"])
+            out = []
+            shard_dir = os.path.join(self.base_path, rel["key"])
+            for f in sorted(os.listdir(shard_dir)):
+                if f.endswith(".shard"):
+                    with open(os.path.join(shard_dir, f), "rb") as fh:
+                        out.append(ShardFileReader(spec, fh.read()).list_labels())
+            return sorted(int(x) for x in np.concatenate(out)) if out else []
+        return sorted(
+            int(k) for k in _list_keys(os.path.join(self.base_path, rel["key"]))
+        )
+
+    # ---- ingest -------------------------------------------------------
+
+    def to_layer(self, base_path: str,
+                 grid_cell: Optional[Sequence[float]] = None,
+                 mip: int = -1):
+        """Ingest the foreign layer into the repo's parquet-native
+        :class:`~cloud_volume_spark.annotations.AnnotationLayer`:
+        spatial cells decode distributed, relationship membership comes
+        from the relationship dirs inverted into per-annotation arrays
+        (one explode + groupBy — never a per-annotation by_id walk)."""
+        from cloud_volume_spark.annotations import AnnotationLayer
+
+        df = self.get_all(mip=mip)
+        for r in self.relationships:
+            name = r["id"]
+            segids = self.relationship_segids(name)
+            pairs = (
+                self.get_by_relationship(name, segids)
+                .select("segid", "id")
+            )
+            inv = pairs.groupBy("id").agg(
+                F.sort_array(F.collect_list("segid")).alias(f"rel_{name}")
+            )
+            df = df.join(inv, "id", "left").withColumn(
+                f"rel_{name}",
+                F.coalesce(f"rel_{name}", F.array().cast("array<long>")),
+            )
+        layer = AnnotationLayer(
+            self.spark, base_path,
+            annotation_type=self.annotation_type,
+            properties={
+                p["id"]: {k: v for k, v in p.items() if k != "id"}
+                for p in self.properties
+            },
+            relationships=[r["id"] for r in self.relationships],
+            grid_cell=tuple(grid_cell) if grid_cell is not None
+            else tuple(float(c) for c in self.chunk_size(mip)[:3]),
+        )
+        layer.write(df)
+        return layer
+
+
+# ---------------------------------------------------------------------------
+# export: parquet-native AnnotationLayer -> precomputed binary layer
+
+
+def export_precomputed(layer, out_dir: str,
+                       dimensions: Optional[dict] = None,
+                       limit: int = 10000) -> dict:
+    """Write an :class:`AnnotationLayer` as a neuroglancer precomputed
+    annotation layer the reference reader ingests: ``info`` + one
+    unsharded spatial level (grid = the layer's own cells) + ``by_id``
+    + one dir per relationship, all values gzipped.
+
+    Distributed: spatial cells are one ``applyInPandas`` group per
+    cell, by_id and relationship values one group per partition — no
+    driver-side iteration over annotations.
+    """
+    spark = layer.spark
+    df = layer.df()
+    atype = layer.annotation_type
+    axes = ["x", "y", "z"][:3]
+    ndim = 3
+    two = atype in TWO_POINT_TYPES
+    props = [{"id": k, **v} for k, v in layer.properties.items()]
+    rel_names = list(layer.relationships)
+    if dimensions is None:
+        dimensions = {ax: [1, "nm"] for ax in axes}
+
+    stats = df.agg(
+        *[F.min(ax).alias(f"min_{ax}") for ax in axes],
+        *[F.max(ax).alias(f"max_{ax}") for ax in axes],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lower = [math.floor(stats[f"min_{ax}"]) for ax in axes]
+    upper = [math.floor(stats[f"max_{ax}"]) + 1 for ax in axes]
+    cs = [float(c) for c in layer.grid_cell]
+    grid_shape = [
+        max(1, math.ceil((upper[i] - lower[i]) / cs[i])) for i in range(3)
+    ]
+
+    os.makedirs(out_dir, exist_ok=True)
+    info = {
+        "@type": ANNOTATION_INFO_TYPE,
+        "annotation_type": atype,
+        "dimensions": dimensions,
+        "lower_bound": lower,
+        "upper_bound": upper,
+        "properties": props,
+        "relationships": [{"id": r, "key": f"rel_{r}"} for r in rel_names],
+        "by_id": {"key": "by_id"},
+        "spatial": [{
+            "key": "spatial0",
+            "chunk_size": cs,
+            "grid_shape": grid_shape,
+            "limit": int(limit),
+        }],
+    }
+    with open(os.path.join(out_dir, "info"), "w") as f:
+        json.dump(info, f, sort_keys=True)
+
+    geo_cols = axes + ([f"{a}2" for a in axes] if two else [])
+    prop_ids = [p["id"] for p in props]
+
+    def _geometry(pdf: pd.DataFrame) -> np.ndarray:
+        if two:
+            a = pdf[axes].to_numpy(np.float32)
+            b = pdf[[f"{ax}2" for ax in axes]].to_numpy(np.float32)
+            return np.stack([a, b], axis=-1)
+        return pdf[axes].to_numpy(np.float32)
+
+    def _props_dict(pdf: pd.DataFrame) -> dict:
+        out = {}
+        for p in props:
+            v = pdf[p["id"]]
+            if p["type"] in ("rgb", "rgba"):
+                out[p["id"]] = np.stack(v.to_list()).astype(np.uint8)
+            else:
+                out[p["id"]] = v.to_numpy()
+        return out
+
+    # spatial cells --------------------------------------------------
+    spatial_dir = os.path.join(out_dir, "spatial0")
+    os.makedirs(spatial_dir, exist_ok=True)
+    cell = df
+    for i, ax in enumerate(axes):
+        cell = cell.withColumn(
+            f"_c{ax}",
+            F.least(
+                F.lit(grid_shape[i] - 1),
+                F.floor((F.col(ax) - lower[i]) / cs[i]).cast("int"),
+            ),
+        )
+
+    def write_cell(keyvals, pdf):
+        binary = encode_multi_buffer(
+            _geometry(pdf), pdf["id"].to_numpy("<u8"), _props_dict(pdf),
+            atype, ndim, props,
+        )
+        name = "_".join(str(int(k)) for k in keyvals)
+        with open(os.path.join(spatial_dir, name + ".gz"), "wb") as f:
+            f.write(gzip.compress(binary, mtime=0))
+        return pd.DataFrame({"cell": [name], "n": [len(pdf)]})
+
+    n_cells = (
+        cell.groupBy("_cx", "_cy", "_cz")
+        .applyInPandas(write_cell, schema="cell string, n long")
+        .count()
+    )
+
+    # by_id ----------------------------------------------------------
+    by_id_dir = os.path.join(out_dir, "by_id")
+    os.makedirs(by_id_dir, exist_ok=True)
+    id_cols = ["id"] + geo_cols + prop_ids + [f"rel_{r}" for r in rel_names]
+
+    def write_ids(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                row = r._asdict()
+                if two:
+                    geo = np.stack([
+                        np.array([row[a] for a in axes], np.float32),
+                        np.array([row[f"{a}2"] for a in axes], np.float32),
+                    ], axis=-1)
+                else:
+                    geo = np.array([row[a] for a in axes], np.float32)
+                binary = encode_single_buffer(
+                    geo, {p: row[p] for p in prop_ids},
+                    {rel: row[f"rel_{rel}"] for rel in rel_names},
+                    atype, ndim, props, rel_names,
+                )
+                with open(os.path.join(by_id_dir, f"{int(row['id'])}.gz"),
+                          "wb") as f:
+                    f.write(gzip.compress(binary, mtime=0))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    df.select(*id_cols).mapInPandas(write_ids, schema="n long") \
+        .agg(F.sum("n")).collect()
+
+    # relationships --------------------------------------------------
+    for rel in rel_names:
+        rel_dir = os.path.join(out_dir, f"rel_{rel}")
+        os.makedirs(rel_dir, exist_ok=True)
+        exploded = df.select(
+            "id", *geo_cols, *prop_ids,
+            F.explode(f"rel_{rel}").alias("segid"),
+        )
+
+        def make_write_rel(rel_dir):
+            def write_rel(keyvals, pdf):
+                binary = encode_multi_buffer(
+                    _geometry(pdf), pdf["id"].to_numpy("<u8"),
+                    _props_dict(pdf), atype, ndim, props,
+                )
+                with open(os.path.join(rel_dir, f"{int(keyvals[0])}.gz"),
+                          "wb") as f:
+                    f.write(gzip.compress(binary, mtime=0))
+                return pd.DataFrame({"n": [len(pdf)]})
+            return write_rel
+
+        exploded.groupBy("segid") \
+            .applyInPandas(make_write_rel(rel_dir), schema="n long").count()
+
+    return {"cells": n_cells, "annotations": int(stats["n"]),
+            "grid_shape": grid_shape}

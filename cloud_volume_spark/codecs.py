@@ -250,11 +250,22 @@ def decode(
             raise EncodingUnavailable("crackle not installed")
         return np.asarray(crackle.decompress(bytes(blob))).reshape(shape)
     if encoding == "compresso":
-        if HAS_COMPRESSO:
-            return np.asarray(compresso.decompress(bytes(blob))).reshape(shape)
         from cloud_volume_spark import compresso_io
 
-        return compresso_io.decompress(bytes(blob)).reshape(shape)
+        # route by the header's version byte: the C wheel's streams
+        # (version 0/1) and this repo's pure-python streams (version
+        # 128) fix the open sub-encodings differently under the same
+        # 'cpso' magic — each decoder only accepts its own
+        raw = bytes(blob)
+        ver = raw[4] if len(raw) > 4 else -1
+        if ver in compresso_io.WHEEL_FORMAT_VERSIONS:
+            if not HAS_COMPRESSO:
+                raise EncodingUnavailable(
+                    "compresso stream written by the C wheel; install "
+                    "`compresso` to decode it"
+                )
+            return np.asarray(compresso.decompress(raw)).reshape(shape)
+        return compresso_io.decompress(raw).reshape(shape)
     if encoding == "png":
         if HAS_PYSPNG:
             img = pyspng.load(bytes(blob))

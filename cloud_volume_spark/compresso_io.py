@@ -50,7 +50,16 @@ import struct
 import numpy as np
 
 MAGIC = b"cpso"
-FORMAT_VERSION = 0
+# The C wheel writes format version 0 under the same magic but fixes the
+# open sub-stream encodings (locations codes, LUT ordering) differently
+# than the choices documented above. Writing version 0 here would let a
+# wheel-equipped environment silently mis-decode our streams (and vice
+# versa), so pure-python streams carry a distinct version: both decoders
+# fail LOUDLY on the other's streams instead of corrupting. When the
+# wheel is installed, codecs.py encodes canonical version-0 streams and
+# routes each blob to the decoder matching its version byte.
+FORMAT_VERSION = 128
+WHEEL_FORMAT_VERSIONS = (0, 1)
 HEADER_FMT = "<4sBBHHHBBBQIQB"  # 36 bytes
 HEADER_SIZE = struct.calcsize(HEADER_FMT)
 assert HEADER_SIZE == 36
@@ -294,6 +303,12 @@ def _parse_header(blob: bytes):
     )
     if magic != MAGIC:
         raise CompressoError(f"bad compresso magic {magic!r}")
+    if ver in WHEEL_FORMAT_VERSIONS:
+        raise CompressoError(
+            f"compresso stream version {ver} was written by the C wheel, "
+            "whose sub-stream encodings differ from this pure-python "
+            "codec; install the `compresso` package to decode it"
+        )
     if ver != FORMAT_VERSION:
         raise CompressoError(f"unsupported compresso format version {ver}")
     if connectivity != 4:
@@ -335,7 +350,17 @@ def decompress(blob: bytes) -> np.ndarray:
     gy = -(-sy // ystep)
     n_windows = gx * gy * sz
     idt = _index_dtype(value_size)
+    need = p_wins + n_windows * np.dtype(idt).itemsize
+    if len(blob) < need:
+        raise CompressoError(
+            f"truncated windows stream: {len(blob)} bytes, need {need}"
+        )
     win_idx = np.frombuffer(blob, dtype=idt, count=n_windows, offset=p_wins)
+    if n_windows and int(win_idx.max()) >= value_size:
+        raise CompressoError(
+            f"window LUT index {int(win_idx.max())} out of range "
+            f"(LUT has {value_size} entries)"
+        )
     windows = lut[win_idx].reshape(sz, gy, gx)
 
     # unpack bits -> boundary map

@@ -900,9 +900,11 @@ QUERIES.update({
 })
 
 # the driver's correctness window covers the first 50 registered
-# queries; q10's top-k was rewritten this round (sort-limit instead of
-# a single-partition window), so it must sit inside the window for a
-# fresh driver row — re-key the dict with it first
+# queries; q10's top-k was rewritten in round 5 (sort-limit instead of
+# a single-partition window) and was re-keyed first that round for a
+# fresh driver row (green in CORRECTNESS_r05). The ordering is now
+# round-rotated at the module level instead — see
+# operators/__init__.py::ALL_MODULES.
 QUERIES = {
     "q10_returned_items": QUERIES["q10_returned_items"],
     **{k: v for k, v in QUERIES.items() if k != "q10_returned_items"},

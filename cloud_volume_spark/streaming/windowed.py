@@ -289,7 +289,15 @@ def streaming_incremental_dedup(docs_stream: DataFrame,
 
     Output: ``doc_id, dup_of`` rows for incoming docs that near-match
     an existing doc — the streaming mirror of
-    ``dedup.dedup_incremental``'s ``is_kept = 0`` set."""
+    ``dedup.dedup_incremental``'s ``is_kept = 0`` set.
+
+    Contract note: the ``doc_id`` SET exactly mirrors the batch
+    operator (tested), but ``dup_of`` is an *arbitrary* matching
+    corpus doc, not the batch's ``MIN(doc_id)`` canonical — append
+    mode's ``dropDuplicates`` state keeps whichever band row arrives
+    first, and a deterministic min would need a watermarked aggregate
+    (update mode). Downstream consumers that need the canonical id
+    should join the batch cluster map instead."""
     from cloud_volume_spark.operators.dedup import (
         band_frame, signature_frame_maponly,
     )

@@ -1,0 +1,358 @@
+"""Precomputed annotation binary interop: codec roundtrips, the
+reference's own fixture layer with its published golden values
+(``/root/reference/test/test_annotations.py``), export → foreign-read,
+and foreign-layer ingest into the parquet-native AnnotationLayer."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cloud_volume_spark.annotation_io import (
+    AnnotationFormatError,
+    PrecomputedAnnotationReader,
+    annotation_record_dtype,
+    decode_multi_buffer,
+    decode_single_buffer,
+    encode_multi_buffer,
+    encode_single_buffer,
+    export_precomputed,
+)
+from cloud_volume_spark.annotations import AnnotationLayer
+from cloud_volume_spark.geometry import Bbox
+
+FIXTURE = "/root/reference/test/test_precomputed_annotation"
+
+PROPS = [{"id": "class_label", "type": "int32"},
+         {"id": "score", "type": "float32"}]
+
+
+# ---------------------------------------------------------------------------
+# codec
+
+
+def test_record_dtype_padding():
+    # 3 f4 geometry + int32 + float32 = aligned, no padding
+    dt = annotation_record_dtype("POINT", 3, PROPS)
+    assert dt.itemsize == 12 + 4 + 4
+    # uint8 prop → property block pads to 4
+    dt = annotation_record_dtype("POINT", 3, [{"id": "c", "type": "uint8"}])
+    assert dt.itemsize == 12 + 4
+    # two-point types carry _pt2
+    dt = annotation_record_dtype("LINE", 3, [])
+    assert dt.itemsize == 24
+    with pytest.raises(AnnotationFormatError):
+        annotation_record_dtype("POLYLINE", 3, [])
+
+
+def test_multi_buffer_roundtrip():
+    rng = np.random.default_rng(7)
+    n = 23
+    geo = rng.random((n, 3)).astype(np.float32) * 100
+    ids = rng.integers(1, 2**40, n).astype(np.uint64)
+    props = {"class_label": rng.integers(0, 5, n).astype(np.int32),
+             "score": rng.random(n).astype(np.float32)}
+    blob = encode_multi_buffer(geo, ids, props, "POINT", 3, PROPS)
+    g2, i2, p2 = decode_multi_buffer(blob, "POINT", 3, PROPS)
+    assert np.array_equal(g2, geo) and np.array_equal(i2, ids)
+    assert np.array_equal(p2["class_label"], props["class_label"])
+    assert np.array_equal(p2["score"], props["score"])
+
+
+def test_multi_buffer_two_point_roundtrip():
+    rng = np.random.default_rng(8)
+    n = 9
+    geo = rng.random((n, 3, 2)).astype(np.float32)
+    ids = np.arange(1, n + 1, dtype=np.uint64)
+    blob = encode_multi_buffer(geo, ids, {}, "LINE", 3, [])
+    g2, i2, _ = decode_multi_buffer(blob, "LINE", 3, [])
+    assert g2.shape == (n, 3, 2)
+    assert np.array_equal(g2, geo) and np.array_equal(i2, ids)
+
+
+def test_single_buffer_roundtrip_with_relationships():
+    geo = np.array([1.5, 2.5, 3.5], np.float32)
+    props = {"class_label": 4, "score": 0.25}
+    rels = {"skeleton_id": [9, 11], "cell_id": []}
+    blob = encode_single_buffer(geo, props, rels, "POINT", 3, PROPS,
+                                ["skeleton_id", "cell_id"])
+    g2, p2, r2 = decode_single_buffer(blob, "POINT", 3, PROPS,
+                                      ["skeleton_id", "cell_id"])
+    assert np.array_equal(g2, geo)
+    assert p2["class_label"] == 4 and p2["score"] == np.float32(0.25)
+    assert list(r2["skeleton_id"]) == [9, 11] and len(r2["cell_id"]) == 0
+
+
+def test_malformed_buffers_raise():
+    blob = encode_multi_buffer(
+        np.zeros((2, 3), np.float32), np.array([1, 2], np.uint64), {
+            "class_label": np.zeros(2, np.int32),
+            "score": np.zeros(2, np.float32)}, "POINT", 3, PROPS)
+    with pytest.raises(AnnotationFormatError):
+        decode_multi_buffer(blob[:-4], "POINT", 3, PROPS)
+    with pytest.raises(AnnotationFormatError):
+        decode_multi_buffer(b"\x01", "POINT", 3, PROPS)
+    single = encode_single_buffer(
+        np.zeros(3, np.float32), {"class_label": 0, "score": 0.0},
+        {"r": [1]}, "POINT", 3, PROPS, ["r"])
+    with pytest.raises(AnnotationFormatError):
+        decode_single_buffer(single[:-2], "POINT", 3, PROPS, ["r"])
+    with pytest.raises(AnnotationFormatError):
+        decode_single_buffer(single + b"\x00", "POINT", 3, PROPS, ["r"])
+
+
+# ---------------------------------------------------------------------------
+# the reference's own fixture layer + its published golden values
+
+
+@pytest.fixture(scope="module")
+def fixture_reader(spark):
+    if not os.path.isdir(FIXTURE):
+        pytest.skip("reference annotation fixture not present")
+    return PrecomputedAnnotationReader(spark, FIXTURE)
+
+
+def test_fixture_info(fixture_reader):
+    assert fixture_reader.info["@type"] == "neuroglancer_annotations_v1"
+    assert fixture_reader.annotation_type == "POINT"
+    assert fixture_reader.ndim == 3
+
+
+def test_fixture_get_by_id_golden(fixture_reader):
+    # reference test_annotations.py: get_by_id(3867588737)
+    row = fixture_reader.get_by_id([3867588737]).collect()[0]
+    assert np.allclose([row.x, row.y, row.z],
+                       [1.937760e6, 1.318752e6, 9.69210e4])
+    assert row.rel_skeleton_id  # carries its relationship ids
+
+
+def test_fixture_relationship_golden(fixture_reader):
+    # reference: skeleton_id 243895108 → 4 annotations, all 'axon'
+    rows = fixture_reader.get_by_relationship(
+        "skeleton_id", [243895108]).collect()
+    assert len(rows) == 4
+    enum = fixture_reader.properties_enum()["class_label"]
+    assert {enum[r.class_label] for r in rows} == {"axon"}
+
+
+def test_fixture_get_all_golden(fixture_reader):
+    # reference: 10043 points, 7 distinct class labels AFTER enum map
+    df = fixture_reader.get_all(mip=0)
+    assert df.count() == 10043
+    enum = fixture_reader.properties_enum()["class_label"]
+    vals = [r.class_label for r in
+            df.select("class_label").distinct().collect()]
+    assert len({enum[v] for v in vals}) == 7
+
+
+def test_fixture_ids_listing(fixture_reader):
+    ids = fixture_reader.ids()
+    assert 3867588737 in ids
+
+
+def test_fixture_ingest_to_layer(fixture_reader, spark, tmp_path):
+    # mip=0 — the fixture (like the reference's own test) ships only
+    # the spatial0 level; finer levels exist in info but not on disk.
+    # Note the fixture's three index dirs carry DISJOINT sample ids
+    # (the by_id / skeleton_id examples are not in the spatial set), so
+    # only the spatial content lands; relationship-array ingest on a
+    # coherent layer is proven by test_export_by_id_and_relationships.
+    layer = fixture_reader.to_layer(str(tmp_path / "ingested"), mip=0)
+    assert layer.count() == 10043
+    assert layer.annotation_type == "POINT"
+    assert layer.relationships == ["skeleton_id"]
+    # enum property metadata survives the ingest
+    enum = layer.properties_enum()["class_label"]
+    vals = [r.class_label for r in
+            layer.df().select("class_label").distinct().collect()]
+    assert len({enum[v] for v in vals}) == 7
+    # the rel column exists as an (empty-array) column, queryable
+    assert layer.get_by_relationship("skeleton_id", [243895108]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# export → re-read (our writer, our reader: both speak the public format)
+
+
+@pytest.fixture(scope="module")
+def exported(spark, tmp_path_factory):
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame({
+        "id": np.arange(1, n + 1, dtype=np.int64),
+        "x": rng.random(n) * 1000,
+        "y": rng.random(n) * 800,
+        "z": rng.random(n) * 300,
+        "class_label": rng.integers(0, 5, n).astype(np.int32),
+        "rel_skel": [
+            [int(v) for v in rng.integers(1, 40, rng.integers(0, 4))]
+            for _ in range(n)
+        ],
+    })
+    base = tmp_path_factory.mktemp("annio")
+    layer = AnnotationLayer(
+        spark, str(base / "layer"),
+        annotation_type="POINT",
+        properties={"class_label": {
+            "type": "int32",
+            "enum_values": [0, 1, 2, 3, 4],
+            "enum_labels": ["a", "b", "c", "d", "e"],
+        }},
+        relationships=["skel"],
+        grid_cell=(256, 256, 128),
+    )
+    layer.write(spark.createDataFrame(pdf))
+    out = str(base / "precomputed")
+    stats = export_precomputed(layer, out)
+    return layer, pdf, out, stats
+
+
+def test_export_layout(exported):
+    _, pdf, out, stats = exported
+    assert stats["annotations"] == len(pdf)
+    info = json.load(open(os.path.join(out, "info")))
+    assert info["@type"] == "neuroglancer_annotations_v1"
+    assert info["by_id"]["key"] == "by_id"
+    assert [p["id"] for p in info["properties"]] == ["class_label"]
+    # values are gzipped with the CloudFiles .gz convention
+    cell = next(f for f in os.listdir(os.path.join(out, "spatial0")))
+    assert cell.endswith(".gz")
+    raw = open(os.path.join(out, "spatial0", cell), "rb").read()
+    gzip.decompress(raw)  # must be valid gzip
+
+
+def test_export_reimport_matches(exported, spark):
+    layer, pdf, out, _ = exported
+    rdr = PrecomputedAnnotationReader(spark, out)
+    got = rdr.get_all(mip=0).toPandas().sort_values("id").reset_index(drop=True)
+    exp = pdf.sort_values("id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.array_equal(got["id"].to_numpy(), exp["id"].to_numpy())
+    # geometry survives the f4 roundtrip
+    for c in ("x", "y", "z"):
+        assert np.allclose(got[c], exp[c].astype(np.float32), atol=0)
+    assert np.array_equal(got["class_label"], exp["class_label"])
+
+
+def test_export_by_id_and_relationships(exported, spark):
+    layer, pdf, out, _ = exported
+    rdr = PrecomputedAnnotationReader(spark, out)
+    some = [5, 77, 399]
+    rows = {r.id: r for r in rdr.get_by_id(some).collect()}
+    assert set(rows) == set(some)
+    for i in some:
+        exp = pdf[pdf.id == i].iloc[0]
+        assert np.isclose(rows[i].x, np.float32(exp.x))
+        assert sorted(rows[i].rel_skel) == sorted(exp.rel_skel)
+    # relationship dir inverts correctly
+    seg = 7
+    got = {r.id for r in rdr.get_by_relationship("skel", [seg]).collect()}
+    exp_ids = {int(i) for i, rels in zip(pdf.id, pdf.rel_skel) if seg in rels}
+    assert got == exp_ids
+
+
+def test_export_bbox_query(exported, spark):
+    layer, pdf, out, _ = exported
+    rdr = PrecomputedAnnotationReader(spark, out)
+    bbox = Bbox((100, 100, 50), (600, 500, 250))
+    got = {r.id for r in rdr.get_by_bbox(bbox, mip=0).select("id").collect()}
+    g = pdf[["x", "y", "z"]].astype(np.float32)
+    mask = (
+        (g.x >= 100) & (g.x <= 600)
+        & (g.y >= 100) & (g.y <= 500)
+        & (g.z >= 50) & (g.z <= 250)
+    )
+    assert got == {int(i) for i in pdf[mask.to_numpy()]["id"]}
+
+
+def test_sharded_spatial_and_by_id(spark, tmp_path):
+    """Sharded spatial cells + sharded by_id read through the same
+    neuroglancer_uint64_sharded_v1 machinery as image shards."""
+    from cloud_volume_spark.chunking import compressed_morton_code
+    from cloud_volume_spark.sharding import (
+        ShardingSpecification, synthesize_shard_file,
+    )
+
+    rng = np.random.default_rng(5)
+    props = [{"id": "class_label", "type": "int32"}]
+    grid = [2, 2, 1]
+    spec = ShardingSpecification(
+        preshift_bits=0, hash="identity", minishard_bits=1, shard_bits=0,
+        minishard_index_encoding="gzip", data_encoding="gzip",
+    )
+    base = tmp_path / "sharded"
+    (base / "spatial0").mkdir(parents=True)
+    (base / "by_id").mkdir()
+
+    cell_values, by_id_values, total = {}, {}, 0
+    next_id = 1
+    for gz in range(grid[2]):
+        for gy in range(grid[1]):
+            for gx in range(grid[0]):
+                n = int(rng.integers(3, 8))
+                geo = (rng.random((n, 3)).astype(np.float32)
+                       + np.array([gx, gy, gz], np.float32)) * 100
+                ids = np.arange(next_id, next_id + n, dtype=np.uint64)
+                next_id += n
+                pr = {"class_label": rng.integers(0, 3, n).astype(np.int32)}
+                code = int(compressed_morton_code(
+                    np.array([gx, gy, gz]), grid))
+                cell_values[code] = encode_multi_buffer(
+                    geo, ids, pr, "POINT", 3, props)
+                for k in range(n):
+                    by_id_values[int(ids[k])] = encode_single_buffer(
+                        geo[k], {"class_label": pr["class_label"][k]},
+                        {}, "POINT", 3, props, [])
+                total += n
+
+    with open(base / "spatial0" / "0.shard", "wb") as f:
+        f.write(synthesize_shard_file(spec, cell_values))
+    with open(base / "by_id" / "0.shard", "wb") as f:
+        f.write(synthesize_shard_file(spec, by_id_values))
+    info = {
+        "@type": "neuroglancer_annotations_v1",
+        "annotation_type": "POINT",
+        "dimensions": {"x": [1, "nm"], "y": [1, "nm"], "z": [1, "nm"]},
+        "lower_bound": [0, 0, 0], "upper_bound": [200, 200, 100],
+        "properties": props, "relationships": [],
+        "by_id": {"key": "by_id", "sharding": spec.to_dict()},
+        "spatial": [{"key": "spatial0", "chunk_size": [100, 100, 100],
+                     "grid_shape": grid, "limit": 100,
+                     "sharding": spec.to_dict()}],
+    }
+    with open(base / "info", "w") as f:
+        json.dump(info, f)
+
+    rdr = PrecomputedAnnotationReader(spark, str(base))
+    assert rdr.get_all(mip=0).count() == total
+    assert rdr.ids() == sorted(by_id_values)
+    some = sorted(by_id_values)[:3]
+    rows = {r.id: r for r in rdr.get_by_id(some).collect()}
+    assert set(rows) == set(some)
+
+
+def test_export_roundtrip_two_point(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    n = 60
+    pdf = pd.DataFrame({
+        "id": np.arange(1, n + 1, dtype=np.int64),
+        "x": rng.random(n) * 100, "y": rng.random(n) * 100,
+        "z": rng.random(n) * 100,
+        "x2": rng.random(n) * 100, "y2": rng.random(n) * 100,
+        "z2": rng.random(n) * 100,
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "lines"),
+        annotation_type="LINE", grid_cell=(64, 64, 64),
+    )
+    layer.write(spark.createDataFrame(pdf))
+    out = str(tmp_path / "lines_pre")
+    export_precomputed(layer, out)
+    rdr = PrecomputedAnnotationReader(spark, out)
+    got = rdr.get_all(mip=0).toPandas().sort_values("id").reset_index(drop=True)
+    exp = pdf.sort_values("id").reset_index(drop=True)
+    for c in ("x", "y", "z", "x2", "y2", "z2"):
+        assert np.allclose(got[c], exp[c].astype(np.float32))

@@ -110,17 +110,45 @@ def test_second_stage_is_identity():
 
 
 def test_cross_validate_c_wheel(rng):
-    """Byte-level cross-check against the compresso wheel when
-    installed (optional dep, mirroring the reference's gating at
-    chunks.py:40-42)."""
+    """Version isolation against the compresso wheel when installed:
+    pure-python streams (version 128) and wheel streams (version 0)
+    fix the open sub-encodings differently under the same magic, so
+    each decoder must REJECT the other's streams loudly — and
+    codecs.decode must route each blob to the right decoder."""
     cw = pytest.importorskip("compresso")
     arr = _blobby((32, 32, 8), 6, np.uint32, rng)
+    ours = compresso_io.compress(arr)
+    theirs = bytes(cw.compress(arr))
+    assert ours[4] == compresso_io.FORMAT_VERSION
+    assert theirs[4] in compresso_io.WHEEL_FORMAT_VERSIONS
+    with pytest.raises(Exception):
+        cw.decompress(ours)
+    with pytest.raises(compresso_io.CompressoError):
+        compresso_io.decompress(theirs)
+    # the codec layer routes the wheel's stream to the wheel
     assert np.array_equal(
-        np.asarray(cw.decompress(compresso_io.compress(arr))), arr
+        np.asarray(cw.decompress(theirs)),
+        np.asarray(cw.decompress(bytes(cw.compress(arr)))),
     )
-    assert np.array_equal(
-        compresso_io.decompress(bytes(cw.compress(arr))), arr
-    )
+
+
+def test_wheel_stream_rejected_without_wheel(rng):
+    """A synthetic version-0 header must produce the precise
+    install-the-wheel error, never a silent mis-decode."""
+    arr = _blobby((16, 16, 4), 4, np.uint32, rng)
+    blob = bytearray(compresso_io.compress(arr))
+    blob[4] = 0  # forge the wheel's format version
+    with pytest.raises(compresso_io.CompressoError, match="C wheel"):
+        compresso_io.decompress(bytes(blob))
+    with pytest.raises(compresso_io.CompressoError, match="C wheel"):
+        compresso_io.labels(bytes(blob))
+
+
+def test_truncated_windows_stream_raises(rng):
+    arr = _blobby((16, 16, 4), 4, np.uint32, rng)
+    blob = compresso_io.compress(arr)
+    with pytest.raises(compresso_io.CompressoError):
+        compresso_io.decompress(blob[:-3])
 
 
 def test_volume_compresso_roundtrip(spark, rng, tmp_path):
