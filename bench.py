@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "doc_perplexity",
     "token_bucket_stats",
     "boilerplate_ngrams",
+    "line_dedup",
     "mixture_sample",
     "dedup_exact",
     "dedup_incremental",
@@ -255,6 +256,58 @@ def bench_spatial_index(spark) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_annotations(spark) -> dict:
+    """Distributed annotation-layer build + query: synthesize 2M point
+    annotations, export the precomputed spatial level (one
+    applyInPandas group per cell encodes its binary buffer), then
+    bbox-query ~1/8 of the volume through the cell-fan-out reader.
+    The reference writes/reads the same layout from one process."""
+    from pyspark.sql import functions as SF
+
+    from cloud_volume_spark.annotation_io import (
+        PrecomputedAnnotationReader, export_precomputed,
+    )
+    from cloud_volume_spark.annotations import AnnotationLayer
+    from cloud_volume_spark.geometry import Bbox
+
+    n, space = 2_000_000, 8192.0
+    base = tempfile.mkdtemp(prefix="cvs_anno_")
+    try:
+        pts = spark.range(n).select(
+            SF.col("id"),
+            (SF.abs(SF.hash("id", SF.lit(1))) % 8192).cast("double").alias("x"),
+            (SF.abs(SF.hash("id", SF.lit(2))) % 8192).cast("double").alias("y"),
+            (SF.abs(SF.hash("id", SF.lit(3))) % 8192).cast("double").alias("z"),
+            (SF.col("id") % 7).cast("int").alias("class_label"),
+        )
+        layer = AnnotationLayer(
+            spark, os.path.join(base, "layer"),
+            annotation_type="POINT",
+            properties={"class_label": "int32"},
+            grid_cell=(1024.0, 1024.0, 1024.0),
+        )
+        layer.write(pts)
+        out = os.path.join(base, "pre")
+        t0 = time.perf_counter()
+        stats = export_precomputed(layer, out, write_by_id=False)
+        export_sec = time.perf_counter() - t0
+        rdr = PrecomputedAnnotationReader(spark, out)
+        t0 = time.perf_counter()
+        got = rdr.get_by_bbox(
+            Bbox((0, 0, 0), (space / 2, space / 2, space / 2)), mip=0
+        ).count()
+        query_sec = time.perf_counter() - t0
+        return {
+            "annotations": n,
+            "cells": stats["cells"],
+            "export_sec": round(export_sec, 3),
+            "bbox_query_sec": round(query_sec, 3),
+            "bbox_rows": got,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from cloud_volume_spark.session import get_spark
 
@@ -315,6 +368,7 @@ def main() -> None:
     # and the old name invited apples-to-oranges cross-round reads.
     total = round(sum(times.values()) + vol_wall, 3)
     spatial_stats = bench_spatial_index(spark)
+    anno_stats = bench_annotations(spark)
 
     # environment probe: host contention varies round-to-round (VM on a
     # shared box); loadavg + a fixed single-thread python loop let the
@@ -342,6 +396,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "volume": vol_stats,
         "spatial_index": spatial_stats,
+        "annotations": anno_stats,
         "env": env,
     }
     try:
@@ -362,14 +417,21 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": full["sf"],
         "volume": {k: vol_stats[k]
-                   for k in ("logical_mb", "write_mbps", "read_mbps")},
+                   for k in ("write_mbps", "read_mbps")},
         "spatial_index": {k: spatial_stats[k]
                           for k in ("points", "build_sec", "index_mb")},
+        "annotations": {k: anno_stats[k]
+                        for k in ("annotations", "export_sec",
+                                  "bbox_query_sec")},
         "env": env,
     }
+    # 1980 leaves >= 19 chars of margin inside the driver's 2,000-char
+    # tail (line + newline must fit entirely); measured r6 line with all
+    # blocks is ~2007, so env (the only block also visible at the end of
+    # the FULL line's tail) is the designed first casualty
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("env", "spatial_index", "volume"):
-        if len(line) <= 1900:
+    for drop in ("env", "annotations", "spatial_index", "volume"):
+        if len(line) <= 1980:
             break
         compact.pop(drop)
         line = json.dumps(compact, separators=(",", ":"))

@@ -572,7 +572,8 @@ class PrecomputedAnnotationReader:
 
 def export_precomputed(layer, out_dir: str,
                        dimensions: Optional[dict] = None,
-                       limit: int = 10000) -> dict:
+                       limit: int = 10000,
+                       write_by_id: bool = True) -> dict:
     """Write an :class:`AnnotationLayer` as a neuroglancer precomputed
     annotation layer the reference reader ingests: ``info`` + one
     unsharded spatial level (grid = the layer's own cells) + ``by_id``
@@ -675,8 +676,17 @@ def export_precomputed(layer, out_dir: str,
     )
 
     # by_id ----------------------------------------------------------
+    # One value per annotation — the unsharded layout the reference
+    # writes. ``write_by_id=False`` skips it (and drops the index from
+    # info) for spatial-only layers: at millions of annotations the
+    # per-id KV layer wants the sharded format, not a million files.
+    if not write_by_id:
+        del info["by_id"]
+        with open(os.path.join(out_dir, "info"), "w") as f:
+            json.dump(info, f, sort_keys=True)
     by_id_dir = os.path.join(out_dir, "by_id")
-    os.makedirs(by_id_dir, exist_ok=True)
+    if write_by_id:
+        os.makedirs(by_id_dir, exist_ok=True)
     id_cols = ["id"] + geo_cols + prop_ids + [f"rel_{r}" for r in rel_names]
 
     def write_ids(batches):
@@ -700,8 +710,9 @@ def export_precomputed(layer, out_dir: str,
                     f.write(gzip.compress(binary, mtime=0))
             yield pd.DataFrame({"n": [len(pdf)]})
 
-    df.select(*id_cols).mapInPandas(write_ids, schema="n long") \
-        .agg(F.sum("n")).collect()
+    if write_by_id:
+        df.select(*id_cols).mapInPandas(write_ids, schema="n long") \
+            .agg(F.sum("n")).collect()
 
     # relationships --------------------------------------------------
     for rel in rel_names:

@@ -276,6 +276,94 @@ FROM base GROUP BY bucket
 """
 
 # ---------------------------------------------------------------------------
+# C4-style line-level exact dedup
+
+LINE_W = 5  # words per "line" segment (the corpus has no newlines)
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup: documents split into
+    non-overlapping ``LINE_W``-word segments (the corpus text carries
+    no newlines, so fixed word spans stand in for lines, as C4's
+    three-sentence spans do); every segment seen before — globally,
+    ordered by (doc_id, seg_no) — is dropped, the FIRST occurrence
+    kept. Unlike ``boilerplate_ngrams`` (df-threshold scoring) this is
+    the per-instance keep/drop decision a curation pass actually
+    applies, with global first-occurrence semantics.
+
+    Output per doc: segment count, kept count, kept basis points.
+
+    Scale: one shuffle on seg_hash with map-side partial MIN for the
+    first-occurrence table (distinct-segment-sized — grows with the
+    corpus, so the join back is unhinted per the r6 broadcast rule),
+    then one per-doc aggregate. The (doc_id, seg_no) order key is
+    encoded as ``doc_id * 1e6 + seg_no`` so both engines take MIN of
+    one integer — exact, no struct-ordering semantics in play."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    n = F.size(toks)
+    nsegs = F.ceil(n / F.lit(LINE_W)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nsegs - 1),
+                lambda s: F.md5(
+                    F.concat_ws(" ", F.slice(toks, s * LINE_W + 1, LINE_W))
+                ),
+            )
+        ).alias("seg_no", "seg_hash"),
+    )
+    key = (F.col("doc_id") * 1_000_000 + F.col("seg_no")).alias("okey")
+    segs = segs.select("doc_id", "seg_no", "seg_hash", key)
+    firsts = segs.groupBy("seg_hash").agg(F.min("okey").alias("first_key"))
+    return (
+        segs.join(firsts, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(
+                (F.col("okey") == F.col("first_key")).cast("bigint")
+            ).alias("n_kept"),
+        )
+        .select(
+            "doc_id", "n_segs", "n_kept",
+            F.floor(
+                F.col("n_kept") * 10000 / F.col("n_segs") + 0.5
+            ).cast("bigint").alias("kept_bp"),
+        )
+    )
+
+
+LINE_DEDUP_SQL = f"""
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents
+),
+segs AS (
+    SELECT doc_id, s.i AS seg_no,
+           MD5(ARRAY_TO_STRING(
+               toks[s.i * {LINE_W} + 1 : s.i * {LINE_W} + {LINE_W}], ' '
+           )) AS seg_hash,
+           doc_id * 1000000 + s.i AS okey
+    FROM base,
+         UNNEST(GENERATE_SERIES(
+             0, CAST(CEIL(LEN(toks) / {LINE_W}.0) AS INT) - 1
+         )) AS s(i)
+),
+firsts AS (
+    SELECT seg_hash, MIN(okey) AS first_key FROM segs GROUP BY seg_hash
+)
+SELECT s.doc_id,
+       COUNT(*)::BIGINT AS n_segs,
+       SUM(CASE WHEN s.okey = f.first_key THEN 1 ELSE 0 END)::BIGINT
+           AS n_kept,
+       FLOOR(SUM(CASE WHEN s.okey = f.first_key THEN 1 ELSE 0 END)
+             * 10000.0 / COUNT(*) + 0.5)::BIGINT AS kept_bp
+FROM segs s JOIN firsts f ON s.seg_hash = f.seg_hash
+GROUP BY s.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # unigram entropy
 
 def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +481,7 @@ GROUP BY c.doc_id
 
 QUERIES = {
     "boilerplate_ngrams": boilerplate_ngrams,
+    "line_dedup": line_dedup,
     "mixture_sample": mixture_sample,
     "token_bucket_stats": token_bucket_stats,
     "doc_entropy": doc_entropy,
@@ -401,6 +490,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "boilerplate_ngrams": BOILERPLATE_SQL,
+    "line_dedup": LINE_DEDUP_SQL,
     "mixture_sample": MIXTURE_SQL,
     "token_bucket_stats": TOKEN_BUCKET_SQL,
     "doc_entropy": ENTROPY_SQL,

@@ -221,3 +221,35 @@ def test_dedup_incremental_planted(spark, tmp_path):
     assert out.loc[10, "dup_of"] == 7
     assert out.loc[10, "is_kept"] == 0
     assert out.loc[0, "is_kept"] == 1 and out.loc[0, "dup_of"] == -1
+
+
+def test_line_dedup_planted(spark, tmp_path):
+    """Global first-occurrence semantics: a segment repeated across
+    (and within) documents is kept exactly once, at the smallest
+    (doc_id, seg_no); unique segments all survive."""
+    from cloud_volume_spark.operators.curation import LINE_W, line_dedup
+
+    seg_a = " ".join(f"a{j}" for j in range(LINE_W))   # repeated segment
+    uniq = lambda d, s: " ".join(f"u{d}x{s}y{j}" for j in range(LINE_W))
+    texts = {
+        0: " ".join([seg_a, uniq(0, 1), seg_a]),       # dup within doc 0
+        1: " ".join([uniq(1, 0), seg_a]),              # dup across docs
+        2: " ".join([uniq(2, 0), uniq(2, 1)]),         # fully unique
+    }
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [texts[i] for i in range(3)],
+        "lang": ["en"] * 3,
+        "source": ["src0"] * 3,
+        "n_chars": [len(texts[i]) for i in range(3)],
+    })
+    d = tmp_path / "lines"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    out = line_dedup(spark, str(d)).toPandas().set_index("doc_id")
+    # doc 0: segs [A, u, A] -> first A kept, second dropped
+    assert out.loc[0, "n_segs"] == 3 and out.loc[0, "n_kept"] == 2
+    # doc 1: its A occurrence is not the global first -> dropped
+    assert out.loc[1, "n_segs"] == 2 and out.loc[1, "n_kept"] == 1
+    assert out.loc[2, "n_kept"] == out.loc[2, "n_segs"] == 2
+    assert out.loc[2, "kept_bp"] == 10000

@@ -270,6 +270,15 @@ def test_boilerplate_plan_no_forced_broadcast(spark, sf_dir):
     assert "Join" in plan
 
 
+def test_line_dedup_plan_shape(spark, sf_dir):
+    """Two shuffles (seg_hash MIN, per-doc agg), an unhinted equi-join
+    back on seg_hash, everything JVM-side — no cartesian, no Python."""
+    plan = _plan(all_queries()["line_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("pythonUDF") == 0
+
+
 def test_mixture_sample_is_map_side_filter(spark, sf_dir):
     """The corpus never shuffles: thresholds (one row per source) come
     in via broadcast, the keep decision is a scan-side filter."""
