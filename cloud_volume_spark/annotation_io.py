@@ -336,6 +336,20 @@ class PrecomputedAnnotationReader:
         ]
         return self._decode_cells(cells, mip)
 
+    def get_union(self) -> DataFrame:
+        """The COMPLETE annotation set of a multi-level layer: each
+        spatial level holds a disjoint density subsample (coarse levels
+        are what neuroglancer renders zoomed out), so completeness
+        means the union over every level."""
+        spatial = self.info.get("spatial") or []
+        out = None
+        for mip in range(len(spatial)):
+            df = self.get_all(mip=mip)
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            raise AnnotationFormatError("layer has no spatial index")
+        return out
+
     def get_by_bbox(self, bbox: Bbox, mip: int = -1,
                     exact: bool = True) -> DataFrame:
         """Grid cells overlapping ``bbox`` decode in parallel; ``exact``
@@ -528,15 +542,20 @@ class PrecomputedAnnotationReader:
 
     def to_layer(self, base_path: str,
                  grid_cell: Optional[Sequence[float]] = None,
-                 mip: int = -1):
+                 mip: Optional[int] = None):
         """Ingest the foreign layer into the repo's parquet-native
         :class:`~cloud_volume_spark.annotations.AnnotationLayer`:
         spatial cells decode distributed, relationship membership comes
         from the relationship dirs inverted into per-annotation arrays
-        (one explode + groupBy — never a per-annotation by_id walk)."""
+        (one explode + groupBy — never a per-annotation by_id walk).
+
+        ``mip=None`` ingests the union of every spatial level (levels
+        are disjoint LOD subsamples — the union is the complete set);
+        pass a specific ``mip`` for layers whose finer levels are not
+        materialized on disk (e.g. the reference's test fixture)."""
         from cloud_volume_spark.annotations import AnnotationLayer
 
-        df = self.get_all(mip=mip)
+        df = self.get_union() if mip is None else self.get_all(mip=mip)
         for r in self.relationships:
             name = r["id"]
             segids = self.relationship_segids(name)
@@ -560,7 +579,8 @@ class PrecomputedAnnotationReader:
             },
             relationships=[r["id"] for r in self.relationships],
             grid_cell=tuple(grid_cell) if grid_cell is not None
-            else tuple(float(c) for c in self.chunk_size(mip)[:3]),
+            else tuple(float(c) for c in
+                       self.chunk_size(-1 if mip is None else mip)[:3]),
         )
         layer.write(df)
         return layer
@@ -573,15 +593,27 @@ class PrecomputedAnnotationReader:
 def export_precomputed(layer, out_dir: str,
                        dimensions: Optional[dict] = None,
                        limit: int = 10000,
-                       write_by_id: bool = True) -> dict:
+                       write_by_id: bool = True,
+                       levels: int = 1) -> dict:
     """Write an :class:`AnnotationLayer` as a neuroglancer precomputed
-    annotation layer the reference reader ingests: ``info`` + one
-    unsharded spatial level (grid = the layer's own cells) + ``by_id``
-    + one dir per relationship, all values gzipped.
+    annotation layer the reference reader ingests: ``info`` + unsharded
+    spatial level(s) + ``by_id`` + one dir per relationship, all values
+    gzipped.
+
+    ``levels=1`` (default) writes one spatial level gridded by the
+    layer's own cells. ``levels>1`` writes the neuroglancer LOD
+    pyramid: level 0 is one cell over the bounds, each finer level
+    halves the chunk size, and every annotation lands at exactly ONE
+    level — the coarsest whose covering cell still has capacity
+    (``limit``), selected by a deterministic md5 priority so each
+    level's cells hold a uniform density subsample and the union over
+    levels is the complete set (the layout of real layers like the
+    H01 fixture's 12 levels).
 
     Distributed: spatial cells are one ``applyInPandas`` group per
-    cell, by_id and relationship values one group per partition — no
-    driver-side iteration over annotations.
+    cell; level assignment is one ``row_number`` window per level over
+    the (shrinking) remainder; by_id and relationship values one group
+    per partition — no driver-side iteration over annotations.
     """
     spark = layer.spark
     df = layer.df()
@@ -606,6 +638,23 @@ def export_precomputed(layer, out_dir: str,
         max(1, math.ceil((upper[i] - lower[i]) / cs[i])) for i in range(3)
     ]
 
+    if levels > 1:
+        # LOD pyramid: level 0 = one cell over the bounds, halving down
+        size = [float(upper[i] - lower[i]) for i in range(3)]
+        spatial_specs = [{
+            "key": f"spatial{lv}",
+            "chunk_size": [s / (1 << lv) for s in size],
+            "grid_shape": [1 << lv] * 3,
+            "limit": int(limit),
+        } for lv in range(levels)]
+    else:
+        spatial_specs = [{
+            "key": "spatial0",
+            "chunk_size": cs,
+            "grid_shape": grid_shape,
+            "limit": int(limit),
+        }]
+
     os.makedirs(out_dir, exist_ok=True)
     info = {
         "@type": ANNOTATION_INFO_TYPE,
@@ -616,12 +665,7 @@ def export_precomputed(layer, out_dir: str,
         "properties": props,
         "relationships": [{"id": r, "key": f"rel_{r}"} for r in rel_names],
         "by_id": {"key": "by_id"},
-        "spatial": [{
-            "key": "spatial0",
-            "chunk_size": cs,
-            "grid_shape": grid_shape,
-            "limit": int(limit),
-        }],
+        "spatial": spatial_specs,
     }
     with open(os.path.join(out_dir, "info"), "w") as f:
         json.dump(info, f, sort_keys=True)
@@ -647,33 +691,87 @@ def export_precomputed(layer, out_dir: str,
         return out
 
     # spatial cells --------------------------------------------------
-    spatial_dir = os.path.join(out_dir, "spatial0")
-    os.makedirs(spatial_dir, exist_ok=True)
-    cell = df
-    for i, ax in enumerate(axes):
-        cell = cell.withColumn(
-            f"_c{ax}",
-            F.least(
-                F.lit(grid_shape[i] - 1),
-                F.floor((F.col(ax) - lower[i]) / cs[i]).cast("int"),
-            ),
-        )
+    def make_write_cell(spatial_dir):
+        def write_cell(keyvals, pdf):
+            binary = encode_multi_buffer(
+                _geometry(pdf), pdf["id"].to_numpy("<u8"), _props_dict(pdf),
+                atype, ndim, props,
+            )
+            name = "_".join(str(int(k)) for k in keyvals)
+            with open(os.path.join(spatial_dir, name + ".gz"), "wb") as f:
+                f.write(gzip.compress(binary, mtime=0))
+            return pd.DataFrame({"cell": [name], "n": [len(pdf)]})
+        return write_cell
 
-    def write_cell(keyvals, pdf):
-        binary = encode_multi_buffer(
-            _geometry(pdf), pdf["id"].to_numpy("<u8"), _props_dict(pdf),
-            atype, ndim, props,
-        )
-        name = "_".join(str(int(k)) for k in keyvals)
-        with open(os.path.join(spatial_dir, name + ".gz"), "wb") as f:
-            f.write(gzip.compress(binary, mtime=0))
-        return pd.DataFrame({"cell": [name], "n": [len(pdf)]})
+    def with_cells(frame, spec):
+        shape_l = spec["grid_shape"]
+        cs_l = spec["chunk_size"]
+        for i, ax in enumerate(axes):
+            frame = frame.withColumn(
+                f"_c{ax}",
+                F.least(
+                    F.lit(shape_l[i] - 1),
+                    F.floor((F.col(ax) - lower[i]) / cs_l[i]).cast("int"),
+                ),
+            )
+        return frame
 
-    n_cells = (
-        cell.groupBy("_cx", "_cy", "_cz")
-        .applyInPandas(write_cell, schema="cell string, n long")
-        .count()
-    )
+    n_cells = 0
+    level_counts = []
+    if levels > 1:
+        # deterministic subsampling priority; every annotation is
+        # assigned to the coarsest level whose cell has capacity
+        remaining = df.withColumn(
+            "_prio", F.md5(F.concat(F.lit("anno|"),
+                                    F.col("id").cast("string")))
+        )
+        from pyspark.sql.window import Window
+
+        persisted = []
+        for lv, spec in enumerate(spatial_specs):
+            spatial_dir = os.path.join(out_dir, spec["key"])
+            os.makedirs(spatial_dir, exist_ok=True)
+            remaining = with_cells(remaining, spec)
+            last = lv == levels - 1
+            if last:
+                assigned, remaining = remaining, None
+            else:
+                ranked = remaining.withColumn(
+                    "_rank",
+                    F.row_number().over(
+                        Window.partitionBy("_cx", "_cy", "_cz")
+                        .orderBy("_prio", "id")
+                    ),
+                )
+                # one pass, two consumers: persist so the level split
+                # does not recompute the window for each side
+                ranked = ranked.persist()
+                persisted.append(ranked)
+                assigned = ranked.where(F.col("_rank") <= limit)
+                remaining = ranked.where(F.col("_rank") > limit) \
+                    .drop("_rank")
+            n = (
+                assigned.groupBy("_cx", "_cy", "_cz")
+                .applyInPandas(make_write_cell(spatial_dir),
+                               schema="cell string, n long")
+                .agg(F.sum("n")).collect()[0][0] or 0
+            )
+            cell_count = len(os.listdir(spatial_dir))
+            n_cells += cell_count
+            level_counts.append(int(n))
+        for p in persisted:
+            p.unpersist()
+    else:
+        spatial_dir = os.path.join(out_dir, "spatial0")
+        os.makedirs(spatial_dir, exist_ok=True)
+        cell = with_cells(df, spatial_specs[0])
+        n_cells = (
+            cell.groupBy("_cx", "_cy", "_cz")
+            .applyInPandas(make_write_cell(spatial_dir),
+                           schema="cell string, n long")
+            .count()
+        )
+        level_counts = [int(stats["n"])]
 
     # by_id ----------------------------------------------------------
     # One value per annotation — the unsharded layout the reference
@@ -739,4 +837,4 @@ def export_precomputed(layer, out_dir: str,
             .applyInPandas(make_write_rel(rel_dir), schema="n long").count()
 
     return {"cells": n_cells, "annotations": int(stats["n"]),
-            "grid_shape": grid_shape}
+            "grid_shape": grid_shape, "level_counts": level_counts}

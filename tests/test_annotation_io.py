@@ -334,6 +334,62 @@ def test_sharded_spatial_and_by_id(spark, tmp_path):
     assert set(rows) == set(some)
 
 
+def test_export_lod_pyramid(spark, tmp_path):
+    """Multi-level export: every annotation lands at exactly one
+    level, coarse cells respect the per-cell limit, the union over
+    levels is the complete set, and get_union/to_layer see it all."""
+    rng = np.random.default_rng(17)
+    n, limit, levels = 3000, 100, 3
+    pdf = pd.DataFrame({
+        "id": np.arange(1, n + 1, dtype=np.int64),
+        "x": rng.random(n) * 1000, "y": rng.random(n) * 1000,
+        "z": rng.random(n) * 1000,
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "pyr_layer"), grid_cell=(125, 125, 125),
+    )
+    layer.write(spark.createDataFrame(pdf))
+    out = str(tmp_path / "pyr")
+    stats = export_precomputed(layer, out, limit=limit, levels=levels,
+                               write_by_id=False)
+    assert len(stats["level_counts"]) == levels
+    assert sum(stats["level_counts"]) == n
+    # level 0 = one cell over the bounds, capped at limit
+    assert stats["level_counts"][0] == limit
+    rdr = PrecomputedAnnotationReader(spark, out)
+    info = rdr.info
+    assert len(info["spatial"]) == levels
+    assert info["spatial"][1]["grid_shape"] == [2, 2, 2]
+    # per-cell limit holds on every non-final level (count rows in
+    # each cell file directly)
+    for mip in range(levels - 1):
+        spec = info["spatial"][mip]
+        for fname in os.listdir(os.path.join(out, spec["key"])):
+            blob = gzip.decompress(
+                open(os.path.join(out, spec["key"], fname), "rb").read()
+            )
+            assert int.from_bytes(blob[:8], "little") <= limit
+    ids_by_level = [
+        {r.id for r in rdr.get_all(mip=m).select("id").collect()}
+        for m in range(levels)
+    ]
+    # disjoint levels, complete union
+    assert sum(len(s) for s in ids_by_level) == n
+    union = set().union(*ids_by_level)
+    assert union == set(range(1, n + 1))
+    assert rdr.get_union().count() == n
+    # deterministic: re-export assigns identically
+    out2 = str(tmp_path / "pyr2")
+    export_precomputed(layer, out2, limit=limit, levels=levels,
+                       write_by_id=False)
+    rdr2 = PrecomputedAnnotationReader(spark, out2)
+    assert {r.id for r in rdr2.get_all(mip=0).select("id").collect()} \
+        == ids_by_level[0]
+    # full ingest via to_layer default (union of levels)
+    ing = rdr.to_layer(str(tmp_path / "pyr_ingested"))
+    assert ing.count() == n
+
+
 def test_export_roundtrip_two_point(spark, tmp_path):
     rng = np.random.default_rng(3)
     n = 60
