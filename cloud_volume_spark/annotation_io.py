@@ -594,7 +594,8 @@ def export_precomputed(layer, out_dir: str,
                        dimensions: Optional[dict] = None,
                        limit: int = 10000,
                        write_by_id: bool = True,
-                       levels: int = 1) -> dict:
+                       levels: int = 1,
+                       shard_spatial: bool = False) -> dict:
     """Write an :class:`AnnotationLayer` as a neuroglancer precomputed
     annotation layer the reference reader ingests: ``info`` + unsharded
     spatial level(s) + ``by_id`` + one dir per relationship, all values
@@ -654,6 +655,19 @@ def export_precomputed(layer, out_dir: str,
             "grid_shape": grid_shape,
             "limit": int(limit),
         }]
+    if shard_spatial:
+        from cloud_volume_spark.sharding import (
+            compute_shard_params_for_hashed,
+        )
+
+        for spec in spatial_specs:
+            n_cells_lv = int(np.prod(spec["grid_shape"]))
+            sb, mb, _ = compute_shard_params_for_hashed(n_cells_lv)
+            spec["sharding"] = ShardingSpecification(
+                preshift_bits=0, hash="identity", minishard_bits=mb,
+                shard_bits=sb, minishard_index_encoding="gzip",
+                data_encoding="gzip",
+            ).to_dict()
 
     os.makedirs(out_dir, exist_ok=True)
     info = {
@@ -703,6 +717,58 @@ def export_precomputed(layer, out_dir: str,
             return pd.DataFrame({"cell": [name], "n": [len(pdf)]})
         return write_cell
 
+    def write_level_sharded(frame, spec, spatial_dir, shard_spec_dict):
+        """Cells → compressed-morton-keyed values inside ``.shard``
+        files: one applyInPandas group per cell encodes its buffer,
+        one group per shard synthesizes the file — the sharded spatial
+        layout of production layers (reference reads it via
+        ``reader.py:253-257``)."""
+        from cloud_volume_spark.sharding import synthesize_shard_file
+
+        grid_shape_l = [int(x) for x in spec["grid_shape"]]
+
+        def encode_cell(keyvals, pdf):
+            binary = encode_multi_buffer(
+                _geometry(pdf), pdf["id"].to_numpy("<u8"), _props_dict(pdf),
+                atype, ndim, props,
+            )
+            code = int(compressed_morton_code(
+                np.array([int(k) for k in keyvals]), grid_shape_l
+            ))
+            sp = ShardingSpecification.from_dict(shard_spec_dict)
+            shard_no, _ = sp.compute_shard_location(code)
+            return pd.DataFrame({
+                "shard_no": [shard_no], "morton": [code],
+                "blob": [binary], "n": [len(pdf)],
+            })
+
+        def write_shard(keyvals, pdf):
+            sp = ShardingSpecification.from_dict(shard_spec_dict)
+            group = {int(r.morton): bytes(r.blob)
+                     for r in pdf.itertuples(index=False)}
+            blob = synthesize_shard_file(sp, group)
+            with open(os.path.join(spatial_dir, f"{keyvals[0]}.shard"),
+                      "wb") as f:
+                f.write(blob)
+            return pd.DataFrame({
+                "shard": [str(keyvals[0])], "cells": [len(group)],
+                "n": [int(pdf["n"].sum())],
+            })
+
+        out = (
+            frame.groupBy("_cx", "_cy", "_cz")
+            .applyInPandas(
+                encode_cell,
+                schema="shard_no string, morton long, blob binary, n long",
+            )
+            .groupBy("shard_no")
+            .applyInPandas(write_shard,
+                           schema="shard string, cells long, n long")
+            .agg(F.sum("cells").alias("cells"), F.sum("n").alias("n"))
+            .collect()[0]
+        )
+        return int(out["n"] or 0), int(out["cells"] or 0)
+
     def with_cells(frame, spec):
         shape_l = spec["grid_shape"]
         cs_l = spec["chunk_size"]
@@ -750,13 +816,18 @@ def export_precomputed(layer, out_dir: str,
                 assigned = ranked.where(F.col("_rank") <= limit)
                 remaining = ranked.where(F.col("_rank") > limit) \
                     .drop("_rank")
-            n = (
-                assigned.groupBy("_cx", "_cy", "_cz")
-                .applyInPandas(make_write_cell(spatial_dir),
-                               schema="cell string, n long")
-                .agg(F.sum("n")).collect()[0][0] or 0
-            )
-            cell_count = len(os.listdir(spatial_dir))
+            if shard_spatial:
+                n, cell_count = write_level_sharded(
+                    assigned, spec, spatial_dir, spec["sharding"]
+                )
+            else:
+                n = (
+                    assigned.groupBy("_cx", "_cy", "_cz")
+                    .applyInPandas(make_write_cell(spatial_dir),
+                                   schema="cell string, n long")
+                    .agg(F.sum("n")).collect()[0][0] or 0
+                )
+                cell_count = len(os.listdir(spatial_dir))
             n_cells += cell_count
             level_counts.append(int(n))
         for p in persisted:
@@ -765,12 +836,18 @@ def export_precomputed(layer, out_dir: str,
         spatial_dir = os.path.join(out_dir, "spatial0")
         os.makedirs(spatial_dir, exist_ok=True)
         cell = with_cells(df, spatial_specs[0])
-        n_cells = (
-            cell.groupBy("_cx", "_cy", "_cz")
-            .applyInPandas(make_write_cell(spatial_dir),
-                           schema="cell string, n long")
-            .count()
-        )
+        if shard_spatial:
+            _, n_cells = write_level_sharded(
+                cell, spatial_specs[0], spatial_dir,
+                spatial_specs[0]["sharding"],
+            )
+        else:
+            n_cells = (
+                cell.groupBy("_cx", "_cy", "_cz")
+                .applyInPandas(make_write_cell(spatial_dir),
+                               schema="cell string, n long")
+                .count()
+            )
         level_counts = [int(stats["n"])]
 
     # by_id ----------------------------------------------------------

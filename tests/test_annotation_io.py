@@ -390,6 +390,45 @@ def test_export_lod_pyramid(spark, tmp_path):
     assert ing.count() == n
 
 
+def test_export_sharded_spatial_roundtrip(spark, tmp_path):
+    """shard_spatial=True writes each level's cells as morton-keyed
+    values in .shard files (the production layout); the reader's
+    sharded path reads them back byte-identically."""
+    rng = np.random.default_rng(23)
+    n = 800
+    pdf = pd.DataFrame({
+        "id": np.arange(1, n + 1, dtype=np.int64),
+        "x": rng.random(n) * 400, "y": rng.random(n) * 400,
+        "z": rng.random(n) * 400,
+        "class_label": rng.integers(0, 4, n).astype(np.int32),
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "sh_layer"),
+        annotation_type="POINT",
+        properties={"class_label": "int32"},
+        grid_cell=(100, 100, 100),
+    )
+    layer.write(spark.createDataFrame(pdf))
+    out = str(tmp_path / "sh_pre")
+    stats = export_precomputed(layer, out, limit=60, levels=3,
+                               write_by_id=False, shard_spatial=True)
+    assert sum(stats["level_counts"]) == n
+    # only .shard files in the spatial dirs
+    info = json.load(open(os.path.join(out, "info")))
+    for spec in info["spatial"]:
+        assert spec.get("sharding") is not None
+        files = os.listdir(os.path.join(out, spec["key"]))
+        assert files and all(f.endswith(".shard") for f in files)
+    rdr = PrecomputedAnnotationReader(spark, out)
+    got = rdr.get_union().toPandas().sort_values("id").reset_index(drop=True)
+    exp = pdf.sort_values("id").reset_index(drop=True)
+    assert len(got) == n
+    assert np.array_equal(got["id"].to_numpy(), exp["id"].to_numpy())
+    assert np.array_equal(got["class_label"], exp["class_label"])
+    for c in ("x", "y", "z"):
+        assert np.allclose(got[c], exp[c].astype(np.float32))
+
+
 def test_export_roundtrip_two_point(spark, tmp_path):
     rng = np.random.default_rng(3)
     n = 60
