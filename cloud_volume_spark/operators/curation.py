@@ -13,11 +13,11 @@ engines; buckets are CASE chains over exact integer token counts.
 
 Scale notes: ``mixture_sample`` aggregates one source-level count
 table (rows = #sources, trivially broadcast) then filters map-side —
-the corpus never shuffles. ``boilerplate_ngrams`` has one gram-level
-shuffle to build the frequency table; unlike benchmark decontamination
-(`corpus.corpus_contamination`, whose gram set is genuinely small and
-fixed), the boilerplate set grows with the corpus, so the scoring join
-is left unhinted for AQE to pick. ``token_bucket_stats``
+the corpus never shuffles. ``boilerplate_ngrams`` evaluates its gram
+stream once (per-(gram, doc) counts + a document-frequency window) —
+unlike benchmark decontamination (`corpus.corpus_contamination`, whose
+gram set is genuinely small, fixed, and correctly broadcast), nothing
+corpus-sized is ever broadcast. ``token_bucket_stats``
 is a map-side-combine aggregate to a handful of rows.  ``doc_entropy``
 shuffles once on (doc_id, term) with partial aggregation.
 """
@@ -25,6 +25,7 @@ shuffles once on (doc_id, term) with partial aggregation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from cloud_volume_spark.operators.common import load
 
@@ -61,29 +62,24 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup); each doc is scored by the fraction of its gram positions
     that are boilerplate, in basis points.
 
-    Scale: the gram→doc-frequency aggregate is the one big shuffle
-    (same volume as shingling); the boilerplate gram set grows with the
-    corpus on web text (every common phrase has df >= 2), so the scoring
-    join is unhinted — AQE broadcasts it while small, shuffle-joins on
-    ``gram`` when it is not."""
+    Scale: the gram stream (the expensive explode+md5) is evaluated
+    ONCE — per-(gram, doc) counts first (map-side partials), then the
+    document frequency comes from a count window partitioned by
+    ``gram`` over those already-reduced rows (r6: replaces the earlier
+    two-pass formulation that computed the gram stream twice and
+    force-broadcast the df>=2 set, which grows with the corpus and
+    would OOM the driver at 100 TB). Skew exposure of the window
+    equals the join it replaces: either way one task sees all distinct
+    docs of the hottest phrase."""
     docs = load(spark, sf_dir, "documents")
     grams = _word_grams(docs, BOILER_NGRAM)
-    boiler = (
-        grams.distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
-        .select("gram")
-    )
-    # No broadcast hint: on web-scale corpora the df>=2 gram set grows
-    # roughly with the corpus (every common phrase qualifies), so a forced
-    # broadcast would OOM the driver at 100 TB. Unhinted, AQE broadcasts
-    # while the set is small and falls back to a shuffle join on `gram`
-    # (same key distribution as the df aggregate) when it is not.
+    cnt = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("gram")
     hits = (
-        grams.join(boiler, "gram")
+        cnt.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
+        .agg(F.sum("c").alias("n_boiler"))
     )
     toks = F.split(F.trim("text"), " ")
     base = docs.select(
