@@ -216,6 +216,100 @@ def bench_volume(spark) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_volume_seg(spark) -> dict:
+    """Segmentation-volume roundtrip + distributed `unique` — the
+    BASELINE.md rows the image probe does not cover: 1024×1024×100
+    uint16 labels (200 MB logical), gzip raw chunks (piecewise-
+    constant labels compress well, like the reference's segmentation
+    content), plus the whole-volume distinct-labels query that
+    BASELINE gates at 2x single-node decode time."""
+    from cloud_volume_spark.catalog import VolumeInfo
+    from cloud_volume_spark.geometry import Bbox
+    from cloud_volume_spark.volume import BLOCK_SCHEMA, Volume
+
+    base = tempfile.mkdtemp(prefix="cvs_benchseg_")
+    try:
+        info = VolumeInfo.create(
+            layer_type="segmentation", data_type="uint16", num_channels=1,
+            resolution=(1, 1, 1), voxel_offset=(0, 0, 0),
+            volume_size=VOL_SHAPE, chunk_size=VOL_CHUNK, encoding="raw",
+        )
+        vol = Volume.create(spark, os.path.join(base, "vol"), info)
+        cs = VOL_CHUNK
+        grid = [VOL_SHAPE[i] // cs[i] for i in range(3)]
+        coords = [
+            (cx, cy, cz)
+            for cz in range(grid[2])
+            for cy in range(grid[1])
+            for cx in range(grid[0])
+        ]
+        coords_df = spark.createDataFrame(coords, "cx int, cy int, cz int")
+        csx, csy, csz = cs
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    # blobby piecewise-constant labels: 16x16x10 uniform
+                    # cells per chunk -> compresses like real
+                    # segmentation, ~1.3k distinct labels per chunk
+                    rng = np.random.default_rng(
+                        r.cx * 1000 + r.cy * 100 + r.cz
+                    )
+                    cells = rng.integers(
+                        1, 60000,
+                        size=(csx // 16, csy // 16, csz // 10),
+                        dtype=np.uint16,
+                    )
+                    arr = np.kron(
+                        cells, np.ones((16, 16, 10), dtype=np.uint16)
+                    )[..., None]
+                    rows.append((
+                        r.cx * csx, (r.cx + 1) * csx,
+                        r.cy * csy, (r.cy + 1) * csy,
+                        r.cz * csz, (r.cz + 1) * csz,
+                        np.ascontiguousarray(arr.transpose()).tobytes(),
+                    ))
+                yield pd.DataFrame(
+                    rows, columns=["x0", "x1", "y0", "y1", "z0", "z1", "blob"]
+                )
+
+        blocks = coords_df.repartition(len(coords)).mapInPandas(
+            gen, schema=BLOCK_SCHEMA
+        )
+        logical_mb = int(np.prod(VOL_SHAPE)) * 2 / 1e6
+
+        write_secs, read_secs, uniq_secs = [], [], []
+        n_labels = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vol.write_blocks_df(blocks, mip=0, compression="gzip")
+            write_secs.append(time.perf_counter() - t0)
+            os.sync()
+            t0 = time.perf_counter()
+            out = vol.cutout(Bbox((0, 0, 0), VOL_SHAPE))
+            read_secs.append(time.perf_counter() - t0)
+            assert out.shape[:3] == VOL_SHAPE
+            t0 = time.perf_counter()
+            n_labels = vol.unique(Bbox((0, 0, 0), VOL_SHAPE)).count()
+            uniq_secs.append(time.perf_counter() - t0)
+
+        write_sec = min(write_secs[1:])
+        read_sec = min(read_secs[1:])
+        return {
+            "logical_mb": round(logical_mb, 1),
+            "write_mbps": round(logical_mb / write_sec, 1),
+            "read_mbps": round(logical_mb / read_sec, 1),
+            "unique_sec": round(min(uniq_secs[1:]), 3),
+            "unique_labels": int(n_labels),
+            "write_secs_all": [round(s, 3) for s in write_secs],
+            "read_secs_all": [round(s, 3) for s in read_secs],
+            "unique_secs_all": [round(s, 3) for s in uniq_secs],
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def bench_spatial_index(spark) -> dict:
     """Distributed spatial-index build — the headline BASELINE.md claim
     (reference docstring, ``spatial_index.py:680-684``: ~140k .spatial
@@ -367,6 +461,7 @@ def main() -> None:
     # single-pass `total_wall_sec`) because the semantics changed in r5
     # and the old name invited apples-to-oranges cross-round reads.
     total = round(sum(times.values()) + vol_wall, 3)
+    seg_stats = bench_volume_seg(spark)
     spatial_stats = bench_spatial_index(spark)
     anno_stats = bench_annotations(spark)
 
@@ -395,6 +490,7 @@ def main() -> None:
         "queries_runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "volume": vol_stats,
+        "volume_seg": seg_stats,
         "spatial_index": spatial_stats,
         "annotations": anno_stats,
         "env": env,
@@ -416,21 +512,24 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": full["sf"],
-        "volume": {k: vol_stats[k]
+        "volume": {k: round(vol_stats[k])
                    for k in ("write_mbps", "read_mbps")},
+        # compact key names; full names in BENCH_FULL.json / FULL line
+        "seg": {"write_mbps": round(seg_stats["write_mbps"]),
+                "read_mbps": round(seg_stats["read_mbps"]),
+                "unique_sec": seg_stats["unique_sec"]},
         "spatial_index": {k: spatial_stats[k]
-                          for k in ("points", "build_sec", "index_mb")},
-        "annotations": {k: anno_stats[k]
-                        for k in ("annotations", "export_sec",
-                                  "bbox_query_sec")},
+                          for k in ("build_sec", "index_mb")},
+        "anno": {"export_sec": anno_stats["export_sec"],
+                 "query_sec": anno_stats["bbox_query_sec"]},
         "env": env,
     }
     # 1980 leaves >= 19 chars of margin inside the driver's 2,000-char
     # tail (line + newline must fit entirely); measured r6 line with all
-    # blocks is ~2007, so env (the only block also visible at the end of
+    # blocks is ~2010, so env (the only block also visible at the end of
     # the FULL line's tail) is the designed first casualty
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("env", "annotations", "spatial_index", "volume"):
+    for drop in ("env", "anno", "spatial_index", "seg", "volume"):
         if len(line) <= 1980:
             break
         compact.pop(drop)
