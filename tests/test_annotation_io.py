@@ -104,6 +104,61 @@ def test_malformed_buffers_raise():
         decode_single_buffer(single + b"\x00", "POINT", 3, PROPS, ["r"])
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+    _PTYPES = ["uint8", "uint16", "uint32", "int8", "int16", "int32",
+               "float32", "rgb", "rgba"]
+
+    @st.composite
+    def _prop_specs(draw):
+        names = draw(st.lists(
+            st.sampled_from(["p", "q", "r", "s"]), unique=True,
+            min_size=0, max_size=4))
+        return [{"id": n, "type": draw(st.sampled_from(_PTYPES))}
+                for n in names]
+
+    @given(
+        specs=_prop_specs(),
+        atype=st.sampled_from(["POINT", "LINE",
+                               "AXIS_ALIGNED_BOUNDING_BOX", "ELLIPSOID"]),
+        n=st.integers(min_value=0, max_value=40),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_multi_buffer_roundtrip_property(specs, atype, n, seed):
+        """Any property-type combination, any record count, any
+        geometry arity: encode→decode is the identity, including the
+        padding the property block needs for 4-byte alignment."""
+        rng = np.random.default_rng(seed)
+        shape = (n, 3, 2) if atype != "POINT" else (n, 3)
+        geo = rng.random(shape).astype(np.float32) * 1e4
+        ids = rng.integers(1, 2**60, n).astype(np.uint64)
+        props = {}
+        for p in specs:
+            if p["type"] == "float32":
+                props[p["id"]] = rng.random(n).astype(np.float32)
+            elif p["type"] in ("rgb", "rgba"):
+                w = 3 if p["type"] == "rgb" else 4
+                props[p["id"]] = rng.integers(
+                    0, 256, (n, w)).astype(np.uint8)
+            else:
+                dt = np.dtype(p["type"])
+                lo, hi = (0, 255) if dt.kind == "u" else (-100, 100)
+                props[p["id"]] = rng.integers(lo, hi, n).astype(dt)
+        blob = encode_multi_buffer(geo, ids, props, atype, 3, specs)
+        g2, i2, p2 = decode_multi_buffer(blob, atype, 3, specs)
+        assert np.array_equal(i2, ids)
+        assert g2.shape == geo.shape and np.array_equal(g2, geo)
+        for p in specs:
+            assert np.array_equal(p2[p["id"]], props[p["id"]]), p
+
+
 # ---------------------------------------------------------------------------
 # the reference's own fixture layer + its published golden values
 
@@ -427,6 +482,32 @@ def test_export_sharded_spatial_roundtrip(spark, tmp_path):
     assert np.array_equal(got["class_label"], exp["class_label"])
     for c in ("x", "y", "z"):
         assert np.allclose(got[c], exp[c].astype(np.float32))
+
+
+def test_reader_missing_cells_and_outside_bbox(spark, exported):
+    """Cells absent on disk decode as empty (the reference treats a
+    missing spatial value as no annotations, reader.py:258/268); a
+    bbox fully outside the bounds clamps to edge cells and the exact
+    filter leaves nothing."""
+    _, pdf, out, _ = exported
+    rdr = PrecomputedAnnotationReader(spark, out)
+    # delete one cell file: layer still reads, minus that cell's rows
+    spatial = os.path.join(out, "spatial0")
+    victim = sorted(os.listdir(spatial))[0]
+    blob = gzip.decompress(open(os.path.join(spatial, victim), "rb").read())
+    n_victim = int.from_bytes(blob[:8], "little")
+    os.rename(os.path.join(spatial, victim),
+              os.path.join(spatial, victim + ".bak"))
+    try:
+        assert rdr.get_all(mip=0).count() == len(pdf) - n_victim
+    finally:
+        os.rename(os.path.join(spatial, victim + ".bak"),
+                  os.path.join(spatial, victim))
+    # bbox entirely outside the data
+    far = Bbox((90000, 90000, 90000), (90010, 90010, 90010))
+    assert rdr.get_by_bbox(far, mip=0).count() == 0
+    # unknown ids simply yield no rows
+    assert rdr.get_by_id([10**12]).count() == 0
 
 
 def test_export_roundtrip_two_point(spark, tmp_path):
