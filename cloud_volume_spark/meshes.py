@@ -316,23 +316,82 @@ class MeshLayer:
         return n
 
     def import_precomputed(self, src_dir: str) -> None:
-        rows = []
+        """Ingest a foreign legacy mesh directory. Handles the real
+        on-disk variations the reference's own fixtures exhibit
+        (``test/test_cv/mesh_mip_2_err_40_sv16``): values stored
+        verbatim or as ``<name>.gz``, and graphene-style layers where
+        fragment files are themselves named ``<supervoxel>:0`` — a
+        name alone cannot distinguish manifest from fragment, so each
+        ``:0`` file is sniffed (JSON object → manifest). Manifests
+        list their fragments; executors decode fragment binaries in
+        parallel via mapInPandas."""
+        import gzip as _gzip
+
+        def read_value(name: str):
+            p = os.path.join(src_dir, name)
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    data = f.read()
+                return (
+                    _gzip.decompress(data)
+                    if data[:2] == b"\x1f\x8b" else data
+                )
+            if os.path.exists(p + ".gz"):
+                with open(p + ".gz", "rb") as f:
+                    return _gzip.decompress(f.read())
+            return None
+
+        manifests = []  # (segid, [fragment names])
         for name in sorted(os.listdir(src_dir)):
-            if name.count(":") != 1 or not name.endswith(":0"):
+            base = name[:-3] if name.endswith(".gz") else name
+            if base.count(":") != 1 or not base.endswith(":0"):
                 continue
-            segid = int(name.split(":")[0])
-            with open(os.path.join(src_dir, name)) as f:
-                manifest = json.load(f)
-            for i, frag in enumerate(manifest["fragments"]):
-                with open(os.path.join(src_dir, frag), "rb") as f:
-                    d = decode_precomputed(f.read())
-                rows.append((
-                    segid, i,
-                    [[float(x) for x in v] for v in d["vertices"]],
-                    [[int(x) for x in fc] for fc in d["faces"]],
-                ))
+            blob = read_value(base)
+            if blob is None or not blob.lstrip()[:1] == b"{":
+                continue
+            try:
+                manifest = json.loads(blob)
+            except ValueError:
+                continue
+            if "fragments" not in manifest:
+                continue
+            manifests.append((int(base.split(":")[0]),
+                              list(manifest["fragments"])))
+
+        work = [
+            (segid, i, frag)
+            for segid, frags in manifests
+            for i, frag in enumerate(frags)
+        ]
         schema = (
             "segid long, fragment int, vertices array<array<float>>, "
             "faces array<array<int>>"
         )
-        self.write(self.spark.createDataFrame(rows, schema=schema))
+
+        def decode_frags(batches):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    blob = read_value(r.frag)
+                    if blob is None:
+                        raise FileNotFoundError(
+                            f"fragment {r.frag} missing under {src_dir}"
+                        )
+                    d = decode_precomputed(blob)
+                    rows.append((
+                        int(r.segid), int(r.fragment),
+                        [[float(x) for x in v] for v in d["vertices"]],
+                        [[int(x) for x in fc] for fc in d["faces"]],
+                    ))
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["segid", "fragment", "vertices", "faces"],
+                    )
+
+        work_df = self.spark.createDataFrame(
+            work, "segid long, fragment int, frag string"
+        )
+        if len(work) > 1:
+            work_df = work_df.repartition(min(len(work), 64))
+        self.write(work_df.mapInPandas(decode_frags, schema=schema))

@@ -133,3 +133,79 @@ class SpatialIndex:
     def all_labels(self) -> DataFrame:
         """Whole-dataset fast path (:857-888) — plain distinct."""
         return self.df().select("label").distinct()
+
+
+def import_spatial_files(spark: SparkSession, src_dir: str,
+                         base_path: str) -> SpatialIndex:
+    """Ingest a foreign directory of reference ``.spatial`` JSON files
+    into the parquet index.
+
+    Each file is ``{label: [x0,y0,z0,x1,y1,z1]}`` and its name encodes
+    the covering cell's physical range (``x0-x1_y0-y1_z0-z1.spatial``,
+    reference ``spatial_index.py:320`` file naming / :697-761 bbox
+    reads). The reference bulk-loads ~140k of these into SQLite in
+    >1 h single-threaded (:680-684); here the file list becomes a
+    DataFrame and every executor parses its files — the same
+    distributed shape as the annotation-layer ingest.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    names = sorted(
+        f for f in os.listdir(src_dir) if f.endswith(".spatial")
+    )
+    if not names:
+        raise FileNotFoundError(f"no .spatial files under {src_dir}")
+
+    def parse_name(name: str):
+        ranges = [
+            tuple(float(v) for v in part.split("-"))
+            for part in name[:-len(".spatial")].split("_")
+        ]
+        return ranges  # [(x0,x1),(y0,y1),(z0,z1)]
+
+    # cell size from the first file; grid coords derive per file from
+    # each file's own origin so multi-cell layouts land on the grid
+    cell = parse_name(names[0])
+    cell_size = tuple(hi - lo for lo, hi in cell)
+
+    def parse(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ranges = parse_name(r.name)
+                gx = int(ranges[0][0] // cell_size[0])
+                gy = int(ranges[1][0] // cell_size[1])
+                gz = int(ranges[2][0] // cell_size[2])
+                with open(os.path.join(src_dir, r.name)) as fh:
+                    data = _json.load(fh)
+                if not data:
+                    continue
+                rows = [
+                    (int(label), gx, gy, gz,
+                     float(bb[0]), float(bb[1]), float(bb[2]),
+                     float(bb[3]), float(bb[4]), float(bb[5]))
+                    for label, bb in data.items()
+                ]
+                yield pd.DataFrame(
+                    rows,
+                    columns=["label", "gx", "gy", "gz",
+                             "x0", "y0", "z0", "x1", "y1", "z1"],
+                )
+
+    files_df = spark.createDataFrame([(n,) for n in names], "name string")
+    if len(names) > 1:
+        files_df = files_df.repartition(min(len(names), 256))
+    rows = files_df.mapInPandas(
+        parse,
+        schema="label long, gx int, gy int, gz int, "
+               "x0 double, y0 double, z0 double, "
+               "x1 double, y1 double, z1 double",
+    )
+    idx = SpatialIndex(spark, base_path, cell_size=cell_size)
+    (
+        rows.repartitionByRange("gz", "gy", "gx")
+        .sortWithinPartitions("gz", "gy", "gx", "label")
+        .write.mode("overwrite").parquet(idx.data_path)
+    )
+    return idx

@@ -713,3 +713,80 @@ def test_multilod_sharded_roundtrip(spark, tmp_path):
             gv, gf = layer2.get(segid, lod=lod)[segid]
             assert np.allclose(gv, v), (segid, lod)
             assert np.array_equal(gf, f), (segid, lod)
+
+
+def test_import_foreign_spatial_files(spark, tmp_path):
+    """Ingest the reference's own checked-in .spatial index file and
+    reproduce the golden values its test_integer_spatial_index asserts
+    (reference test/test_skeletons.py:774-800)."""
+    import json
+    import os
+
+    from cloud_volume_spark.spatial_index import import_spatial_files
+
+    src = "/root/reference/test/test_cv/skeletons_mip_2"
+    if not os.path.isdir(src):
+        pytest.skip("reference test_cv fixture not present")
+    idx = import_spatial_files(spark, src, str(tmp_path / "spidx"))
+    assert idx.cell_size == (8192.0, 8192.0, 20480.0)
+
+    gt = json.load(open(os.path.join(src, "0-8192_0-8192_0-20480.spatial")))
+    gt_labels = sorted(int(k) for k in gt)
+
+    labels = sorted(
+        r.label for r in idx.query(
+            Bbox((0, 0, 0), (8192, 8192, 20480))).collect()
+    )
+    assert labels == gt_labels
+
+    locs = {r.label: r for r in
+            idx.file_locations_per_label([71297420]).collect()}
+    assert 71297420 in locs
+    assert [tuple(c) for c in locs[71297420].cells] == [(0, 0, 0)]
+
+    bbox = idx.get_bbox(59524925)
+    assert np.allclose(bbox.minpt, [80, 6864, 19960])
+    assert np.allclose(bbox.maxpt, [400, 8176, 20440])
+
+
+def test_import_foreign_legacy_mesh_fixture(spark, tmp_path):
+    """Ingest the reference's checked-in graphene mesh fixture
+    (manifest 648518346349515986:0 + 22 gzipped supervoxel fragments)
+    and reproduce the golden its test_graphene_mesh_get_precomputed
+    asserts: the fused mesh's vertex graph has exactly 3 connected
+    components (reference test/test_graphene.py:478-487)."""
+    import json
+    import os
+
+    src = "/root/reference/test/test_cv/mesh_mip_2_err_40_sv16"
+    if not os.path.isdir(src):
+        pytest.skip("reference test_cv fixture not present")
+    manifest = json.load(open(os.path.join(src, "648518346349515986:0")))
+
+    layer = MeshLayer(spark, str(tmp_path / "foreign_mesh"))
+    layer.import_precomputed(src)
+    frags = layer.df().toPandas()
+    assert set(frags.segid) == {648518346349515986}
+    assert len(frags) == len(manifest["fragments"]) == 22
+
+    got = layer.get(
+        [648518346349515986], fuse=True, remove_duplicate_vertices=True
+    ).collect()[0]
+    v = np.array(got.vertices, dtype=np.float32)
+    f = np.array(got.faces, dtype=np.int64)
+    assert len(v) and len(f)
+
+    # union-find connected components over the vertex graph
+    parent = np.arange(len(v))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for tri in f:
+        ra = find(int(tri[0]))
+        parent[find(int(tri[1]))] = ra
+        parent[find(int(tri[2]))] = ra
+    assert len({find(i) for i in range(len(v))}) == 3
