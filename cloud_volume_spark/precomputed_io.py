@@ -116,12 +116,19 @@ def import_unsharded(spark, src_dir: str, base_path: str,
                 blob = codecs.compress_stream(payload, comp or None)
                 if seg:
                     shape = tuple(bbox.size3()) + (nc,)
-                    uniq = np.unique(codecs.decode(payload, encoding, shape, dtype))
                     from cloud_volume_spark.volume import LABELS_STATS_CAP
-                    stats = (
-                        [int(u) for u in uniq]
-                        if uniq.size <= LABELS_STATS_CAP else None
-                    )
+                    try:
+                        # codec-native fast path: reads only the label
+                        # streams where the codec supports it — incl.
+                        # foreign wheel-written compresso (v0/v1),
+                        # whose full decode is wheel-gated
+                        uniq = codecs.labels(payload, encoding, shape, dtype)
+                        stats = (
+                            [int(u) for u in uniq]
+                            if uniq.size <= LABELS_STATS_CAP else None
+                        )
+                    except codecs.EncodingUnavailable:
+                        stats = None
                 else:
                     stats = None
                 rows.append((

@@ -4,6 +4,7 @@ paths, and the codecs.py integration (reference consumer:
 /root/reference/cloudvolume/chunks.py:107-167)."""
 
 import numpy as np
+import os
 import pytest
 
 from cloud_volume_spark import codecs, compresso_io
@@ -132,16 +133,50 @@ def test_cross_validate_c_wheel(rng):
     )
 
 
-def test_wheel_stream_rejected_without_wheel(rng):
-    """A synthetic version-0 header must produce the precise
-    install-the-wheel error, never a silent mis-decode."""
+def test_wheel_stream_decode_rejected_without_wheel(rng):
+    """A version-0/1 stream must produce the precise install-the-wheel
+    error from decompress, never a silent mis-decode. (labels() is the
+    exception: it reads only the ids/locations streams, whose wheel
+    layout is verified against golden chunks.)"""
     arr = _blobby((16, 16, 4), 4, np.uint32, rng)
     blob = bytearray(compresso_io.compress(arr))
     blob[4] = 0  # forge the wheel's format version
     with pytest.raises(compresso_io.CompressoError, match="C wheel"):
         compresso_io.decompress(bytes(blob))
-    with pytest.raises(compresso_io.CompressoError, match="C wheel"):
-        compresso_io.labels(bytes(blob))
+
+
+FOREIGN_SEG = "/root/reference/test/test_seg_unsharded"
+
+
+@pytest.mark.skipif(not os.path.isdir(FOREIGN_SEG), reason="fixture absent")
+def test_labels_on_real_wheel_streams():
+    """Decode-free labels() on REAL chunks written by the C wheel
+    (version 1), validated three independent ways against the
+    reference's checked-in fixtures: per-chunk escapes resolve,
+    label sets are monotone down the mip pyramid (downsampling never
+    invents labels), and the sibling skeleton spatial index's label
+    set is fully contained in the volume's mip-0 labels."""
+    import gzip
+    import json
+
+    def mip_labels(key):
+        u = set()
+        for f in os.listdir(os.path.join(FOREIGN_SEG, key)):
+            blob = gzip.decompress(
+                open(os.path.join(FOREIGN_SEG, key, f), "rb").read())
+            assert blob[:4] == b"cpso" and blob[4] in (0, 1)
+            u.update(int(x) for x in compresso_io.labels(blob))
+        return u
+
+    m0 = mip_labels("8_8_40")
+    m1 = mip_labels("16_16_40")
+    m2 = mip_labels("32_32_40")
+    assert len(m0) > 2000
+    assert m2 <= m1 <= m0
+    gt = {int(k) for k in json.load(open(os.path.join(
+        "/root/reference/test/test_cv/skeletons_mip_2",
+        "0-8192_0-8192_0-20480.spatial")))}
+    assert gt and gt <= m0
 
 
 def test_truncated_windows_stream_raises(rng):
@@ -180,3 +215,27 @@ def test_explicit_label_overflow_raises():
     arr[2, 2, 0] = 2 ** 64 - 4
     blob = compresso_io.compress(arr)
     assert np.array_equal(compresso_io.decompress(blob), arr)
+
+
+@pytest.mark.skipif(not os.path.isdir(FOREIGN_SEG), reason="fixture absent")
+def test_foreign_volume_unique_without_wheel(spark, tmp_path):
+    """Import the reference's real wheel-written compresso volume and
+    run distributed unique() over the full bounds — answered entirely
+    from the labels_stats column (populated at import via the codec-
+    native labels() fast path), so no chunk is ever decoded and the
+    missing C wheel never matters. Golden = the per-chunk label union
+    read directly from the fixture bytes."""
+    import gzip
+
+    from cloud_volume_spark.geometry import Bbox
+    from cloud_volume_spark.precomputed_io import import_unsharded
+
+    vol = import_unsharded(spark, FOREIGN_SEG, str(tmp_path / "fv"), mip=2)
+    got = {r[0] for r in
+           vol.unique(Bbox((0, 0, 0), (256, 256, 512)), mip=2).collect()}
+    gold = set()
+    d = os.path.join(FOREIGN_SEG, "32_32_40")
+    for f in os.listdir(d):
+        blob = gzip.decompress(open(os.path.join(d, f), "rb").read())
+        gold.update(int(x) for x in compresso_io.labels(blob))
+    assert got == gold and len(gold) > 2000
