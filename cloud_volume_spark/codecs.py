@@ -255,15 +255,13 @@ def decode(
         # route by the header's version byte: the C wheel's streams
         # (version 0/1) and this repo's pure-python streams (version
         # 128) fix the open sub-encodings differently under the same
-        # 'cpso' magic — each decoder only accepts its own
+        # 'cpso' magic. The wheel decodes its own streams when
+        # installed; otherwise compresso_io handles BOTH dialects (its
+        # wheel path was verified against the reference's golden
+        # chunks and self-checks its stream-consumption invariants).
         raw = bytes(blob)
         ver = raw[4] if len(raw) > 4 else -1
-        if ver in compresso_io.WHEEL_FORMAT_VERSIONS:
-            if not HAS_COMPRESSO:
-                raise EncodingUnavailable(
-                    "compresso stream written by the C wheel; install "
-                    "`compresso` to decode it"
-                )
+        if ver in compresso_io.WHEEL_FORMAT_VERSIONS and HAS_COMPRESSO:
             return np.asarray(compresso.decompress(raw)).reshape(shape)
         return compresso_io.decompress(raw).reshape(shape)
     if encoding == "png":
