@@ -23,7 +23,7 @@ Only voxels whose left **and** up neighbors are both boundary (or out of
 bounds) consume a correction entry.
 
 Container framing follows the public seung-lab/compresso stream header
-(36-byte little-endian header, magic ``cpso``, format version 0, counted
+(36-byte little-endian header, magic ``cpso``, counted
 ids/values/locations streams; reference consumer:
 /root/reference/cloudvolume/chunks.py:107-167, which delegates to the
 ``compresso`` wheel). The sub-encodings the published algorithm leaves
@@ -37,10 +37,16 @@ open are fixed here and documented below:
     copy ``-y`` neighbor, ``2`` = copy same-(x,y) voxel of the previous
     slice, else ``3 + label`` explicit.
 
-Streams produced by this encoder roundtrip losslessly (property-tested);
-byte-level interop with the C wheel is cross-checked when ``compresso``
-is installed (test gated, the same pattern as compressed_segmentation in
-``cseg.py``).
+Streams produced by this encoder roundtrip losslessly (property-tested).
+READ interop with the C wheel's own dialect (format versions 0/1) is
+implemented and validated against the reference's checked-in
+``test_seg_unsharded`` golden chunks (see ``_decompress_wheel``). WRITE
+interop is deliberately NOT claimed: the goldens contain ~2.8k boundary
+bits derivable from no label relationship at all (encoder-history
+artifacts), so a from-scratch v1 encoder could never be proven
+byte-faithful without the wheel — this codec keeps writing its own
+version-128 dialect, which wheel-equipped readers reject loudly instead
+of mis-decoding.
 """
 
 from __future__ import annotations
