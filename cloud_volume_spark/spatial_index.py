@@ -135,6 +135,42 @@ class SpatialIndex:
         return self.df().select("label").distinct()
 
 
+def export_spatial_files(index: SpatialIndex, out_dir: str) -> int:
+    """Write the parquet index back out as reference-format ``.spatial``
+    JSON files (one per grid cell, ``{label: [x0,y0,z0,x1,y1,z1]}``,
+    named by the cell's physical range) — the files the reference's
+    own readers and SQL bulk-loaders consume. One applyInPandas group
+    per cell writes its file; returns the cell count."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    os.makedirs(out_dir, exist_ok=True)
+    cs = index.cell_size
+
+    def write_cell(keyvals, pdf):
+        gx, gy, gz = (int(k) for k in keyvals)
+        name = (
+            f"{gx * cs[0]:g}-{(gx + 1) * cs[0]:g}_"
+            f"{gy * cs[1]:g}-{(gy + 1) * cs[1]:g}_"
+            f"{gz * cs[2]:g}-{(gz + 1) * cs[2]:g}.spatial"
+        )
+        data = {
+            str(int(r.label)): [r.x0, r.y0, r.z0, r.x1, r.y1, r.z1]
+            for r in pdf.itertuples(index=False)
+        }
+        with open(os.path.join(out_dir, name), "w") as f:
+            _json.dump(data, f)
+        return pd.DataFrame({"cell": [name], "n": [len(pdf)]})
+
+    return int(
+        index.df().groupBy("gx", "gy", "gz")
+        .applyInPandas(write_cell, schema="cell string, n long")
+        .count()
+    )
+
+
 def import_spatial_files(spark: SparkSession, src_dir: str,
                          base_path: str) -> SpatialIndex:
     """Ingest a foreign directory of reference ``.spatial`` JSON files

@@ -790,3 +790,34 @@ def test_import_foreign_legacy_mesh_fixture(spark, tmp_path):
         parent[find(int(tri[1]))] = ra
         parent[find(int(tri[2]))] = ra
     assert len({find(i) for i in range(len(v))}) == 3
+
+
+def test_spatial_files_roundtrip(spark, tmp_path):
+    """Export .spatial JSON files from the parquet index and re-ingest
+    them; and re-exporting the reference's own fixture must reproduce
+    its exact content."""
+    import json
+    import os
+
+    from cloud_volume_spark.spatial_index import (
+        export_spatial_files, import_spatial_files,
+    )
+
+    src = "/root/reference/test/test_cv/skeletons_mip_2"
+    if not os.path.isdir(src):
+        pytest.skip("reference test_cv fixture not present")
+    idx = import_spatial_files(spark, src, str(tmp_path / "in"))
+    out = str(tmp_path / "out")
+    n_cells = export_spatial_files(idx, out)
+    assert n_cells == 1
+    name = "0-8192_0-8192_0-20480.spatial"
+    got = json.load(open(os.path.join(out, name)))
+    gt = json.load(open(os.path.join(src, name)))
+    assert set(got) == set(gt)
+    for k in gt:
+        assert got[k] == [float(v) for v in gt[k]], k
+    # and the exported dir ingests back identically
+    idx2 = import_spatial_files(spark, out, str(tmp_path / "in2"))
+    a = idx.df().toPandas().sort_values(["label", "gx", "gy", "gz"])
+    b = idx2.df().toPandas().sort_values(["label", "gx", "gy", "gz"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
