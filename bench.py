@@ -6,7 +6,7 @@ the reference's benchmark geometry, `benchmarks/benchmark.py:13-50`).
 Prints a full-fidelity "FULL {...}" line (also written to
 BENCH_FULL.json) followed by ONE compact final JSON line sized for the
 driver's 2,000-char stdout tail:
-  {"metric": "steady_state_total_sec", "value": N, "unit": "sec",
+  {"metric": "steady_total_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "volume": {...}, ...}
 """
 
@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "token_bucket_stats",
     "boilerplate_ngrams",
     "line_dedup",
+    "repeated_spans",
     "mixture_sample",
     "dedup_exact",
     "dedup_incremental",
@@ -457,7 +458,7 @@ def main() -> None:
     vol_stats = bench_volume(spark)
     vol_wall = time.perf_counter() - t_vol
     # value = sum of per-query min-of-2 steady-state times + the volume
-    # roundtrip wall.  Named `steady_state_total_sec` (not r4's
+    # roundtrip wall.  Named `steady_total_sec` (not r4's
     # single-pass `total_wall_sec`) because the semantics changed in r5
     # and the old name invited apples-to-oranges cross-round reads.
     total = round(sum(times.values()) + vol_wall, 3)
@@ -482,7 +483,7 @@ def main() -> None:
     # characters of stdout — round 5's single fat line (~4.8 KB) blew
     # that budget and the round recorded no bench numbers at all.
     full = {
-        "metric": "steady_state_total_sec",
+        "metric": "steady_total_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
@@ -507,7 +508,7 @@ def main() -> None:
     # kept under the 2,000-char tail with a hard guard that drops the
     # optional blocks (never the contract fields) if it ever grows.
     compact = {
-        "metric": "steady_state_total_sec",
+        "metric": "steady_total_sec",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
@@ -518,19 +519,19 @@ def main() -> None:
         "seg": {"write_mbps": round(seg_stats["write_mbps"]),
                 "read_mbps": round(seg_stats["read_mbps"]),
                 "unique_sec": seg_stats["unique_sec"]},
-        "spatial_index": {k: spatial_stats[k]
-                          for k in ("build_sec", "index_mb")},
+        "spatial": {k: spatial_stats[k]
+                    for k in ("build_sec", "index_mb")},
         "anno": {"export_sec": anno_stats["export_sec"],
                  "query_sec": anno_stats["bbox_query_sec"]},
         "env": env,
     }
-    # 1980 leaves >= 19 chars of margin inside the driver's 2,000-char
+    # 1985 leaves >= 14 chars of margin inside the driver's 2,000-char
     # tail (line + newline must fit entirely); measured r6 line with all
     # blocks is ~2010, so env (the only block also visible at the end of
     # the FULL line's tail) is the designed first casualty
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("env", "anno", "spatial_index", "seg", "volume"):
-        if len(line) <= 1980:
+    for drop in ("env", "anno", "spatial", "seg", "volume"):
+        if len(line) <= 1985:
             break
         compact.pop(drop)
         line = json.dumps(compact, separators=(",", ":"))

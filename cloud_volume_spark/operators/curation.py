@@ -360,6 +360,149 @@ GROUP BY s.doc_id
 """
 
 # ---------------------------------------------------------------------------
+# exact-substring repeated spans (Lee et al. 2022 style)
+
+SPAN_L = 5  # minimum repeated-substring width, in words
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring repetition profile per document (the shape of
+    Lee et al. 2022's suffix-array dedup, linearized for Spark):
+    every word ``SPAN_L``-gram occurring >= 2 times anywhere in the
+    corpus (within- or cross-document) marks its start position;
+    marked positions whose gap is <= ``SPAN_L - 1`` chain into one span
+    (their covered token intervals overlap), so a span covering marked
+    positions [first..last] spans exactly ``last - first + SPAN_L``
+    tokens and distinct spans never overlap — ``covered`` is the true
+    union coverage. Output per doc: span count, marked positions,
+    covered tokens, coverage in basis points — the statistics a
+    span-trimming dedup pass needs.
+
+    Scale: one gram-count shuffle with map-side partials plus an
+    unhinted join back (the repeated-gram set grows with the corpus —
+    same rule as line_dedup/boilerplate), then two windows partitioned
+    by doc_id (per-document data, no global sort). Replaces the
+    suffix array — whose construction is the part that does not
+    distribute — with gram chaining at the cost of missing repeats
+    shorter than SPAN_L."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    n = F.size(toks)
+    idxs = F.when(
+        n >= SPAN_L, F.sequence(F.lit(1), n - (SPAN_L - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idxs,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SPAN_L))),
+            )
+        ).alias("pos", "gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    marked = (
+        grams.join(counts.where(F.col("c") >= 2).select("gram"), "gram")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        marked.withColumn(
+            "new_span",
+            F.when(
+                F.col("pos") - F.lag("pos", 1, -SPAN_L).over(w)
+                <= SPAN_L - 1,
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("span_id", F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.min("pos").alias("first"),
+            F.max("pos").alias("last"),
+        )
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("k").cast("bigint").alias("n_marked"),
+        F.sum(F.col("last") - F.col("first") + SPAN_L)
+        .cast("bigint").alias("covered"),
+    )
+    base = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("n_marked", F.lit(0)).cast("bigint").alias("n_marked"),
+        F.coalesce("covered", F.lit(0)).cast("bigint").alias("covered"),
+        F.floor(
+            F.coalesce("covered", F.lit(0)) * 10000 / F.col("n_tokens") + 0.5
+        ).cast("bigint").alias("covered_bp"),
+    )
+
+
+REPEATED_SPANS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id, s.i AS pos,
+           MD5(ARRAY_TO_STRING(toks[s.i : s.i + {SPAN_L - 1}], ' ')) AS gram
+    FROM base,
+         UNNEST(GENERATE_SERIES(1, LEN(toks) - {SPAN_L - 1})) AS s(i)
+),
+counts AS (
+    SELECT gram FROM (
+        SELECT gram, COUNT(*) AS c FROM grams GROUP BY gram
+    ) WHERE c >= 2
+),
+marked AS (
+    SELECT g.doc_id, g.pos FROM grams g JOIN counts c ON g.gram = c.gram
+),
+runs AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos, 1, -{SPAN_L}) OVER (
+               PARTITION BY doc_id ORDER BY pos) <= {SPAN_L - 1}
+               THEN 0 ELSE 1 END AS new_span
+    FROM marked
+),
+span_ids AS (
+    SELECT doc_id, pos,
+           SUM(new_span) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS span_id
+    FROM runs
+),
+spans AS (
+    SELECT doc_id, span_id, COUNT(*) AS k,
+           MIN(pos) AS first, MAX(pos) AS last
+    FROM span_ids GROUP BY doc_id, span_id
+),
+per_doc AS (
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           SUM(k) AS n_marked,
+           SUM(last - first + {SPAN_L}) AS covered
+    FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       LEN(STRING_SPLIT(TRIM(d.text), ' '))::BIGINT AS n_tokens,
+       COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(p.n_marked, 0)::BIGINT AS n_marked,
+       COALESCE(p.covered, 0)::BIGINT AS covered,
+       FLOOR(COALESCE(p.covered, 0) * 10000.0
+             / LEN(STRING_SPLIT(TRIM(d.text), ' ')) + 0.5)::BIGINT
+           AS covered_bp
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+# ---------------------------------------------------------------------------
 # unigram entropy
 
 def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +621,7 @@ GROUP BY c.doc_id
 QUERIES = {
     "boilerplate_ngrams": boilerplate_ngrams,
     "line_dedup": line_dedup,
+    "repeated_spans": repeated_spans,
     "mixture_sample": mixture_sample,
     "token_bucket_stats": token_bucket_stats,
     "doc_entropy": doc_entropy,
@@ -487,6 +631,7 @@ QUERIES = {
 ORACLE_SQL = {
     "boilerplate_ngrams": BOILERPLATE_SQL,
     "line_dedup": LINE_DEDUP_SQL,
+    "repeated_spans": REPEATED_SPANS_SQL,
     "mixture_sample": MIXTURE_SQL,
     "token_bucket_stats": TOKEN_BUCKET_SQL,
     "doc_entropy": ENTROPY_SQL,

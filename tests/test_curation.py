@@ -253,3 +253,33 @@ def test_line_dedup_planted(spark, tmp_path):
     assert out.loc[1, "n_segs"] == 2 and out.loc[1, "n_kept"] == 1
     assert out.loc[2, "n_kept"] == out.loc[2, "n_segs"] == 2
     assert out.loc[2, "kept_bp"] == 10000
+
+
+def test_repeated_spans_planted(spark, tmp_path):
+    """A known repeated substring yields exactly one span with the
+    right token coverage; unique docs report zero spans; within-doc
+    repetition counts too (the gram occurs twice globally)."""
+    from cloud_volume_spark.operators.curation import SPAN_L, repeated_spans
+
+    rep = " ".join(f"r{j}" for j in range(SPAN_L + 2))   # 7-token phrase
+    uniq = lambda d, k: " ".join(f"u{d}x{k}y{j}" for j in range(6))
+    texts = {
+        0: " ".join([uniq(0, 0), rep, uniq(0, 1)]),      # shares rep with 1
+        1: " ".join([rep, uniq(1, 0)]),
+        2: " ".join([uniq(2, 0), uniq(2, 1)]),           # fully unique
+        3: " ".join([rep, uniq(3, 0), rep]),             # within-doc too
+    }
+    pdf = pd.DataFrame({
+        "doc_id": list(texts), "text": [texts[i] for i in texts],
+        "lang": ["en"] * 4, "source": ["src0"] * 4,
+        "n_chars": [len(texts[i]) for i in texts],
+    })
+    d = tmp_path / "spans"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    out = repeated_spans(spark, str(d)).toPandas().set_index("doc_id")
+    # the 7-token phrase has 3 grams of width 5 -> one span of 7 tokens
+    assert out.loc[0, "n_spans"] == 1 and out.loc[0, "covered"] == SPAN_L + 2
+    assert out.loc[1, "n_spans"] == 1 and out.loc[1, "covered"] == SPAN_L + 2
+    assert out.loc[2, "n_spans"] == 0 and out.loc[2, "covered_bp"] == 0
+    assert out.loc[3, "n_spans"] == 2 and out.loc[3, "covered"] == 2 * (SPAN_L + 2)
