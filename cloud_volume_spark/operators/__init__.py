@@ -18,10 +18,14 @@ from cloud_volume_spark import multimodal
 # ROUND-6 ROTATION (executing the round-5 note): `relational` moves to the
 # front — its 17 tail entries (q5/q6/q7/q14, top_customers_per_nation,
 # rollup_revenue, events_*, the subquery family) sat outside the round-5
-# window. `curation` stays in-window (token_bucket_stats oracle cast fixed
-# this round; boilerplate/perplexity join shapes changed). Out of window
-# this round — all green in CORRECTNESS_r05: multimodal (5), corpus (8),
-# similarity tail (4).
+# window. `curation` stays in-window (token_bucket_stats oracle cast fixed;
+# boilerplate/perplexity join shapes changed; line_dedup + repeated_spans
+# NEW). With 69 queries the window = relational(20) + curation(7) +
+# voxel_rel(8) + dedup(7) + text(7) + similarity's first entry. Out this
+# round — all green in CORRECTNESS_r05: similarity tail (6), corpus (8),
+# multimodal (5). ROUND-7 ROTATION: move corpus/multimodal/similarity
+# forward again so their rows refresh; relational can rotate out if its
+# r6 rows come back green.
 ALL_MODULES = [
     relational, curation, voxel_rel, dedup, text, similarity,
     corpus, multimodal,

@@ -287,3 +287,22 @@ def test_foreign_volume_cutout(spark, tmp_path):
     gold_chunk = compresso_io.decompress(gzip.decompress(open(os.path.join(
         FOREIGN_SEG, "32_32_40", "0-256_0-256_0-64.gz"), "rb").read()))
     assert np.array_equal(out[..., 0], gold_chunk[100:220, 100:200, 30:60])
+
+
+@pytest.mark.skipif(not os.path.isdir(FOREIGN_SEG), reason="fixture absent")
+def test_foreign_volume_transcode(spark, tmp_path):
+    """Distributed transcode of the real wheel-written volume:
+    executors decode v1 chunks and re-encode compressed_segmentation
+    (a different codec, so the decode path genuinely runs — a
+    same-encoding transfer correctly copies blobs verbatim, wheel
+    dialect and all); cutouts agree exactly."""
+    from cloud_volume_spark.geometry import Bbox
+    from cloud_volume_spark.precomputed_io import import_unsharded
+
+    vol = import_unsharded(spark, FOREIGN_SEG, str(tmp_path / "fv3"), mip=2)
+    dest = vol.transfer_to(str(tmp_path / "fv3_t"), mip=2,
+                           encoding="compressed_segmentation")
+    assert dest.info.encoding(2) == "compressed_segmentation"
+    a = vol.cutout(Bbox((0, 0, 0), (256, 256, 128)), mip=2)
+    b = dest.cutout(Bbox((0, 0, 0), (256, 256, 128)), mip=2)
+    assert np.array_equal(a, b)
