@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "boilerplate_ngrams",
     "line_dedup",
     "repeated_spans",
+    "corpus_shuffle_order",
     "mixture_sample",
     "dedup_exact",
     "dedup_incremental",

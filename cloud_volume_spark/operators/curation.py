@@ -618,6 +618,72 @@ GROUP BY c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic global training-order shuffle
+
+
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle — the final op of every training
+    pipeline: assign each doc its position in a seeded pseudo-random
+    total order (``md5('shuf|'||doc_id)``), reproducible across runs
+    and engines.
+
+    Scale: the naive ``ROW_NUMBER() OVER (ORDER BY ...)`` is a
+    single-partition window (fatal at 100 TB); this rides
+    ``relational.global_row_number`` — range-bucketed parallel windows
+    plus broadcast prefix offsets, exact at any size. The 32-bit key
+    collides eventually (birthday at ~80k docs); doc_id tie-breaking
+    keeps the order total and identical in both engines regardless."""
+    from cloud_volume_spark.operators.relational import global_row_number
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    # portable hex→int: 8 nibbles via ascii arithmetic (no CONV in
+    # DuckDB, no STRTOL in Spark — this chain is identical in both)
+    key = F.lit(0).cast("bigint")
+    for i in range(8):
+        c = F.ascii(F.substring(h, i + 1, 1))
+        nib = (c - 48 - F.when(c >= 97, F.lit(39)).otherwise(F.lit(0))
+               ).cast("bigint")
+        key = key * 16 + nib
+    keyed = docs.select(
+        "doc_id", "source", key.cast("bigint").alias("shuffle_key")
+    )
+    ranked, _ = global_row_number(
+        keyed, "shuffle_key", tie_cols=["doc_id"], out_col="shuffle_pos"
+    )
+    return ranked.select(
+        "doc_id", "source", "shuffle_key",
+        F.col("shuffle_pos").cast("bigint").alias("shuffle_pos"),
+    )
+
+
+def _nib_sql(i: int) -> str:
+    c = f"ASCII(SUBSTR(h, {i + 1}, 1))"
+    return f"({c} - 48 - CASE WHEN {c} >= 97 THEN 39 ELSE 0 END)"
+
+
+SHUFFLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, source,
+           MD5('shuf|' || doc_id::VARCHAR) AS h
+    FROM documents
+),
+k AS (
+    SELECT doc_id, source,
+           ((((((({_nib_sql(0)}::BIGINT * 16 + {_nib_sql(1)}) * 16
+              + {_nib_sql(2)}) * 16 + {_nib_sql(3)}) * 16
+              + {_nib_sql(4)}) * 16 + {_nib_sql(5)}) * 16
+              + {_nib_sql(6)}) * 16 + {_nib_sql(7)})::BIGINT AS shuffle_key
+    FROM keyed
+)
+SELECT doc_id, source, shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)::BIGINT
+           AS shuffle_pos
+FROM k
+"""
+
+
 QUERIES = {
     "boilerplate_ngrams": boilerplate_ngrams,
     "line_dedup": line_dedup,
@@ -626,6 +692,7 @@ QUERIES = {
     "token_bucket_stats": token_bucket_stats,
     "doc_entropy": doc_entropy,
     "doc_perplexity": doc_perplexity,
+    "corpus_shuffle_order": corpus_shuffle_order,
 }
 
 ORACLE_SQL = {
@@ -636,4 +703,5 @@ ORACLE_SQL = {
     "token_bucket_stats": TOKEN_BUCKET_SQL,
     "doc_entropy": ENTROPY_SQL,
     "doc_perplexity": PERPLEXITY_SQL,
+    "corpus_shuffle_order": SHUFFLE_SQL,
 }

@@ -279,6 +279,17 @@ def test_line_dedup_plan_shape(spark, sf_dir):
     assert plan.count("pythonUDF") == 0
 
 
+def test_shuffle_order_no_single_partition_window(spark, sf_dir):
+    """The global rank must ride the range-bucketed parallel pattern:
+    every Window in the plan is partitioned (no 'Window' without a
+    partition spec — the single-task degradation), no cartesian."""
+    plan = _plan(all_queries()["corpus_shuffle_order"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+    for m in re.finditer(r"partitionBy=\[\]", plan):
+        raise AssertionError("unpartitioned window in shuffle plan")
+
+
 def test_mixture_sample_is_map_side_filter(spark, sf_dir):
     """The corpus never shuffles: thresholds (one row per source) come
     in via broadcast, the keep decision is a scan-side filter."""
