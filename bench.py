@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "boilerplate_ngrams",
     "line_dedup",
     "repeated_spans",
-    "corpus_shuffle_order",
+    "corpus_shuffle",
     "mixture_sample",
     "dedup_exact",
     "dedup_incremental",
@@ -514,16 +514,16 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": full["sf"],
-        "volume": {k: round(vol_stats[k])
-                   for k in ("write_mbps", "read_mbps")},
+        "volume": {"w_mbps": round(vol_stats["write_mbps"]),
+                   "r_mbps": round(vol_stats["read_mbps"])},
         # compact key names; full names in BENCH_FULL.json / FULL line
-        "seg": {"write_mbps": round(seg_stats["write_mbps"]),
-                "read_mbps": round(seg_stats["read_mbps"]),
-                "unique_sec": seg_stats["unique_sec"]},
-        "spatial": {k: spatial_stats[k]
-                    for k in ("build_sec", "index_mb")},
-        "anno": {"export_sec": anno_stats["export_sec"],
-                 "query_sec": anno_stats["bbox_query_sec"]},
+        "seg": {"w_mbps": round(seg_stats["write_mbps"]),
+                "r_mbps": round(seg_stats["read_mbps"]),
+                "uniq_sec": seg_stats["unique_sec"]},
+        "spatial": {"build_s": spatial_stats["build_sec"],
+                    "idx_mb": spatial_stats["index_mb"]},
+        "anno": {"exp_s": anno_stats["export_sec"],
+                 "qry_s": anno_stats["bbox_query_sec"]},
         "env": env,
     }
     # 1985 leaves >= 14 chars of margin inside the driver's 2,000-char

@@ -692,7 +692,7 @@ QUERIES = {
     "token_bucket_stats": token_bucket_stats,
     "doc_entropy": doc_entropy,
     "doc_perplexity": doc_perplexity,
-    "corpus_shuffle_order": corpus_shuffle_order,
+    "corpus_shuffle": corpus_shuffle_order,
 }
 
 ORACLE_SQL = {
@@ -703,5 +703,5 @@ ORACLE_SQL = {
     "token_bucket_stats": TOKEN_BUCKET_SQL,
     "doc_entropy": ENTROPY_SQL,
     "doc_perplexity": PERPLEXITY_SQL,
-    "corpus_shuffle_order": SHUFFLE_SQL,
+    "corpus_shuffle": SHUFFLE_SQL,
 }

@@ -283,7 +283,7 @@ def test_shuffle_order_no_single_partition_window(spark, sf_dir):
     """The global rank must ride the range-bucketed parallel pattern:
     every Window in the plan is partitioned (no 'Window' without a
     partition spec — the single-task degradation), no cartesian."""
-    plan = _plan(all_queries()["corpus_shuffle_order"](spark, sf_dir))
+    plan = _plan(all_queries()["corpus_shuffle"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     import re
     for m in re.finditer(r"partitionBy=\[\]", plan):
