@@ -378,13 +378,14 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered tokens, coverage in basis points — the statistics a
     span-trimming dedup pass needs.
 
-    Scale: one gram-count shuffle with map-side partials plus an
-    unhinted join back (the repeated-gram set grows with the corpus —
-    same rule as line_dedup/boilerplate), then two windows partitioned
-    by doc_id (per-document data, no global sort). Replaces the
-    suffix array — whose construction is the part that does not
-    distribute — with gram chaining at the cost of missing repeats
-    shorter than SPAN_L."""
+    Scale: the gram stream is evaluated once — occurrence counts come
+    from a count window partitioned by ``gram`` over the exploded
+    stream (the r6 boilerplate pattern; a count-and-join-back form
+    would explode the corpus twice), then two windows partitioned by
+    doc_id (per-document data, no global sort). Replaces the suffix
+    array — whose construction is the part that does not distribute —
+    with gram chaining at the cost of missing repeats shorter than
+    SPAN_L."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " ")
     n = F.size(toks)
@@ -400,9 +401,13 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "gram"),
     )
-    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    # single evaluation of the gram stream: global occurrence count via
+    # a window partitioned by gram (same r6 pattern as boilerplate —
+    # the count-and-join-back form explodes the corpus twice)
+    wg = Window.partitionBy("gram")
     marked = (
-        grams.join(counts.where(F.col("c") >= 2).select("gram"), "gram")
+        grams.withColumn("c", F.count(F.lit(1)).over(wg))
+        .where(F.col("c") >= 2)
         .select("doc_id", "pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
