@@ -395,14 +395,24 @@ def _decompress_wheel(blob: bytes) -> np.ndarray:
     equal to ``labels()``, 99.5% cross-mip agreement — the residual
     being the reference's mode-downsampling).
     """
+    if len(blob) < HEADER_SIZE:
+        raise CompressoError("stream shorter than compresso header")
     (magic, ver, data_width, sx, sy, sz, xstep, ystep, zstep,
      id_size, value_size, location_size, connectivity) = struct.unpack(
         HEADER_FMT, blob[:HEADER_SIZE]
     )
+    if data_width not in (1, 2, 4, 8):
+        raise CompressoError(f"bad data width {data_width}")
     dtype = np.dtype({1: np.uint8, 2: np.uint16, 4: np.uint32,
                       8: np.uint64}[data_width])
     if connectivity != 4:
         raise CompressoError(f"unsupported connectivity {connectivity}")
+    if zstep != 1:
+        # the golden chunks all use z-flat windows; the bit layout of a
+        # z-deep window is unverified, so refuse rather than guess
+        raise CompressoError(
+            f"wheel streams with zstep={zstep} windows are unverified"
+        )
     p = HEADER_SIZE
     ids = np.frombuffer(blob, dtype=dtype, count=id_size, offset=p)
     p += id_size * data_width
