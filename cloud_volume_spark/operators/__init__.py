@@ -15,20 +15,21 @@ from cloud_volume_spark import multimodal
 # registered queries; the order rotates per round so every query gets a
 # driver row across consecutive rounds, with tests/test_oracle_parity.py
 # running ALL queries against DuckDB as the local backstop.
-# ROUND-6 ROTATION (executing the round-5 note): `relational` moves to the
-# front — its 17 tail entries (q5/q6/q7/q14, top_customers_per_nation,
-# rollup_revenue, events_*, the subquery family) sat outside the round-5
-# window. `curation` stays in-window (token_bucket_stats oracle cast fixed;
-# boilerplate/perplexity join shapes changed; line_dedup + repeated_spans
-# NEW). With 69 queries the window = relational(20) + curation(7) +
-# voxel_rel(8) + dedup(7) + text(7) + similarity's first entry. Out this
-# round — all green in CORRECTNESS_r05: similarity tail (6), corpus (8),
-# multimodal (5). ROUND-7 ROTATION: move corpus/multimodal/similarity
-# forward again so their rows refresh; relational can rotate out if its
-# r6 rows come back green.
+# ROUND-7 ROTATION (executing the round-6 note): `corpus`, `multimodal`
+# and `similarity` move to the front — their 20 queries sat outside the
+# round-6 window (all green in CORRECTNESS_r05). `curation` stays
+# in-window for a second confirmation of the round-6 additions
+# (line_dedup, repeated_spans, corpus_shuffle) and the round-7 de-skew
+# rewrites (boilerplate_ngrams, repeated_spans) + key fixes (line_dedup
+# min_by ordering, corpus_shuffle 60-bit key). With 70 queries the
+# window = corpus(8) + multimodal(5) + similarity(7) + curation(8) +
+# voxel_rel(8) + dedup(7) + text(7) = exactly 50. Out this round — all
+# 20 green in CORRECTNESS_r06: relational. ROUND-8 ROTATION: rotate
+# relational back to the front; voxel_rel/dedup/text can move behind it
+# if their r7 rows come back green.
 ALL_MODULES = [
-    relational, curation, voxel_rel, dedup, text, similarity,
-    corpus, multimodal,
+    corpus, multimodal, similarity, curation, voxel_rel, dedup, text,
+    relational,
 ]
 
 

@@ -13,10 +13,12 @@ engines; buckets are CASE chains over exact integer token counts.
 
 Scale notes: ``mixture_sample`` aggregates one source-level count
 table (rows = #sources, trivially broadcast) then filters map-side —
-the corpus never shuffles. ``boilerplate_ngrams`` evaluates its gram
-stream once (per-(gram, doc) counts + a document-frequency window) —
-unlike benchmark decontamination (`corpus.corpus_contamination`, whose
-gram set is genuinely small, fixed, and correctly broadcast), nothing
+the corpus never shuffles. ``boilerplate_ngrams`` and
+``repeated_spans`` count hot grams via ``groupBy(gram)`` (map-side
+partial aggregation; a viral phrase reaches the reducer as one partial
+row per task) joined back unhinted (AQE-skew-splittable) — unlike
+benchmark decontamination (`corpus.corpus_contamination`, whose gram
+set is genuinely small, fixed, and correctly broadcast), nothing
 corpus-sized is ever broadcast. ``token_bucket_stats``
 is a map-side-combine aggregate to a handful of rows.  ``doc_entropy``
 shuffles once on (doc_id, term) with partial aggregation.
@@ -62,22 +64,34 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup); each doc is scored by the fraction of its gram positions
     that are boilerplate, in basis points.
 
-    Scale: the gram stream (the expensive explode+md5) is evaluated
-    ONCE — per-(gram, doc) counts first (map-side partials), then the
-    document frequency comes from a count window partitioned by
-    ``gram`` over those already-reduced rows (r6: replaces the earlier
-    two-pass formulation that computed the gram stream twice and
-    force-broadcast the df>=2 set, which grows with the corpus and
-    would OOM the driver at 100 TB). Skew exposure of the window
-    equals the join it replaces: either way one task sees all distinct
-    docs of the hottest phrase."""
+    Scale: per-(gram, doc) counts first (map-side partials bound the
+    explode output), then document frequency via ``groupBy(gram)`` —
+    partial aggregation again, so a gram in 10^9 docs reaches the
+    reducer as one partial row per upstream task, not 10^9 rows — and
+    an unhinted equi-join back on ``gram`` (AQE-skew-splittable; the
+    df>=2 set grows with the corpus so it is never force-broadcast).
+    r7: replaces the r6 ``Window.partitionBy(gram)`` count, which had
+    NO partial aggregation and could not be split by AQE — the hottest
+    phrase was one straggler task. The explode+md5 lineage is evaluated
+    once per branch (twice total); that is the right trade, not a
+    regression: even a cached single evaluation of ``cnt`` would still
+    shuffle twice (the probe side of the join needs ``cnt``
+    re-partitioned by gram alone, while ``cnt`` itself is partitioned
+    by (gram, doc_id)), so the uncached form moves the same shuffle
+    bytes and only duplicates cheap, embarrassingly-parallel map CPU —
+    while gaining partials + skew-splitting that no window variant
+    (salted or not) can offer for the row-preserving count."""
     docs = load(spark, sf_dir, "documents")
     grams = _word_grams(docs, BOILER_NGRAM)
     cnt = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("gram")
-    hits = (
-        cnt.withColumn("n_docs", F.count(F.lit(1)).over(w))
+    boiler = (
+        cnt.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    hits = (
+        cnt.join(boiler, "gram")
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_boiler"))
     )
@@ -292,9 +306,13 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on seg_hash with map-side partial MIN for the
     first-occurrence table (distinct-segment-sized — grows with the
     corpus, so the join back is unhinted per the r6 broadcast rule),
-    then one per-doc aggregate. The (doc_id, seg_no) order key is
-    encoded as ``doc_id * 1e6 + seg_no`` so both engines take MIN of
-    one integer — exact, no struct-ordering semantics in play."""
+    then one per-doc aggregate. The first occurrence is the
+    lexicographic MIN over ``struct(doc_id, seg_no)`` — r7: replaces
+    the r6 arithmetic key ``doc_id*1e6+seg_no``, which silently
+    collided across documents once a doc exceeded 1e6 segments (a
+    5M-word book) and overflowed bigint for doc_ids beyond ~9.2e12,
+    corrupting global first-occurrence attribution (both engines
+    shared the encoding, so the oracle could not catch it)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " ")
     n = F.size(toks)
@@ -310,17 +328,28 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg_no", "seg_hash"),
     )
-    key = (F.col("doc_id") * 1_000_000 + F.col("seg_no")).alias("okey")
-    segs = segs.select("doc_id", "seg_no", "seg_hash", key)
-    firsts = segs.groupBy("seg_hash").agg(F.min("okey").alias("first_key"))
+    return _line_dedup_from_segs(segs)
+
+
+def _line_dedup_from_segs(segs: DataFrame) -> DataFrame:
+    """Core keep/drop attribution over a (doc_id, seg_no, seg_hash)
+    stream — factored so the first-occurrence semantics are testable at
+    planted coordinates where the old arithmetic key collided (e.g.
+    (doc 0, seg 5_000_000) vs (doc 5, seg 0) both encoded 5_000_000,
+    double-counting both as 'kept')."""
+    firsts = segs.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_no")).alias("first")
+    )
+    kept = (
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("seg_no") == F.col("first.seg_no"))
+    ).cast("bigint")
     return (
         segs.join(firsts, "seg_hash")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_segs"),
-            F.sum(
-                (F.col("okey") == F.col("first_key")).cast("bigint")
-            ).alias("n_kept"),
+            F.sum(kept).alias("n_kept"),
         )
         .select(
             "doc_id", "n_segs", "n_kept",
@@ -339,21 +368,27 @@ segs AS (
     SELECT doc_id, s.i AS seg_no,
            MD5(ARRAY_TO_STRING(
                toks[s.i * {LINE_W} + 1 : s.i * {LINE_W} + {LINE_W}], ' '
-           )) AS seg_hash,
-           doc_id * 1000000 + s.i AS okey
+           )) AS seg_hash
     FROM base,
          UNNEST(GENERATE_SERIES(
              0, CAST(CEIL(LEN(toks) / {LINE_W}.0) AS INT) - 1
          )) AS s(i)
 ),
 firsts AS (
-    SELECT seg_hash, MIN(okey) AS first_key FROM segs GROUP BY seg_hash
+    SELECT seg_hash, doc_id AS first_doc, seg_no AS first_seg
+    FROM (
+        SELECT seg_hash, doc_id, seg_no,
+               ROW_NUMBER() OVER (PARTITION BY seg_hash
+                                  ORDER BY doc_id, seg_no) AS rn
+        FROM segs
+    ) WHERE rn = 1
 )
 SELECT s.doc_id,
        COUNT(*)::BIGINT AS n_segs,
-       SUM(CASE WHEN s.okey = f.first_key THEN 1 ELSE 0 END)::BIGINT
-           AS n_kept,
-       FLOOR(SUM(CASE WHEN s.okey = f.first_key THEN 1 ELSE 0 END)
+       SUM(CASE WHEN s.doc_id = f.first_doc AND s.seg_no = f.first_seg
+           THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       FLOOR(SUM(CASE WHEN s.doc_id = f.first_doc AND s.seg_no = f.first_seg
+                 THEN 1 ELSE 0 END)
              * 10000.0 / COUNT(*) + 0.5)::BIGINT AS kept_bp
 FROM segs s JOIN firsts f ON s.seg_hash = f.seg_hash
 GROUP BY s.doc_id
@@ -378,14 +413,18 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered tokens, coverage in basis points — the statistics a
     span-trimming dedup pass needs.
 
-    Scale: the gram stream is evaluated once — occurrence counts come
-    from a count window partitioned by ``gram`` over the exploded
-    stream (the r6 boilerplate pattern; a count-and-join-back form
-    would explode the corpus twice), then two windows partitioned by
-    doc_id (per-document data, no global sort). Replaces the suffix
-    array — whose construction is the part that does not distribute —
-    with gram chaining at the cost of missing repeats shorter than
-    SPAN_L."""
+    Scale: occurrence counts come from ``groupBy(gram)`` with map-side
+    partial aggregation, joined back unhinted on ``gram`` (AQE-skew-
+    splittable). r7: replaces the r6 count window over the raw exploded
+    occurrence stream — a ``Window.partitionBy(gram)`` has no partials
+    and no skew splitting, so every corpus-wide occurrence of a viral
+    phrase landed in one task as whole rows; the join-back form re-runs
+    the explode on the probe side (CPU, map-side, parallel) but the
+    count side now ships one partial row per task per gram instead.
+    Then two windows partitioned by doc_id (per-document data, no
+    global sort). Replaces the suffix array — whose construction is
+    the part that does not distribute — with gram chaining at the cost
+    of missing repeats shorter than SPAN_L."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " ")
     n = F.size(toks)
@@ -401,15 +440,13 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "gram"),
     )
-    # single evaluation of the gram stream: global occurrence count via
-    # a window partitioned by gram (same r6 pattern as boilerplate —
-    # the count-and-join-back form explodes the corpus twice)
-    wg = Window.partitionBy("gram")
-    marked = (
-        grams.withColumn("c", F.count(F.lit(1)).over(wg))
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= 2)
-        .select("doc_id", "pos")
+        .select("gram")
     )
+    marked = grams.join(hot, "gram").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         marked.withColumn(
@@ -626,6 +663,10 @@ GROUP BY c.doc_id
 # ---------------------------------------------------------------------------
 # deterministic global training-order shuffle
 
+# 15 md5 nibbles = 60 bits: the widest key that cannot overflow signed
+# BIGINT under the *16 Horner chain in either engine
+SHUFFLE_NIBBLES = 15
+
 
 def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle — the final op of every training
@@ -636,17 +677,21 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the naive ``ROW_NUMBER() OVER (ORDER BY ...)`` is a
     single-partition window (fatal at 100 TB); this rides
     ``relational.global_row_number`` — range-bucketed parallel windows
-    plus broadcast prefix offsets, exact at any size. The 32-bit key
-    collides eventually (birthday at ~80k docs); doc_id tie-breaking
-    keeps the order total and identical in both engines regardless."""
+    plus broadcast prefix offsets, exact at any size. The key is 60
+    bits (15 md5 nibbles — the 16th would overflow signed BIGINT,
+    which DuckDB raises on), birthday-collision-free to ~2^30 ≈ 1e9
+    docs (r7: widened from the r6 32-bit key, which collided from ~80k
+    docs and made the post-collision order fall back to doc_id);
+    doc_id tie-breaking keeps the order total and identical in both
+    engines regardless."""
     from cloud_volume_spark.operators.relational import global_row_number
 
     docs = load(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
-    # portable hex→int: 8 nibbles via ascii arithmetic (no CONV in
+    # portable hex→int: 15 nibbles via ascii arithmetic (no CONV in
     # DuckDB, no STRTOL in Spark — this chain is identical in both)
     key = F.lit(0).cast("bigint")
-    for i in range(8):
+    for i in range(SHUFFLE_NIBBLES):
         c = F.ascii(F.substring(h, i + 1, 1))
         nib = (c - 48 - F.when(c >= 97, F.lit(39)).otherwise(F.lit(0))
                ).cast("bigint")
@@ -668,6 +713,13 @@ def _nib_sql(i: int) -> str:
     return f"({c} - 48 - CASE WHEN {c} >= 97 THEN 39 ELSE 0 END)"
 
 
+def _shuffle_key_sql() -> str:
+    expr = f"{_nib_sql(0)}::BIGINT"
+    for i in range(1, SHUFFLE_NIBBLES):
+        expr = f"({expr} * 16 + {_nib_sql(i)})"
+    return expr
+
+
 SHUFFLE_SQL = f"""
 WITH keyed AS (
     SELECT doc_id, source,
@@ -676,10 +728,7 @@ WITH keyed AS (
 ),
 k AS (
     SELECT doc_id, source,
-           ((((((({_nib_sql(0)}::BIGINT * 16 + {_nib_sql(1)}) * 16
-              + {_nib_sql(2)}) * 16 + {_nib_sql(3)}) * 16
-              + {_nib_sql(4)}) * 16 + {_nib_sql(5)}) * 16
-              + {_nib_sql(6)}) * 16 + {_nib_sql(7)})::BIGINT AS shuffle_key
+           {_shuffle_key_sql()}::BIGINT AS shuffle_key
     FROM keyed
 )
 SELECT doc_id, source, shuffle_key,

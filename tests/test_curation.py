@@ -5,6 +5,7 @@ against independent numpy recomputation on the sf0.001 tables."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from cloud_volume_spark.operators.curation import (
     BOILER_NGRAM,
@@ -283,3 +284,75 @@ def test_repeated_spans_planted(spark, tmp_path):
     assert out.loc[1, "n_spans"] == 1 and out.loc[1, "covered"] == SPAN_L + 2
     assert out.loc[2, "n_spans"] == 0 and out.loc[2, "covered_bp"] == 0
     assert out.loc[3, "n_spans"] == 2 and out.loc[3, "covered"] == 2 * (SPAN_L + 2)
+
+
+def test_line_dedup_attribution_at_colliding_coords(spark):
+    """First-occurrence attribution is lexicographic over
+    (doc_id, seg_no) — exercised at planted coordinates where the old
+    r6 arithmetic key ``doc_id*1e6+seg_no`` collided: (doc 0,
+    seg 5_000_000) and (doc 5, seg 0) both encoded 5_000_000, so BOTH
+    rows compared equal to the MIN and were double-counted as kept."""
+    from cloud_volume_spark.operators.curation import _line_dedup_from_segs
+
+    segs = spark.createDataFrame(
+        [
+            (0, 5_000_000, "S"),   # global first occurrence of S
+            (5, 0, "S"),           # old okey also 5_000_000 -> collided
+            (0, 0, "U0"),          # unique filler so doc 0 has 2 segs
+            (5, 1, "U5"),
+        ],
+        "doc_id bigint, seg_no int, seg_hash string",
+    )
+    out = {r.doc_id: r for r in _line_dedup_from_segs(segs).collect()}
+    assert out[0].n_segs == 2 and out[0].n_kept == 2
+    # doc 5's S is NOT the global first -> dropped (old key kept it)
+    assert out[5].n_segs == 2 and out[5].n_kept == 1
+    # snowflake-scale doc_id: the old key overflowed bigint here
+    segs2 = spark.createDataFrame(
+        [(9_300_000_000_000, 0, "X"), (9_300_000_000_001, 0, "X")],
+        "doc_id bigint, seg_no int, seg_hash string",
+    )
+    out2 = {r.doc_id: r for r in _line_dedup_from_segs(segs2).collect()}
+    assert out2[9_300_000_000_000].n_kept == 1
+    assert out2[9_300_000_000_001].n_kept == 0
+
+
+def test_shuffle_key_collision_free_200k(spark, tmp_path):
+    """The 60-bit (15-nibble) shuffle key is collision-free at 200k
+    docs (the r6 32-bit key birthday-collided from ~80k), the key
+    equals int(md5('shuf|'||id)[:15], 16), and the positions are an
+    exact permutation of 1..N."""
+    import hashlib
+
+    from cloud_volume_spark.operators.curation import (
+        SHUFFLE_NIBBLES, corpus_shuffle_order,
+    )
+
+    n = 200_000
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "text": "t",
+        "lang": "en",
+        "source": "src0",
+        "n_chars": 1,
+    })
+    d = tmp_path / "shuf200k"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    out = corpus_shuffle_order(spark, str(d))
+    agg = out.agg(
+        F.countDistinct("shuffle_key").alias("dk"),
+        F.countDistinct("shuffle_pos").alias("dp"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg.n == n
+    assert agg.dk == n, "shuffle_key collided below 200k docs"
+    assert agg.dp == n and agg.lo == 1 and agg.hi == n
+    # spot-check the Horner chain against hashlib on a few ids
+    got = {r.doc_id: r.shuffle_key
+           for r in out.where(F.col("doc_id") < 3).collect()}
+    for i in range(3):
+        h = hashlib.md5(f"shuf|{i}".encode()).hexdigest()
+        assert got[i] == int(h[:SHUFFLE_NIBBLES], 16)

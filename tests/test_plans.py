@@ -262,12 +262,38 @@ def test_boilerplate_plan_no_forced_broadcast(spark, sf_dir):
     """The df>=2 gram set grows with the corpus on web text, so the
     scoring join must NOT be a forced broadcast (driver OOM at 100 TB):
     unhinted equi-join on `gram` — AQE may still broadcast while small,
-    but the plan must stay a hash/merge join, never a cartesian."""
+    but the plan must stay a hash/merge join, never a cartesian. r7:
+    the document-frequency count must be a groupBy with map-side
+    partial aggregation (a viral phrase arrives at the reducer as one
+    partial row per task), NOT a Window.partitionBy(gram) — windows
+    have no partials and AQE cannot split them, so the hottest gram
+    was one straggler/OOM task at 100 TB."""
     plan = _plan(all_queries()["boilerplate_ngrams"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # equi-join on gram present in some hash/merge form
     assert "Join" in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
+
+
+def test_repeated_spans_plan_partial_agg(spark, sf_dir):
+    """Hot-gram occurrence counts must be a partial-aggregated groupBy
+    joined back unhinted (AQE-skew-splittable) — never a count window
+    over the raw exploded stream (unsplittable single task for a viral
+    phrase) and never a forced broadcast of the corpus-growing hot-gram
+    set. The only windows are the per-document span-chaining ones."""
+    plan = _plan(all_queries()["repeated_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    # every Window node partitions by doc_id, none by gram
+    saw_window = False
+    for sect in plan.split("\n\n"):
+        if ") Window" in sect:
+            saw_window = True
+            assert "gram#" not in sect
+    assert saw_window  # the doc_id span-chaining windows must exist
 
 
 def test_line_dedup_plan_shape(spark, sf_dir):
