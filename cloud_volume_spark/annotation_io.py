@@ -627,10 +627,22 @@ def export_precomputed(layer, out_dir: str,
     if dimensions is None:
         dimensions = {ax: [1, "nm"] for ax in axes}
 
+    # bounds must cover BOTH endpoints of two-point geometries
+    # (LINE/AABB/ELLIPSOID) — a first-endpoint-only min/max let the
+    # second endpoint fall outside info's declared bounds, so bbox
+    # queries overlapping only that endpoint missed the annotation.
+    # Spatial-cell PLACEMENT (below) stays first-endpoint-based, the
+    # neuroglancer convention the reader's exact filter mirrors.
+    if two:
+        lo_exprs = [F.min(F.least(ax, f"{ax}2")).alias(f"min_{ax}")
+                    for ax in axes]
+        hi_exprs = [F.max(F.greatest(ax, f"{ax}2")).alias(f"max_{ax}")
+                    for ax in axes]
+    else:
+        lo_exprs = [F.min(ax).alias(f"min_{ax}") for ax in axes]
+        hi_exprs = [F.max(ax).alias(f"max_{ax}") for ax in axes]
     stats = df.agg(
-        *[F.min(ax).alias(f"min_{ax}") for ax in axes],
-        *[F.max(ax).alias(f"max_{ax}") for ax in axes],
-        F.count(F.lit(1)).alias("n"),
+        *lo_exprs, *hi_exprs, F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     lower = [math.floor(stats[f"min_{ax}"]) for ax in axes]
     upper = [math.floor(stats[f"max_{ax}"]) + 1 for ax in axes]

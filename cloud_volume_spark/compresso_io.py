@@ -304,10 +304,10 @@ def labels(blob: bytes) -> np.ndarray:
     the mip pyramid, and the sibling skeleton spatial index's 1,661
     labels are all contained in the mip-0 label set."""
     if len(blob) >= 5 and blob[:4] == MAGIC and blob[4] in WHEEL_FORMAT_VERSIONS:
+        hdr = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
         (magic, ver, data_width, sx, sy, sz, xstep, ystep, zstep,
-         id_size, value_size, location_size, connectivity) = struct.unpack(
-            HEADER_FMT, blob[:HEADER_SIZE]
-        )
+         id_size, value_size, location_size, connectivity) = hdr
+        _guard_legacy_v0(blob, hdr)
         dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}.get(
             data_width
         )
@@ -373,6 +373,74 @@ def _parse_header(blob: bytes):
             p_wins)
 
 
+def _legacy_v0_expected_len(data_width, sx, sy, sz, xstep, ystep, zstep,
+                            id_size, value_size, location_size) -> int:
+    """Exact byte length a stream with this header has under the repo's
+    pre-version-128 legacy v0 layout (identical to the current v128
+    dialect: locations always uint64, windows a flat n-windows index
+    array — no token stream, no trailing table)."""
+    wbytes = np.dtype(_window_dtype(xstep * ystep * zstep)).itemsize
+    gx = -(-sx // xstep)
+    gy = -(-sy // ystep)
+    n_windows = gx * gy * sz
+    return (HEADER_SIZE + id_size * data_width + value_size * wbytes
+            + location_size * 8
+            + n_windows * np.dtype(_index_dtype(value_size)).itemsize)
+
+
+def _guard_legacy_v0(blob: bytes, hdr: tuple) -> None:
+    """Versions of this codec before the 128 version byte wrote the
+    OWN dialect under version 0 — the byte the C wheel also uses. The
+    two dialects disagree on correction codes (wheel 1='-x' vs own
+    0='-x'), so trusting the wheel interpretation of such a stream can
+    silently decode wrong labels. The layouts differ structurally
+    almost surely (own: uint64 locations + flat window-index array;
+    wheel: data_width locations + RLE token stream + trailing table),
+    so an exact byte-length match against the legacy layout is treated
+    as 'this may be a legacy stream' and refused loudly instead of
+    guessed at."""
+    (magic, ver, data_width, sx, sy, sz, xstep, ystep, zstep,
+     id_size, value_size, location_size, connectivity) = hdr
+    if ver != 0:
+        return
+    expected = _legacy_v0_expected_len(
+        data_width, sx, sy, sz, xstep, ystep, zstep,
+        id_size, value_size, location_size,
+    )
+    if len(blob) == expected:
+        raise CompressoError(
+            "ambiguous compresso v0 stream: its byte length matches this "
+            "repo's legacy pure-python v0 layout exactly, so it may have "
+            "been written before the version-128 change rather than by "
+            "the C wheel. If it is a legacy volume, transcode it with "
+            "compresso_io.migrate_legacy_v0(blob); if it was written by "
+            "the C wheel, install the `compresso` package to decode it."
+        )
+
+
+def migrate_legacy_v0(blob: bytes) -> bytes:
+    """Re-frame a stream written by this repo's pre-version-128 encoder
+    (version byte 0, own dialect) as the current version-128 stream.
+    The layouts are byte-identical apart from the version byte, so this
+    is a header-only rewrite; the result decodes via the normal own-
+    dialect path. Refuses streams whose length does not match the
+    legacy layout (those were never written by the legacy encoder)."""
+    if len(blob) < HEADER_SIZE or blob[:4] != MAGIC:
+        raise CompressoError("not a compresso stream")
+    hdr = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
+    if hdr[1] != 0:
+        raise CompressoError(
+            f"migrate_legacy_v0 expects version 0, got {hdr[1]}"
+        )
+    expected = _legacy_v0_expected_len(*hdr[2:12])
+    if len(blob) != expected:
+        raise CompressoError(
+            f"stream length {len(blob)} does not match the legacy v0 "
+            f"layout ({expected} bytes) — this is not a legacy stream"
+        )
+    return blob[:4] + bytes([FORMAT_VERSION]) + blob[5:]
+
+
 def _decompress_wheel(blob: bytes) -> np.ndarray:
     """Decode a stream written by the compresso C wheel (format
     versions 0/1). Layout verified against the reference's checked-in
@@ -397,10 +465,10 @@ def _decompress_wheel(blob: bytes) -> np.ndarray:
     """
     if len(blob) < HEADER_SIZE:
         raise CompressoError("stream shorter than compresso header")
+    hdr = struct.unpack(HEADER_FMT, blob[:HEADER_SIZE])
     (magic, ver, data_width, sx, sy, sz, xstep, ystep, zstep,
-     id_size, value_size, location_size, connectivity) = struct.unpack(
-        HEADER_FMT, blob[:HEADER_SIZE]
-    )
+     id_size, value_size, location_size, connectivity) = hdr
+    _guard_legacy_v0(blob, hdr)
     if data_width not in (1, 2, 4, 8):
         raise CompressoError(f"bad data width {data_width}")
     dtype = np.dtype({1: np.uint8, 2: np.uint16, 4: np.uint32,

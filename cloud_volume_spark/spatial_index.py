@@ -23,6 +23,7 @@ stock distributed distinct.
 from __future__ import annotations
 
 import os
+import re
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -149,12 +150,22 @@ def export_spatial_files(index: SpatialIndex, out_dir: str) -> int:
     os.makedirs(out_dir, exist_ok=True)
     cs = index.cell_size
 
+    def fmt(v) -> str:
+        # match the reference's Bbox.to_filename (lib.py:584-601):
+        # plain str() of the coordinate — integral values render as
+        # bare integers at ANY magnitude. The previous ':g' format
+        # switched to 6-significant-digit scientific notation at
+        # >= 1e6 ('1.00762e+06' for 1007616), producing names the
+        # reference's exact-string lookups could never match
+        fv = float(v)
+        return str(int(fv)) if fv == int(fv) else repr(fv)
+
     def write_cell(keyvals, pdf):
         gx, gy, gz = (int(k) for k in keyvals)
         name = (
-            f"{gx * cs[0]:g}-{(gx + 1) * cs[0]:g}_"
-            f"{gy * cs[1]:g}-{(gy + 1) * cs[1]:g}_"
-            f"{gz * cs[2]:g}-{(gz + 1) * cs[2]:g}.spatial"
+            f"{fmt(gx * cs[0])}-{fmt((gx + 1) * cs[0])}_"
+            f"{fmt(gy * cs[1])}-{fmt((gy + 1) * cs[1])}_"
+            f"{fmt(gz * cs[2])}-{fmt((gz + 1) * cs[2])}.spatial"
         )
         data = {
             str(int(r.label)): [r.x0, r.y0, r.z0, r.x1, r.y1, r.z1]
@@ -194,11 +205,23 @@ def import_spatial_files(spark: SparkSession, src_dir: str,
     if not names:
         raise FileNotFoundError(f"no .spatial files under {src_dir}")
 
+    # each axis range is 'lo-hi' where either bound may itself be
+    # negative ('-128-0' per the reference's str()-rendered
+    # Bbox.to_filename) — a bare split('-') mis-lexes those
+    range_re = re.compile(
+        r"^(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
+        r"-(-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)$"
+    )
+
     def parse_name(name: str):
-        ranges = [
-            tuple(float(v) for v in part.split("-"))
-            for part in name[:-len(".spatial")].split("_")
-        ]
+        ranges = []
+        for part in name[: -len(".spatial")].split("_"):
+            m = range_re.match(part)
+            if m is None:
+                raise ValueError(
+                    f"unparseable .spatial axis range {part!r} in {name!r}"
+                )
+            ranges.append((float(m.group(1)), float(m.group(2))))
         return ranges  # [(x0,x1),(y0,y1),(z0,z1)]
 
     # cell size from the first file; grid coords derive per file from

@@ -532,3 +532,31 @@ def test_export_roundtrip_two_point(spark, tmp_path):
     exp = pdf.sort_values("id").reset_index(drop=True)
     for c in ("x", "y", "z", "x2", "y2", "z2"):
         assert np.allclose(got[c], exp[c].astype(np.float32))
+
+
+def test_export_bounds_cover_second_endpoints(spark, tmp_path):
+    """info's lower/upper_bound must cover BOTH endpoints of two-point
+    geometries: a LINE whose second endpoint lies beyond every first
+    endpoint previously exported bounds that excluded it, so bbox
+    queries overlapping only that endpoint missed the annotation."""
+    import json
+    import os
+
+    pdf = pd.DataFrame({
+        "id": np.array([1, 2], dtype=np.int64),
+        "x": [10.0, 20.0], "y": [10.0, 20.0], "z": [10.0, 20.0],
+        # endpoint far outside the first-endpoint envelope, one axis
+        # also NEGATIVE to exercise the lower bound
+        "x2": [500.0, -40.0], "y2": [30.0, 15.0], "z2": [12.0, 18.0],
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "wide_lines"),
+        annotation_type="LINE", grid_cell=(64, 64, 64),
+    )
+    layer.write(spark.createDataFrame(pdf))
+    out = str(tmp_path / "wide_pre")
+    export_precomputed(layer, out)
+    info = json.load(open(os.path.join(out, "info")))
+    assert info["lower_bound"][0] <= -40
+    assert info["upper_bound"][0] >= 500
+    assert info["upper_bound"][1] >= 30

@@ -306,3 +306,33 @@ def test_foreign_volume_transcode(spark, tmp_path):
     a = vol.cutout(Bbox((0, 0, 0), (256, 256, 128)), mip=2)
     b = dest.cutout(Bbox((0, 0, 0), (256, 256, 128)), mip=2)
     assert np.array_equal(a, b)
+
+
+def test_legacy_v0_stream_refused_and_migratable(rng):
+    """Streams written by this repo's pre-version-128 encoder carried
+    version byte 0 — the byte the C wheel also uses, with DIFFERENT
+    correction-code semantics. A v0 stream whose byte length matches
+    the legacy layout exactly must be refused loudly (never trusted to
+    the wheel interpretation, which can silently mis-decode), and
+    migrate_legacy_v0 must re-frame it losslessly."""
+    cube = rng.integers(0, 7, size=(16, 16, 4)).astype(np.uint32)
+    blob = compresso_io.compress(cube)
+    legacy = blob[:4] + bytes([0]) + blob[5:]  # what the old encoder wrote
+
+    for fn in (compresso_io.decompress, compresso_io.labels):
+        with pytest.raises(compresso_io.CompressoError,
+                           match="ambiguous compresso v0"):
+            fn(legacy)
+
+    migrated = compresso_io.migrate_legacy_v0(legacy)
+    assert np.array_equal(compresso_io.decompress(migrated), cube)
+    assert np.array_equal(
+        compresso_io.labels(migrated), np.unique(cube))
+
+    # a non-legacy-length v0 stream is NOT migratable (never written
+    # by the legacy encoder) ...
+    with pytest.raises(compresso_io.CompressoError, match="not a legacy"):
+        compresso_io.migrate_legacy_v0(legacy + b"\x00" * 8)
+    # ... and version-128 streams are not migration candidates
+    with pytest.raises(compresso_io.CompressoError, match="expects version"):
+        compresso_io.migrate_legacy_v0(blob)

@@ -821,3 +821,44 @@ def test_spatial_files_roundtrip(spark, tmp_path):
     a = idx.df().toPandas().sort_values(["label", "gx", "gy", "gz"])
     b = idx2.df().toPandas().sort_values(["label", "gx", "gy", "gz"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_spatial_files_roundtrip_large_and_negative_coords(spark, tmp_path):
+    """Cell names must render as the reference's Bbox.to_filename does
+    (plain integers at any magnitude — never ':g' scientific notation,
+    which kicked in at >= 1e6 and made exported indexes unmatchable by
+    the reference's exact-string lookups), and the parser must accept
+    negative origins ('-8192-0', str()-rendered per the reference)."""
+    import os
+
+    from cloud_volume_spark.spatial_index import (
+        SpatialIndex, export_spatial_files, import_spatial_files,
+    )
+
+    cs = 8192.0
+    idx = SpatialIndex(spark, str(tmp_path / "big"), (cs, cs, cs))
+    pts = spark.createDataFrame(
+        [
+            # gx=123 -> x range 1007616-1015808: ':g' rendered 1.00762e+06
+            (1, 123 * cs + 5.0, 10.0, 10.0),
+            # negative origin cell gx=-1
+            (2, -100.0, 20.0, 30.0),
+        ],
+        "label long, x double, y double, z double",
+    )
+    idx.build_from_points(pts)
+    out = str(tmp_path / "bigout")
+    assert export_spatial_files(idx, out) == 2
+    names = sorted(os.listdir(out))
+    assert "1007616-1015808_0-8192_0-8192.spatial" in names
+    assert "-8192-0_0-8192_0-8192.spatial" in names
+    for n in names:  # reference-format: no scientific notation anywhere
+        assert "e" not in n.replace(".spatial", "")
+
+    idx2 = import_spatial_files(spark, out, str(tmp_path / "bigin"))
+    a = idx.df().toPandas().sort_values("label").reset_index(drop=True)
+    b = idx2.df().toPandas().sort_values("label").reset_index(drop=True)
+    assert a[["label", "gx", "gy", "gz"]].equals(
+        b[["label", "gx", "gy", "gz"]])
+    for c in ["x0", "y0", "z0", "x1", "y1", "z1"]:
+        assert (a[c] == b[c]).all(), c
