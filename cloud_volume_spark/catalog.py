@@ -80,10 +80,16 @@ class VolumeInfo:
         encoding: str = "raw",
         max_mip: int = 0,
         factor: Sequence = (2, 2, 1),
+        compressed_segmentation_block_size: Sequence = (8, 8, 8),
+        encoding_level: int | None = None,
         **extra,
     ) -> "VolumeInfo":
         """Equivalent of ``create_new_info`` (``metadata.py:77-155``):
-        one scale per mip, each downsampled by ``factor`` from the last."""
+        one scale per mip, each downsampled by ``factor`` from the last.
+        ``encoding_level`` maps to the per-scale tuning key of the
+        chosen encoding (jpeg_quality / png_level / fpzip_precision,
+        reference ``metadata.py:807-815``); cseg layers record their
+        sub-block size per scale."""
         info = {
             "type": layer_type,
             "data_type": data_type,
@@ -105,6 +111,16 @@ class VolumeInfo:
                 "chunk_sizes": [[int(c) for c in chunk_size]],
                 "encoding": encoding,
             }
+            if encoding == "compressed_segmentation":
+                scale["compressed_segmentation_block_size"] = [
+                    int(b) for b in compressed_segmentation_block_size
+                ]
+            if encoding_level is not None:
+                key = {"jpeg": "jpeg_quality", "jpegxl": "jxl_quality",
+                       "png": "png_level", "fpzip": "fpzip_precision"}.get(
+                    encoding)
+                if key is not None:
+                    scale[key] = int(encoding_level)
             info["scales"].append(scale)
         return cls(info)
 
@@ -218,6 +234,44 @@ class VolumeInfo:
     def encoding(self, mip: int) -> str:
         return self.scale(mip).get("encoding", "raw")
 
+    def compression_params(self, mip: int) -> dict:
+        """Per-scale codec tuning, keyed exactly like the reference
+        (``metadata.py:556-574``): each scale dict may declare
+        ``jpeg_quality`` / ``png_level`` /
+        ``compressed_segmentation_block_size`` / ``fpzip_precision`` /
+        ``zfpc_*`` / ``jxl_*``; the matching subset is handed to
+        ``codecs.encode``/``decode`` so a layer's declared quality
+        actually drives the bytes written (absent keys mean codec
+        defaults)."""
+        enc = self.encoding(mip)
+        scale = self.scale(mip)
+        if enc == "compressed_segmentation":
+            return {"block_size": tuple(
+                int(b) for b in scale.get(
+                    "compressed_segmentation_block_size", (8, 8, 8))
+            )}
+        if enc == "png":
+            return {"level": scale.get("png_level")}
+        if enc == "jpeg":
+            return {"level": scale.get("jpeg_quality")}
+        if enc == "fpzip":
+            return {"level": scale.get("fpzip_precision")}
+        if enc == "zfpc":
+            return {
+                "rate": scale.get("zfpc_rate", -1),
+                "precision": scale.get("zfpc_precision", -1),
+                "tolerance": scale.get("zfpc_tolerance", -1),
+                "correlated_dims": scale.get(
+                    "zfpc_correlated_dims", [True] * 4),
+            }
+        if enc == "jxl":
+            return {
+                "level": scale.get("jxl_quality"),
+                "jxl_effort": scale.get("jxl_effort"),
+                "jxl_decodingspeed": scale.get("jxl_decodingspeed"),
+            }
+        return {}
+
     def background_color(self) -> float:
         return self.info.get("background_color", 0)
 
@@ -255,7 +309,8 @@ class VolumeInfo:
     # ---- scale registration (reference metadata.py:743-838) -----------
 
     def add_scale(self, factor: Sequence, chunk_size: Sequence | None = None,
-                  encoding: str | None = None) -> dict:
+                  encoding: str | None = None,
+                  encoding_level: int | None = None) -> dict:
         """Register a new mip downsampled by ``factor`` from mip 0."""
         factor = np.asarray(factor, dtype=np.int64)
         res0 = np.asarray(self.resolution(0), dtype=np.float64)
@@ -269,6 +324,20 @@ class VolumeInfo:
             "chunk_sizes": [[int(c) for c in chunk_size]],
             "encoding": encoding or self.encoding(0),
         }
+        # carry codec tuning to the new scale (reference
+        # metadata.py:807-822): cseg block size propagates from mip 0,
+        # encoding_level maps to the encoding's tuning key
+        if scale["encoding"] == "compressed_segmentation":
+            scale["compressed_segmentation_block_size"] = [
+                int(b) for b in self.scale(0).get(
+                    "compressed_segmentation_block_size", (8, 8, 8))
+            ]
+        if encoding_level is not None:
+            key = {"jpeg": "jpeg_quality", "jpegxl": "jxl_quality",
+                   "png": "png_level", "fpzip": "fpzip_precision"}.get(
+                scale["encoding"])
+            if key is not None:
+                scale[key] = int(encoding_level)
         existing = [s["key"] for s in self.info["scales"]]
         if scale["key"] in existing:
             self.info["scales"][existing.index(scale["key"])] = scale

@@ -148,8 +148,19 @@ def encode(
     img: np.ndarray,
     encoding: str,
     block_size: Sequence[int] = (8, 8, 8),
+    params: Optional[dict] = None,
 ) -> bytes:
-    """Serialize a (sx,sy,sz,c) array → bytes (reference ``chunks.py:83``)."""
+    """Serialize a (sx,sy,sz,c) array → bytes (reference ``chunks.py:83``).
+
+    ``params`` carries the per-scale codec tuning the catalog declares
+    (``VolumeInfo.compression_params``, mirroring reference
+    ``metadata.py:556-574``): ``level`` (jpeg quality / png compression
+    level / fpzip precision), ``block_size`` (cseg sub-blocks,
+    overriding the positional default)."""
+    params = params or {}
+    if params.get("block_size") is not None:
+        block_size = tuple(params["block_size"])
+    level = params.get("level")
     img = np.ascontiguousarray(img.transpose())  # F-order serialization
     if encoding == "raw":
         return img.tobytes()
@@ -174,10 +185,14 @@ def encode(
     if encoding == "png":
         arr2d = _as2d_image(img.transpose())  # back to (sx,sy,sz,c)
         if HAS_PYSPNG:
+            if level is not None:
+                return pyspng.encode(np.ascontiguousarray(arr2d),
+                                     compress_level=int(level))
             return pyspng.encode(np.ascontiguousarray(arr2d))
         from cloud_volume_spark import png_io
 
-        return png_io.encode(arr2d)
+        return png_io.encode(
+            arr2d, compress_level=9 if level is None else int(level))
     if encoding in ("npz", "npz_uint8"):
         # zlib-wrapped .npy of the chunk (reference chunks.py:286-301):
         # the npy header carries shape/dtype/order, so the blob is
@@ -192,15 +207,18 @@ def encode(
         arr2d = np.ascontiguousarray(_as2d_image(img.transpose()))
         if arr2d.dtype != np.uint8:
             raise ValueError("jpeg requires uint8")
+        quality = 85 if level is None else int(level)
         if HAS_JPEG:
             if arr2d.shape[2] == 1:
                 return simplejpeg.encode_jpeg(
-                    arr2d, colorspace="GRAY", colorsubsampling="GRAY"
+                    arr2d, quality=quality,
+                    colorspace="GRAY", colorsubsampling="GRAY"
                 )
-            return simplejpeg.encode_jpeg(arr2d, colorspace="RGB")
+            return simplejpeg.encode_jpeg(
+                arr2d, quality=quality, colorspace="RGB")
         from cloud_volume_spark import jpeg_io
 
-        return jpeg_io.encode(arr2d)
+        return jpeg_io.encode(arr2d, quality=quality)
     raise ValueError(f"Unknown encoding: {encoding}")
 
 
@@ -221,8 +239,15 @@ def decode(
     shape: Sequence[int],
     dtype,
     block_size: Sequence[int] = (8, 8, 8),
+    params: Optional[dict] = None,
 ) -> np.ndarray:
-    """bytes → (sx,sy,sz,c) F-contiguous array (reference ``chunks.py:132``)."""
+    """bytes → (sx,sy,sz,c) F-contiguous array (reference ``chunks.py:132``).
+    ``params["block_size"]`` (from ``VolumeInfo.compression_params``)
+    overrides the cseg sub-block default — a layer declaring a
+    non-default ``compressed_segmentation_block_size`` mis-decodes
+    without it."""
+    if params and params.get("block_size") is not None:
+        block_size = tuple(params["block_size"])
     shape = tuple(int(s) for s in shape)
     dtype = np.dtype(dtype)
     if encoding == "raw":

@@ -221,6 +221,7 @@ def import_sharded(spark, src_dir: str, base_path: str, mip: int = 0,
     voff = [int(v) for v in info.voxel_offset(mip)]
     bounds = info.bounds(mip)
     encoding = info.encoding(mip)
+    cparams = info.compression_params(mip)
     seg = info.layer_type == "segmentation"
     dtype = info.data_type
     nc = info.num_channels
@@ -252,7 +253,8 @@ def import_sharded(spark, src_dir: str, base_path: str, mip: int = 0,
                     if seg:
                         shape = tuple(cell.size3()) + (nc,)
                         uniq = np.unique(
-                            codecs.decode(payload, encoding, shape, dtype)
+                            codecs.decode(payload, encoding, shape, dtype,
+                                          params=cparams)
                         )
                         stats = (
                             [int(u) for u in uniq]

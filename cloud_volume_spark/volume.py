@@ -372,6 +372,7 @@ class Volume:
         bounds = info.bounds(mip)
         grid = np.asarray(info.grid_shape(mip))
         encoding = info.encoding(mip)
+        cparams = info.compression_params(mip)
         arr_bbox = Bbox.from_delta(offset, arr.shape[:3])
         seg = info.layer_type == "segmentation"
 
@@ -389,7 +390,7 @@ class Volume:
             piece = arr[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2], :]
             if delete_black and np.all(piece == background):
                 continue
-            blob = codecs.encode(piece, encoding)
+            blob = codecs.encode(piece, encoding, params=cparams)
             blob = codecs.compress_stream(blob, compression)
             if seg:
                 uniq = np.unique(piece)
@@ -603,6 +604,7 @@ class Volume:
         voff = np.asarray(info.voxel_offset(mip))
         grid = [int(g) for g in info.grid_shape(mip)]
         encoding = info.encoding(mip)
+        cparams = info.compression_params(mip)
         dtype = info.data_type
         nc = info.num_channels
         seg = info.layer_type == "segmentation"
@@ -624,7 +626,8 @@ class Volume:
                     else:
                         arr = codecs.decode(r.blob, "raw", shape, dtype)
                         blob = codecs.compress_stream(
-                            codecs.encode(arr, encoding), comp or None
+                            codecs.encode(arr, encoding, params=cparams),
+                            comp or None,
                         )
                         if seg:
                             stats = _stats_list(np.unique(arr))
@@ -666,6 +669,7 @@ class Volume:
         """Pruned scan → decode UDF → pieces cropped to ``bbox``."""
         dtype = self.info.data_type
         nc = self.info.num_channels
+        cparams = self.info.compression_params(mip)
 
         bxm = [int(v) for v in bbox.minpt]
         bxM = [int(v) for v in bbox.maxpt]
@@ -676,7 +680,8 @@ class Volume:
                 for r in pdf.itertuples(index=False):
                     shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                     raw = codecs.decompress_stream(r.blob, r.compression or None)
-                    arr = codecs.decode(raw, r.encoding, shape, dtype)
+                    arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                        params=cparams)
                     # crop to request
                     lo = [max(bxm[i], [r.x0, r.y0, r.z0][i]) for i in range(3)]
                     hi = [min(bxM[i], [r.x1, r.y1, r.z1][i]) for i in range(3)]
@@ -765,11 +770,14 @@ class Volume:
                     "(fill_missing=False)"
                 )
 
+        cparams = self.info.compression_params(mip)
+
         def decode_shade(r):
             piece_bbox = Bbox((r.x0, r.y0, r.z0), (r.x1, r.y1, r.z1))
             pshape = tuple(piece_bbox.size3()) + (nc,)
             raw = codecs.decompress_stream(r.blob, r.compression or None)
-            arr = codecs.decode(raw, r.encoding, pshape, dtype)
+            arr = codecs.decode(raw, r.encoding, pshape, dtype,
+                                params=cparams)
             shade(out, bbox, arr, piece_bbox)
 
         # chunks paint disjoint regions and gunzip/numpy release the
@@ -799,6 +807,7 @@ class Volume:
         """Same decode-crop UDF over an externally filtered chunk scan."""
         dtype = self.info.data_type
         nc = self.info.num_channels
+        cparams = self.info.compression_params(mip)
         bxm = [int(v) for v in bbox.minpt]
         bxM = [int(v) for v in bbox.maxpt]
 
@@ -808,7 +817,8 @@ class Volume:
                 for r in pdf.itertuples(index=False):
                     shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                     raw = codecs.decompress_stream(r.blob, r.compression or None)
-                    arr = codecs.decode(raw, r.encoding, shape, dtype)
+                    arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                        params=cparams)
                     lo = [max(bxm[i], [r.x0, r.y0, r.z0][i]) for i in range(3)]
                     hi = [min(bxM[i], [r.x1, r.y1, r.z1][i]) for i in range(3)]
                     if any(lo[i] >= hi[i] for i in range(3)):
@@ -989,6 +999,7 @@ class Volume:
         voff = [int(v) for v in info.voxel_offset(mip)]
         dtype = info.data_type
         nc = info.num_channels
+        cparams = info.compression_params(mip)
 
         pts_df = self.spark.createDataFrame(
             [(int(p[0]), int(p[1]), int(p[2])) for p in pts],
@@ -1017,7 +1028,8 @@ class Volume:
             r = pdf.iloc[0]
             shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
             raw = codecs.decompress_stream(r.blob, r.compression or None)
-            arr = codecs.decode(raw, r.encoding, shape, dtype)
+            arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                params=cparams)
             xs = pdf["x"].to_numpy() - r.x0
             ys = pdf["y"].to_numpy() - r.y0
             zs = pdf["z"].to_numpy() - r.z0
@@ -1074,6 +1086,7 @@ class Volume:
 
         dtype = self.info.data_type
         nc = self.info.num_channels
+        cparams = self.info.compression_params(mip)
         bxm = [int(v) for v in bbox.minpt]
         bxM = [int(v) for v in bbox.maxpt]
 
@@ -1083,7 +1096,8 @@ class Volume:
                 for r in pdf.itertuples(index=False):
                     shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                     raw = codecs.decompress_stream(r.blob, r.compression or None)
-                    arr = codecs.decode(raw, r.encoding, shape, dtype)
+                    arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                        params=cparams)
                     lo = [max(bxm[i], [r.x0, r.y0, r.z0][i]) for i in range(3)]
                     hi = [min(bxM[i], [r.x1, r.y1, r.z1][i]) for i in range(3)]
                     if any(lo[i] >= hi[i] for i in range(3)):
@@ -1203,6 +1217,7 @@ class Volume:
         )
         dtype = self.info.data_type
         nc = self.info.num_channels
+        cparams = self.info.compression_params(mip)
 
         def rewrite(batches):
             m = bmap.value
@@ -1211,10 +1226,12 @@ class Volume:
                 for r in pdf.itertuples(index=False):
                     shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                     raw = codecs.decompress_stream(r.blob, r.compression or None)
-                    arr = codecs.decode(raw, r.encoding, shape, dtype)
+                    arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                        params=cparams)
                     arr = codecs.remap_array(arr, m, preserve_missing=preserve_missing)
                     blob = codecs.compress_stream(
-                        codecs.encode(arr, r.encoding), r.compression or None
+                        codecs.encode(arr, r.encoding, params=cparams),
+                        r.compression or None,
                     )
                     uniq = np.unique(arr)
                     stats = _stats_list(uniq)
@@ -1276,6 +1293,8 @@ class Volume:
         nc = info.num_channels
         seg = info.layer_type == "segmentation"
         encoding = info.encoding(to_mip)
+        src_params = info.compression_params(from_mip)
+        dst_params = info.compression_params(to_mip)
         comp = compression or ""
         fx, fy, fz = (int(f) for f in factor)
 
@@ -1308,7 +1327,8 @@ class Volume:
             for r in pdf.itertuples(index=False):
                 shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                 raw = codecs.decompress_stream(r.blob, r.compression or None)
-                arr = codecs.decode(raw, r.encoding, shape, dtype)
+                arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                    params=src_params)
                 sx, sy, sz = shape[:3]
                 # trim to multiples of the factor, then block-reduce
                 tx_, ty_, tz_ = (sx // fx) * fx, (sy // fy) * fy, (sz // fz) * fz
@@ -1325,7 +1345,8 @@ class Volume:
                      r.z0 // fz + red.shape[2]),
                 )
                 shade(out, cell, red, child)
-            blob = codecs.compress_stream(codecs.encode(out, encoding), comp or None)
+            blob = codecs.compress_stream(
+                codecs.encode(out, encoding, params=dst_params), comp or None)
             if seg:
                 uniq = np.unique(out)
                 stats = _stats_list(uniq)
@@ -1374,39 +1395,56 @@ class Volume:
         mip: int = 0,
         encoding: Optional[str] = None,
         compression: Optional[str] = "gzip",
+        encoding_level: Optional[int] = None,
     ) -> "Volume":
         """Bulk copy (optionally transcode) into a new volume — the
         reference's five transfer strategies (``xfer.py:59-493``)
-        collapse to one scan→reencode→write plan."""
+        collapse to one scan→reencode→write plan. ``encoding_level``
+        sets the destination scales' codec tuning key (jpeg_quality /
+        png_level / fpzip_precision, reference ``metadata.py:807-815``)
+        and drives the re-encode."""
         bbox = (
             self.info.bounds(mip) if bbox_or_slices is None
             else self._resolve_bbox(bbox_or_slices, mip)
         )
         dst_info = self.info.clone()
         dst_enc = encoding or self.info.encoding(mip)
+        level_key = {"jpeg": "jpeg_quality", "jpegxl": "jxl_quality",
+                     "png": "png_level", "fpzip": "fpzip_precision"}.get(
+            dst_enc)
         for s in dst_info.info["scales"]:
             s["encoding"] = dst_enc
+            if encoding_level is not None and level_key is not None:
+                s[level_key] = int(encoding_level)
         dest = Volume.create(self.spark, dest_base, dst_info)
 
         src_enc = self.info.encoding(mip)
+        src_params = self.info.compression_params(mip)
+        dst_params = dst_info.compression_params(mip)
         dtype = self.info.data_type
         nc = self.info.num_channels
         comp = compression or ""
-        needs_transcode = (dst_enc != src_enc) or ((comp or None) != None)
+        needs_transcode = (
+            (dst_enc != src_enc) or ((comp or None) != None)
+            or (encoding_level is not None)
+        )
 
         def transcode(batches):
             for pdf in batches:
                 rows = []
                 for r in pdf.itertuples(index=False):
-                    if r.encoding == dst_enc and (r.compression or "") == comp:
+                    if (r.encoding == dst_enc and (r.compression or "") == comp
+                            and encoding_level is None):
                         blob = r.blob
                         stats = r.labels_stats
                     else:
                         shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                         raw = codecs.decompress_stream(r.blob, r.compression or None)
-                        arr = codecs.decode(raw, r.encoding, shape, dtype)
+                        arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                            params=src_params)
                         blob = codecs.compress_stream(
-                            codecs.encode(arr, dst_enc), comp or None
+                            codecs.encode(arr, dst_enc, params=dst_params),
+                            comp or None,
                         )
                         stats = r.labels_stats
                     rows.append((
@@ -1521,6 +1559,7 @@ class Volume:
         nc = info.num_channels
         seg = info.layer_type == "segmentation"
         encoding = self.info.encoding(mip)
+        cparams = self.info.compression_params(mip)
         comp = compression or ""
 
         piece_schema = StructType([
@@ -1542,7 +1581,8 @@ class Volume:
                 for r in pdf.itertuples(index=False):
                     shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                     raw = codecs.decompress_stream(r.blob, r.compression or None)
-                    arr = codecs.decode(raw, r.encoding, shape, dtype)
+                    arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                        params=cparams)
                     src_bbox = Bbox((r.x0, r.y0, r.z0), (r.x1, r.y1, r.z1))
                     for (tcx, tcy, tcz) in src_bbox.grid_coords(cs_to, voff):
                         cell = Bbox.from_delta(
@@ -1581,7 +1621,8 @@ class Volume:
                     pshape[::-1]
                 ).transpose()
                 shade(out, cell, arr, pb)
-            blob = codecs.compress_stream(codecs.encode(out, encoding), comp or None)
+            blob = codecs.compress_stream(
+                codecs.encode(out, encoding, params=cparams), comp or None)
             if seg:
                 uniq = np.unique(out)
                 stats = _stats_list(uniq)

@@ -132,3 +132,43 @@ def test_brotli_second_stage_gated():
             codecs.compress_stream(b"x", "br")
         with _pytest.raises(codecs.EncodingUnavailable, match="brotli"):
             codecs.decompress_stream(b"x", "br")
+
+
+def test_encode_params_drive_jpeg_and_png_bytes():
+    """The per-scale tuning dict (VolumeInfo.compression_params) must
+    actually change the bytes: lower jpeg quality -> different (and
+    smaller) stream; png level 0 -> larger-than-default stream."""
+    from cloud_volume_spark import codecs
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, size=(64, 64, 4, 1)).astype(np.uint8)
+    hi = codecs.encode(img, "jpeg", params={"level": 95})
+    lo = codecs.encode(img, "jpeg", params={"level": 20})
+    default = codecs.encode(img, "jpeg")
+    assert hi != lo and len(lo) < len(hi)
+    assert default not in (hi, lo)
+
+    p9 = codecs.encode(img, "png", params={"level": 9})
+    p0 = codecs.encode(img, "png", params={"level": 0})
+    assert len(p0) > len(p9)
+    assert np.array_equal(
+        codecs.decode(p0, "png", (64, 64, 4, 1), np.uint8),
+        codecs.decode(p9, "png", (64, 64, 4, 1), np.uint8),
+    )
+
+
+def test_cseg_block_size_param_roundtrip():
+    """A non-default compressed_segmentation_block_size must thread
+    through params to BOTH encode and decode — decoding with the
+    (8,8,8) default would garble the volume."""
+    from cloud_volume_spark import codecs
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 500, size=(32, 32, 16, 1)).astype(np.uint32)
+    params = {"block_size": (16, 16, 8)}
+    blob = codecs.encode(img, "compressed_segmentation", params=params)
+    out = codecs.decode(blob, "compressed_segmentation",
+                        (32, 32, 16, 1), np.uint32, params=params)
+    assert np.array_equal(out, img)
+    blob8 = codecs.encode(img, "compressed_segmentation")
+    assert blob != blob8  # block size genuinely changes the stream
