@@ -69,9 +69,10 @@ def annotation_record_dtype(annotation_type: str, ndim: int,
     ``annotation/metadata.py:41-60,432-457``)."""
     if annotation_type == "POLYLINE":
         raise AnnotationFormatError(
-            "POLYLINE records are variable-length; the binary codec "
-            "supports POINT/LINE/AXIS_ALIGNED_BOUNDING_BOX/ELLIPSOID "
-            "(the reference's POLYLINE branch is likewise non-functional)"
+            "POLYLINE records are variable-length and have no fixed "
+            "record dtype; use the decode/encode_polyline_* codecs "
+            "(the reference's own POLYLINE branch NameErrors, "
+            "annotation/metadata.py:436-444)"
         )
     fields = [("_pt1", "<f4", (ndim,))]
     if annotation_type in TWO_POINT_TYPES:
@@ -90,6 +91,160 @@ def annotation_record_dtype(annotation_type: str, ndim: int,
         pad = 4 - offset % 4
         fields.append((f"padding{offset}", "|u1", (pad,)))
     return np.dtype(fields)
+
+
+def _prop_block_dtype(properties: Sequence[dict]) -> Optional[np.dtype]:
+    """Structured dtype of the property block alone (info order,
+    padded to 4 bytes) — the tail every record shares regardless of
+    geometry arity. ``None`` when there are no properties."""
+    fields = []
+    offset = 0
+    for p in properties:
+        if p["type"] not in _PROP_NUMPY:
+            raise AnnotationFormatError(
+                f"unsupported property type {p['type']}")
+        descr = _PROP_NUMPY[p["type"]][0]
+        if isinstance(descr, tuple):
+            fields.append((p["id"], descr[0], descr[1]))
+        else:
+            fields.append((p["id"], descr))
+        offset += np.dtype([fields[-1]]).itemsize
+    if not fields:
+        return None
+    if offset % 4:
+        fields.append((f"padding{offset}", "|u1", (4 - offset % 4,)))
+    return np.dtype(fields)
+
+
+def decode_polyline_record(binary: bytes, offset: int, ndim: int,
+                           prop_dtype: Optional[np.dtype]):
+    """One POLYLINE record at ``offset``: ``uint32le num_points`` +
+    ``num_points×ndim float32le`` vertices + property block. Returns
+    ``(vertices (k, ndim) f4, prop record or None, next_offset)`` —
+    the layout the reference's broken branch intends
+    (``annotation/metadata.py:436-444``: count-prefixed ``_pt1`` of
+    ``num_points * rank`` floats, then the property dtypes)."""
+    if len(binary) < offset + 4:
+        raise AnnotationFormatError("POLYLINE record truncated at count")
+    k = int.from_bytes(binary[offset:offset + 4], "little")
+    offset += 4
+    geo_bytes = 4 * k * ndim
+    if len(binary) < offset + geo_bytes:
+        raise AnnotationFormatError(
+            f"POLYLINE record truncated: {k} points need {geo_bytes} bytes"
+        )
+    pts = np.frombuffer(binary, offset=offset, count=k * ndim,
+                        dtype="<f4").reshape(k, ndim)
+    offset += geo_bytes
+    rec = None
+    if prop_dtype is not None:
+        if len(binary) < offset + prop_dtype.itemsize:
+            raise AnnotationFormatError(
+                "POLYLINE record truncated in property block")
+        rec = np.frombuffer(binary, offset=offset, count=1,
+                            dtype=prop_dtype)[0]
+        offset += prop_dtype.itemsize
+    return pts, rec, offset
+
+
+def _encode_polyline_record(pts, props: dict, ndim: int,
+                            prop_dtype: Optional[np.dtype],
+                            properties: Sequence[dict]) -> bytes:
+    pts = np.asarray(pts, dtype="<f4").reshape(-1, ndim)
+    out = [len(pts).to_bytes(4, "little"), pts.tobytes()]
+    if prop_dtype is not None:
+        rec = np.zeros(1, dtype=prop_dtype)
+        for p in properties:
+            rec[p["id"]][0] = props[p["id"]]
+        out.append(rec.tobytes())
+    return b"".join(out)
+
+
+def decode_polyline_multi_buffer(binary: bytes, ndim: int,
+                                 properties: Sequence[dict]):
+    """Multi-annotation buffer of POLYLINEs → (list of (k_i, ndim) f4
+    vertex arrays, ids (N,) u8, {prop: array}). Records are variable
+    length so the walk is sequential — buffers are per-spatial-cell and
+    bounded by the layer's ``limit``, so N is small per call and the
+    distributed shape (one cell per task) is unchanged."""
+    if len(binary) < 8:
+        raise AnnotationFormatError("buffer shorter than its count header")
+    n = int.from_bytes(binary[:8], "little")
+    prop_dtype = _prop_block_dtype(properties)
+    offset = 8
+    lines, recs = [], []
+    for _ in range(n):
+        pts, rec, offset = decode_polyline_record(
+            binary, offset, ndim, prop_dtype)
+        lines.append(pts)
+        recs.append(rec)
+    if len(binary) != offset + 8 * n:
+        raise AnnotationFormatError(
+            f"buffer length {len(binary)} != expected {offset + 8 * n} "
+            f"for {n} polyline records"
+        )
+    ids = np.frombuffer(binary, offset=offset, count=n, dtype="<u8")
+    props = {}
+    if prop_dtype is not None:
+        arr = np.array(recs, dtype=prop_dtype)
+        props = {p["id"]: np.asarray(arr[p["id"]]) for p in properties}
+    return lines, ids, props
+
+
+def encode_polyline_multi_buffer(lines: Sequence, ids,
+                                 props: dict, ndim: int,
+                                 properties: Sequence[dict]) -> bytes:
+    """Inverse of :func:`decode_polyline_multi_buffer` — mixed-length
+    polylines in one buffer."""
+    prop_dtype = _prop_block_dtype(properties)
+    n = len(lines)
+    out = [int(n).to_bytes(8, "little")]
+    for i, pts in enumerate(lines):
+        per = {p["id"]: np.asarray(props[p["id"]])[i] for p in properties}
+        out.append(_encode_polyline_record(pts, per, ndim, prop_dtype,
+                                           properties))
+    out.append(np.asarray(ids, dtype="<u8").tobytes())
+    return b"".join(out)
+
+
+def decode_polyline_single_buffer(binary: bytes, ndim: int,
+                                  properties: Sequence[dict],
+                                  relationships: Sequence[str]):
+    """Per-id POLYLINE buffer → (vertices, {prop: scalar}, {rel: ids})."""
+    prop_dtype = _prop_block_dtype(properties)
+    pts, rec, offset = decode_polyline_record(binary, 0, ndim, prop_dtype)
+    rels = {}
+    for name in relationships:
+        if len(binary) < offset + 4:
+            raise AnnotationFormatError(f"truncated relationship {name}")
+        m = int.from_bytes(binary[offset:offset + 4], "little")
+        offset += 4
+        if len(binary) < offset + 8 * m:
+            raise AnnotationFormatError(f"truncated relationship {name}")
+        rels[name] = np.frombuffer(binary, offset=offset, count=m,
+                                   dtype="<u8")
+        offset += 8 * m
+    if offset != len(binary):
+        raise AnnotationFormatError(
+            f"{len(binary) - offset} trailing bytes after relationships"
+        )
+    props = ({p["id"]: rec[p["id"]] for p in properties}
+             if rec is not None else {})
+    return pts, props, rels
+
+
+def encode_polyline_single_buffer(pts, props: dict, rels: dict, ndim: int,
+                                  properties: Sequence[dict],
+                                  relationships: Sequence[str]) -> bytes:
+    """Inverse of :func:`decode_polyline_single_buffer`."""
+    prop_dtype = _prop_block_dtype(properties)
+    out = [_encode_polyline_record(pts, props, ndim, prop_dtype,
+                                   properties)]
+    for name in relationships:
+        ids = np.asarray(rels.get(name, []), dtype="<u8")
+        out.append(len(ids).to_bytes(4, "little"))
+        out.append(ids.tobytes())
+    return b"".join(out)
 
 
 def decode_multi_buffer(binary: bytes, annotation_type: str, ndim: int,

@@ -560,3 +560,90 @@ def test_export_bounds_cover_second_endpoints(spark, tmp_path):
     assert info["lower_bound"][0] <= -40
     assert info["upper_bound"][0] >= 500
     assert info["upper_bound"][1] >= 30
+
+
+# ---------------------------------------------------------------------------
+# POLYLINE variable-length records (exceeds the reference: its own
+# POLYLINE branch references undefined variables and NameErrors,
+# annotation/metadata.py:436-444)
+
+
+def test_polyline_multi_buffer_roundtrip_mixed_lengths():
+    from cloud_volume_spark.annotation_io import (
+        decode_polyline_multi_buffer, encode_polyline_multi_buffer,
+    )
+
+    props_spec = [{"id": "score", "type": "uint8"},
+                  {"id": "color", "type": "rgb"}]
+    lines = [
+        np.array([[0, 0, 0], [1, 2, 3]], dtype=np.float32),
+        np.array([[5, 5, 5], [6, 6, 6], [7, 8, 9], [1, 1, 1],
+                  [2, 2, 2]], dtype=np.float32),
+        np.array([[9, 9, 9], [8, 8, 8], [7, 7, 7]], dtype=np.float32),
+    ]
+    ids = np.array([11, 22, 33], dtype=np.uint64)
+    props = {"score": np.array([1, 2, 250], dtype=np.uint8),
+             "color": np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                               dtype=np.uint8)}
+    blob = encode_polyline_multi_buffer(lines, ids, props, 3, props_spec)
+
+    # structural golden: count header, then per record u32 k + k*3 f4
+    # + props padded to 4 (1 + 3 -> no pad), trailing ids
+    assert blob[:8] == (3).to_bytes(8, "little")
+    assert blob[8:12] == (2).to_bytes(4, "little")  # first record k=2
+    expected_len = 8 + sum(4 + 4 * 3 * k + 4 for k in (2, 5, 3)) + 8 * 3
+    assert len(blob) == expected_len
+
+    glines, gids, gprops = decode_polyline_multi_buffer(blob, 3, props_spec)
+    assert [g.shape for g in glines] == [(2, 3), (5, 3), (3, 3)]
+    for g, l in zip(glines, lines):
+        assert np.array_equal(g, l)
+    assert np.array_equal(gids, ids)
+    assert np.array_equal(gprops["score"], props["score"])
+    assert np.array_equal(gprops["color"], props["color"])
+
+
+def test_polyline_multi_buffer_no_props_and_truncation():
+    from cloud_volume_spark.annotation_io import (
+        AnnotationFormatError, decode_polyline_multi_buffer,
+        encode_polyline_multi_buffer,
+    )
+
+    lines = [np.zeros((4, 3), np.float32), np.ones((1, 3), np.float32)]
+    ids = np.array([7, 8], dtype=np.uint64)
+    blob = encode_polyline_multi_buffer(lines, ids, {}, 3, [])
+    glines, gids, gprops = decode_polyline_multi_buffer(blob, 3, [])
+    assert [g.shape for g in glines] == [(4, 3), (1, 3)]
+    assert gprops == {}
+    with pytest.raises(AnnotationFormatError):
+        decode_polyline_multi_buffer(blob[:-3], 3, [])
+    with pytest.raises(AnnotationFormatError):
+        decode_polyline_multi_buffer(blob[:14], 3, [])
+
+
+def test_polyline_single_buffer_roundtrip_with_relationships():
+    from cloud_volume_spark.annotation_io import (
+        decode_polyline_single_buffer, encode_polyline_single_buffer,
+    )
+
+    props_spec = [{"id": "kind", "type": "uint16"}]
+    pts = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], dtype=np.float32)
+    blob = encode_polyline_single_buffer(
+        pts, {"kind": 42}, {"skel": [5, 6], "syn": []}, 3,
+        props_spec, ["skel", "syn"],
+    )
+    gpts, gprops, grels = decode_polyline_single_buffer(
+        blob, 3, props_spec, ["skel", "syn"])
+    assert np.array_equal(gpts, pts)
+    assert gprops["kind"] == 42
+    assert list(grels["skel"]) == [5, 6]
+    assert list(grels["syn"]) == []
+
+
+def test_polyline_fixed_dtype_still_refused():
+    from cloud_volume_spark.annotation_io import (
+        AnnotationFormatError, annotation_record_dtype,
+    )
+
+    with pytest.raises(AnnotationFormatError, match="POLYLINE"):
+        annotation_record_dtype("POLYLINE", 3, [])
