@@ -92,6 +92,37 @@ class PathOps:
             return []
         return [st.getPath().getName() for st in self._fs.listStatus(p)]
 
+    def create_exclusive(self, path: str) -> bool:
+        """Atomically create an empty marker file; ``False`` if it
+        already exists — the primitive behind the slab-commit lock.
+        Local: ``O_CREAT|O_EXCL`` (atomic on POSIX). Hadoop FS:
+        ``createNewFile`` (atomic on HDFS and file://; object stores
+        without atomic create-if-absent inherit their store's
+        semantics — the same caveat the table formats solve with a
+        catalog, documented in SCALE.md)."""
+        if self._local is not None:
+            lp = local_part(path)
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            try:
+                fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            os.close(fd)
+            return True
+        return bool(self._fs.createNewFile(self._Path(path)))
+
+    def remove(self, path: str) -> None:
+        """Delete a single file (no-op if absent)."""
+        if self._local is not None:
+            try:
+                os.remove(local_part(path))
+            except FileNotFoundError:
+                pass
+            return
+        p = self._Path(path)
+        if self._fs.exists(p):
+            self._fs.delete(p, False)
+
     def read_bytes(self, path: str) -> bytes:
         if self._local is not None:
             with open(local_part(path), "rb") as f:

@@ -97,6 +97,15 @@ class EmptyVolumeException(ValueError):
     (reference ``rx.py`` EmptyVolumeException semantics)."""
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer holds this volume's slab-commit lock. The commit
+    was not started — retry after the other commit finishes, or remove
+    the named lock file if it is stale (a crashed writer). This is the
+    loud-failure half of the concurrent-writer caveat SCALE.md
+    documents; the production swap is a table format's (Delta/Iceberg)
+    catalog-mediated commit."""
+
+
 def _label_to_signed(v) -> int:
     """uint64 label → the two's-complement bit pattern that fits
     Spark's signed LongType. ``labels_stats`` and every label predicate
@@ -564,35 +573,73 @@ class Volume:
 
         All path manipulation routes through :class:`PathOps` (Hadoop
         FileSystem for s3a/gs/hdfs/file URIs, os/shutil for plain local
-        paths) so the commit works against any store Spark can write."""
+        paths) so the commit works against any store Spark can write.
+
+        Concurrent writers are DETECTED, not merged: the commit takes
+        an exclusive lock file (atomic create-if-absent) for the whole
+        stage-and-swap and raises :class:`CommitConflictError` without
+        touching the table if another writer holds it — two interleaved
+        shell merges would otherwise silently lose one writer's slabs.
+        Staging also goes to a per-commit unique dir so an aborted
+        commit can never clobber a live one's staging."""
+        import uuid
+
         self._lru_clear()
         fs = self._fs
-        tmp = self.chunks_path + ".tmp-commit"
-        fs.rmtree(tmp)
-        (
-            out.repartition(F.col("mip"), self._commit_bucket())
-            .sortWithinPartitions("slab", "morton")
-            .write.mode("overwrite")
-            .option("compression", "none")  # blobs carry their own gzip
-            .partitionBy("mip", "slab")
-            .parquet(tmp)
-        )
-        for mip_dir in fs.listdir(tmp):
-            if not mip_dir.startswith("mip="):
-                continue
-            for slab_dir in fs.listdir(f"{tmp}/{mip_dir}"):
-                if not slab_dir.startswith("slab="):
-                    continue
-                dest = f"{self.chunks_path}/{mip_dir}/{slab_dir}"
-                if fs.exists(dest):
-                    fs.rmtree(dest)
-                fs.makedirs(f"{self.chunks_path}/{mip_dir}")
-                fs.rename(f"{tmp}/{mip_dir}/{slab_dir}", dest)
-        fs.rmtree(tmp)
-        for (mip, slab) in (drop or ()):
-            path = f"{self.chunks_path}/mip={mip}/slab={slab}"
-            if fs.exists(path):
-                fs.rmtree(path)
+        with self._commit_lock():
+            tmp = f"{self.chunks_path}.tmp-commit-{uuid.uuid4().hex[:12]}"
+            try:
+                (
+                    out.repartition(F.col("mip"), self._commit_bucket())
+                    .sortWithinPartitions("slab", "morton")
+                    .write.mode("overwrite")
+                    .option("compression", "none")  # blobs carry their own gzip
+                    .partitionBy("mip", "slab")
+                    .parquet(tmp)
+                )
+                for mip_dir in fs.listdir(tmp):
+                    if not mip_dir.startswith("mip="):
+                        continue
+                    for slab_dir in fs.listdir(f"{tmp}/{mip_dir}"):
+                        if not slab_dir.startswith("slab="):
+                            continue
+                        dest = f"{self.chunks_path}/{mip_dir}/{slab_dir}"
+                        if fs.exists(dest):
+                            fs.rmtree(dest)
+                        fs.makedirs(f"{self.chunks_path}/{mip_dir}")
+                        fs.rename(f"{tmp}/{mip_dir}/{slab_dir}", dest)
+            finally:
+                fs.rmtree(tmp)
+            for (mip, slab) in (drop or ()):
+                path = f"{self.chunks_path}/mip={mip}/slab={slab}"
+                if fs.exists(path):
+                    fs.rmtree(path)
+
+    @property
+    def _commit_lock_path(self) -> str:
+        return self.chunks_path + ".commit-lock"
+
+    def _commit_lock(self):
+        """Exclusive whole-table commit lock (see _overwrite_slabs)."""
+        from contextlib import contextmanager
+
+        fs = self._fs
+        lock = self._commit_lock_path
+
+        @contextmanager
+        def held():
+            if not fs.create_exclusive(lock):
+                raise CommitConflictError(
+                    f"another writer holds the commit lock {lock!r}; "
+                    "retry after its commit finishes, or delete the "
+                    "file if the writer crashed"
+                )
+            try:
+                yield
+            finally:
+                fs.remove(lock)
+
+        return held()
 
     def write_blocks_df(self, blocks: DataFrame, mip: int = 0,
                         compression: Optional[str] = "gzip") -> None:
@@ -1250,20 +1297,21 @@ class Volume:
         # labels afterwards
         self._lru_clear()
         fs = self._fs
-        tmp = self.chunks_path + ".remap.tmp"
-        fs.rmtree(tmp)
-        (
-            out.repartition(F.col("mip"), self._commit_bucket())
-            .sortWithinPartitions("slab", "morton")
-            .write.mode("overwrite")
-            .option("compression", "none")  # blobs carry their own gzip
-            .partitionBy("mip", "slab").parquet(tmp)
-        )
-        mip_dir = f"{self.chunks_path}/mip={mip}"
-        if fs.exists(mip_dir):
-            fs.rmtree(mip_dir)
-        fs.rename(f"{tmp}/mip={mip}", mip_dir)
-        fs.rmtree(tmp)
+        with self._commit_lock():
+            tmp = self.chunks_path + ".remap.tmp"
+            fs.rmtree(tmp)
+            (
+                out.repartition(F.col("mip"), self._commit_bucket())
+                .sortWithinPartitions("slab", "morton")
+                .write.mode("overwrite")
+                .option("compression", "none")  # blobs carry their own gzip
+                .partitionBy("mip", "slab").parquet(tmp)
+            )
+            mip_dir = f"{self.chunks_path}/mip={mip}"
+            if fs.exists(mip_dir):
+                fs.rmtree(mip_dir)
+            fs.rename(f"{tmp}/mip={mip}", mip_dir)
+            fs.rmtree(tmp)
 
     # ------------------------------------------------------------------
     # downsample (beyond-reference: the actual reduction job)

@@ -167,3 +167,41 @@ def test_mesh_skeleton_accessors(spark, tmp_path):
     # accessor is rooted under the volume dir
     assert vol.mesh.base_path.startswith(str(tmp_path / "sib"))
     assert vol.skeleton.base_path.startswith(str(tmp_path / "sib"))
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Two concurrent shell-merge writers must never silently interleave
+    (lost-update): the second writer fails LOUDLY while the lock is
+    held, commits cleanly after release, and a crashed writer's stale
+    lock is breakable by deleting the named file."""
+    import numpy as np
+
+    from cloud_volume_spark.volume import CommitConflictError
+
+    arr = np.arange(64 * 64 * 64, dtype=np.uint32).reshape(64, 64, 64, 1)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "ccv"), chunk_size=(32, 32, 32))
+
+    # simulate writer A mid-commit: its lock file exists
+    lock = vol._commit_lock_path
+    assert vol._fs.create_exclusive(lock)
+    patch = np.zeros((32, 32, 32, 1), dtype=np.uint32)
+    with pytest.raises(CommitConflictError, match="commit lock"):
+        vol.upload(patch, offset=(0, 0, 0))
+    # the failed commit touched nothing: original data intact
+    assert np.array_equal(
+        vol.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+
+    # writer A finishes (stale-lock recovery is the same operation)
+    vol._fs.remove(lock)
+    vol.upload(patch, offset=(0, 0, 0))
+    out = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+    assert np.array_equal(out[:32, :32, :32], patch)
+    assert np.array_equal(out[32:, :, :], arr[32:, :, :])
+    # lock released after the successful commit
+    assert not vol._fs.exists(lock)
+
+    # create_exclusive is genuinely exclusive
+    assert vol._fs.create_exclusive(lock)
+    assert not vol._fs.create_exclusive(lock)
+    vol._fs.remove(lock)
