@@ -39,7 +39,12 @@ BOILER_MIN_DOCS = 2    # gram is boilerplate if it appears in >= this many docs
 
 
 def _word_grams(docs: DataFrame, width: int) -> DataFrame:
-    """(doc_id, gram-md5) for every word ``width``-gram, bounded explode."""
+    """(doc_id, gram key) for every word ``width``-gram, bounded explode.
+    Keys are the 16 raw md5 BYTES (unhex), not the 32-char hex string —
+    the gram key is shuffle payload in every downstream count/join and
+    never appears in output, so halving it is free; 128 bits keeps
+    grouping collision-free at any corpus size (64-bit keys would
+    expect ~n²/2⁶⁵ spurious merges at 10¹³ grams)."""
     toks = F.split(F.trim("text"), " ")
     n = F.size(toks)
     # Spark's sequence(1, 0) counts *down*; guard short docs explicitly
@@ -51,7 +56,9 @@ def _word_grams(docs: DataFrame, width: int) -> DataFrame:
         F.explode(
             F.transform(
                 idxs,
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width))),
+                lambda i: F.unhex(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, width)))
+                ),
             )
         ).alias("gram"),
     )
@@ -322,9 +329,9 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), nsegs - 1),
-                lambda s: F.md5(
+                lambda s: F.unhex(F.md5(
                     F.concat_ws(" ", F.slice(toks, s * LINE_W + 1, LINE_W))
-                ),
+                )),
             )
         ).alias("seg_no", "seg_hash"),
     )
@@ -436,7 +443,9 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.transform(
                 idxs,
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SPAN_L))),
+                lambda i: F.unhex(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, SPAN_L)))
+                ),
             )
         ).alias("pos", "gram"),
     )
