@@ -400,6 +400,24 @@ def _rows_frame(axes: Sequence[str], properties: Sequence[dict],
     return pd.DataFrame(data)
 
 
+def _polyline_rows_frame(axes: Sequence[str], properties: Sequence[dict],
+                         lines, ids, props) -> pd.DataFrame:
+    """Decoded POLYLINE buffer → pandas rows: the first vertex fills
+    the axis columns (the cell-placement / bbox-filter convention, same
+    as the writer) and the full flattened vertex run rides a
+    ``points`` list column."""
+    data = {"id": np.asarray(ids).astype(np.int64)}
+    for i, ax in enumerate(axes):
+        data[ax] = [float(l[0, i]) for l in lines]
+    data["points"] = [
+        [float(v) for v in l.reshape(-1)] for l in lines
+    ]
+    for p in properties:
+        v = props[p["id"]]
+        data[p["id"]] = list(v) if v.ndim > 1 else v
+    return pd.DataFrame(data)
+
+
 class PrecomputedAnnotationReader:
     """Read a foreign neuroglancer precomputed annotation layer.
 
@@ -460,6 +478,10 @@ class PrecomputedAnnotationReader:
             for ax in axes:
                 name = ax if j == 0 else f"{ax}2"
                 cols.append(f"{name} double")
+        if self.annotation_type == "POLYLINE":
+            # axis cols hold the FIRST vertex (placement convention);
+            # the full flattened vertex run rides `points`
+            cols.append("points array<double>")
         for p in self.properties:
             cols.append(f"{p['id']} {_PROP_NUMPY[p['type']][1]}")
         return ", ".join(cols)
@@ -555,6 +577,13 @@ class PrecomputedAnnotationReader:
                         binary = _read_value(os.path.join(base, key), name)
                     if binary is None:
                         continue
+                    if atype == "POLYLINE":
+                        lines, ids, pr = decode_polyline_multi_buffer(
+                            binary, ndim, props)
+                        if len(ids):
+                            yield _polyline_rows_frame(
+                                axes, props, lines, ids, pr)
+                        continue
                     geo, ids, pr = decode_multi_buffer(binary, atype, ndim, props)
                     if len(ids):
                         yield _rows_frame(axes, props, geo, ids, pr)
@@ -610,17 +639,27 @@ class PrecomputedAnnotationReader:
                         binary = _read_value(os.path.join(base, key), str(segid))
                     if binary is None:
                         continue
-                    geo, pr, rels = decode_single_buffer(
-                        binary, atype, ndim, props, rel_names
-                    )
                     row = {"id": segid}
-                    if two:
-                        for j in range(2):
-                            for i, ax in enumerate(axes):
-                                row[ax if j == 0 else f"{ax}2"] = float(geo[i, j])
-                    else:
+                    if atype == "POLYLINE":
+                        pts, pr, rels = decode_polyline_single_buffer(
+                            binary, ndim, props, rel_names
+                        )
                         for i, ax in enumerate(axes):
-                            row[ax] = float(geo[i])
+                            row[ax] = float(pts[0, i])
+                        row["points"] = [float(v)
+                                         for v in pts.reshape(-1)]
+                    else:
+                        geo, pr, rels = decode_single_buffer(
+                            binary, atype, ndim, props, rel_names
+                        )
+                        if two:
+                            for j in range(2):
+                                for i, ax in enumerate(axes):
+                                    row[ax if j == 0 else f"{ax}2"] = \
+                                        float(geo[i, j])
+                        else:
+                            for i, ax in enumerate(axes):
+                                row[ax] = float(geo[i])
                     for p in props:
                         v = pr[p["id"]]
                         row[p["id"]] = (
@@ -665,6 +704,15 @@ class PrecomputedAnnotationReader:
                     else:
                         binary = _read_value(os.path.join(base, key), str(segid))
                     if binary is None:
+                        continue
+                    if atype == "POLYLINE":
+                        lines, ids, pr = decode_polyline_multi_buffer(
+                            binary, ndim, props)
+                        if len(ids):
+                            out = _polyline_rows_frame(
+                                axes, props, lines, ids, pr)
+                            out.insert(0, "segid", segid)
+                            yield out
                         continue
                     geo, ids, pr = decode_multi_buffer(binary, atype, ndim, props)
                     if len(ids):
@@ -777,28 +825,48 @@ def export_precomputed(layer, out_dir: str,
     axes = ["x", "y", "z"][:3]
     ndim = 3
     two = atype in TWO_POINT_TYPES
+    poly = atype == "POLYLINE"
     props = [{"id": k, **v} for k, v in layer.properties.items()]
     rel_names = list(layer.relationships)
     if dimensions is None:
         dimensions = {ax: [1, "nm"] for ax in axes}
 
-    # bounds must cover BOTH endpoints of two-point geometries
-    # (LINE/AABB/ELLIPSOID) — a first-endpoint-only min/max let the
-    # second endpoint fall outside info's declared bounds, so bbox
-    # queries overlapping only that endpoint missed the annotation.
-    # Spatial-cell PLACEMENT (below) stays first-endpoint-based, the
-    # neuroglancer convention the reader's exact filter mirrors.
-    if two:
+    # bounds must cover EVERY vertex of the geometry — both endpoints
+    # of two-point types (LINE/AABB/ELLIPSOID), all vertices of a
+    # POLYLINE — a first-endpoint-only min/max let later vertices fall
+    # outside info's declared bounds, so bbox queries overlapping only
+    # them missed the annotation. Spatial-cell PLACEMENT (below) stays
+    # first-vertex-based, the neuroglancer convention the reader's
+    # exact filter mirrors.
+    if poly:
+        # per-axis extrema over the flattened vertex runs: index % ndim
+        # identifies the axis; one explode + tiny aggregate
+        v = df.select(F.posexplode("points").alias("_i", "_v"))
+        lo_exprs = [
+            F.min(F.when(F.col("_i") % ndim == i, F.col("_v")))
+            .alias(f"min_{ax}") for i, ax in enumerate(axes)
+        ]
+        hi_exprs = [
+            F.max(F.when(F.col("_i") % ndim == i, F.col("_v")))
+            .alias(f"max_{ax}") for i, ax in enumerate(axes)
+        ]
+        vstats = v.agg(*lo_exprs, *hi_exprs).collect()[0]
+        n_rows = df.count()
+        stats = {"n": n_rows, **{k: vstats[k] for k in vstats.asDict()}}
+    elif two:
         lo_exprs = [F.min(F.least(ax, f"{ax}2")).alias(f"min_{ax}")
                     for ax in axes]
         hi_exprs = [F.max(F.greatest(ax, f"{ax}2")).alias(f"max_{ax}")
                     for ax in axes]
+        stats = df.agg(
+            *lo_exprs, *hi_exprs, F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
     else:
         lo_exprs = [F.min(ax).alias(f"min_{ax}") for ax in axes]
         hi_exprs = [F.max(ax).alias(f"max_{ax}") for ax in axes]
-    stats = df.agg(
-        *lo_exprs, *hi_exprs, F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
+        stats = df.agg(
+            *lo_exprs, *hi_exprs, F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
     lower = [math.floor(stats[f"min_{ax}"]) for ax in axes]
     upper = [math.floor(stats[f"max_{ax}"]) + 1 for ax in axes]
     cs = [float(c) for c in layer.grid_cell]
@@ -851,7 +919,10 @@ def export_precomputed(layer, out_dir: str,
     with open(os.path.join(out_dir, "info"), "w") as f:
         json.dump(info, f, sort_keys=True)
 
-    geo_cols = axes + ([f"{a}2" for a in axes] if two else [])
+    geo_cols = (
+        axes + ["points"] if poly
+        else axes + ([f"{a}2" for a in axes] if two else [])
+    )
     prop_ids = [p["id"] for p in props]
 
     def _geometry(pdf: pd.DataFrame) -> np.ndarray:
@@ -871,13 +942,24 @@ def export_precomputed(layer, out_dir: str,
                 out[p["id"]] = v.to_numpy()
         return out
 
+    def _cell_binary(pdf: pd.DataFrame) -> bytes:
+        """Encode one spatial/relationship group's annotations."""
+        if poly:
+            lines = [np.asarray(p, np.float32).reshape(-1, ndim)
+                     for p in pdf["points"]]
+            return encode_polyline_multi_buffer(
+                lines, pdf["id"].to_numpy("<u8"), _props_dict(pdf),
+                ndim, props,
+            )
+        return encode_multi_buffer(
+            _geometry(pdf), pdf["id"].to_numpy("<u8"), _props_dict(pdf),
+            atype, ndim, props,
+        )
+
     # spatial cells --------------------------------------------------
     def make_write_cell(spatial_dir):
         def write_cell(keyvals, pdf):
-            binary = encode_multi_buffer(
-                _geometry(pdf), pdf["id"].to_numpy("<u8"), _props_dict(pdf),
-                atype, ndim, props,
-            )
+            binary = _cell_binary(pdf)
             name = "_".join(str(int(k)) for k in keyvals)
             with open(os.path.join(spatial_dir, name + ".gz"), "wb") as f:
                 f.write(gzip.compress(binary, mtime=0))
@@ -895,10 +977,7 @@ def export_precomputed(layer, out_dir: str,
         grid_shape_l = [int(x) for x in spec["grid_shape"]]
 
         def encode_cell(keyvals, pdf):
-            binary = encode_multi_buffer(
-                _geometry(pdf), pdf["id"].to_numpy("<u8"), _props_dict(pdf),
-                atype, ndim, props,
-            )
+            binary = _cell_binary(pdf)
             code = int(compressed_morton_code(
                 np.array([int(k) for k in keyvals]), grid_shape_l
             ))
@@ -1035,18 +1114,28 @@ def export_precomputed(layer, out_dir: str,
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 row = r._asdict()
-                if two:
-                    geo = np.stack([
-                        np.array([row[a] for a in axes], np.float32),
-                        np.array([row[f"{a}2"] for a in axes], np.float32),
-                    ], axis=-1)
+                if poly:
+                    pts = np.asarray(row["points"],
+                                     np.float32).reshape(-1, ndim)
+                    binary = encode_polyline_single_buffer(
+                        pts, {p: row[p] for p in prop_ids},
+                        {rel: row[f"rel_{rel}"] for rel in rel_names},
+                        ndim, props, rel_names,
+                    )
                 else:
-                    geo = np.array([row[a] for a in axes], np.float32)
-                binary = encode_single_buffer(
-                    geo, {p: row[p] for p in prop_ids},
-                    {rel: row[f"rel_{rel}"] for rel in rel_names},
-                    atype, ndim, props, rel_names,
-                )
+                    if two:
+                        geo = np.stack([
+                            np.array([row[a] for a in axes], np.float32),
+                            np.array([row[f"{a}2"] for a in axes],
+                                     np.float32),
+                        ], axis=-1)
+                    else:
+                        geo = np.array([row[a] for a in axes], np.float32)
+                    binary = encode_single_buffer(
+                        geo, {p: row[p] for p in prop_ids},
+                        {rel: row[f"rel_{rel}"] for rel in rel_names},
+                        atype, ndim, props, rel_names,
+                    )
                 with open(os.path.join(by_id_dir, f"{int(row['id'])}.gz"),
                           "wb") as f:
                     f.write(gzip.compress(binary, mtime=0))
@@ -1067,10 +1156,7 @@ def export_precomputed(layer, out_dir: str,
 
         def make_write_rel(rel_dir):
             def write_rel(keyvals, pdf):
-                binary = encode_multi_buffer(
-                    _geometry(pdf), pdf["id"].to_numpy("<u8"),
-                    _props_dict(pdf), atype, ndim, props,
-                )
+                binary = _cell_binary(pdf)
                 with open(os.path.join(rel_dir, f"{int(keyvals[0])}.gz"),
                           "wb") as f:
                     f.write(gzip.compress(binary, mtime=0))

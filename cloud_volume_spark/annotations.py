@@ -126,7 +126,24 @@ class AnnotationLayer:
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Persist annotations; derives the spatial-grid cell columns so
         parquet stats give the same pruning the reference's grid files
-        do. Cluster by cell so a bbox query touches few row groups."""
+        do. Cluster by cell so a bbox query touches few row groups.
+
+        POLYLINE layers carry the flattened vertex run in ``points``
+        (array<double>, [x0,y0,z0,x1,...]); the axis columns hold the
+        FIRST vertex (derived here when absent) — the cell-placement
+        and bbox-filter convention the binary export shares."""
+        if self.annotation_type == "POLYLINE":
+            if "points" not in df.columns:
+                raise ValueError(
+                    "POLYLINE layers require a `points` array<double> "
+                    "column of flattened vertices"
+                )
+            if "x" not in df.columns:
+                df = df.withColumns({
+                    "x": F.element_at("points", 1).cast("double"),
+                    "y": F.element_at("points", 2).cast("double"),
+                    "z": F.element_at("points", 3).cast("double"),
+                })
         gx = F.floor(F.col("x") / self.grid_cell[0]).cast("int")
         gy = F.floor(F.col("y") / self.grid_cell[1]).cast("int")
         gz = F.floor(F.col("z") / self.grid_cell[2]).cast("int")

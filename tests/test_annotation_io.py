@@ -647,3 +647,78 @@ def test_polyline_fixed_dtype_still_refused():
 
     with pytest.raises(AnnotationFormatError, match="POLYLINE"):
         annotation_record_dtype("POLYLINE", 3, [])
+
+
+def test_polyline_layer_export_read_reimport(spark, tmp_path):
+    """End-to-end POLYLINE: parquet layer -> precomputed binary export
+    (spatial + by_id + relationships) -> reader -> re-ingested layer,
+    with mixed vertex counts, a property, and a relationship. Exceeds
+    the reference, which cannot read POLYLINE layers at all."""
+    rng = np.random.default_rng(17)
+    n = 40
+    lines = [
+        rng.random(3 * int(k)).astype(np.float64) * 100.0
+        for k in rng.integers(2, 7, n)
+    ]
+    pdf = pd.DataFrame({
+        "id": np.arange(1, n + 1, dtype=np.int64),
+        "points": [list(l) for l in lines],
+        "score": rng.integers(0, 200, n).astype(np.int32),
+        # sorted unique: to_layer rebuilds these from the inverted
+        # relationship index, which collapses duplicates and sorts
+        "rel_skel": [
+            sorted({int(v) for v in rng.integers(1, 9, rng.integers(0, 3))})
+            for _ in range(n)
+        ],
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "poly_layer"),
+        annotation_type="POLYLINE",
+        properties={"score": {"type": "int32"}},
+        relationships=["skel"],
+        grid_cell=(64, 64, 64),
+    )
+    layer.write(spark.createDataFrame(pdf))
+    # first-vertex axis columns derived at write
+    got = layer.df().toPandas().sort_values("id").reset_index(drop=True)
+    assert np.allclose(got["x"], [l[0] for l in lines])
+
+    out = str(tmp_path / "poly_pre")
+    stats = export_precomputed(layer, out)
+    assert stats["annotations"] == n
+    # bounds cover every vertex, not just the firsts
+    import json as _json
+    info = _json.load(open(os.path.join(out, "info")))
+    allv = np.concatenate(lines).reshape(-1, 3)
+    for i in range(3):
+        assert info["lower_bound"][i] <= allv[:, i].min()
+        assert info["upper_bound"][i] >= allv[:, i].max()
+
+    rdr = PrecomputedAnnotationReader(spark, out)
+    back = rdr.get_all(mip=0).toPandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert len(back) == n
+    for i in range(n):
+        assert np.allclose(
+            back["points"][i], lines[i].astype(np.float32)), i
+    assert np.array_equal(back["score"], pdf["score"])
+
+    # by-id path returns vertices + relationships
+    one = rdr.get_by_id([3]).collect()[0]
+    assert np.allclose(one.points, lines[2].astype(np.float32))
+    assert list(one.rel_skel) == list(pdf["rel_skel"][2])
+
+    # relationship path
+    seg = int(pdf["rel_skel"][4][0]) if len(pdf["rel_skel"][4]) else 1
+    rel_rows = rdr.get_by_relationship("skel", [seg]).toPandas()
+    expect_ids = {int(pdf["id"][i]) for i in range(n)
+                  if seg in pdf["rel_skel"][i]}
+    assert set(rel_rows["id"]) == expect_ids
+
+    # full reimport equals the original layer
+    layer2 = rdr.to_layer(str(tmp_path / "poly_back"), mip=0)
+    a = layer2.df().toPandas().sort_values("id").reset_index(drop=True)
+    for i in range(n):
+        assert np.allclose(a["points"][i], lines[i].astype(np.float32))
+    assert np.array_equal(a["score"], pdf["score"])
+    assert [list(v) for v in a["rel_skel"]] == list(pdf["rel_skel"])
