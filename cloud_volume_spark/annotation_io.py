@@ -77,27 +77,15 @@ def annotation_record_dtype(annotation_type: str, ndim: int,
     fields = [("_pt1", "<f4", (ndim,))]
     if annotation_type in TWO_POINT_TYPES:
         fields.append(("_pt2", "<f4", (ndim,)))
-    offset = 0
-    for p in properties:
-        if p["type"] not in _PROP_NUMPY:
-            raise AnnotationFormatError(f"unsupported property type {p['type']}")
-        descr = _PROP_NUMPY[p["type"]][0]
-        if isinstance(descr, tuple):
-            fields.append((p["id"], descr[0], descr[1]))
-        else:
-            fields.append((p["id"], descr))
-        offset += np.dtype([fields[-1]]).itemsize
-    if offset % 4:
-        pad = 4 - offset % 4
-        fields.append((f"padding{offset}", "|u1", (pad,)))
+    fields.extend(_prop_fields(properties))
     return np.dtype(fields)
 
 
-def _prop_block_dtype(properties: Sequence[dict]) -> Optional[np.dtype]:
-    """Structured dtype of the property block alone (info order,
+def _prop_fields(properties: Sequence[dict]) -> list:
+    """Structured-dtype fields of the property block (info order,
     padded to 4 bytes) — the tail every record shares regardless of
-    geometry arity. ``None`` when there are no properties."""
-    fields = []
+    geometry arity."""
+    fields: list = []
     offset = 0
     for p in properties:
         if p["type"] not in _PROP_NUMPY:
@@ -109,11 +97,15 @@ def _prop_block_dtype(properties: Sequence[dict]) -> Optional[np.dtype]:
         else:
             fields.append((p["id"], descr))
         offset += np.dtype([fields[-1]]).itemsize
-    if not fields:
-        return None
-    if offset % 4:
+    if fields and offset % 4:
         fields.append((f"padding{offset}", "|u1", (4 - offset % 4,)))
-    return np.dtype(fields)
+    return fields
+
+
+def _prop_block_dtype(properties: Sequence[dict]) -> Optional[np.dtype]:
+    """Property block alone as a dtype; ``None`` when no properties."""
+    fields = _prop_fields(properties)
+    return np.dtype(fields) if fields else None
 
 
 def decode_polyline_record(binary: bytes, offset: int, ndim: int,
@@ -150,7 +142,13 @@ def decode_polyline_record(binary: bytes, offset: int, ndim: int,
 def _encode_polyline_record(pts, props: dict, ndim: int,
                             prop_dtype: Optional[np.dtype],
                             properties: Sequence[dict]) -> bytes:
-    pts = np.asarray(pts, dtype="<f4").reshape(-1, ndim)
+    pts = np.asarray(pts, dtype="<f4").ravel()
+    if pts.size == 0 or pts.size % ndim != 0:
+        raise ValueError(
+            f"POLYLINE vertices must be a non-empty flat run of "
+            f"ndim={ndim} coordinates; got {pts.size} floats"
+        )
+    pts = pts.reshape(-1, ndim)
     out = [len(pts).to_bytes(4, "little"), pts.tobytes()]
     if prop_dtype is not None:
         rec = np.zeros(1, dtype=prop_dtype)
@@ -826,6 +824,16 @@ def export_precomputed(layer, out_dir: str,
     ndim = 3
     two = atype in TWO_POINT_TYPES
     poly = atype == "POLYLINE"
+    if poly:
+        from pyspark.sql.types import ArrayType
+
+        ptype = df.schema["points"].dataType
+        if isinstance(ptype, ArrayType) and isinstance(
+                ptype.elementType, ArrayType):
+            # nested [[x,y,z], ...] vertex lists are accepted in the
+            # parquet layer; the export works on the flat run (the
+            # bounds aggregate below indexes axes by position % ndim)
+            df = df.withColumn("points", F.flatten("points"))
     props = [{"id": k, **v} for k, v in layer.properties.items()]
     rel_names = list(layer.relationships)
     if dimensions is None:

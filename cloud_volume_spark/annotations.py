@@ -138,11 +138,47 @@ class AnnotationLayer:
                     "POLYLINE layers require a `points` array<double> "
                     "column of flattened vertices"
                 )
+            # validate at write time, inside the plan: a zero-vertex or
+            # non-multiple-of-3 run would otherwise crash readers and
+            # the binary export deep inside executor tasks. Both the
+            # flat [x0,y0,z0,x1,...] run and nested [[x,y,z],...]
+            # vertex lists are accepted.
+            from pyspark.sql.types import ArrayType
+
+            ptype = df.schema["points"].dataType
+            nested = isinstance(ptype, ArrayType) and isinstance(
+                ptype.elementType, ArrayType)
+            flat = F.flatten("points") if nested else F.col("points")
+            bad = (
+                F.col("points").isNull()
+                | (F.size(flat) < 3)
+                | (F.size(flat) % 3 != 0)
+            )
+            if nested:
+                bad = bad | ~F.forall(
+                    "points",
+                    lambda v: v.isNotNull() & (F.size(v) == F.lit(3)),
+                )
+            df = df.withColumn(
+                "points",
+                F.when(
+                    bad,
+                    F.raise_error(F.concat(
+                        F.lit("POLYLINE annotation id "),
+                        F.col("id").cast("string"),
+                        F.lit(" has an invalid points run of "),
+                        F.coalesce(F.size(flat).cast("string"),
+                                   F.lit("NULL")),
+                        F.lit(" floats (need a non-empty multiple of 3; "
+                              "nested vertices must each hold 3)"),
+                    )),
+                ).otherwise(F.col("points")),
+            )
             if "x" not in df.columns:
                 df = df.withColumns({
-                    "x": F.element_at("points", 1).cast("double"),
-                    "y": F.element_at("points", 2).cast("double"),
-                    "z": F.element_at("points", 3).cast("double"),
+                    "x": F.element_at(flat, 1).cast("double"),
+                    "y": F.element_at(flat, 2).cast("double"),
+                    "z": F.element_at(flat, 3).cast("double"),
                 })
         gx = F.floor(F.col("x") / self.grid_cell[0]).cast("int")
         gy = F.floor(F.col("y") / self.grid_cell[1]).cast("int")

@@ -32,6 +32,19 @@ SUPPORTED_DTYPES = (
 
 LAYER_TYPES = ("image", "segmentation")
 
+# encoding → the per-scale tuning key that ``encoding_level`` sets
+# (reference ``metadata.py:805-815``). The reference spells JPEG-XL
+# ``jxl`` in compression_params (metadata.py:567) but ``jpegxl`` in
+# add_scale (metadata.py:810) — accept both so a level declared under
+# either spelling round-trips to the codec.
+ENCODING_LEVEL_KEYS = {
+    "jpeg": "jpeg_quality",
+    "jxl": "jxl_quality",
+    "jpegxl": "jxl_quality",
+    "png": "png_level",
+    "fpzip": "fpzip_precision",
+}
+
 
 class CyclicRedirectError(ValueError):
     """info ``redirect`` chain revisited a location (reference
@@ -116,9 +129,7 @@ class VolumeInfo:
                     int(b) for b in compressed_segmentation_block_size
                 ]
             if encoding_level is not None:
-                key = {"jpeg": "jpeg_quality", "jpegxl": "jxl_quality",
-                       "png": "png_level", "fpzip": "fpzip_precision"}.get(
-                    encoding)
+                key = ENCODING_LEVEL_KEYS.get(encoding)
                 if key is not None:
                     scale[key] = int(encoding_level)
             info["scales"].append(scale)
@@ -264,7 +275,7 @@ class VolumeInfo:
                 "correlated_dims": scale.get(
                     "zfpc_correlated_dims", [True] * 4),
             }
-        if enc == "jxl":
+        if enc in ("jxl", "jpegxl"):
             return {
                 "level": scale.get("jxl_quality"),
                 "jxl_effort": scale.get("jxl_effort"),
@@ -333,9 +344,7 @@ class VolumeInfo:
                     "compressed_segmentation_block_size", (8, 8, 8))
             ]
         if encoding_level is not None:
-            key = {"jpeg": "jpeg_quality", "jpegxl": "jxl_quality",
-                   "png": "png_level", "fpzip": "fpzip_precision"}.get(
-                scale["encoding"])
+            key = ENCODING_LEVEL_KEYS.get(scale["encoding"])
             if key is not None:
                 scale[key] = int(encoding_level)
         existing = [s["key"] for s in self.info["scales"]]

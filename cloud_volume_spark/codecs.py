@@ -336,10 +336,14 @@ def decode(
 
 # ---- partial-decode operators (reference chunks.py:362-484) ------------
 
-def labels(blob: bytes, encoding: str, shape, dtype) -> np.ndarray:
+def labels(blob: bytes, encoding: str, shape, dtype,
+           params: Optional[dict] = None) -> np.ndarray:
     """Distinct labels in a chunk without materializing a full cutout
     (reference ``chunks.py:362-393``). Codec-native fast paths when the
-    codec supports it; raw falls back to decode+unique (vectorized)."""
+    codec supports it; raw falls back to decode+unique (vectorized).
+    ``params`` carries the scale's codec tuning (``block_size`` for
+    cseg) exactly as for :func:`decode` — a non-default cseg block size
+    yields garbage labels without it."""
     if encoding == "crackle" and HAS_CRACKLE:
         return crackle.labels(bytes(blob))
     if encoding == "compresso" and not HAS_COMPRESSO:
@@ -351,19 +355,25 @@ def labels(blob: bytes, encoding: str, shape, dtype) -> np.ndarray:
     if encoding == "compressed_segmentation" and not HAS_CSEG:
         from cloud_volume_spark import cseg as np_cseg
 
-        return np_cseg.labels(bytes(blob), shape, dtype)
-    arr = decode(blob, encoding, shape, dtype)
+        block_size = (8, 8, 8)
+        if params and params.get("block_size") is not None:
+            block_size = tuple(params["block_size"])
+        return np_cseg.labels(bytes(blob), shape, dtype, block_size=block_size)
+    arr = decode(blob, encoding, shape, dtype, params=params)
     return np.unique(arr)
 
 
-def contains(blob: bytes, encoding: str, shape, dtype, label) -> bool:
+def contains(blob: bytes, encoding: str, shape, dtype, label,
+             params: Optional[dict] = None) -> bool:
     """Early-exit membership probe (reference ``chunks.py:459-484``)."""
     if encoding == "crackle" and HAS_CRACKLE:
         return bool(crackle.contains(bytes(blob), label))
-    return bool(np.isin(label, labels(blob, encoding, shape, dtype)))
+    return bool(np.isin(label, labels(blob, encoding, shape, dtype,
+                                      params=params)))
 
 
-def read_voxel(blob: bytes, encoding: str, shape, dtype, xyz) -> np.ndarray:
+def read_voxel(blob: bytes, encoding: str, shape, dtype, xyz,
+               params: Optional[dict] = None) -> np.ndarray:
     """Random-access single-voxel read (reference ``chunks.py:423-457``).
 
     For ``raw`` this is a strided offset computation — O(channels) bytes
@@ -382,7 +392,7 @@ def read_voxel(blob: bytes, encoding: str, shape, dtype, xyz) -> np.ndarray:
             off = idx * dtype.itemsize
             out[c] = np.frombuffer(blob[off : off + dtype.itemsize], dtype=dtype)[0]
         return out
-    arr = decode(blob, encoding, shape, dtype)
+    arr = decode(blob, encoding, shape, dtype, params=params)
     return np.asarray(arr[x, y, z, :])
 
 

@@ -403,6 +403,14 @@ def _guard_legacy_v0(blob: bytes, hdr: tuple) -> None:
      id_size, value_size, location_size, connectivity) = hdr
     if ver != 0:
         return
+    # only headers the legacy encoder could actually have produced are
+    # ambiguous; anything else (zstep != 1, zero steps, odd widths) is
+    # a genuine wheel/corrupt stream and must not trip this guard — nor
+    # divide by a zero step below
+    if (data_width not in (1, 2, 4, 8) or connectivity != 4
+            or xstep <= 0 or ystep <= 0 or zstep != 1
+            or sx <= 0 or sy <= 0 or sz <= 0):
+        return
     expected = _legacy_v0_expected_len(
         data_width, sx, sy, sz, xstep, ystep, zstep,
         id_size, value_size, location_size,
@@ -481,10 +489,19 @@ def _decompress_wheel(blob: bytes) -> np.ndarray:
         raise CompressoError(
             f"wheel streams with zstep={zstep} windows are unverified"
         )
+    if xstep <= 0 or ystep <= 0:
+        raise CompressoError(f"bad window steps ({xstep},{ystep})")
+    wdtype = _window_dtype(xstep * ystep * zstep)
+    need = (HEADER_SIZE + id_size * data_width
+            + value_size * np.dtype(wdtype).itemsize
+            + location_size * data_width)
+    if len(blob) < need:
+        raise CompressoError(
+            f"truncated wheel stream: {len(blob)} bytes, need {need}"
+        )
     p = HEADER_SIZE
     ids = np.frombuffer(blob, dtype=dtype, count=id_size, offset=p)
     p += id_size * data_width
-    wdtype = _window_dtype(xstep * ystep * zstep)
     lut = np.frombuffer(blob, dtype=wdtype, count=value_size, offset=p)
     p += value_size * np.dtype(wdtype).itemsize
     locs = np.frombuffer(blob, dtype=dtype, count=location_size, offset=p)

@@ -86,6 +86,8 @@ def import_unsharded(spark, src_dir: str, base_path: str,
     nc = info.num_channels
     comp = compression or ""
 
+    cparams = info.compression_params(mip)
+
     names = [
         n for n in os.listdir(scale_dir)
         if not n.startswith(".")
@@ -122,7 +124,8 @@ def import_unsharded(spark, src_dir: str, base_path: str,
                         # streams where the codec supports it — incl.
                         # foreign wheel-written compresso (v0/v1),
                         # whose full decode is wheel-gated
-                        uniq = codecs.labels(payload, encoding, shape, dtype)
+                        uniq = codecs.labels(payload, encoding, shape, dtype,
+                                             params=cparams)
                         stats = (
                             [int(u) for u in uniq]
                             if uniq.size <= LABELS_STATS_CAP else None

@@ -51,7 +51,7 @@ from pyspark.sql.types import (
 )
 
 from cloud_volume_spark import codecs
-from cloud_volume_spark.catalog import VolumeInfo
+from cloud_volume_spark.catalog import ENCODING_LEVEL_KEYS, VolumeInfo
 from cloud_volume_spark.fs import PathOps
 from cloud_volume_spark.chunking import compressed_morton_code
 from cloud_volume_spark.geometry import (
@@ -153,6 +153,7 @@ class Volume:
         self.default_mip = 0
         self.read_only = False
         self._fs = PathOps(base_path, spark)
+        self._lock_depth = 0  # re-entrancy counter for _commit_lock
 
     # ------------------------------------------------------------------
     # catalog / lifecycle
@@ -514,35 +515,42 @@ class Volume:
             }
         touched_slabs = sorted(write_slabs | delete_slabs)
 
-        if self._fs.exists(self.chunks_path):
-            existing = (
-                self.chunks_df()
-                .where(F.col("mip") == int(mip))
-                .where(F.col("slab").isin(touched_slabs))
-            )
-            # drop rows being replaced (or deleted) — key anti-join
-            keys = self.spark.createDataFrame(
-                [(int(mip), int(cx), int(cy), int(cz)) for (cx, cy, cz) in replaced],
-                schema="mip int, cx int, cy int, cz int",
-            )
-            survivors = existing.join(
-                F.broadcast(keys), on=["mip", "cx", "cy", "cz"], how="left_anti"
-            )
-            out = survivors.unionByName(new_df)
-            drop: list = []
-            if delete_slabs - write_slabs:
-                # delete-only slabs with no survivors produce no output
-                # partition — remove their directories explicitly
-                out = out.cache()
-                live = {
-                    r.slab for r in out.select("slab").distinct().collect()
-                }
-                drop = [(mip, s) for s in (delete_slabs - write_slabs) - live]
-            self._overwrite_slabs(out, drop=drop)
-            if delete_slabs - write_slabs:
-                out.unpersist()
-        else:
-            self._overwrite_slabs(new_df)
+        # lock BEFORE the read snapshot: the survivors listing must see
+        # every previously-committed slab swap, or a concurrent
+        # read-modify-write silently drops the other writer's chunks
+        with self._commit_lock():
+            if self._fs.exists(self.chunks_path):
+                existing = (
+                    self.chunks_df()
+                    .where(F.col("mip") == int(mip))
+                    .where(F.col("slab").isin(touched_slabs))
+                )
+                # drop rows being replaced (or deleted) — key anti-join
+                keys = self.spark.createDataFrame(
+                    [(int(mip), int(cx), int(cy), int(cz)) for (cx, cy, cz) in replaced],
+                    schema="mip int, cx int, cy int, cz int",
+                )
+                survivors = existing.join(
+                    F.broadcast(keys), on=["mip", "cx", "cy", "cz"], how="left_anti"
+                )
+                out = survivors.unionByName(new_df)
+                drop: list = []
+                cached = bool(delete_slabs - write_slabs)
+                try:
+                    if cached:
+                        # delete-only slabs with no survivors produce no
+                        # output partition — remove their dirs explicitly
+                        out = out.cache()
+                        live = {
+                            r.slab for r in out.select("slab").distinct().collect()
+                        }
+                        drop = [(mip, s) for s in (delete_slabs - write_slabs) - live]
+                    self._overwrite_slabs(out, drop=drop)
+                finally:
+                    if cached:
+                        out.unpersist()
+            else:
+                self._overwrite_slabs(new_df)
 
     def _commit_bucket(self):
         """Shuffle key for commit writes: ``morton >> k`` where ``k``
@@ -620,7 +628,15 @@ class Volume:
         return self.chunks_path + ".commit-lock"
 
     def _commit_lock(self):
-        """Exclusive whole-table commit lock (see _overwrite_slabs)."""
+        """Exclusive whole-table commit lock (see _overwrite_slabs).
+
+        Re-entrant within one Volume instance so the commit entry
+        points (_commit_rows, delete_region, apply_remap, downsample)
+        can take the lock BEFORE their read snapshot — the file listing
+        captured by ``spark.read.parquet`` must not predate another
+        writer's slab swap, or the merge stages survivors from a stale
+        listing and silently drops the other writer's chunks — while
+        _overwrite_slabs keeps its own guard for direct callers."""
         from contextlib import contextmanager
 
         fs = self._fs
@@ -628,15 +644,24 @@ class Volume:
 
         @contextmanager
         def held():
+            if self._lock_depth > 0:
+                self._lock_depth += 1
+                try:
+                    yield
+                finally:
+                    self._lock_depth -= 1
+                return
             if not fs.create_exclusive(lock):
                 raise CommitConflictError(
                     f"another writer holds the commit lock {lock!r}; "
                     "retry after its commit finishes, or delete the "
                     "file if the writer crashed"
                 )
+            self._lock_depth = 1
             try:
                 yield
             finally:
+                self._lock_depth = 0
                 fs.remove(lock)
 
         return held()
@@ -1034,7 +1059,8 @@ class Volume:
         raw = codecs.decompress_stream(bytes(r.blob), r.compression or None)
         shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, self.info.num_channels)
         rel = (pt[0] - r.x0, pt[1] - r.y0, pt[2] - r.z0)
-        return codecs.read_voxel(raw, r.encoding, shape, self.info.data_type, rel)
+        return codecs.read_voxel(raw, r.encoding, shape, self.info.data_type,
+                                 rel, params=self.info.compression_params(mip))
 
     def download_points(self, pts, mip: int = 0) -> DataFrame:
         """Scattered-point lookup as the classic annotate-points-from-
@@ -1217,32 +1243,38 @@ class Volume:
         })
         if not self._fs.exists(self.chunks_path):
             return
-        existing = (
-            self.chunks_df()
-            .where(F.col("mip") == int(mip))
-            .where(F.col("slab").isin(slabs))
-        )
-        keys = self.spark.createDataFrame(
-            [(int(mip), int(cx), int(cy), int(cz)) for (cx, cy, cz) in doomed],
-            schema="mip int, cx int, cy int, cz int",
-        )
-        survivors = existing.join(
-            F.broadcast(keys), on=["mip", "cx", "cy", "cz"], how="left_anti"
-        ).cache()
-        live_slabs = {r.slab for r in survivors.select("slab").distinct().collect()}
-        if live_slabs:
-            self._overwrite_slabs(
-                survivors,
-                drop=[(mip, s) for s in set(slabs) - live_slabs],
+        # lock before the read snapshot (see _commit_lock)
+        with self._commit_lock():
+            existing = (
+                self.chunks_df()
+                .where(F.col("mip") == int(mip))
+                .where(F.col("slab").isin(slabs))
             )
-        else:
-            # every chunk in the touched slabs was deleted
-            self._lru_clear()
-            for s in slabs:
-                path = f"{self.chunks_path}/mip={mip}/slab={s}"
-                if self._fs.exists(path):
-                    self._fs.rmtree(path)
-        survivors.unpersist()
+            keys = self.spark.createDataFrame(
+                [(int(mip), int(cx), int(cy), int(cz)) for (cx, cy, cz) in doomed],
+                schema="mip int, cx int, cy int, cz int",
+            )
+            survivors = existing.join(
+                F.broadcast(keys), on=["mip", "cx", "cy", "cz"], how="left_anti"
+            ).cache()
+            try:
+                live_slabs = {
+                    r.slab for r in survivors.select("slab").distinct().collect()
+                }
+                if live_slabs:
+                    self._overwrite_slabs(
+                        survivors,
+                        drop=[(mip, s) for s in set(slabs) - live_slabs],
+                    )
+                else:
+                    # every chunk in the touched slabs was deleted
+                    self._lru_clear()
+                    for s in slabs:
+                        path = f"{self.chunks_path}/mip={mip}/slab={s}"
+                        if self._fs.exists(path):
+                            self._fs.rmtree(path)
+            finally:
+                survivors.unpersist()
 
     def delete_all(self) -> None:
         self._lru_clear()
@@ -1289,29 +1321,33 @@ class Volume:
                     ))
                 yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
 
-        src = self.chunks_df().where(F.col("mip") == int(mip))
-        out = src.mapInPandas(rewrite, schema=CHUNK_SCHEMA)
-        # full-mip rewrite → write to temp subdir then swap the mip dir
-        # in (PathOps: works on local paths and Hadoop-FS URIs alike);
-        # clear the point-read LRU or it would serve stale pre-remap
-        # labels afterwards
+        # full-mip rewrite → stage to a per-commit unique temp dataset
+        # then swap the mip dir in (PathOps: works on local paths and
+        # Hadoop-FS URIs alike); lock held across the read snapshot AND
+        # the swap (see _commit_lock); clear the point-read LRU or it
+        # would serve stale pre-remap labels afterwards
+        import uuid
+
         self._lru_clear()
         fs = self._fs
         with self._commit_lock():
-            tmp = self.chunks_path + ".remap.tmp"
-            fs.rmtree(tmp)
-            (
-                out.repartition(F.col("mip"), self._commit_bucket())
-                .sortWithinPartitions("slab", "morton")
-                .write.mode("overwrite")
-                .option("compression", "none")  # blobs carry their own gzip
-                .partitionBy("mip", "slab").parquet(tmp)
-            )
-            mip_dir = f"{self.chunks_path}/mip={mip}"
-            if fs.exists(mip_dir):
-                fs.rmtree(mip_dir)
-            fs.rename(f"{tmp}/mip={mip}", mip_dir)
-            fs.rmtree(tmp)
+            src = self.chunks_df().where(F.col("mip") == int(mip))
+            out = src.mapInPandas(rewrite, schema=CHUNK_SCHEMA)
+            tmp = f"{self.chunks_path}.tmp-remap-{uuid.uuid4().hex[:12]}"
+            try:
+                (
+                    out.repartition(F.col("mip"), self._commit_bucket())
+                    .sortWithinPartitions("slab", "morton")
+                    .write.mode("overwrite")
+                    .option("compression", "none")  # blobs carry their own gzip
+                    .partitionBy("mip", "slab").parquet(tmp)
+                )
+                mip_dir = f"{self.chunks_path}/mip={mip}"
+                if fs.exists(mip_dir):
+                    fs.rmtree(mip_dir)
+                fs.rename(f"{tmp}/mip={mip}", mip_dir)
+            finally:
+                fs.rmtree(tmp)
 
     # ------------------------------------------------------------------
     # downsample (beyond-reference: the actual reduction job)
@@ -1346,25 +1382,27 @@ class Volume:
         comp = compression or ""
         fx, fy, fz = (int(f) for f in factor)
 
-        src = self.chunks_df().where(F.col("mip") == int(from_mip))
+        def build_src():
+            return self.chunks_df().where(F.col("mip") == int(from_mip))
 
         # child chunk → its parent target chunk key, on the offset-relative
         # grid (cell = voff_to + tc*cs_to below must invert this exactly;
         # a nonzero voxel_offset would otherwise shift every key)
-        src = (
-            src.withColumn(
-                "tcx",
-                F.floor((F.floor(F.col("x0") / fx) - int(voff_to[0]))
-                        / int(cs_to[0])).cast("int"))
-            .withColumn(
-                "tcy",
-                F.floor((F.floor(F.col("y0") / fy) - int(voff_to[1]))
-                        / int(cs_to[1])).cast("int"))
-            .withColumn(
-                "tcz",
-                F.floor((F.floor(F.col("z0") / fz) - int(voff_to[2]))
-                        / int(cs_to[2])).cast("int"))
-        )
+        def with_parent_keys(src):
+            return (
+                src.withColumn(
+                    "tcx",
+                    F.floor((F.floor(F.col("x0") / fx) - int(voff_to[0]))
+                            / int(cs_to[0])).cast("int"))
+                .withColumn(
+                    "tcy",
+                    F.floor((F.floor(F.col("y0") / fy) - int(voff_to[1]))
+                            / int(cs_to[1])).cast("int"))
+                .withColumn(
+                    "tcz",
+                    F.floor((F.floor(F.col("z0") / fz) - int(voff_to[2]))
+                            / int(cs_to[2])).cast("int"))
+            )
 
         def reduce_group(key, pdf):
             tcx, tcy, tcz = (int(k) for k in key)
@@ -1409,10 +1447,14 @@ class Volume:
                 encoding, comp, blob, stats,
             )], columns=[f.name for f in CHUNK_SCHEMA.fields])
 
-        out = src.groupBy("tcx", "tcy", "tcz").applyInPandas(
-            reduce_group, schema=CHUNK_SCHEMA
-        )
-        self._overwrite_slabs(out)
+        # lock covers the from_mip source listing (spark.read.parquet
+        # captures the file index eagerly) as well as the to_mip swap, so
+        # the scan cannot race a concurrent writer's slab swap
+        with self._commit_lock():
+            out = with_parent_keys(build_src()).groupBy(
+                "tcx", "tcy", "tcz"
+            ).applyInPandas(reduce_group, schema=CHUNK_SCHEMA)
+            self._overwrite_slabs(out)
         return to_mip
 
     def generate_pyramid(self, num_mips: int, factor: Sequence[int] = (2, 2, 1),
@@ -1457,9 +1499,7 @@ class Volume:
         )
         dst_info = self.info.clone()
         dst_enc = encoding or self.info.encoding(mip)
-        level_key = {"jpeg": "jpeg_quality", "jpegxl": "jxl_quality",
-                     "png": "png_level", "fpzip": "fpzip_precision"}.get(
-            dst_enc)
+        level_key = ENCODING_LEVEL_KEYS.get(dst_enc)
         for s in dst_info.info["scales"]:
             s["encoding"] = dst_enc
             if encoding_level is not None and level_key is not None:

@@ -329,6 +329,7 @@ def export_zarr3(vol: Volume, out_dir: str, mip: int = 0,
     voff = [int(v) for v in info.voxel_offset(mip)]
     nc = info.num_channels
     dtype = info.dtype
+    cparams = info.compression_params(mip)
     bg = info.background_color()
 
     os.makedirs(os.path.join(out_dir, str(mip), "c"), exist_ok=True)
@@ -374,7 +375,8 @@ def export_zarr3(vol: Volume, out_dir: str, mip: int = 0,
             for r in pdf.itertuples(index=False):
                 shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                 raw = cvs_codecs.decompress_stream(r.blob, r.compression or None)
-                arr = cvs_codecs.decode(raw, r.encoding, shape, dtype)
+                arr = cvs_codecs.decode(raw, r.encoding, shape, dtype,
+                                         params=cparams)
                 # zarr stores edge chunks padded to full chunk shape
                 if shape[:3] != tuple(cs):
                     full = np.full(tuple(cs) + (nc,), bg, dtype=dtype)
@@ -568,6 +570,7 @@ def export_zarr2(vol: Volume, out_dir: str, mip: int = 0,
     size = [int(s) for s in info.volume_size(mip)]
     nc = info.num_channels
     dtype = info.dtype
+    cparams = info.compression_params(mip)
     bg = info.background_color()
 
     os.makedirs(out_dir, exist_ok=True)
@@ -599,7 +602,8 @@ def export_zarr2(vol: Volume, out_dir: str, mip: int = 0,
             for r in pdf.itertuples(index=False):
                 shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                 raw = cvs_codecs.decompress_stream(r.blob, r.compression or None)
-                arr = cvs_codecs.decode(raw, r.encoding, shape, dtype)
+                arr = cvs_codecs.decode(raw, r.encoding, shape, dtype,
+                                         params=cparams)
                 if shape[:3] != tuple(cs):
                     full = np.full(tuple(cs) + (nc,), bg, dtype=dtype)
                     full[:shape[0], :shape[1], :shape[2], :] = arr
@@ -757,6 +761,7 @@ def export_n5(vol: Volume, out_dir: str, mip: int = 0,
     size = [int(s) for s in info.volume_size(mip)]
     nc = info.num_channels
     dtype = info.dtype
+    cparams = info.compression_params(mip)
 
     scale_dir = os.path.join(out_dir, "s0")
     os.makedirs(scale_dir, exist_ok=True)
@@ -782,7 +787,8 @@ def export_n5(vol: Volume, out_dir: str, mip: int = 0,
                 raw = cvs_codecs.decompress_stream(
                     r.blob, r.compression or None
                 )
-                arr = cvs_codecs.decode(raw, r.encoding, shape, dtype)
+                arr = cvs_codecs.decode(raw, r.encoding, shape, dtype,
+                                         params=cparams)
                 bdims = list(shape[:3]) + ([nc] if nc > 1 else [])
                 header = (
                     (0).to_bytes(2, "big")

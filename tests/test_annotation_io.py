@@ -722,3 +722,45 @@ def test_polyline_layer_export_read_reimport(spark, tmp_path):
         assert np.allclose(a["points"][i], lines[i].astype(np.float32))
     assert np.array_equal(a["score"], pdf["score"])
     assert [list(v) for v in a["rel_skel"]] == list(pdf["rel_skel"])
+
+
+def test_polyline_invalid_points_rejected_at_write(spark, tmp_path):
+    """Zero-vertex / wrong-arity points fail LOUDLY at write time
+    (raise_error inside the write plan), not deep inside a later
+    reader or export task."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    def layer(name):
+        return AnnotationLayer(
+            spark, str(tmp_path / name), annotation_type="POLYLINE",
+            grid_cell=(64, 64, 64),
+        )
+
+    # flat run whose length is not a multiple of 3
+    bad_flat = pd.DataFrame({
+        "id": [1], "points": [[1.0, 2.0, 3.0, 4.0]],
+    })
+    with pytest.raises(SparkRuntimeException, match="invalid points"):
+        layer("bad_flat").write(spark.createDataFrame(bad_flat))
+
+    # empty vertex list
+    bad_empty = pd.DataFrame({"id": [1], "points": [[]]})
+    bad_empty["points"] = bad_empty["points"].astype(object)
+    sdf = spark.createDataFrame(
+        [(1, [])], schema="id long, points array<double>")
+    with pytest.raises(SparkRuntimeException, match="invalid points"):
+        layer("bad_empty").write(sdf)
+
+    # nested vertices with wrong inner arity
+    sdf = spark.createDataFrame(
+        [(1, [[1.0, 2.0, 3.0], [4.0, 5.0]])],
+        schema="id long, points array<array<double>>")
+    with pytest.raises(SparkRuntimeException, match="invalid points"):
+        layer("bad_nested").write(sdf)
+
+    # the python codec guards too
+    from cloud_volume_spark.annotation_io import (
+        encode_polyline_multi_buffer,
+    )
+    with pytest.raises(ValueError, match="POLYLINE vertices"):
+        encode_polyline_multi_buffer([np.zeros((0,))], [1], {}, 3, [])

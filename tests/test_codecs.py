@@ -172,3 +172,44 @@ def test_cseg_block_size_param_roundtrip():
     assert np.array_equal(out, img)
     blob8 = codecs.encode(img, "compressed_segmentation")
     assert blob != blob8  # block size genuinely changes the stream
+
+def test_cseg_block_size_param_reaches_labels_contains_read_voxel():
+    """labels/contains/read_voxel share decode's params plumbing — with
+    the (8,8,8) default they would return garbage label stats (which
+    drive pruning) and wrong point reads for a non-default layer."""
+    from cloud_volume_spark import codecs
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 300, size=(32, 32, 16, 1)).astype(np.uint32)
+    params = {"block_size": (16, 16, 8)}
+    blob = codecs.encode(img, "compressed_segmentation", params=params)
+
+    got = codecs.labels(blob, "compressed_segmentation",
+                        (32, 32, 16, 1), np.uint32, params=params)
+    assert np.array_equal(got, np.unique(img))
+    lbl = int(img[3, 5, 7, 0])
+    assert codecs.contains(blob, "compressed_segmentation",
+                           (32, 32, 16, 1), np.uint32, lbl, params=params)
+    vox = codecs.read_voxel(blob, "compressed_segmentation",
+                            (32, 32, 16, 1), np.uint32, (3, 5, 7),
+                            params=params)
+    assert int(vox[0]) == lbl
+
+
+def test_encoding_level_keys_accept_both_jxl_spellings():
+    """The reference spells JPEG-XL 'jxl' in compression_params but
+    'jpegxl' in add_scale — a level declared under either spelling
+    must round-trip to the codec params."""
+    from cloud_volume_spark.catalog import ENCODING_LEVEL_KEYS, VolumeInfo
+
+    assert ENCODING_LEVEL_KEYS["jxl"] == "jxl_quality"
+    assert ENCODING_LEVEL_KEYS["jpegxl"] == "jxl_quality"
+    for spelling in ("jxl", "jpegxl"):
+        info = VolumeInfo.create(
+            layer_type="image", data_type="uint8", num_channels=1,
+            resolution=(4, 4, 40), voxel_offset=(0, 0, 0),
+            volume_size=(64, 64, 64), chunk_size=(32, 32, 32),
+            encoding=spelling, encoding_level=90,
+        )
+        assert info.scale(0)["jxl_quality"] == 90
+        assert info.compression_params(0)["level"] == 90

@@ -336,3 +336,32 @@ def test_legacy_v0_stream_refused_and_migratable(rng):
     # ... and version-128 streams are not migration candidates
     with pytest.raises(compresso_io.CompressoError, match="expects version"):
         compresso_io.migrate_legacy_v0(blob)
+
+
+def test_legacy_guard_ignores_implausible_v0_headers():
+    """A corrupt/foreign v0 header with a zero step (or zstep != 1 —
+    which the legacy encoder could never write) must not trip the
+    legacy-ambiguity guard, and must surface as CompressoError rather
+    than ZeroDivisionError."""
+    import struct
+
+    from cloud_volume_spark import compresso_io as cio
+
+    # version 0, xstep=0 → division by the step must not happen
+    hdr = struct.pack(
+        cio.HEADER_FMT, cio.MAGIC, 0, 4, 16, 16, 4, 0, 4, 1, 2, 2, 2, 4,
+    )
+    with pytest.raises(cio.CompressoError):
+        cio.labels(hdr)
+    with pytest.raises(cio.CompressoError):
+        cio.decompress(hdr)
+
+    # zstep=2 headers cannot be legacy (own encoder refuses zstep != 1):
+    # the guard must fall through to the wheel path's own zstep check,
+    # not a legacy-length false match
+    hdr2 = struct.pack(
+        cio.HEADER_FMT, cio.MAGIC, 0, 4, 16, 16, 4, 4, 4, 2, 2, 2, 2, 4,
+    )
+    with pytest.raises(cio.CompressoError) as exc:
+        cio.decompress(hdr2)
+    assert "ambiguous" not in str(exc.value)

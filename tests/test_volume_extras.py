@@ -205,3 +205,37 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
     assert vol._fs.create_exclusive(lock)
     assert not vol._fs.create_exclusive(lock)
     vol._fs.remove(lock)
+
+def test_commit_lock_precedes_read_snapshot(spark, tmp_path, monkeypatch):
+    """The lost-update fix: while another writer holds the lock, a
+    read-modify-write commit must fail BEFORE capturing its survivors
+    snapshot — a pre-lock file listing would stage survivors that miss
+    the other writer's swap and erase its commit."""
+    import numpy as np
+
+    from cloud_volume_spark.volume import CommitConflictError, Volume as V
+
+    arr = np.arange(64 * 64 * 64, dtype=np.uint32).reshape(64, 64, 64, 1)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "lockv"), chunk_size=(32, 32, 32))
+    lock = vol._commit_lock_path
+    assert vol._fs.create_exclusive(lock)
+
+    snapshots = []
+    orig = V.chunks_df
+
+    def guard(self):
+        snapshots.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(V, "chunks_df", guard)
+    patch = np.zeros((32, 32, 32, 1), dtype=np.uint32)
+    with pytest.raises(CommitConflictError, match="commit lock"):
+        vol.upload(patch, offset=(0, 0, 0))
+    assert not snapshots, "snapshot read before lock acquisition"
+
+    monkeypatch.setattr(V, "chunks_df", orig)
+    vol._fs.remove(lock)
+    vol.upload(patch, offset=(0, 0, 0))  # succeeds after release
+    out = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)))
+    assert np.array_equal(out, patch)

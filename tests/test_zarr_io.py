@@ -289,3 +289,27 @@ def test_export_n5_multichannel(spark, tmp_path):
     vol2 = import_n5(spark, str(tmp_path / "n5"), str(tmp_path / "vol2"))
     out = vol2.cutout(Bbox((0, 0, 0), (20, 18, 10)))
     assert np.array_equal(out, arr)
+
+
+def test_export_zarr3_cseg_nondefault_block_size(spark, tmp_path):
+    """The zarr/n5 export decode must honor the layer's declared
+    compressed_segmentation_block_size — decoding with the (8,8,8)
+    default silently garbles every chunk of a (16,16,8) layer."""
+    from cloud_volume_spark.catalog import VolumeInfo
+    from cloud_volume_spark.zarr_io import export_zarr3
+
+    rng = np.random.default_rng(57)
+    arr = rng.integers(0, 700, size=(32, 32, 16, 1)).astype(np.uint32)
+    info = VolumeInfo.create(
+        layer_type="segmentation", data_type="uint32", num_channels=1,
+        resolution=(1, 1, 1), voxel_offset=(0, 0, 0),
+        volume_size=(32, 32, 16), chunk_size=(32, 32, 16),
+        encoding="compressed_segmentation",
+        compressed_segmentation_block_size=(16, 16, 8),
+    )
+    vol = Volume.create(spark, str(tmp_path / "vol"), info)
+    vol.upload(arr, offset=(0, 0, 0))
+    export_zarr3(vol, str(tmp_path / "z3"))
+    vol2 = import_zarr3(spark, str(tmp_path / "z3"), str(tmp_path / "vol2"))
+    out = vol2.cutout(Bbox((0, 0, 0), (32, 32, 16)))
+    assert np.array_equal(out, arr)
