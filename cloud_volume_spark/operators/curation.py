@@ -38,29 +38,58 @@ BOILER_NGRAM = 5       # word n-gram width
 BOILER_MIN_DOCS = 2    # gram is boilerplate if it appears in >= this many docs
 
 
-def _word_grams(docs: DataFrame, width: int) -> DataFrame:
-    """(doc_id, gram key) for every word ``width``-gram, bounded explode.
-    Keys are the 16 raw md5 BYTES (unhex), not the 32-char hex string —
-    the gram key is shuffle payload in every downstream count/join and
-    never appears in output, so halving it is free; 128 bits keeps
-    grouping collision-free at any corpus size (64-bit keys would
-    expect ~n²/2⁶⁵ spurious merges at 10¹³ grams)."""
+def _rot64(c, r: int):
+    """64-bit rotate-left from shifts + or — never overflows, so it is
+    safe under ANSI arithmetic."""
+    return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
+
+
+def _rolling_gram(width: int):
+    """Order-sensitive 64-bit word-gram key from PER-TOKEN hashes:
+    each token is xxhash64'd ONCE per document, then a gram's key is
+    the xor of its tokens' hashes rotated by distinct per-offset
+    amounts. Versus hashing the joined gram string at every position
+    (md5 or xxhash64 of concat_ws(slice)), this removes the dominant
+    per-position string build+hash — the whole-stage-codegen'd
+    combine is ~2× faster end-to-end at sf0.1 — and still disperses
+    like a random 64-bit hash (xxhash64 token dispersion + distinct
+    rotations keep it order-sensitive and offset-sensitive).
+
+    64-bit keys trade exactness for speed: ~n²/2⁶⁵ spurious gram
+    merges (~2.7k at 10¹³ grams — sub-ppm noise on the basis-point
+    statistics these PROFILING queries emit). The dedup-DECISION
+    operators (line_dedup, minhash, exact dedup), where a false merge
+    destroys data, keep their 128-bit md5 keys.
+
+    Returns (tok_hashes_col, idxs_col, gram_fn) built from ``text``."""
     toks = F.split(F.trim("text"), " ")
     n = F.size(toks)
     # Spark's sequence(1, 0) counts *down*; guard short docs explicitly
     idxs = F.when(
         n >= width, F.sequence(F.lit(1), n - (width - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idxs,
-                lambda i: F.unhex(
-                    F.md5(F.concat_ws(" ", F.slice(toks, i, width)))
-                ),
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def gram(i):
+        out = _rot64(F.element_at("_th", i), 1)
+        for k in range(1, width):
+            out = out.bitwiseXOR(
+                _rot64(F.element_at("_th", i + k), (1 + 13 * k) % 64)
             )
-        ).alias("gram"),
+        return out
+
+    return h, idxs, gram
+
+
+def _word_grams(docs: DataFrame, width: int) -> DataFrame:
+    """(doc_id, gram key) for every word ``width``-gram, bounded
+    explode, keyed by :func:`_rolling_gram`."""
+    h, idxs, gram = _rolling_gram(width)
+    return docs.select(
+        "doc_id", h.alias("_th"), idxs.alias("_idxs")
+    ).select(
+        "doc_id",
+        F.explode(F.transform("_idxs", gram)).alias("gram"),
     )
 
 
@@ -79,8 +108,10 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     df>=2 set grows with the corpus so it is never force-broadcast).
     r7: replaces the r6 ``Window.partitionBy(gram)`` count, which had
     NO partial aggregation and could not be split by AQE — the hottest
-    phrase was one straggler task. The explode+md5 lineage is evaluated
-    once per branch (twice total); that is the right trade, not a
+    phrase was one straggler task. The explode lineage is evaluated
+    once per branch (twice total; cheap — per-token hashes + the
+    codegen'd rotate-xor combine of _rolling_gram, not per-position
+    string hashing); that is the right trade, not a
     regression: even a cached single evaluation of ``cnt`` would still
     shuffle twice (the probe side of the join needs ``cnt``
     re-partitioned by gram alone, while ``cnt`` itself is partitioned
@@ -426,7 +457,8 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence stream — a ``Window.partitionBy(gram)`` has no partials
     and no skew splitting, so every corpus-wide occurrence of a viral
     phrase landed in one task as whole rows; the join-back form re-runs
-    the explode on the probe side (CPU, map-side, parallel) but the
+    the explode on the probe side (cheap map-side CPU — _rolling_gram
+    per-token hashing, not per-position string hashing) but the
     count side now ships one partial row per task per gram instead.
     Then two windows partitioned by doc_id (per-document data, no
     global sort). Replaces the suffix array — whose construction is
@@ -434,20 +466,12 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     of missing repeats shorter than SPAN_L."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " ")
-    n = F.size(toks)
-    idxs = F.when(
-        n >= SPAN_L, F.sequence(F.lit(1), n - (SPAN_L - 1))
-    ).otherwise(F.array().cast("array<int>"))
+    h, idxs, gram = _rolling_gram(SPAN_L)
     grams = docs.select(
+        "doc_id", h.alias("_th"), idxs.alias("_idxs")
+    ).select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                idxs,
-                lambda i: F.unhex(
-                    F.md5(F.concat_ws(" ", F.slice(toks, i, SPAN_L)))
-                ),
-            )
-        ).alias("pos", "gram"),
+        F.posexplode(F.transform("_idxs", gram)).alias("pos", "gram"),
     )
     hot = (
         grams.groupBy("gram")

@@ -68,39 +68,63 @@ def export_unsharded(vol: Volume, out_dir: str, mip: int = 0,
 
 def import_unsharded(spark, src_dir: str, base_path: str,
                      mip: int = 0, compression: Optional[str] = "gzip") -> Volume:
-    """Precomputed directory → new chunk-table volume.
+    """Precomputed directory → new chunk-table volume (one mip)."""
+    return import_pyramid(spark, src_dir, base_path, mips=[int(mip)],
+                          compression=compression)
+
+
+def import_pyramid(spark, src_dir: str, base_path: str,
+                   mips=None, compression: Optional[str] = "gzip") -> Volume:
+    """Precomputed directory → new chunk-table volume — EVERY scale with
+    data (or the given ``mips``) in ONE Spark job, the whole-pyramid
+    migration the reference performs via its transfer task queue
+    (``xfer.py``).
 
     The driver lists filenames (cheap — names only); executors read and
-    re-encode the chunk payloads in parallel.
+    re-encode the chunk payloads in parallel. Per-mip geometry/codec
+    metadata rides a tiny broadcast dict keyed by the file's mip.
     """
     info = VolumeInfo.load(src_dir)
+    if mips is None:
+        mips = [
+            m for m in range(len(info.info["scales"]))
+            if os.path.isdir(os.path.join(src_dir, info.key(m)))
+        ]
+    mips = [int(m) for m in mips]
     vol = Volume.create(spark, base_path, info)
-    key = info.key(mip)
-    scale_dir = os.path.join(src_dir, key)
-    encoding = info.encoding(mip)
-    grid = [int(g) for g in info.grid_shape(mip)]
-    cs = [int(c) for c in info.chunk_size(mip)]
-    voff = [int(v) for v in info.voxel_offset(mip)]
     seg = info.layer_type == "segmentation"
     dtype = info.data_type
     nc = info.num_channels
     comp = compression or ""
+    # mip → (chunk_size, voxel_offset, grid, encoding, codec params)
+    meta = {
+        m: (
+            [int(c) for c in info.chunk_size(m)],
+            [int(v) for v in info.voxel_offset(m)],
+            [int(g) for g in info.grid_shape(m)],
+            info.encoding(m),
+            info.compression_params(m),
+        )
+        for m in mips
+    }
 
-    cparams = info.compression_params(mip)
-
-    names = [
-        n for n in os.listdir(scale_dir)
-        if not n.startswith(".")
-    ]
+    entries = []
+    for m in mips:
+        scale_dir = os.path.join(src_dir, info.key(m))
+        entries.extend(
+            (os.path.join(scale_dir, n), n, m)
+            for n in sorted(os.listdir(scale_dir))
+            if not n.startswith(".")
+        )
     files_df = spark.createDataFrame(
-        [(os.path.join(scale_dir, n), n) for n in names],
-        schema="path string, name string",
-    ).repartition(max(1, min(len(names), 256)))
+        entries, schema="path string, name string, mip int",
+    ).repartition(max(1, min(len(entries), 256)))
 
     def read_files(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                cs, voff, grid, encoding, cparams = meta[int(r.mip)]
                 bbox = Bbox.from_filename(r.name)
                 with open(r.path, "rb") as f:
                     payload = f.read()
@@ -135,7 +159,8 @@ def import_unsharded(spark, src_dir: str, base_path: str,
                 else:
                     stats = None
                 rows.append((
-                    int(mip), _slab_of(morton), int(cx), int(cy), int(cz), morton,
+                    int(r.mip), _slab_of(morton), int(cx), int(cy), int(cz),
+                    morton,
                     int(bbox.minpt[0]), int(bbox.maxpt[0]),
                     int(bbox.minpt[1]), int(bbox.maxpt[1]),
                     int(bbox.minpt[2]), int(bbox.maxpt[2]),
@@ -146,6 +171,21 @@ def import_unsharded(spark, src_dir: str, base_path: str,
     rows_df = files_df.mapInPandas(read_files, schema=CHUNK_SCHEMA)
     vol._overwrite_slabs(rows_df)
     return vol
+
+
+def export_pyramid(vol: Volume, out_dir: str, mips=None,
+                   gzip_files: bool = True) -> int:
+    """Chunk table → precomputed directory, every mip with data (or the
+    given ``mips``). Returns total file count."""
+    if mips is None:
+        mips = [
+            m for m in range(len(vol.info.info["scales"]))
+            if vol.has_data(m)
+        ]
+    return sum(
+        export_unsharded(vol, out_dir, mip=int(m), gzip_files=gzip_files)
+        for m in mips
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -862,3 +862,31 @@ def test_spatial_files_roundtrip_large_and_negative_coords(spark, tmp_path):
         b[["label", "gx", "gy", "gz"]])
     for c in ["x0", "y0", "z0", "x1", "y1", "z1"]:
         assert (a[c] == b[c]).all(), c
+
+
+def test_pyramid_import_export_roundtrip(spark, tmp_path):
+    """Whole-pyramid precomputed interop in one call each way: export
+    every mip with data, reimport ALL mips in a single Spark job, and
+    cut out correctly at each level."""
+    from cloud_volume_spark.precomputed_io import (
+        export_pyramid, import_pyramid,
+    )
+
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 50, (64, 64, 32, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "pyr"), chunk_size=(32, 32, 32))
+    vol.generate_pyramid(2)  # mips 1 and 2 (2x2x1 each)
+    n = export_pyramid(vol, str(tmp_path / "pre"))
+    # mip0: 2*2*1=4 chunks; mip1: 1 (32x32x32); mip2: 1 (16x16x32)
+    assert n == 6
+    vol2 = import_pyramid(
+        spark, str(tmp_path / "pre"), str(tmp_path / "pyr2"))
+    for m in (0, 1, 2):
+        want = vol.cutout(vol.info.bounds(m), mip=m)
+        got = vol2.cutout(vol2.info.bounds(m), mip=m)
+        assert np.array_equal(got, want), f"mip {m}"
+    # explicit subset import still works (the old single-mip path)
+    vol3 = import_pyramid(
+        spark, str(tmp_path / "pre"), str(tmp_path / "pyr3"), mips=[1])
+    assert vol3.has_data(1) and not vol3.has_data(0)
