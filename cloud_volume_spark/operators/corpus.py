@@ -375,7 +375,12 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark's distinct-gram table is tiny and explicitly broadcast —
     at 100 TB the corpus side streams map-only through the broadcast
     hash join and aggregates per doc; no all-pairs, no big shuffle on
-    the gram column."""
+    the gram column.
+
+    Gram keys are _rolling_gram 64-bit hashes (curation.py): a
+    spurious collision can only ADD a match, i.e. drop an extra doc —
+    the safe direction for decontamination (never eval leakage), at
+    ~n²/2⁶⁵ ≈ a few thousand docs across a 10¹³-gram corpus."""
     from cloud_volume_spark.operators.curation import _word_grams
 
     docs = load(spark, sf_dir, "documents")
