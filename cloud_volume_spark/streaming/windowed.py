@@ -311,3 +311,32 @@ def streaming_incremental_dedup(docs_stream: DataFrame,
         .select("doc_id", "dup_of")
         .dropDuplicates(["doc_id"])
     )
+
+
+def streaming_contamination(docs_stream: DataFrame,
+                            benchmark_docs: DataFrame) -> DataFrame:
+    """Stream-static benchmark decontamination: each incoming document
+    is flagged when ANY of its word 5-grams appears in the static
+    benchmark set — the on-ingest mirror of
+    ``corpus.corpus_contamination`` (same ``_rolling_gram`` keys, same
+    broadcast of the genuinely-small benchmark gram table).
+
+    The stream side is stateless map work (per-token hashes + explode,
+    no aggregation), so no watermark is needed; the only streaming
+    state is ``dropDuplicates`` on ``doc_id`` (one row per flagged
+    doc — bounded by the number of contaminated incoming docs, not
+    the gram stream). Output: ``doc_id`` rows to EXCLUDE, the
+    ``contaminated = 1`` set of the batch operator (tested
+    availableNow ≡ batch)."""
+    from cloud_volume_spark.operators.corpus import CONTAM_NGRAM
+    from cloud_volume_spark.operators.curation import _word_grams
+
+    bench = (
+        _word_grams(benchmark_docs, CONTAM_NGRAM).select("gram").distinct()
+    )
+    return (
+        _word_grams(docs_stream, CONTAM_NGRAM)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )

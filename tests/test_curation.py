@@ -356,3 +356,50 @@ def test_shuffle_key_collision_free_200k(spark, tmp_path):
     for i in range(3):
         h = hashlib.md5(f"shuf|{i}".encode()).hexdigest()
         assert got[i] == int(h[:SHUFFLE_NIBBLES], 16)
+
+
+def test_rolling_gram_key_properties(spark):
+    """The _rolling_gram 64-bit key must be position-invariant (the
+    same 5 tokens anywhere in any doc → the same key — what makes
+    cross-document matching work), order-sensitive, and
+    token-sensitive."""
+    from cloud_volume_spark.operators.curation import _rolling_gram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),                  # the window itself
+            (2, "x y a b c d e z"),            # same window, offset 2
+            (3, "b a c d e"),                  # first two swapped
+            (4, "a b c d f"),                  # last token changed
+            (5, "a a a a a"),                  # degenerate repeat
+            (6, "a a a a a a"),                # two overlapping repeats
+        ],
+        schema="doc_id long, text string",
+    )
+    h, idxs, gram = _rolling_gram(5)
+    from pyspark.sql import functions as F
+    rows = (
+        docs.select("doc_id", h.alias("_th"), idxs.alias("_idxs"))
+        .select("doc_id",
+                F.posexplode(F.transform("_idxs", gram)).alias("pos", "k"))
+        .collect()
+    )
+    keys = {}
+    for r in rows:
+        keys.setdefault(r.doc_id, {})[r.pos] = r.k
+    # position-invariance: doc 2's window at offset 2 equals doc 1's
+    assert keys[2][2] == keys[1][0]
+    # order- and token-sensitivity
+    assert keys[3][0] != keys[1][0]
+    assert keys[4][0] != keys[1][0]
+    # overlapping identical windows inside one doc agree
+    assert keys[6][0] == keys[6][1] == keys[5][0]
+    # a doc shorter than the width produces no grams (guarded sequence)
+    short = spark.createDataFrame(
+        [(7, "a b")], schema="doc_id long, text string")
+    n = (
+        short.select(h.alias("_th"), idxs.alias("_idxs"))
+        .select(F.explode(F.transform("_idxs", gram)))
+        .count()
+    )
+    assert n == 0

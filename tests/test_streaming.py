@@ -283,3 +283,41 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     batch = dedup_incremental(spark, sf_dir).toPandas()
     want = set(batch[batch["is_kept"] == 0]["doc_id"])
     assert got == want and len(want) > 0
+
+
+def test_streaming_contamination_matches_batch(spark, sf_dir, tmp_path):
+    """On-ingest decontamination: the stream-static gram join must flag
+    exactly the docs the batch corpus_contamination marks
+    contaminated = 1."""
+    from cloud_volume_spark.operators.corpus import (
+        CONTAM_MOD, corpus_contamination,
+    )
+    from cloud_volume_spark.streaming import (
+        read_documents_stream, streaming_contamination,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = tmp_path / "contam_stream"
+    d.mkdir()
+    docs.where(F.col("doc_id") % CONTAM_MOD != 0).toPandas().to_parquet(
+        str(d / "part-0.parquet")
+    )
+    benchmark = docs.where(F.col("doc_id") % CONTAM_MOD == 0)
+
+    stream = streaming_contamination(
+        read_documents_stream(spark, str(d)), benchmark
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("scontam")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(
+        r.doc_id for r in spark.sql("select doc_id from scontam").collect()
+    )
+    batch = corpus_contamination(spark, sf_dir).toPandas()
+    want = set(batch[batch["contaminated"] == 1]["doc_id"])
+    assert got == want and len(want) > 0
