@@ -81,6 +81,18 @@ def annotation_record_dtype(annotation_type: str, ndim: int,
     return np.dtype(fields)
 
 
+def points_are_nested(df) -> bool:
+    """True when the ``points`` column holds nested ``[[x,y,z], ...]``
+    vertex lists rather than the canonical flat run — the ONE place
+    the accepted shapes are defined, shared by the parquet writer's
+    validation and the binary export."""
+    from pyspark.sql.types import ArrayType
+
+    ptype = df.schema["points"].dataType
+    return isinstance(ptype, ArrayType) and isinstance(
+        ptype.elementType, ArrayType)
+
+
 def _prop_fields(properties: Sequence[dict]) -> list:
     """Structured-dtype fields of the property block (info order,
     padded to 4 bytes) — the tail every record shares regardless of
@@ -824,16 +836,11 @@ def export_precomputed(layer, out_dir: str,
     ndim = 3
     two = atype in TWO_POINT_TYPES
     poly = atype == "POLYLINE"
-    if poly:
-        from pyspark.sql.types import ArrayType
-
-        ptype = df.schema["points"].dataType
-        if isinstance(ptype, ArrayType) and isinstance(
-                ptype.elementType, ArrayType):
-            # nested [[x,y,z], ...] vertex lists are accepted in the
-            # parquet layer; the export works on the flat run (the
-            # bounds aggregate below indexes axes by position % ndim)
-            df = df.withColumn("points", F.flatten("points"))
+    if poly and points_are_nested(df):
+        # nested vertex lists are accepted in the parquet layer; the
+        # export works on the flat run (the bounds aggregate below
+        # indexes axes by position % ndim)
+        df = df.withColumn("points", F.flatten("points"))
     props = [{"id": k, **v} for k, v in layer.properties.items()]
     rel_names = list(layer.relationships)
     if dimensions is None:

@@ -143,11 +143,9 @@ class AnnotationLayer:
             # the binary export deep inside executor tasks. Both the
             # flat [x0,y0,z0,x1,...] run and nested [[x,y,z],...]
             # vertex lists are accepted.
-            from pyspark.sql.types import ArrayType
+            from cloud_volume_spark.annotation_io import points_are_nested
 
-            ptype = df.schema["points"].dataType
-            nested = isinstance(ptype, ArrayType) and isinstance(
-                ptype.elementType, ArrayType)
+            nested = points_are_nested(df)
             flat = F.flatten("points") if nested else F.col("points")
             bad = (
                 F.col("points").isNull()

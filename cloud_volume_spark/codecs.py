@@ -144,6 +144,16 @@ def should_compress(encoding: str, layer_type: str) -> Optional[str]:
 
 # ---- first stage (chunk encodings) -------------------------------------
 
+def _cseg_block_size(params: Optional[dict],
+                     default=(8, 8, 8)) -> tuple:
+    """The cseg sub-block size a scale declares, or ``default`` — the
+    ONE place the params key is read, so encode/decode/labels can
+    never disagree on it."""
+    if params and params.get("block_size") is not None:
+        return tuple(params["block_size"])
+    return tuple(default)
+
+
 def encode(
     img: np.ndarray,
     encoding: str,
@@ -158,8 +168,7 @@ def encode(
     level / fpzip precision), ``block_size`` (cseg sub-blocks,
     overriding the positional default)."""
     params = params or {}
-    if params.get("block_size") is not None:
-        block_size = tuple(params["block_size"])
+    block_size = _cseg_block_size(params, block_size)
     level = params.get("level")
     img = np.ascontiguousarray(img.transpose())  # F-order serialization
     if encoding == "raw":
@@ -246,8 +255,7 @@ def decode(
     overrides the cseg sub-block default — a layer declaring a
     non-default ``compressed_segmentation_block_size`` mis-decodes
     without it."""
-    if params and params.get("block_size") is not None:
-        block_size = tuple(params["block_size"])
+    block_size = _cseg_block_size(params, block_size)
     shape = tuple(int(s) for s in shape)
     dtype = np.dtype(dtype)
     if encoding == "raw":
@@ -355,10 +363,8 @@ def labels(blob: bytes, encoding: str, shape, dtype,
     if encoding == "compressed_segmentation" and not HAS_CSEG:
         from cloud_volume_spark import cseg as np_cseg
 
-        block_size = (8, 8, 8)
-        if params and params.get("block_size") is not None:
-            block_size = tuple(params["block_size"])
-        return np_cseg.labels(bytes(blob), shape, dtype, block_size=block_size)
+        return np_cseg.labels(bytes(blob), shape, dtype,
+                              block_size=_cseg_block_size(params))
     arr = decode(blob, encoding, shape, dtype, params=params)
     return np.unique(arr)
 

@@ -153,7 +153,12 @@ class Volume:
         self.default_mip = 0
         self.read_only = False
         self._fs = PathOps(base_path, spark)
-        self._lock_depth = 0  # re-entrancy counter for _commit_lock
+        # re-entrancy tracking for _commit_lock: THREAD-LOCAL depth, so
+        # a second driver thread sharing this Volume cannot ride the
+        # first thread's held lock (it must contend on the lock file
+        # like any other writer)
+        import threading
+        self._lock_tls = threading.local()
 
     # ------------------------------------------------------------------
     # catalog / lifecycle
@@ -630,13 +635,22 @@ class Volume:
     def _commit_lock(self):
         """Exclusive whole-table commit lock (see _overwrite_slabs).
 
-        Re-entrant within one Volume instance so the commit entry
-        points (_commit_rows, delete_region, apply_remap, downsample)
-        can take the lock BEFORE their read snapshot — the file listing
-        captured by ``spark.read.parquet`` must not predate another
-        writer's slab swap, or the merge stages survivors from a stale
-        listing and silently drops the other writer's chunks — while
-        _overwrite_slabs keeps its own guard for direct callers."""
+        Re-entrant within one THREAD of one Volume instance so the
+        commit entry points (_commit_rows, delete_region, apply_remap,
+        downsample) can take the lock BEFORE their read snapshot — the
+        file listing captured by ``spark.read.parquet`` must not
+        predate another writer's slab swap, or the merge stages
+        survivors from a stale listing and silently drops the other
+        writer's chunks — while _overwrite_slabs keeps its own guard
+        for direct callers. The depth is thread-local: a second driver
+        thread sharing this Volume contends on the lock file like any
+        external writer (an instance-wide counter would let it ride
+        the first thread's lock and race the stage-and-swap).
+
+        On each outermost acquisition, staging dirs orphaned by
+        CRASHED commits (``<chunks>.tmp-*`` — a kill mid-write skips
+        the owner's finally-cleanup) are swept: holding the lock
+        proves no live writer is staging, so any leftover is dead."""
         from contextlib import contextmanager
 
         fs = self._fs
@@ -644,12 +658,13 @@ class Volume:
 
         @contextmanager
         def held():
-            if self._lock_depth > 0:
-                self._lock_depth += 1
+            depth = getattr(self._lock_tls, "depth", 0)
+            if depth > 0:
+                self._lock_tls.depth = depth + 1
                 try:
                     yield
                 finally:
-                    self._lock_depth -= 1
+                    self._lock_tls.depth -= 1
                 return
             if not fs.create_exclusive(lock):
                 raise CommitConflictError(
@@ -657,14 +672,31 @@ class Volume:
                     "retry after its commit finishes, or delete the "
                     "file if the writer crashed"
                 )
-            self._lock_depth = 1
+            self._lock_tls.depth = 1
             try:
+                self._sweep_stale_staging()
                 yield
             finally:
-                self._lock_depth = 0
+                self._lock_tls.depth = 0
                 fs.remove(lock)
 
         return held()
+
+    def _sweep_stale_staging(self) -> None:
+        """Remove ``<chunks>.tmp-*`` staging dirs left by crashed
+        commits. Only called while HOLDING the commit lock — live
+        staging always belongs to the lock holder, so anything found
+        here is an orphan."""
+        fs = self._fs
+        parent, base = os.path.split(self.chunks_path.rstrip("/"))
+        prefix = base + ".tmp-"
+        try:
+            names = fs.listdir(parent)
+        except (OSError, ValueError):
+            return
+        for n in names:
+            if n.startswith(prefix):
+                fs.rmtree(f"{parent}/{n}")
 
     def write_blocks_df(self, blocks: DataFrame, mip: int = 0,
                         compression: Optional[str] = "gzip") -> None:

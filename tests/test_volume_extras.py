@@ -239,3 +239,72 @@ def test_commit_lock_precedes_read_snapshot(spark, tmp_path, monkeypatch):
     vol.upload(patch, offset=(0, 0, 0))  # succeeds after release
     out = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)))
     assert np.array_equal(out, patch)
+
+def test_commit_lock_not_shared_across_threads(spark, tmp_path):
+    """The lock's re-entrancy is per-THREAD: a second driver thread
+    sharing the Volume must contend on the lock file (and fail while
+    it is held), not ride the first thread's depth counter into a
+    concurrent stage-and-swap."""
+    import threading
+
+    import numpy as np
+
+    from cloud_volume_spark.volume import CommitConflictError
+
+    arr = np.arange(64 * 64 * 64, dtype=np.uint32).reshape(64, 64, 64, 1)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "tlv"), chunk_size=(32, 32, 32))
+    patch = np.zeros((32, 32, 32, 1), dtype=np.uint32)
+
+    results = {}
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with vol._commit_lock():
+            entered.set()
+            release.wait(30)
+        results["holder"] = "done"
+
+    def contender():
+        entered.wait(30)
+        try:
+            vol.upload(patch, offset=(0, 0, 0))
+            results["contender"] = "wrote"
+        except CommitConflictError:
+            results["contender"] = "conflict"
+
+    t1 = threading.Thread(target=holder)
+    t2 = threading.Thread(target=contender)
+    t1.start()
+    t2.start()
+    t2.join(60)
+    release.set()
+    t1.join(60)
+    assert results["contender"] == "conflict"
+    assert results["holder"] == "done"
+    # lock released; the write goes through now
+    vol.upload(patch, offset=(0, 0, 0))
+    assert np.array_equal(
+        vol.cutout(Bbox((0, 0, 0), (32, 32, 32))), patch)
+
+
+def test_stale_staging_swept_on_next_commit(spark, tmp_path):
+    """Staging dirs orphaned by a crashed commit (finally-cleanup
+    skipped by a hard kill) are removed on the next lock acquisition —
+    holding the lock proves nothing live is staging."""
+    import numpy as np
+
+    import os
+
+    arr = np.arange(32 * 32 * 32, dtype=np.uint32).reshape(32, 32, 32, 1)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "swv"), chunk_size=(32, 32, 32))
+    orphan = vol.chunks_path + ".tmp-commit-deadbeef0000"
+    os.makedirs(os.path.join(orphan, "mip=0"), exist_ok=True)
+    with open(os.path.join(orphan, "mip=0", "junk"), "w") as f:
+        f.write("x")
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    assert not os.path.exists(orphan)
+    # the lock file itself is never swept
+    assert not os.path.exists(vol._commit_lock_path)
