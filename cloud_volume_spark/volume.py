@@ -188,7 +188,15 @@ class Volume:
              max_redirects: int = 10) -> "Volume":
         """Open a volume, following info ``redirect`` links (reference
         ``metadata.py:224-293``). A redirected volume opens read-only,
-        matching the reference's ReadOnlyException on write."""
+        matching the reference's ReadOnlyException on write.
+
+        Accepts reference-style cloudpaths (``precomputed://gs://…``,
+        ``gs://…``, ``file:///…`` — ``paths.extract`` grammar) as well
+        as plain paths; protocols map to the Hadoop scheme Spark reads
+        (``s3``→``s3a``)."""
+        from cloud_volume_spark.paths import resolve_cloudpath
+
+        base_path = resolve_cloudpath(base_path)
         info = VolumeInfo.load(base_path, max_redirects=max_redirects)
         vol = cls(spark, info.base_path or base_path, info)
         vol.read_only = bool(info.redirected_from)
