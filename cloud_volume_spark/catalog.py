@@ -10,8 +10,10 @@ import/export round-trips.
 
 A volume directory layout:
 
-    <base>/info                       # precomputed-compatible JSON
-    <base>/chunks/mip=<m>/*.parquet   # chunk table, one dataset per volume
+    <base>/info                          # precomputed-compatible JSON
+    <base>/chunks/_manifest.json         # snapshot pointer (generation + entries)
+    <base>/chunks/data/<commit>/pm=<m>/ps=<s>/*.parquet  # immutable slab dirs
+    (pre-manifest tables: <base>/chunks/mip=<m>/slab=<s>/*.parquet, legacy path)
 """
 
 from __future__ import annotations

@@ -123,6 +123,22 @@ class PathOps:
         if self._fs.exists(p):
             self._fs.delete(p, False)
 
+    def replace_file(self, src: str, dst: str) -> None:
+        """Atomically replace ``dst`` with ``src`` (single file) — the
+        manifest-publish primitive. POSIX ``os.replace`` is atomic;
+        Hadoop FS rename refuses an existing destination, so there it
+        is delete+rename: a sub-millisecond single-object window,
+        serialized by the commit lock that every publisher holds (a
+        reader retries on a missing manifest)."""
+        if self._local is not None:
+            os.replace(local_part(src), local_part(dst))
+            return
+        p = self._Path(dst)
+        if self._fs.exists(p):
+            self._fs.delete(p, False)
+        if not self._fs.rename(self._Path(src), p):
+            raise IOError(f"replace {src} -> {dst} failed")
+
     def read_bytes(self, path: str) -> bytes:
         if self._local is not None:
             with open(local_part(path), "rb") as f:

@@ -38,8 +38,10 @@ reduction, which the reference delegates to Igneous).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 from typing import Iterable, Optional, Sequence
 
 import numpy as np
@@ -252,12 +254,91 @@ class Volume:
     # chunk table access + pruning
     # ------------------------------------------------------------------
 
-    def chunks_df(self) -> DataFrame:
-        return self.spark.read.schema(CHUNK_SCHEMA).parquet(self.chunks_path)
+    # ---- snapshot manifest (table-format commit for plain parquet) ----
+    #
+    # The chunk table is a set of IMMUTABLE per-(mip, slab) parquet
+    # directories under chunks/data/<commit-id>/pm=M/ps=S plus ONE
+    # atomically-replaced pointer file chunks/_manifest.json:
+    #   {"version": 1, "generation": N, "entries": {"M/S": reldir}}
+    # Readers resolve the manifest once per query and scan only the
+    # referenced dirs — a commit can never yank files out from under a
+    # running scan (snapshot isolation), commits are a single-file
+    # replace (atomic on POSIX/HDFS), and a generation compare-and-set
+    # under the lock turns any interleaving into a loud
+    # CommitConflictError. Old generations' dirs stay until
+    # :meth:`vacuum`. This is the Delta/Iceberg commit protocol that
+    # SCALE.md previously listed as the production swap, implemented
+    # directly over the same parquet layout. Tables written before the
+    # manifest (hive mip=/slab= dirs) keep working through the legacy
+    # read/commit path; the first layout is detected per table.
+
+    @property
+    def _manifest_path(self) -> str:
+        return f"{self.chunks_path}/_manifest.json"
+
+    def _read_manifest(self) -> Optional[dict]:
+        fs = self._fs
+        for _ in range(3):  # tolerate a non-POSIX replace window
+            if not fs.exists(self._manifest_path):
+                return None
+            try:
+                return json.loads(fs.read_bytes(self._manifest_path).decode())
+            except (OSError, ValueError):
+                continue
+        return None
+
+    def _is_legacy_layout(self) -> bool:
+        """True for a pre-manifest table: hive mip= dirs, no manifest."""
+        if self._fs.exists(self._manifest_path):
+            return False
+        return any(
+            n.startswith("mip=") for n in self._fs.listdir(self.chunks_path)
+        )
+
+    def _manifest_dirs(self, man: dict, mip: Optional[int] = None,
+                       slabs=None) -> list:
+        """Absolute data dirs for the given mip/slab selection —
+        manifest-side pruning: unselected slabs are never even listed."""
+        keys = man["entries"]
+        want_slabs = None if slabs is None else {int(s) for s in slabs}
+        out = []
+        for k, rel in keys.items():
+            m_s = k.split("/")
+            if mip is not None and int(m_s[0]) != int(mip):
+                continue
+            if want_slabs is not None and int(m_s[1]) not in want_slabs:
+                continue
+            out.append(f"{self.chunks_path}/{rel}")
+        return out
+
+    def chunks_df(self, mip: Optional[int] = None, slabs=None) -> DataFrame:
+        """The chunk table as a DataFrame. ``mip``/``slabs`` are
+        pruning HINTS (never a semantic filter — matching WHERE clauses
+        are applied too): on a manifest table they restrict the scan to
+        the referenced dirs before any file is listed; on a legacy
+        table they become partition-pruned predicates."""
+        man = self._read_manifest()
+        if man is not None:
+            dirs = self._manifest_dirs(man, mip=mip, slabs=slabs)
+            if not dirs:
+                df = self.spark.createDataFrame([], schema=CHUNK_SCHEMA)
+            else:
+                df = self.spark.read.schema(CHUNK_SCHEMA).parquet(*dirs)
+        else:
+            df = self.spark.read.schema(CHUNK_SCHEMA).parquet(self.chunks_path)
+        if mip is not None:
+            df = df.where(F.col("mip") == int(mip))
+        if slabs is not None:
+            df = df.where(F.col("slab").isin([int(s) for s in slabs]))
+        return df
 
     def has_data(self, mip: int) -> bool:
         """Reference ``image/__init__.py:102-118``."""
         from pyspark.errors import AnalysisException
+        man = self._read_manifest()
+        if man is not None:
+            prefix = f"{int(mip)}/"
+            return any(k.startswith(prefix) for k in man["entries"])
         if not self._fs.exists(self.chunks_path):
             return False
         try:
@@ -265,16 +346,40 @@ class Volume:
         except AnalysisException:  # table dir exists but holds no parquet
             return False
 
+    def _candidate_slabs(self, bbox: Bbox, mip: int):
+        """Slab ids a bbox can touch (``morton >> SLAB_SHIFT`` over the
+        clamped grid range), or None when the cell count is too large
+        to enumerate — the driver-side prune that lets the manifest
+        skip whole data dirs before any file is listed."""
+        cs = self.info.chunk_size(mip)
+        off = self.info.voxel_offset(mip)
+        (xlo, xhi), (ylo, yhi), (zlo, zhi) = bbox.grid_ranges(cs, off)
+        grid = [int(g) for g in self.info.grid_shape(mip)]
+        n_cells = (xhi - xlo + 1) * (yhi - ylo + 1) * (zhi - zlo + 1)
+        if not (0 < n_cells <= 1 << 20):
+            return None
+        xs = np.arange(max(xlo, 0), min(xhi, grid[0] - 1) + 1)
+        ys = np.arange(max(ylo, 0), min(yhi, grid[1] - 1) + 1)
+        zs = np.arange(max(zlo, 0), min(zhi, grid[2] - 1) + 1)
+        if not (len(xs) and len(ys) and len(zs)):
+            return []
+        gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+        pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+        return [int(s) for s in np.unique(
+            compressed_morton_code(pts, grid).astype(np.int64) >> SLAB_SHIFT
+        )]
+
     def _pruned(self, bbox: Bbox, mip: int) -> DataFrame:
         """Chunk-grid pruning compiled to pushable predicates — the
         reference's scan-list computation (``rx.py:252-260``) expressed
-        as ``WHERE`` clauses Catalyst pushes into the parquet scan."""
+        as ``WHERE`` clauses Catalyst pushes into the parquet scan,
+        plus manifest-side dir pruning on the candidate slab set."""
         cs = self.info.chunk_size(mip)
         off = self.info.voxel_offset(mip)
         (xlo, xhi), (ylo, yhi), (zlo, zhi) = bbox.grid_ranges(cs, off)
         return (
-            self.chunks_df()
-            .where(F.col("mip") == int(mip))
+            self.chunks_df(mip=int(mip),
+                           slabs=self._candidate_slabs(bbox, mip))
             .where(F.col("cx").between(xlo, xhi))
             .where(F.col("cy").between(ylo, yhi))
             .where(F.col("cz").between(zlo, zhi))
@@ -320,26 +425,40 @@ class Volume:
             & (pc.field("cz") >= zlo) & (pc.field("cz") <= zhi)
         )
         # fragment pruning: the candidate slab set is derivable from the
-        # grid ranges (slab = morton >> SLAB_SHIFT), so whole partition
-        # directories drop out before any file is opened
-        grid = [int(g) for g in self.info.grid_shape(mip)]
-        n_cells = (xhi - xlo + 1) * (yhi - ylo + 1) * (zhi - zlo + 1)
-        if 0 < n_cells <= 1 << 20:
-            xs = np.arange(max(xlo, 0), min(xhi, grid[0] - 1) + 1)
-            ys = np.arange(max(ylo, 0), min(yhi, grid[1] - 1) + 1)
-            zs = np.arange(max(zlo, 0), min(zhi, grid[2] - 1) + 1)
-            if len(xs) and len(ys) and len(zs):
-                gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
-                pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
-                slabs = np.unique(
-                    compressed_morton_code(pts, grid).astype(np.int64)
-                    >> SLAB_SHIFT
-                )
-                filt = filt & pc.field("slab").isin([int(s) for s in slabs])
-            else:
+        # grid ranges (slab = morton >> SLAB_SHIFT), so whole data dirs
+        # drop out before any file is opened
+        slabs = self._candidate_slabs(bbox, mip)
+        if slabs is not None:
+            if not slabs:
                 return []
+            filt = filt & pc.field("slab").isin(slabs)
+        man = self._read_manifest()
         try:
-            dset = pads.dataset(local, format="parquet", partitioning="hive")
+            if man is not None:
+                # manifest prune: list only the referenced dirs for the
+                # selected (mip, slab) keys — the snapshot the Spark
+                # reader would also resolve
+                want = None if slabs is None else {int(s) for s in slabs}
+                dirs = []
+                for k, rel in man["entries"].items():
+                    m_s = k.split("/")
+                    if int(m_s[0]) != int(mip):
+                        continue
+                    if want is not None and int(m_s[1]) not in want:
+                        continue
+                    dirs.append(os.path.join(local, rel))
+                files = [
+                    os.path.join(d, f)
+                    for d in dirs
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                ]
+                if not files:
+                    return []
+                dset = pads.dataset(files, format="parquet")
+            else:
+                dset = pads.dataset(local, format="parquet",
+                                    partitioning="hive")
             tbl = dset.to_table(columns=columns, filter=filt)
         except (FileNotFoundError, pa.ArrowInvalid):
             return []
@@ -533,11 +652,7 @@ class Volume:
         # read-modify-write silently drops the other writer's chunks
         with self._commit_lock():
             if self._fs.exists(self.chunks_path):
-                existing = (
-                    self.chunks_df()
-                    .where(F.col("mip") == int(mip))
-                    .where(F.col("slab").isin(touched_slabs))
-                )
+                existing = self.chunks_df(mip=int(mip), slabs=touched_slabs)
                 # drop rows being replaced (or deleted) — key anti-join
                 keys = self.spark.createDataFrame(
                     [(int(mip), int(cx), int(cy), int(cz)) for (cx, cy, cz) in replaced],
@@ -584,13 +699,17 @@ class Volume:
         shift = bucket_chunks.bit_length() - 1
         return F.shiftrightunsigned(F.col("morton"), shift)
 
-    def _overwrite_slabs(self, out: DataFrame, drop: Optional[Iterable[tuple]] = None) -> None:
-        """Copy-on-write commit: stage the touched ``(mip, slab)``
-        partitions in a temp dataset, then swap directories into place.
-        The rewrite unit is the slab, never the table — this is the
-        snapshot-commit a table format (Delta/Iceberg) would give us,
-        done by hand for plain parquet. ``drop`` lists (mip, slab)
-        partitions whose every row was deleted.
+    def _overwrite_slabs(self, out: DataFrame, drop: Optional[Iterable[tuple]] = None,
+                         replace_mips: Optional[Iterable[int]] = None) -> None:
+        """Snapshot commit: write the touched ``(mip, slab)`` datasets
+        as IMMUTABLE dirs under ``chunks/data/<commit-id>``, then
+        atomically replace the manifest pointer. The rewrite unit is
+        the slab, never the table; readers holding the previous
+        manifest keep a consistent snapshot (their dirs are never
+        touched — old generations are reclaimed by :meth:`vacuum`).
+        ``drop`` lists (mip, slab) partitions whose every row was
+        deleted; ``replace_mips`` drops EVERY previous entry of those
+        mips (full-mip rewrites: remap).
 
         All path manipulation routes through :class:`PathOps` (Hadoop
         FileSystem for s3a/gs/hdfs/file URIs, os/shutil for plain local
@@ -598,43 +717,133 @@ class Volume:
 
         Concurrent writers are DETECTED, not merged: the commit takes
         an exclusive lock file (atomic create-if-absent) for the whole
-        stage-and-swap and raises :class:`CommitConflictError` without
-        touching the table if another writer holds it — two interleaved
-        shell merges would otherwise silently lose one writer's slabs.
-        Staging also goes to a per-commit unique dir so an aborted
-        commit can never clobber a live one's staging."""
-        import uuid
+        stage-and-publish and raises :class:`CommitConflictError`
+        without touching the table if another writer holds it; the
+        manifest publish additionally compare-and-sets the generation
+        read under the lock, so even a writer that broke a stale lock
+        cannot silently interleave.
 
+        Tables created before the manifest (hive ``mip=``/``slab=``
+        layout) commit through the legacy rename-swap path unchanged."""
         self._lru_clear()
         fs = self._fs
         with self._commit_lock():
-            tmp = f"{self.chunks_path}.tmp-commit-{uuid.uuid4().hex[:12]}"
-            try:
-                (
-                    out.repartition(F.col("mip"), self._commit_bucket())
-                    .sortWithinPartitions("slab", "morton")
-                    .write.mode("overwrite")
-                    .option("compression", "none")  # blobs carry their own gzip
-                    .partitionBy("mip", "slab")
-                    .parquet(tmp)
+            if self._is_legacy_layout():
+                self._overwrite_slabs_legacy(out, drop)
+                return
+            man = self._read_manifest()
+            gen = int(man["generation"]) if man else 0
+            entries = dict(man["entries"]) if man else {}
+            commit_id = f"commit-{uuid.uuid4().hex[:12]}"
+            staged = self._stage_commit(out, commit_id)
+            for m in (replace_mips or ()):
+                prefix = f"{int(m)}/"
+                entries = {k: v for k, v in entries.items()
+                           if not k.startswith(prefix)}
+            for (m, s) in (drop or ()):
+                entries.pop(f"{int(m)}/{int(s)}", None)
+            entries.update(staged)
+            self._publish_manifest(entries, expect_generation=gen)
+
+    def _stage_commit(self, out: DataFrame, commit_id: str) -> dict:
+        """Write CHUNK_SCHEMA rows as one immutable dir per (mip, slab)
+        under ``chunks/data/<commit_id>`` and return the manifest
+        entries {"M/S": reldir}. Partitioning rides ALIAS columns
+        (pm/ps) so mip/slab stay in the file data — manifest reads pass
+        explicit leaf dirs, where hive partition inference would not
+        run."""
+        fs = self._fs
+        root = f"{self.chunks_path}/data/{commit_id}"
+        (
+            out.withColumn("pm", F.col("mip")).withColumn("ps", F.col("slab"))
+            .repartition(F.col("mip"), self._commit_bucket())
+            .sortWithinPartitions("slab", "morton")
+            .write.mode("overwrite")
+            .option("compression", "none")  # blobs carry their own gzip
+            .partitionBy("pm", "ps")
+            .parquet(root)
+        )
+        staged = {}
+        for pm_dir in fs.listdir(root):
+            if not pm_dir.startswith("pm="):
+                continue
+            m = pm_dir[3:]
+            for ps_dir in fs.listdir(f"{root}/{pm_dir}"):
+                if not ps_dir.startswith("ps="):
+                    continue
+                staged[f"{m}/{ps_dir[3:]}"] = (
+                    f"data/{commit_id}/{pm_dir}/{ps_dir}"
                 )
-                for mip_dir in fs.listdir(tmp):
-                    if not mip_dir.startswith("mip="):
+        return staged
+
+    def _publish_manifest(self, entries: dict, expect_generation: int) -> None:
+        """Atomic pointer replace with a generation compare-and-set."""
+        man = self._read_manifest()
+        gen = int(man["generation"]) if man else 0
+        if gen != expect_generation:
+            raise CommitConflictError(
+                f"manifest generation moved {expect_generation} -> {gen} "
+                "during this commit: another writer interleaved (a stale "
+                "lock was broken mid-commit?); retry the operation"
+            )
+        new = {"version": 1, "generation": gen + 1, "entries": entries}
+        tmp = f"{self._manifest_path}.tmp-{uuid.uuid4().hex[:12]}"
+        self._fs.write_bytes(
+            tmp, json.dumps(new, sort_keys=True).encode())
+        self._fs.replace_file(tmp, self._manifest_path)
+
+    def vacuum(self) -> int:
+        """Reclaim data dirs unreferenced by the CURRENT manifest (old
+        snapshot generations and crashed commits). Takes the commit
+        lock. In-flight readers of older snapshots lose their files —
+        run vacuum when no long queries are active, exactly the
+        Delta/Iceberg VACUUM contract. Returns dirs removed."""
+        fs = self._fs
+        with self._commit_lock():
+            man = self._read_manifest()
+            if man is None:
+                return 0
+            live = {rel.split("/")[1] for rel in man["entries"].values()}
+            n = 0
+            for d in fs.listdir(f"{self.chunks_path}/data"):
+                if d.startswith("commit-") and d not in live:
+                    fs.rmtree(f"{self.chunks_path}/data/{d}")
+                    n += 1
+            return n
+
+    def _overwrite_slabs_legacy(self, out: DataFrame,
+                                drop: Optional[Iterable[tuple]]) -> None:
+        """Pre-manifest commit: stage then rename-swap hive slab dirs
+        in place. Kept verbatim for tables written before the manifest;
+        lock already held by the caller."""
+        fs = self._fs
+        tmp = f"{self.chunks_path}.tmp-commit-{uuid.uuid4().hex[:12]}"
+        try:
+            (
+                out.repartition(F.col("mip"), self._commit_bucket())
+                .sortWithinPartitions("slab", "morton")
+                .write.mode("overwrite")
+                .option("compression", "none")  # blobs carry their own gzip
+                .partitionBy("mip", "slab")
+                .parquet(tmp)
+            )
+            for mip_dir in fs.listdir(tmp):
+                if not mip_dir.startswith("mip="):
+                    continue
+                for slab_dir in fs.listdir(f"{tmp}/{mip_dir}"):
+                    if not slab_dir.startswith("slab="):
                         continue
-                    for slab_dir in fs.listdir(f"{tmp}/{mip_dir}"):
-                        if not slab_dir.startswith("slab="):
-                            continue
-                        dest = f"{self.chunks_path}/{mip_dir}/{slab_dir}"
-                        if fs.exists(dest):
-                            fs.rmtree(dest)
-                        fs.makedirs(f"{self.chunks_path}/{mip_dir}")
-                        fs.rename(f"{tmp}/{mip_dir}/{slab_dir}", dest)
-            finally:
-                fs.rmtree(tmp)
-            for (mip, slab) in (drop or ()):
-                path = f"{self.chunks_path}/mip={mip}/slab={slab}"
-                if fs.exists(path):
-                    fs.rmtree(path)
+                    dest = f"{self.chunks_path}/{mip_dir}/{slab_dir}"
+                    if fs.exists(dest):
+                        fs.rmtree(dest)
+                    fs.makedirs(f"{self.chunks_path}/{mip_dir}")
+                    fs.rename(f"{tmp}/{mip_dir}/{slab_dir}", dest)
+        finally:
+            fs.rmtree(tmp)
+        for (mip, slab) in (drop or ()):
+            path = f"{self.chunks_path}/mip={mip}/slab={slab}"
+            if fs.exists(path):
+                fs.rmtree(path)
 
     @property
     def _commit_lock_path(self) -> str:
@@ -691,10 +900,13 @@ class Volume:
         return held()
 
     def _sweep_stale_staging(self) -> None:
-        """Remove ``<chunks>.tmp-*`` staging dirs left by crashed
-        commits. Only called while HOLDING the commit lock — live
+        """Remove staging artifacts left by crashed commits: legacy
+        ``<chunks>.tmp-*`` dirs and un-published ``_manifest.json.tmp-*``
+        pointer files. Only called while HOLDING the commit lock — live
         staging always belongs to the lock holder, so anything found
-        here is an orphan."""
+        here is an orphan. (Unreferenced ``data/commit-*`` dirs are a
+        snapshot-retention question, reclaimed by :meth:`vacuum`, not
+        here.)"""
         fs = self._fs
         parent, base = os.path.split(self.chunks_path.rstrip("/"))
         prefix = base + ".tmp-"
@@ -705,6 +917,9 @@ class Volume:
         for n in names:
             if n.startswith(prefix):
                 fs.rmtree(f"{parent}/{n}")
+        for n in fs.listdir(self.chunks_path):
+            if n.startswith("_manifest.json.tmp-"):
+                fs.remove(f"{self.chunks_path}/{n}")
 
     def write_blocks_df(self, blocks: DataFrame, mip: int = 0,
                         compression: Optional[str] = "gzip") -> None:
@@ -1285,11 +1500,7 @@ class Volume:
             return
         # lock before the read snapshot (see _commit_lock)
         with self._commit_lock():
-            existing = (
-                self.chunks_df()
-                .where(F.col("mip") == int(mip))
-                .where(F.col("slab").isin(slabs))
-            )
+            existing = self.chunks_df(mip=int(mip), slabs=slabs)
             keys = self.spark.createDataFrame(
                 [(int(mip), int(cx), int(cy), int(cz)) for (cx, cy, cz) in doomed],
                 schema="mip int, cx int, cy int, cz int",
@@ -1309,10 +1520,19 @@ class Volume:
                 else:
                     # every chunk in the touched slabs was deleted
                     self._lru_clear()
-                    for s in slabs:
-                        path = f"{self.chunks_path}/mip={mip}/slab={s}"
-                        if self._fs.exists(path):
-                            self._fs.rmtree(path)
+                    man = self._read_manifest()
+                    if man is not None:
+                        entries = dict(man["entries"])
+                        for s in slabs:
+                            entries.pop(f"{int(mip)}/{int(s)}", None)
+                        self._publish_manifest(
+                            entries,
+                            expect_generation=int(man["generation"]))
+                    else:
+                        for s in slabs:
+                            path = f"{self.chunks_path}/mip={mip}/slab={s}"
+                            if self._fs.exists(path):
+                                self._fs.rmtree(path)
             finally:
                 survivors.unpersist()
 
@@ -1361,33 +1581,35 @@ class Volume:
                     ))
                 yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
 
-        # full-mip rewrite → stage to a per-commit unique temp dataset
-        # then swap the mip dir in (PathOps: works on local paths and
-        # Hadoop-FS URIs alike); lock held across the read snapshot AND
-        # the swap (see _commit_lock); clear the point-read LRU or it
-        # would serve stale pre-remap labels afterwards
-        import uuid
-
+        # full-mip rewrite committed as a snapshot generation that
+        # REPLACES every previous entry of this mip (legacy tables take
+        # the dir swap inside _overwrite_slabs_legacy); lock held
+        # across the read snapshot AND the publish (see _commit_lock);
+        # clear the point-read LRU or it would serve stale pre-remap
+        # labels afterwards
         self._lru_clear()
         fs = self._fs
         with self._commit_lock():
-            src = self.chunks_df().where(F.col("mip") == int(mip))
+            src = self.chunks_df(mip=int(mip))
             out = src.mapInPandas(rewrite, schema=CHUNK_SCHEMA)
-            tmp = f"{self.chunks_path}.tmp-remap-{uuid.uuid4().hex[:12]}"
-            try:
-                (
-                    out.repartition(F.col("mip"), self._commit_bucket())
-                    .sortWithinPartitions("slab", "morton")
-                    .write.mode("overwrite")
-                    .option("compression", "none")  # blobs carry their own gzip
-                    .partitionBy("mip", "slab").parquet(tmp)
-                )
-                mip_dir = f"{self.chunks_path}/mip={mip}"
-                if fs.exists(mip_dir):
-                    fs.rmtree(mip_dir)
-                fs.rename(f"{tmp}/mip={mip}", mip_dir)
-            finally:
-                fs.rmtree(tmp)
+            if self._is_legacy_layout():
+                tmp = f"{self.chunks_path}.tmp-remap-{uuid.uuid4().hex[:12]}"
+                try:
+                    (
+                        out.repartition(F.col("mip"), self._commit_bucket())
+                        .sortWithinPartitions("slab", "morton")
+                        .write.mode("overwrite")
+                        .option("compression", "none")
+                        .partitionBy("mip", "slab").parquet(tmp)
+                    )
+                    mip_dir = f"{self.chunks_path}/mip={mip}"
+                    if fs.exists(mip_dir):
+                        fs.rmtree(mip_dir)
+                    fs.rename(f"{tmp}/mip={mip}", mip_dir)
+                finally:
+                    fs.rmtree(tmp)
+            else:
+                self._overwrite_slabs(out, replace_mips=[int(mip)])
 
     # ------------------------------------------------------------------
     # downsample (beyond-reference: the actual reduction job)
@@ -1583,13 +1805,7 @@ class Volume:
                 yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA.fields])
 
         out = self._pruned(bbox, mip).mapInPandas(transcode, schema=CHUNK_SCHEMA)
-        (
-            out.repartition("slab").sortWithinPartitions("morton")
-            .write.mode("overwrite")
-            .option("compression", "none")
-            .partitionBy("mip", "slab")
-            .parquet(dest.chunks_path)
-        )
+        dest._overwrite_slabs(out)
         return dest
 
     # ------------------------------------------------------------------

@@ -19,12 +19,20 @@ def _plan(df) -> str:
 def test_cutout_scan_is_pruned(spark, rng, tmp_path):
     arr = rng.integers(0, 99, size=(128, 128, 64, 1)).astype(np.uint32)
     vol = Volume.from_numpy(spark, arr, str(tmp_path / "p"), chunk_size=(64, 64, 64))
-    plan = _plan(vol._pruned(Bbox((0, 0, 0), (64, 64, 64)), 0))
-    # partition pruning on mip + pushed chunk-coordinate predicates
-    assert "PartitionFilters" in plan
-    assert "mip" in plan
+    bbox = Bbox((0, 0, 0), (64, 64, 64))
+    plan = _plan(vol._pruned(bbox, 0))
+    # pushed mip + chunk-coordinate predicates reach the parquet scan
     assert "PushedFilters" in plan
+    assert "mip" in plan
     assert "LessThanOrEqual(cx," in plan or "cx#" in plan
+    # manifest-side dir pruning: the scan's file set is restricted to
+    # the candidate slabs BEFORE Spark lists anything — the one-chunk
+    # bbox must resolve fewer data dirs than the full table holds
+    man = vol._read_manifest()
+    assert man is not None and man["generation"] >= 1
+    selected = vol._manifest_dirs(
+        man, mip=0, slabs=vol._candidate_slabs(bbox, 0))
+    assert 0 < len(selected) <= len(man["entries"])
 
 
 def test_unique_fast_path_prunes_blob_column(spark, rng, tmp_path):

@@ -308,3 +308,121 @@ def test_stale_staging_swept_on_next_commit(spark, tmp_path):
     assert not os.path.exists(orphan)
     # the lock file itself is never swept
     assert not os.path.exists(vol._commit_lock_path)
+
+# ---------------------------------------------------------------------------
+# snapshot-manifest commit protocol (r7)
+# ---------------------------------------------------------------------------
+
+def _mk_vol(spark, tmp_path, name, n=64, cs=32):
+    import numpy as np
+
+    arr = np.arange(n * n * n, dtype=np.uint32).reshape(n, n, n, 1)
+    return arr, Volume.from_numpy(
+        spark, arr, str(tmp_path / name), chunk_size=(cs, cs, cs))
+
+
+def test_manifest_snapshot_isolation(spark, tmp_path):
+    """A reader that resolved the manifest BEFORE a commit keeps a
+    consistent snapshot: its data dirs are immutable, so a concurrent
+    overwrite can never yank files out from under the running scan —
+    the property the old rename-swap could not give."""
+    import numpy as np
+
+    arr, vol = _mk_vol(spark, tmp_path, "snap")
+    snapshot = vol.chunks_df()  # resolves the generation-1 dirs
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    # new reads see the overwrite ...
+    out = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)))
+    assert (out == 0).all()
+    # ... while the pre-commit snapshot still scans the ORIGINAL rows
+    import pandas as pd
+
+    old = snapshot.where(
+        "mip = 0 and cx = 0 and cy = 0 and cz = 0"
+    ).select("blob", "compression").collect()
+    assert len(old) == 1
+    from cloud_volume_spark import codecs
+
+    raw = codecs.decompress_stream(bytes(old[0].blob), old[0].compression or None)
+    got = codecs.decode(raw, "raw", (32, 32, 32, 1), np.uint32)
+    assert np.array_equal(got, arr[:32, :32, :32, :])
+
+
+def test_manifest_generation_cas(spark, tmp_path):
+    """The publish compare-and-sets the generation: a writer whose
+    snapshot went stale (e.g. someone broke its crashed lock and
+    committed) fails loudly instead of silently interleaving."""
+    import numpy as np
+
+    from cloud_volume_spark.volume import CommitConflictError
+
+    _, vol = _mk_vol(spark, tmp_path, "cas")
+    man = vol._read_manifest()
+    with vol._commit_lock():
+        with pytest.raises(CommitConflictError, match="generation"):
+            vol._publish_manifest(
+                dict(man["entries"]),
+                expect_generation=int(man["generation"]) - 1)
+
+
+def test_manifest_vacuum_reclaims_old_generations(spark, tmp_path):
+    """Old generations' dirs survive commits (snapshot retention) and
+    are reclaimed only by vacuum; live dirs stay readable."""
+    import os as _os
+
+    import numpy as np
+
+    arr, vol = _mk_vol(spark, tmp_path, "vac")
+    data_dir = _os.path.join(str(tmp_path / "vac"), "chunks", "data")
+    n_commits_before = len(_os.listdir(data_dir))
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    assert len(_os.listdir(data_dir)) == n_commits_before + 1
+    removed = vol.vacuum()
+    assert removed >= 1
+    man = vol._read_manifest()
+    live = {rel.split("/")[1] for rel in man["entries"].values()}
+    assert set(_os.listdir(data_dir)) == live
+    # table still fully readable after vacuum
+    out = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+    assert (out[:32, :32, :32] == 0).all()
+    assert np.array_equal(out[32:, :, :], arr[32:, :, :])
+
+
+def test_legacy_layout_still_reads_and_commits(spark, tmp_path):
+    """Tables written before the manifest (hive mip=/slab= dirs, no
+    _manifest.json) read, write, remap, and delete through the legacy
+    path unchanged."""
+    import os as _os
+
+    import numpy as np
+
+    arr, vol = _mk_vol(spark, tmp_path, "leg")
+    # convert to the legacy layout: rewrite all rows through the legacy
+    # committer, drop the manifest + data dirs
+    rows = vol.chunks_df()
+    legacy_rows = rows.collect()
+    import shutil as _shutil
+
+    base = str(tmp_path / "leg2")
+    vol2 = Volume.create(spark, base, vol.info)
+    df = spark.createDataFrame(legacy_rows, schema=rows.schema)
+    with vol2._commit_lock():
+        vol2._overwrite_slabs_legacy(df, None)
+    assert vol2._is_legacy_layout()
+    assert _os.path.isdir(_os.path.join(base, "chunks", "mip=0"))
+
+    # reads
+    out = vol2.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+    assert np.array_equal(out, arr)
+    assert vol2.has_data(0) and not vol2.has_data(1)
+    # point read exercises the pyarrow hive fast path
+    assert int(vol2.read_voxel((3, 5, 7))[0]) == int(arr[3, 5, 7, 0])
+    # legacy commit path: non-manifest upload + readback
+    vol2.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    assert vol2._is_legacy_layout()  # stays legacy
+    out = vol2.cutout(Bbox((0, 0, 0), (32, 32, 32)))
+    assert (out == 0).all()
+    # legacy remap full-mip swap
+    vol2.apply_remap({0: 9})
+    out = vol2.cutout(Bbox((0, 0, 0), (32, 32, 32)))
+    assert (out == 9).all()
