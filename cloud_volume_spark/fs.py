@@ -123,22 +123,6 @@ class PathOps:
         if self._fs.exists(p):
             self._fs.delete(p, False)
 
-    def replace_file(self, src: str, dst: str) -> None:
-        """Atomically replace ``dst`` with ``src`` (single file) — the
-        manifest-publish primitive. POSIX ``os.replace`` is atomic;
-        Hadoop FS rename refuses an existing destination, so there it
-        is delete+rename: a sub-millisecond single-object window,
-        serialized by the commit lock that every publisher holds (a
-        reader retries on a missing manifest)."""
-        if self._local is not None:
-            os.replace(local_part(src), local_part(dst))
-            return
-        p = self._Path(dst)
-        if self._fs.exists(p):
-            self._fs.delete(p, False)
-        if not self._fs.rename(self._Path(src), p):
-            raise IOError(f"replace {src} -> {dst} failed")
-
     def read_bytes(self, path: str) -> bytes:
         if self._local is not None:
             with open(local_part(path), "rb") as f:
@@ -149,15 +133,33 @@ class PathOps:
         finally:
             stream.close()
 
-    def write_bytes(self, path: str, data: bytes) -> None:
+    def write_bytes(self, path: str, data: bytes, sync: bool = False) -> None:
+        """Write a file; ``sync=True`` makes the bytes durable before
+        returning (fsync of file AND parent dir locally — a power loss
+        after a manifest publish must not leave a torn file that reads
+        as 'no commit'; hsync on Hadoop streams that support it)."""
         if self._local is not None:
             lp = local_part(path)
             os.makedirs(os.path.dirname(lp), exist_ok=True)
             with open(lp, "wb") as f:
                 f.write(data)
+                if sync:
+                    f.flush()
+                    os.fsync(f.fileno())
+            if sync:
+                dfd = os.open(os.path.dirname(lp), os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
             return
         out = self._fs.create(self._Path(path), True)
         try:
             out.write(bytearray(data))
+            if sync:
+                try:
+                    out.hsync()
+                except Exception:  # stream type without hsync
+                    pass
         finally:
             out.close()

@@ -193,6 +193,23 @@ def to_spark_path(cloudpath_or_extracted) -> str:
     return f"{scheme}://{rest.lstrip('/')}"
 
 
+def require_local(path: str, operation: str) -> str:
+    """The foreign-format importers list source files DRIVER-side
+    (``os.listdir``/``open``); handed a remote scheme they would
+    silently see an empty listing and import nothing. Returns the
+    plain local directory, or raises precisely."""
+    if path.startswith("file://"):
+        return os.path.abspath(os.path.expanduser(path[len("file://"):]))
+    if "://" in path:
+        raise UnsupportedProtocolError(
+            f"{operation} lists source files driver-side and currently "
+            f"requires a local or file:// path; got {path!r}. Copy or "
+            "mount the remote source first (chunk-table volumes on "
+            "gs/s3a/hdfs read natively through Spark)"
+        )
+    return path
+
+
 def resolve_cloudpath(path: str, formats=("precomputed",)) -> str:
     """Accept either a plain path (returned unchanged) or a cloudpath
     whose FORMAT is in ``formats``; returns the Spark-readable path.

@@ -84,9 +84,9 @@ def import_pyramid(spark, src_dir: str, base_path: str,
     re-encode the chunk payloads in parallel. Per-mip geometry/codec
     metadata rides a tiny broadcast dict keyed by the file's mip.
     """
-    from cloud_volume_spark.paths import resolve_cloudpath
+    from cloud_volume_spark.paths import require_local, resolve_cloudpath
 
-    src_dir = resolve_cloudpath(src_dir)
+    src_dir = require_local(resolve_cloudpath(src_dir), "import_pyramid")
     info = VolumeInfo.load(src_dir)
     if mips is None:
         mips = [

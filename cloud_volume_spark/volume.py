@@ -62,6 +62,7 @@ from cloud_volume_spark.geometry import (
 
 SLAB_SHIFT = 6  # 2**6 = 64 chunks per slab partition
 LABELS_STATS_CAP = 4096  # above this many distincts, stats column is null
+MANIFEST_PREFIX = "_manifest-"  # numbered manifest log files (snapshot commit)
 MAX_ASSEMBLE_VOXELS = 512 * 1024 * 1024  # driver-side assembly cap (bytes guard)
 
 CHUNK_SCHEMA = StructType([
@@ -100,12 +101,17 @@ class EmptyVolumeException(ValueError):
 
 
 class CommitConflictError(RuntimeError):
-    """Another writer holds this volume's slab-commit lock. The commit
-    was not started — retry after the other commit finishes, or remove
-    the named lock file if it is stale (a crashed writer). This is the
-    loud-failure half of the concurrent-writer caveat SCALE.md
-    documents; the production swap is a table format's (Delta/Iceberg)
-    catalog-mediated commit."""
+    """Another writer holds this volume's slab-commit lock, or the
+    manifest generation moved during a commit (an interloper after a
+    broken stale lock). The commit did not publish — retry after the
+    other commit finishes, or remove the named lock file if it is
+    stale (a crashed writer)."""
+
+
+class ManifestError(RuntimeError):
+    """The chunk table's manifest pointer is unreadable on a
+    manifest-layout table — never silently fall back to scanning all
+    retained generations, which would serve stale/duplicate chunks."""
 
 
 def _label_to_signed(v) -> int:
@@ -257,69 +263,119 @@ class Volume:
     # ---- snapshot manifest (table-format commit for plain parquet) ----
     #
     # The chunk table is a set of IMMUTABLE per-(mip, slab) parquet
-    # directories under chunks/data/<commit-id>/pm=M/ps=S plus ONE
-    # atomically-replaced pointer file chunks/_manifest.json:
+    # directories under chunks/data/<commit-id>/pm=M/ps=S plus a LOG of
+    # numbered manifest files chunks/_manifest-<gen>.json:
     #   {"version": 1, "generation": N, "entries": {"M/S": reldir}}
-    # Readers resolve the manifest once per query and scan only the
-    # referenced dirs — a commit can never yank files out from under a
-    # running scan (snapshot isolation), commits are a single-file
-    # replace (atomic on POSIX/HDFS), and a generation compare-and-set
-    # under the lock turns any interleaving into a loud
-    # CommitConflictError. Old generations' dirs stay until
-    # :meth:`vacuum`. This is the Delta/Iceberg commit protocol that
-    # SCALE.md previously listed as the production swap, implemented
-    # directly over the same parquet layout. Tables written before the
-    # manifest (hive mip=/slab= dirs) keep working through the legacy
-    # read/commit path; the first layout is detected per table.
+    # Readers resolve the newest readable manifest once per query and
+    # scan only the referenced dirs — a commit can never yank files out
+    # from under a running scan (snapshot isolation). Publishing a
+    # generation is ONE atomic object PUT of a new numbered file (no
+    # replace window anywhere); a torn newest file means that commit
+    # never happened and readers fall back one generation. Conflict
+    # detection is the lock file plus a generation CAS captured at the
+    # SNAPSHOT read, enforced by create-if-absent of the target
+    # generation file. Old generations' dirs stay until :meth:`vacuum`.
+    # This is the Delta/Iceberg commit protocol SCALE.md previously
+    # listed as the production swap, implemented directly over the same
+    # parquet layout. Tables written before the manifest (hive
+    # mip=/slab= dirs) keep working through the legacy read/commit
+    # path; the layout is detected per table.
 
-    @property
-    def _manifest_path(self) -> str:
-        return f"{self.chunks_path}/_manifest.json"
+    def _manifest_file(self, generation: int) -> str:
+        return f"{self.chunks_path}/{MANIFEST_PREFIX}{generation:012d}.json"
+
+    def _manifest_generations(self) -> list:
+        """Published generation numbers, newest first — the manifest is
+        a numbered-file log (one immutable JSON per generation, like
+        Delta's transaction log), NOT a replaced pointer: a new
+        generation is one atomic object PUT, so there is no window in
+        which no manifest exists, and a torn newest file simply means
+        that commit never happened (readers fall back one generation)."""
+        out = []
+        for n in self._fs.listdir(self.chunks_path):
+            if n.startswith(MANIFEST_PREFIX) and n.endswith(".json"):
+                try:
+                    out.append(int(n[len(MANIFEST_PREFIX):-5]))
+                except ValueError:
+                    continue
+        return sorted(out, reverse=True)
 
     def _read_manifest(self) -> Optional[dict]:
-        fs = self._fs
-        for _ in range(3):  # tolerate a non-POSIX replace window
-            if not fs.exists(self._manifest_path):
-                return None
-            try:
-                return json.loads(fs.read_bytes(self._manifest_path).decode())
-            except (OSError, ValueError):
-                continue
-        return None
+        """The newest readable manifest dict, or None ONLY for a table
+        with no published generation (legacy hive table, no table yet,
+        or a first commit that crashed before publishing — correctly an
+        empty table).
 
-    def _is_legacy_layout(self) -> bool:
-        """True for a pre-manifest table: hive mip= dirs, no manifest."""
-        if self._fs.exists(self._manifest_path):
-            return False
-        return any(
-            n.startswith("mip=") for n in self._fs.listdir(self.chunks_path)
+        A torn/corrupt newest file falls back to the previous
+        generation (that commit never completed). If generations exist
+        but NONE parses, raise :class:`ManifestError` — scanning all
+        retained data dirs instead would serve duplicate/stale rows
+        with no error."""
+        gens = self._manifest_generations()
+        if not gens:
+            return None
+        err: Optional[Exception] = None
+        for g in gens[:3]:
+            try:
+                man = json.loads(
+                    self._fs.read_bytes(self._manifest_file(g)).decode())
+                man["generation"] = g  # the filename is authoritative
+                return man
+            except Exception as e:  # incl. Py4J-wrapped Hadoop IO errors
+                err = e
+                continue
+        raise ManifestError(
+            f"no readable manifest among generations {gens[:3]} under "
+            f"{self.chunks_path!r} (last error: {err!r}); restore a "
+            "manifest file — scanning all retained generations instead "
+            "would silently serve stale/duplicate chunks"
         )
 
-    def _manifest_dirs(self, man: dict, mip: Optional[int] = None,
+    def _is_legacy_layout(self) -> bool:
+        """True for a pre-manifest table: hive mip= dirs, no manifest
+        log and no data/ dir."""
+        names = self._fs.listdir(self.chunks_path)
+        if any(n.startswith(MANIFEST_PREFIX) for n in names):
+            return False
+        if "data" in names:
+            return False
+        return any(n.startswith("mip=") for n in names)
+
+    @staticmethod
+    def _manifest_dirs(man: dict, root: str, mip: Optional[int] = None,
                        slabs=None) -> list:
-        """Absolute data dirs for the given mip/slab selection —
-        manifest-side pruning: unselected slabs are never even listed."""
-        keys = man["entries"]
+        """Data dirs under ``root`` for the given mip/slab selection —
+        manifest-side pruning: unselected slabs are never even listed.
+        Shared by the Spark reader (root = chunks_path) and the local
+        pyarrow fast path (root = local dir)."""
         want_slabs = None if slabs is None else {int(s) for s in slabs}
         out = []
-        for k, rel in keys.items():
+        for k, rel in man["entries"].items():
             m_s = k.split("/")
             if mip is not None and int(m_s[0]) != int(mip):
                 continue
             if want_slabs is not None and int(m_s[1]) not in want_slabs:
                 continue
-            out.append(f"{self.chunks_path}/{rel}")
+            out.append(f"{root}/{rel}")
         return out
 
-    def chunks_df(self, mip: Optional[int] = None, slabs=None) -> DataFrame:
+    _UNRESOLVED = object()  # chunks_df sentinel: "read the manifest"
+
+    def chunks_df(self, mip: Optional[int] = None, slabs=None,
+                  manifest=_UNRESOLVED) -> DataFrame:
         """The chunk table as a DataFrame. ``mip``/``slabs`` are
         pruning HINTS (never a semantic filter — matching WHERE clauses
         are applied too): on a manifest table they restrict the scan to
         the referenced dirs before any file is listed; on a legacy
-        table they become partition-pruned predicates."""
-        man = self._read_manifest()
+        table they become partition-pruned predicates. ``manifest``
+        lets a caller thread an already-resolved snapshot through
+        (commit paths MUST, so their read and their CAS share one
+        generation)."""
+        man = self._read_manifest() if manifest is Volume._UNRESOLVED \
+            else manifest
         if man is not None:
-            dirs = self._manifest_dirs(man, mip=mip, slabs=slabs)
+            dirs = self._manifest_dirs(man, self.chunks_path,
+                                       mip=mip, slabs=slabs)
             if not dirs:
                 df = self.spark.createDataFrame([], schema=CHUNK_SCHEMA)
             else:
@@ -438,15 +494,8 @@ class Volume:
                 # manifest prune: list only the referenced dirs for the
                 # selected (mip, slab) keys — the snapshot the Spark
                 # reader would also resolve
-                want = None if slabs is None else {int(s) for s in slabs}
-                dirs = []
-                for k, rel in man["entries"].items():
-                    m_s = k.split("/")
-                    if int(m_s[0]) != int(mip):
-                        continue
-                    if want is not None and int(m_s[1]) not in want:
-                        continue
-                    dirs.append(os.path.join(local, rel))
+                dirs = self._manifest_dirs(man, local, mip=int(mip),
+                                           slabs=slabs)
                 files = [
                     os.path.join(d, f)
                     for d in dirs
@@ -652,7 +701,12 @@ class Volume:
         # read-modify-write silently drops the other writer's chunks
         with self._commit_lock():
             if self._fs.exists(self.chunks_path):
-                existing = self.chunks_df(mip=int(mip), slabs=touched_slabs)
+                # resolve the snapshot ONCE: the survivors read and the
+                # publish CAS must share a generation, or a stale
+                # snapshot could publish over an interloper's commit
+                man0 = self._read_manifest()
+                existing = self.chunks_df(mip=int(mip), slabs=touched_slabs,
+                                          manifest=man0)
                 # drop rows being replaced (or deleted) — key anti-join
                 keys = self.spark.createDataFrame(
                     [(int(mip), int(cx), int(cy), int(cz)) for (cx, cy, cz) in replaced],
@@ -673,7 +727,7 @@ class Volume:
                             r.slab for r in out.select("slab").distinct().collect()
                         }
                         drop = [(mip, s) for s in (delete_slabs - write_slabs) - live]
-                    self._overwrite_slabs(out, drop=drop)
+                    self._overwrite_slabs(out, drop=drop, snapshot=man0)
                 finally:
                     if cached:
                         out.unpersist()
@@ -700,16 +754,22 @@ class Volume:
         return F.shiftrightunsigned(F.col("morton"), shift)
 
     def _overwrite_slabs(self, out: DataFrame, drop: Optional[Iterable[tuple]] = None,
-                         replace_mips: Optional[Iterable[int]] = None) -> None:
+                         replace_mips: Optional[Iterable[int]] = None,
+                         snapshot=_UNRESOLVED) -> None:
         """Snapshot commit: write the touched ``(mip, slab)`` datasets
         as IMMUTABLE dirs under ``chunks/data/<commit-id>``, then
-        atomically replace the manifest pointer. The rewrite unit is
-        the slab, never the table; readers holding the previous
+        publish the next numbered manifest generation. The rewrite unit
+        is the slab, never the table; readers holding a previous
         manifest keep a consistent snapshot (their dirs are never
         touched — old generations are reclaimed by :meth:`vacuum`).
         ``drop`` lists (mip, slab) partitions whose every row was
         deleted; ``replace_mips`` drops EVERY previous entry of those
-        mips (full-mip rewrites: remap).
+        mips (full-mip rewrites: remap). ``snapshot`` is the manifest a
+        READ-MODIFY-WRITE caller resolved for its survivors read — the
+        publish compare-and-sets against THAT generation, so a
+        survivors set computed from a stale snapshot can never publish
+        (write-only commits leave it unset and resolve here, under the
+        lock).
 
         All path manipulation routes through :class:`PathOps` (Hadoop
         FileSystem for s3a/gs/hdfs/file URIs, os/shutil for plain local
@@ -719,19 +779,19 @@ class Volume:
         an exclusive lock file (atomic create-if-absent) for the whole
         stage-and-publish and raises :class:`CommitConflictError`
         without touching the table if another writer holds it; the
-        manifest publish additionally compare-and-sets the generation
-        read under the lock, so even a writer that broke a stale lock
-        cannot silently interleave.
+        numbered-file publish (create-if-absent of generation N+1)
+        additionally turns any broken-stale-lock interleave into a
+        loud conflict.
 
         Tables created before the manifest (hive ``mip=``/``slab=``
         layout) commit through the legacy rename-swap path unchanged."""
         self._lru_clear()
-        fs = self._fs
         with self._commit_lock():
             if self._is_legacy_layout():
                 self._overwrite_slabs_legacy(out, drop)
                 return
-            man = self._read_manifest()
+            man = self._read_manifest() if snapshot is Volume._UNRESOLVED \
+                else snapshot
             gen = int(man["generation"]) if man else 0
             entries = dict(man["entries"]) if man else {}
             commit_id = f"commit-{uuid.uuid4().hex[:12]}"
@@ -777,24 +837,68 @@ class Volume:
         return staged
 
     def _publish_manifest(self, entries: dict, expect_generation: int) -> None:
-        """Atomic pointer replace with a generation compare-and-set."""
-        man = self._read_manifest()
-        gen = int(man["generation"]) if man else 0
-        if gen != expect_generation:
-            raise CommitConflictError(
-                f"manifest generation moved {expect_generation} -> {gen} "
-                "during this commit: another writer interleaved (a stale "
-                "lock was broken mid-commit?); retry the operation"
-            )
-        new = {"version": 1, "generation": gen + 1, "entries": entries}
-        tmp = f"{self._manifest_path}.tmp-{uuid.uuid4().hex[:12]}"
-        self._fs.write_bytes(
-            tmp, json.dumps(new, sort_keys=True).encode())
-        self._fs.replace_file(tmp, self._manifest_path)
+        """Publish generation ``expect_generation + 1`` as a NEW
+        numbered file. Two layers of conflict detection, both loud:
 
-    def vacuum(self) -> int:
+        1. If a newer generation than expected is already published,
+           the snapshot this commit's survivors were computed from is
+           stale (an interloper after a broken lock) — conflict.
+        2. The numbered file itself is created with atomic
+           create-if-absent, so even two writers racing the same
+           target generation cannot both publish; a crashed
+           publisher's empty/torn husk at the target generation is
+           reclaimed under the held lock (readers already ignore it by
+           the fall-back-one-generation rule).
+        """
+        current = self._manifest_generations()
+        cur = current[0] if current else 0
+        if cur > expect_generation:
+            # a VALID newer generation means a real interleave only if
+            # it parses; a torn husk is a crashed publish (not a commit)
+            try:
+                json.loads(self._fs.read_bytes(
+                    self._manifest_file(cur)).decode())
+                raise CommitConflictError(
+                    f"manifest generation moved {expect_generation} -> "
+                    f"{cur} during this commit: another writer "
+                    "interleaved (a stale lock was broken mid-commit?); "
+                    "retry the operation"
+                )
+            except CommitConflictError:
+                raise
+            except Exception:
+                pass  # husk — fall through to reclaim
+        target = int(expect_generation) + 1
+        path = self._manifest_file(target)
+        payload = json.dumps(
+            {"version": 1, "generation": target, "entries": entries},
+            sort_keys=True,
+        ).encode()
+        for attempt in range(2):
+            if self._fs.create_exclusive(path):
+                break
+            # existing file at the target: a valid one is a concurrent
+            # publish (conflict); an unparseable husk under OUR held
+            # lock is a crashed writer's leftover — reclaim once
+            try:
+                json.loads(self._fs.read_bytes(path).decode())
+                raise CommitConflictError(
+                    f"manifest generation {target} was published "
+                    "concurrently; retry the operation"
+                )
+            except CommitConflictError:
+                raise
+            except Exception:
+                if attempt:
+                    raise CommitConflictError(
+                        f"cannot reclaim manifest husk {path!r}")
+                self._fs.remove(path)
+        self._fs.write_bytes(path, payload, sync=True)
+
+    def vacuum(self, keep_manifests: int = 3) -> int:
         """Reclaim data dirs unreferenced by the CURRENT manifest (old
-        snapshot generations and crashed commits). Takes the commit
+        snapshot generations and crashed commits), and manifest log
+        files beyond the newest ``keep_manifests``. Takes the commit
         lock. In-flight readers of older snapshots lose their files —
         run vacuum when no long queries are active, exactly the
         Delta/Iceberg VACUUM contract. Returns dirs removed."""
@@ -809,6 +913,8 @@ class Volume:
                 if d.startswith("commit-") and d not in live:
                     fs.rmtree(f"{self.chunks_path}/data/{d}")
                     n += 1
+            for g in self._manifest_generations()[max(keep_manifests, 1):]:
+                fs.remove(self._manifest_file(g))
             return n
 
     def _overwrite_slabs_legacy(self, out: DataFrame,
@@ -900,13 +1006,13 @@ class Volume:
         return held()
 
     def _sweep_stale_staging(self) -> None:
-        """Remove staging artifacts left by crashed commits: legacy
-        ``<chunks>.tmp-*`` dirs and un-published ``_manifest.json.tmp-*``
-        pointer files. Only called while HOLDING the commit lock — live
-        staging always belongs to the lock holder, so anything found
-        here is an orphan. (Unreferenced ``data/commit-*`` dirs are a
-        snapshot-retention question, reclaimed by :meth:`vacuum`, not
-        here.)"""
+        """Remove legacy ``<chunks>.tmp-*`` staging dirs left by
+        crashed commits. Only called while HOLDING the commit lock —
+        live staging always belongs to the lock holder, so anything
+        found here is an orphan. (Unreferenced ``data/commit-*`` dirs
+        and superseded manifest generations are a snapshot-retention
+        question, reclaimed by :meth:`vacuum`, not here; a crashed
+        publisher's manifest husk is reclaimed at the next publish.)"""
         fs = self._fs
         parent, base = os.path.split(self.chunks_path.rstrip("/"))
         prefix = base + ".tmp-"
@@ -917,9 +1023,7 @@ class Volume:
         for n in names:
             if n.startswith(prefix):
                 fs.rmtree(f"{parent}/{n}")
-        for n in fs.listdir(self.chunks_path):
-            if n.startswith("_manifest.json.tmp-"):
-                fs.remove(f"{self.chunks_path}/{n}")
+
 
     def write_blocks_df(self, blocks: DataFrame, mip: int = 0,
                         compression: Optional[str] = "gzip") -> None:
@@ -1498,9 +1602,13 @@ class Volume:
         })
         if not self._fs.exists(self.chunks_path):
             return
-        # lock before the read snapshot (see _commit_lock)
+        # lock before the read snapshot (see _commit_lock); the
+        # snapshot manifest is threaded to the publish so its CAS
+        # covers the survivors read
         with self._commit_lock():
-            existing = self.chunks_df(mip=int(mip), slabs=slabs)
+            man0 = self._read_manifest()
+            existing = self.chunks_df(mip=int(mip), slabs=slabs,
+                                      manifest=man0)
             keys = self.spark.createDataFrame(
                 [(int(mip), int(cx), int(cy), int(cz)) for (cx, cy, cz) in doomed],
                 schema="mip int, cx int, cy int, cz int",
@@ -1516,18 +1624,18 @@ class Volume:
                     self._overwrite_slabs(
                         survivors,
                         drop=[(mip, s) for s in set(slabs) - live_slabs],
+                        snapshot=man0,
                     )
                 else:
                     # every chunk in the touched slabs was deleted
                     self._lru_clear()
-                    man = self._read_manifest()
-                    if man is not None:
-                        entries = dict(man["entries"])
+                    if man0 is not None:
+                        entries = dict(man0["entries"])
                         for s in slabs:
                             entries.pop(f"{int(mip)}/{int(s)}", None)
                         self._publish_manifest(
                             entries,
-                            expect_generation=int(man["generation"]))
+                            expect_generation=int(man0["generation"]))
                     else:
                         for s in slabs:
                             path = f"{self.chunks_path}/mip={mip}/slab={s}"
@@ -1590,7 +1698,8 @@ class Volume:
         self._lru_clear()
         fs = self._fs
         with self._commit_lock():
-            src = self.chunks_df(mip=int(mip))
+            man0 = self._read_manifest()
+            src = self.chunks_df(mip=int(mip), manifest=man0)
             out = src.mapInPandas(rewrite, schema=CHUNK_SCHEMA)
             if self._is_legacy_layout():
                 tmp = f"{self.chunks_path}.tmp-remap-{uuid.uuid4().hex[:12]}"
@@ -1609,7 +1718,8 @@ class Volume:
                 finally:
                     fs.rmtree(tmp)
             else:
-                self._overwrite_slabs(out, replace_mips=[int(mip)])
+                self._overwrite_slabs(out, replace_mips=[int(mip)],
+                                      snapshot=man0)
 
     # ------------------------------------------------------------------
     # downsample (beyond-reference: the actual reduction job)
@@ -1644,8 +1754,8 @@ class Volume:
         comp = compression or ""
         fx, fy, fz = (int(f) for f in factor)
 
-        def build_src():
-            return self.chunks_df().where(F.col("mip") == int(from_mip))
+        def build_src(man0):
+            return self.chunks_df(mip=int(from_mip), manifest=man0)
 
         # child chunk → its parent target chunk key, on the offset-relative
         # grid (cell = voff_to + tc*cs_to below must invert this exactly;
@@ -1713,10 +1823,11 @@ class Volume:
         # captures the file index eagerly) as well as the to_mip swap, so
         # the scan cannot race a concurrent writer's slab swap
         with self._commit_lock():
-            out = with_parent_keys(build_src()).groupBy(
+            man0 = self._read_manifest()
+            out = with_parent_keys(build_src(man0)).groupBy(
                 "tcx", "tcy", "tcz"
             ).applyInPandas(reduce_group, schema=CHUNK_SCHEMA)
-            self._overwrite_slabs(out)
+            self._overwrite_slabs(out, snapshot=man0)
         return to_mip
 
     def generate_pyramid(self, num_mips: int, factor: Sequence[int] = (2, 2, 1),

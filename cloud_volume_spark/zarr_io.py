@@ -427,9 +427,10 @@ def import_zarr3(spark, src_dir: str, base_path: str,
     volume. A ``t`` axis, if present, is sliced at index ``t`` (the
     reference's batch-time semantics, ``zarr3/image.py:203-206``).
     ``src_dir`` accepts reference-style cloudpaths (``zarr://…``)."""
-    from cloud_volume_spark.paths import resolve_cloudpath
+    from cloud_volume_spark.paths import require_local, resolve_cloudpath
 
-    src_dir = resolve_cloudpath(src_dir, formats=("zarr", "zarr3"))
+    src_dir = require_local(
+        resolve_cloudpath(src_dir, formats=("zarr", "zarr3")), "import_zarr3")
     arr_dir, meta, attrs = _find_zarr3_array(src_dir)
     dims = meta.get("dimension_names") or _default_dims(len(meta["shape"]))
     dims = [d.lower() if d else "?" for d in dims]
@@ -633,9 +634,10 @@ def import_zarr2(spark, src_dir: str, base_path: str,
                  compression: Optional[str] = "gzip") -> Volume:
     """zarr v2 array dir → new chunk-table volume. ``src_dir``
     accepts reference-style cloudpaths (``zarr://…``, ``zarr2://…``)."""
-    from cloud_volume_spark.paths import resolve_cloudpath
+    from cloud_volume_spark.paths import require_local, resolve_cloudpath
 
-    src_dir = resolve_cloudpath(src_dir, formats=("zarr", "zarr2"))
+    src_dir = require_local(
+        resolve_cloudpath(src_dir, formats=("zarr", "zarr2")), "import_zarr2")
     with open(os.path.join(src_dir, ".zarray")) as f:
         meta = json.load(f)
     shape = [int(s) for s in meta["shape"]]
@@ -833,9 +835,10 @@ def import_n5(spark, src_dir: str, base_path: str, mip: int = 0,
     ``datasource/n5/image.py:44-90``: big-endian mode/ndim/dims header,
     dimension 0 fastest; edge blocks clamped). ``src_dir`` accepts
     reference-style cloudpaths (``n5://…``)."""
-    from cloud_volume_spark.paths import resolve_cloudpath
+    from cloud_volume_spark.paths import require_local, resolve_cloudpath
 
-    src_dir = resolve_cloudpath(src_dir, formats=("n5",))
+    src_dir = require_local(
+        resolve_cloudpath(src_dir, formats=("n5",)), "import_n5")
     scale_dir = os.path.join(src_dir, f"s{mip}")
     with open(os.path.join(scale_dir, "attributes.json")) as f:
         attrs = json.load(f)

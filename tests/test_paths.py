@@ -135,3 +135,23 @@ def test_volume_open_accepts_cloudpath(spark, tmp_path):
     assert np.array_equal(out, arr)
     with pytest.raises(UnsupportedProtocolError):
         Volume.open(spark, f"zarr://file://{tmp_path}/v")
+
+
+def test_importers_gate_remote_sources_precisely(spark, tmp_path):
+    """A remote importer source must raise a precise error, not
+    silently import an empty volume (driver-side os.listdir on a URI
+    sees nothing)."""
+    from cloud_volume_spark.precomputed_io import import_pyramid
+    from cloud_volume_spark.zarr_io import import_n5, import_zarr2
+
+    for fn, src in (
+        (lambda: import_pyramid(
+            spark, "precomputed://gs://bucket/layer", str(tmp_path / "d1")),
+         "gs"),
+        (lambda: import_zarr2(
+            spark, "zarr://s3://bucket/ds", str(tmp_path / "d2")), "s3"),
+        (lambda: import_n5(
+            spark, "n5://gs://bucket/ds", str(tmp_path / "d3")), "gs"),
+    ):
+        with pytest.raises(UnsupportedProtocolError, match="driver-side"):
+            fn()

@@ -31,7 +31,7 @@ def test_cutout_scan_is_pruned(spark, rng, tmp_path):
     man = vol._read_manifest()
     assert man is not None and man["generation"] >= 1
     selected = vol._manifest_dirs(
-        man, mip=0, slabs=vol._candidate_slabs(bbox, 0))
+        man, vol.chunks_path, mip=0, slabs=vol._candidate_slabs(bbox, 0))
     assert 0 < len(selected) <= len(man["entries"])
 
 

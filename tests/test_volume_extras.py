@@ -426,3 +426,68 @@ def test_legacy_layout_still_reads_and_commits(spark, tmp_path):
     vol2.apply_remap({0: 9})
     out = vol2.cutout(Bbox((0, 0, 0), (32, 32, 32)))
     assert (out == 9).all()
+
+def test_manifest_torn_publish_falls_back_one_generation(spark, tmp_path):
+    """A torn/corrupt NEWEST manifest file means that commit never
+    happened: readers serve the previous generation; once every
+    generation is unreadable the table fails LOUDLY (never the
+    all-generations directory fallback, which would serve stale rows)."""
+    import os as _os
+
+    import numpy as np
+
+    from cloud_volume_spark.volume import ManifestError
+
+    arr, vol = _mk_vol(spark, tmp_path, "torn")
+    man1 = vol._read_manifest()
+    g1 = int(man1["generation"])
+    # simulate a torn publish of generation g1+1
+    with open(vol._manifest_file(g1 + 1), "wb") as f:
+        f.write(b'{"version": 1, "gener')  # truncated
+    man = vol._read_manifest()
+    assert int(man["generation"]) == g1  # fell back
+    out = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+    assert np.array_equal(out, arr)
+    # the next commit reclaims the husk and publishes g1+1 for real
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    man = vol._read_manifest()
+    assert int(man["generation"]) == g1 + 1
+    assert (vol.cutout(Bbox((0, 0, 0), (32, 32, 32))) == 0).all()
+
+    # all generations unreadable -> loud error, no silent fallback
+    for g in vol._manifest_generations():
+        with open(vol._manifest_file(g), "wb") as f:
+            f.write(b"garbage")
+    with pytest.raises(ManifestError, match="no readable manifest"):
+        vol.chunks_df()
+
+
+def test_crashed_first_commit_reads_as_empty(spark, tmp_path):
+    """data/ dirs without any published manifest = a first commit that
+    crashed before publishing: the table is correctly EMPTY (nothing
+    was ever committed), not an error and not a stale-dir scan."""
+    import os as _os
+
+    import numpy as np
+
+    from cloud_volume_spark.catalog import VolumeInfo
+
+    info = VolumeInfo.create(
+        layer_type="image", data_type="uint8", num_channels=1,
+        resolution=(1, 1, 1), voxel_offset=(0, 0, 0),
+        volume_size=(32, 32, 32), chunk_size=(32, 32, 32),
+    )
+    vol = Volume.create(spark, str(tmp_path / "crash1"), info)
+    # simulate staged-but-unpublished data
+    d = _os.path.join(vol.chunks_path, "data", "commit-dead", "pm=0", "ps=0")
+    _os.makedirs(d)
+    assert vol._read_manifest() is None
+    assert not vol.has_data(0)
+    # a real commit then works and supersedes nothing
+    vol.upload(np.ones((32, 32, 32, 1), np.uint8), offset=(0, 0, 0))
+    assert vol.has_data(0)
+    assert (vol.cutout(Bbox((0, 0, 0), (32, 32, 32))) == 1).all()
+    # vacuum reclaims the crashed commit dir
+    vol.vacuum()
+    assert not _os.path.isdir(
+        _os.path.join(vol.chunks_path, "data", "commit-dead"))
