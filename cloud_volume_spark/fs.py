@@ -111,6 +111,50 @@ class PathOps:
             return True
         return bool(self._fs.createNewFile(self._Path(path)))
 
+    def create_with_content(self, path: str, data: bytes) -> bool:
+        """Atomically create ``path`` holding ``data``; ``False`` if it
+        already exists — the manifest-publish primitive. Locally this
+        is write-a-unique-tmp + ``os.link`` (atomic create-if-absent
+        WITH content: no observably-empty intermediate file, so a
+        racer can never mistake an in-progress publish for a crashed
+        husk). On Hadoop FS it is ``create(overwrite=False)`` + write
+        + close — existence precedes content there, which is why
+        publishers also hold the commit lock and readers ignore an
+        unparseable newest manifest."""
+        if self._local is not None:
+            lp = local_part(path)
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            tmp = lp + f".w{os.getpid()}-{id(data) & 0xffffff:x}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, lp)
+            except FileExistsError:
+                return False
+            finally:
+                os.remove(tmp)
+            dfd = os.open(os.path.dirname(lp), os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            return True
+        try:
+            out = self._fs.create(self._Path(path), False)  # no overwrite
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(data))
+            try:
+                out.hsync()
+            except Exception:
+                pass
+        finally:
+            out.close()
+        return True
+
     def remove(self, path: str) -> None:
         """Delete a single file (no-op if absent)."""
         if self._local is not None:

@@ -197,17 +197,19 @@ def require_local(path: str, operation: str) -> str:
     """The foreign-format importers list source files DRIVER-side
     (``os.listdir``/``open``); handed a remote scheme they would
     silently see an empty listing and import nothing. Returns the
-    plain local directory, or raises precisely."""
-    if path.startswith("file://"):
-        return os.path.abspath(os.path.expanduser(path[len("file://"):]))
-    if "://" in path:
+    plain local directory, or raises precisely. (Shares the one
+    file://-stripping implementation, ``fs.local_part``.)"""
+    from cloud_volume_spark.fs import local_part
+
+    local = local_part(path)
+    if local is None:
         raise UnsupportedProtocolError(
             f"{operation} lists source files driver-side and currently "
             f"requires a local or file:// path; got {path!r}. Copy or "
             "mount the remote source first (chunk-table volumes on "
             "gs/s3a/hdfs read natively through Spark)"
         )
-    return path
+    return os.path.abspath(os.path.expanduser(local))
 
 
 def resolve_cloudpath(path: str, formats=("precomputed",)) -> str:

@@ -313,6 +313,19 @@ class Volume:
         with no error."""
         gens = self._manifest_generations()
         if not gens:
+            # interim single-pointer format (one short-lived revision of
+            # this protocol wrote chunks/_manifest.json): honor it so
+            # such tables neither read as empty nor get superseded by a
+            # generation-1 publish that forgets their entries
+            pointer = f"{self.chunks_path}/_manifest.json"
+            if self._fs.exists(pointer):
+                try:
+                    return json.loads(self._fs.read_bytes(pointer).decode())
+                except Exception as e:
+                    raise ManifestError(
+                        f"legacy manifest pointer {pointer!r} is "
+                        f"unreadable: {e!r}"
+                    )
             return None
         err: Optional[Exception] = None
         for g in gens[:3]:
@@ -380,6 +393,12 @@ class Volume:
                 df = self.spark.createDataFrame([], schema=CHUNK_SCHEMA)
             else:
                 df = self.spark.read.schema(CHUNK_SCHEMA).parquet(*dirs)
+        elif self._fs.exists(f"{self.chunks_path}/data"):
+            # data dirs but NO published generation: a first commit
+            # that crashed after staging. Nothing was ever committed —
+            # the table is EMPTY; a recursive scan here would serve the
+            # crashed commit's uncommitted rows
+            df = self.spark.createDataFrame([], schema=CHUNK_SCHEMA)
         else:
             df = self.spark.read.schema(CHUNK_SCHEMA).parquet(self.chunks_path)
         if mip is not None:
@@ -874,26 +893,33 @@ class Volume:
             {"version": 1, "generation": target, "entries": entries},
             sort_keys=True,
         ).encode()
-        for attempt in range(2):
-            if self._fs.create_exclusive(path):
-                break
+        for attempt in range(3):
+            # atomic create WITH content (local: hard-link of a fully
+            # written tmp — a racer can never observe an empty file and
+            # mistake an in-progress publish for a crashed husk)
+            if self._fs.create_with_content(path, payload):
+                return
             # existing file at the target: a valid one is a concurrent
-            # publish (conflict); an unparseable husk under OUR held
-            # lock is a crashed writer's leftover — reclaim once
-            try:
-                json.loads(self._fs.read_bytes(path).decode())
-                raise CommitConflictError(
-                    f"manifest generation {target} was published "
-                    "concurrently; retry the operation"
-                )
-            except CommitConflictError:
-                raise
-            except Exception:
-                if attempt:
+            # publish (conflict); an unparseable one is a crashed
+            # writer's torn husk — re-read a few times (a Hadoop racer
+            # may still be writing), then reclaim once under OUR lock
+            import time
+
+            for _ in range(3):
+                try:
+                    json.loads(self._fs.read_bytes(path).decode())
                     raise CommitConflictError(
-                        f"cannot reclaim manifest husk {path!r}")
-                self._fs.remove(path)
-        self._fs.write_bytes(path, payload, sync=True)
+                        f"manifest generation {target} was published "
+                        "concurrently; retry the operation"
+                    )
+                except CommitConflictError:
+                    raise
+                except Exception:
+                    time.sleep(0.05)
+            if attempt == 2:
+                raise CommitConflictError(
+                    f"cannot reclaim manifest husk {path!r}")
+            self._fs.remove(path)
 
     def vacuum(self, keep_manifests: int = 3) -> int:
         """Reclaim data dirs unreferenced by the CURRENT manifest (old
@@ -913,8 +939,13 @@ class Volume:
                 if d.startswith("commit-") and d not in live:
                     fs.rmtree(f"{self.chunks_path}/data/{d}")
                     n += 1
+            resolved = int(man["generation"])
             for g in self._manifest_generations()[max(keep_manifests, 1):]:
-                fs.remove(self._manifest_file(g))
+                # NEVER delete the generation reads currently resolve
+                # to — torn husks above it count toward the keep window
+                # and must not push the live manifest out of retention
+                if g != resolved:
+                    fs.remove(self._manifest_file(g))
             return n
 
     def _overwrite_slabs_legacy(self, out: DataFrame,

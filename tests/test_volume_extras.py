@@ -478,11 +478,22 @@ def test_crashed_first_commit_reads_as_empty(spark, tmp_path):
         volume_size=(32, 32, 32), chunk_size=(32, 32, 32),
     )
     vol = Volume.create(spark, str(tmp_path / "crash1"), info)
-    # simulate staged-but-unpublished data
+    # simulate staged-but-unpublished data holding REAL parquet rows —
+    # a recursive-scan fallback would serve them
+    import pandas as pd
+
     d = _os.path.join(vol.chunks_path, "data", "commit-dead", "pm=0", "ps=0")
     _os.makedirs(d)
+    pd.DataFrame({"mip": [0], "slab": [0], "cx": [0], "cy": [0], "cz": [0],
+                  "morton": [0], "x0": [0], "x1": [32], "y0": [0],
+                  "y1": [32], "z0": [0], "z1": [32], "encoding": ["raw"],
+                  "compression": [""],
+                  "blob": [b"\x00" * (32 * 32 * 32)],
+                  "labels_stats": [None]}).to_parquet(
+        _os.path.join(d, "part-0.parquet"))
     assert vol._read_manifest() is None
     assert not vol.has_data(0)
+    assert vol.chunks_df().count() == 0  # uncommitted rows stay invisible
     # a real commit then works and supersedes nothing
     vol.upload(np.ones((32, 32, 32, 1), np.uint8), offset=(0, 0, 0))
     assert vol.has_data(0)
