@@ -108,8 +108,11 @@ class GrapheneLayer:
     )
 
     def __init__(self, spark: SparkSession, base_path: str):
+        from cloud_volume_spark.paths import resolve_cloudpath
+
         self.spark = spark
-        self.base_path = base_path
+        self.base_path = resolve_cloudpath(
+            base_path, formats=("graphene", "precomputed"))
 
     @property
     def mapping_path(self) -> str:

@@ -155,3 +155,10 @@ def test_importers_gate_remote_sources_precisely(spark, tmp_path):
     ):
         with pytest.raises(UnsupportedProtocolError, match="driver-side"):
             fn()
+
+
+def test_graphene_layer_accepts_cloudpath(spark, tmp_path):
+    from cloud_volume_spark.graphene import GrapheneLayer
+
+    g = GrapheneLayer(spark, f"graphene://file://{tmp_path}/g")
+    assert g.base_path == f"{tmp_path}/g"

@@ -502,3 +502,48 @@ def test_crashed_first_commit_reads_as_empty(spark, tmp_path):
     vol.vacuum()
     assert not _os.path.isdir(
         _os.path.join(vol.chunks_path, "data", "commit-dead"))
+
+def test_concurrent_writers_stress_all_commits_survive(spark, tmp_path):
+    """Four threads upload disjoint regions concurrently, retrying on
+    CommitConflictError: every successful commit's data must be present
+    at the end — the lost-update freedom the lock + snapshot-CAS
+    protocol guarantees."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from cloud_volume_spark.volume import CommitConflictError
+
+    arr = np.zeros((64, 64, 64, 1), dtype=np.uint32)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "stress"), chunk_size=(32, 32, 32))
+
+    offsets = [(0, 0, 0), (32, 0, 0), (0, 32, 0), (32, 32, 0)]
+    errors = []
+
+    def writer(i):
+        patch = np.full((32, 32, 32, 1), i + 1, dtype=np.uint32)
+        for attempt in range(60):
+            try:
+                vol.upload(patch, offset=offsets[i])
+                return
+            except CommitConflictError:
+                _time.sleep(0.1)
+            except Exception as e:  # pragma: no cover
+                errors.append((i, e))
+                return
+        errors.append((i, "never committed"))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert not errors, errors
+    out = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+    for i, (ox, oy, oz) in enumerate(offsets):
+        region = out[ox:ox + 32, oy:oy + 32, oz:oz + 32]
+        assert (region == i + 1).all(), f"writer {i}'s commit was lost"
+    # z=32.. slabs never written stay zero
+    assert (out[:, :, 32:] == 0).all()
