@@ -345,12 +345,15 @@ class Volume:
         )
 
     def _is_legacy_layout(self) -> bool:
-        """True for a pre-manifest table: hive mip= dirs, no manifest
-        log and no data/ dir."""
+        """True for a pre-manifest table: hive mip= dirs and no
+        published manifest. A ``data/`` dir WITHOUT a manifest does not
+        flip the verdict — that is a crashed migration/first commit
+        whose staging never published, and the hive dirs (if present)
+        remain the committed truth."""
         names = self._fs.listdir(self.chunks_path)
         if any(n.startswith(MANIFEST_PREFIX) for n in names):
             return False
-        if "data" in names:
+        if "_manifest.json" in names:  # interim single-pointer format
             return False
         return any(n.startswith("mip=") for n in names)
 
@@ -393,11 +396,27 @@ class Volume:
                 df = self.spark.createDataFrame([], schema=CHUNK_SCHEMA)
             else:
                 df = self.spark.read.schema(CHUNK_SCHEMA).parquet(*dirs)
+        elif self._is_legacy_layout():
+            # hive table (incl. one whose migration crashed after
+            # staging but before publishing — the hive dirs remain the
+            # committed truth). Explicit mip= roots + basePath keep the
+            # partition columns while never descending into a stray
+            # staged data/ dir (mixed structures would error)
+            mip_dirs = [
+                f"{self.chunks_path}/{n}"
+                for n in self._fs.listdir(self.chunks_path)
+                if n.startswith("mip=")
+            ]
+            df = (
+                self.spark.read.schema(CHUNK_SCHEMA)
+                .option("basePath", self.chunks_path)
+                .parquet(*mip_dirs)
+            )
         elif self._fs.exists(f"{self.chunks_path}/data"):
-            # data dirs but NO published generation: a first commit
-            # that crashed after staging. Nothing was ever committed —
-            # the table is EMPTY; a recursive scan here would serve the
-            # crashed commit's uncommitted rows
+            # data dirs but NO published generation and no hive dirs: a
+            # first commit that crashed after staging. Nothing was ever
+            # committed — the table is EMPTY; a recursive scan here
+            # would serve the crashed commit's uncommitted rows
             df = self.spark.createDataFrame([], schema=CHUNK_SCHEMA)
         else:
             df = self.spark.read.schema(CHUNK_SCHEMA).parquet(self.chunks_path)
@@ -525,6 +544,10 @@ class Volume:
                     return []
                 dset = pads.dataset(files, format="parquet")
             else:
+                if os.path.isdir(os.path.join(local, "data")):
+                    # crashed-migration mix (hive dirs + staged data/):
+                    # let the Spark path handle the explicit-dir read
+                    return None
                 dset = pads.dataset(local, format="parquet",
                                     partitioning="hive")
             tbl = dset.to_table(columns=columns, filter=filt)
@@ -1676,9 +1699,34 @@ class Volume:
                 survivors.unpersist()
 
     def delete_all(self) -> None:
+        # under the lock: dropping the table out from under a live
+        # commit's staging write would corrupt that commit
         self._lru_clear()
-        if self._fs.exists(self.chunks_path):
-            self._fs.rmtree(self.chunks_path)
+        with self._commit_lock():
+            if self._fs.exists(self.chunks_path):
+                self._fs.rmtree(self.chunks_path)
+
+    def migrate_to_manifest(self) -> int:
+        """One-commit rewrite of a legacy hive table (``mip=``/``slab=``
+        dirs) into the snapshot-manifest layout; returns the entry
+        count (0 when the table is already manifest-managed or empty).
+        The legacy dirs are removed after the first generation
+        publishes — a crash in between leaves BOTH layouts, and the
+        manifest wins on the next open (reads stay correct; the stale
+        hive dirs are dead weight to clean by hand)."""
+        fs = self._fs
+        self._lru_clear()
+        with self._commit_lock():
+            if not self._is_legacy_layout():
+                return 0
+            src = self.chunks_df(manifest=None)
+            commit_id = f"commit-{uuid.uuid4().hex[:12]}"
+            staged = self._stage_commit(src, commit_id)
+            self._publish_manifest(staged, expect_generation=0)
+            for n in fs.listdir(self.chunks_path):
+                if n.startswith("mip="):
+                    fs.rmtree(f"{self.chunks_path}/{n}")
+            return len(staged)
 
     # ------------------------------------------------------------------
     # label rewrites (reference chunks.remap / frontends mask)

@@ -547,3 +547,44 @@ def test_concurrent_writers_stress_all_commits_survive(spark, tmp_path):
         assert (region == i + 1).all(), f"writer {i}'s commit was lost"
     # z=32.. slabs never written stay zero
     assert (out[:, :, 32:] == 0).all()
+
+def test_migrate_legacy_to_manifest(spark, tmp_path):
+    """migrate_to_manifest rewrites a hive table into the snapshot
+    layout in one commit; a migration that crashed between staging and
+    publish leaves the hive dirs authoritative (no silent emptiness)."""
+    import os as _os
+
+    import numpy as np
+
+    arr, vol = _mk_vol(spark, tmp_path, "mig")
+    # build the legacy twin
+    rows = vol.chunks_df().collect()
+    base = str(tmp_path / "mig2")
+    vol2 = Volume.create(spark, base, vol.info)
+    df = spark.createDataFrame(rows, schema=vol.chunks_df().schema)
+    with vol2._commit_lock():
+        vol2._overwrite_slabs_legacy(df, None)
+    assert vol2._is_legacy_layout()
+
+    # simulate a crashed migration: staged data/, no manifest yet —
+    # the hive dirs must stay the committed truth
+    _os.makedirs(_os.path.join(vol2.chunks_path, "data", "commit-x",
+                               "pm=0", "ps=0"))
+    assert vol2._is_legacy_layout()
+    assert np.array_equal(
+        vol2.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+
+    # real migration
+    n = vol2.migrate_to_manifest()
+    assert n >= 1
+    assert not vol2._is_legacy_layout()
+    assert vol2._read_manifest() is not None
+    assert not any(
+        d.startswith("mip=") for d in _os.listdir(vol2.chunks_path))
+    assert np.array_equal(
+        vol2.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+    # second call is a no-op; vacuum clears the crashed staging orphan
+    assert vol2.migrate_to_manifest() == 0
+    vol2.vacuum()
+    assert not _os.path.isdir(
+        _os.path.join(vol2.chunks_path, "data", "commit-x"))
