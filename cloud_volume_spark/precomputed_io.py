@@ -95,6 +95,7 @@ def import_pyramid(spark, src_dir: str, base_path: str,
         ]
     mips = [int(m) for m in mips]
     vol = Volume.create(spark, base_path, info)
+    slab_shift = vol.slab_shift
     seg = info.layer_type == "segmentation"
     dtype = info.data_type
     nc = info.num_channels
@@ -162,7 +163,7 @@ def import_pyramid(spark, src_dir: str, base_path: str,
                 else:
                     stats = None
                 rows.append((
-                    int(r.mip), _slab_of(morton), int(cx), int(cy), int(cz),
+                    int(r.mip), _slab_of(morton, slab_shift), int(cx), int(cy), int(cz),
                     morton,
                     int(bbox.minpt[0]), int(bbox.maxpt[0]),
                     int(bbox.minpt[1]), int(bbox.maxpt[1]),
@@ -261,6 +262,7 @@ def import_sharded(spark, src_dir: str, base_path: str, mip: int = 0,
     spec_dict = scale["sharding"]
     scale_dir = os.path.join(src_dir, key)
     vol = Volume.create(spark, base_path, info)
+    slab_shift = vol.slab_shift
 
     grid = [int(g) for g in info.grid_shape(mip)]
     cs = [int(c) for c in info.chunk_size(mip)]
@@ -309,7 +311,7 @@ def import_sharded(spark, src_dir: str, base_path: str, mip: int = 0,
                     else:
                         stats = None
                     rows.append((
-                        int(mip), _slab_of(morton), int(cx), int(cy), int(cz),
+                        int(mip), _slab_of(morton, slab_shift), int(cx), int(cy), int(cz),
                         int(morton),
                         int(cell.minpt[0]), int(cell.maxpt[0]),
                         int(cell.minpt[1]), int(cell.maxpt[1]),

@@ -144,17 +144,26 @@ def shade(dest: np.ndarray, dest_bbox: Bbox, src: np.ndarray, src_bbox: Bbox) ->
         src[s0[0]:s1[0], s0[1]:s1[1], s0[2]:s1[2], :]
 
 
-def _slab_of(morton: int) -> int:
-    return int(morton) >> SLAB_SHIFT
+def _slab_of(morton: int, shift: int = SLAB_SHIFT) -> int:
+    return int(morton) >> int(shift)
 
 
 class Volume:
     """Reader/writer for one chunked volume backed by Parquet."""
 
-    def __init__(self, spark: SparkSession, base_path: str, info: VolumeInfo):
+    def __init__(self, spark: SparkSession, base_path: str, info: VolumeInfo,
+                 slab_shift: Optional[int] = None):
         self.spark = spark
         self.base_path = base_path
         self.info = info
+        # per-table slab granularity: resolved from the manifest for
+        # existing tables (immutable once the first generation
+        # publishes), from the argument (default SLAB_SHIFT) for new
+        # ones — the 100 TB knob: bigger tables want bigger slabs so
+        # the manifest entry count stays bounded
+        self._slab_shift_default = (
+            int(slab_shift) if slab_shift is not None else SLAB_SHIFT)
+        self._slab_shift_resolved: Optional[int] = None
         self.bounded = True
         self.autocrop = False
         self.fill_missing = False
@@ -211,9 +220,10 @@ class Volume:
         return vol
 
     @classmethod
-    def create(cls, spark: SparkSession, base_path: str, info: VolumeInfo) -> "Volume":
+    def create(cls, spark: SparkSession, base_path: str, info: VolumeInfo,
+               slab_shift: Optional[int] = None) -> "Volume":
         info.commit(base_path)
-        return cls(spark, base_path, info)
+        return cls(spark, base_path, info, slab_shift=slab_shift)
 
     @classmethod
     def from_numpy(
@@ -280,6 +290,25 @@ class Volume:
     # parquet layout. Tables written before the manifest (hive
     # mip=/slab= dirs) keep working through the legacy read/commit
     # path; the layout is detected per table.
+
+    @property
+    def slab_shift(self) -> int:
+        """This table's slab granularity (``slab = morton >> shift``).
+        Immutable once the first generation publishes — slab values are
+        baked into every stored row and dir name, so reads MUST use the
+        writing shift or candidate-slab pruning silently misses data.
+        Resolved from the newest manifest; legacy tables and tables
+        with no published generation use the construction default."""
+        if self._slab_shift_resolved is None:
+            try:
+                man = self._read_manifest()
+            except ManifestError:
+                man = None
+            if man is not None and "slab_shift" in man:
+                self._slab_shift_resolved = int(man["slab_shift"])
+            else:
+                self._slab_shift_resolved = self._slab_shift_default
+        return self._slab_shift_resolved
 
     def _manifest_file(self, generation: int) -> str:
         return f"{self.chunks_path}/{MANIFEST_PREFIX}{generation:012d}.json"
@@ -460,7 +489,8 @@ class Volume:
         gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
         pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
         return [int(s) for s in np.unique(
-            compressed_morton_code(pts, grid).astype(np.int64) >> SLAB_SHIFT
+            compressed_morton_code(pts, grid).astype(np.int64)
+            >> self.slab_shift
         )]
 
     def _pruned(self, bbox: Bbox, mip: int) -> DataFrame:
@@ -600,6 +630,7 @@ class Volume:
         ``tx.upload_aligned`` + ``generate_chunks``,
         ``datasource/__init__.py:100-148``)."""
         info = self.info
+        slab_shift = self.slab_shift
         cs = np.asarray(info.chunk_size(mip))
         voff = np.asarray(info.voxel_offset(mip))
         bounds = info.bounds(mip)
@@ -632,7 +663,7 @@ class Volume:
                 stats = None
             morton = int(compressed_morton_code((cx, cy, cz), grid))
             rows.append((
-                int(mip), _slab_of(morton), int(cx), int(cy), int(cz), morton,
+                int(mip), _slab_of(morton, slab_shift), int(cx), int(cy), int(cz), morton,
                 int(cell.minpt[0]), int(cell.maxpt[0]),
                 int(cell.minpt[1]), int(cell.maxpt[1]),
                 int(cell.minpt[2]), int(cell.maxpt[2]),
@@ -733,7 +764,8 @@ class Volume:
             replaced |= set(extra_deletes)
             grid = [int(g) for g in self.info.grid_shape(mip)]
             delete_slabs = {
-                _slab_of(int(compressed_morton_code(c, grid)))
+                _slab_of(int(compressed_morton_code(c, grid)),
+                         self.slab_shift)
                 for c in extra_deletes
             }
         touched_slabs = sorted(write_slabs | delete_slabs)
@@ -789,7 +821,7 @@ class Volume:
             np.prod(info.chunk_size(0))
         ) * info.dtype.itemsize * info.num_channels
         bucket_chunks = 1
-        while bucket_chunks < (1 << SLAB_SHIFT) and \
+        while bucket_chunks < (1 << self.slab_shift) and \
                 bucket_chunks * max(chunk_bytes, 1) < (16 << 20):
             bucket_chunks *= 2
         shift = bucket_chunks.bit_length() - 1
@@ -913,7 +945,8 @@ class Volume:
         target = int(expect_generation) + 1
         path = self._manifest_file(target)
         payload = json.dumps(
-            {"version": 1, "generation": target, "entries": entries},
+            {"version": 1, "generation": target,
+             "slab_shift": int(self.slab_shift), "entries": entries},
             sort_keys=True,
         ).encode()
         for attempt in range(3):
@@ -1085,6 +1118,7 @@ class Volume:
         ``(x0..z1, blob raw-F-order bytes)`` → encoded chunk rows →
         table write. The scale path — no driver array involved."""
         info = self.info
+        slab_shift = self.slab_shift
         cs = np.asarray(info.chunk_size(mip))
         voff = np.asarray(info.voxel_offset(mip))
         grid = [int(g) for g in info.grid_shape(mip)]
@@ -1120,7 +1154,7 @@ class Volume:
                             stats = None
                     morton = int(compressed_morton_code((cx, cy, cz), grid))
                     out.append((
-                        int(mip), _slab_of(morton), cx, cy, cz, morton,
+                        int(mip), _slab_of(morton, slab_shift), cx, cy, cz, morton,
                         int(r.x0), int(r.x1), int(r.y0), int(r.y1),
                         int(r.z0), int(r.z1), encoding, comp, blob, stats,
                     ))
@@ -1652,7 +1686,8 @@ class Volume:
         doomed = set(bbox.grid_coords(cs, voff))
         grid = [int(g) for g in self.info.grid_shape(mip)]
         slabs = sorted({
-            _slab_of(int(compressed_morton_code(c, grid))) for c in doomed
+            _slab_of(int(compressed_morton_code(c, grid)), self.slab_shift)
+            for c in doomed
         })
         if not self._fs.exists(self.chunks_path):
             return
@@ -1820,6 +1855,7 @@ class Volume:
         to_mip = [s["key"] for s in info.info["scales"]].index(scale["key"])
         info.commit(self.base_path)
 
+        slab_shift = self.slab_shift
         cs_to = np.asarray(info.chunk_size(to_mip))
         voff_to = np.asarray(info.voxel_offset(to_mip))
         grid_to = [int(g) for g in info.grid_shape(to_mip)]
@@ -1891,7 +1927,7 @@ class Volume:
                 stats = None
             morton = int(compressed_morton_code((tcx, tcy, tcz), grid_to))
             return pd.DataFrame([(
-                int(to_mip), _slab_of(morton), tcx, tcy, tcz, morton,
+                int(to_mip), _slab_of(morton, slab_shift), tcx, tcy, tcz, morton,
                 int(cell.minpt[0]), int(cell.maxpt[0]),
                 int(cell.minpt[1]), int(cell.maxpt[1]),
                 int(cell.minpt[2]), int(cell.maxpt[2]),
@@ -1956,7 +1992,8 @@ class Volume:
             s["encoding"] = dst_enc
             if encoding_level is not None and level_key is not None:
                 s[level_key] = int(encoding_level)
-        dest = Volume.create(self.spark, dest_base, dst_info)
+        dest = Volume.create(self.spark, dest_base, dst_info,
+                             slab_shift=self.slab_shift)
 
         src_enc = self.info.encoding(mip)
         src_params = self.info.compression_params(mip)
@@ -2084,6 +2121,7 @@ class Volume:
         for s in info.info["scales"]:
             s["chunk_sizes"] = [list(new_cs)]
         dest = Volume.create(self.spark, dest_base, info)
+        slab_shift = dest.slab_shift
 
         cs_to = np.asarray(new_cs)
         voff = np.asarray(info.voxel_offset(mip))
@@ -2164,7 +2202,8 @@ class Volume:
                 stats = None
             morton = int(compressed_morton_code((tcx, tcy, tcz), grid_to))
             return pd.DataFrame([(
-                int(mip), _slab_of(morton), tcx, tcy, tcz, morton,
+                int(mip), _slab_of(morton, slab_shift), tcx, tcy, tcz,
+                morton,
                 int(cell.minpt[0]), int(cell.maxpt[0]),
                 int(cell.minpt[1]), int(cell.maxpt[1]),
                 int(cell.minpt[2]), int(cell.maxpt[2]),

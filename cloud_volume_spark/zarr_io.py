@@ -471,6 +471,7 @@ def import_zarr3(spark, src_dir: str, base_path: str,
         chunk_size=cs3, encoding="raw",
     )
     vol = Volume.create(spark, base_path, info)
+    slab_shift = vol.slab_shift
 
     # driver lists names only
     chunk_root = os.path.join(arr_dir, prefix) if prefix else arr_dir
@@ -551,7 +552,7 @@ def import_zarr3(spark, src_dir: str, base_path: str,
                 else:
                     stats = None
                 rows.append((
-                    0, _slab_of(morton), ci["x"], ci["y"], ci["z"], morton,
+                    0, _slab_of(morton, slab_shift), ci["x"], ci["y"], ci["z"], morton,
                     x0, x1, y0, y1, z0, z1, "raw", comp, blob, stats,
                 ))
             yield pd.DataFrame(
@@ -675,6 +676,7 @@ def import_zarr2(spark, src_dir: str, base_path: str,
         encoding="raw",
     )
     vol = Volume.create(spark, base_path, info)
+    slab_shift = vol.slab_shift
 
     names = [
         n for n in os.listdir(src_dir)
@@ -742,7 +744,7 @@ def import_zarr2(spark, src_dir: str, base_path: str,
                 else:
                     stats = None
                 rows.append((
-                    0, _slab_of(morton), ci["x"], ci["y"], ci["z"], morton,
+                    0, _slab_of(morton, slab_shift), ci["x"], ci["y"], ci["z"], morton,
                     x0, x1, y0, y1, z0, z1, "raw", comp, blob, stats,
                 ))
             yield pd.DataFrame(
@@ -859,6 +861,7 @@ def import_n5(spark, src_dir: str, base_path: str, mip: int = 0,
         chunk_size=cs3, encoding="raw",
     )
     vol = Volume.create(spark, base_path, info)
+    slab_shift = vol.slab_shift
 
     paths = []
     for dirpath, _, files in os.walk(scale_dir):
@@ -921,7 +924,7 @@ def import_n5(spark, src_dir: str, base_path: str, mip: int = 0,
                 else:
                     stats = None
                 rows.append((
-                    0, _slab_of(morton), cx, cy, cz, morton,
+                    0, _slab_of(morton, slab_shift), cx, cy, cz, morton,
                     x0, x1, y0, y1, z0, z1, "raw", comp, blob, stats,
                 ))
             yield pd.DataFrame(

@@ -588,3 +588,36 @@ def test_migrate_legacy_to_manifest(spark, tmp_path):
     vol2.vacuum()
     assert not _os.path.isdir(
         _os.path.join(vol2.chunks_path, "data", "commit-x"))
+
+def test_custom_slab_shift_roundtrip(spark, tmp_path):
+    """A table created with a non-default slab_shift (the 100 TB knob:
+    bigger slabs keep the manifest entry count bounded) records it in
+    every manifest, reopens with it, and reads/writes/prunes
+    correctly."""
+    import numpy as np
+
+    from cloud_volume_spark.catalog import VolumeInfo
+
+    arr = np.arange(64 * 64 * 64, dtype=np.uint32).reshape(64, 64, 64, 1)
+    info = VolumeInfo.create(
+        layer_type="segmentation", data_type="uint32", num_channels=1,
+        resolution=(1, 1, 1), voxel_offset=(0, 0, 0),
+        volume_size=(64, 64, 64), chunk_size=(32, 32, 32),
+    )
+    vol = Volume.create(spark, str(tmp_path / "ss"), info, slab_shift=2)
+    vol.upload(arr, offset=(0, 0, 0))
+    man = vol._read_manifest()
+    assert int(man["slab_shift"]) == 2
+    # 8 chunks, 4 per slab at shift 2 -> exactly 2 slab entries
+    assert len(man["entries"]) == 2
+
+    # reopen WITHOUT the argument: shift restores from the manifest
+    vol2 = Volume.open(spark, str(tmp_path / "ss"))
+    assert vol2.slab_shift == 2
+    out = vol2.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+    assert np.array_equal(out, arr)
+    # pruning and point reads agree with the recorded shift
+    assert int(vol2.read_voxel((5, 6, 7))[0]) == int(arr[5, 6, 7, 0])
+    vol2.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(32, 32, 32))
+    out = vol2.cutout(Bbox((32, 32, 32), (64, 64, 64)))
+    assert (out == 0).all()
