@@ -303,7 +303,10 @@ class Volume:
             try:
                 man = self._read_manifest()
             except ManifestError:
-                man = None
+                # transient/unrepaired manifest: serve the default but
+                # do NOT cache it — once the manifest is restored the
+                # next access must re-resolve the recorded shift
+                return self._slab_shift_default
             if man is not None and "slab_shift" in man:
                 self._slab_shift_resolved = int(man["slab_shift"])
             else:
@@ -866,6 +869,18 @@ class Volume:
                 return
             man = self._read_manifest() if snapshot is Volume._UNRESOLVED \
                 else snapshot
+            if (man is not None and "slab_shift" in man
+                    and int(man["slab_shift"]) != int(self.slab_shift)):
+                # this instance slabbed its rows at a different shift
+                # than the table records (e.g. created with a knob value
+                # before another writer published) — committing would
+                # mix granularities and silently break pruning
+                raise CommitConflictError(
+                    f"slab_shift mismatch: this writer uses "
+                    f"{self.slab_shift} but the table's manifest records "
+                    f"{man['slab_shift']}; reopen the volume to adopt "
+                    "the recorded granularity"
+                )
             gen = int(man["generation"]) if man else 0
             entries = dict(man["entries"]) if man else {}
             commit_id = f"commit-{uuid.uuid4().hex[:12]}"
@@ -1754,7 +1769,15 @@ class Volume:
         with self._commit_lock():
             if not self._is_legacy_layout():
                 return 0
-            src = self.chunks_df(manifest=None)
+            # re-derive slab at THIS table's target shift: legacy rows
+            # carry morton>>6 values, and the published manifest must
+            # agree with the row/dir keys (migration is exactly when a
+            # user adopts a bigger slab for the manifest-size knob)
+            src = self.chunks_df(manifest=None).withColumn(
+                "slab",
+                F.shiftrightunsigned(F.col("morton"),
+                                     int(self.slab_shift)).cast("int"),
+            )
             commit_id = f"commit-{uuid.uuid4().hex[:12]}"
             staged = self._stage_commit(src, commit_id)
             self._publish_manifest(staged, expect_generation=0)
@@ -2120,7 +2143,8 @@ class Volume:
         new_cs = [int(c) for c in new_chunk_size]
         for s in info.info["scales"]:
             s["chunk_sizes"] = [list(new_cs)]
-        dest = Volume.create(self.spark, dest_base, info)
+        dest = Volume.create(self.spark, dest_base, info,
+                             slab_shift=self.slab_shift)
         slab_shift = dest.slab_shift
 
         cs_to = np.asarray(new_cs)

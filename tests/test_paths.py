@@ -162,3 +162,10 @@ def test_graphene_layer_accepts_cloudpath(spark, tmp_path):
 
     g = GrapheneLayer(spark, f"graphene://file://{tmp_path}/g")
     assert g.base_path == f"{tmp_path}/g"
+
+
+def test_graphene_service_protocol_errors_precisely(spark):
+    from cloud_volume_spark.graphene import GrapheneLayer
+
+    with pytest.raises(UnsupportedProtocolError, match="filesystem"):
+        GrapheneLayer(spark, "graphene://https://example.com/seg/1.0/vol")
