@@ -20,9 +20,20 @@ from __future__ import annotations
 
 import os
 import shutil
+import warnings
 from typing import List
 
 from pyspark.sql import SparkSession
+
+# Schemes whose create-if-absent primitives are atomic by contract:
+# POSIX O_EXCL (local branch), HDFS createNewFile/create(overwrite=false).
+_ATOMIC_SCHEMES = {"file", "hdfs", "viewfs"}
+
+# Hadoop 3.4+ path capability / createFile() build option for S3
+# conditional writes (If-None-Match PUT).  When the store advertises
+# it, create-if-absent is enforced server-side and the commit
+# protocol's lock + generation CAS are genuinely atomic on s3a too.
+_CONDITIONAL_CREATE_CAP = "fs.option.create.conditional.overwrite"
 
 
 def is_local(path: str) -> bool:
@@ -40,10 +51,15 @@ def local_part(path: str) -> str:
 
 class PathOps:
     """exists/rmtree/rename/makedirs/listdir/read/write over either the
-    local filesystem (fast path, no JVM hop) or Hadoop FileSystem."""
+    local filesystem (fast path, no JVM hop — scheme-less paths only) or
+    Hadoop FileSystem (any ``scheme://`` URI, *including* ``file://``:
+    that is how the JVM branch — the exact code path the commit
+    protocol takes on s3a/gs/hdfs — gets real test execution via
+    Hadoop's LocalFileSystem, instead of silently falling back to
+    os/shutil)."""
 
     def __init__(self, path: str, spark: SparkSession = None):
-        self._local = local_part(path)
+        self._local = path if is_local(path) else None
         if self._local is None:
             spark = spark or SparkSession.getActiveSession()
             if spark is None:

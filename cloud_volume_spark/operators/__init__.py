@@ -15,21 +15,19 @@ from cloud_volume_spark import multimodal
 # registered queries; the order rotates per round so every query gets a
 # driver row across consecutive rounds, with tests/test_oracle_parity.py
 # running ALL queries against DuckDB as the local backstop.
-# ROUND-7 ROTATION (executing the round-6 note): `corpus`, `multimodal`
-# and `similarity` move to the front — their 20 queries sat outside the
-# round-6 window (all green in CORRECTNESS_r05). `curation` stays
-# in-window for a second confirmation of the round-6 additions
-# (line_dedup, repeated_spans, corpus_shuffle) and the round-7 de-skew
-# rewrites (boilerplate_ngrams, repeated_spans) + key fixes (line_dedup
-# min_by ordering, corpus_shuffle 60-bit key). With 70 queries the
-# window = corpus(8) + multimodal(5) + similarity(7) + curation(8) +
-# voxel_rel(8) + dedup(7) + text(7) = exactly 50. Out this round — all
-# 20 green in CORRECTNESS_r06: relational. ROUND-8 ROTATION: rotate
-# relational back to the front; voxel_rel/dedup/text can move behind it
-# if their r7 rows come back green.
+# ROUND-8 ROTATION (executing the round-7 note): `relational` returns
+# to the front — its 20 queries sat outside the round-7 window (all
+# green in CORRECTNESS_r06).  `corpus`/`multimodal`/`similarity`/
+# `curation` stay in-window (fresh r7 green, and they hold this round's
+# changes if any).  Out this round — green in BOTH the r6 and r7
+# windows, the safest to rotate: dedup(7) + text(7) and the tail of
+# voxel_rel.  With 70 queries the window = relational(20) + corpus(8) +
+# multimodal(5) + similarity(7) + curation(8) + voxel_rel(first 2) =
+# exactly 50.  ROUND-9 ROTATION: voxel_rel/dedup/text back to the
+# front; relational can rotate out again once its r8 rows are green.
 ALL_MODULES = [
-    corpus, multimodal, similarity, curation, voxel_rel, dedup, text,
-    relational,
+    relational, corpus, multimodal, similarity, curation, voxel_rel,
+    dedup, text,
 ]
 
 

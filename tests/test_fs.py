@@ -19,11 +19,17 @@ def test_path_classification():
     assert local_part("file:///tmp/x") == "/tmp/x"
     assert local_part("/tmp/x") == "/tmp/x"
     assert local_part("s3a://bucket/x") is None
+    # file:// takes the JVM branch; scheme-less takes the os/shutil one
+    assert PathOps("/tmp/x")._local == "/tmp/x"
 
 
 def test_pathops_hadoop_branch(spark, tmp_path):
     base = f"file://{tmp_path}/h"
     ops = PathOps(base, spark)
+    # Provably on the JVM branch: the local fast path is disabled and
+    # the Hadoop FileSystem object is the one answering the calls.
+    assert ops._local is None
+    assert "LocalFileSystem" in ops._fs.getClass().getName()
     ops.makedirs(f"{base}/d1")
     assert ops.exists(f"{base}/d1")
     ops.write_bytes(f"{base}/d1/f.bin", b"\x00\x01payload")
@@ -34,6 +40,29 @@ def test_pathops_hadoop_branch(spark, tmp_path):
     ops.rmtree(f"{base}/d2")
     assert not ops.exists(f"{base}/d2")
     assert ops.listdir(f"{base}/missing") == []
+
+
+def test_pathops_hadoop_commit_primitives(spark, tmp_path):
+    """The commit protocol's lock + publish primitives, executed on the
+    Hadoop FileSystem branch (LocalFileSystem as the in-container
+    stand-in for s3a/gs/hdfs)."""
+    base = f"file://{tmp_path}/prim"
+    ops = PathOps(base, spark)
+    assert ops._local is None
+    ops.makedirs(base)
+    # create_exclusive: first writer wins, second loses, remove resets
+    assert ops.create_exclusive(f"{base}/_lock") is True
+    assert ops.create_exclusive(f"{base}/_lock") is False
+    ops.remove(f"{base}/_lock")
+    assert ops.create_exclusive(f"{base}/_lock") is True
+    # create_with_content: CAS publish — loser keeps the winner's bytes
+    assert ops.create_with_content(f"{base}/_manifest-1.json", b"gen1") is True
+    assert ops.create_with_content(f"{base}/_manifest-1.json", b"nope") is False
+    assert ops.read_bytes(f"{base}/_manifest-1.json") == b"gen1"
+    ops.remove(f"{base}/missing-ok")  # no-op delete
+    # sync'd write (hsync-capable or not, must not raise)
+    ops.write_bytes(f"{base}/synced.bin", b"durable", sync=True)
+    assert ops.read_bytes(f"{base}/synced.bin") == b"durable"
 
 
 @pytest.fixture()
