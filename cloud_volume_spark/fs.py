@@ -60,18 +60,54 @@ class PathOps:
 
     def __init__(self, path: str, spark: SparkSession = None):
         self._local = path if is_local(path) else None
-        if self._local is None:
-            spark = spark or SparkSession.getActiveSession()
-            if spark is None:
-                raise RuntimeError(
-                    f"remote path {path!r} requires an active SparkSession"
-                )
-            jvm = spark._jvm
-            self._Path = jvm.org.apache.hadoop.fs.Path
-            self._fs = self._Path(path).getFileSystem(
-                spark._jsc.hadoopConfiguration()
+        if self._local is not None:
+            # POSIX: O_EXCL / hard-link publish are atomic.
+            self.atomic_create = True
+            self._conditional_create = False
+            return
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"remote path {path!r} requires an active SparkSession"
             )
-            self._IOUtils = jvm.org.apache.commons.io.IOUtils
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        self._IOUtils = jvm.org.apache.commons.io.IOUtils
+        scheme = str(self._fs.getUri().getScheme() or "").lower()
+        if scheme in _ATOMIC_SCHEMES:
+            self.atomic_create = True
+            self._conditional_create = False
+        else:
+            # Object store (s3a/gs/oss/...): createNewFile and
+            # create(overwrite=false) are exists-check-then-PUT — NOT
+            # atomic — unless the store supports conditional writes
+            # (Hadoop 3.4 S3A If-None-Match).  Probe the capability;
+            # without it, the commit lock and the generation CAS are
+            # advisory: treat the table as single-writer.
+            try:
+                self._conditional_create = bool(
+                    self._fs.hasPathCapability(
+                        self._Path(path), _CONDITIONAL_CREATE_CAP)
+                )
+            except Exception:
+                self._conditional_create = False
+            self.atomic_create = self._conditional_create
+            if not self.atomic_create:
+                warnings.warn(
+                    f"store scheme {scheme!r} for {path!r} lacks atomic "
+                    "create-if-absent (no conditional-create capability "
+                    f"{_CONDITIONAL_CREATE_CAP!r}): the commit lock and "
+                    "manifest-generation CAS are advisory here — run at "
+                    "most ONE writer per table, or upgrade to a store/"
+                    "Hadoop version with conditional writes. Committed "
+                    "manifests are read-back-verified to make lost "
+                    "updates loud, but a narrow overwrite window "
+                    "remains (see SCALE.md).",
+                    stacklevel=3,
+                )
 
     def exists(self, path: str) -> bool:
         if self._local is not None:
@@ -112,10 +148,11 @@ class PathOps:
         """Atomically create an empty marker file; ``False`` if it
         already exists — the primitive behind the slab-commit lock.
         Local: ``O_CREAT|O_EXCL`` (atomic on POSIX). Hadoop FS:
-        ``createNewFile`` (atomic on HDFS and file://; object stores
-        without atomic create-if-absent inherit their store's
-        semantics — the same caveat the table formats solve with a
-        catalog, documented in SCALE.md)."""
+        conditional create (If-None-Match) when the store advertises
+        the capability, else ``createNewFile`` (atomic on HDFS and
+        file://; on object stores WITHOUT conditional writes this is
+        exists-check-then-PUT — advisory only, and ``atomic_create``
+        is False with a warning emitted at construction)."""
         if self._local is not None:
             lp = local_part(path)
             os.makedirs(os.path.dirname(lp), exist_ok=True)
@@ -125,7 +162,24 @@ class PathOps:
                 return False
             os.close(fd)
             return True
+        if self._conditional_create:
+            # conditional PUT: rejection (already exists) surfaces as an
+            # exception at build or close — either way, we lost the race
+            try:
+                self._jvm_create_if_absent(path).close()
+                return True
+            except Exception:
+                return False
         return bool(self._fs.createNewFile(self._Path(path)))
+
+    def _jvm_create_if_absent(self, path: str):
+        """An output stream whose creation (or close, on stores where
+        the PUT happens at close) fails if ``path`` already exists,
+        enforced server-side via the conditional-create build option."""
+        b = self._fs.createFile(self._Path(path))
+        b = b.overwrite(False)
+        b = b.must(_CONDITIONAL_CREATE_CAP, False)
+        return b.build()
 
     def create_with_content(self, path: str, data: bytes) -> bool:
         """Atomically create ``path`` holding ``data``; ``False`` if it
@@ -158,9 +212,13 @@ class PathOps:
                 os.close(dfd)
             return True
         try:
-            out = self._fs.create(self._Path(path), False)  # no overwrite
+            if self._conditional_create:
+                out = self._jvm_create_if_absent(path)
+            else:
+                out = self._fs.create(self._Path(path), False)  # no overwrite
         except Exception:
             return False
+        ok = True
         try:
             out.write(bytearray(data))
             try:
@@ -168,8 +226,13 @@ class PathOps:
             except Exception:
                 pass
         finally:
-            out.close()
-        return True
+            try:
+                out.close()
+            except Exception:
+                # conditional stores reject the PUT at close when the
+                # object appeared meanwhile: we lost the publish race
+                ok = False
+        return ok
 
     def remove(self, path: str) -> None:
         """Delete a single file (no-op if absent)."""

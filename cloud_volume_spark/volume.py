@@ -169,6 +169,9 @@ class Volume:
         self.fill_missing = False
         self.default_mip = 0
         self.read_only = False
+        # time-travel: when set, every read resolves this manifest
+        # generation instead of the newest one, and writes are disabled
+        self._pinned_generation: Optional[int] = None
         self._fs = PathOps(base_path, spark)
         # re-entrancy tracking for _commit_lock: THREAD-LOCAL depth, so
         # a second driver thread sharing this Volume cannot ride the
@@ -202,10 +205,18 @@ class Volume:
 
     @classmethod
     def open(cls, spark: SparkSession, base_path: str,
-             max_redirects: int = 10) -> "Volume":
+             max_redirects: int = 10,
+             generation: Optional[int] = None) -> "Volume":
         """Open a volume, following info ``redirect`` links (reference
         ``metadata.py:224-293``). A redirected volume opens read-only,
         matching the reference's ReadOnlyException on write.
+
+        ``generation=N`` opens a TIME-TRAVEL snapshot: every read
+        resolves manifest generation ``N`` exactly as it was published
+        (the manifest log retains old generations until
+        :meth:`vacuum`), and writes are disabled. Raises
+        :class:`ManifestError` up front if that generation is missing
+        or was vacuumed.
 
         Accepts reference-style cloudpaths (``precomputed://gs://…``,
         ``gs://…``, ``file:///…`` — ``paths.extract`` grammar) as well
@@ -217,6 +228,9 @@ class Volume:
         info = VolumeInfo.load(base_path, max_redirects=max_redirects)
         vol = cls(spark, info.base_path or base_path, info)
         vol.read_only = bool(info.redirected_from)
+        if generation is not None:
+            vol._pinned_generation = int(generation)
+            vol._read_manifest()  # fail fast on a vacuumed/absent pin
         return vol
 
     @classmethod
@@ -342,7 +356,26 @@ class Volume:
         generation (that commit never completed). If generations exist
         but NONE parses, raise :class:`ManifestError` — scanning all
         retained data dirs instead would serve duplicate/stale rows
-        with no error."""
+        with no error.
+
+        A generation-pinned volume (time-travel ``open(generation=N)``)
+        resolves exactly its pinned file — no fallback: serving a
+        neighboring generation would silently answer for the wrong
+        snapshot."""
+        if self._pinned_generation is not None:
+            g = self._pinned_generation
+            try:
+                man = json.loads(
+                    self._fs.read_bytes(self._manifest_file(g)).decode())
+            except Exception as e:
+                raise ManifestError(
+                    f"pinned manifest generation {g} under "
+                    f"{self.chunks_path!r} is missing or unreadable "
+                    f"({e!r}) — it may have been vacuumed; retained "
+                    f"generations: {self._manifest_generations()[:6]}"
+                )
+            man["generation"] = g
+            return man
         gens = self._manifest_generations()
         if not gens:
             # interim single-pointer format (one short-lived revision of
@@ -686,11 +719,7 @@ class Volume:
         directly; non-aligned writes read-modify-write the boundary
         shell (reference ``tx.upload:140-191`` — same concurrent-write
         caveat as ``datasource/__init__.py:9-35``)."""
-        if self.read_only:
-            raise PermissionError(
-                "volume was opened through an info redirect; writes are "
-                "disabled (reference ReadOnlyException semantics)"
-            )
+        self._check_writable()
         self.info.check_mip_writable(mip)
         if arr.ndim == 3:
             arr = arr[..., np.newaxis]
@@ -969,6 +998,26 @@ class Volume:
             # written tmp — a racer can never observe an empty file and
             # mistake an in-progress publish for a crashed husk)
             if self._fs.create_with_content(path, payload):
+                if not getattr(self._fs, "atomic_create", True):
+                    # Non-atomic store (object store without conditional
+                    # writes): our "successful" PUT may have been
+                    # overwritten by a racer who also saw no file.
+                    # Read-back makes the lost update LOUD for the
+                    # overwritten writer (a residual window remains if
+                    # the overwrite lands after this read — see
+                    # SCALE.md; such tables should be single-writer).
+                    try:
+                        seen = self._fs.read_bytes(path)
+                    except Exception:
+                        seen = None
+                    if seen != payload:
+                        raise CommitConflictError(
+                            f"manifest generation {target} was "
+                            "overwritten concurrently after publish "
+                            "(non-atomic create-if-absent on this "
+                            "store); this table must be single-writer "
+                            "— retry the operation"
+                        )
                 return
             # existing file at the target: a valid one is a concurrent
             # publish (conflict); an unparseable one is a crashed
@@ -992,30 +1041,71 @@ class Volume:
                     f"cannot reclaim manifest husk {path!r}")
             self._fs.remove(path)
 
+    def history(self) -> list:
+        """The retained manifest log, newest first — one dict per
+        readable generation (``generation``, ``entries`` count,
+        ``slab_shift``, ``mips`` present), the Delta ``DESCRIBE
+        HISTORY`` analog. Torn husks are listed with ``readable:
+        False`` rather than hidden (they explain why reads resolve an
+        older generation). Driver-side: the log is file-count bounded
+        by vacuum retention."""
+        out = []
+        for g in self._manifest_generations():
+            try:
+                man = json.loads(
+                    self._fs.read_bytes(self._manifest_file(g)).decode())
+                entries = man.get("entries", {})
+                out.append({
+                    "generation": g,
+                    "readable": True,
+                    "entries": len(entries),
+                    "slab_shift": man.get("slab_shift"),
+                    "mips": sorted({int(k.split("/")[0]) for k in entries}),
+                })
+            except Exception:
+                out.append({"generation": g, "readable": False,
+                            "entries": None, "slab_shift": None,
+                            "mips": None})
+        return out
+
     def vacuum(self, keep_manifests: int = 3) -> int:
-        """Reclaim data dirs unreferenced by the CURRENT manifest (old
-        snapshot generations and crashed commits), and manifest log
-        files beyond the newest ``keep_manifests``. Takes the commit
-        lock. In-flight readers of older snapshots lose their files —
-        run vacuum when no long queries are active, exactly the
-        Delta/Iceberg VACUUM contract. Returns dirs removed."""
+        """Reclaim data dirs and manifest files outside the retention
+        window: the newest ``keep_manifests`` generations survive
+        INTACT — manifest file AND every data dir any of them
+        references — so retained generations stay fully servable
+        (``open(generation=N)`` time travel works after vacuum).
+        Everything else (older generations' files, dirs only they
+        referenced, crashed commits' staging) is reclaimed. Takes the
+        commit lock. In-flight readers of reclaimed snapshots lose
+        their files — run vacuum when no long queries are active,
+        exactly the Delta/Iceberg VACUUM contract. Returns dirs
+        removed."""
         fs = self._fs
         with self._commit_lock():
             man = self._read_manifest()
             if man is None:
                 return 0
-            live = {rel.split("/")[1] for rel in man["entries"].values()}
+            gens = self._manifest_generations()
+            # NEVER drop the generation reads currently resolve to —
+            # torn husks above it count toward the keep window and must
+            # not push the live manifest out of retention
+            keep = set(gens[:max(keep_manifests, 1)])
+            keep.add(int(man["generation"]))
+            live = set()
+            for g in sorted(keep, reverse=True):
+                try:
+                    kept = json.loads(
+                        self._fs.read_bytes(self._manifest_file(g)).decode())
+                except Exception:
+                    continue  # torn husk in the window: references nothing
+                live |= {rel.split("/")[1] for rel in kept["entries"].values()}
             n = 0
             for d in fs.listdir(f"{self.chunks_path}/data"):
                 if d.startswith("commit-") and d not in live:
                     fs.rmtree(f"{self.chunks_path}/data/{d}")
                     n += 1
-            resolved = int(man["generation"])
-            for g in self._manifest_generations()[max(keep_manifests, 1):]:
-                # NEVER delete the generation reads currently resolve
-                # to — torn husks above it count toward the keep window
-                # and must not push the live manifest out of retention
-                if g != resolved:
+            for g in gens:
+                if g not in keep:
                     fs.remove(self._manifest_file(g))
             return n
 
@@ -1052,6 +1142,22 @@ class Volume:
             path = f"{self.chunks_path}/mip={mip}/slab={slab}"
             if fs.exists(path):
                 fs.rmtree(path)
+
+    def _check_writable(self) -> None:
+        """Raise unless this handle may mutate the table — guards every
+        commit entry point (enforced at lock acquisition) plus the
+        driver-array upload path."""
+        if self._pinned_generation is not None:
+            raise PermissionError(
+                f"volume is pinned to manifest generation "
+                f"{self._pinned_generation} (time-travel open); writes "
+                "are disabled — reopen without generation= to write"
+            )
+        if self.read_only:
+            raise PermissionError(
+                "volume was opened through an info redirect; writes are "
+                "disabled (reference ReadOnlyException semantics)"
+            )
 
     @property
     def _commit_lock_path(self) -> str:
@@ -1091,6 +1197,7 @@ class Volume:
                 finally:
                     self._lock_tls.depth -= 1
                 return
+            self._check_writable()
             if not fs.create_exclusive(lock):
                 raise CommitConflictError(
                     f"another writer holds the commit lock {lock!r}; "

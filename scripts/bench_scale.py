@@ -1,0 +1,148 @@
+"""10x-scale spot-bench: validate SCALE.md's linearity claims empirically.
+
+No sf1 dataset ships in the container, so this script synthesizes one:
+each of 10 replicas of the sf0.1 ``documents``/``embeddings`` tables is
+DECORRELATED from the others (per-replica vowel rotation of content,
+per-replica cyclic rotation of embedding vectors) so the near-dup /
+LSH cluster structure of the original corpus is preserved WITHIN each
+replica but not duplicated ACROSS replicas — output sizes should then
+scale ~linearly with input, which is exactly the property the 100 TB
+notes claim for the banded/bucketed plans.  (Naive replication would
+make every doc a 10-clique of near-duplicates and force quadratic
+pair growth — a different workload, not a scale test.)
+
+Usage:  python scripts/bench_scale.py [--replicas 10] [--queries q1,q2]
+Writes one JSON line per (query, scale) to stdout and a summary table.
+Run it alone on the host (same rule as bench.py: no concurrent JVMs).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# the 6 most expensive queries of BENCH_r07 — the ones whose scale
+# behavior the round-7 verdict asked to validate empirically
+DEFAULT_QUERIES = [
+    "embedding_kmeans",
+    "dedup_clusters",
+    "embedding_neardup_pairs",
+    "dedup_incremental",
+    "minhash_lsh_pairs",
+    "repeated_spans",
+]
+
+VOWS = "aeiou"
+
+
+def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    ndoc = docs.count()
+    dim = len(embs.select("embedding").first()[0])
+
+    doc_parts = []
+    emb_parts = []
+    for r in range(replicas):
+        rot = VOWS[r % 5:] + VOWS[: r % 5]
+        d = docs
+        if r > 0:
+            # decorrelate content across replicas, preserve within-
+            # replica dup/near-dup structure and token statistics
+            d = d.withColumn("content", F.translate("content", VOWS, rot))
+        doc_parts.append(
+            d.withColumn("doc_id", (F.col("doc_id") + F.lit(r * ndoc)).cast("long"))
+        )
+        e = embs
+        if r > 0:
+            k = 1 + (r % (dim - 1))
+            # cyclic rotation: preserves norms + within-replica geometry,
+            # decorrelates across replicas
+            e = e.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", k + 1, dim - k),
+                    F.slice("embedding", 1, k),
+                ),
+            )
+        emb_parts.append(
+            e.withColumn("doc_id", (F.col("doc_id") + F.lit(r * ndoc)).cast("long"))
+        )
+
+    out_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        out_docs = out_docs.unionByName(p)
+    out_embs = emb_parts[0]
+    for p in emb_parts[1:]:
+        out_embs = out_embs.unionByName(p)
+
+    out_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet")
+    out_embs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet")
+    # the relational tables are not used by these queries but the
+    # query loaders may resolve paths eagerly — symlink them through
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        src = f"{src_dir}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+
+
+def run(queries, names, sf_dir, passes=2):
+    out = {}
+    for name in names:
+        fn = queries[name]
+        best = None
+        for _ in range(passes):
+            t0 = time.monotonic()
+            n = fn(SPARK, sf_dir).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = {"sec": round(best, 3), "rows": n}
+        print(json.dumps({"query": name, "sf_dir": sf_dir, **out[name]}),
+              flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--scaled-dir", default="/tmp/cvs_sf1_synth")
+    args = ap.parse_args()
+
+    from cloud_volume_spark import get_spark
+    from cloud_volume_spark import operators
+
+    SPARK = get_spark()
+    names = [q for q in args.queries.split(",") if q]
+    qs = operators.all_queries()
+
+    if not os.path.exists(f"{args.scaled_dir}/documents.parquet"):
+        t0 = time.monotonic()
+        make_scaled(SPARK, SF01, args.scaled_dir, args.replicas)
+        print(f"# synthesized {args.replicas}x corpus in "
+              f"{time.monotonic() - t0:.1f}s", flush=True)
+
+    base = run(qs, names, SF01)
+    scaled = run(qs, names, args.scaled_dir)
+
+    print("\n# query  sf0.1_s  10x_s  time_ratio  rows_ratio")
+    summary = {}
+    for n in names:
+        tr = scaled[n]["sec"] / max(base[n]["sec"], 1e-9)
+        rr = scaled[n]["rows"] / max(base[n]["rows"], 1)
+        summary[n] = {"sf01_sec": base[n]["sec"], "x10_sec": scaled[n]["sec"],
+                      "time_ratio": round(tr, 2), "rows_ratio": round(rr, 2)}
+        print(f"# {n}  {base[n]['sec']}  {scaled[n]['sec']}  "
+              f"{tr:.2f}  {rr:.2f}")
+    print("SCALE_SUMMARY " + json.dumps(summary, separators=(",", ":")))

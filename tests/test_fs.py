@@ -116,3 +116,60 @@ def test_volume_open_follows_redirect_and_is_read_only(spark, rng, tmp_path):
     assert np.array_equal(out, arr)
     with pytest.raises(PermissionError):
         vol.upload(arr, offset=(0, 0, 0))
+
+
+class _NonAtomicOps:
+    """A PathOps stand-in emulating an object store WITHOUT atomic
+    create-if-absent: create_with_content is exists-check-then-PUT,
+    with an injectable racer firing between our PUT and the caller's
+    read-back — the exact S3-without-conditional-writes window."""
+
+    atomic_create = False
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.after_put = None
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def create_with_content(self, path, data):
+        if self._inner.exists(path):
+            return False
+        self._inner.write_bytes(path, data)  # plain overwriting PUT
+        if self.after_put is not None:
+            hook, self.after_put = self.after_put, None
+            hook(path)
+        return True
+
+
+def test_nonatomic_store_lost_publish_is_loud(spark, rng, tmp_path):
+    """On a store whose create-if-absent is NOT atomic, a publisher
+    whose manifest PUT gets overwritten by a racer must fail loudly
+    (read-back verification in _publish_manifest), never return
+    success for a commit that is no longer the published one."""
+    import json
+
+    from cloud_volume_spark.volume import CommitConflictError
+
+    arr = rng.integers(0, 255, size=(64, 64, 64, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "na"), chunk_size=(32, 32, 32))
+    real = vol._fs
+    fake = _NonAtomicOps(real)
+    vol._fs = fake
+
+    def racer_overwrites(path):
+        man = json.loads(real.read_bytes(path).decode())
+        man["entries"] = {}  # the racer's competing commit
+        real.write_bytes(path, json.dumps(man).encode())
+
+    fake.after_put = racer_overwrites
+    with pytest.raises(CommitConflictError, match="overwritten"):
+        vol.upload(
+            np.zeros((32, 32, 32, 1), np.uint8), offset=(0, 0, 0))
+
+    # without a racer the same volume commits fine through the fake
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint8), offset=(0, 0, 0))
+    out = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)))
+    assert (out == 0).all()

@@ -367,7 +367,10 @@ def test_manifest_generation_cas(spark, tmp_path):
 
 def test_manifest_vacuum_reclaims_old_generations(spark, tmp_path):
     """Old generations' dirs survive commits (snapshot retention) and
-    are reclaimed only by vacuum; live dirs stay readable."""
+    are reclaimed only by vacuum; retention keeps every retained
+    generation SERVABLE (manifest + the dirs it references), so
+    reclaiming everything older than the newest needs
+    ``keep_manifests=1``; live dirs stay readable."""
     import os as _os
 
     import numpy as np
@@ -377,7 +380,10 @@ def test_manifest_vacuum_reclaims_old_generations(spark, tmp_path):
     n_commits_before = len(_os.listdir(data_dir))
     vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
     assert len(_os.listdir(data_dir)) == n_commits_before + 1
-    removed = vol.vacuum()
+    # default retention (3): both generations stay fully servable
+    assert vol.vacuum() == 0
+    assert len(_os.listdir(data_dir)) == n_commits_before + 1
+    removed = vol.vacuum(keep_manifests=1)
     assert removed >= 1
     man = vol._read_manifest()
     live = {rel.split("/")[1] for rel in man["entries"].values()}
@@ -386,6 +392,42 @@ def test_manifest_vacuum_reclaims_old_generations(spark, tmp_path):
     out = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)))
     assert (out[:32, :32, :32] == 0).all()
     assert np.array_equal(out[32:, :, :], arr[32:, :, :])
+
+
+def test_time_travel_open_reads_old_generation(spark, tmp_path):
+    """``open(generation=N)`` serves the table exactly as generation N
+    published it, stays correct after later commits, survives a
+    default-retention vacuum, and refuses writes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cloud_volume_spark.volume import ManifestError, Volume
+
+    arr, vol = _mk_vol(spark, tmp_path, "tt")
+    gen0 = int(vol._read_manifest()["generation"])
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+
+    old = Volume.open(spark, str(tmp_path / "tt"), generation=gen0)
+    assert np.array_equal(old.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+    new = Volume.open(spark, str(tmp_path / "tt"))
+    assert (new.cutout(Bbox((0, 0, 0), (32, 32, 32))) == 0).all()
+
+    # retention keeps the pinned generation servable across vacuum
+    vol.vacuum()  # default keep_manifests=3 retains gen0
+    assert np.array_equal(old.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+
+    # a pinned handle cannot mutate the table (any commit entry point)
+    with _pytest.raises(PermissionError, match="pinned"):
+        old.upload(arr, offset=(0, 0, 0))
+    with _pytest.raises(PermissionError, match="pinned"):
+        old.delete(Bbox((0, 0, 0), (32, 32, 32)))
+
+    # once the pin falls out of retention, opening it fails loudly
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(32, 0, 0))
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 32, 0))
+    vol.vacuum(keep_manifests=1)
+    with _pytest.raises(ManifestError, match="vacuumed"):
+        Volume.open(spark, str(tmp_path / "tt"), generation=gen0)
 
 
 def test_legacy_layout_still_reads_and_commits(spark, tmp_path):
@@ -666,3 +708,25 @@ def test_migration_adopts_target_slab_shift(spark, tmp_path):
     out = v2.cutout(Bbox((0, 0, 0), (64, 64, 64)))
     assert np.array_equal(out, arr)
     assert int(v2.read_voxel((40, 3, 9))[0]) == int(arr[40, 3, 9, 0])
+
+
+def test_history_lists_generations_and_husks(spark, tmp_path):
+    """history() = DESCRIBE HISTORY: every retained generation newest
+    first with entry counts, torn husks flagged unreadable."""
+    import numpy as np
+
+    _, vol = _mk_vol(spark, tmp_path, "hist")
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    h = vol.history()
+    assert [e["generation"] for e in h] == sorted(
+        (e["generation"] for e in h), reverse=True)
+    assert len(h) == 2 and all(e["readable"] for e in h)
+    assert all(e["entries"] >= 1 and e["mips"] == [0] for e in h)
+    assert all(e["slab_shift"] == vol.slab_shift for e in h)
+    # a torn husk above shows up flagged, not hidden
+    top = h[0]["generation"] + 1
+    vol._fs.write_bytes(vol._manifest_file(top), b"{torn")
+    h2 = vol.history()
+    assert h2[0] == {"generation": top, "readable": False,
+                     "entries": None, "slab_shift": None, "mips": None}
+    assert h2[1:] == h
