@@ -25,15 +25,23 @@ from typing import List
 
 from pyspark.sql import SparkSession
 
-# Schemes whose create-if-absent primitives are atomic by contract:
-# POSIX O_EXCL (local branch), HDFS createNewFile/create(overwrite=false).
-_ATOMIC_SCHEMES = {"file", "hdfs", "viewfs"}
+# Schemes whose JVM create-if-absent primitives are atomic by contract
+# (HDFS createNewFile / create(overwrite=false) are namespace ops).
+# NOT "file": RawLocalFileSystem's create(overwrite=false) is an
+# exists-check-then-open TOCTOU — file:// create primitives therefore
+# route to the POSIX O_EXCL / hard-link implementations instead.
+_ATOMIC_JVM_SCHEMES = {"hdfs", "viewfs"}
 
-# Hadoop 3.4+ path capability / createFile() build option for S3
-# conditional writes (If-None-Match PUT).  When the store advertises
-# it, create-if-absent is enforced server-side and the commit
-# protocol's lock + generation CAS are genuinely atomic on s3a too.
-_CONDITIONAL_CREATE_CAP = "fs.option.create.conditional.overwrite"
+# Capability strings a store may advertise for conditional writes
+# (Hadoop 3.4 S3A If-None-Match PUT: HADOOP-19256 makes
+# create(overwrite=false) a server-side-atomic conditional PUT that
+# rejects at close() when the object appeared meanwhile).  Probed via
+# hasPathCapability; when none is advertised the commit lock and
+# generation CAS are advisory and a loud warning fires.
+_CONDITIONAL_CREATE_CAPS = (
+    "fs.option.create.conditional.overwrite",
+    "fs.capability.create.conditional",
+)
 
 
 def is_local(path: str) -> bool:
@@ -60,13 +68,23 @@ class PathOps:
 
     def __init__(self, path: str, spark: SparkSession = None):
         self._local = path if is_local(path) else None
+        self._scheme = ""
         if self._local is not None:
             # POSIX: O_EXCL / hard-link publish are atomic.
             self.atomic_create = True
-            self._conditional_create = False
+            self._close_decides = False
             return
         spark = spark or SparkSession.getActiveSession()
         if spark is None:
+            if path.startswith("file://"):
+                # metadata access without a session (VolumeInfo.load
+                # before get_spark): the local filesystem is
+                # semantically identical for file:// — degrade to the
+                # os/shutil branch instead of failing
+                self._local = local_part(path)
+                self.atomic_create = True
+                self._close_decides = False
+                return
             raise RuntimeError(
                 f"remote path {path!r} requires an active SparkSession"
             )
@@ -77,34 +95,46 @@ class PathOps:
         )
         self._IOUtils = jvm.org.apache.commons.io.IOUtils
         scheme = str(self._fs.getUri().getScheme() or "").lower()
-        if scheme in _ATOMIC_SCHEMES:
+        self._scheme = scheme
+        if scheme == "file":
+            # data ops ride the JVM branch (test execution of the
+            # production code path), but the create PRIMITIVES route to
+            # POSIX O_EXCL / hard-link below — RawLocalFileSystem's
+            # create(overwrite=false) is a TOCTOU, not a CAS
             self.atomic_create = True
-            self._conditional_create = False
+            self._close_decides = False
+        elif scheme in _ATOMIC_JVM_SCHEMES:
+            self.atomic_create = True
+            self._close_decides = False
         else:
             # Object store (s3a/gs/oss/...): createNewFile and
             # create(overwrite=false) are exists-check-then-PUT — NOT
-            # atomic — unless the store supports conditional writes
-            # (Hadoop 3.4 S3A If-None-Match).  Probe the capability;
-            # without it, the commit lock and the generation CAS are
-            # advisory: treat the table as single-writer.
-            try:
-                self._conditional_create = bool(
-                    self._fs.hasPathCapability(
-                        self._Path(path), _CONDITIONAL_CREATE_CAP)
-                )
-            except Exception:
-                self._conditional_create = False
-            self.atomic_create = self._conditional_create
-            if not self.atomic_create:
+            # atomic — unless the store implements conditional writes
+            # (Hadoop 3.4 S3A If-None-Match), where the conditional
+            # PUT rejects at close().  Probe the capability; without
+            # it, the commit lock and the generation CAS are advisory:
+            # treat the table as single-writer.
+            cap = False
+            for name in _CONDITIONAL_CREATE_CAPS:
+                try:
+                    if bool(self._fs.hasPathCapability(
+                            self._Path(path), name)):
+                        cap = True
+                        break
+                except Exception:
+                    continue
+            self.atomic_create = cap
+            self._close_decides = cap
+            if not cap:
                 warnings.warn(
                     f"store scheme {scheme!r} for {path!r} lacks atomic "
                     "create-if-absent (no conditional-create capability "
-                    f"{_CONDITIONAL_CREATE_CAP!r}): the commit lock and "
-                    "manifest-generation CAS are advisory here — run at "
-                    "most ONE writer per table, or upgrade to a store/"
-                    "Hadoop version with conditional writes. Committed "
-                    "manifests are read-back-verified to make lost "
-                    "updates loud, but a narrow overwrite window "
+                    f"among {_CONDITIONAL_CREATE_CAPS!r}): the commit "
+                    "lock and manifest-generation CAS are advisory here "
+                    "— run at most ONE writer per table, or upgrade to "
+                    "a store/Hadoop version with conditional writes. "
+                    "Committed manifests are read-back-verified to make "
+                    "lost updates loud, but a narrow overwrite window "
                     "remains (see SCALE.md).",
                     stacklevel=3,
                 )
@@ -147,75 +177,90 @@ class PathOps:
     def create_exclusive(self, path: str) -> bool:
         """Atomically create an empty marker file; ``False`` if it
         already exists — the primitive behind the slab-commit lock.
-        Local: ``O_CREAT|O_EXCL`` (atomic on POSIX). Hadoop FS:
-        conditional create (If-None-Match) when the store advertises
-        the capability, else ``createNewFile`` (atomic on HDFS and
-        file://; on object stores WITHOUT conditional writes this is
-        exists-check-then-PUT — advisory only, and ``atomic_create``
-        is False with a warning emitted at construction)."""
+        Local and ``file://``: ``O_CREAT|O_EXCL`` (atomic on POSIX;
+        LocalFileSystem's own create is a TOCTOU, so file:// routes
+        here even on the JVM branch). Other Hadoop FS: conditional
+        create (rejects at close, If-None-Match) on stores advertising
+        the capability, ``createNewFile`` elsewhere (atomic on HDFS;
+        exists-check-then-PUT on object stores without conditional
+        writes — advisory only, ``atomic_create`` False, warning at
+        construction)."""
         if self._local is not None:
-            lp = local_part(path)
-            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            return self._posix_create_exclusive(local_part(path))
+        if self._scheme == "file":
+            # JVM-branch PathOps over file://: the lock must be a real
+            # CAS, which RawLocalFileSystem cannot give — use O_EXCL on
+            # the underlying path (same physical file the JVM sees)
+            return self._posix_create_exclusive(local_part(path))
+        return self._jvm_create_exclusive(path)
+
+    @staticmethod
+    def _posix_create_exclusive(lp: str) -> bool:
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        try:
+            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.close(fd)
+        return True
+
+    def _jvm_create_exclusive(self, path: str) -> bool:
+        """The generic-store lock primitive (what runs on hdfs/s3a/gs):
+        atomic on HDFS (namespace op) and on conditional-create stores
+        (PUT rejected at close); exists-check-then-PUT elsewhere —
+        which is why ``atomic_create`` is False there."""
+        if self._close_decides:
             try:
-                fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                return False
-            os.close(fd)
-            return True
-        if self._conditional_create:
-            # conditional PUT: rejection (already exists) surfaces as an
-            # exception at build or close — either way, we lost the race
-            try:
-                self._jvm_create_if_absent(path).close()
+                self._fs.create(self._Path(path), False).close()
                 return True
             except Exception:
                 return False
         return bool(self._fs.createNewFile(self._Path(path)))
 
-    def _jvm_create_if_absent(self, path: str):
-        """An output stream whose creation (or close, on stores where
-        the PUT happens at close) fails if ``path`` already exists,
-        enforced server-side via the conditional-create build option."""
-        b = self._fs.createFile(self._Path(path))
-        b = b.overwrite(False)
-        b = b.must(_CONDITIONAL_CREATE_CAP, False)
-        return b.build()
-
     def create_with_content(self, path: str, data: bytes) -> bool:
         """Atomically create ``path`` holding ``data``; ``False`` if it
-        already exists — the manifest-publish primitive. Locally this
-        is write-a-unique-tmp + ``os.link`` (atomic create-if-absent
-        WITH content: no observably-empty intermediate file, so a
-        racer can never mistake an in-progress publish for a crashed
-        husk). On Hadoop FS it is ``create(overwrite=False)`` + write
-        + close — existence precedes content there, which is why
-        publishers also hold the commit lock and readers ignore an
-        unparseable newest manifest."""
+        already exists — the manifest-publish primitive. Locally and on
+        ``file://`` this is write-a-unique-tmp + ``os.link`` (atomic
+        create-if-absent WITH content: no observably-empty intermediate
+        file, so a racer can never mistake an in-progress publish for a
+        crashed husk). On generic Hadoop FS it is
+        ``create(overwrite=False)`` + write + close — existence
+        precedes content there, which is why publishers also hold the
+        commit lock and readers ignore an unparseable newest
+        manifest."""
         if self._local is not None:
-            lp = local_part(path)
-            os.makedirs(os.path.dirname(lp), exist_ok=True)
-            tmp = lp + f".w{os.getpid()}-{id(data) & 0xffffff:x}"
-            with open(tmp, "wb") as f:
-                f.write(data)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, lp)
-            except FileExistsError:
-                return False
-            finally:
-                os.remove(tmp)
-            dfd = os.open(os.path.dirname(lp), os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
-            return True
+            return self._posix_create_with_content(local_part(path), data)
+        if self._scheme == "file":
+            # hard-link publish on the underlying path: atomic WITH
+            # content, which LocalFileSystem's create cannot give
+            return self._posix_create_with_content(local_part(path), data)
+        return self._jvm_create_with_content(path, data)
+
+    @staticmethod
+    def _posix_create_with_content(lp: str, data: bytes) -> bool:
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        tmp = lp + f".w{os.getpid()}-{id(data) & 0xffffff:x}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            if self._conditional_create:
-                out = self._jvm_create_if_absent(path)
-            else:
-                out = self._fs.create(self._Path(path), False)  # no overwrite
+            os.link(tmp, lp)
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+        dfd = os.open(os.path.dirname(lp), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        return True
+
+    def _jvm_create_with_content(self, path: str, data: bytes) -> bool:
+        """The generic-store publish primitive (hdfs/s3a/gs)."""
+        try:
+            out = self._fs.create(self._Path(path), False)  # no overwrite
         except Exception:
             return False
         ok = True
@@ -226,12 +271,17 @@ class PathOps:
             except Exception:
                 pass
         finally:
-            try:
+            if self._close_decides:
+                # conditional-create stores reject the PUT at close when
+                # the object appeared meanwhile: we lost the publish race
+                try:
+                    out.close()
+                except Exception:
+                    ok = False
+            else:
+                # on hdfs/file close() failure is a genuine IO error —
+                # let it propagate rather than masquerade as "exists"
                 out.close()
-            except Exception:
-                # conditional stores reject the PUT at close when the
-                # object appeared meanwhile: we lost the publish race
-                ok = False
         return ok
 
     def remove(self, path: str) -> None:

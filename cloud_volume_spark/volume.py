@@ -330,6 +330,14 @@ class Volume:
     def _manifest_file(self, generation: int) -> str:
         return f"{self.chunks_path}/{MANIFEST_PREFIX}{generation:012d}.json"
 
+    def _load_manifest_generation(self, generation: int) -> dict:
+        """Parse one numbered manifest file; raises on missing/torn.
+        The filename is authoritative for the generation number."""
+        man = json.loads(
+            self._fs.read_bytes(self._manifest_file(generation)).decode())
+        man["generation"] = int(generation)
+        return man
+
     def _manifest_generations(self) -> list:
         """Published generation numbers, newest first — the manifest is
         a numbered-file log (one immutable JSON per generation, like
@@ -365,8 +373,7 @@ class Volume:
         if self._pinned_generation is not None:
             g = self._pinned_generation
             try:
-                man = json.loads(
-                    self._fs.read_bytes(self._manifest_file(g)).decode())
+                return self._load_manifest_generation(g)
             except Exception as e:
                 raise ManifestError(
                     f"pinned manifest generation {g} under "
@@ -374,8 +381,6 @@ class Volume:
                     f"({e!r}) — it may have been vacuumed; retained "
                     f"generations: {self._manifest_generations()[:6]}"
                 )
-            man["generation"] = g
-            return man
         gens = self._manifest_generations()
         if not gens:
             # interim single-pointer format (one short-lived revision of
@@ -395,10 +400,7 @@ class Volume:
         err: Optional[Exception] = None
         for g in gens[:3]:
             try:
-                man = json.loads(
-                    self._fs.read_bytes(self._manifest_file(g)).decode())
-                man["generation"] = g  # the filename is authoritative
-                return man
+                return self._load_manifest_generation(g)
             except Exception as e:  # incl. Py4J-wrapped Hadoop IO errors
                 err = e
                 continue
@@ -974,8 +976,7 @@ class Volume:
             # a VALID newer generation means a real interleave only if
             # it parses; a torn husk is a crashed publish (not a commit)
             try:
-                json.loads(self._fs.read_bytes(
-                    self._manifest_file(cur)).decode())
+                self._load_manifest_generation(cur)
                 raise CommitConflictError(
                     f"manifest generation moved {expect_generation} -> "
                     f"{cur} during this commit: another writer "
@@ -1052,8 +1053,7 @@ class Volume:
         out = []
         for g in self._manifest_generations():
             try:
-                man = json.loads(
-                    self._fs.read_bytes(self._manifest_file(g)).decode())
+                man = self._load_manifest_generation(g)
                 entries = man.get("entries", {})
                 out.append({
                     "generation": g,
@@ -1090,12 +1090,18 @@ class Volume:
             # torn husks above it count toward the keep window and must
             # not push the live manifest out of retention
             keep = set(gens[:max(keep_manifests, 1)])
-            keep.add(int(man["generation"]))
-            live = set()
+            resolved = int(man.get("generation", 0))
+            keep.add(resolved)
+            # seed from the RESOLVED manifest's own entries — on an
+            # interim single-pointer table there are no numbered files
+            # to re-read, and an empty live set here would reclaim
+            # every dir the table references
+            live = {rel.split("/")[1] for rel in man["entries"].values()}
             for g in sorted(keep, reverse=True):
+                if g == resolved:
+                    continue  # already seeded
                 try:
-                    kept = json.loads(
-                        self._fs.read_bytes(self._manifest_file(g)).decode())
+                    kept = self._load_manifest_generation(g)
                 except Exception:
                     continue  # torn husk in the window: references nothing
                 live |= {rel.split("/")[1] for rel in kept["entries"].values()}
@@ -1977,6 +1983,9 @@ class Volume:
         produced by the sibling Igneous project); here it is one
         ``groupBy(parent_chunk).applyInPandas`` job.
         """
+        # BEFORE the scale registration below mutates + commits info:
+        # a pinned/read-only handle must not alter live table metadata
+        self._check_writable()
         info = self.info
         factor = np.asarray(factor, dtype=np.int64)
         scale = info.add_scale(

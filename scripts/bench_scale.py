@@ -37,7 +37,11 @@ DEFAULT_QUERIES = [
     "repeated_spans",
 ]
 
-VOWS = "aeiou"
+# 10-char translate alphabet: rotations r=0..9 are pairwise DISTINCT
+# (a 5-vowel alphabet would repeat at r=5, handing replicas 5-9 content
+# byte-identical to replicas 0-4 — exactly the naive-replication
+# artifact this script exists to avoid)
+VOWS = "aeiousrtln"
 
 
 def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
@@ -51,7 +55,8 @@ def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
     doc_parts = []
     emb_parts = []
     for r in range(replicas):
-        rot = VOWS[r % 5:] + VOWS[: r % 5]
+        k = r % len(VOWS)
+        rot = VOWS[k:] + VOWS[:k]
         d = docs
         if r > 0:
             # decorrelate content across replicas, preserve within-

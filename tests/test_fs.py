@@ -43,12 +43,16 @@ def test_pathops_hadoop_branch(spark, tmp_path):
 
 
 def test_pathops_hadoop_commit_primitives(spark, tmp_path):
-    """The commit protocol's lock + publish primitives, executed on the
-    Hadoop FileSystem branch (LocalFileSystem as the in-container
-    stand-in for s3a/gs/hdfs)."""
+    """The commit protocol's lock + publish primitives under a file://
+    PathOps: the PUBLIC primitives route to POSIX O_EXCL / hard-link
+    (LocalFileSystem's create(overwrite=false) is a TOCTOU, not a CAS),
+    while the GENERIC JVM primitives — the exact code that runs on
+    hdfs/s3a/gs — are driven explicitly so the production path has
+    real test execution."""
     base = f"file://{tmp_path}/prim"
     ops = PathOps(base, spark)
     assert ops._local is None
+    assert ops.atomic_create is True  # POSIX primitives on file://
     ops.makedirs(base)
     # create_exclusive: first writer wins, second loses, remove resets
     assert ops.create_exclusive(f"{base}/_lock") is True
@@ -63,6 +67,39 @@ def test_pathops_hadoop_commit_primitives(spark, tmp_path):
     # sync'd write (hsync-capable or not, must not raise)
     ops.write_bytes(f"{base}/synced.bin", b"durable", sync=True)
     assert ops.read_bytes(f"{base}/synced.bin") == b"durable"
+
+    # the generic-store (hdfs/s3a) primitives, executed through the
+    # Hadoop FileSystem for real — same first-wins contract
+    assert ops._jvm_create_exclusive(f"{base}/_jlock") is True
+    assert ops._jvm_create_exclusive(f"{base}/_jlock") is False
+    assert ops._jvm_create_with_content(f"{base}/_jman.json", b"g1") is True
+    assert ops._jvm_create_with_content(f"{base}/_jman.json", b"x") is False
+    assert ops.read_bytes(f"{base}/_jman.json") == b"g1"
+    # and the close-decides variant (conditional-create stores)
+    ops._close_decides = True
+    assert ops._jvm_create_exclusive(f"{base}/_clock") is True
+    assert ops._jvm_create_exclusive(f"{base}/_clock") is False
+    assert ops._jvm_create_with_content(f"{base}/_cman.json", b"g2") is True
+    ops._close_decides = False
+
+
+def test_pathops_file_uri_without_session_degrades_to_local(
+        tmp_path, monkeypatch):
+    """VolumeInfo.load('file:///...') before any SparkSession exists
+    must not fail: with no active session, file:// degrades to the
+    os/shutil branch (semantically identical on the local FS); truly
+    remote schemes still require a session."""
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", staticmethod(lambda: None))
+    ops = PathOps(f"file://{tmp_path}/x")
+    assert ops._local == f"{tmp_path}/x"
+    ops.makedirs(f"file://{tmp_path}/x")
+    ops.write_bytes(f"file://{tmp_path}/x/a.bin", b"hi")
+    assert ops.read_bytes(f"file://{tmp_path}/x/a.bin") == b"hi"
+    with pytest.raises(RuntimeError, match="SparkSession"):
+        PathOps("s3a://bucket/x")
 
 
 @pytest.fixture()

@@ -730,3 +730,31 @@ def test_history_lists_generations_and_husks(spark, tmp_path):
     assert h2[0] == {"generation": top, "readable": False,
                      "entries": None, "slab_shift": None, "mips": None}
     assert h2[1:] == h
+
+
+def test_vacuum_interim_pointer_table_keeps_live_dirs(spark, tmp_path):
+    """Regression: on an interim single-pointer table (chunks/
+    _manifest.json, no numbered generations) vacuum must seed the
+    live-dir set from the resolved manifest's own entries — an empty
+    set here would reclaim every referenced data dir (data loss)."""
+    import json as _json
+    import os as _os
+
+    arr, vol = _mk_vol(spark, tmp_path, "ptr")
+    man = vol._read_manifest()
+    # demote the numbered log to the interim single-pointer format
+    for g in vol._manifest_generations():
+        vol._fs.remove(vol._manifest_file(g))
+    vol._fs.write_bytes(
+        f"{vol.chunks_path}/_manifest.json",
+        _json.dumps({"version": 1, "generation": man["generation"],
+                     "slab_shift": man.get("slab_shift"),
+                     "entries": man["entries"]}).encode())
+    vol2 = Volume.open(spark, str(tmp_path / "ptr"))
+    assert vol2._read_manifest() is not None
+    assert vol2.vacuum() == 0  # every dir is referenced → none removed
+    live = {rel.split("/")[1] for rel in man["entries"].values()}
+    data_dir = _os.path.join(vol2.chunks_path, "data")
+    assert live <= set(_os.listdir(data_dir))
+    assert np.array_equal(
+        vol2.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
