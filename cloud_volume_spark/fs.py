@@ -204,6 +204,25 @@ class PathOps:
         os.close(fd)
         return True
 
+    # Py4J-wrapped Java exception signatures that mean "another writer
+    # already created the target" — a LOST RACE, the one outcome the
+    # create-if-absent primitives report as False. Anything else
+    # (network, auth, throttling) propagates: mapping a transient 503
+    # to "lock held / publish conflict" would send operators hunting a
+    # lock file that does not exist.
+    _RACE_MARKERS = (
+        "FileAlreadyExistsException",
+        "AlreadyBeingCreatedException",   # HDFS lease contention
+        "RemoteFileChangedException",     # S3A conditional-create reject
+        "PreconditionFailed",
+        "Status Code: 412",               # raw S3 If-None-Match failure
+    )
+
+    @classmethod
+    def _is_lost_race(cls, exc: Exception) -> bool:
+        s = repr(exc) + str(exc)
+        return any(m in s for m in cls._RACE_MARKERS)
+
     def _jvm_create_exclusive(self, path: str) -> bool:
         """The generic-store lock primitive (what runs on hdfs/s3a/gs):
         atomic on HDFS (namespace op) and on conditional-create stores
@@ -213,8 +232,10 @@ class PathOps:
             try:
                 self._fs.create(self._Path(path), False).close()
                 return True
-            except Exception:
-                return False
+            except Exception as e:
+                if self._is_lost_race(e):
+                    return False
+                raise
         return bool(self._fs.createNewFile(self._Path(path)))
 
     def create_with_content(self, path: str, data: bytes) -> bool:
@@ -261,8 +282,10 @@ class PathOps:
         """The generic-store publish primitive (hdfs/s3a/gs)."""
         try:
             out = self._fs.create(self._Path(path), False)  # no overwrite
-        except Exception:
-            return False
+        except Exception as e:
+            if self._is_lost_race(e):
+                return False
+            raise
         ok = True
         try:
             out.write(bytearray(data))
@@ -273,11 +296,16 @@ class PathOps:
         finally:
             if self._close_decides:
                 # conditional-create stores reject the PUT at close when
-                # the object appeared meanwhile: we lost the publish race
+                # the object appeared meanwhile: we lost the publish
+                # race. Only precondition-failure signatures mean that;
+                # other close() errors are genuine IO failures.
                 try:
                     out.close()
-                except Exception:
-                    ok = False
+                except Exception as e:
+                    if self._is_lost_race(e):
+                        ok = False
+                    else:
+                        raise
             else:
                 # on hdfs/file close() failure is a genuine IO error —
                 # let it propagate rather than masquerade as "exists"

@@ -178,15 +178,21 @@ MESH_SCHEMA = StructType([
 
 
 class MeshLayer:
-    def __init__(self, spark: SparkSession, base_path: str):
+    def __init__(self, spark: SparkSession, base_path: str,
+                 check_writable=None):
         self.spark = spark
         self.base_path = base_path
+        # writability guard inherited from the owning Volume handle so
+        # a read-only / time-travel-pinned volume's mesh layer refuses
+        # writes too (reference ReadOnlyException covers sibling layers)
+        self._check_writable = check_writable or (lambda: None)
 
     @property
     def data_path(self) -> str:
         return os.path.join(self.base_path, "mesh_fragments")
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        self._check_writable()
         df.repartition("segid").write.mode(mode).parquet(self.data_path)
 
     def df(self) -> DataFrame:

@@ -173,9 +173,14 @@ def from_swc(text) -> dict:
 
 class SkeletonLayer:
     def __init__(self, spark: SparkSession, base_path: str,
-                 transform: Optional[Sequence[float]] = None):
+                 transform: Optional[Sequence[float]] = None,
+                 check_writable=None):
         self.spark = spark
         self.base_path = base_path
+        # writability guard inherited from the owning Volume handle so
+        # a read-only / time-travel-pinned volume's skeleton layer
+        # refuses writes too (ReadOnlyException covers sibling layers)
+        self._check_writable = check_writable or (lambda: None)
         # 3x4 row-major voxel→physical transform (reference skeleton
         # metadata transform field); identity by default
         self.transform = list(transform) if transform is not None else [
@@ -191,6 +196,7 @@ class SkeletonLayer:
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Bucketing analog: repartition by segid hash so keyed fetches
         and joins co-locate."""
+        self._check_writable()
         df.repartition("segid").sortWithinPartitions("segid").write.mode(
             mode
         ).parquet(self.data_path)

@@ -172,6 +172,7 @@ class Volume:
         # time-travel: when set, every read resolves this manifest
         # generation instead of the newest one, and writes are disabled
         self._pinned_generation: Optional[int] = None
+        self._pinned_manifest: Optional[dict] = None  # immutable, cached
         self._fs = PathOps(base_path, spark)
         # re-entrancy tracking for _commit_lock: THREAD-LOCAL depth, so
         # a second driver thread sharing this Volume cannot ride the
@@ -194,13 +195,15 @@ class Volume:
     @property
     def mesh(self):
         from cloud_volume_spark.meshes import MeshLayer
-        return MeshLayer(self.spark, os.path.join(self.base_path, "mesh"))
+        return MeshLayer(self.spark, os.path.join(self.base_path, "mesh"),
+                         check_writable=self._check_writable)
 
     @property
     def skeleton(self):
         from cloud_volume_spark.skeletons import SkeletonLayer
         return SkeletonLayer(
-            self.spark, os.path.join(self.base_path, "skeletons")
+            self.spark, os.path.join(self.base_path, "skeletons"),
+            check_writable=self._check_writable,
         )
 
     @classmethod
@@ -371,9 +374,15 @@ class Volume:
         neighboring generation would silently answer for the wrong
         snapshot."""
         if self._pinned_generation is not None:
+            # published generations are immutable, so the pinned
+            # manifest is fetched/parsed once and cached — read_voxel
+            # loops would otherwise pay a storage round-trip per call
+            if self._pinned_manifest is not None:
+                return self._pinned_manifest
             g = self._pinned_generation
             try:
-                return self._load_manifest_generation(g)
+                self._pinned_manifest = self._load_manifest_generation(g)
+                return self._pinned_manifest
             except Exception as e:
                 raise ManifestError(
                     f"pinned manifest generation {g} under "
@@ -1007,10 +1016,32 @@ class Volume:
                     # overwritten writer (a residual window remains if
                     # the overwrite lands after this read — see
                     # SCALE.md; such tables should be single-writer).
-                    try:
-                        seen = self._fs.read_bytes(path)
-                    except Exception:
-                        seen = None
+                    # A transient READ failure is NOT an overwrite:
+                    # claiming a conflict for a commit that durably
+                    # published would send the caller into a retry
+                    # that then hits a genuine-looking generation
+                    # collision with its own manifest.
+                    import time
+
+                    seen = None
+                    read_err: Optional[Exception] = None
+                    for _ in range(3):
+                        try:
+                            seen = self._fs.read_bytes(path)
+                            read_err = None
+                            break
+                        except Exception as e:
+                            read_err = e
+                            time.sleep(0.05)
+                    if read_err is not None:
+                        raise ManifestError(
+                            f"manifest generation {target} was "
+                            f"published but read-back verification "
+                            f"failed ({read_err!r}); the commit likely "
+                            "succeeded — verify the manifest file "
+                            "before retrying (a blind retry would "
+                            "report a spurious publish conflict)"
+                        )
                     if seen != payload:
                         raise CommitConflictError(
                             f"manifest generation {target} was "
@@ -1066,6 +1097,30 @@ class Volume:
                 out.append({"generation": g, "readable": False,
                             "entries": None, "slab_shift": None,
                             "mips": None})
+        if not out:
+            # interim single-pointer format: _read_manifest still
+            # serves chunks/_manifest.json, so history() must report
+            # that live generation rather than claim the table has no
+            # commits
+            pointer = f"{self.chunks_path}/_manifest.json"
+            if self._fs.exists(pointer):
+                row = {"generation": None, "readable": False,
+                       "entries": None, "slab_shift": None,
+                       "mips": None, "interim_pointer": True}
+                try:
+                    man = json.loads(self._fs.read_bytes(pointer).decode())
+                    entries = man.get("entries", {})
+                    row.update({
+                        "generation": man.get("generation"),
+                        "readable": True,
+                        "entries": len(entries),
+                        "slab_shift": man.get("slab_shift"),
+                        "mips": sorted(
+                            {int(k.split("/")[0]) for k in entries}),
+                    })
+                except Exception:
+                    pass
+                out.append(row)
         return out
 
     def vacuum(self, keep_manifests: int = 3) -> int:

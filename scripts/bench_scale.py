@@ -125,6 +125,15 @@ if __name__ == "__main__":
     ap.add_argument("--scaled-dir", default="/tmp/cvs_sf1_synth")
     args = ap.parse_args()
 
+    # the vowel-rotation decorrelation has period len(VOWS): replica 10
+    # would be byte-identical to replica 0 (modulo doc_id), handing the
+    # measurement the exact cross-replica near-dup cliques it exists to
+    # avoid — refuse rather than silently measure the wrong workload
+    if not (2 <= args.replicas <= len(VOWS)):
+        sys.exit(f"--replicas must be in [2, {len(VOWS)}]: the content/"
+                 "embedding decorrelation rotations repeat beyond that "
+                 "and replicas become cross-replica near-duplicates")
+
     from cloud_volume_spark import get_spark
     from cloud_volume_spark import operators
 
@@ -132,9 +141,21 @@ if __name__ == "__main__":
     names = [q for q in args.queries.split(",") if q]
     qs = operators.all_queries()
 
-    if not os.path.exists(f"{args.scaled_dir}/documents.parquet"):
+    # completion marker records the replica count: a stale dir from a
+    # different --replicas (or a crash between the two table writes)
+    # must be rebuilt, not silently reused under the wrong label
+    marker = f"{args.scaled_dir}/_SCALE.json"
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            fresh = json.load(f).get("replicas") == args.replicas
+    if not fresh:
+        import shutil
+        shutil.rmtree(args.scaled_dir, ignore_errors=True)
         t0 = time.monotonic()
         make_scaled(SPARK, SF01, args.scaled_dir, args.replicas)
+        with open(marker, "w") as f:
+            json.dump({"replicas": args.replicas, "src": SF01}, f)
         print(f"# synthesized {args.replicas}x corpus in "
               f"{time.monotonic() - t0:.1f}s", flush=True)
 

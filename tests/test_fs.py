@@ -210,3 +210,85 @@ def test_nonatomic_store_lost_publish_is_loud(spark, rng, tmp_path):
     vol.upload(np.zeros((32, 32, 32, 1), np.uint8), offset=(0, 0, 0))
     out = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)))
     assert (out == 0).all()
+
+def test_lost_race_classifier():
+    """Only exists/precondition signatures mean 'lost the race'; IO,
+    auth, and throttle failures must NOT be mistaken for contention."""
+    race = [
+        Exception("org.apache.hadoop.fs.FileAlreadyExistsException: x"),
+        Exception("RemoteFileChangedException: precondition on close"),
+        Exception("Service: Amazon S3; Status Code: 412; If-None-Match"),
+        Exception("hdfs AlreadyBeingCreatedException lease held"),
+    ]
+    not_race = [
+        Exception("java.net.SocketTimeoutException: read timed out"),
+        Exception("Status Code: 503; Slow Down"),
+        Exception("AccessDeniedException: 403 Forbidden"),
+        Exception("Connection reset by peer"),
+    ]
+    for e in race:
+        assert PathOps._is_lost_race(e), e
+    for e in not_race:
+        assert not PathOps._is_lost_race(e), e
+
+
+def test_jvm_create_exclusive_propagates_genuine_failures(spark, tmp_path):
+    """On a conditional-create store, a transient create() failure must
+    propagate — reporting it as 'lock held' sends operators hunting a
+    lock file that does not exist."""
+    base = f"file://{tmp_path}/cls"
+    ops = PathOps(base, spark)
+    ops._close_decides = True
+
+    class _Throttled:
+        def create(self, p, overwrite):
+            raise Exception("Status Code: 503; throttled; Slow Down")
+
+    class _Lost:
+        def create(self, p, overwrite):
+            raise Exception("FileAlreadyExistsException: racer won")
+
+    ops._fs = _Throttled()
+    with pytest.raises(Exception, match="503"):
+        ops._jvm_create_exclusive(f"{base}/_lk")
+    with pytest.raises(Exception, match="503"):
+        ops._jvm_create_with_content(f"{base}/_m.json", b"x")
+    ops._fs = _Lost()
+    assert ops._jvm_create_exclusive(f"{base}/_lk") is False
+    assert ops._jvm_create_with_content(f"{base}/_m.json", b"x") is False
+
+
+def test_nonatomic_readback_failure_is_not_a_conflict(spark, rng, tmp_path):
+    """A transient READ error during the non-atomic store's post-publish
+    verification must not claim the manifest was overwritten: the commit
+    durably published, and a blind retry would then hit a spurious
+    generation collision. It surfaces as ManifestError naming the
+    read-back, and the published manifest is intact."""
+    from cloud_volume_spark.volume import ManifestError
+
+    arr = rng.integers(0, 255, size=(64, 64, 64, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(
+        spark, arr, str(tmp_path / "rb"), chunk_size=(32, 32, 32))
+    real = vol._fs
+    fake = _NonAtomicOps(real)
+    vol._fs = fake
+
+    failing = {}
+
+    def start_failing(path):
+        failing["path"] = path
+
+    def read_bytes(path):
+        if path == failing.get("path"):
+            raise IOError("Status Code: 503; Slow Down")
+        return real.read_bytes(path)
+
+    fake.read_bytes = read_bytes
+    fake.after_put = start_failing
+    with pytest.raises(ManifestError, match="read-back"):
+        vol.upload(np.zeros((32, 32, 32, 1), np.uint8), offset=(0, 0, 0))
+
+    # the publish itself landed: a fresh handle serves the new commit
+    vol2 = Volume.open(spark, str(tmp_path / "rb"))
+    out = vol2.cutout(Bbox((0, 0, 0), (32, 32, 32)))
+    assert (out == 0).all()

@@ -758,3 +758,82 @@ def test_vacuum_interim_pointer_table_keeps_live_dirs(spark, tmp_path):
     assert live <= set(_os.listdir(data_dir))
     assert np.array_equal(
         vol2.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+
+def test_sibling_layers_honor_read_only_and_pin(spark, tmp_path):
+    """vol.mesh / vol.skeleton inherit the owning handle's writability:
+    a time-travel-pinned or redirect-read-only volume's sibling layers
+    refuse writes too (the reference's ReadOnlyException covers the
+    whole frontend, not just the image layer)."""
+    import pytest as _pytest
+
+    _, vol = _mk_vol(spark, tmp_path, "sib")
+    gen = int(vol._read_manifest()["generation"])
+    mesh_df = spark.createDataFrame(
+        [(1, 0, [[0.0, 0.0, 0.0]], [[0, 0, 0]])],
+        "segid long, fragment int, vertices array<array<float>>, "
+        "faces array<array<int>>")
+    skel_df = spark.createDataFrame(
+        [(1, [[0.0, 0.0, 0.0]], [[0, 0]], None, None)],
+        "segid long, vertices array<array<float>>, "
+        "edges array<array<int>>, radii array<float>, "
+        "vertex_types array<int>")
+
+    pinned = Volume.open(spark, str(tmp_path / "sib"), generation=gen)
+    with _pytest.raises(PermissionError, match="pinned"):
+        pinned.mesh.write(mesh_df)
+    with _pytest.raises(PermissionError, match="pinned"):
+        pinned.skeleton.write(skel_df)
+
+    alias_info = vol.info.clone()
+    alias_info.info["redirect"] = str(tmp_path / "sib")
+    alias_info.commit(str(tmp_path / "sib_alias"))
+    ro = Volume.open(spark, str(tmp_path / "sib_alias"))
+    with _pytest.raises(PermissionError, match="redirect"):
+        ro.mesh.write(mesh_df)
+    with _pytest.raises(PermissionError, match="redirect"):
+        ro.skeleton.write(skel_df)
+
+    # the writable handle still writes (and imports route through write)
+    vol.mesh.write(mesh_df)
+    vol.skeleton.write(skel_df)
+    assert vol.mesh.df().count() == 1
+    assert vol.skeleton.df().count() == 1
+
+
+def test_history_reports_interim_pointer_generation(spark, tmp_path):
+    """history() on an interim single-pointer table must surface the
+    live generation _read_manifest serves, not claim 'no commits'."""
+    import json as _json
+
+    _, vol = _mk_vol(spark, tmp_path, "hptr")
+    man = vol._read_manifest()
+    for g in vol._manifest_generations():
+        vol._fs.remove(vol._manifest_file(g))
+    vol._fs.write_bytes(
+        f"{vol.chunks_path}/_manifest.json",
+        _json.dumps({"version": 1, "generation": man["generation"],
+                     "slab_shift": man.get("slab_shift"),
+                     "entries": man["entries"]}).encode())
+    h = Volume.open(spark, str(tmp_path / "hptr")).history()
+    assert len(h) == 1
+    assert h[0]["interim_pointer"] is True
+    assert h[0]["readable"] is True
+    assert h[0]["generation"] == man["generation"]
+    assert h[0]["entries"] == len(man["entries"])
+
+
+def test_pinned_manifest_is_cached(spark, tmp_path):
+    """A generation-pinned handle loads its (immutable) manifest once:
+    read_voxel loops must not pay a storage round-trip + JSON parse per
+    call."""
+    arr, vol = _mk_vol(spark, tmp_path, "pincache")
+    gen = int(vol._read_manifest()["generation"])
+    pinned = Volume.open(spark, str(tmp_path / "pincache"), generation=gen)
+
+    def boom(g):  # any further fetch of the pinned file is a bug
+        raise AssertionError("pinned manifest re-read from storage")
+
+    pinned._load_manifest_generation = boom
+    assert np.array_equal(
+        pinned.cutout(Bbox((0, 0, 0), (32, 32, 32))), arr[:32, :32, :32])
+    assert pinned.read_voxel((1, 2, 3)) == arr[1, 2, 3, 0]
