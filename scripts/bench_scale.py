@@ -50,6 +50,7 @@ def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     embs = spark.read.parquet(f"{src_dir}/embeddings.parquet")
     ndoc = docs.count()
+    nvec = embs.count()
     dim = len(embs.select("embedding").first()[0])
 
     doc_parts = []
@@ -61,7 +62,7 @@ def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
         if r > 0:
             # decorrelate content across replicas, preserve within-
             # replica dup/near-dup structure and token statistics
-            d = d.withColumn("content", F.translate("content", VOWS, rot))
+            d = d.withColumn("text", F.translate("text", VOWS, rot))
         doc_parts.append(
             d.withColumn("doc_id", (F.col("doc_id") + F.lit(r * ndoc)).cast("long"))
         )
@@ -78,7 +79,7 @@ def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
                 ),
             )
         emb_parts.append(
-            e.withColumn("doc_id", (F.col("doc_id") + F.lit(r * ndoc)).cast("long"))
+            e.withColumn("vec_id", (F.col("vec_id") + F.lit(r * nvec)).cast("long"))
         )
 
     out_docs = doc_parts[0]
