@@ -1073,6 +1073,61 @@ class Volume:
                     f"cannot reclaim manifest husk {path!r}")
             self._fs.remove(path)
 
+    def _generation_or_raise(self, generation: int) -> dict:
+        """Load a specific retained generation, loudly. Generation 0 is
+        the empty table (before the first publish) — a valid diff base:
+        ``changes(0)`` is 'everything ever committed'."""
+        g = int(generation)
+        if g == 0:
+            return {"generation": 0, "entries": {}}
+        try:
+            return self._load_manifest_generation(g)
+        except Exception as e:
+            raise ManifestError(
+                f"manifest generation {g} under {self.chunks_path!r} is "
+                f"missing or unreadable ({e!r}) — it may have been "
+                f"vacuumed; retained generations: "
+                f"{self._manifest_generations()[:6]}"
+            )
+
+    def changes(self, from_generation: int,
+                to_generation: Optional[int] = None) -> DataFrame:
+        """Slab-granularity change feed between two retained manifest
+        generations — the Delta CDF analog at the engine's rewrite
+        granularity (the slab IS the unit of rewrite, so slab-level is
+        exact, not an approximation): one row per ``(mip, slab)`` whose
+        backing dir differs, ``change`` ∈ added/removed/rewritten, with
+        the old and new data dirs. Drives incremental maintenance
+        (``downsample(since_generation=...)`` re-reduces only parents
+        of changed slabs) and downstream incremental pipelines (read
+        just ``to_dir`` of added/rewritten rows for new chunk content).
+
+        Driver-side manifest diff (entry counts are bounded by the
+        ``slab_shift`` knob — the same bound that keeps the manifest
+        readable per query) returned as a DataFrame for joining against
+        chunk scans. Raises :class:`ManifestError` if either generation
+        fell out of vacuum retention; ``to_generation=None`` means the
+        current generation."""
+        old = self._generation_or_raise(from_generation)
+        if to_generation is not None:
+            new = self._generation_or_raise(to_generation)
+        else:
+            new = self._read_manifest() or {"entries": {}}
+        oe, ne = old["entries"], new["entries"]
+        rows = []
+        for k in sorted(set(oe) | set(ne)):
+            if oe.get(k) == ne.get(k):
+                continue
+            m, s = k.split("/")
+            change = ("added" if k not in oe
+                      else "removed" if k not in ne else "rewritten")
+            rows.append((int(m), int(s), change, oe.get(k), ne.get(k)))
+        return self.spark.createDataFrame(
+            rows,
+            schema="mip int, slab long, change string, "
+                   "from_dir string, to_dir string",
+        )
+
     def history(self) -> list:
         """The retained manifest log, newest first — one dict per
         readable generation (``generation``, ``entries`` count,
@@ -2030,14 +2085,33 @@ class Volume:
     # downsample (beyond-reference: the actual reduction job)
     # ------------------------------------------------------------------
 
+    # incremental downsample falls back to a full recompute past this
+    # many affected parent chunks — the driver-side slab/key enumeration
+    # is the bounded piece (≈2M ints at the cap); beyond it the changed
+    # region is most of the table and full recompute is the right plan
+    _INCR_PARENT_CAP = 1 << 18
+
     def downsample(self, from_mip: int = 0, factor: Sequence[int] = (2, 2, 1),
-                   compression: Optional[str] = "gzip") -> int:
+                   compression: Optional[str] = "gzip",
+                   since_generation: Optional[int] = None) -> int:
         """Materialize mip ``from_mip+1`` by reducing ``from_mip``:
         2×2×1 mean for images, mode for segmentations. The reference
         only registers scales (``metadata.py:743-838``, actual pixels
         produced by the sibling Igneous project); here it is one
         ``groupBy(parent_chunk).applyInPandas`` job.
-        """
+
+        ``since_generation=N`` makes the job INCREMENTAL: only parent
+        chunks whose source slabs changed between manifest generation
+        ``N`` and the current one (see :meth:`changes`) are re-reduced
+        — the 100 TB maintenance path, where a patch write must not
+        trigger a full-pyramid recompute. The source scan is pruned to
+        the child slabs of affected parents, recomputed parents replace
+        their old rows (survivor merge per touched target slab), and
+        parents whose every child was deleted are dropped. Falls back
+        loudly to a full recompute when the affected-parent count
+        exceeds the documented cap (the change covers most of the
+        table) and raises if generation ``N`` fell out of vacuum
+        retention or the table predates the manifest log."""
         # BEFORE the scale registration below mutates + commits info:
         # a pinned/read-only handle must not alter live table metadata
         self._check_writable()
@@ -2133,26 +2207,175 @@ class Volume:
         # the scan cannot race a concurrent writer's slab swap
         with self._commit_lock():
             man0 = self._read_manifest()
+            if since_generation is not None and man0 is not None:
+                done = self._downsample_incremental(
+                    man0, int(since_generation), int(from_mip),
+                    int(to_mip), (fx, fy, fz), with_parent_keys,
+                    reduce_group)
+                if done:
+                    return to_mip
+            elif since_generation is not None and self._is_legacy_layout():
+                raise ValueError(
+                    "incremental downsample requires the snapshot-"
+                    "manifest layout (the change feed lives in the "
+                    "manifest log) — run migrate_to_manifest() first"
+                )
             out = with_parent_keys(build_src(man0)).groupBy(
                 "tcx", "tcy", "tcz"
             ).applyInPandas(reduce_group, schema=CHUNK_SCHEMA)
             self._overwrite_slabs(out, snapshot=man0)
         return to_mip
 
+    def _downsample_incremental(self, man0: dict, since_generation: int,
+                                from_mip: int, to_mip: int, factor,
+                                with_parent_keys, reduce_group) -> bool:
+        """The incremental leg of :meth:`downsample` (caller holds the
+        commit lock and passes its resolved snapshot + reduce
+        machinery). Returns False to request a full recompute (parent
+        cap exceeded); True when the incremental commit published (or
+        nothing changed)."""
+        import logging
+
+        info = self.info
+        old = self._generation_or_raise(since_generation)
+        prefix = f"{from_mip}/"
+        oe = {k: v for k, v in old["entries"].items()
+              if k.startswith(prefix)}
+        ne = {k: v for k, v in man0["entries"].items()
+              if k.startswith(prefix)}
+        changed = sorted(
+            int(k.split("/")[1])
+            for k in set(oe) | set(ne) if oe.get(k) != ne.get(k)
+        )
+        if not changed:
+            return True  # source untouched since N: nothing to do
+
+        # affected parents = parents of every chunk that EXISTS in a
+        # changed slab now, plus every chunk that existed there at N
+        # (covers deletions: a vanished child forces its parent's
+        # recompute, possibly to nothing). Old dirs are retained with
+        # their manifest by vacuum, so the old-side scan is servable
+        # exactly when _generation_or_raise succeeded. ids-only scan:
+        # column pruning keeps blob bytes unread.
+        coords = ["x0", "y0", "z0"]
+        new_side = self.chunks_df(mip=from_mip, slabs=changed,
+                                  manifest=man0).select(*coords)
+        old_side = self.chunks_df(mip=from_mip, slabs=changed,
+                                  manifest=old).select(*coords)
+        parents_rows = (
+            with_parent_keys(new_side.unionByName(old_side))
+            .select("tcx", "tcy", "tcz").distinct()
+            .limit(self._INCR_PARENT_CAP + 1).collect()
+        )
+        if len(parents_rows) > self._INCR_PARENT_CAP:
+            logging.getLogger(__name__).warning(
+                "incremental downsample: >%d parent chunks affected "
+                "since generation %d — the change covers most of the "
+                "table; falling back to a FULL recompute",
+                self._INCR_PARENT_CAP, since_generation)
+            return False
+        if not parents_rows:
+            return True  # changed slabs held no chunks on either side
+
+        parents_np = np.array([(r.tcx, r.tcy, r.tcz)
+                               for r in parents_rows], dtype=np.int64)
+        fx, fy, fz = factor
+        f3 = np.array([fx, fy, fz], dtype=np.int64)
+        cs_to = np.asarray(info.chunk_size(to_mip), dtype=np.int64)
+        voff_to = np.asarray(info.voxel_offset(to_mip), dtype=np.int64)
+        grid_to = [int(g) for g in info.grid_shape(to_mip)]
+        cs_from = np.asarray(info.chunk_size(from_mip), dtype=np.int64)
+        voff_from = np.asarray(info.voxel_offset(from_mip),
+                               dtype=np.int64)
+        grid_from = [int(g) for g in info.grid_shape(from_mip)]
+
+        # child chunk grid range per parent: the parent cell mapped back
+        # to from_mip voxels, then to chunk coords (inclusive)
+        lo = (voff_to + parents_np * cs_to) * f3 - voff_from
+        hi = lo + cs_to * f3  # exclusive
+        clo = np.maximum(lo // cs_from, 0)
+        chi = np.minimum(-((-hi) // cs_from) - 1,
+                         np.asarray(grid_from) - 1)
+        spans = (chi - clo + 1).max(axis=0)
+        offs = np.stack(np.meshgrid(
+            np.arange(spans[0]), np.arange(spans[1]),
+            np.arange(spans[2]), indexing="ij",
+        ), axis=-1).reshape(-1, 3)
+        cand = clo[:, None, :] + offs[None, :, :]
+        ok = (cand <= chi[:, None, :]).all(-1)
+        children = cand[ok]
+        child_slabs = [] if not len(children) else sorted(
+            int(s) for s in np.unique(
+                compressed_morton_code(children, grid_from)
+                .astype(np.int64) >> self.slab_shift))
+
+        # recompute exactly the affected parents from their (pruned)
+        # child scan — broadcast semi-join, ids shuffled only
+        parents_df = self.spark.createDataFrame(
+            [(int(x), int(y), int(z)) for x, y, z in parents_np],
+            schema="tcx int, tcy int, tcz int")
+        src = self.chunks_df(mip=from_mip, slabs=child_slabs,
+                             manifest=man0)
+        new_rows = (
+            with_parent_keys(src)
+            .join(F.broadcast(parents_df), on=["tcx", "tcy", "tcz"],
+                  how="leftsemi")
+            .groupBy("tcx", "tcy", "tcz")
+            .applyInPandas(reduce_group, schema=CHUNK_SCHEMA)
+        )
+
+        # survivor merge at to_mip: untouched parents in rewritten
+        # target slabs ride along; recomputed/vanished parents replaced
+        touched_tslabs = sorted(int(s) for s in np.unique(
+            compressed_morton_code(parents_np, grid_to).astype(np.int64)
+            >> self.slab_shift))
+        keys = self.spark.createDataFrame(
+            [(int(to_mip), int(x), int(y), int(z))
+             for x, y, z in parents_np],
+            schema="mip int, cx int, cy int, cz int")
+        existing = self.chunks_df(mip=to_mip, slabs=touched_tslabs,
+                                  manifest=man0)
+        survivors = existing.join(F.broadcast(keys),
+                                  on=["mip", "cx", "cy", "cz"],
+                                  how="left_anti")
+        out = survivors.unionByName(new_rows).cache()
+        try:
+            live = {r.slab for r in out.select("slab").distinct().collect()}
+            # a touched target slab with no remaining rows (every parent
+            # recomputed to nothing) must lose its manifest entry
+            drop = [(to_mip, s) for s in touched_tslabs
+                    if s not in live
+                    and f"{to_mip}/{s}" in man0["entries"]]
+            self._overwrite_slabs(out, drop=drop, snapshot=man0)
+        finally:
+            out.unpersist()
+        return True
+
     def generate_pyramid(self, num_mips: int, factor: Sequence[int] = (2, 2, 1),
-                         compression: Optional[str] = "gzip") -> list:
+                         compression: Optional[str] = "gzip",
+                         since_generation: Optional[int] = None) -> list:
         """Materialize ``num_mips`` additional downsample levels (the
         full mip hierarchy the reference's ``add_scale`` registers but
         leaves to Igneous to fill). Each level is one reduction job over
-        the previous; returns the new mip indices."""
+        the previous; returns the new mip indices.
+
+        ``since_generation=N`` maintains an EXISTING pyramid
+        incrementally after base-level writes: level ``i+1`` re-reduces
+        only the parents of slabs that changed at level ``i`` since
+        generation ``N`` — and because each incremental level commits a
+        new generation whose diff-vs-N covers exactly the slabs it
+        rewrote, the single ``N`` propagates the patch up the whole
+        pyramid. Start from mip 0 in that mode (the changed set, not
+        the topmost filled mip, decides the work)."""
         made = []
-        mip = max(
+        mip = 0 if since_generation is not None else max(
             (i for i in range(len(self.info.info["scales"]))
              if self.has_data(i)),
             default=0,
         )
         for _ in range(int(num_mips)):
-            mip = self.downsample(mip, factor, compression=compression)
+            mip = self.downsample(mip, factor, compression=compression,
+                                  since_generation=since_generation)
             made.append(mip)
         return made
 

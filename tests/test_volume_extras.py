@@ -837,3 +837,114 @@ def test_pinned_manifest_is_cached(spark, tmp_path):
     assert np.array_equal(
         pinned.cutout(Bbox((0, 0, 0), (32, 32, 32))), arr[:32, :32, :32])
     assert pinned.read_voxel((1, 2, 3)) == arr[1, 2, 3, 0]
+
+def test_changes_feed(spark, tmp_path):
+    """changes(g0, g1) is the slab-granularity CDF: added / rewritten /
+    removed rows with old+new dirs, exact because the slab is the
+    rewrite unit; generation 0 diffs against the empty table."""
+    import pytest as _pytest
+
+    from cloud_volume_spark.volume import ManifestError
+
+    _, vol = _mk_vol(spark, tmp_path, "cdf")
+    man1 = vol._read_manifest()
+    g1 = int(man1["generation"])
+
+    # everything-since-empty: one 'added' row per live manifest entry
+    ch0 = {(r.mip, r.slab): r for r in vol.changes(0).collect()}
+    assert set(ch0) == {tuple(map(int, k.split("/")))
+                        for k in man1["entries"]}
+    assert all(r.change == "added" and r.from_dir is None for r in ch0.values())
+
+    # a patch write rewrites its slab(s); untouched slabs don't appear
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    ch = vol.changes(g1).collect()
+    assert len(ch) >= 1
+    assert all(r.change == "rewritten" and r.mip == 0 for r in ch)
+    assert all(r.from_dir != r.to_dir and r.to_dir is not None for r in ch)
+    rewritten = {(r.mip, r.slab) for r in ch}
+    assert rewritten < set(ch0) or rewritten == set(ch0)
+
+    # identical endpoints: empty feed; missing generation: loud
+    g2 = int(vol._read_manifest()["generation"])
+    assert vol.changes(g2).count() == 0
+    assert vol.changes(g1, g2).count() == len(ch)
+    with _pytest.raises(ManifestError, match="vacuumed"):
+        vol.changes(999)
+
+
+def test_incremental_downsample_matches_full(spark, tmp_path):
+    """downsample(since_generation=N) after a patch write + a region
+    delete produces EXACTLY the mip tree a full recompute would —
+    recomputed parents replace their rows, parents whose every child
+    was deleted disappear — while re-reducing only affected parents."""
+    arr, vol = _mk_vol(spark, tmp_path, "incr", n=64, cs=16)
+    vol.downsample()  # full mip-1 build
+    g = int(vol._read_manifest()["generation"])
+
+    # patch one source chunk and fully delete the 4 children of one
+    # mip-1 parent (parent (1,1,0): x[32,64) y[32,64) z[0,16) at mip 0)
+    patch = np.full((16, 16, 16, 1), 7, np.uint32)
+    vol.upload(patch, offset=(16, 16, 0))
+    vol.delete(Bbox((32, 32, 0), (64, 64, 16)))
+    final0 = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)), fill_missing=True)
+
+    vol.downsample(since_generation=g)
+
+    # oracle: a fresh table holding the same mip-0 content, fully
+    # downsampled from scratch
+    ref = Volume.from_numpy(spark, final0, str(tmp_path / "incr_ref"),
+                            chunk_size=(16, 16, 16))
+    ref.downsample()
+    want = ref.cutout(Bbox((0, 0, 0), (32, 32, 64)), mip=1,
+                      fill_missing=True)
+    got = vol.cutout(Bbox((0, 0, 0), (32, 32, 64)), mip=1,
+                     fill_missing=True)
+    assert np.array_equal(got, want)
+
+    # the all-children-deleted parent's row is GONE, not zero-filled
+    m1 = {(r.cx, r.cy, r.cz)
+          for r in vol.chunks_df(mip=1).select("cx", "cy", "cz").collect()}
+    assert (1, 1, 0) not in m1
+    # and the untouched far corner parent was not recomputed (same dir)
+    assert vol.changes(g).where("mip = 1").count() >= 1
+
+
+def test_incremental_downsample_noop_and_guards(spark, tmp_path):
+    """since_generation at the current generation is a no-op commit;
+    a vacuumed base raises; a legacy table demands migration."""
+    import pytest as _pytest
+
+    from cloud_volume_spark.volume import ManifestError
+
+    _, vol = _mk_vol(spark, tmp_path, "incrg", n=32, cs=16)
+    vol.downsample()
+    g = int(vol._read_manifest()["generation"])
+    vol.downsample(since_generation=g)  # nothing changed since g
+    assert int(vol._read_manifest()["generation"]) == g
+    with _pytest.raises(ManifestError, match="vacuumed"):
+        vol.downsample(since_generation=998)
+
+
+def test_generate_pyramid_incremental_propagates(spark, tmp_path):
+    """generate_pyramid(since_generation=N) pushes a base patch up the
+    whole existing pyramid: each level's manifest diff vs N is exactly
+    the slabs the previous level rewrote."""
+    arr, vol = _mk_vol(spark, tmp_path, "pyr", n=64, cs=16)
+    vol.generate_pyramid(2)
+    g = int(vol._read_manifest()["generation"])
+
+    patch = np.full((16, 16, 16, 1), 9, np.uint32)
+    vol.upload(patch, offset=(0, 0, 16))
+    final0 = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+    vol.generate_pyramid(2, since_generation=g)
+
+    ref = Volume.from_numpy(spark, final0, str(tmp_path / "pyr_ref"),
+                            chunk_size=(16, 16, 16))
+    ref.generate_pyramid(2)
+    for mip, size in ((1, (32, 32, 64)), (2, (16, 16, 64))):
+        want = ref.cutout(Bbox((0, 0, 0), size), mip=mip,
+                          fill_missing=True)
+        got = vol.cutout(Bbox((0, 0, 0), size), mip=mip,
+                         fill_missing=True)
+        assert np.array_equal(got, want), f"mip {mip}"
