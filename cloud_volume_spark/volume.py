@@ -209,7 +209,8 @@ class Volume:
     @classmethod
     def open(cls, spark: SparkSession, base_path: str,
              max_redirects: int = 10,
-             generation: Optional[int] = None) -> "Volume":
+             generation: Optional[int] = None,
+             as_of=None) -> "Volume":
         """Open a volume, following info ``redirect`` links (reference
         ``metadata.py:224-293``). A redirected volume opens read-only,
         matching the reference's ReadOnlyException on write.
@@ -219,7 +220,11 @@ class Volume:
         (the manifest log retains old generations until
         :meth:`vacuum`), and writes are disabled. Raises
         :class:`ManifestError` up front if that generation is missing
-        or was vacuumed.
+        or was vacuumed. ``as_of`` (epoch seconds or an ISO-8601
+        string, naive = UTC) instead pins the newest retained
+        generation whose publish stamp is ≤ the given time — the
+        ``TIMESTAMP AS OF`` analog (advisory across writers with
+        skewed clocks; pin by ``generation`` for exactness).
 
         Accepts reference-style cloudpaths (``precomputed://gs://…``,
         ``gs://…``, ``file:///…`` — ``paths.extract`` grammar) as well
@@ -227,14 +232,46 @@ class Volume:
         (``s3``→``s3a``)."""
         from cloud_volume_spark.paths import resolve_cloudpath
 
+        if generation is not None and as_of is not None:
+            raise ValueError("pass generation= or as_of=, not both")
         base_path = resolve_cloudpath(base_path)
         info = VolumeInfo.load(base_path, max_redirects=max_redirects)
         vol = cls(spark, info.base_path or base_path, info)
         vol.read_only = bool(info.redirected_from)
+        if as_of is not None:
+            generation = vol._generation_as_of(as_of)
         if generation is not None:
             vol._pinned_generation = int(generation)
             vol._read_manifest()  # fail fast on a vacuumed/absent pin
         return vol
+
+    def _generation_as_of(self, ts) -> int:
+        """Newest retained generation published at or before ``ts``
+        (epoch seconds or ISO-8601, naive = UTC). Generations without a
+        stamp (published before stamping existed) count as arbitrarily
+        old; torn husks are skipped like every reader skips them."""
+        if isinstance(ts, str):
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts = dt.timestamp()
+        ts = float(ts)
+        for g in self._manifest_generations():
+            try:
+                man = self._load_manifest_generation(g)
+            except Exception:
+                continue
+            at = man.get("committed_at")
+            if at is None or float(at) <= ts:
+                return g
+        raise ManifestError(
+            f"no retained manifest generation at or before timestamp "
+            f"{ts} under {self.chunks_path!r} — older generations may "
+            f"have been vacuumed; retained: "
+            f"{self._manifest_generations()[:6]}"
+        )
 
     @classmethod
     def create(cls, spark: SparkSession, base_path: str, info: VolumeInfo,
@@ -998,9 +1035,17 @@ class Volume:
                 pass  # husk — fall through to reclaim
         target = int(expect_generation) + 1
         path = self._manifest_file(target)
+        import time
+
         payload = json.dumps(
             {"version": 1, "generation": target,
-             "slab_shift": int(self.slab_shift), "entries": entries},
+             "slab_shift": int(self.slab_shift),
+             # wall-clock publish stamp: drives history() display and
+             # open(as_of=...) timestamp time-travel. Advisory (clock
+             # skew between writers can reorder stamps vs generations);
+             # the GENERATION number is the truth of commit order
+             "committed_at": round(time.time(), 3),
+             "entries": entries},
             sort_keys=True,
         ).encode()
         for attempt in range(3):
@@ -1090,6 +1135,20 @@ class Volume:
                 f"{self._manifest_generations()[:6]}"
             )
 
+    @staticmethod
+    def _manifest_diff(old_entries: dict, new_entries: dict,
+                       prefix: str = "") -> list:
+        """Sorted ``(key, old_dir, new_dir)`` for every manifest entry
+        that differs — the one diff both the change feed and incremental
+        maintenance ride (shared so their semantics can never
+        diverge)."""
+        return [
+            (k, old_entries.get(k), new_entries.get(k))
+            for k in sorted(set(old_entries) | set(new_entries))
+            if k.startswith(prefix)
+            and old_entries.get(k) != new_entries.get(k)
+        ]
+
     def changes(self, from_generation: int,
                 to_generation: Optional[int] = None) -> DataFrame:
         """Slab-granularity change feed between two retained manifest
@@ -1108,20 +1167,33 @@ class Volume:
         chunk scans. Raises :class:`ManifestError` if either generation
         fell out of vacuum retention; ``to_generation=None`` means the
         current generation."""
+        if (to_generation is not None
+                and int(from_generation) > int(to_generation)):
+            raise ValueError(
+                f"changes({from_generation}, {to_generation}): "
+                "from_generation must not exceed to_generation — an "
+                "inverted feed would label additions as removals"
+            )
         old = self._generation_or_raise(from_generation)
         if to_generation is not None:
             new = self._generation_or_raise(to_generation)
         else:
-            new = self._read_manifest() or {"entries": {}}
-        oe, ne = old["entries"], new["entries"]
+            new = self._read_manifest()
+            if new is None:
+                if self._is_legacy_layout():
+                    raise ManifestError(
+                        "changes() requires the snapshot-manifest "
+                        "layout (the feed is the manifest log) — run "
+                        "migrate_to_manifest() first"
+                    )
+                new = {"entries": {}}
         rows = []
-        for k in sorted(set(oe) | set(ne)):
-            if oe.get(k) == ne.get(k):
-                continue
+        for k, od, nd in self._manifest_diff(old["entries"],
+                                             new["entries"]):
             m, s = k.split("/")
-            change = ("added" if k not in oe
-                      else "removed" if k not in ne else "rewritten")
-            rows.append((int(m), int(s), change, oe.get(k), ne.get(k)))
+            change = ("added" if od is None
+                      else "removed" if nd is None else "rewritten")
+            rows.append((int(m), int(s), change, od, nd))
         return self.spark.createDataFrame(
             rows,
             schema="mip int, slab long, change string, "
@@ -1146,12 +1218,13 @@ class Volume:
                     "readable": True,
                     "entries": len(entries),
                     "slab_shift": man.get("slab_shift"),
+                    "committed_at": man.get("committed_at"),
                     "mips": sorted({int(k.split("/")[0]) for k in entries}),
                 })
             except Exception:
                 out.append({"generation": g, "readable": False,
                             "entries": None, "slab_shift": None,
-                            "mips": None})
+                            "committed_at": None, "mips": None})
         if not out:
             # interim single-pointer format: _read_manifest still
             # serves chunks/_manifest.json, so history() must report
@@ -1161,7 +1234,8 @@ class Volume:
             if self._fs.exists(pointer):
                 row = {"generation": None, "readable": False,
                        "entries": None, "slab_shift": None,
-                       "mips": None, "interim_pointer": True}
+                       "committed_at": None, "mips": None,
+                       "interim_pointer": True}
                 try:
                     man = json.loads(self._fs.read_bytes(pointer).decode())
                     entries = man.get("entries", {})
@@ -1170,6 +1244,7 @@ class Volume:
                         "readable": True,
                         "entries": len(entries),
                         "slab_shift": man.get("slab_shift"),
+                        "committed_at": man.get("committed_at"),
                         "mips": sorted(
                             {int(k.split("/")[0]) for k in entries}),
                     })
@@ -2113,8 +2188,19 @@ class Volume:
         table) and raises if generation ``N`` fell out of vacuum
         retention or the table predates the manifest log."""
         # BEFORE the scale registration below mutates + commits info:
-        # a pinned/read-only handle must not alter live table metadata
+        # a pinned/read-only handle must not alter live table metadata,
+        # and a since_generation that cannot be served (vacuumed base,
+        # pre-manifest table) must fail before a phantom empty scale is
+        # registered in the live info
         self._check_writable()
+        if since_generation is not None:
+            if self._read_manifest() is None and self._is_legacy_layout():
+                raise ValueError(
+                    "incremental downsample requires the snapshot-"
+                    "manifest layout (the change feed lives in the "
+                    "manifest log) — run migrate_to_manifest() first"
+                )
+            self._generation_or_raise(since_generation)
         info = self.info
         factor = np.asarray(factor, dtype=np.int64)
         scale = info.add_scale(
@@ -2214,16 +2300,14 @@ class Volume:
                     reduce_group)
                 if done:
                     return to_mip
-            elif since_generation is not None and self._is_legacy_layout():
-                raise ValueError(
-                    "incremental downsample requires the snapshot-"
-                    "manifest layout (the change feed lives in the "
-                    "manifest log) — run migrate_to_manifest() first"
-                )
             out = with_parent_keys(build_src(man0)).groupBy(
                 "tcx", "tcy", "tcz"
             ).applyInPandas(reduce_group, schema=CHUNK_SCHEMA)
-            self._overwrite_slabs(out, snapshot=man0)
+            # replace_mips drops every previous to_mip entry: a target
+            # slab whose every parent vanished (source deleted) must
+            # lose its manifest entry, not keep serving pre-delete data
+            self._overwrite_slabs(out, replace_mips=[int(to_mip)],
+                                  snapshot=man0)
         return to_mip
 
     def _downsample_incremental(self, man0: dict, since_generation: int,
@@ -2237,15 +2321,16 @@ class Volume:
         import logging
 
         info = self.info
+        if not any(k.startswith(f"{to_mip}/") for k in man0["entries"]):
+            # the target level was never built: "maintaining" it
+            # incrementally would publish a level holding ONLY the
+            # changed parents — silently partial. Build it fully.
+            return False
         old = self._generation_or_raise(since_generation)
-        prefix = f"{from_mip}/"
-        oe = {k: v for k, v in old["entries"].items()
-              if k.startswith(prefix)}
-        ne = {k: v for k, v in man0["entries"].items()
-              if k.startswith(prefix)}
         changed = sorted(
             int(k.split("/")[1])
-            for k in set(oe) | set(ne) if oe.get(k) != ne.get(k)
+            for k, _, _ in self._manifest_diff(
+                old["entries"], man0["entries"], prefix=f"{from_mip}/")
         )
         if not changed:
             return True  # source untouched since N: nothing to do
@@ -2290,24 +2375,34 @@ class Volume:
         grid_from = [int(g) for g in info.grid_shape(from_mip)]
 
         # child chunk grid range per parent: the parent cell mapped back
-        # to from_mip voxels, then to chunk coords (inclusive)
+        # to from_mip voxels, then to chunk coords (inclusive). Batched:
+        # per-parent candidate count is prod(cs_to*factor/cs_from) —
+        # 512 offsets at factor (8,8,8) — so a dense parents×offsets
+        # grid at the parent cap would be GBs on the driver
         lo = (voff_to + parents_np * cs_to) * f3 - voff_from
         hi = lo + cs_to * f3  # exclusive
         clo = np.maximum(lo // cs_from, 0)
         chi = np.minimum(-((-hi) // cs_from) - 1,
                          np.asarray(grid_from) - 1)
-        spans = (chi - clo + 1).max(axis=0)
-        offs = np.stack(np.meshgrid(
-            np.arange(spans[0]), np.arange(spans[1]),
-            np.arange(spans[2]), indexing="ij",
-        ), axis=-1).reshape(-1, 3)
-        cand = clo[:, None, :] + offs[None, :, :]
-        ok = (cand <= chi[:, None, :]).all(-1)
-        children = cand[ok]
-        child_slabs = [] if not len(children) else sorted(
-            int(s) for s in np.unique(
-                compressed_morton_code(children, grid_from)
-                .astype(np.int64) >> self.slab_shift))
+        slab_ids: set = set()
+        batch = 1 << 12
+        for i in range(0, len(parents_np), batch):
+            blo, bhi = clo[i:i + batch], chi[i:i + batch]
+            spans = np.maximum((bhi - blo + 1).max(axis=0), 0)
+            if not spans.all():
+                continue
+            offs = np.stack(np.meshgrid(
+                np.arange(spans[0]), np.arange(spans[1]),
+                np.arange(spans[2]), indexing="ij",
+            ), axis=-1).reshape(-1, 3)
+            cand = blo[:, None, :] + offs[None, :, :]
+            children = cand[(cand <= bhi[:, None, :]).all(-1)]
+            if len(children):
+                slab_ids.update(
+                    int(s) for s in np.unique(
+                        compressed_morton_code(children, grid_from)
+                        .astype(np.int64) >> self.slab_shift))
+        child_slabs = sorted(slab_ids)
 
         # recompute exactly the affected parents from their (pruned)
         # child scan — broadcast semi-join, ids shuffled only

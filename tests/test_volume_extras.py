@@ -728,7 +728,8 @@ def test_history_lists_generations_and_husks(spark, tmp_path):
     vol._fs.write_bytes(vol._manifest_file(top), b"{torn")
     h2 = vol.history()
     assert h2[0] == {"generation": top, "readable": False,
-                     "entries": None, "slab_shift": None, "mips": None}
+                     "entries": None, "slab_shift": None,
+                     "committed_at": None, "mips": None}
     assert h2[1:] == h
 
 
@@ -878,15 +879,18 @@ def test_incremental_downsample_matches_full(spark, tmp_path):
     delete produces EXACTLY the mip tree a full recompute would —
     recomputed parents replace their rows, parents whose every child
     was deleted disappear — while re-reducing only affected parents."""
-    arr, vol = _mk_vol(spark, tmp_path, "incr", n=64, cs=16)
+    # cs=8 → mip-1 grid 4×4×8 = 128 chunks = 2 slabs (shift 6), so the
+    # only-affected-parents property is observable at the slab level
+    arr, vol = _mk_vol(spark, tmp_path, "incr", n=64, cs=8)
     vol.downsample()  # full mip-1 build
-    g = int(vol._read_manifest()["generation"])
+    man_full = vol._read_manifest()
+    g = int(man_full["generation"])
 
     # patch one source chunk and fully delete the 4 children of one
-    # mip-1 parent (parent (1,1,0): x[32,64) y[32,64) z[0,16) at mip 0)
-    patch = np.full((16, 16, 16, 1), 7, np.uint32)
-    vol.upload(patch, offset=(16, 16, 0))
-    vol.delete(Bbox((32, 32, 0), (64, 64, 16)))
+    # mip-1 parent (parent (1,1,0): x[16,32) y[16,32) z[0,8) at mip 0)
+    patch = np.full((8, 8, 8, 1), 7, np.uint32)
+    vol.upload(patch, offset=(8, 8, 0))
+    vol.delete(Bbox((16, 16, 0), (32, 32, 8)))
     final0 = vol.cutout(Bbox((0, 0, 0), (64, 64, 64)), fill_missing=True)
 
     vol.downsample(since_generation=g)
@@ -894,7 +898,7 @@ def test_incremental_downsample_matches_full(spark, tmp_path):
     # oracle: a fresh table holding the same mip-0 content, fully
     # downsampled from scratch
     ref = Volume.from_numpy(spark, final0, str(tmp_path / "incr_ref"),
-                            chunk_size=(16, 16, 16))
+                            chunk_size=(8, 8, 8))
     ref.downsample()
     want = ref.cutout(Bbox((0, 0, 0), (32, 32, 64)), mip=1,
                       fill_missing=True)
@@ -906,8 +910,18 @@ def test_incremental_downsample_matches_full(spark, tmp_path):
     m1 = {(r.cx, r.cy, r.cz)
           for r in vol.chunks_df(mip=1).select("cx", "cy", "cz").collect()}
     assert (1, 1, 0) not in m1
-    # and the untouched far corner parent was not recomputed (same dir)
-    assert vol.changes(g).where("mip = 1").count() >= 1
+    # ONLY affected mip-1 slabs were rewritten: the patched/deleted
+    # parents all sit in low-morton slabs, so at least one mip-1 entry
+    # keeps its exact pre-call dir (no silent full recompute) while at
+    # least one changed
+    man_after = vol._read_manifest()
+    m1_keys = [k for k in man_after["entries"] if k.startswith("1/")]
+    assert len(m1_keys) >= 2
+    same = [k for k in m1_keys
+            if man_full["entries"].get(k) == man_after["entries"][k]]
+    diff = [k for k in m1_keys
+            if man_full["entries"].get(k) != man_after["entries"][k]]
+    assert same and diff
 
 
 def test_incremental_downsample_noop_and_guards(spark, tmp_path):
@@ -948,3 +962,110 @@ def test_generate_pyramid_incremental_propagates(spark, tmp_path):
         got = vol.cutout(Bbox((0, 0, 0), size), mip=mip,
                          fill_missing=True)
         assert np.array_equal(got, want), f"mip {mip}"
+
+def test_incremental_downsample_unbuilt_level_builds_fully(spark, tmp_path):
+    """since_generation on a level that was never built must produce
+    the COMPLETE level (full-build fallback), not just the changed
+    parents."""
+    arr, vol = _mk_vol(spark, tmp_path, "unb", n=32, cs=8)
+    g = int(vol._read_manifest()["generation"])
+    vol.upload(np.full((8, 8, 8, 1), 5, np.uint32), offset=(0, 0, 0))
+    final0 = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)))
+    vol.downsample(since_generation=g)  # mip 1 never existed
+
+    ref = Volume.from_numpy(spark, final0, str(tmp_path / "unb_ref"),
+                            chunk_size=(8, 8, 8))
+    ref.downsample()
+    want = ref.cutout(Bbox((0, 0, 0), (16, 16, 32)), mip=1)
+    got = vol.cutout(Bbox((0, 0, 0), (16, 16, 32)), mip=1)
+    assert np.array_equal(got, want)
+
+
+def test_full_downsample_drops_emptied_target_slabs(spark, tmp_path):
+    """A FULL recompute (the incremental path's cap fallback) must also
+    drop target entries whose every parent vanished — not leave a stale
+    manifest entry serving pre-delete data."""
+    _, vol = _mk_vol(spark, tmp_path, "fdrop", n=32, cs=8)
+    vol.downsample()
+    assert any(k.startswith("1/")
+               for k in vol._read_manifest()["entries"])
+    # delete the ENTIRE mip-0 source, then fully re-downsample
+    vol.delete(Bbox((0, 0, 0), (32, 32, 32)))
+    vol.downsample()
+    assert not any(k.startswith("1/")
+                   for k in vol._read_manifest()["entries"])
+
+
+def test_changes_argument_and_legacy_guards(spark, tmp_path):
+    """Inverted generation order raises; a pre-manifest table demands
+    migration instead of silently reporting an empty feed."""
+    import pytest as _pytest
+
+    from cloud_volume_spark.volume import ManifestError
+
+    _, vol = _mk_vol(spark, tmp_path, "chg", n=32, cs=16)
+    with _pytest.raises(ValueError, match="inverted|must not exceed"):
+        vol.changes(5, 2)
+
+    # demote to the legacy hive layout: changes() must refuse
+    import shutil as _sh
+    man = vol._read_manifest()
+    for k, rel in man["entries"].items():
+        m, s = k.split("/")
+        dst = f"{vol.chunks_path}/mip={m}/slab={s}"
+        _os_makedirs(dst)
+        src_dir = f"{vol.chunks_path}/{rel}"
+        for f in _os_listdir(src_dir):
+            _sh.copy(f"{src_dir}/{f}", f"{dst}/{f}")
+    for g in vol._manifest_generations():
+        vol._fs.remove(vol._manifest_file(g))
+    _sh.rmtree(f"{vol.chunks_path}/data")
+    legacy = Volume.open(spark, str(tmp_path / "chg"))
+    with _pytest.raises(ManifestError, match="migrate_to_manifest"):
+        legacy.changes(0)
+
+
+def _os_makedirs(p):
+    import os
+    os.makedirs(p, exist_ok=True)
+
+
+def _os_listdir(p):
+    import os
+    return os.listdir(p)
+
+def test_open_as_of_timestamp(spark, tmp_path):
+    """open(as_of=ts) pins the newest generation published at or
+    before ts (TIMESTAMP AS OF); history() carries the stamps."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from cloud_volume_spark.volume import ManifestError
+
+    arr, vol = _mk_vol(spark, tmp_path, "asof")
+    t_between = _time.time()
+    _time.sleep(0.05)
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+
+    h = vol.history()
+    assert all(e["committed_at"] is not None for e in h)
+    assert h[0]["committed_at"] >= h[-1]["committed_at"]
+
+    old = Volume.open(spark, str(tmp_path / "asof"), as_of=t_between)
+    assert old._pinned_generation == h[-1]["generation"]
+    assert np.array_equal(
+        old.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+    now = Volume.open(spark, str(tmp_path / "asof"), as_of=_time.time())
+    assert now._pinned_generation == h[0]["generation"]
+    with _pytest.raises(PermissionError, match="pinned"):
+        old.upload(arr, offset=(0, 0, 0))
+    with _pytest.raises(ManifestError, match="at or before"):
+        Volume.open(spark, str(tmp_path / "asof"), as_of=0.0)
+    with _pytest.raises(ValueError, match="not both"):
+        Volume.open(spark, str(tmp_path / "asof"), generation=1,
+                    as_of=t_between)
+    # ISO-8601 form resolves too (far future → newest generation)
+    iso = Volume.open(spark, str(tmp_path / "asof"),
+                      as_of="2100-01-01T00:00:00+00:00")
+    assert iso._pinned_generation == h[0]["generation"]
