@@ -239,17 +239,25 @@ class Volume:
         vol = cls(spark, info.base_path or base_path, info)
         vol.read_only = bool(info.redirected_from)
         if as_of is not None:
-            generation = vol._generation_as_of(as_of)
-        if generation is not None:
+            generation, man = vol._generation_as_of(as_of)
+            vol._pinned_generation = int(generation)
+            vol._pinned_manifest = man  # already fetched + parsed
+        elif generation is not None:
             vol._pinned_generation = int(generation)
             vol._read_manifest()  # fail fast on a vacuumed/absent pin
         return vol
 
-    def _generation_as_of(self, ts) -> int:
-        """Newest retained generation published at or before ``ts``
-        (epoch seconds or ISO-8601, naive = UTC). Generations without a
-        stamp (published before stamping existed) count as arbitrarily
-        old; torn husks are skipped like every reader skips them."""
+    def _generation_as_of(self, ts) -> tuple:
+        """``(generation, manifest)`` of the newest retained generation
+        published at or before ``ts`` (epoch seconds or ISO-8601,
+        naive = UTC). Generations without a stamp (published before
+        stamping existed) count as arbitrarily old. A TORN husk (bytes
+        present, unparseable) is skipped — that commit never happened —
+        but a READ failure raises: silently falling past an unreadable
+        generation would pin an older snapshot and serve stale data as
+        current. Interim single-pointer tables resolve their pointer."""
+        import time
+
         if isinstance(ts, str):
             from datetime import datetime, timezone
 
@@ -258,19 +266,41 @@ class Volume:
                 dt = dt.replace(tzinfo=timezone.utc)
             ts = dt.timestamp()
         ts = float(ts)
-        for g in self._manifest_generations():
+        gens = self._manifest_generations()
+        candidates = [(g, self._manifest_file(g)) for g in gens]
+        if not gens:
+            pointer = f"{self.chunks_path}/_manifest.json"
+            if self._fs.exists(pointer):
+                candidates = [(None, pointer)]
+        for g, path in candidates:
+            raw, err = None, None
+            for _ in range(3):
+                try:
+                    raw = self._fs.read_bytes(path)
+                    err = None
+                    break
+                except Exception as e:
+                    err = e
+                    time.sleep(0.05)
+            if err is not None:
+                raise ManifestError(
+                    f"cannot read manifest {path!r} while resolving "
+                    f"as_of={ts} ({err!r}); refusing to silently pin an "
+                    "older generation — retry"
+                )
             try:
-                man = self._load_manifest_generation(g)
+                man = json.loads(raw.decode())
             except Exception:
-                continue
+                continue  # torn husk: that commit never happened
+            if g is not None:
+                man["generation"] = int(g)
             at = man.get("committed_at")
             if at is None or float(at) <= ts:
-                return g
+                return int(man.get("generation") or 0), man
         raise ManifestError(
             f"no retained manifest generation at or before timestamp "
             f"{ts} under {self.chunks_path!r} — older generations may "
-            f"have been vacuumed; retained: "
-            f"{self._manifest_generations()[:6]}"
+            f"have been vacuumed; retained: {gens[:6]}"
         )
 
     @classmethod
@@ -942,7 +972,7 @@ class Volume:
         self._lru_clear()
         with self._commit_lock():
             if self._is_legacy_layout():
-                self._overwrite_slabs_legacy(out, drop)
+                self._overwrite_slabs_legacy(out, drop, replace_mips)
                 return
             man = self._read_manifest() if snapshot is Volume._UNRESOLVED \
                 else snapshot
@@ -1301,12 +1331,18 @@ class Volume:
             return n
 
     def _overwrite_slabs_legacy(self, out: DataFrame,
-                                drop: Optional[Iterable[tuple]]) -> None:
+                                drop: Optional[Iterable[tuple]],
+                                replace_mips: Optional[Iterable[int]] = None,
+                                ) -> None:
         """Pre-manifest commit: stage then rename-swap hive slab dirs
         in place. Kept verbatim for tables written before the manifest;
-        lock already held by the caller."""
+        lock already held by the caller. ``replace_mips`` removes every
+        slab dir of those mips the staged output did not rewrite — the
+        same full-mip-rebuild contract the manifest path honors (stale
+        downsample/remap targets must not keep serving)."""
         fs = self._fs
         tmp = f"{self.chunks_path}.tmp-commit-{uuid.uuid4().hex[:12]}"
+        staged: dict = {}  # "mip=M" -> {"slab=S", ...}
         try:
             (
                 out.repartition(F.col("mip"), self._commit_bucket())
@@ -1322,6 +1358,7 @@ class Volume:
                 for slab_dir in fs.listdir(f"{tmp}/{mip_dir}"):
                     if not slab_dir.startswith("slab="):
                         continue
+                    staged.setdefault(mip_dir, set()).add(slab_dir)
                     dest = f"{self.chunks_path}/{mip_dir}/{slab_dir}"
                     if fs.exists(dest):
                         fs.rmtree(dest)
@@ -1329,6 +1366,12 @@ class Volume:
                     fs.rename(f"{tmp}/{mip_dir}/{slab_dir}", dest)
         finally:
             fs.rmtree(tmp)
+        for m in (replace_mips or ()):
+            mip_dir = f"mip={int(m)}"
+            keep = staged.get(mip_dir, set())
+            for slab_dir in fs.listdir(f"{self.chunks_path}/{mip_dir}"):
+                if slab_dir.startswith("slab=") and slab_dir not in keep:
+                    fs.rmtree(f"{self.chunks_path}/{mip_dir}/{slab_dir}")
         for (mip, slab) in (drop or ()):
             path = f"{self.chunks_path}/mip={mip}/slab={slab}"
             if fs.exists(path):
@@ -2187,20 +2230,28 @@ class Volume:
         exceeds the documented cap (the change covers most of the
         table) and raises if generation ``N`` fell out of vacuum
         retention or the table predates the manifest log."""
-        # BEFORE the scale registration below mutates + commits info:
-        # a pinned/read-only handle must not alter live table metadata,
-        # and a since_generation that cannot be served (vacuumed base,
-        # pre-manifest table) must fail before a phantom empty scale is
-        # registered in the live info
+        # the WHOLE operation — since_generation validation, scale
+        # registration, reduce, publish — runs under one lock hold
+        # (re-entrant for the inner commit): validating outside it
+        # would let a concurrent vacuum reclaim the base generation
+        # after the check, leaving a phantom empty scale registered in
+        # live info when the incremental leg then fails
         self._check_writable()
+        with self._commit_lock():
+            return self._downsample_impl(
+                from_mip, factor, compression, since_generation)
+
+    def _downsample_impl(self, from_mip, factor, compression,
+                         since_generation):
+        old_man = None
         if since_generation is not None:
-            if self._read_manifest() is None and self._is_legacy_layout():
-                raise ValueError(
+            if self._is_legacy_layout():
+                raise ManifestError(
                     "incremental downsample requires the snapshot-"
                     "manifest layout (the change feed lives in the "
                     "manifest log) — run migrate_to_manifest() first"
                 )
-            self._generation_or_raise(since_generation)
+            old_man = self._generation_or_raise(since_generation)
         info = self.info
         factor = np.asarray(factor, dtype=np.int64)
         scale = info.add_scale(
@@ -2293,9 +2344,9 @@ class Volume:
         # the scan cannot race a concurrent writer's slab swap
         with self._commit_lock():
             man0 = self._read_manifest()
-            if since_generation is not None and man0 is not None:
+            if old_man is not None and man0 is not None:
                 done = self._downsample_incremental(
-                    man0, int(since_generation), int(from_mip),
+                    man0, old_man, int(from_mip),
                     int(to_mip), (fx, fy, fz), with_parent_keys,
                     reduce_group)
                 if done:
@@ -2303,14 +2354,17 @@ class Volume:
             out = with_parent_keys(build_src(man0)).groupBy(
                 "tcx", "tcy", "tcz"
             ).applyInPandas(reduce_group, schema=CHUNK_SCHEMA)
-            # replace_mips drops every previous to_mip entry: a target
-            # slab whose every parent vanished (source deleted) must
-            # lose its manifest entry, not keep serving pre-delete data
+            # replace_mips: a FULL downsample REBUILDS the target level
+            # from source — target slabs whose every parent vanished
+            # (source deleted) lose their entries rather than serving
+            # pre-delete data, and chunks uploaded DIRECTLY at the
+            # target mip are replaced (use since_generation= to
+            # maintain a level without touching unrelated slabs)
             self._overwrite_slabs(out, replace_mips=[int(to_mip)],
                                   snapshot=man0)
         return to_mip
 
-    def _downsample_incremental(self, man0: dict, since_generation: int,
+    def _downsample_incremental(self, man0: dict, old_man: dict,
                                 from_mip: int, to_mip: int, factor,
                                 with_parent_keys, reduce_group) -> bool:
         """The incremental leg of :meth:`downsample` (caller holds the
@@ -2326,7 +2380,7 @@ class Volume:
             # incrementally would publish a level holding ONLY the
             # changed parents — silently partial. Build it fully.
             return False
-        old = self._generation_or_raise(since_generation)
+        old = old_man
         changed = sorted(
             int(k.split("/")[1])
             for k, _, _ in self._manifest_diff(
@@ -2357,7 +2411,7 @@ class Volume:
                 "incremental downsample: >%d parent chunks affected "
                 "since generation %d — the change covers most of the "
                 "table; falling back to a FULL recompute",
-                self._INCR_PARENT_CAP, since_generation)
+                self._INCR_PARENT_CAP, old.get("generation"))
             return False
         if not parents_rows:
             return True  # changed slabs held no chunks on either side

@@ -1069,3 +1069,84 @@ def test_open_as_of_timestamp(spark, tmp_path):
     iso = Volume.open(spark, str(tmp_path / "asof"),
                       as_of="2100-01-01T00:00:00+00:00")
     assert iso._pinned_generation == h[0]["generation"]
+
+def test_full_downsample_rebuild_contract_on_legacy_table(spark, tmp_path):
+    """The full-rebuild contract (emptied target slabs disappear) holds
+    on pre-manifest hive tables too — replace_mips reaches the legacy
+    committer instead of being silently dropped."""
+    import os as _os
+
+    arr, vol = _mk_vol(spark, tmp_path, "legd", n=32, cs=8)
+    rows = vol.chunks_df()
+    df = spark.createDataFrame(rows.collect(), schema=rows.schema)
+    base = str(tmp_path / "legd2")
+    vol2 = Volume.create(spark, base, vol.info.clone())
+    with vol2._commit_lock():
+        vol2._overwrite_slabs_legacy(df, None)
+    assert vol2._is_legacy_layout()
+
+    vol2.downsample()
+    assert vol2.has_data(1)
+    vol2.delete(Bbox((0, 0, 0), (32, 32, 32)))
+    vol2.downsample()
+    mip1 = _os.path.join(base, "chunks", "mip=1")
+    slabs = [d for d in (_os.listdir(mip1) if _os.path.isdir(mip1) else [])
+             if d.startswith("slab=")]
+    assert slabs == []
+    assert not vol2.has_data(1)
+
+
+def test_as_of_husk_skipped_but_read_failure_loud(spark, tmp_path):
+    """as_of resolution skips a torn husk (that commit never happened)
+    but refuses to fall past a generation it cannot READ — silently
+    pinning older data on a transient IO error would serve a stale
+    snapshot as current."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from cloud_volume_spark.volume import ManifestError
+
+    _, vol = _mk_vol(spark, tmp_path, "asofh")
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    top = vol._manifest_generations()[0]
+    vol._fs.write_bytes(vol._manifest_file(top + 1), b"{torn")
+    g, man = vol._generation_as_of(_time.time())
+    assert g == top and man["generation"] == top  # husk skipped
+
+    real = vol._fs
+
+    class _FlakyRead:
+        def __getattr__(self, name):
+            return getattr(real, name)
+
+        def read_bytes(self, path):
+            if path == vol._manifest_file(top):
+                raise IOError("Status Code: 503; Slow Down")
+            return real.read_bytes(path)
+
+    vol._fs = _FlakyRead()
+    with _pytest.raises(ManifestError, match="refusing"):
+        vol._generation_as_of(_time.time())
+    vol._fs = real
+
+
+def test_as_of_resolves_interim_pointer_table(spark, tmp_path):
+    """open(as_of=...) on an interim single-pointer table serves the
+    pointer (an unstamped manifest counts as arbitrarily old)."""
+    import json as _json
+    import time as _time
+
+    arr, vol = _mk_vol(spark, tmp_path, "asofp")
+    man = vol._read_manifest()
+    for g in vol._manifest_generations():
+        vol._fs.remove(vol._manifest_file(g))
+    vol._fs.write_bytes(
+        f"{vol.chunks_path}/_manifest.json",
+        _json.dumps({"version": 1, "generation": man["generation"],
+                     "slab_shift": man.get("slab_shift"),
+                     "entries": man["entries"]}).encode())
+    pinned = Volume.open(spark, str(tmp_path / "asofp"),
+                         as_of=_time.time())
+    assert np.array_equal(
+        pinned.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
