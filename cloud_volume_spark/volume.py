@@ -1230,6 +1230,30 @@ class Volume:
                    "from_dir string, to_dir string",
         )
 
+    def changed_chunks_df(self, from_generation: int,
+                          mip: Optional[int] = None) -> DataFrame:
+        """Chunk rows of every slab added or rewritten since generation
+        ``N`` — the read side of :meth:`changes` for downstream
+        incremental pipelines (re-mesh, re-downsample, re-index only
+        what moved). Slab-granularity: a rewritten slab returns ALL its
+        current rows, the same contract as file-granularity CDF without
+        per-row tracking cost. The scan is manifest-pruned to exactly
+        the changed dirs; ``removed`` slabs have no current rows by
+        definition (consult :meth:`changes` for them)."""
+        man = self._read_manifest()
+        by_mip: dict = {}
+        for r in self.changes(from_generation).collect():
+            if r.change in ("added", "rewritten") and (
+                    mip is None or int(r.mip) == int(mip)):
+                by_mip.setdefault(int(r.mip), []).append(int(r.slab))
+        out = None
+        for m, slabs in sorted(by_mip.items()):
+            df = self.chunks_df(mip=m, slabs=slabs, manifest=man)
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            return self.spark.createDataFrame([], schema=CHUNK_SCHEMA)
+        return out
+
     def history(self) -> list:
         """The retained manifest log, newest first — one dict per
         readable generation (``generation``, ``entries`` count,

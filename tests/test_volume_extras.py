@@ -1150,3 +1150,22 @@ def test_as_of_resolves_interim_pointer_table(spark, tmp_path):
                          as_of=_time.time())
     assert np.array_equal(
         pinned.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+
+def test_changed_chunks_df_reads_only_moved_slabs(spark, tmp_path):
+    """changed_chunks_df(N) returns the current rows of exactly the
+    added/rewritten slabs — a patch write yields its own slab's chunks,
+    not the whole table."""
+    arr, vol = _mk_vol(spark, tmp_path, "ccdf", n=64, cs=8)
+    g = int(vol._read_manifest()["generation"])
+    assert vol.changed_chunks_df(g).count() == 0
+
+    vol.upload(np.full((8, 8, 8, 1), 3, np.uint32), offset=(0, 0, 0))
+    moved = vol.changed_chunks_df(g)
+    total = vol.chunks_df(mip=0).count()
+    n_moved = moved.count()
+    assert 0 < n_moved < total
+    # the patched chunk is in the feed; mip filter works
+    assert moved.where("cx = 0 and cy = 0 and cz = 0").count() == 1
+    assert vol.changed_chunks_df(g, mip=1).count() == 0
+    # since-empty = the whole table
+    assert vol.changed_chunks_df(0).count() == total
