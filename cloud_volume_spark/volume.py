@@ -249,22 +249,29 @@ class Volume:
 
     def _generation_as_of(self, ts) -> tuple:
         """``(generation, manifest)`` of the newest retained generation
-        published at or before ``ts`` (epoch seconds or ISO-8601,
-        naive = UTC). Generations without a stamp (published before
-        stamping existed) count as arbitrarily old. A TORN husk (bytes
-        present, unparseable) is skipped — that commit never happened —
-        but a READ failure raises: silently falling past an unreadable
+        published at or before ``ts`` (epoch seconds, ISO-8601, or
+        ``datetime`` — naive = UTC). Generations without a stamp
+        (published before stamping existed) are the resolution of LAST
+        RESORT: their commit time is unknown, so a stamped generation
+        that provably qualifies always wins — otherwise an unstamped
+        generation published by old-version code AFTER ``ts`` would be
+        served as a historical snapshot. A TORN husk (bytes present,
+        unparseable) is skipped — that commit never happened — but a
+        READ failure raises: silently falling past an unreadable
         generation would pin an older snapshot and serve stale data as
         current. Interim single-pointer tables resolve their pointer."""
         import time
+        from datetime import datetime, timezone
 
         if isinstance(ts, str):
-            from datetime import datetime, timezone
-
             dt = datetime.fromisoformat(ts)
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=timezone.utc)
             ts = dt.timestamp()
+        elif isinstance(ts, datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            ts = ts.timestamp()
         ts = float(ts)
         gens = self._manifest_generations()
         candidates = [(g, self._manifest_file(g)) for g in gens]
@@ -272,6 +279,7 @@ class Volume:
             pointer = f"{self.chunks_path}/_manifest.json"
             if self._fs.exists(pointer):
                 candidates = [(None, pointer)]
+        unstamped = None  # newest readable generation with no stamp
         for g, path in candidates:
             raw, err = None, None
             for _ in range(3):
@@ -295,8 +303,14 @@ class Volume:
             if g is not None:
                 man["generation"] = int(g)
             at = man.get("committed_at")
-            if at is None or float(at) <= ts:
+            if at is None:
+                if unstamped is None:
+                    unstamped = (int(man.get("generation") or 0), man)
+                continue  # keep looking for a stamped qualifier
+            if float(at) <= ts:
                 return int(man.get("generation") or 0), man
+        if unstamped is not None:
+            return unstamped
         raise ManifestError(
             f"no retained manifest generation at or before timestamp "
             f"{ts} under {self.chunks_path!r} — older generations may "
@@ -1096,8 +1110,6 @@ class Volume:
                     # published would send the caller into a retry
                     # that then hits a genuine-looking generation
                     # collision with its own manifest.
-                    import time
-
                     seen = None
                     read_err: Optional[Exception] = None
                     for _ in range(3):
@@ -1130,8 +1142,6 @@ class Volume:
             # publish (conflict); an unparseable one is a crashed
             # writer's torn husk — re-read a few times (a Hadoop racer
             # may still be writing), then reclaim once under OUR lock
-            import time
-
             for _ in range(3):
                 try:
                     json.loads(self._fs.read_bytes(path).decode())
@@ -1239,13 +1249,30 @@ class Volume:
         current rows, the same contract as file-granularity CDF without
         per-row tracking cost. The scan is manifest-pruned to exactly
         the changed dirs; ``removed`` slabs have no current rows by
-        definition (consult :meth:`changes` for them)."""
+        definition (consult :meth:`changes` for them).
+
+        The manifest is read ONCE and both the diff and the chunk scan
+        ride that same snapshot — a commit landing mid-call can never
+        make the feed inconsistent with the rows it returns. The diff
+        itself is pure driver-side dict work (no Spark job)."""
         man = self._read_manifest()
+        if man is None:
+            if self._is_legacy_layout():
+                raise ManifestError(
+                    "changed_chunks_df() requires the snapshot-manifest "
+                    "layout (the feed is the manifest log) — run "
+                    "migrate_to_manifest() first"
+                )
+            man = {"entries": {}}
+        old = self._generation_or_raise(from_generation)
         by_mip: dict = {}
-        for r in self.changes(from_generation).collect():
-            if r.change in ("added", "rewritten") and (
-                    mip is None or int(r.mip) == int(mip)):
-                by_mip.setdefault(int(r.mip), []).append(int(r.slab))
+        for k, od, nd in self._manifest_diff(old["entries"],
+                                             man.get("entries", {})):
+            if nd is None:
+                continue  # removed slab: no current rows
+            m, s = k.split("/")
+            if mip is None or int(m) == int(mip):
+                by_mip.setdefault(int(m), []).append(int(s))
         out = None
         for m, slabs in sorted(by_mip.items()):
             df = self.chunks_df(mip=m, slabs=slabs, manifest=man)

@@ -1151,6 +1151,62 @@ def test_as_of_resolves_interim_pointer_table(spark, tmp_path):
     assert np.array_equal(
         pinned.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
 
+def test_as_of_unstamped_newest_is_last_resort(spark, tmp_path):
+    """An UNSTAMPED generation newer than stamped ones (old-version
+    writer on a stamped table) must not shadow a stamped qualifier: its
+    commit time is unknown, so serving it for an as_of in the stamped
+    range would pass off post-timestamp data as a historical snapshot.
+    It is used only when no stamped generation qualifies."""
+    import json as _json
+    import time as _time
+
+    _, vol = _mk_vol(spark, tmp_path, "asofu")
+    t_after_g1 = _time.time()
+    _time.sleep(0.05)
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    top = vol._manifest_generations()[0]
+    man = vol._read_manifest()
+    husk = dict(man)
+    husk.pop("committed_at", None)
+    husk["generation"] = top + 1
+    vol._fs.write_bytes(vol._manifest_file(top + 1),
+                        _json.dumps(husk, sort_keys=True).encode())
+
+    g, _ = vol._generation_as_of(t_after_g1)
+    assert g == top - 1  # stamped gen 1, NOT the unstamped top+1
+    g, _ = vol._generation_as_of(_time.time())
+    assert g == top  # newest stamped qualifier still wins
+
+    # only when NO stamped generation qualifies may the unstamped one
+    # serve — strip every stamp and the newest unstamped wins
+    for gen in vol._manifest_generations():
+        m = _json.loads(vol._fs.read_bytes(vol._manifest_file(gen)))
+        m.pop("committed_at", None)
+        vol._fs.write_bytes(vol._manifest_file(gen),
+                            _json.dumps(m, sort_keys=True).encode())
+    g, _ = vol._generation_as_of(0.0)
+    assert g == top + 1
+
+
+def test_as_of_accepts_datetime(spark, tmp_path):
+    """open(as_of=datetime(...)) works — naive datetimes are UTC, the
+    same rule as the ISO-8601 string form."""
+    from datetime import datetime, timezone
+
+    arr, vol = _mk_vol(spark, tmp_path, "asofd")
+    h = vol.history()
+    pinned = Volume.open(
+        spark, str(tmp_path / "asofd"),
+        as_of=datetime.now(timezone.utc))
+    assert pinned._pinned_generation == h[0]["generation"]
+    assert np.array_equal(
+        pinned.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+    naive = Volume.open(
+        spark, str(tmp_path / "asofd"),
+        as_of=datetime.now(timezone.utc).replace(tzinfo=None))
+    assert naive._pinned_generation == h[0]["generation"]
+
+
 def test_changed_chunks_df_reads_only_moved_slabs(spark, tmp_path):
     """changed_chunks_df(N) returns the current rows of exactly the
     added/rewritten slabs — a patch write yields its own slab's chunks,
