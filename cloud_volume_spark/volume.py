@@ -1003,7 +1003,8 @@ class Volume:
                     "the recorded granularity"
                 )
             gen = int(man["generation"]) if man else 0
-            entries = dict(man["entries"]) if man else {}
+            old_entries = dict(man["entries"]) if man else {}
+            entries = dict(old_entries)
             commit_id = f"commit-{uuid.uuid4().hex[:12]}"
             staged = self._stage_commit(out, commit_id)
             for m in (replace_mips or ()):
@@ -1013,7 +1014,8 @@ class Volume:
             for (m, s) in (drop or ()):
                 entries.pop(f"{int(m)}/{int(s)}", None)
             entries.update(staged)
-            self._publish_manifest(entries, expect_generation=gen)
+            self._publish_manifest(entries, expect_generation=gen,
+                                   old_entries=old_entries)
 
     def _stage_commit(self, out: DataFrame, commit_id: str) -> dict:
         """Write CHUNK_SCHEMA rows as one immutable dir per (mip, slab)
@@ -1046,7 +1048,126 @@ class Volume:
                 )
         return staged
 
-    def _publish_manifest(self, entries: dict, expect_generation: int) -> None:
+    # ------------------------------------------------------------------
+    # streaming change feed (written at publish, read by readStream)
+    # ------------------------------------------------------------------
+
+    def _feed_file(self, generation: int) -> str:
+        return f"{self.chunks_path}/feed/gen-{generation:012d}.json"
+
+    def _feed_rows(self, generation: int, committed_at,
+                   old_entries: dict, new_entries: dict) -> bytes:
+        """JSONL payload of one generation's slab-level diff — the same
+        `_manifest_diff` the batch feed rides, so the streaming and
+        batch feeds can never disagree. Deterministic given the two
+        manifests (backfillers racing a publisher write identical
+        bytes, so create-if-absent needs no conflict handling)."""
+        lines = []
+        for k, od, nd in self._manifest_diff(old_entries, new_entries):
+            m, s = k.split("/")
+            change = ("added" if od is None
+                      else "removed" if nd is None else "rewritten")
+            lines.append(json.dumps(
+                {"generation": int(generation),
+                 "committed_at": committed_at,
+                 "mip": int(m), "slab": int(s), "change": change,
+                 "from_dir": od, "to_dir": nd},
+                sort_keys=True))
+        return ("\n".join(lines) + ("\n" if lines else "")).encode()
+
+    def _emit_feed(self, generation: int, committed_at,
+                   old_entries: dict, new_entries: dict) -> None:
+        """Write this generation's feed file (atomic create-if-absent)
+        and heal any computable gaps. NEVER fails the commit: the
+        manifest already published, so the data is durable — a feed
+        write failure is repaired by the next publish or by
+        :meth:`repair_feed`."""
+        try:
+            self._fs.makedirs(f"{self.chunks_path}/feed")
+            self._fs.create_with_content(
+                self._feed_file(generation),
+                self._feed_rows(generation, committed_at,
+                                old_entries, new_entries))
+            self.repair_feed()
+        except Exception as e:  # pragma: no cover - env-specific IO
+            import warnings
+
+            warnings.warn(
+                f"commit published generation {generation} but its "
+                f"streaming-feed file could not be written ({e!r}); "
+                "run repair_feed() to heal the gap", RuntimeWarning)
+
+    def repair_feed(self) -> int:
+        """Backfill missing feed files for every retained generation
+        whose diff is still computable (generation N needs manifests N
+        and N-1 on disk; N=1 diffs against the empty table). Returns
+        the number of files written. Publishers call this after every
+        commit, so a crash between manifest publish and feed write
+        heals on the next commit — consumers see a gap only while no
+        writer is active, and can close it themselves by calling this
+        or the batch :meth:`changes`."""
+        fs = self._fs
+        gens = sorted(self._manifest_generations())
+        if not gens:
+            return 0
+        feed_dir = f"{self.chunks_path}/feed"
+        fs.makedirs(feed_dir)
+        have = set(fs.listdir(feed_dir))
+        retained = set(gens)
+        wrote = 0
+        for g in gens:
+            if f"gen-{g:012d}.json" in have:
+                continue
+            if g != 1 and (g - 1) not in retained:
+                continue  # predecessor vacuumed: diff lost to history
+            try:
+                new = self._load_manifest_generation(g)
+                old = ({"entries": {}} if g == 1
+                       else self._load_manifest_generation(g - 1))
+            except Exception:
+                continue  # torn husk: that commit never happened
+            if fs.create_with_content(
+                    self._feed_file(g),
+                    self._feed_rows(g, new.get("committed_at"),
+                                    old["entries"], new["entries"])):
+                wrote += 1
+        return wrote
+
+    def stream_changes(self) -> DataFrame:
+        """The change feed as a Structured Streaming source: one row
+        per ``(mip, slab)`` whose backing dir a commit changed, exactly
+        the rows of :meth:`changes` plus the ``generation`` and
+        ``committed_at`` of the commit that moved them. State-free by
+        construction — each publish writes its own immutable JSONL
+        feed file (the diff the committer already holds), so this is a
+        plain file-source ``readStream`` with no stateful operator and
+        no per-key state to grow with table size. Feed files follow
+        manifest retention (:meth:`vacuum`), the Delta CDF contract: a
+        stream that lags more than the retention window must restart
+        from a fresh batch read. Rows within a micro-batch are not
+        ordered across files — downstream order by ``generation``.
+
+        ``trigger(availableNow=True)`` gives incremental batch
+        consumption; a continuous trigger tails commits as they land.
+        """
+        man = self._read_manifest()
+        if man is None and self._is_legacy_layout():
+            raise ManifestError(
+                "stream_changes() requires the snapshot-manifest "
+                "layout (the feed is written at manifest publish) — "
+                "run migrate_to_manifest() first"
+            )
+        self._fs.makedirs(f"{self.chunks_path}/feed")
+        return (
+            self.spark.readStream
+            .schema("generation long, committed_at double, mip int, "
+                    "slab long, change string, from_dir string, "
+                    "to_dir string")
+            .json(f"{self.chunks_path}/feed")
+        )
+
+    def _publish_manifest(self, entries: dict, expect_generation: int,
+                          old_entries: Optional[dict] = None) -> None:
         """Publish generation ``expect_generation + 1`` as a NEW
         numbered file. Two layers of conflict detection, both loud:
 
@@ -1081,6 +1202,7 @@ class Volume:
         path = self._manifest_file(target)
         import time
 
+        stamp = round(time.time(), 3)
         payload = json.dumps(
             {"version": 1, "generation": target,
              "slab_shift": int(self.slab_shift),
@@ -1088,7 +1210,7 @@ class Volume:
              # open(as_of=...) timestamp time-travel. Advisory (clock
              # skew between writers can reorder stamps vs generations);
              # the GENERATION number is the truth of commit order
-             "committed_at": round(time.time(), 3),
+             "committed_at": stamp,
              "entries": entries},
             sort_keys=True,
         ).encode()
@@ -1137,6 +1259,13 @@ class Volume:
                             "store); this table must be single-writer "
                             "— retry the operation"
                         )
+                if old_entries is not None:
+                    self._emit_feed(target, stamp, old_entries, entries)
+                else:
+                    try:
+                        self.repair_feed()
+                    except Exception:
+                        pass
                 return
             # existing file at the target: a valid one is a concurrent
             # publish (conflict); an unparseable one is a crashed
@@ -1379,6 +1508,19 @@ class Volume:
             for g in gens:
                 if g not in keep:
                     fs.remove(self._manifest_file(g))
+            # streaming-feed files follow manifest retention: a feed
+            # older than the retained window describes vacuumed data
+            feed_dir = f"{self.chunks_path}/feed"
+            if fs.exists(feed_dir):
+                for n2 in fs.listdir(feed_dir):
+                    if not (n2.startswith("gen-") and n2.endswith(".json")):
+                        continue
+                    try:
+                        g = int(n2[4:-5])
+                    except ValueError:
+                        continue
+                    if g not in keep:
+                        fs.remove(f"{feed_dir}/{n2}")
             return n
 
     def _overwrite_slabs_legacy(self, out: DataFrame,
@@ -2131,7 +2273,8 @@ class Volume:
                             entries.pop(f"{int(mip)}/{int(s)}", None)
                         self._publish_manifest(
                             entries,
-                            expect_generation=int(man0["generation"]))
+                            expect_generation=int(man0["generation"]),
+                            old_entries=dict(man0["entries"]))
                     else:
                         for s in slabs:
                             path = f"{self.chunks_path}/mip={mip}/slab={s}"
@@ -2172,7 +2315,8 @@ class Volume:
             )
             commit_id = f"commit-{uuid.uuid4().hex[:12]}"
             staged = self._stage_commit(src, commit_id)
-            self._publish_manifest(staged, expect_generation=0)
+            self._publish_manifest(staged, expect_generation=0,
+                                   old_entries={})
             for n in fs.listdir(self.chunks_path):
                 if n.startswith("mip="):
                     fs.rmtree(f"{self.chunks_path}/{n}")

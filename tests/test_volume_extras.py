@@ -1151,6 +1151,119 @@ def test_as_of_resolves_interim_pointer_table(spark, tmp_path):
     assert np.array_equal(
         pinned.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
 
+def _feed_rows_on_disk(vol):
+    """{generation: [row dicts]} parsed straight from the feed files."""
+    import json as _json
+    import os as _os
+
+    feed = _os.path.join(vol.chunks_path, "feed")
+    out = {}
+    for n in sorted(_os.listdir(feed)):
+        if not n.startswith("gen-"):
+            continue
+        g = int(n[4:-5])
+        with open(_os.path.join(feed, n)) as f:
+            out[g] = [_json.loads(l) for l in f if l.strip()]
+    return out
+
+
+def test_feed_files_match_batch_changes(spark, tmp_path):
+    """Every publish writes a JSONL feed file whose rows are exactly
+    the batch changes(N-1, N) diff plus the commit's generation and
+    stamp — the streaming and batch feeds ride the same diff."""
+    arr, vol = _mk_vol(spark, tmp_path, "feed", n=64, cs=8)
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(0, 0, 0))
+    vol.delete(Bbox((0, 0, 0), (8, 8, 8)))
+
+    gens = sorted(vol._manifest_generations())
+    on_disk = _feed_rows_on_disk(vol)
+    assert sorted(on_disk) == gens  # a file per generation, no gaps
+    for g in gens:
+        batch = {(r.mip, r.slab): (r.change, r.from_dir, r.to_dir)
+                 for r in vol.changes(g - 1, g).collect()}
+        feed = {(r["mip"], r["slab"]): (r["change"], r["from_dir"],
+                                        r["to_dir"])
+                for r in on_disk[g]}
+        assert feed == batch, g
+        man = vol._load_manifest_generation(g)
+        assert all(r["generation"] == g
+                   and r["committed_at"] == man.get("committed_at")
+                   for r in on_disk[g])
+
+
+def test_feed_gap_heals_on_next_commit(spark, tmp_path):
+    """A crash between manifest publish and feed write (simulated by
+    deleting a feed file) is healed by the next commit's repair pass,
+    with identical content."""
+    import os as _os
+
+    _, vol = _mk_vol(spark, tmp_path, "feedh", n=64, cs=8)
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(0, 0, 0))
+    top = vol._manifest_generations()[0]
+    want = _feed_rows_on_disk(vol)[top]
+    _os.remove(_os.path.join(vol.chunks_path, "feed",
+                             f"gen-{top:012d}.json"))
+
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(8, 0, 0))
+    healed = _feed_rows_on_disk(vol)
+    assert healed[top] == want
+    assert sorted(healed) == sorted(vol._manifest_generations())
+    assert vol.repair_feed() == 0  # nothing left to heal
+
+
+def test_stream_changes_is_a_readstream_over_the_feed(spark, tmp_path):
+    """stream_changes() is a real Structured Streaming source: an
+    availableNow pass drains the feed files written so far, and a
+    restart from the same checkpoint consumes ONLY commits that landed
+    in between — the incremental-consumption contract."""
+    _, vol = _mk_vol(spark, tmp_path, "feeds", n=64, cs=8)
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(0, 0, 0))
+    ck = str(tmp_path / "feeds_ck")
+    sink = str(tmp_path / "feeds_out")
+
+    def drain():
+        q = (vol.stream_changes().writeStream.format("parquet")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ck)
+             .option("path", sink).start())
+        q.awaitTermination(120)
+        return {(r.generation, r.mip, r.slab): r.change
+                for r in spark.read.parquet(sink).collect()}
+
+    got = drain()
+    want = {}
+    for g in sorted(vol._manifest_generations()):
+        for r in vol.changes(g - 1, g).collect():
+            want[(g, r.mip, r.slab)] = r.change
+    assert got == want and got
+
+    # a commit AFTER the first drain; the checkpoint resumes and the
+    # sink gains ONLY the new generation's rows
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(16, 0, 0))
+    top = vol._manifest_generations()[0]
+    got2 = drain()
+    inc = {k: v for k, v in got2.items() if k not in got}
+    assert set(got2) == set(got) | set(inc)
+    assert inc and all(g == top for (g, _, _) in inc)
+    assert {(m, s): c for (g, m, s), c in inc.items()} == {
+        (r.mip, r.slab): r.change
+        for r in vol.changes(top - 1, top).collect()}
+
+
+def test_vacuum_reclaims_feed_with_manifests(spark, tmp_path):
+    """Feed files follow manifest retention: after vacuum only the
+    kept generations' feed files remain (an older feed would describe
+    vacuumed data)."""
+    _, vol = _mk_vol(spark, tmp_path, "feedv", n=64, cs=8)
+    for i in range(4):
+        vol.upload(np.zeros((8, 8, 8, 1), np.uint32),
+                   offset=(8 * i, 0, 0))
+    vol.vacuum(keep_manifests=2)
+    kept = set(vol._manifest_generations())
+    assert len(kept) == 2
+    assert set(_feed_rows_on_disk(vol)) == kept
+
+
 def test_as_of_unstamped_newest_is_last_resort(spark, tmp_path):
     """An UNSTAMPED generation newer than stamped ones (old-version
     writer on a stamped table) must not shadow a stamped qualifier: its
