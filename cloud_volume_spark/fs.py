@@ -260,7 +260,14 @@ class PathOps:
     @staticmethod
     def _posix_create_with_content(lp: str, data: bytes) -> bool:
         os.makedirs(os.path.dirname(lp), exist_ok=True)
-        tmp = lp + f".w{os.getpid()}-{id(data) & 0xffffff:x}"
+        # dot-prefixed tmp: Spark file sources (the streaming change
+        # feed readStreams this directory) ignore '.'-prefixed names,
+        # so an in-flight or crash-orphaned tmp can never be ingested
+        # as data or crash a listing-then-gone micro-batch
+        tmp = os.path.join(
+            os.path.dirname(lp),
+            f".{os.path.basename(lp)}.w{os.getpid()}-{id(data) & 0xffffff:x}",
+        )
         with open(tmp, "wb") as f:
             f.write(data)
             f.flush()
@@ -279,7 +286,20 @@ class PathOps:
         return True
 
     def _jvm_create_with_content(self, path: str, data: bytes) -> bool:
-        """The generic-store publish primitive (hdfs/s3a/gs)."""
+        """The generic-store publish primitive (hdfs/s3a/gs).
+
+        On real filesystems (HDFS/viewfs) ``create`` makes the file
+        VISIBLE before its content lands — a streaming file source
+        that lists the empty file records it as processed and never
+        re-reads it, silently losing that generation's rows. There the
+        publish is write-to-a-dot-prefixed-tmp (invisible to Spark
+        file sources) + atomic ``rename``; rename-onto-existing
+        returns False per the FileSystem contract, preserving
+        create-if-absent. Object stores keep the direct create path:
+        a PUT is all-or-nothing at close, so no empty file is ever
+        visible, and rename there is a non-atomic copy."""
+        if self._scheme in _ATOMIC_JVM_SCHEMES:
+            return self._jvm_publish_via_rename(path, data)
         try:
             out = self._fs.create(self._Path(path), False)  # no overwrite
         except Exception as e:
@@ -311,6 +331,37 @@ class PathOps:
                 # let it propagate rather than masquerade as "exists"
                 out.close()
         return ok
+
+    def _jvm_publish_via_rename(self, path: str, data: bytes) -> bool:
+        """Create-if-absent WITH content for HDFS-like stores: write a
+        dot-prefixed sibling tmp, hsync, then ``rename`` into place.
+        The rename is atomic in the namespace and FAILS (returns
+        False) when the destination exists, so two racing publishers
+        resolve exactly like ``create(overwrite=false)`` — without the
+        visible-before-content window that create has."""
+        parent, base = path.rsplit("/", 1)
+        tmp = f"{parent}/.{base}.w{os.getpid()}-{id(data) & 0xffffff:x}"
+        out = self._fs.create(self._Path(tmp), True)
+        try:
+            out.write(bytearray(data))
+            try:
+                out.hsync()
+            except Exception:  # stream type without hsync
+                pass
+        finally:
+            out.close()
+        try:
+            if self._fs.exists(self._Path(path)):
+                return False  # lost the race before we even renamed
+            if self._fs.rename(self._Path(tmp), self._Path(path)):
+                return True
+            if self._fs.exists(self._Path(path)):
+                return False  # destination appeared: lost the race
+            raise IOError(f"publish rename {tmp} -> {path} failed")
+        finally:
+            p = self._Path(tmp)
+            if self._fs.exists(p):
+                self._fs.delete(p, False)
 
     def remove(self, path: str) -> None:
         """Delete a single file (no-op if absent)."""

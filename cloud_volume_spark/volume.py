@@ -1064,13 +1064,11 @@ class Volume:
         bytes, so create-if-absent needs no conflict handling)."""
         lines = []
         for k, od, nd in self._manifest_diff(old_entries, new_entries):
-            m, s = k.split("/")
-            change = ("added" if od is None
-                      else "removed" if nd is None else "rewritten")
+            m, s, change, od, nd = self._change_row(k, od, nd)
             lines.append(json.dumps(
                 {"generation": int(generation),
                  "committed_at": committed_at,
-                 "mip": int(m), "slab": int(s), "change": change,
+                 "mip": m, "slab": s, "change": change,
                  "from_dir": od, "to_dir": nd},
                 sort_keys=True))
         return ("\n".join(lines) + ("\n" if lines else "")).encode()
@@ -1105,33 +1103,42 @@ class Volume:
         commit, so a crash between manifest publish and feed write
         heals on the next commit — consumers see a gap only while no
         writer is active, and can close it themselves by calling this
-        or the batch :meth:`changes`."""
+        or the batch :meth:`changes`.
+
+        Takes the commit lock (re-entrant under a publishing commit):
+        an unlocked backfill racing :meth:`vacuum` could resurrect a
+        feed file for a generation whose manifest and data dirs were
+        just reclaimed, leaving fresh streams serving rows that point
+        at deleted dirs. Raises :class:`CommitConflictError` while
+        another writer holds the lock — that writer's own publish
+        repairs the feed, so just retry after it finishes."""
         fs = self._fs
-        gens = sorted(self._manifest_generations())
-        if not gens:
-            return 0
-        feed_dir = f"{self.chunks_path}/feed"
-        fs.makedirs(feed_dir)
-        have = set(fs.listdir(feed_dir))
-        retained = set(gens)
-        wrote = 0
-        for g in gens:
-            if f"gen-{g:012d}.json" in have:
-                continue
-            if g != 1 and (g - 1) not in retained:
-                continue  # predecessor vacuumed: diff lost to history
-            try:
-                new = self._load_manifest_generation(g)
-                old = ({"entries": {}} if g == 1
-                       else self._load_manifest_generation(g - 1))
-            except Exception:
-                continue  # torn husk: that commit never happened
-            if fs.create_with_content(
-                    self._feed_file(g),
-                    self._feed_rows(g, new.get("committed_at"),
-                                    old["entries"], new["entries"])):
-                wrote += 1
-        return wrote
+        with self._commit_lock():
+            gens = sorted(self._manifest_generations())
+            if not gens:
+                return 0
+            feed_dir = f"{self.chunks_path}/feed"
+            fs.makedirs(feed_dir)
+            have = set(fs.listdir(feed_dir))
+            retained = set(gens)
+            wrote = 0
+            for g in gens:
+                if f"gen-{g:012d}.json" in have:
+                    continue
+                if g != 1 and (g - 1) not in retained:
+                    continue  # predecessor vacuumed: diff lost to history
+                try:
+                    new = self._load_manifest_generation(g)
+                    old = ({"entries": {}} if g == 1
+                           else self._load_manifest_generation(g - 1))
+                except Exception:
+                    continue  # torn husk: that commit never happened
+                if fs.create_with_content(
+                        self._feed_file(g),
+                        self._feed_rows(g, new.get("committed_at"),
+                                        old["entries"], new["entries"])):
+                    wrote += 1
+            return wrote
 
     def stream_changes(self) -> DataFrame:
         """The change feed as a Structured Streaming source: one row
@@ -1158,6 +1165,24 @@ class Volume:
                 "run migrate_to_manifest() first"
             )
         self._fs.makedirs(f"{self.chunks_path}/feed")
+        # Backfill computable gaps BEFORE the source lists the dir: on
+        # a table whose generations predate the feed (upgrade, or a
+        # crashed feed write with no commit since), the stream would
+        # otherwise silently drain nothing while changes() shows
+        # history. Best-effort: a held commit lock means an active
+        # writer whose own publish repairs the feed, and a read-only
+        # or generation-pinned open cannot write — both leave the
+        # stream serving whatever feed exists, loudly.
+        try:
+            self.repair_feed()
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"stream_changes(): feed backfill skipped ({e!r}) — "
+                "generations missing a feed file stay absent from the "
+                "stream until a writer commits or repair_feed() runs",
+                RuntimeWarning)
         return (
             self.spark.readStream
             .schema("generation long, committed_at double, mip int, "
@@ -1305,6 +1330,18 @@ class Volume:
             )
 
     @staticmethod
+    def _change_row(k: str, od, nd) -> tuple:
+        """``(mip, slab, change, from_dir, to_dir)`` for one
+        :meth:`_manifest_diff` item — the SINGLE place a diff entry is
+        labeled added/removed/rewritten, shared by the batch feed
+        (:meth:`changes`) and the streaming feed (:meth:`_feed_rows`)
+        so the two can never disagree on what a change is called."""
+        m, s = k.split("/")
+        change = ("added" if od is None
+                  else "removed" if nd is None else "rewritten")
+        return int(m), int(s), change, od, nd
+
+    @staticmethod
     def _manifest_diff(old_entries: dict, new_entries: dict,
                        prefix: str = "") -> list:
         """Sorted ``(key, old_dir, new_dir)`` for every manifest entry
@@ -1356,13 +1393,9 @@ class Volume:
                         "migrate_to_manifest() first"
                     )
                 new = {"entries": {}}
-        rows = []
-        for k, od, nd in self._manifest_diff(old["entries"],
-                                             new["entries"]):
-            m, s = k.split("/")
-            change = ("added" if od is None
-                      else "removed" if nd is None else "rewritten")
-            rows.append((int(m), int(s), change, od, nd))
+        rows = [self._change_row(k, od, nd)
+                for k, od, nd in self._manifest_diff(old["entries"],
+                                                     new["entries"])]
         return self.spark.createDataFrame(
             rows,
             schema="mip int, slab long, change string, "
@@ -1513,6 +1546,13 @@ class Volume:
             feed_dir = f"{self.chunks_path}/feed"
             if fs.exists(feed_dir):
                 for n2 in fs.listdir(feed_dir):
+                    if n2.startswith(".") and ".w" in n2:
+                        # publish tmp orphaned by a crash mid-write:
+                        # invisible to Spark file sources (dot prefix)
+                        # but reclaimable only here, under the lock
+                        # that proves no live publisher owns it
+                        fs.remove(f"{feed_dir}/{n2}")
+                        continue
                     if not (n2.startswith("gen-") and n2.endswith(".json")):
                         continue
                     try:

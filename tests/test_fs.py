@@ -292,3 +292,45 @@ def test_nonatomic_readback_failure_is_not_a_conflict(spark, rng, tmp_path):
     vol2 = Volume.open(spark, str(tmp_path / "rb"))
     out = vol2.cutout(Bbox((0, 0, 0), (32, 32, 32)))
     assert (out == 0).all()
+
+
+def test_posix_publish_tmp_is_invisible_to_file_sources(
+        tmp_path, monkeypatch):
+    """The hard-link publish writes its tmp under a DOT-prefixed name
+    in the same directory: Spark file sources (the streaming change
+    feed readStreams the feed dir) skip '.'-prefixed files, so an
+    in-flight or crash-orphaned tmp can never be ingested as feed rows
+    or crash a listed-then-gone micro-batch."""
+    import os as _os
+
+    seen = []
+    real_link = _os.link
+
+    def spy(src, dst, *a, **k):
+        seen.append(src)
+        return real_link(src, dst, *a, **k)
+
+    monkeypatch.setattr(_os, "link", spy)
+    ops = PathOps(str(tmp_path))
+    assert ops.create_with_content(f"{tmp_path}/gen-1.json", b"rows") is True
+    assert seen and all(
+        _os.path.basename(s).startswith(".") for s in seen)
+    # no residue: the only visible entry is the published file
+    assert sorted(_os.listdir(tmp_path)) == ["gen-1.json"]
+
+
+def test_jvm_publish_via_rename(spark, tmp_path):
+    """The HDFS-like publish path (write dot-tmp, atomic rename): the
+    destination is never visible before its content lands (a streaming
+    file source that lists an empty file marks it processed and never
+    re-reads it), the loser of a publish race keeps the winner's
+    bytes, and no tmp residue survives either outcome."""
+    base = f"file://{tmp_path}/ren"
+    ops = PathOps(base, spark)
+    ops.makedirs(base)
+    assert ops._jvm_publish_via_rename(f"{base}/gen-1.json", b"g1") is True
+    assert ops.read_bytes(f"{base}/gen-1.json") == b"g1"
+    # second publisher loses and must not clobber the winner
+    assert ops._jvm_publish_via_rename(f"{base}/gen-1.json", b"XX") is False
+    assert ops.read_bytes(f"{base}/gen-1.json") == b"g1"
+    assert ops.listdir(base) == ["gen-1.json"]  # no tmp residue

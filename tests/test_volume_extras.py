@@ -1338,3 +1338,63 @@ def test_changed_chunks_df_reads_only_moved_slabs(spark, tmp_path):
     assert vol.changed_chunks_df(g, mip=1).count() == 0
     # since-empty = the whole table
     assert vol.changed_chunks_df(0).count() == total
+
+
+def test_repair_feed_requires_commit_lock(spark, tmp_path):
+    """repair_feed takes the commit lock (an unlocked backfill racing
+    vacuum could resurrect a feed file for a generation whose data
+    dirs were just reclaimed); stream_changes() stays serveable under
+    a held lock because its backfill is best-effort."""
+    from cloud_volume_spark.volume import CommitConflictError
+
+    _, vol = _mk_vol(spark, tmp_path, "feedlk", n=64, cs=8)
+    assert vol._fs.create_exclusive(vol._commit_lock_path)
+    try:
+        with pytest.raises(CommitConflictError):
+            vol.repair_feed()
+        with pytest.warns(RuntimeWarning, match="backfill skipped"):
+            sdf = vol.stream_changes()
+        assert sdf.isStreaming
+    finally:
+        vol._fs.remove(vol._commit_lock_path)
+    # lock released: repair runs (nothing to heal on a fresh table)
+    assert vol.repair_feed() == 0
+
+
+def test_stream_changes_backfills_pre_feed_table(spark, tmp_path):
+    """A table whose generations predate the streaming feed (upgrade
+    path, or a crashed feed write with no commit since) gets its feed
+    backfilled at stream start instead of silently draining nothing
+    while changes() shows history."""
+    import os as _os
+    import shutil as _shutil
+
+    _, vol = _mk_vol(spark, tmp_path, "feedbf", n=64, cs=8)
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(0, 0, 0))
+    _shutil.rmtree(_os.path.join(vol.chunks_path, "feed"))
+
+    sdf = vol.stream_changes()
+    assert sorted(_feed_rows_on_disk(vol)) == sorted(
+        vol._manifest_generations())
+    ck, sink = str(tmp_path / "bf_ck"), str(tmp_path / "bf_out")
+    q = (sdf.writeStream.format("parquet").trigger(availableNow=True)
+         .option("checkpointLocation", ck).option("path", sink).start())
+    q.awaitTermination(120)
+    want = sum(len(v) for v in _feed_rows_on_disk(vol).values())
+    assert spark.read.parquet(sink).count() == want > 0
+
+
+def test_vacuum_sweeps_orphaned_feed_tmp(spark, tmp_path):
+    """A publish tmp orphaned by a crash mid-feed-write (dot-prefixed,
+    so invisible to Spark file sources and to the gen-*.json retention
+    filter) is reclaimed by vacuum, under the lock that proves no live
+    publisher owns it."""
+    import os as _os
+
+    _, vol = _mk_vol(spark, tmp_path, "feedtmp", n=64, cs=8)
+    orphan = _os.path.join(vol.chunks_path, "feed",
+                           ".gen-000000000099.json.w123-abc")
+    with open(orphan, "wb") as f:
+        f.write(b"partial")
+    vol.vacuum()
+    assert not _os.path.exists(orphan)
