@@ -258,16 +258,26 @@ class PathOps:
         return self._jvm_create_with_content(path, data)
 
     @staticmethod
-    def _posix_create_with_content(lp: str, data: bytes) -> bool:
+    def publish_tmp_name(path: str, nonce) -> str:
+        """The publish-tmp naming contract, in ONE place: a sibling of
+        ``path`` whose name is dot-prefixed — Spark file sources (the
+        streaming change feed readStreams its directory) ignore
+        '.'-prefixed names, so an in-flight or crash-orphaned tmp can
+        never be ingested as data or crash a listed-then-gone
+        micro-batch. :meth:`is_publish_tmp` is the matching predicate
+        (vacuum's orphan sweep)."""
+        parent, _, base = path.rpartition("/")
+        return f"{parent}/.{base}.w{os.getpid()}-{id(nonce) & 0xffffff:x}"
+
+    @staticmethod
+    def is_publish_tmp(name: str) -> bool:
+        """Does a bare filename match :meth:`publish_tmp_name`'s shape?"""
+        return name.startswith(".") and ".w" in name
+
+    @classmethod
+    def _posix_create_with_content(cls, lp: str, data: bytes) -> bool:
         os.makedirs(os.path.dirname(lp), exist_ok=True)
-        # dot-prefixed tmp: Spark file sources (the streaming change
-        # feed readStreams this directory) ignore '.'-prefixed names,
-        # so an in-flight or crash-orphaned tmp can never be ingested
-        # as data or crash a listing-then-gone micro-batch
-        tmp = os.path.join(
-            os.path.dirname(lp),
-            f".{os.path.basename(lp)}.w{os.getpid()}-{id(data) & 0xffffff:x}",
-        )
+        tmp = cls.publish_tmp_name(lp, data)
         with open(tmp, "wb") as f:
             f.write(data)
             f.flush()
@@ -339,18 +349,9 @@ class PathOps:
         False) when the destination exists, so two racing publishers
         resolve exactly like ``create(overwrite=false)`` — without the
         visible-before-content window that create has."""
-        parent, base = path.rsplit("/", 1)
-        tmp = f"{parent}/.{base}.w{os.getpid()}-{id(data) & 0xffffff:x}"
-        out = self._fs.create(self._Path(tmp), True)
+        tmp = self.publish_tmp_name(path, data)
         try:
-            out.write(bytearray(data))
-            try:
-                out.hsync()
-            except Exception:  # stream type without hsync
-                pass
-        finally:
-            out.close()
-        try:
+            self.write_bytes(tmp, data, sync=True)
             if self._fs.exists(self._Path(path)):
                 return False  # lost the race before we even renamed
             if self._fs.rename(self._Path(tmp), self._Path(path)):
@@ -359,6 +360,8 @@ class PathOps:
                 return False  # destination appeared: lost the race
             raise IOError(f"publish rename {tmp} -> {path} failed")
         finally:
+            # covers write failures too, not just rename outcomes — a
+            # tmp that escapes here is reclaimed by vacuum's sweep
             p = self._Path(tmp)
             if self._fs.exists(p):
                 self._fs.delete(p, False)

@@ -1140,6 +1140,20 @@ class Volume:
                     wrote += 1
             return wrote
 
+    def _feed_has_gap(self) -> bool:
+        """Is any retained generation whose diff is still computable
+        missing its feed file? Read-only (listdir), so stream starts
+        can gate the locked repair on an actual gap."""
+        gens = sorted(self._manifest_generations())
+        if not gens:
+            return False
+        have = set(self._fs.listdir(f"{self.chunks_path}/feed"))
+        retained = set(gens)
+        return any(
+            f"gen-{g:012d}.json" not in have
+            and (g == 1 or (g - 1) in retained)
+            for g in gens)
+
     def stream_changes(self) -> DataFrame:
         """The change feed as a Structured Streaming source: one row
         per ``(mip, slab)`` whose backing dir a commit changed, exactly
@@ -1169,20 +1183,24 @@ class Volume:
         # a table whose generations predate the feed (upgrade, or a
         # crashed feed write with no commit since), the stream would
         # otherwise silently drain nothing while changes() shows
-        # history. Best-effort: a held commit lock means an active
-        # writer whose own publish repairs the feed, and a read-only
-        # or generation-pinned open cannot write — both leave the
-        # stream serving whatever feed exists, loudly.
-        try:
-            self.repair_feed()
-        except Exception as e:
-            import warnings
+        # history. Gap-check first (read-only listdir) so the common
+        # no-gap stream start takes NO lock — repair_feed's commit
+        # lock would otherwise make a reader's stream start spuriously
+        # conflict a concurrent writer. Best-effort: a held lock means
+        # an active writer whose own publish repairs the feed, and a
+        # read-only or generation-pinned open cannot write — both
+        # leave the stream serving whatever feed exists, loudly.
+        if self._feed_has_gap():
+            try:
+                self.repair_feed()
+            except Exception as e:
+                import warnings
 
-            warnings.warn(
-                f"stream_changes(): feed backfill skipped ({e!r}) — "
-                "generations missing a feed file stay absent from the "
-                "stream until a writer commits or repair_feed() runs",
-                RuntimeWarning)
+                warnings.warn(
+                    f"stream_changes(): feed backfill skipped ({e!r}) "
+                    "— generations missing a feed file stay absent "
+                    "from the stream until a writer commits or "
+                    "repair_feed() runs", RuntimeWarning)
         return (
             self.spark.readStream
             .schema("generation long, committed_at double, mip int, "
@@ -1541,16 +1559,20 @@ class Volume:
             for g in gens:
                 if g not in keep:
                     fs.remove(self._manifest_file(g))
+            # publish tmps orphaned by crashes mid-write (dot-prefixed,
+            # invisible to Spark file sources and to every name filter)
+            # are reclaimable only here, under the lock that proves no
+            # live publisher owns them — manifest tmps land in the
+            # chunks root, feed tmps in feed/
+            for n2 in fs.listdir(self.chunks_path):
+                if fs.is_publish_tmp(n2):
+                    fs.remove(f"{self.chunks_path}/{n2}")
             # streaming-feed files follow manifest retention: a feed
             # older than the retained window describes vacuumed data
             feed_dir = f"{self.chunks_path}/feed"
             if fs.exists(feed_dir):
                 for n2 in fs.listdir(feed_dir):
-                    if n2.startswith(".") and ".w" in n2:
-                        # publish tmp orphaned by a crash mid-write:
-                        # invisible to Spark file sources (dot prefix)
-                        # but reclaimable only here, under the lock
-                        # that proves no live publisher owns it
+                    if fs.is_publish_tmp(n2):
                         fs.remove(f"{feed_dir}/{n2}")
                         continue
                     if not (n2.startswith("gen-") and n2.endswith(".json")):

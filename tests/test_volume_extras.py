@@ -1344,7 +1344,11 @@ def test_repair_feed_requires_commit_lock(spark, tmp_path):
     """repair_feed takes the commit lock (an unlocked backfill racing
     vacuum could resurrect a feed file for a generation whose data
     dirs were just reclaimed); stream_changes() stays serveable under
-    a held lock because its backfill is best-effort."""
+    a held lock because its backfill is best-effort — and takes NO
+    lock at all when the feed has no gap, so a reader's stream start
+    cannot spuriously conflict a concurrent writer's commit."""
+    import os as _os
+
     from cloud_volume_spark.volume import CommitConflictError
 
     _, vol = _mk_vol(spark, tmp_path, "feedlk", n=64, cs=8)
@@ -1352,12 +1356,20 @@ def test_repair_feed_requires_commit_lock(spark, tmp_path):
     try:
         with pytest.raises(CommitConflictError):
             vol.repair_feed()
+        # no gap: stream start must not touch the (held) lock
+        assert vol.stream_changes().isStreaming
+        # with a gap: backfill is attempted, fails loudly, stream
+        # still serves
+        top = vol._manifest_generations()[0]
+        _os.remove(_os.path.join(vol.chunks_path, "feed",
+                                 f"gen-{top:012d}.json"))
         with pytest.warns(RuntimeWarning, match="backfill skipped"):
             sdf = vol.stream_changes()
         assert sdf.isStreaming
     finally:
         vol._fs.remove(vol._commit_lock_path)
-    # lock released: repair runs (nothing to heal on a fresh table)
+    # lock released: repair heals the gap
+    assert vol.repair_feed() == 1
     assert vol.repair_feed() == 0
 
 
@@ -1396,5 +1408,12 @@ def test_vacuum_sweeps_orphaned_feed_tmp(spark, tmp_path):
                            ".gen-000000000099.json.w123-abc")
     with open(orphan, "wb") as f:
         f.write(b"partial")
+    # manifest-publish tmps land in the chunks root (the HDFS rename
+    # path writes them there) — swept on the same pass
+    orphan2 = _os.path.join(vol.chunks_path,
+                            "._manifest-000000000099.json.w99-ff")
+    with open(orphan2, "wb") as f:
+        f.write(b"partial")
     vol.vacuum()
     assert not _os.path.exists(orphan)
+    assert not _os.path.exists(orphan2)
