@@ -19,6 +19,7 @@ layer a table format (Delta/Iceberg) over the same parquet layout.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import warnings
 from typing import List
@@ -269,10 +270,15 @@ class PathOps:
         parent, _, base = path.rpartition("/")
         return f"{parent}/.{base}.w{os.getpid()}-{id(nonce) & 0xffffff:x}"
 
-    @staticmethod
-    def is_publish_tmp(name: str) -> bool:
+    # anchored to exactly the shape publish_tmp_name emits — vacuum
+    # sweeps matching names out of live table dirs, so a loose match
+    # would delete foreign dotfiles (or crash on dot-dirs)
+    _PUBLISH_TMP_RE = re.compile(r"^\..+\.w\d+-[0-9a-f]{1,6}$")
+
+    @classmethod
+    def is_publish_tmp(cls, name: str) -> bool:
         """Does a bare filename match :meth:`publish_tmp_name`'s shape?"""
-        return name.startswith(".") and ".w" in name
+        return cls._PUBLISH_TMP_RE.match(name) is not None
 
     @classmethod
     def _posix_create_with_content(cls, lp: str, data: bytes) -> bool:

@@ -1114,25 +1114,9 @@ class Volume:
         repairs the feed, so just retry after it finishes."""
         fs = self._fs
         with self._commit_lock():
-            gens = sorted(self._manifest_generations())
-            if not gens:
-                return 0
-            feed_dir = f"{self.chunks_path}/feed"
-            fs.makedirs(feed_dir)
-            have = set(fs.listdir(feed_dir))
-            retained = set(gens)
+            fs.makedirs(f"{self.chunks_path}/feed")
             wrote = 0
-            for g in gens:
-                if f"gen-{g:012d}.json" in have:
-                    continue
-                if g != 1 and (g - 1) not in retained:
-                    continue  # predecessor vacuumed: diff lost to history
-                try:
-                    new = self._load_manifest_generation(g)
-                    old = ({"entries": {}} if g == 1
-                           else self._load_manifest_generation(g - 1))
-                except Exception:
-                    continue  # torn husk: that commit never happened
+            for g, old, new in self._missing_feed_entries():
                 if fs.create_with_content(
                         self._feed_file(g),
                         self._feed_rows(g, new.get("committed_at"),
@@ -1140,19 +1124,35 @@ class Volume:
                     wrote += 1
             return wrote
 
-    def _feed_has_gap(self) -> bool:
-        """Is any retained generation whose diff is still computable
-        missing its feed file? Read-only (listdir), so stream starts
-        can gate the locked repair on an actual gap."""
+    def _missing_feed_entries(self) -> list:
+        """``[(generation, old_manifest, new_manifest)]`` for every
+        retained generation whose feed file is absent and whose diff is
+        still computable — generation N needs manifests N and N-1
+        readable (N=1 diffs against the empty table), and a torn husk
+        is a commit that never happened, not a gap. The SINGLE
+        eligibility rule behind :meth:`repair_feed` and the
+        stream-start gap gate, so the gate can never see a "gap" the
+        repairer will not close (which would send every stream start
+        to the commit lock for nothing). Read-only."""
         gens = sorted(self._manifest_generations())
         if not gens:
-            return False
+            return []
         have = set(self._fs.listdir(f"{self.chunks_path}/feed"))
         retained = set(gens)
-        return any(
-            f"gen-{g:012d}.json" not in have
-            and (g == 1 or (g - 1) in retained)
-            for g in gens)
+        out = []
+        for g in gens:
+            if self._feed_file(g).rsplit("/", 1)[1] in have:
+                continue
+            if g != 1 and (g - 1) not in retained:
+                continue  # predecessor vacuumed: diff lost to history
+            try:
+                new = self._load_manifest_generation(g)
+                old = ({"entries": {}} if g == 1
+                       else self._load_manifest_generation(g - 1))
+            except Exception:
+                continue  # torn husk: that commit never happened
+            out.append((g, old, new))
+        return out
 
     def stream_changes(self) -> DataFrame:
         """The change feed as a Structured Streaming source: one row
@@ -1190,17 +1190,17 @@ class Volume:
         # an active writer whose own publish repairs the feed, and a
         # read-only or generation-pinned open cannot write — both
         # leave the stream serving whatever feed exists, loudly.
-        if self._feed_has_gap():
-            try:
+        try:
+            if self._missing_feed_entries():
                 self.repair_feed()
-            except Exception as e:
-                import warnings
+        except Exception as e:
+            import warnings
 
-                warnings.warn(
-                    f"stream_changes(): feed backfill skipped ({e!r}) "
-                    "— generations missing a feed file stay absent "
-                    "from the stream until a writer commits or "
-                    "repair_feed() runs", RuntimeWarning)
+            warnings.warn(
+                f"stream_changes(): feed backfill skipped ({e!r}) "
+                "— generations missing a feed file stay absent "
+                "from the stream until a writer commits or "
+                "repair_feed() runs", RuntimeWarning)
         return (
             self.spark.readStream
             .schema("generation long, committed_at double, mip int, "

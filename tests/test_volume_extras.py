@@ -1356,8 +1356,23 @@ def test_repair_feed_requires_commit_lock(spark, tmp_path):
     try:
         with pytest.raises(CommitConflictError):
             vol.repair_feed()
-        # no gap: stream start must not touch the (held) lock
+        # no gap: stream start must not touch the (held) lock — pin it
+        # with a spy, since a lock-conflicted repair would otherwise be
+        # swallowed into the best-effort warning and pass anyway
+        calls = []
+        orig_repair = vol.repair_feed
+        vol.repair_feed = lambda: calls.append(1) or orig_repair()
         assert vol.stream_changes().isStreaming
+        assert calls == []
+        # a torn-husk newest manifest (crashed publisher) is a commit
+        # that never happened, NOT a gap — stream starts must not
+        # hammer the lock over a hole the repairer cannot close
+        husk_gen = vol._manifest_generations()[0] + 1
+        vol._fs.write_bytes(vol._manifest_file(husk_gen), b"{torn")
+        assert vol.stream_changes().isStreaming
+        assert calls == []
+        vol._fs.remove(vol._manifest_file(husk_gen))
+        vol.repair_feed = orig_repair
         # with a gap: backfill is attempted, fails loudly, stream
         # still serves
         top = vol._manifest_generations()[0]
