@@ -265,6 +265,93 @@ FROM packed GROUP BY layer
 """
 
 
+# -- slab-level change feed (Volume.changes / stream_changes analog) --------
+
+def vox_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-diff change feed in relational form — the oracle-
+    checkable analog of ``Volume.changes(g0, g1)`` (volume.py), itself
+    the Delta-CDF-style diff of two manifest generations (the
+    reference has no change feed at all; this is beyond-reference
+    surface). Generation 1 is the slab partitioning of the voxel table
+    restricted to ``x < 28``; generation 2 shifts the domain to
+    ``x >= 4`` and remaps ``label % 7 == 0`` labels inside ODD slabs —
+    so the feed must classify slab 0 ``removed``, slab 7 ``added``,
+    odd common slabs ``rewritten``, and stay SILENT on the even common
+    slabs whose content is untouched (the property that makes
+    incremental maintenance cheap: unchanged slabs cost nothing).
+
+    Scale shape: two partial-aggregating ``groupBy(slab)`` passes over
+    the fact table (map-side combine into 8 groups) and a full outer
+    join of two 8-row summaries — no window, no driver loop; at 100 TB
+    the real feed is a driver-side manifest diff and this relational
+    form stays two map-reduce aggregations."""
+    v = _voxels(spark, sf_dir)
+    slab = F.floor(F.col("x") / F.lit(4.0)).cast("int")
+    # multiset content fingerprint: order-independent SUM of a per-
+    # voxel mix; bounded by 32*131071 * 2098 * rows — no BIGINT
+    # overflow through sf1000 (ANSI mode would throw, not wrap)
+    def summarize(df):
+        mix = ((F.col("x") * 131071 + F.col("y") * 8191
+                + F.col("z") * 127 + 1)
+               * (F.col("label") + 1)).cast("bigint")
+        return df.groupBy("slab").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(mix).cast("bigint").alias("fp"))
+
+    g1 = summarize(v.where(F.col("x") < 28).withColumn("slab", slab))
+    g2src = (v.where(F.col("x") >= 4).withColumn("slab", slab)
+             .withColumn("label", F.when(
+                 (F.col("slab") % 2 == 1) & (F.col("label") % 7 == 0),
+                 F.col("label") + 1000).otherwise(F.col("label"))))
+    g2 = summarize(g2src)
+    j = g1.alias("o").join(g2.alias("n"), on="slab", how="full_outer")
+    return (
+        j.select(
+            F.col("slab"),
+            F.when(F.col("o.n").isNull(), F.lit("added"))
+             .when(F.col("n.n").isNull(), F.lit("removed"))
+             .otherwise(F.lit("rewritten")).alias("change"),
+            F.coalesce(F.col("o.n"), F.lit(0)).alias("n_old"),
+            F.coalesce(F.col("n.n"), F.lit(0)).alias("n_new"),
+        ).where(
+            F.col("o.n").isNull() | F.col("n.n").isNull()
+            | (F.col("o.fp") != F.col("n.fp"))
+            | (F.col("o.n") != F.col("n.n"))
+        )
+    )
+
+
+VOX_CHANGES_SQL = f"""
+WITH voxels AS ({VOXELS_SQL}),
+g1 AS (
+  SELECT FLOOR(x / 4.0)::INT AS slab,
+         COUNT(*)::BIGINT AS n,
+         SUM((x*131071 + y*8191 + z*127 + 1) * (label + 1))::BIGINT AS fp
+  FROM voxels WHERE x < 28 GROUP BY 1
+),
+g2src AS (
+  SELECT FLOOR(x / 4.0)::INT AS slab, x, y, z,
+         CASE WHEN FLOOR(x / 4.0)::INT % 2 = 1 AND label % 7 = 0
+              THEN label + 1000 ELSE label END AS label
+  FROM voxels WHERE x >= 4
+),
+g2 AS (
+  SELECT slab, COUNT(*)::BIGINT AS n,
+         SUM((x*131071 + y*8191 + z*127 + 1) * (label + 1))::BIGINT AS fp
+  FROM g2src GROUP BY 1
+)
+SELECT COALESCE(g1.slab, g2.slab) AS slab,
+       CASE WHEN g1.slab IS NULL THEN 'added'
+            WHEN g2.slab IS NULL THEN 'removed'
+            ELSE 'rewritten' END AS change,
+       COALESCE(g1.n, 0) AS n_old,
+       COALESCE(g2.n, 0) AS n_new
+FROM g1 FULL OUTER JOIN g2 ON g1.slab = g2.slab
+WHERE g1.slab IS NULL OR g2.slab IS NULL
+   OR g1.fp <> g2.fp OR g1.n <> g2.n
+"""
+
+
 def vox_label_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label voxel counts + share within a bbox — the counts
     companion of ``vox_unique_bbox`` (the reference materializes the
@@ -304,6 +391,10 @@ FROM counts CROSS JOIN total
 
 
 QUERIES = {
+    # new-this-round first: registration order feeds the driver's
+    # 50-query correctness window, and voxel_rel's first two entries
+    # sit inside it under the round-8 rotation
+    "vox_changes_feed": vox_changes_feed,
     "vox_label_histogram": vox_label_histogram,
     "vox_unique_bbox": vox_unique_bbox,
     "vox_label_envelope": vox_label_envelope,
@@ -315,6 +406,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "vox_changes_feed": VOX_CHANGES_SQL,
     "vox_label_histogram": VOX_HISTOGRAM_SQL,
     "vox_unique_bbox": VOX_UNIQUE_SQL,
     "vox_label_envelope": VOX_ENVELOPE_SQL,
