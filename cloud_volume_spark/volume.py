@@ -1017,18 +1017,22 @@ class Volume:
             self._publish_manifest(entries, expect_generation=gen,
                                    old_entries=old_entries)
 
-    def _stage_commit(self, out: DataFrame, commit_id: str) -> dict:
+    def _stage_commit(self, out: DataFrame, commit_id: str,
+                      bucket=None) -> dict:
         """Write CHUNK_SCHEMA rows as one immutable dir per (mip, slab)
         under ``chunks/data/<commit_id>`` and return the manifest
         entries {"M/S": reldir}. Partitioning rides ALIAS columns
         (pm/ps) so mip/slab stay in the file data — manifest reads pass
         explicit leaf dirs, where hive partition inference would not
-        run."""
+        run. ``bucket`` overrides the in-slab shuffle key (default:
+        ~16 MB morton buckets); :meth:`compact` passes the slab itself
+        so each slab lands wholly in one task → exactly one file."""
         fs = self._fs
         root = f"{self.chunks_path}/data/{commit_id}"
         (
             out.withColumn("pm", F.col("mip")).withColumn("ps", F.col("slab"))
-            .repartition(F.col("mip"), self._commit_bucket())
+            .repartition(F.col("mip"),
+                         self._commit_bucket() if bucket is None else bucket)
             .sortWithinPartitions("slab", "morton")
             .write.mode("overwrite")
             .option("compression", "none")  # blobs carry their own gzip
@@ -1048,6 +1052,62 @@ class Volume:
                 )
         return staged
 
+    def compact(self, mip: Optional[int] = None,
+                min_files: int = 2) -> int:
+        """Re-pack every slab whose dir holds ``min_files`` or more
+        parquet files into a single file per slab — the Delta
+        ``OPTIMIZE`` analog for the small-file problem that dominates
+        object-store tables at scale (each commit's incremental rewrite
+        adds files; a thousand 100 KB files per slab turn one ranged
+        GET into a listing storm). Published as a normal manifest
+        generation but flagged ``data_change: false``: the streaming
+        feed emits no rows for it, ``changes()``/``changed_chunks_df``
+        drop slabs whose only movement was compaction, and incremental
+        ``downsample(since_generation=N)`` does not re-reduce them —
+        the Delta CDF contract for OPTIMIZE. Readers holding the
+        previous snapshot are untouched (their dirs are immutable);
+        the superseded multi-file dirs are reclaimed by
+        :meth:`vacuum`. Slab size is bounded by the table's
+        ``slab_shift`` knob, so one-file-per-slab is the intended
+        steady state, not a risk. Returns the number of slabs
+        re-packed. (The reference engine has no table format and no
+        compaction; beyond-reference surface.)"""
+        self._lru_clear()
+        with self._commit_lock():
+            if self._is_legacy_layout():
+                raise ManifestError(
+                    "compact() requires the snapshot-manifest layout — "
+                    "run migrate_to_manifest() first")
+            man = self._read_manifest()
+            if man is None:
+                return 0
+            fs = self._fs
+            victims: dict = {}  # mip -> [slab, ...]
+            for k, rel in man["entries"].items():
+                m, s = (int(p) for p in k.split("/"))
+                if mip is not None and m != int(mip):
+                    continue
+                n_parts = sum(
+                    1 for n in fs.listdir(f"{self.chunks_path}/{rel}")
+                    if n.endswith(".parquet"))
+                if n_parts >= max(int(min_files), 2):
+                    victims.setdefault(m, []).append(s)
+            if not victims:
+                return 0
+            src = None
+            for m, slabs in sorted(victims.items()):
+                df = self.chunks_df(mip=m, slabs=slabs, manifest=man)
+                src = df if src is None else src.unionByName(df)
+            commit_id = f"commit-{uuid.uuid4().hex[:12]}"
+            staged = self._stage_commit(src, commit_id,
+                                        bucket=F.col("slab"))
+            entries = dict(man["entries"])
+            entries.update(staged)
+            self._publish_manifest(
+                entries, expect_generation=int(man["generation"]),
+                old_entries=dict(man["entries"]), data_change=False)
+            return sum(len(v) for v in victims.values())
+
     # ------------------------------------------------------------------
     # streaming change feed (written at publish, read by readStream)
     # ------------------------------------------------------------------
@@ -1055,26 +1115,33 @@ class Volume:
     def _feed_file(self, generation: int) -> str:
         return f"{self.chunks_path}/feed/gen-{generation:012d}.json"
 
-    def _feed_rows(self, generation: int, committed_at,
-                   old_entries: dict, new_entries: dict) -> bytes:
+    def _feed_payload(self, generation: int, old_man: dict,
+                      new_man: dict) -> bytes:
         """JSONL payload of one generation's slab-level diff — the same
         `_manifest_diff` the batch feed rides, so the streaming and
         batch feeds can never disagree. Deterministic given the two
         manifests (backfillers racing a publisher write identical
-        bytes, so create-if-absent needs no conflict handling)."""
+        bytes, so create-if-absent needs no conflict handling). A
+        ``data_change: false`` generation (compaction: bytes moved,
+        content identical) yields an EMPTY payload — the feed log
+        stays gap-free but streaming consumers see no rows, the Delta
+        CDF contract for OPTIMIZE."""
+        if not new_man.get("data_change", True):
+            return b""
         lines = []
-        for k, od, nd in self._manifest_diff(old_entries, new_entries):
+        for k, od, nd in self._manifest_diff(old_man["entries"],
+                                             new_man["entries"]):
             m, s, change, od, nd = self._change_row(k, od, nd)
             lines.append(json.dumps(
                 {"generation": int(generation),
-                 "committed_at": committed_at,
+                 "committed_at": new_man.get("committed_at"),
                  "mip": m, "slab": s, "change": change,
                  "from_dir": od, "to_dir": nd},
                 sort_keys=True))
         return ("\n".join(lines) + ("\n" if lines else "")).encode()
 
-    def _emit_feed(self, generation: int, committed_at,
-                   old_entries: dict, new_entries: dict) -> None:
+    def _emit_feed(self, generation: int, old_man: dict,
+                   new_man: dict) -> None:
         """Write this generation's feed file (atomic create-if-absent)
         and heal any computable gaps. NEVER fails the commit: the
         manifest already published, so the data is durable — a feed
@@ -1084,8 +1151,7 @@ class Volume:
             self._fs.makedirs(f"{self.chunks_path}/feed")
             self._fs.create_with_content(
                 self._feed_file(generation),
-                self._feed_rows(generation, committed_at,
-                                old_entries, new_entries))
+                self._feed_payload(generation, old_man, new_man))
             self.repair_feed()
         except Exception as e:  # pragma: no cover - env-specific IO
             import warnings
@@ -1119,8 +1185,7 @@ class Volume:
             for g, old, new in self._missing_feed_entries():
                 if fs.create_with_content(
                         self._feed_file(g),
-                        self._feed_rows(g, new.get("committed_at"),
-                                        old["entries"], new["entries"])):
+                        self._feed_payload(g, old, new)):
                     wrote += 1
             return wrote
 
@@ -1210,7 +1275,8 @@ class Volume:
         )
 
     def _publish_manifest(self, entries: dict, expect_generation: int,
-                          old_entries: Optional[dict] = None) -> None:
+                          old_entries: Optional[dict] = None,
+                          data_change: bool = True) -> None:
         """Publish generation ``expect_generation + 1`` as a NEW
         numbered file. Two layers of conflict detection, both loud:
 
@@ -1254,6 +1320,10 @@ class Volume:
              # skew between writers can reorder stamps vs generations);
              # the GENERATION number is the truth of commit order
              "committed_at": stamp,
+             # False = bytes moved but content identical (compaction):
+             # the change feed stays silent and incremental consumers
+             # skip these commits — the Delta dataChange=false contract
+             "data_change": bool(data_change),
              "entries": entries},
             sort_keys=True,
         ).encode()
@@ -1303,7 +1373,12 @@ class Volume:
                             "— retry the operation"
                         )
                 if old_entries is not None:
-                    self._emit_feed(target, stamp, old_entries, entries)
+                    self._emit_feed(
+                        target,
+                        {"entries": old_entries},
+                        {"generation": target, "committed_at": stamp,
+                         "data_change": bool(data_change),
+                         "entries": entries})
                 else:
                     try:
                         self.repair_feed()
@@ -1373,6 +1448,41 @@ class Volume:
             and old_entries.get(k) != new_entries.get(k)
         ]
 
+    def _changed_keys(self, old_man: dict, new_man: dict,
+                      prefix: str = "") -> list:
+        """Endpoint manifest diff refined by per-commit ``data_change``
+        flags: keys whose EVERY change between the two generations came
+        from ``data_change: false`` commits (compaction — bytes moved,
+        content identical) are dropped, the Delta CDF contract where
+        OPTIMIZE emits no change rows. Falls back to the raw endpoint
+        diff — a SAFE over-approximation (consumers re-read unchanged
+        content, never miss changed content) — when any intermediate
+        manifest is vacuumed/unreadable, so refinement never turns a
+        retention hole into silent under-reporting."""
+        diff = self._manifest_diff(old_man.get("entries", {}),
+                                   new_man.get("entries", {}), prefix)
+        g0 = int(old_man.get("generation", 0))
+        g1 = int(new_man.get("generation", 0))
+        if not diff or g1 <= g0:
+            return diff
+        try:
+            chain = [old_man] + [
+                self._load_manifest_generation(g)
+                for g in range(g0 + 1, g1)
+            ] + [new_man]
+        except Exception:
+            return diff  # intermediate vacuumed or torn: endpoint diff
+        if all(m.get("data_change", True) for m in chain[1:]):
+            return diff  # nothing refinable (the common case)
+        touched: set = set()
+        for prev, cur in zip(chain, chain[1:]):
+            if cur.get("data_change", True):
+                touched |= {
+                    k for k, _, _ in self._manifest_diff(
+                        prev["entries"], cur["entries"], prefix)
+                }
+        return [row for row in diff if row[0] in touched]
+
     def changes(self, from_generation: int,
                 to_generation: Optional[int] = None) -> DataFrame:
         """Slab-granularity change feed between two retained manifest
@@ -1412,8 +1522,7 @@ class Volume:
                     )
                 new = {"entries": {}}
         rows = [self._change_row(k, od, nd)
-                for k, od, nd in self._manifest_diff(old["entries"],
-                                                     new["entries"])]
+                for k, od, nd in self._changed_keys(old, new)]
         return self.spark.createDataFrame(
             rows,
             schema="mip int, slab long, change string, "
@@ -1446,8 +1555,7 @@ class Volume:
             man = {"entries": {}}
         old = self._generation_or_raise(from_generation)
         by_mip: dict = {}
-        for k, od, nd in self._manifest_diff(old["entries"],
-                                             man.get("entries", {})):
+        for k, od, nd in self._changed_keys(old, man):
             if nd is None:
                 continue  # removed slab: no current rows
             m, s = k.split("/")
@@ -2638,10 +2746,13 @@ class Volume:
             # changed parents — silently partial. Build it fully.
             return False
         old = old_man
+        # compaction-aware diff: slabs whose only movement since N was
+        # data_change=false (bytes re-packed, content identical) are
+        # NOT re-reduced — the point of flagging compactions
         changed = sorted(
             int(k.split("/")[1])
-            for k, _, _ in self._manifest_diff(
-                old["entries"], man0["entries"], prefix=f"{from_mip}/")
+            for k, _, _ in self._changed_keys(
+                old, man0, prefix=f"{from_mip}/")
         )
         if not changed:
             return True  # source untouched since N: nothing to do

@@ -1432,3 +1432,95 @@ def test_vacuum_sweeps_orphaned_feed_tmp(spark, tmp_path):
     vol.vacuum()
     assert not _os.path.exists(orphan)
     assert not _os.path.exists(orphan2)
+
+
+def test_compact_single_file_per_slab_and_cdf_silence(
+        spark, tmp_path, monkeypatch):
+    """compact() (the Delta OPTIMIZE analog): multi-file slab dirs are
+    re-packed into exactly one file each, content is bit-identical, and
+    the commit is data_change=false — the change feed stays silent
+    (empty feed file), changes() across the compaction is empty, while
+    changes(0) still reports history with to_dir pointing at the
+    compacted dirs."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    # per-chunk buckets so the initial commit writes many files per slab
+    monkeypatch.setattr(Volume, "_commit_bucket",
+                        lambda self: F.col("morton"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        arr = np.arange(64 ** 3, dtype=np.uint32).reshape(64, 64, 64, 1)
+        vol = Volume.from_numpy(spark, arr, str(tmp_path / "cmp"),
+                                chunk_size=(16, 16, 16))
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    def files_per_slab(man):
+        return {
+            k: [n for n in _os.listdir(
+                    _os.path.join(vol.chunks_path, rel))
+                if n.endswith(".parquet")]
+            for k, rel in man["entries"].items()
+        }
+
+    man = vol._read_manifest()
+    g0 = int(man["generation"])
+    fps = files_per_slab(man)
+    multi = sum(1 for v in fps.values() if len(v) >= 2)
+    assert multi >= 1
+
+    assert vol.compact() == multi
+    man2 = vol._read_manifest()
+    assert int(man2["generation"]) == g0 + 1
+    assert man2["data_change"] is False
+    assert all(len(v) == 1 for v in files_per_slab(man2).values())
+    assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+
+    # CDF silence across the compaction, full history before it
+    assert vol.changes(g0).count() == 0
+    rows = vol.changes(0).collect()
+    assert rows and all(r.change == "added" for r in rows)
+    assert {(r.mip, r.slab): r.to_dir for r in rows} == {
+        tuple(int(p) for p in k.split("/")): v
+        for k, v in man2["entries"].items()}
+    assert _feed_rows_on_disk(vol)[g0 + 1] == []
+
+    # idempotent; vacuum reclaims the superseded multi-file dirs and
+    # the table still serves
+    assert vol.compact() == 0
+    vol.vacuum(keep_manifests=1)
+    assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+
+
+def test_compact_does_not_trigger_incremental_downsample(
+        spark, tmp_path, monkeypatch):
+    """A compaction between generation N and now must not make
+    downsample(since_generation=N) re-reduce anything: the diff is
+    data_change=false only, so the incremental leg publishes nothing."""
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(Volume, "_commit_bucket",
+                        lambda self: F.col("morton"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        arr, vol = _mk_vol(spark, tmp_path, "cmpd", n=64, cs=8)
+        vol.downsample()
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    g = int(vol._read_manifest()["generation"])
+    before = vol.cutout(Bbox((0, 0, 0), (32, 32, 64)), mip=1,
+                        fill_missing=True)
+    assert vol.compact(mip=0) >= 1
+    g_after_compact = int(vol._read_manifest()["generation"])
+
+    vol.downsample(since_generation=g)
+    assert int(vol._read_manifest()["generation"]) == g_after_compact
+    after = vol.cutout(Bbox((0, 0, 0), (32, 32, 64)), mip=1,
+                       fill_missing=True)
+    assert np.array_equal(after, before)
