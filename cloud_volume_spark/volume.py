@@ -1081,17 +1081,41 @@ class Volume:
             man = self._read_manifest()
             if man is None:
                 return 0
+            if ("slab_shift" in man
+                    and int(man["slab_shift"]) != int(self.slab_shift)):
+                # same guard every commit path gets via _overwrite_slabs:
+                # _publish_manifest stamps THIS handle's shift, so a
+                # stale handle would silently re-record the wrong
+                # granularity and break pruning for every later reader
+                raise CommitConflictError(
+                    f"slab_shift mismatch: this writer uses "
+                    f"{self.slab_shift} but the table's manifest records "
+                    f"{man['slab_shift']}; reopen the volume to adopt "
+                    "the recorded granularity"
+                )
             fs = self._fs
-            victims: dict = {}  # mip -> [slab, ...]
-            for k, rel in man["entries"].items():
-                m, s = (int(p) for p in k.split("/"))
-                if mip is not None and m != int(mip):
-                    continue
-                n_parts = sum(
+            candidates = [
+                (k, rel) for k, rel in man["entries"].items()
+                if mip is None or int(k.split("/")[0]) == int(mip)
+            ]
+            # listing is one LIST per slab — embarrassingly parallel,
+            # IO-bound driver work; serial round-trips on an object
+            # store would themselves be the listing storm compaction
+            # exists to avoid
+            from concurrent.futures import ThreadPoolExecutor
+
+            def count_parts(item):
+                k, rel = item
+                return k, sum(
                     1 for n in fs.listdir(f"{self.chunks_path}/{rel}")
                     if n.endswith(".parquet"))
-                if n_parts >= max(int(min_files), 2):
-                    victims.setdefault(m, []).append(s)
+
+            victims: dict = {}  # mip -> [slab, ...]
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                for k, n_parts in ex.map(count_parts, candidates):
+                    if n_parts >= max(int(min_files), 2):
+                        m, s = (int(p) for p in k.split("/"))
+                        victims.setdefault(m, []).append(s)
             if not victims:
                 return 0
             src = None
@@ -1208,14 +1232,22 @@ class Volume:
         for g in gens:
             if self._feed_file(g).rsplit("/", 1)[1] in have:
                 continue
+            try:
+                new = self._load_manifest_generation(g)
+            except Exception:
+                continue  # torn husk: that commit never happened
+            if not new.get("data_change", True):
+                # compaction: the feed payload is empty regardless of
+                # the predecessor, so a vacuumed g-1 is no obstacle
+                out.append((g, {"entries": {}}, new))
+                continue
             if g != 1 and (g - 1) not in retained:
                 continue  # predecessor vacuumed: diff lost to history
             try:
-                new = self._load_manifest_generation(g)
                 old = ({"entries": {}} if g == 1
                        else self._load_manifest_generation(g - 1))
             except Exception:
-                continue  # torn husk: that commit never happened
+                continue  # torn predecessor husk
             out.append((g, old, new))
         return out
 
@@ -1427,7 +1459,7 @@ class Volume:
         """``(mip, slab, change, from_dir, to_dir)`` for one
         :meth:`_manifest_diff` item — the SINGLE place a diff entry is
         labeled added/removed/rewritten, shared by the batch feed
-        (:meth:`changes`) and the streaming feed (:meth:`_feed_rows`)
+        (:meth:`changes`) and the streaming feed (:meth:`_feed_payload`)
         so the two can never disagree on what a change is called."""
         m, s = k.split("/")
         change = ("added" if od is None
@@ -1465,22 +1497,34 @@ class Volume:
         g1 = int(new_man.get("generation", 0))
         if not diff or g1 <= g0:
             return diff
-        try:
-            chain = [old_man] + [
-                self._load_manifest_generation(g)
-                for g in range(g0 + 1, g1)
-            ] + [new_man]
-        except Exception:
-            return diff  # intermediate vacuumed or torn: endpoint diff
-        if all(m.get("data_change", True) for m in chain[1:]):
-            return diff  # nothing refinable (the common case)
+        if g1 == g0 + 1:
+            # adjacent generations: the endpoint diff IS the per-commit
+            # diff; data_change=false means nothing moved content-wise
+            return diff if new_man.get("data_change", True) else []
+        diff_keys = {row[0] for row in diff}
         touched: set = set()
-        for prev, cur in zip(chain, chain[1:]):
+        prev = old_man
+        # lazy walk with early exit: one manifest at a time, bail to
+        # the endpoint diff on the first unreadable intermediate, and
+        # stop as soon as every endpoint change is attributed to a
+        # real commit (the common all-data_change case exits without
+        # loading the tail of the chain)
+        for g in range(g0 + 1, g1 + 1):
+            if g == g1:
+                cur = new_man
+            else:
+                try:
+                    cur = self._load_manifest_generation(g)
+                except Exception:
+                    return diff  # vacuumed or torn: endpoint diff
             if cur.get("data_change", True):
                 touched |= {
                     k for k, _, _ in self._manifest_diff(
                         prev["entries"], cur["entries"], prefix)
                 }
+                if touched >= diff_keys:
+                    return diff
+            prev = cur
         return [row for row in diff if row[0] in touched]
 
     def changes(self, from_generation: int,
@@ -1588,6 +1632,9 @@ class Volume:
                     "entries": len(entries),
                     "slab_shift": man.get("slab_shift"),
                     "committed_at": man.get("committed_at"),
+                    # False = compaction (Delta's operation=OPTIMIZE
+                    # distinction): bytes moved, content identical
+                    "data_change": man.get("data_change", True),
                     "mips": sorted({int(k.split("/")[0]) for k in entries}),
                 })
             except Exception:

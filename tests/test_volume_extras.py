@@ -1524,3 +1524,33 @@ def test_compact_does_not_trigger_incremental_downsample(
     after = vol.cutout(Bbox((0, 0, 0), (32, 32, 64)), mip=1,
                        fill_missing=True)
     assert np.array_equal(after, before)
+
+
+def test_repair_feed_backfills_compaction_without_predecessor(
+        spark, tmp_path, monkeypatch):
+    """A data_change=false generation's feed payload is empty no matter
+    the predecessor, so repair_feed must backfill it even after the
+    predecessor manifest was vacuumed — otherwise the gap-free feed
+    sequence shows a spurious hole that makes consumers restart from a
+    batch read for nothing."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(Volume, "_commit_bucket",
+                        lambda self: F.col("morton"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        _, vol = _mk_vol(spark, tmp_path, "cmpr", n=64, cs=16)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert vol.compact() >= 1
+    g = int(vol._read_manifest()["generation"])  # the compaction gen
+    # simulate: crash before the feed write, then predecessor vacuumed
+    _os.remove(_os.path.join(vol.chunks_path, "feed",
+                             f"gen-{g:012d}.json"))
+    vol._fs.remove(vol._manifest_file(g - 1))
+    assert vol.repair_feed() == 1
+    assert _feed_rows_on_disk(vol)[g] == []
