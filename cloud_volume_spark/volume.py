@@ -990,18 +990,7 @@ class Volume:
                 return
             man = self._read_manifest() if snapshot is Volume._UNRESOLVED \
                 else snapshot
-            if (man is not None and "slab_shift" in man
-                    and int(man["slab_shift"]) != int(self.slab_shift)):
-                # this instance slabbed its rows at a different shift
-                # than the table records (e.g. created with a knob value
-                # before another writer published) — committing would
-                # mix granularities and silently break pruning
-                raise CommitConflictError(
-                    f"slab_shift mismatch: this writer uses "
-                    f"{self.slab_shift} but the table's manifest records "
-                    f"{man['slab_shift']}; reopen the volume to adopt "
-                    "the recorded granularity"
-                )
+            self._require_slab_shift(man)
             gen = int(man["generation"]) if man else 0
             old_entries = dict(man["entries"]) if man else {}
             entries = dict(old_entries)
@@ -1016,6 +1005,24 @@ class Volume:
             entries.update(staged)
             self._publish_manifest(entries, expect_generation=gen,
                                    old_entries=old_entries)
+
+    def _require_slab_shift(self, man: Optional[dict]) -> None:
+        """Refuse to publish from a handle whose ``slab_shift``
+        disagrees with the table's recorded one — every commit path
+        (merge, compact) must call this before staging: this instance
+        slabbed its rows at a different shift than the table records
+        (e.g. created with a knob value before another writer
+        published), and ``_publish_manifest`` stamps THIS handle's
+        shift, so committing would mix granularities and silently
+        break pruning for every later reader."""
+        if (man is not None and "slab_shift" in man
+                and int(man["slab_shift"]) != int(self.slab_shift)):
+            raise CommitConflictError(
+                f"slab_shift mismatch: this writer uses "
+                f"{self.slab_shift} but the table's manifest records "
+                f"{man['slab_shift']}; reopen the volume to adopt "
+                "the recorded granularity"
+            )
 
     def _stage_commit(self, out: DataFrame, commit_id: str,
                       bucket=None) -> dict:
@@ -1081,18 +1088,7 @@ class Volume:
             man = self._read_manifest()
             if man is None:
                 return 0
-            if ("slab_shift" in man
-                    and int(man["slab_shift"]) != int(self.slab_shift)):
-                # same guard every commit path gets via _overwrite_slabs:
-                # _publish_manifest stamps THIS handle's shift, so a
-                # stale handle would silently re-record the wrong
-                # granularity and break pruning for every later reader
-                raise CommitConflictError(
-                    f"slab_shift mismatch: this writer uses "
-                    f"{self.slab_shift} but the table's manifest records "
-                    f"{man['slab_shift']}; reopen the volume to adopt "
-                    "the recorded granularity"
-                )
+            self._require_slab_shift(man)
             fs = self._fs
             candidates = [
                 (k, rel) for k, rel in man["entries"].items()
@@ -1187,9 +1183,11 @@ class Volume:
 
     def repair_feed(self) -> int:
         """Backfill missing feed files for every retained generation
-        whose diff is still computable (generation N needs manifests N
-        and N-1 on disk; N=1 diffs against the empty table). Returns
-        the number of files written. Publishers call this after every
+        whose payload is still computable (a data-change generation N
+        needs manifests N and N-1 on disk, N=1 diffs against the empty
+        table; a ``data_change: false`` generation needs only its own
+        manifest — its payload is empty regardless). Returns the
+        number of files written. Publishers call this after every
         commit, so a crash between manifest publish and feed write
         heals on the next commit — consumers see a gap only while no
         writer is active, and can close it themselves by calling this
@@ -1215,10 +1213,12 @@ class Volume:
 
     def _missing_feed_entries(self) -> list:
         """``[(generation, old_manifest, new_manifest)]`` for every
-        retained generation whose feed file is absent and whose diff is
-        still computable — generation N needs manifests N and N-1
-        readable (N=1 diffs against the empty table), and a torn husk
-        is a commit that never happened, not a gap. The SINGLE
+        retained generation whose feed file is absent and whose payload
+        is still computable — a data-change generation N needs
+        manifests N and N-1 readable (N=1 diffs against the empty
+        table), a ``data_change: false`` generation needs only its own
+        manifest (empty payload), and a torn husk is a commit that
+        never happened, not a gap. The SINGLE
         eligibility rule behind :meth:`repair_feed` and the
         stream-start gap gate, so the gate can never see a "gap" the
         repairer will not close (which would send every stream start
@@ -1497,10 +1497,6 @@ class Volume:
         g1 = int(new_man.get("generation", 0))
         if not diff or g1 <= g0:
             return diff
-        if g1 == g0 + 1:
-            # adjacent generations: the endpoint diff IS the per-commit
-            # diff; data_change=false means nothing moved content-wise
-            return diff if new_man.get("data_change", True) else []
         diff_keys = {row[0] for row in diff}
         touched: set = set()
         prev = old_man
@@ -1640,7 +1636,8 @@ class Volume:
             except Exception:
                 out.append({"generation": g, "readable": False,
                             "entries": None, "slab_shift": None,
-                            "committed_at": None, "mips": None})
+                            "committed_at": None, "data_change": None,
+                            "mips": None})
         if not out:
             # interim single-pointer format: _read_manifest still
             # serves chunks/_manifest.json, so history() must report
@@ -1650,8 +1647,8 @@ class Volume:
             if self._fs.exists(pointer):
                 row = {"generation": None, "readable": False,
                        "entries": None, "slab_shift": None,
-                       "committed_at": None, "mips": None,
-                       "interim_pointer": True}
+                       "committed_at": None, "data_change": None,
+                       "mips": None, "interim_pointer": True}
                 try:
                     man = json.loads(self._fs.read_bytes(pointer).decode())
                     entries = man.get("entries", {})

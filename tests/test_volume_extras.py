@@ -729,7 +729,8 @@ def test_history_lists_generations_and_husks(spark, tmp_path):
     h2 = vol.history()
     assert h2[0] == {"generation": top, "readable": False,
                      "entries": None, "slab_shift": None,
-                     "committed_at": None, "mips": None}
+                     "committed_at": None, "data_change": None,
+                     "mips": None}
     assert h2[1:] == h
 
 
