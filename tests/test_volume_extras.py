@@ -1555,3 +1555,48 @@ def test_repair_feed_backfills_compaction_without_predecessor(
     vol._fs.remove(vol._manifest_file(g - 1))
     assert vol.repair_feed() == 1
     assert _feed_rows_on_disk(vol)[g] == []
+
+
+def test_stream_ingest_merges_per_microbatch(spark, tmp_path):
+    """stream_ingest: a Structured Streaming sink committing one merge
+    generation per micro-batch — existing chunks the batch does not
+    overwrite survive, and a checkpoint restart ingests ONLY files that
+    arrived since (incremental, not reprocessing)."""
+    import os as _os
+
+    arr, vol = _mk_vol(spark, tmp_path, "sing", n=64, cs=16)
+    src = str(tmp_path / "sing_src")
+    _os.makedirs(src)
+    schema = ("x0 int, x1 int, y0 int, y1 int, z0 int, z1 int, "
+              "blob binary")
+
+    def block_rows(off, val):
+        a = np.full((16, 16, 16, 1), val, np.uint32)
+        return [(off[0], off[0] + 16, off[1], off[1] + 16,
+                 off[2], off[2] + 16, bytearray(a.tobytes(order="F")))]
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (vol.stream_ingest(stream,
+                               checkpoint=str(tmp_path / "sing_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(block_rows((0, 0, 0), 111), schema=schema) \
+        .write.mode("append").parquet(src)
+    drain()
+    want = arr.copy()
+    want[0:16, 0:16, 0:16] = 111
+    assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))),
+                          want)
+
+    # a later file lands; the checkpointed restart merges ONLY it and
+    # the first batch's writes (and the original content) survive
+    spark.createDataFrame(block_rows((16, 0, 0), 222), schema=schema) \
+        .write.mode("append").parquet(src)
+    g_before = int(vol._read_manifest()["generation"])
+    drain()
+    want[16:32, 0:16, 0:16] = 222
+    assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))),
+                          want)
+    assert int(vol._read_manifest()["generation"]) == g_before + 1
