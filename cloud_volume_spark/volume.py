@@ -1932,20 +1932,42 @@ class Volume:
                 yield pd.DataFrame(out, columns=[f.name for f in CHUNK_SCHEMA.fields])
 
         rows_df = blocks.mapInPandas(encode_blocks, schema=CHUNK_SCHEMA)
-        if not merge or not self._fs.exists(self.chunks_path):
+        if not merge:
             self._overwrite_slabs(rows_df)
             return
         # distributed read-modify-write: same lock-before-snapshot
         # discipline as _commit_rows, with the new keys coming from a
-        # DataFrame instead of a driver list. The touched-slab collect
-        # is bounded by the slab count (the manifest-readability bound).
+        # DataFrame instead of a driver list. The existence check sits
+        # INSIDE the lock — outside it, a concurrent writer's first
+        # commit would flip this merge into a silent slab replace. The
+        # touched-slab collect is bounded by the slab count (the
+        # manifest-readability bound).
         with self._commit_lock():
+            if not self._fs.exists(self.chunks_path):
+                self._overwrite_slabs(rows_df)
+                return
             man0 = self._read_manifest()
             rows_df = rows_df.cache()
             try:
+                # duplicate keys within one batch would commit duplicate
+                # rows whose read order is nondeterministic — refuse
+                # loudly (the Delta MERGE multiple-source-rows contract)
+                dup = (rows_df.groupBy("mip", "cx", "cy", "cz").count()
+                       .where(F.col("count") > 1).limit(1).collect())
+                if dup:
+                    r = dup[0]
+                    raise ValueError(
+                        f"merge batch contains {r['count']} rows for "
+                        f"chunk ({r.mip},{r.cx},{r.cy},{r.cz}) — "
+                        "pre-aggregate the batch to one block per grid "
+                        "cell (e.g. keep the latest) before ingest; "
+                        "committing duplicates would make reads "
+                        "nondeterministic")
                 touched = sorted(
                     r.slab for r in
                     rows_df.select("slab").distinct().collect())
+                if not touched:
+                    return  # empty batch: no no-op generation churn
                 existing = self.chunks_df(mip=int(mip), slabs=touched,
                                           manifest=man0)
                 survivors = existing.join(

@@ -1581,22 +1581,37 @@ def test_stream_ingest_merges_per_microbatch(spark, tmp_path):
                                checkpoint=str(tmp_path / "sing_ck"))
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
 
     spark.createDataFrame(block_rows((0, 0, 0), 111), schema=schema) \
         .write.mode("append").parquet(src)
-    drain()
+    assert drain() == 1
     want = arr.copy()
     want[0:16, 0:16, 0:16] = 111
     assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))),
                           want)
 
-    # a later file lands; the checkpointed restart merges ONLY it and
-    # the first batch's writes (and the original content) survive
+    # a later file lands; the checkpointed restart merges ONLY it
+    # (numInputRows pins incremental consumption — a broken checkpoint
+    # reprocessing both files would read 2 rows) and the first batch's
+    # writes and the original content survive the merge
     spark.createDataFrame(block_rows((16, 0, 0), 222), schema=schema) \
         .write.mode("append").parquet(src)
     g_before = int(vol._read_manifest()["generation"])
-    drain()
+    assert drain() == 1
     want[16:32, 0:16, 0:16] = 222
     assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))),
                           want)
     assert int(vol._read_manifest()["generation"]) == g_before + 1
+
+    # duplicate chunk keys in ONE batch are refused loudly, not
+    # committed as nondeterministic duplicate rows
+    dup = block_rows((32, 0, 0), 1) + block_rows((32, 0, 0), 2)
+    bad = spark.createDataFrame(dup, schema=schema)
+    with pytest.raises(ValueError, match="duplicate|rows for"):
+        vol.write_blocks_df(bad, merge=True)
+    # and an empty merge batch publishes no no-op generation
+    g2 = int(vol._read_manifest()["generation"])
+    vol.write_blocks_df(
+        spark.createDataFrame([], schema=schema), merge=True)
+    assert int(vol._read_manifest()["generation"]) == g2
