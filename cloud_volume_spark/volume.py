@@ -1937,37 +1937,42 @@ class Volume:
             return
         # distributed read-modify-write: same lock-before-snapshot
         # discipline as _commit_rows, with the new keys coming from a
-        # DataFrame instead of a driver list. The existence check sits
-        # INSIDE the lock — outside it, a concurrent writer's first
-        # commit would flip this merge into a silent slab replace. The
+        # DataFrame instead of a driver list. Batch-only validation
+        # (dup keys, touched slabs — they depend on nothing but the
+        # batch) runs BEFORE the lock: the non-blocking exclusive lock
+        # must not be held across Spark jobs that mutate nothing. The
         # touched-slab collect is bounded by the slab count (the
         # manifest-readability bound).
-        with self._commit_lock():
-            if not self._fs.exists(self.chunks_path):
-                self._overwrite_slabs(rows_df)
-                return
-            man0 = self._read_manifest()
-            rows_df = rows_df.cache()
-            try:
-                # duplicate keys within one batch would commit duplicate
-                # rows whose read order is nondeterministic — refuse
-                # loudly (the Delta MERGE multiple-source-rows contract)
-                dup = (rows_df.groupBy("mip", "cx", "cy", "cz").count()
-                       .where(F.col("count") > 1).limit(1).collect())
-                if dup:
-                    r = dup[0]
-                    raise ValueError(
-                        f"merge batch contains {r['count']} rows for "
-                        f"chunk ({r.mip},{r.cx},{r.cy},{r.cz}) — "
-                        "pre-aggregate the batch to one block per grid "
-                        "cell (e.g. keep the latest) before ingest; "
-                        "committing duplicates would make reads "
-                        "nondeterministic")
-                touched = sorted(
-                    r.slab for r in
-                    rows_df.select("slab").distinct().collect())
-                if not touched:
-                    return  # empty batch: no no-op generation churn
+        rows_df = rows_df.cache()
+        try:
+            # duplicate keys within one batch would commit duplicate
+            # rows whose read order is nondeterministic — refuse
+            # loudly (the Delta MERGE multiple-source-rows contract);
+            # :meth:`stream_ingest` offers order_col keep-latest dedup
+            dup = (rows_df.groupBy("mip", "cx", "cy", "cz").count()
+                   .where(F.col("count") > 1).limit(1).collect())
+            if dup:
+                r = dup[0]
+                raise ValueError(
+                    f"merge batch contains {r['count']} rows for "
+                    f"chunk ({r.mip},{r.cx},{r.cy},{r.cz}) — "
+                    "pre-aggregate the batch to one block per grid "
+                    "cell (stream_ingest(order_col=...) does this) "
+                    "before ingest; committing duplicates would make "
+                    "reads nondeterministic")
+            touched = sorted(
+                r.slab for r in
+                rows_df.select("slab").distinct().collect())
+            if not touched:
+                return  # empty batch: no no-op generation churn
+            # existence check INSIDE the lock — outside it, a
+            # concurrent writer's first commit would flip this merge
+            # into a silent slab replace
+            with self._commit_lock():
+                if not self._fs.exists(self.chunks_path):
+                    self._overwrite_slabs(rows_df)
+                    return
+                man0 = self._read_manifest()
                 existing = self.chunks_df(mip=int(mip), slabs=touched,
                                           manifest=man0)
                 survivors = existing.join(
@@ -1975,11 +1980,12 @@ class Volume:
                     on=["mip", "cx", "cy", "cz"], how="left_anti")
                 self._overwrite_slabs(
                     survivors.unionByName(rows_df), snapshot=man0)
-            finally:
-                rows_df.unpersist()
+        finally:
+            rows_df.unpersist()
 
     def stream_ingest(self, blocks, checkpoint: str, mip: int = 0,
-                      compression: Optional[str] = "gzip"):
+                      compression: Optional[str] = "gzip",
+                      order_col: Optional[str] = None):
         """Structured Streaming SINK: ingest grid-aligned decoded
         blocks (the :meth:`write_blocks_df` schema — ``x0..z1`` +
         raw-F-order ``blob``) from a streaming DataFrame, one snapshot
@@ -1996,11 +2002,33 @@ class Volume:
         idempotent at the content level (an extra generation, never
         divergent data). The streaming analog of the reference's
         sequential upload loop (`frontends/precomputed.py:1080`),
-        which has no streaming story at all."""
+        which has no streaming story at all.
+
+        ``order_col`` names a column that orders rewrites of the same
+        grid block; when a micro-batch holds several versions of one
+        block (source batching packs pending files together — the
+        availableNow restart case), only the row with the greatest
+        ``order_col`` (ties broken deterministically by blob hash) is
+        committed. Without it, such a batch is REFUSED loudly
+        (duplicate-key ValueError) — a hard refusal inside foreachBatch
+        is a permanent poison batch on replay, so feeds that rewrite
+        blocks must pass ``order_col`` (or cap batching with
+        ``maxFilesPerTrigger=1``)."""
+        def write_batch(df, _id):
+            if order_col is not None:
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy("x0", "y0", "z0").orderBy(
+                    F.col(order_col).desc(),
+                    F.xxhash64(F.col("blob")).desc())
+                df = (df.withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") == 1).drop("_rn"))
+            self.write_blocks_df(df, mip=mip, compression=compression,
+                                 merge=True)
+
         return (
             blocks.writeStream
-            .foreachBatch(lambda df, _id: self.write_blocks_df(
-                df, mip=mip, compression=compression, merge=True))
+            .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint)
         )
 

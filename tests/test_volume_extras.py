@@ -1615,3 +1615,20 @@ def test_stream_ingest_merges_per_microbatch(spark, tmp_path):
     vol.write_blocks_df(
         spark.createDataFrame([], schema=schema), merge=True)
     assert int(vol._read_manifest()["generation"]) == g2
+
+    # order_col: a micro-batch holding two versions of one block keeps
+    # the latest (instead of the duplicate-key refusal becoming a
+    # permanent poison batch on checkpoint replay)
+    src2 = str(tmp_path / "sing_src2")
+    _os.makedirs(src2)
+    sch2 = schema + ", ts int"
+    rows = [block_rows((48, 0, 0), 5)[0] + (1,),
+            block_rows((48, 0, 0), 9)[0] + (2,)]
+    spark.createDataFrame(rows, schema=sch2) \
+        .write.mode("append").parquet(src2)
+    q = (vol.stream_ingest(
+            spark.readStream.schema(sch2).parquet(src2),
+            checkpoint=str(tmp_path / "sing_ck2"), order_col="ts")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert (vol.cutout(Bbox((48, 0, 0), (64, 16, 16))) == 9).all()
