@@ -1935,6 +1935,11 @@ class Volume:
         if not merge:
             self._overwrite_slabs(rows_df)
             return
+        # writability FIRST (read-only redirect or generation-pinned
+        # handle): an empty or invalid batch must still raise
+        # PermissionError, not silently "succeed" against a snapshot —
+        # and not burn validation jobs before failing
+        self._check_writable()
         # distributed read-modify-write: same lock-before-snapshot
         # discipline as _commit_rows, with the new keys coming from a
         # DataFrame instead of a driver list. Batch-only validation
@@ -2007,22 +2012,61 @@ class Volume:
         ``order_col`` names a column that orders rewrites of the same
         grid block; when a micro-batch holds several versions of one
         block (source batching packs pending files together — the
-        availableNow restart case), only the row with the greatest
-        ``order_col`` (ties broken deterministically by blob hash) is
-        committed. Without it, such a batch is REFUSED loudly
-        (duplicate-key ValueError) — a hard refusal inside foreachBatch
-        is a permanent poison batch on replay, so feeds that rewrite
-        blocks must pass ``order_col`` (or cap batching with
-        ``maxFilesPerTrigger=1``)."""
+        availableNow restart case), only the rows at the greatest
+        ``order_col`` per CHUNK cell (the derived ``cx,cy,cz`` key, so
+        different origins inside one cell still collapse) are kept,
+        and equal-order rows with DIFFERENT content are refused loudly
+        — silently hash-picking between two genuinely different
+        rewrites would mask an upstream ordering bug as data loss.
+        Without ``order_col``, any duplicate chunk key in a batch is
+        refused (duplicate-key ValueError) — a hard refusal inside
+        foreachBatch is a permanent poison batch on replay, so feeds
+        that can rewrite a block must pass ``order_col`` (or guarantee
+        at most one rewrite per block per micro-batch — note that
+        ``maxFilesPerTrigger=1`` does NOT guarantee this when one
+        source file itself holds two versions)."""
+        if order_col is not None and order_col not in blocks.columns:
+            # fail at wiring time: discovering this inside foreachBatch
+            # would poison the first checkpointed batch forever
+            raise ValueError(
+                f"order_col {order_col!r} is not a column of the blocks "
+                f"stream (columns: {blocks.columns})")
+
         def write_batch(df, _id):
             if order_col is not None:
+                info = self.info
+                cs = info.chunk_size(mip)
+                voff = info.voxel_offset(mip)
                 from pyspark.sql.window import Window
 
-                w = Window.partitionBy("x0", "y0", "z0").orderBy(
-                    F.col(order_col).desc(),
-                    F.xxhash64(F.col("blob")).desc())
-                df = (df.withColumn("_rn", F.row_number().over(w))
-                      .where(F.col("_rn") == 1).drop("_rn"))
+                keyed = (
+                    df.withColumn("_cvs_kx", F.floor(
+                        (F.col("x0") - int(voff[0])) / int(cs[0])))
+                    .withColumn("_cvs_ky", F.floor(
+                        (F.col("y0") - int(voff[1])) / int(cs[1])))
+                    .withColumn("_cvs_kz", F.floor(
+                        (F.col("z0") - int(voff[2])) / int(cs[2])))
+                )
+                key = ["_cvs_kx", "_cvs_ky", "_cvs_kz"]
+                w = Window.partitionBy(*key)
+                keyed = keyed.withColumn(
+                    "_cvs_maxo", F.max(order_col).over(w))
+                latest = keyed.where(
+                    F.col(order_col).eqNullSafe(F.col("_cvs_maxo")))
+                amb = (latest.groupBy(*key)
+                       .agg(F.countDistinct(
+                           F.xxhash64(F.col("blob"))).alias("n"))
+                       .where(F.col("n") > 1).limit(1).collect())
+                if amb:
+                    r = amb[0]
+                    raise ValueError(
+                        f"micro-batch holds {r['n']} DIFFERENT blobs "
+                        f"for chunk cell ({r._cvs_kx},{r._cvs_ky},"
+                        f"{r._cvs_kz}) at the same {order_col!r} value "
+                        "— the ordering column does not order these "
+                        "rewrites; supply a strictly-ordering column")
+                df = (latest.dropDuplicates(key)
+                      .drop(*key, "_cvs_maxo"))
             self.write_blocks_df(df, mip=mip, compression=compression,
                                  merge=True)
 

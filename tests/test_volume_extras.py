@@ -1632,3 +1632,25 @@ def test_stream_ingest_merges_per_microbatch(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert (vol.cutout(Bbox((48, 0, 0), (64, 16, 16))) == 9).all()
+
+    # a typo'd order_col fails at wiring time, not as a poison batch
+    with pytest.raises(ValueError, match="not a column"):
+        vol.stream_ingest(spark.readStream.schema(sch2).parquet(src2),
+                          checkpoint=str(tmp_path / "sing_ck3"),
+                          order_col="timestmap")
+
+    # equal-order DIFFERENT blobs are refused loudly (an upstream
+    # ordering bug must not become a silent hash-race data loss)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    src3 = str(tmp_path / "sing_src3")
+    _os.makedirs(src3)
+    amb = [block_rows((0, 16, 0), 3)[0] + (1,),
+           block_rows((0, 16, 0), 4)[0] + (1,)]
+    spark.createDataFrame(amb, schema=sch2) \
+        .write.mode("append").parquet(src3)
+    q = (vol.stream_ingest(
+            spark.readStream.schema(sch2).parquet(src3),
+            checkpoint=str(tmp_path / "sing_ck4"), order_col="ts")
+         .trigger(availableNow=True).start())
+    with pytest.raises(StreamingQueryException, match="DIFFERENT blobs"):
+        q.awaitTermination(120)
