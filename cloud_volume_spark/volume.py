@@ -2025,50 +2025,77 @@ class Volume:
         at most one rewrite per block per micro-batch — note that
         ``maxFilesPerTrigger=1`` does NOT guarantee this when one
         source file itself holds two versions)."""
-        if order_col is not None and order_col not in blocks.columns:
+        if order_col is not None:
             # fail at wiring time: discovering this inside foreachBatch
-            # would poison the first checkpointed batch forever
-            raise ValueError(
-                f"order_col {order_col!r} is not a column of the blocks "
-                f"stream (columns: {blocks.columns})")
+            # would poison the first checkpointed batch forever. Use
+            # the analyzer's own resolution (case-insensitive under
+            # the default caseSensitive=false, nested fields allowed)
+            # rather than a stricter exact-name check.
+            try:
+                blocks[order_col]
+            except Exception:
+                raise ValueError(
+                    f"order_col {order_col!r} does not resolve against "
+                    f"the blocks stream (columns: {blocks.columns})")
 
         def write_batch(df, _id):
-            if order_col is not None:
-                info = self.info
-                cs = info.chunk_size(mip)
-                voff = info.voxel_offset(mip)
-                from pyspark.sql.window import Window
+            if order_col is None:
+                self.write_blocks_df(df, mip=mip,
+                                     compression=compression, merge=True)
+                return
+            info = self.info
+            cs = info.chunk_size(mip)
+            voff = info.voxel_offset(mip)
+            from pyspark.sql.window import Window
 
-                keyed = (
-                    df.withColumn("_cvs_kx", F.floor(
-                        (F.col("x0") - int(voff[0])) / int(cs[0])))
-                    .withColumn("_cvs_ky", F.floor(
-                        (F.col("y0") - int(voff[1])) / int(cs[1])))
-                    .withColumn("_cvs_kz", F.floor(
-                        (F.col("z0") - int(voff[2])) / int(cs[2])))
-                )
-                key = ["_cvs_kx", "_cvs_ky", "_cvs_kz"]
+            # cell key mirrors encode_blocks' cx/cy/cz derivation —
+            # keep the two in lockstep (the dedup must key on exactly
+            # the chunk cell the commit will key on)
+            keyed = (
+                df.withColumn("_cvs_kx", F.floor(
+                    (F.col("x0") - int(voff[0])) / int(cs[0])))
+                .withColumn("_cvs_ky", F.floor(
+                    (F.col("y0") - int(voff[1])) / int(cs[1])))
+                .withColumn("_cvs_kz", F.floor(
+                    (F.col("z0") - int(voff[2])) / int(cs[2])))
+            ).persist()
+            key = ["_cvs_kx", "_cvs_ky", "_cvs_kz"]
+            try:
+                # an unstamped rewrite cannot be ordered — refuse, or a
+                # missing-timestamp bug upstream becomes silent loss
+                if keyed.where(
+                        F.col(order_col).isNull()).limit(1).count():
+                    raise ValueError(
+                        f"order_col {order_col!r} is NULL on some rows "
+                        "of this micro-batch — unstamped rewrites "
+                        "cannot be ordered; fix the producer")
                 w = Window.partitionBy(*key)
-                keyed = keyed.withColumn(
-                    "_cvs_maxo", F.max(order_col).over(w))
-                latest = keyed.where(
-                    F.col(order_col).eqNullSafe(F.col("_cvs_maxo")))
+                latest = (keyed.withColumn(
+                              "_cvs_maxo", F.max(order_col).over(w))
+                          .where(F.col(order_col) == F.col("_cvs_maxo")))
+                # EXACT distinctness over the full rewrite identity
+                # (extents + bytes): equal-order rows that differ in
+                # any of it are an upstream ordering bug — refuse
+                # loudly rather than racing one version away
                 amb = (latest.groupBy(*key)
-                       .agg(F.countDistinct(
-                           F.xxhash64(F.col("blob"))).alias("n"))
+                       .agg(F.countDistinct(F.struct(
+                           "x0", "x1", "y0", "y1", "z0", "z1", "blob"
+                       )).alias("n"))
                        .where(F.col("n") > 1).limit(1).collect())
                 if amb:
                     r = amb[0]
                     raise ValueError(
-                        f"micro-batch holds {r['n']} DIFFERENT blobs "
-                        f"for chunk cell ({r._cvs_kx},{r._cvs_ky},"
+                        f"micro-batch holds {r['n']} DIFFERENT rewrites "
+                        f"of chunk cell ({r._cvs_kx},{r._cvs_ky},"
                         f"{r._cvs_kz}) at the same {order_col!r} value "
                         "— the ordering column does not order these "
                         "rewrites; supply a strictly-ordering column")
-                df = (latest.dropDuplicates(key)
-                      .drop(*key, "_cvs_maxo"))
-            self.write_blocks_df(df, mip=mip, compression=compression,
-                                 merge=True)
+                out = (latest.dropDuplicates(key)
+                       .drop(*key, "_cvs_maxo"))
+                self.write_blocks_df(out, mip=mip,
+                                     compression=compression, merge=True)
+            finally:
+                keyed.unpersist()
 
         return (
             blocks.writeStream

@@ -1634,7 +1634,7 @@ def test_stream_ingest_merges_per_microbatch(spark, tmp_path):
     assert (vol.cutout(Bbox((48, 0, 0), (64, 16, 16))) == 9).all()
 
     # a typo'd order_col fails at wiring time, not as a poison batch
-    with pytest.raises(ValueError, match="not a column"):
+    with pytest.raises(ValueError, match="does not resolve"):
         vol.stream_ingest(spark.readStream.schema(sch2).parquet(src2),
                           checkpoint=str(tmp_path / "sing_ck3"),
                           order_col="timestmap")
@@ -1652,5 +1652,5 @@ def test_stream_ingest_merges_per_microbatch(spark, tmp_path):
             spark.readStream.schema(sch2).parquet(src3),
             checkpoint=str(tmp_path / "sing_ck4"), order_col="ts")
          .trigger(availableNow=True).start())
-    with pytest.raises(StreamingQueryException, match="DIFFERENT blobs"):
+    with pytest.raises(StreamingQueryException, match="DIFFERENT rewrites"):
         q.awaitTermination(120)
