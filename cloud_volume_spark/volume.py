@@ -2013,16 +2013,18 @@ class Volume:
         grid block; when a micro-batch holds several versions of one
         block (source batching packs pending files together — the
         availableNow restart case), only the rows at the greatest
-        ``order_col`` per CHUNK cell (the derived ``cx,cy,cz`` key, so
-        different origins inside one cell still collapse) are kept,
-        and equal-order rows with DIFFERENT content are refused loudly
-        — silently hash-picking between two genuinely different
-        rewrites would mask an upstream ordering bug as data loss.
+        ``order_col`` per CHUNK cell are kept. Malformed batches are
+        REFUSED loudly rather than silently losing a version — each of
+        these is a hard in-batch failure (and therefore a poison batch
+        until the producer is fixed): a NULL ``order_col`` value
+        (unstamped rewrites cannot be ordered), mixed block extents
+        inside one cell (sub-cell tiles — keep-latest would drop every
+        tile but one), and equal-order rows with different bytes (the
+        ordering column does not actually order the rewrites).
         Without ``order_col``, any duplicate chunk key in a batch is
-        refused (duplicate-key ValueError) — a hard refusal inside
-        foreachBatch is a permanent poison batch on replay, so feeds
-        that can rewrite a block must pass ``order_col`` (or guarantee
-        at most one rewrite per block per micro-batch — note that
+        refused (duplicate-key ValueError), so feeds that can rewrite
+        a block must pass ``order_col`` (or guarantee at most one
+        rewrite per block per micro-batch — note that
         ``maxFilesPerTrigger=1`` does NOT guarantee this when one
         source file itself holds two versions)."""
         if order_col is not None:
@@ -2031,12 +2033,15 @@ class Volume:
             # the analyzer's own resolution (case-insensitive under
             # the default caseSensitive=false, nested fields allowed)
             # rather than a stricter exact-name check.
+            from pyspark.errors import AnalysisException
+
             try:
                 blocks[order_col]
-            except Exception:
+            except AnalysisException as e:
                 raise ValueError(
                     f"order_col {order_col!r} does not resolve against "
-                    f"the blocks stream (columns: {blocks.columns})")
+                    f"the blocks stream (columns: {blocks.columns}): "
+                    f"{e}") from None
 
         def write_batch(df, _id):
             if order_col is None:
@@ -2069,18 +2074,34 @@ class Volume:
                         f"order_col {order_col!r} is NULL on some rows "
                         "of this micro-batch — unstamped rewrites "
                         "cannot be ordered; fix the producer")
+                # all rows of one cell must share one extent: on a
+                # fixed grid a cell's legitimate block extents are
+                # determined by the grid (bounds-clamped), so mixed
+                # extents mean sub-cell tiles — keep-latest would
+                # silently drop every tile but one, at ANY order value
+                ext = (keyed.groupBy(*key)
+                       .agg(F.countDistinct(F.struct(
+                           "x0", "x1", "y0", "y1", "z0", "z1"
+                       )).alias("n"))
+                       .where(F.col("n") > 1).limit(1).collect())
+                if ext:
+                    r = ext[0]
+                    raise ValueError(
+                        f"micro-batch holds {r['n']} different block "
+                        f"extents inside chunk cell ({r._cvs_kx},"
+                        f"{r._cvs_ky},{r._cvs_kz}) — sub-cell tiles "
+                        "cannot be ordered per cell; emit one "
+                        "grid-aligned block per cell")
                 w = Window.partitionBy(*key)
                 latest = (keyed.withColumn(
                               "_cvs_maxo", F.max(order_col).over(w))
                           .where(F.col(order_col) == F.col("_cvs_maxo")))
-                # EXACT distinctness over the full rewrite identity
-                # (extents + bytes): equal-order rows that differ in
-                # any of it are an upstream ordering bug — refuse
-                # loudly rather than racing one version away
+                # EXACT content distinctness among the max-order rows:
+                # equal-order rows with different bytes are an upstream
+                # ordering bug — refuse loudly rather than racing one
+                # version away
                 amb = (latest.groupBy(*key)
-                       .agg(F.countDistinct(F.struct(
-                           "x0", "x1", "y0", "y1", "z0", "z1", "blob"
-                       )).alias("n"))
+                       .agg(F.countDistinct(F.col("blob")).alias("n"))
                        .where(F.col("n") > 1).limit(1).collect())
                 if amb:
                     r = amb[0]

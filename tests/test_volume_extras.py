@@ -1654,3 +1654,28 @@ def test_stream_ingest_merges_per_microbatch(spark, tmp_path):
          .trigger(availableNow=True).start())
     with pytest.raises(StreamingQueryException, match="DIFFERENT rewrites"):
         q.awaitTermination(120)
+
+    def refused(rows, ck, pattern):
+        srcn = str(tmp_path / f"sing_{ck}")
+        _os.makedirs(srcn)
+        spark.createDataFrame(rows, schema=sch2) \
+            .write.mode("append").parquet(srcn)
+        qn = (vol.stream_ingest(
+                spark.readStream.schema(sch2).parquet(srcn),
+                checkpoint=str(tmp_path / ck), order_col="ts")
+              .trigger(availableNow=True).start())
+        with pytest.raises(StreamingQueryException, match=pattern):
+            qn.awaitTermination(120)
+
+    # a NULL order value is refused (max() would silently drop it)
+    refused([block_rows((0, 32, 0), 3)[0] + (None,),
+             block_rows((0, 32, 0), 4)[0] + (2,)],
+            "ck_null", "is NULL on some rows")
+    # sub-cell tiles (mixed extents in one cell) are refused at ANY
+    # order — keep-latest would silently drop every tile but one
+    half = np.full((8, 16, 16, 1), 6, np.uint32)
+    tiles = [(0, 8, 16, 32, 0, 16,
+              bytearray(half.tobytes(order="F")), 1),
+             (8, 16, 16, 32, 0, 16,
+              bytearray(half.tobytes(order="F")), 2)]
+    refused(tiles, "ck_tiles", "different block extents")
