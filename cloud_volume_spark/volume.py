@@ -1128,6 +1128,46 @@ class Volume:
                 old_entries=dict(man["entries"]), data_change=False)
             return sum(len(v) for v in victims.values())
 
+    def restore(self, generation: int) -> int:
+        """Roll the table BACK to a retained generation as a NEW commit
+        — the Delta ``RESTORE`` analog, closing the time-travel loop
+        (``open(generation=N)`` reads a snapshot; this makes one
+        current again). Publishes generation G+1 whose entries are
+        exactly generation N's: nothing is rewritten or deleted, the
+        restore is ONE manifest PUT (the restored dirs are as retained
+        as their manifest, the vacuum invariant), history is preserved
+        (the rolled-back generations stay readable until vacuum), and
+        the change feed reports the rollback as ordinary added/removed/
+        rewritten rows — downstream incremental consumers re-process
+        exactly the slabs the rollback moved. ``generation=0`` restores
+        the empty table (delete-all as a commit). Raises
+        :class:`ManifestError` when N fell out of vacuum retention.
+        Returns the new generation number."""
+        self._lru_clear()
+        with self._commit_lock():
+            if self._is_legacy_layout():
+                raise ManifestError(
+                    "restore() requires the snapshot-manifest layout — "
+                    "run migrate_to_manifest() first")
+            man = self._read_manifest()
+            if man is None:
+                raise ManifestError(
+                    "nothing to restore: the table has no manifest")
+            target = self._generation_or_raise(int(generation))
+            self._require_slab_shift(man)
+            if ("slab_shift" in target
+                    and int(target["slab_shift"]) != int(self.slab_shift)):
+                raise CommitConflictError(
+                    f"generation {generation} was written at slab_shift "
+                    f"{target['slab_shift']} but the table now uses "
+                    f"{self.slab_shift} (a migration ran since) — "
+                    "restoring would mix slab granularities")
+            self._publish_manifest(
+                dict(target["entries"]),
+                expect_generation=int(man["generation"]),
+                old_entries=dict(man["entries"]))
+            return int(man["generation"]) + 1
+
     # ------------------------------------------------------------------
     # streaming change feed (written at publish, read by readStream)
     # ------------------------------------------------------------------

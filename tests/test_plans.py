@@ -343,3 +343,18 @@ def test_perplexity_vocab_not_forced_broadcast(spark, sf_dir):
     # the single-row `total` crossJoin legitimately compiles to a
     # broadcast nested loop; the vocab join itself must be an equi-join
     assert "Join" in plan
+
+
+def test_vox_changes_feed_plan_partial_agg_no_product(spark, sf_dir):
+    """The snapshot-diff feed is two partial-aggregating groupBy passes
+    (map-side combine into a handful of slab groups) full-outer-joined
+    — never a cartesian product, never a window (no partials, AQE
+    cannot split), so the shape survives 100 TB fact tables."""
+    from cloud_volume_spark.operators import all_queries
+
+    plan = _plan(all_queries()["vox_changes_feed"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "FullOuter" in plan

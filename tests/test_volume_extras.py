@@ -1679,3 +1679,39 @@ def test_stream_ingest_merges_per_microbatch(spark, tmp_path):
              (8, 16, 16, 32, 0, 16,
               bytearray(half.tobytes(order="F")), 2)]
     refused(tiles, "ck_tiles", "different block extents")
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """restore(N): one manifest PUT republishing generation N's entries
+    — content reverts exactly, history is preserved (the rolled-back
+    generation stays readable), the change feed reports the rollback as
+    ordinary rows, and a vacuumed target refuses loudly."""
+    from cloud_volume_spark.volume import ManifestError
+
+    arr, vol = _mk_vol(spark, tmp_path, "rest", n=64, cs=16)
+    g1 = int(vol._read_manifest()["generation"])
+    vol.upload(np.zeros((16, 16, 16, 1), np.uint32), offset=(0, 0, 0))
+    g2 = int(vol._read_manifest()["generation"])
+    assert g2 == g1 + 1
+
+    g3 = vol.restore(g1)
+    assert g3 == g2 + 1
+    assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+    # the rollback IS a change: the feed for g3 mirrors g2's inverse
+    fwd = {(r.mip, r.slab): (r.from_dir, r.to_dir)
+           for r in vol.changes(g1, g2).collect()}
+    back = {(r.mip, r.slab): (r.from_dir, r.to_dir)
+            for r in vol.changes(g2, g3).collect()}
+    assert back == {k: (b, a) for k, (a, b) in fwd.items()}
+    # rolled-back generation stays time-travel readable until vacuum
+    pinned = Volume.open(spark, str(tmp_path / "rest"), generation=g2)
+    assert (pinned.cutout(Bbox((0, 0, 0), (16, 16, 16))) == 0).all()
+    # restoring a vacuumed generation refuses loudly
+    vol.upload(np.full((16, 16, 16, 1), 9, np.uint32), offset=(16, 0, 0))
+    vol.vacuum(keep_manifests=1)
+    with pytest.raises(ManifestError, match="vacuumed|missing"):
+        vol.restore(g1)
+    # restore(0) = empty table as a commit
+    g = vol.restore(0)
+    assert vol._read_manifest()["generation"] == g
+    assert vol._read_manifest()["entries"] == {}
