@@ -1142,7 +1142,19 @@ class Volume:
         exactly the slabs the rollback moved. ``generation=0`` restores
         the empty table (delete-all as a commit). Raises
         :class:`ManifestError` when N fell out of vacuum retention.
-        Returns the new generation number."""
+        Returns the new generation number (the CURRENT one, unchanged,
+        when N already is the head — an idempotent-retry no-op rather
+        than a duplicate commit burning a retention slot).
+
+        Scope, honestly: restore rolls back CHUNK DATA. The scale
+        registry (``info``) is append-only metadata outside the
+        manifest log, so a scale registered after generation N (e.g. a
+        later ``downsample``) stays registered but serves no chunks at
+        the restored head — the same observable state as a mip whose
+        data was deleted, detectable via the mip-presence probe.
+        (Delta versions table metadata in the log; this engine keeps
+        the reference's separate info file, where scales never
+        unregister.)"""
         self._lru_clear()
         with self._commit_lock():
             if self._is_legacy_layout():
@@ -1153,6 +1165,8 @@ class Volume:
             if man is None:
                 raise ManifestError(
                     "nothing to restore: the table has no manifest")
+            if int(generation) == int(man["generation"]):
+                return int(man["generation"])  # already the head
             target = self._generation_or_raise(int(generation))
             self._require_slab_shift(man)
             if ("slab_shift" in target

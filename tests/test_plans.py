@@ -350,8 +350,6 @@ def test_vox_changes_feed_plan_partial_agg_no_product(spark, sf_dir):
     (map-side combine into a handful of slab groups) full-outer-joined
     — never a cartesian product, never a window (no partials, AQE
     cannot split), so the shape survives 100 TB fact tables."""
-    from cloud_volume_spark.operators import all_queries
-
     plan = _plan(all_queries()["vox_changes_feed"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

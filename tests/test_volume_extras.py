@@ -1715,3 +1715,13 @@ def test_restore_rolls_back_as_new_commit(spark, tmp_path):
     g = vol.restore(0)
     assert vol._read_manifest()["generation"] == g
     assert vol._read_manifest()["entries"] == {}
+
+
+def test_restore_to_head_is_noop(spark, tmp_path):
+    """restore(current) returns the head unchanged instead of burning a
+    retention slot on a duplicate commit (the Delta RESTORE-to-current
+    no-op contract)."""
+    _, vol = _mk_vol(spark, tmp_path, "restnoop", n=32, cs=16)
+    g = int(vol._read_manifest()["generation"])
+    assert vol.restore(g) == g
+    assert int(vol._read_manifest()["generation"]) == g
