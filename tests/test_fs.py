@@ -334,3 +334,46 @@ def test_jvm_publish_via_rename(spark, tmp_path):
     assert ops._jvm_publish_via_rename(f"{base}/gen-1.json", b"XX") is False
     assert ops.read_bytes(f"{base}/gen-1.json") == b"g1"
     assert ops.listdir(base) == ["gen-1.json"]  # no tmp residue
+
+
+def test_commit_primitives_cross_process_atomicity(tmp_path):
+    """The POSIX commit primitives under REAL multi-process contention
+    (the existing stress test races threads in one interpreter; the
+    production failure mode is separate writer processes): for each
+    round, exactly one of 8 processes wins create_exclusive, and
+    exactly one wins create_with_content with the published bytes being
+    the winner's — never a torn mix."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    rounds = 20
+
+    def worker(wid, out):
+        ops = PathOps(str(tmp_path))
+        wins = []
+        for r in range(rounds):
+            lock_won = ops.create_exclusive(f"{tmp_path}/lock-{r}")
+            pub_won = ops.create_with_content(
+                f"{tmp_path}/man-{r}.json",
+                f"writer-{wid}".encode())
+            wins.append((r, bool(lock_won), bool(pub_won)))
+        out.put((wid, wins))
+
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(w, q)) for w in range(8)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+
+    for r in range(rounds):
+        lock_winners = [wid for wid, wins in results
+                        if any(rr == r and lw for rr, lw, _ in wins)]
+        pub_winners = [wid for wid, wins in results
+                       if any(rr == r and pw for rr, _, pw in wins)]
+        assert len(lock_winners) == 1, (r, lock_winners)
+        assert len(pub_winners) == 1, (r, pub_winners)
+        content = open(tmp_path / f"man-{r}.json", "rb").read()
+        assert content == f"writer-{pub_winners[0]}".encode()
