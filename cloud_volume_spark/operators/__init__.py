@@ -21,12 +21,13 @@ from cloud_volume_spark import multimodal
 # `curation` stay in-window (fresh r7 green, and they hold this round's
 # changes if any).  Out this round — green in BOTH the r6 and r7
 # windows, the safest to rotate: dedup(7) + text(7) and the tail of
-# voxel_rel.  With 71 queries the window = relational(20) + corpus(8) +
-# multimodal(5) + similarity(7) + curation(8) + voxel_rel(first 2) =
-# exactly 50; voxel_rel's first entry is the NEW-this-round
-# vox_changes_feed, placed in-window on arrival.  ROUND-9 ROTATION:
-# voxel_rel/dedup/text back to the front; relational can rotate out
-# again once its r8 rows are green.
+# voxel_rel.  With 72 queries the window = relational(20) + corpus(8) +
+# multimodal(5) + similarity(8) + curation(8) + voxel_rel(first 1) =
+# exactly 50; the two NEW-this-round queries sit in-window on arrival
+# (embedding_quantize_int8 first in similarity, vox_changes_feed first
+# in voxel_rel), displacing vox_label_histogram (green in both the r6
+# and r7 windows).  ROUND-9 ROTATION: voxel_rel/dedup/text back to the
+# front; relational can rotate out again once its r8 rows are green.
 ALL_MODULES = [
     relational, corpus, multimodal, similarity, curation, voxel_rel,
     dedup, text,

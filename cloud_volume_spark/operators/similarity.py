@@ -133,6 +133,101 @@ SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# -- int8-quantized ANN (the memory-bound scale path) -----------------------
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over SYMMETRIC INT8-QUANTIZED vectors — the
+    memory-bandwidth scale path every production vector store ships
+    (4× smaller vectors than float32, SIMD integer dot products): each
+    vector is quantized per-row as ``q_i = floor(x_i/scale + 0.5)``
+    with ``scale = max|x|/127``, and similarity is the quantized
+    cosine ``qdot / sqrt(sq_a·sq_b)`` — the per-vector scales cancel
+    in the ratio, so the score is a pure INTEGER computation divided
+    once, bitwise identical across engines (no float-accumulation
+    drift). Quantization uses ``floor(x+0.5)``, the repo-wide
+    portable rounding (Spark ROUND and DuckDB ROUND disagree on
+    half-way cases; floor does not).
+
+    Scale shape: quantization is map-only (one fold per row); the
+    query side is N_QUERIES rows broadcast; top-k is a per-query
+    window over N_QUERIES bounded partitions. No corpus-sized shuffle
+    anywhere — at 100 TB the cost is one scan at int8 bandwidth,
+    which is the point of the operator."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v"))
+    maxabs = F.greatest(
+        F.aggregate(F.col("v"), F.lit(0.0),
+                    lambda a, x: F.greatest(a, F.abs(x))),
+        F.lit(1e-12))
+    emb = emb.withColumn("scale", maxabs / F.lit(127.0))
+    emb = emb.withColumn(
+        "q", F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5))))
+    emb = emb.withColumn(
+        "sq", F.greatest(
+            F.aggregate(F.col("q"), F.lit(0).cast("long"),
+                        lambda a, x: a + x * x),
+            F.lit(1).cast("long"))).select("vec_id", "q", "sq")
+    qset = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("sq").alias("qsq"))
+    pairs = emb.crossJoin(F.broadcast(qset)).where(
+        F.col("vec_id") != F.col("query_id"))
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+    qsim = qdot / (F.sqrt(F.col("sq").cast("double"))
+                   * F.sqrt(F.col("qsq").cast("double")))
+    scored = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(qsim, 6).alias("qsim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", "rnk", "qsim"))
+
+
+QUANT_INT8_SQL = f"""
+WITH emb0 AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), emb AS (
+    SELECT vec_id,
+           LIST_TRANSFORM(
+             v, x -> CAST(FLOOR(x / (GREATEST(
+                 LIST_MAX(LIST_TRANSFORM(v, y -> ABS(y))), 1e-12
+             ) / 127.0) + 0.5) AS BIGINT)) AS q
+    FROM emb0
+), emb2 AS (
+    SELECT vec_id, q,
+           GREATEST(CAST(LIST_SUM(
+               LIST_TRANSFORM(q, x -> x * x)) AS BIGINT), 1) AS sq
+    FROM emb
+), qset AS (
+    SELECT vec_id AS query_id, q AS qq, sq AS qsq
+    FROM emb2 WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT qset.query_id, e.vec_id AS neighbor_id,
+           ROUND(
+             CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(e.q, qset.qq),
+                                          p -> p[1] * p[2])) AS DOUBLE)
+             / (SQRT(CAST(e.sq AS DOUBLE)) * SQRT(CAST(qset.qsq AS DOUBLE))),
+             6
+           ) AS qsim
+    FROM emb2 e CROSS JOIN qset
+    WHERE e.vec_id <> qset.query_id
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY qsim DESC, neighbor_id ASC
+    ) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, rnk, qsim FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 def _plane_array(plane) -> F.Column:
     return F.array(*[F.lit(float(v)) for v in plane])
 
@@ -769,6 +864,9 @@ KMEANS_SQL = _kmeans_sql()
 
 
 QUERIES = {
+    # new-this-round first: registration order feeds the driver's
+    # 50-query window (see operators/__init__.py)
+    "embedding_quantize_int8": embedding_quantize_int8,
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_dedup_keep": embedding_dedup_keep,
@@ -779,6 +877,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embedding_quantize_int8": QUANT_INT8_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,
     "embedding_neardup_pairs": NEARDUP_SQL,
     "embedding_dedup_keep": EMBEDDING_DEDUP_KEEP_SQL,
