@@ -528,24 +528,28 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": full["sf"],
-        "volume": {"w_mbps": round(vol_stats["write_mbps"]),
-                   "r_mbps": round(vol_stats["read_mbps"])},
-        # compact key names; full names in BENCH_FULL.json / FULL line
-        "seg": {"w_mbps": round(seg_stats["write_mbps"]),
-                "r_mbps": round(seg_stats["read_mbps"]),
-                "uniq_sec": seg_stats["unique_sec"]},
-        "spatial": {"build_s": spatial_stats["build_sec"],
-                    "idx_mb": spatial_stats["index_mb"]},
-        "anno": {"exp_s": anno_stats["export_sec"],
-                 "qry_s": anno_stats["bbox_query_sec"]},
-        "env": env,
+        # ultra-compact block keys — the r7 measurement showed the
+        # previous names pushed the line past 1985, so env was ALWAYS
+        # dropped and survived only as the last ~24 chars of the FULL
+        # line inside the driver's 2,000-char tail (one more query and
+        # the noise-normalization data would vanish entirely). Full
+        # names live in BENCH_FULL.json / the FULL line.
+        "vol": {"w": round(vol_stats["write_mbps"]),
+                "r": round(vol_stats["read_mbps"])},
+        "seg": {"w": round(seg_stats["write_mbps"]),
+                "r": round(seg_stats["read_mbps"]),
+                "u": seg_stats["unique_sec"]},
+        "sp": {"b": spatial_stats["build_sec"],
+               "mb": spatial_stats["index_mb"]},
+        "an": {"e": anno_stats["export_sec"],
+               "q": anno_stats["bbox_query_sec"]},
+        "env": {"l1": env["load1"], "cp": env["cpu_probe_sec"]},
     }
     # 1985 leaves >= 14 chars of margin inside the driver's 2,000-char
-    # tail (line + newline must fit entirely); measured r6 line with all
-    # blocks is ~2010, so env (the only block also visible at the end of
-    # the FULL line's tail) is the designed first casualty
+    # tail (line + newline must fit entirely). env now drops LAST: it
+    # is what makes rounds comparable on this noisy shared host.
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("env", "anno", "spatial", "seg", "volume"):
+    for drop in ("an", "sp", "seg", "vol", "env"):
         if len(line) <= 1985:
             break
         compact.pop(drop)
