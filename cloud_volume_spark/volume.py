@@ -240,6 +240,7 @@ class Volume:
         vol.read_only = bool(info.redirected_from)
         if as_of is not None:
             generation, man = vol._generation_as_of(as_of)
+            vol._probe_generation_dirs(man)  # dirs, not just manifest
             vol._pinned_generation = int(generation)
             vol._pinned_manifest = man  # already fetched + parsed
         elif generation is not None:
@@ -281,15 +282,7 @@ class Volume:
                 candidates = [(None, pointer)]
         unstamped = None  # newest readable generation with no stamp
         for g, path in candidates:
-            raw, err = None, None
-            for _ in range(3):
-                try:
-                    raw = self._fs.read_bytes(path)
-                    err = None
-                    break
-                except Exception as e:
-                    err = e
-                    time.sleep(0.05)
+            raw, err = self._read_bytes_retry(path)
             if err is not None:
                 raise ManifestError(
                     f"cannot read manifest {path!r} while resolving "
@@ -462,8 +455,12 @@ class Volume:
                 return self._pinned_manifest
             g = self._pinned_generation
             try:
-                self._pinned_manifest = self._load_manifest_generation(g)
+                man = self._load_manifest_generation(g)
+                self._probe_generation_dirs(man)
+                self._pinned_manifest = man
                 return self._pinned_manifest
+            except ManifestError:
+                raise  # the probe's message is already actionable
             except Exception as e:
                 raise ManifestError(
                     f"pinned manifest generation {g} under "
@@ -1114,10 +1111,7 @@ class Volume:
                         victims.setdefault(m, []).append(s)
             if not victims:
                 return 0
-            src = None
-            for m, slabs in sorted(victims.items()):
-                df = self.chunks_df(mip=m, slabs=slabs, manifest=man)
-                src = df if src is None else src.unionByName(df)
+            src = self._union_slab_scans(victims, man)
             commit_id = f"commit-{uuid.uuid4().hex[:12]}"
             staged = self._stage_commit(src, commit_id,
                                         bucket=F.col("slab"))
@@ -1226,7 +1220,16 @@ class Volume:
             self._fs.create_with_content(
                 self._feed_file(generation),
                 self._feed_payload(generation, old_man, new_man))
-            self.repair_feed()
+            # gap healing gated on ONE exists() of the predecessor's
+            # feed file — an unconditional repair_feed() paid two
+            # storage LISTs inside every commit's lock hold for the
+            # common no-gap case. A deeper gap behind a present
+            # predecessor (a crash after feed write but mid-repair) is
+            # healed lazily: stream_changes() gap-checks at start and
+            # repair_feed() stays public.
+            if generation > 1 and not self._fs.exists(
+                    self._feed_file(generation - 1)):
+                self.repair_feed()
         except Exception as e:  # pragma: no cover - env-specific IO
             import warnings
 
@@ -1431,16 +1434,7 @@ class Volume:
                     # published would send the caller into a retry
                     # that then hits a genuine-looking generation
                     # collision with its own manifest.
-                    seen = None
-                    read_err: Optional[Exception] = None
-                    for _ in range(3):
-                        try:
-                            seen = self._fs.read_bytes(path)
-                            read_err = None
-                            break
-                        except Exception as e:
-                            read_err = e
-                            time.sleep(0.05)
+                    seen, read_err = self._read_bytes_retry(path)
                     if read_err is not None:
                         raise ManifestError(
                             f"manifest generation {target} was "
@@ -1491,15 +1485,70 @@ class Volume:
                     f"cannot reclaim manifest husk {path!r}")
             self._fs.remove(path)
 
+    def _read_bytes_retry(self, path: str, attempts: int = 3,
+                          delay: float = 0.05):
+        """``(bytes | None, last_error | None)`` — bounded read retry
+        for manifest-sized files on stores with transient read
+        failures. ONE retry policy for every plain-read site (as_of
+        resolution, publish read-back); callers classify the final
+        failure themselves, because the right error differs per site.
+        (The husk re-read in ``_publish_manifest`` stays separate: it
+        retries the PARSE, distinguishing torn-vs-valid, not the
+        read.)"""
+        import time
+
+        err = None
+        for _ in range(attempts):
+            try:
+                return self._fs.read_bytes(path), None
+            except Exception as e:
+                err = e
+                time.sleep(delay)
+        return None, err
+
+    def _probe_generation_dirs(self, man: dict) -> None:
+        """One ``exists()`` on a referenced data dir: a retained
+        manifest whose dirs were reclaimed (tables vacuumed by a
+        pre-r8 version, whose retention kept manifest FILES but
+        reclaimed every dir the current generation did not reference)
+        must fail HERE with an actionable :class:`ManifestError`, not
+        mid-job with an opaque Spark path-not-found. Probes a single
+        dir (cheap, deterministic); partial reclamation beyond it
+        still surfaces at scan time."""
+        entries = man.get("entries") or {}
+        if not entries:
+            return
+        rel = min(entries.values())
+        if not self._fs.exists(f"{self.chunks_path}/{rel}"):
+            raise ManifestError(
+                f"manifest generation {man.get('generation')} under "
+                f"{self.chunks_path!r} is retained but its data dir "
+                f"{rel!r} was reclaimed (vacuumed by a pre-upgrade "
+                "version that kept manifests without their dirs) — "
+                "pick a newer generation"
+            )
+
+    def _union_slab_scans(self, by_mip: dict, manifest) -> Optional[DataFrame]:
+        """Union of manifest-pruned per-mip chunk scans — the one place
+        that turns ``{mip: [slab, ...]}`` into a scan, shared by
+        :meth:`changed_chunks_df` and :meth:`compact` so pruning
+        semantics stay single-site."""
+        out = None
+        for m, slabs in sorted(by_mip.items()):
+            df = self.chunks_df(mip=m, slabs=slabs, manifest=manifest)
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def _generation_or_raise(self, generation: int) -> dict:
-        """Load a specific retained generation, loudly. Generation 0 is
-        the empty table (before the first publish) — a valid diff base:
-        ``changes(0)`` is 'everything ever committed'."""
+        """Load a specific retained generation, loudly — manifest AND
+        a data-dir liveness probe. Generation 0 is the empty table
+        (before the first publish) — a valid diff base: ``changes(0)``
+        is 'everything ever committed'."""
         g = int(generation)
         if g == 0:
             return {"generation": 0, "entries": {}}
         try:
-            return self._load_manifest_generation(g)
+            man = self._load_manifest_generation(g)
         except Exception as e:
             raise ManifestError(
                 f"manifest generation {g} under {self.chunks_path!r} is "
@@ -1507,6 +1556,8 @@ class Volume:
                 f"vacuumed; retained generations: "
                 f"{self._manifest_generations()[:6]}"
             )
+        self._probe_generation_dirs(man)
+        return man
 
     @staticmethod
     def _change_row(k: str, od, nd) -> tuple:
@@ -1655,10 +1706,7 @@ class Volume:
             m, s = k.split("/")
             if mip is None or int(m) == int(mip):
                 by_mip.setdefault(int(m), []).append(int(s))
-        out = None
-        for m, slabs in sorted(by_mip.items()):
-            df = self.chunks_df(mip=m, slabs=slabs, manifest=man)
-            out = df if out is None else out.unionByName(df)
+        out = self._union_slab_scans(by_mip, man)
         if out is None:
             return self.spark.createDataFrame([], schema=CHUNK_SCHEMA)
         return out
@@ -1931,7 +1979,8 @@ class Volume:
 
     def write_blocks_df(self, blocks: DataFrame, mip: int = 0,
                         compression: Optional[str] = "gzip",
-                        merge: bool = False) -> None:
+                        merge: bool = False,
+                        _pre_deduped: bool = False) -> None:
         """Distributed ingest: a DataFrame of grid-aligned decoded blocks
         ``(x0..z1, blob raw-F-order bytes)`` → encoded chunk rows →
         table write. The scale path — no driver array involved.
@@ -2008,8 +2057,11 @@ class Volume:
             # rows whose read order is nondeterministic — refuse
             # loudly (the Delta MERGE multiple-source-rows contract);
             # :meth:`stream_ingest` offers order_col keep-latest dedup
-            dup = (rows_df.groupBy("mip", "cx", "cy", "cz").count()
-                   .where(F.col("count") > 1).limit(1).collect())
+            # and passes _pre_deduped to skip this provably-passing
+            # job on its latency-bound micro-batch path
+            dup = [] if _pre_deduped else (
+                rows_df.groupBy("mip", "cx", "cy", "cz").count()
+                .where(F.col("count") > 1).limit(1).collect())
             if dup:
                 r = dup[0]
                 raise ValueError(
@@ -2120,32 +2172,36 @@ class Volume:
             ).persist()
             key = ["_cvs_kx", "_cvs_ky", "_cvs_kz"]
             try:
-                # an unstamped rewrite cannot be ordered — refuse, or a
-                # missing-timestamp bug upstream becomes silent loss
-                if keyed.where(
-                        F.col(order_col).isNull()).limit(1).count():
+                # ONE validation pass for the per-cell invariants (a
+                # streaming sink's micro-batches are latency-bound, so
+                # fixed per-job overhead matters): null stamps
+                # (unstamped rewrites cannot be ordered — max() would
+                # silently drop them) and mixed extents (sub-cell
+                # tiles: on a fixed grid a cell's legitimate block
+                # extents are grid-determined, so keep-latest would
+                # silently drop every tile but one, at ANY order)
+                bad = (keyed.groupBy(*key).agg(
+                           F.sum(F.col(order_col).isNull()
+                                 .cast("int")).alias("nulls"),
+                           F.countDistinct(F.struct(
+                               "x0", "x1", "y0", "y1", "z0", "z1"
+                           )).alias("n_ext"))
+                       .where((F.col("nulls") > 0) | (F.col("n_ext") > 1))
+                       .limit(1).collect())
+                if bad:
+                    r = bad[0]
+                    cell = f"({r._cvs_kx},{r._cvs_ky},{r._cvs_kz})"
+                    if r["nulls"]:
+                        raise ValueError(
+                            f"order_col {order_col!r} is NULL on some "
+                            f"rows of this micro-batch (cell {cell}) — "
+                            "unstamped rewrites cannot be ordered; fix "
+                            "the producer")
                     raise ValueError(
-                        f"order_col {order_col!r} is NULL on some rows "
-                        "of this micro-batch — unstamped rewrites "
-                        "cannot be ordered; fix the producer")
-                # all rows of one cell must share one extent: on a
-                # fixed grid a cell's legitimate block extents are
-                # determined by the grid (bounds-clamped), so mixed
-                # extents mean sub-cell tiles — keep-latest would
-                # silently drop every tile but one, at ANY order value
-                ext = (keyed.groupBy(*key)
-                       .agg(F.countDistinct(F.struct(
-                           "x0", "x1", "y0", "y1", "z0", "z1"
-                       )).alias("n"))
-                       .where(F.col("n") > 1).limit(1).collect())
-                if ext:
-                    r = ext[0]
-                    raise ValueError(
-                        f"micro-batch holds {r['n']} different block "
-                        f"extents inside chunk cell ({r._cvs_kx},"
-                        f"{r._cvs_ky},{r._cvs_kz}) — sub-cell tiles "
-                        "cannot be ordered per cell; emit one "
-                        "grid-aligned block per cell")
+                        f"micro-batch holds {r['n_ext']} different "
+                        f"block extents inside chunk cell {cell} — "
+                        "sub-cell tiles cannot be ordered per cell; "
+                        "emit one grid-aligned block per cell")
                 w = Window.partitionBy(*key)
                 latest = (keyed.withColumn(
                               "_cvs_maxo", F.max(order_col).over(w))
@@ -2168,7 +2224,8 @@ class Volume:
                 out = (latest.dropDuplicates(key)
                        .drop(*key, "_cvs_maxo"))
                 self.write_blocks_df(out, mip=mip,
-                                     compression=compression, merge=True)
+                                     compression=compression, merge=True,
+                                     _pre_deduped=True)
             finally:
                 keyed.unpersist()
 

@@ -1725,3 +1725,36 @@ def test_restore_to_head_is_noop(spark, tmp_path):
     g = int(vol._read_manifest()["generation"])
     assert vol.restore(g) == g
     assert int(vol._read_manifest()["generation"]) == g
+
+
+def test_pinned_generation_with_reclaimed_dirs_fails_loudly(
+        spark, tmp_path):
+    """A retained manifest whose data dirs are gone (tables vacuumed by
+    a pre-upgrade version that kept manifest files without their dirs)
+    must fail at pin/validation time with an actionable ManifestError,
+    not mid-job with an opaque Spark path-not-found."""
+    import shutil as _shutil
+
+    from cloud_volume_spark.volume import ManifestError
+
+    _, vol = _mk_vol(spark, tmp_path, "reclaim", n=32, cs=16)
+    g1 = int(vol._read_manifest()["generation"])
+    man1 = vol._load_manifest_generation(g1)
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    g2 = int(vol._read_manifest()["generation"])
+    man2 = vol._load_manifest_generation(g2)
+    # simulate the pre-upgrade vacuum: reclaim dirs only g1 references
+    only_g1 = set(man1["entries"].values()) - set(man2["entries"].values())
+    assert only_g1
+    import os as _os
+    for rel in only_g1:
+        _shutil.rmtree(_os.path.join(vol.chunks_path, rel))
+
+    with pytest.raises(ManifestError, match="reclaimed"):
+        Volume.open(spark, str(tmp_path / "reclaim"), generation=g1)
+    with pytest.raises(ManifestError, match="reclaimed"):
+        vol.changes(g1)
+    with pytest.raises(ManifestError, match="reclaimed"):
+        vol.restore(g1)
+    # the live head is untouched
+    assert (vol.cutout(Bbox((0, 0, 0), (32, 32, 32))) == 0).all()
