@@ -1209,34 +1209,48 @@ class Volume:
         return ("\n".join(lines) + ("\n" if lines else "")).encode()
 
     def _emit_feed(self, generation: int, old_man: dict,
-                   new_man: dict) -> None:
+                   new_man: dict, retained=None) -> None:
         """Write this generation's feed file (atomic create-if-absent)
         and heal any computable gaps. NEVER fails the commit: the
         manifest already published, so the data is durable — a feed
         write failure is repaired by the next publish or by
-        :meth:`repair_feed`."""
+        :meth:`repair_feed`. ``retained`` is the generation listing
+        the publisher already holds: the gap gate then costs ONE
+        listdir of the feed dir (set difference against it) instead of
+        re-listing the manifest log, and fires the full locked repair
+        only when some retained generation actually lacks a feed file
+        — so a gap at ANY depth keeps being retried on every
+        subsequent commit until healed (a predecessor-only check would
+        make deep gaps permanent for already-running streams, which
+        never re-run the stream-start gap check)."""
+        import warnings
+
+        feed_dir = f"{self.chunks_path}/feed"
         try:
-            self._fs.makedirs(f"{self.chunks_path}/feed")
+            self._fs.makedirs(feed_dir)
             self._fs.create_with_content(
                 self._feed_file(generation),
                 self._feed_payload(generation, old_man, new_man))
-            # gap healing gated on ONE exists() of the predecessor's
-            # feed file — an unconditional repair_feed() paid two
-            # storage LISTs inside every commit's lock hold for the
-            # common no-gap case. A deeper gap behind a present
-            # predecessor (a crash after feed write but mid-repair) is
-            # healed lazily: stream_changes() gap-checks at start and
-            # repair_feed() stays public.
-            if generation > 1 and not self._fs.exists(
-                    self._feed_file(generation - 1)):
-                self.repair_feed()
         except Exception as e:  # pragma: no cover - env-specific IO
-            import warnings
-
             warnings.warn(
                 f"commit published generation {generation} but its "
                 f"streaming-feed file could not be written ({e!r}); "
                 "run repair_feed() to heal the gap", RuntimeWarning)
+            return
+        try:
+            if retained is None:
+                retained = self._manifest_generations()
+            have = set(self._fs.listdir(feed_dir))
+            gens = set(int(g) for g in retained) | {int(generation)}
+            if any(self._feed_file(g).rsplit("/", 1)[1] not in have
+                   for g in gens):
+                self.repair_feed()
+        except Exception as e:  # pragma: no cover - env-specific IO
+            warnings.warn(
+                f"generation {generation}'s feed file was written, but "
+                f"healing older feed gaps failed ({e!r}); a gap at an "
+                "older generation may persist until the next commit or "
+                "a manual repair_feed()", RuntimeWarning)
 
     def repair_feed(self) -> int:
         """Backfill missing feed files for every retained generation
@@ -1458,7 +1472,8 @@ class Volume:
                         {"entries": old_entries},
                         {"generation": target, "committed_at": stamp,
                          "data_change": bool(data_change),
-                         "entries": entries})
+                         "entries": entries},
+                        retained=current)
                 else:
                     try:
                         self.repair_feed()
@@ -1507,26 +1522,49 @@ class Volume:
         return None, err
 
     def _probe_generation_dirs(self, man: dict) -> None:
-        """One ``exists()`` on a referenced data dir: a retained
-        manifest whose dirs were reclaimed (tables vacuumed by a
-        pre-r8 version, whose retention kept manifest FILES but
+        """Liveness probe on a generation's referenced data: a
+        retained manifest whose dirs were reclaimed (tables vacuumed
+        by a pre-r8 version, whose retention kept manifest FILES but
         reclaimed every dir the current generation did not reference)
         must fail HERE with an actionable :class:`ManifestError`, not
-        mid-job with an opaque Spark path-not-found. Probes a single
-        dir (cheap, deterministic); partial reclamation beyond it
-        still surfaces at scan time."""
+        mid-job with an opaque Spark path-not-found. Probes every
+        DISTINCT top-level ``data/commit-*`` dir the entries reference
+        — the exact granularity vacuum reclaims at, so a generation
+        mixing surviving and reclaimed commits cannot slip through on
+        which dir a single sample happened to hit. Bounded by the
+        number of commits still referenced; only pin/as_of/restore and
+        the incremental-downsample old side pay it (pure manifest-diff
+        readers skip it — they never open the dirs). Each exists() is
+        retried like every other manifest-sized store access."""
+        import time
+
         entries = man.get("entries") or {}
-        if not entries:
-            return
-        rel = min(entries.values())
-        if not self._fs.exists(f"{self.chunks_path}/{rel}"):
-            raise ManifestError(
-                f"manifest generation {man.get('generation')} under "
-                f"{self.chunks_path!r} is retained but its data dir "
-                f"{rel!r} was reclaimed (vacuumed by a pre-upgrade "
-                "version that kept manifests without their dirs) — "
-                "pick a newer generation"
-            )
+        commits = sorted({rel.split("/")[1] for rel in entries.values()
+                          if rel.startswith("data/")})
+        for c in commits:
+            path = f"{self.chunks_path}/data/{c}"
+            ok, err = None, None
+            for _ in range(3):
+                try:
+                    ok = self._fs.exists(path)
+                    err = None
+                    break
+                except Exception as e:
+                    err = e
+                    time.sleep(0.05)
+            if err is not None:
+                raise ManifestError(
+                    f"cannot verify data dirs of generation "
+                    f"{man.get('generation')} under {self.chunks_path!r} "
+                    f"({err!r}) — transient store error; retry")
+            if not ok:
+                raise ManifestError(
+                    f"manifest generation {man.get('generation')} under "
+                    f"{self.chunks_path!r} is retained but its data dir "
+                    f"data/{c} was reclaimed (vacuumed by a pre-upgrade "
+                    "version that kept manifests without their dirs) — "
+                    "pick a newer generation"
+                )
 
     def _union_slab_scans(self, by_mip: dict, manifest) -> Optional[DataFrame]:
         """Union of manifest-pruned per-mip chunk scans — the one place
@@ -1539,9 +1577,14 @@ class Volume:
             out = df if out is None else out.unionByName(df)
         return out
 
-    def _generation_or_raise(self, generation: int) -> dict:
+    def _generation_or_raise(self, generation: int,
+                             probe_dirs: bool = True) -> dict:
         """Load a specific retained generation, loudly — manifest AND
-        a data-dir liveness probe. Generation 0 is the empty table
+        (by default) a data-dir liveness probe. Pure manifest-diff
+        readers (:meth:`changes`, :meth:`changed_chunks_df`) pass
+        ``probe_dirs=False``: they never open the old dirs, so a
+        pre-upgrade-vacuumed table still gets its computable, correct
+        diff instead of a refusal. Generation 0 is the empty table
         (before the first publish) — a valid diff base: ``changes(0)``
         is 'everything ever committed'."""
         g = int(generation)
@@ -1556,7 +1599,8 @@ class Volume:
                 f"vacuumed; retained generations: "
                 f"{self._manifest_generations()[:6]}"
             )
-        self._probe_generation_dirs(man)
+        if probe_dirs:
+            self._probe_generation_dirs(man)
         return man
 
     @staticmethod
@@ -1653,9 +1697,11 @@ class Volume:
                 "from_generation must not exceed to_generation — an "
                 "inverted feed would label additions as removals"
             )
-        old = self._generation_or_raise(from_generation)
+        old = self._generation_or_raise(from_generation,
+                                        probe_dirs=False)
         if to_generation is not None:
-            new = self._generation_or_raise(to_generation)
+            new = self._generation_or_raise(to_generation,
+                                            probe_dirs=False)
         else:
             new = self._read_manifest()
             if new is None:
@@ -1698,7 +1744,8 @@ class Volume:
                     "migrate_to_manifest() first"
                 )
             man = {"entries": {}}
-        old = self._generation_or_raise(from_generation)
+        old = self._generation_or_raise(from_generation,
+                                        probe_dirs=False)
         by_mip: dict = {}
         for k, od, nd in self._changed_keys(old, man):
             if nd is None:
