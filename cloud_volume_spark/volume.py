@@ -1244,7 +1244,13 @@ class Volume:
             gens = set(int(g) for g in retained) | {int(generation)}
             if any(self._feed_file(g).rsplit("/", 1)[1] not in have
                    for g in gens):
-                self.repair_feed()
+                # cheap set-math says a feed file is absent — confirm
+                # against the SINGLE eligibility rule before firing the
+                # full repair: an unhealable gap (predecessor vacuumed,
+                # torn husk) must not make every commit run a no-op
+                # repair pass forever
+                if self._missing_feed_entries():
+                    self.repair_feed()
         except Exception as e:  # pragma: no cover - env-specific IO
             warnings.warn(
                 f"generation {generation}'s feed file was written, but "
@@ -1500,26 +1506,29 @@ class Volume:
                     f"cannot reclaim manifest husk {path!r}")
             self._fs.remove(path)
 
-    def _read_bytes_retry(self, path: str, attempts: int = 3,
-                          delay: float = 0.05):
-        """``(bytes | None, last_error | None)`` — bounded read retry
-        for manifest-sized files on stores with transient read
-        failures. ONE retry policy for every plain-read site (as_of
-        resolution, publish read-back); callers classify the final
-        failure themselves, because the right error differs per site.
-        (The husk re-read in ``_publish_manifest`` stays separate: it
-        retries the PARSE, distinguishing torn-vs-valid, not the
-        read.)"""
+    @staticmethod
+    def _retry_store_op(fn, attempts: int = 3, delay: float = 0.05):
+        """``(result | None, last_error | None)`` — THE bounded-retry
+        policy for manifest-sized store accesses (reads, existence
+        probes) on stores with transient failures. Callers classify
+        the final failure themselves, because the right error differs
+        per site. (The husk re-read in ``_publish_manifest`` stays
+        separate: it retries the PARSE, distinguishing torn-vs-valid,
+        not the store op.)"""
         import time
 
         err = None
         for _ in range(attempts):
             try:
-                return self._fs.read_bytes(path), None
+                return fn(), None
             except Exception as e:
                 err = e
                 time.sleep(delay)
         return None, err
+
+    def _read_bytes_retry(self, path: str):
+        """(bytes | None, last_error | None) via :meth:`_retry_store_op`."""
+        return self._retry_store_op(lambda: self._fs.read_bytes(path))
 
     def _probe_generation_dirs(self, man: dict) -> None:
         """Liveness probe on a generation's referenced data: a
@@ -1531,27 +1540,31 @@ class Volume:
         DISTINCT top-level ``data/commit-*`` dir the entries reference
         — the exact granularity vacuum reclaims at, so a generation
         mixing surviving and reclaimed commits cannot slip through on
-        which dir a single sample happened to hit. Bounded by the
-        number of commits still referenced; only pin/as_of/restore and
-        the incremental-downsample old side pay it (pure manifest-diff
-        readers skip it — they never open the dirs). Each exists() is
-        retried like every other manifest-sized store access."""
-        import time
+        which dir a single sample happened to hit — PLUS one full leaf
+        path as a partial-reclamation sample (a crash mid-rmtree can
+        leave a commit dir whose leaves are gone). Bounded by the
+        number of commits still referenced and probed in parallel
+        (same fan-out as compact's listing); only pin/as_of/restore
+        and the incremental-downsample old side pay it (pure
+        manifest-diff readers skip it for the FROM side — they never
+        open those dirs). Each exists() rides the shared store-op
+        retry."""
+        from concurrent.futures import ThreadPoolExecutor
 
         entries = man.get("entries") or {}
         commits = sorted({rel.split("/")[1] for rel in entries.values()
                           if rel.startswith("data/")})
-        for c in commits:
-            path = f"{self.chunks_path}/data/{c}"
-            ok, err = None, None
-            for _ in range(3):
-                try:
-                    ok = self._fs.exists(path)
-                    err = None
-                    break
-                except Exception as e:
-                    err = e
-                    time.sleep(0.05)
+        probes = [f"data/{c}" for c in commits]
+        if entries:
+            probes.append(min(entries.values()))  # leaf sample
+
+        def probe(rel):
+            return rel, self._retry_store_op(
+                lambda: self._fs.exists(f"{self.chunks_path}/{rel}"))
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            results = list(ex.map(probe, probes))
+        for rel, (ok, err) in results:
             if err is not None:
                 raise ManifestError(
                     f"cannot verify data dirs of generation "
@@ -1561,9 +1574,10 @@ class Volume:
                 raise ManifestError(
                     f"manifest generation {man.get('generation')} under "
                     f"{self.chunks_path!r} is retained but its data dir "
-                    f"data/{c} was reclaimed (vacuumed by a pre-upgrade "
-                    "version that kept manifests without their dirs) — "
-                    "pick a newer generation"
+                    f"{rel} was reclaimed (vacuumed by a pre-upgrade "
+                    "version that kept manifests without their dirs, or "
+                    "partially reclaimed by a crashed cleaner) — pick a "
+                    "newer generation"
                 )
 
     def _union_slab_scans(self, by_mip: dict, manifest) -> Optional[DataFrame]:
@@ -1700,8 +1714,11 @@ class Volume:
         old = self._generation_or_raise(from_generation,
                                         probe_dirs=False)
         if to_generation is not None:
-            new = self._generation_or_raise(to_generation,
-                                            probe_dirs=False)
+            # the TO side's to_dir column is advertised as readable
+            # output ("read just to_dir of added/rewritten rows"), so
+            # it DOES get the liveness probe; only the from side is a
+            # pure diff input
+            new = self._generation_or_raise(to_generation)
         else:
             new = self._read_manifest()
             if new is None:

@@ -1737,27 +1737,59 @@ def test_pinned_generation_with_reclaimed_dirs_fails_loudly(
 
     from cloud_volume_spark.volume import ManifestError
 
-    _, vol = _mk_vol(spark, tmp_path, "reclaim", n=32, cs=16)
-    g1 = int(vol._read_manifest()["generation"])
-    man1 = vol._load_manifest_generation(g1)
-    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    import os as _os
+
+    # n=64 cs=8 -> 8 slabs, so generations can MIX commit dirs
+    _, vol = _mk_vol(spark, tmp_path, "reclaim", n=64, cs=8)
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(0, 0, 0))
     g2 = int(vol._read_manifest()["generation"])
     man2 = vol._load_manifest_generation(g2)
-    # simulate the pre-upgrade vacuum at its real granularity: reclaim
-    # whole data/commit-* dirs that only g1 references
-    only_g1 = ({rel.split("/")[1] for rel in man1["entries"].values()}
-               - {rel.split("/")[1] for rel in man2["entries"].values()})
-    assert only_g1
-    import os as _os
-    for c in only_g1:
+    assert len({r.split("/")[1] for r in man2["entries"].values()}) == 2
+    # head g3 rewrites the SAME slab, stranding g2's patch commit
+    vol.upload(np.full((8, 8, 8, 1), 5, np.uint32), offset=(0, 0, 0))
+    g3 = int(vol._read_manifest()["generation"])
+    man3 = vol._load_manifest_generation(g3)
+    only_g2 = ({rel.split("/")[1] for rel in man2["entries"].values()}
+               - {rel.split("/")[1] for rel in man3["entries"].values()})
+    assert len(only_g2) == 1  # g2 mixes a surviving + a reclaimed commit
+    for c in only_g2:
         _shutil.rmtree(_os.path.join(vol.chunks_path, "data", c))
 
+    # the probe must catch the reclaimed commit REGARDLESS of how its
+    # random hex name sorts against the surviving one (a single-sample
+    # min() probe passed ~50% of the time)
     with pytest.raises(ManifestError, match="reclaimed"):
-        Volume.open(spark, str(tmp_path / "reclaim"), generation=g1)
+        Volume.open(spark, str(tmp_path / "reclaim"), generation=g2)
     with pytest.raises(ManifestError, match="reclaimed"):
-        vol.restore(g1)
-    # pure manifest-diff readers never open the old dirs — the diff is
-    # computable and correct, so it is served, not refused
-    assert vol.changes(g1).count() > 0
+        vol.restore(g2)
+    # pure manifest-diff readers never open the FROM dirs — the diff is
+    # computable and correct, so it is served, not refused...
+    assert vol.changes(g2).count() > 0
+    # ...but an explicit TO generation advertises readable to_dir
+    # output, so it keeps the probe
+    with pytest.raises(ManifestError, match="reclaimed"):
+        vol.changes(1, g2)
     # the live head is untouched
-    assert (vol.cutout(Bbox((0, 0, 0), (32, 32, 32))) == 0).all()
+    assert (vol.cutout(Bbox((0, 0, 0), (8, 8, 8))) == 5).all()
+
+
+def test_feed_deep_gap_heals_on_next_commit(spark, tmp_path):
+    """A feed gap BEHIND a present successor file (crash after a feed
+    write but mid-repair) is still healed by the next commit — the gap
+    gate compares the full retained set, not just the predecessor, so
+    running streams eventually see the late file."""
+    import os as _os
+
+    _, vol = _mk_vol(spark, tmp_path, "feeddeep", n=64, cs=8)
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(0, 0, 0))
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(8, 0, 0))
+    gens = sorted(vol._manifest_generations())
+    deep = gens[-3]  # two generations behind the head
+    want = _feed_rows_on_disk(vol)[deep]
+    _os.remove(_os.path.join(vol.chunks_path, "feed",
+                             f"gen-{deep:012d}.json"))
+
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(16, 0, 0))
+    healed = _feed_rows_on_disk(vol)
+    assert healed[deep] == want
+    assert sorted(healed) == sorted(vol._manifest_generations())
