@@ -1249,8 +1249,13 @@ class Volume:
                 # full repair: an unhealable gap (predecessor vacuumed,
                 # torn husk) must not make every commit run a no-op
                 # repair pass forever
-                if self._missing_feed_entries():
-                    self.repair_feed()
+                missing = self._missing_feed_entries()
+                if missing:
+                    # pass the computed list: the lock is already held
+                    # re-entrantly, so there is no TOCTOU to re-guard,
+                    # and recomputing would double the store reads on
+                    # the commit critical path
+                    self.repair_feed(_entries=missing)
         except Exception as e:  # pragma: no cover - env-specific IO
             warnings.warn(
                 f"generation {generation}'s feed file was written, but "
@@ -1258,7 +1263,7 @@ class Volume:
                 "older generation may persist until the next commit or "
                 "a manual repair_feed()", RuntimeWarning)
 
-    def repair_feed(self) -> int:
+    def repair_feed(self, _entries=None) -> int:
         """Backfill missing feed files for every retained generation
         whose payload is still computable (a data-change generation N
         needs manifests N and N-1 on disk, N=1 diffs against the empty
@@ -1281,7 +1286,8 @@ class Volume:
         with self._commit_lock():
             fs.makedirs(f"{self.chunks_path}/feed")
             wrote = 0
-            for g, old, new in self._missing_feed_entries():
+            for g, old, new in (_entries if _entries is not None
+                                else self._missing_feed_entries()):
                 if fs.create_with_content(
                         self._feed_file(g),
                         self._feed_payload(g, old, new)):
@@ -1540,9 +1546,10 @@ class Volume:
         DISTINCT top-level ``data/commit-*`` dir the entries reference
         — the exact granularity vacuum reclaims at, so a generation
         mixing surviving and reclaimed commits cannot slip through on
-        which dir a single sample happened to hit — PLUS one full leaf
-        path as a partial-reclamation sample (a crash mid-rmtree can
-        leave a commit dir whose leaves are gone). Bounded by the
+        which dir a single sample happened to hit — PLUS one sampled
+        leaf path PER commit (partial-reclamation detection is
+        best-effort: an exists() sample cannot see a dir emptied
+        bottom-up; full coverage is the scan's job). Bounded by the
         number of commits still referenced and probed in parallel
         (same fan-out as compact's listing); only pin/as_of/restore
         and the incremental-downsample old side pay it (pure
@@ -1552,11 +1559,16 @@ class Volume:
         from concurrent.futures import ThreadPoolExecutor
 
         entries = man.get("entries") or {}
-        commits = sorted({rel.split("/")[1] for rel in entries.values()
-                          if rel.startswith("data/")})
-        probes = [f"data/{c}" for c in commits]
-        if entries:
-            probes.append(min(entries.values()))  # leaf sample
+        by_commit: dict = {}
+        for rel in entries.values():
+            if rel.startswith("data/"):
+                c = rel.split("/")[1]
+                if c not in by_commit or rel < by_commit[c]:
+                    by_commit[c] = rel
+        # one top-level dir probe + one sampled leaf PER commit (same
+        # cardinality, real per-commit coverage)
+        probes = sorted(f"data/{c}" for c in by_commit)
+        probes += sorted(by_commit.values())
 
         def probe(rel):
             return rel, self._retry_store_op(
@@ -1595,10 +1607,14 @@ class Volume:
                              probe_dirs: bool = True) -> dict:
         """Load a specific retained generation, loudly — manifest AND
         (by default) a data-dir liveness probe. Pure manifest-diff
-        readers (:meth:`changes`, :meth:`changed_chunks_df`) pass
-        ``probe_dirs=False``: they never open the old dirs, so a
-        pre-upgrade-vacuumed table still gets its computable, correct
-        diff instead of a refusal. Generation 0 is the empty table
+        readers (:meth:`changes` — BOTH endpoints — and
+        :meth:`changed_chunks_df`'s from side) pass
+        ``probe_dirs=False``: they never open those dirs themselves,
+        so a pre-upgrade-vacuumed table still gets its computable,
+        correct diff instead of a refusal; a consumer that then opens
+        ``from_dir``/``to_dir`` paths directly takes on the liveness
+        risk (pin the generation with ``open(generation=N)`` to get
+        the probe). Generation 0 is the empty table
         (before the first publish) — a valid diff base: ``changes(0)``
         is 'everything ever committed'."""
         g = int(generation)
@@ -1701,9 +1717,15 @@ class Volume:
         Driver-side manifest diff (entry counts are bounded by the
         ``slab_shift`` knob — the same bound that keeps the manifest
         readable per query) returned as a DataFrame for joining against
-        chunk scans. Raises :class:`ManifestError` if either generation
-        fell out of vacuum retention; ``to_generation=None`` means the
-        current generation."""
+        chunk scans. Raises :class:`ManifestError` if either
+        generation's MANIFEST fell out of vacuum retention;
+        ``to_generation=None`` means the current generation. Dir
+        LIVENESS is deliberately not checked (the diff itself opens no
+        dirs, and refusing a computable diff because a pre-upgrade
+        vacuum reclaimed old dirs would be worse) — a consumer reading
+        ``from_dir``/``to_dir`` paths directly takes on that risk;
+        :meth:`changed_chunks_df` reads through the live head and
+        ``open(generation=N)`` probes before serving."""
         if (to_generation is not None
                 and int(from_generation) > int(to_generation)):
             raise ValueError(
@@ -1714,11 +1736,8 @@ class Volume:
         old = self._generation_or_raise(from_generation,
                                         probe_dirs=False)
         if to_generation is not None:
-            # the TO side's to_dir column is advertised as readable
-            # output ("read just to_dir of added/rewritten rows"), so
-            # it DOES get the liveness probe; only the from side is a
-            # pure diff input
-            new = self._generation_or_raise(to_generation)
+            new = self._generation_or_raise(to_generation,
+                                            probe_dirs=False)
         else:
             new = self._read_manifest()
             if new is None:

@@ -1762,13 +1762,12 @@ def test_pinned_generation_with_reclaimed_dirs_fails_loudly(
         Volume.open(spark, str(tmp_path / "reclaim"), generation=g2)
     with pytest.raises(ManifestError, match="reclaimed"):
         vol.restore(g2)
-    # pure manifest-diff readers never open the FROM dirs — the diff is
-    # computable and correct, so it is served, not refused...
+    # pure manifest-diff readers open no dirs at all — computable,
+    # correct diffs are served, not refused, for ANY endpoints
+    # (consumers reading the dir paths directly take on the liveness
+    # risk; the probed path is open(generation=N))
     assert vol.changes(g2).count() > 0
-    # ...but an explicit TO generation advertises readable to_dir
-    # output, so it keeps the probe
-    with pytest.raises(ManifestError, match="reclaimed"):
-        vol.changes(1, g2)
+    assert vol.changes(1, g2).count() > 0
     # the live head is untouched
     assert (vol.cutout(Bbox((0, 0, 0), (8, 8, 8))) == 5).all()
 
