@@ -1792,3 +1792,72 @@ def test_feed_deep_gap_heals_on_next_commit(spark, tmp_path):
     healed = _feed_rows_on_disk(vol)
     assert healed[deep] == want
     assert sorted(healed) == sorted(vol._manifest_generations())
+
+
+def test_compact_crash_before_publish_leaves_table_intact(
+        spark, tmp_path, monkeypatch):
+    """A compaction that dies between staging and manifest publish must
+    leave the table byte-identical (snapshot semantics: unpublished
+    staging is invisible) and its orphan data dir reclaimable by
+    vacuum."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(Volume, "_commit_bucket",
+                        lambda self: F.col("morton"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        arr, vol = _mk_vol(spark, tmp_path, "cmpcrash", n=64, cs=16)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    man_before = vol._read_manifest()
+    dirs_before = set(_os.listdir(_os.path.join(vol.chunks_path, "data")))
+
+    boom = RuntimeError("injected crash before publish")
+
+    def die(*a, **k):
+        raise boom
+
+    monkeypatch.setattr(vol, "_publish_manifest", die)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        vol.compact()
+    monkeypatch.undo()
+
+    # table unchanged: same generation, same entries, same content
+    man_after = vol._read_manifest()
+    assert man_after["generation"] == man_before["generation"]
+    assert man_after["entries"] == man_before["entries"]
+    assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+    # the staged-but-unpublished commit dir is an orphan vacuum reclaims
+    orphans = set(_os.listdir(_os.path.join(vol.chunks_path, "data"))) \
+        - dirs_before
+    assert orphans
+    vol.vacuum()
+    left = set(_os.listdir(_os.path.join(vol.chunks_path, "data")))
+    assert not (orphans & left)
+    assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+
+
+def test_restore_crash_or_conflict_changes_nothing(spark, tmp_path,
+                                                   monkeypatch):
+    """restore() is ONE manifest PUT — a publish failure leaves head,
+    history, and feed exactly as they were."""
+    arr, vol = _mk_vol(spark, tmp_path, "restcrash", n=32, cs=16)
+    g1 = int(vol._read_manifest()["generation"])
+    vol.upload(np.zeros((16, 16, 16, 1), np.uint32), offset=(0, 0, 0))
+    feed_before = _feed_rows_on_disk(vol)
+    man_before = vol._read_manifest()
+
+    def die(*a, **k):
+        raise RuntimeError("injected publish failure")
+
+    monkeypatch.setattr(vol, "_publish_manifest", die)
+    with pytest.raises(RuntimeError, match="injected publish"):
+        vol.restore(g1)
+    monkeypatch.undo()
+
+    assert vol._read_manifest() == man_before
+    assert _feed_rows_on_disk(vol) == feed_before
