@@ -1851,6 +1851,107 @@ class Volume:
                 out.append(row)
         return out
 
+    def fsck(self) -> dict:
+        """Read-only invariant check over the whole table — the
+        operations tool every production table format ships (Delta's
+        FSCK analog). Verifies, WITHOUT mutating anything:
+
+        - every retained generation's referenced ``data/commit-*``
+          dirs exist (``missing_dirs``: generations pointing at
+          reclaimed dirs — unservable for time travel/restore);
+        - unreferenced ``data/commit-*`` dirs (``orphan_dirs``:
+          crashed commits' staging or vacuum candidates);
+        - the feed log is gap-free, splitting gaps into ``healable``
+          (``repair_feed()`` will close them) and ``lost`` (predecessor
+          manifest vacuumed — consumers must batch-restart);
+        - a held commit-lock file (``lock_held`` — a writer is active,
+          or crashed without cleanup) and crash-orphaned publish tmps
+          (``stale_tmps`` — vacuum reclaims them);
+        - torn manifest husks (``torn_husks`` — crashed publishes,
+          reclaimed at the next publish of that generation).
+
+        Driver-side, bounded by retention × referenced-commit count
+        (probes fan out 16-way like compact's listing). Returns the
+        report dict; ``report["ok"]`` is True when nothing is wrong
+        beyond normal operation (orphans awaiting vacuum and an
+        actively-held lock do NOT fail it — they are states the
+        protocol expects)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        fs = self._fs
+        report: dict = {"generation": None, "missing_dirs": {},
+                        "orphan_dirs": [], "feed_gaps_healable": [],
+                        "feed_gaps_lost": [], "torn_husks": [],
+                        "lock_held": False, "stale_tmps": []}
+        man = self._read_manifest()
+        if man is None:
+            report["ok"] = True
+            report["note"] = ("no manifest: empty table or legacy "
+                              "layout (fsck covers manifest tables)")
+            return report
+        report["generation"] = int(man.get("generation", 0))
+        gens = self._manifest_generations()
+        referenced: set = set()
+        mans: dict = {}
+        for g in gens:
+            try:
+                mans[g] = self._load_manifest_generation(g)
+            except Exception:
+                report["torn_husks"].append(int(g))
+        # dir liveness per retained generation, at vacuum's granularity
+        probes = []
+        for g, m in mans.items():
+            for rel in m.get("entries", {}).values():
+                if rel.startswith("data/"):
+                    c = rel.split("/")[1]
+                    referenced.add(c)
+                    probes.append((g, c))
+        uniq = sorted({c for _, c in probes})
+
+        def exists_c(c):
+            return c, self._retry_store_op(
+                lambda: fs.exists(f"{self.chunks_path}/data/{c}"))
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            alive = {c: ok for c, (ok, err) in ex.map(exists_c, uniq)}
+        for g, c in probes:
+            if not alive.get(c, False):
+                report["missing_dirs"].setdefault(int(g), []).append(c)
+        for g in report["missing_dirs"]:
+            report["missing_dirs"][g] = sorted(set(
+                report["missing_dirs"][g]))
+        # orphans: dirs no retained generation references
+        for d in fs.listdir(f"{self.chunks_path}/data"):
+            if d.startswith("commit-") and d not in referenced:
+                report["orphan_dirs"].append(d)
+        # feed-log gaps, split by healability (the single rule)
+        feed_dir = f"{self.chunks_path}/feed"
+        have = set(fs.listdir(feed_dir)) if fs.exists(feed_dir) else set()
+        healable = {g for g, _, _ in self._missing_feed_entries()}
+        for g in gens:
+            if self._feed_file(g).rsplit("/", 1)[1] in have:
+                continue
+            if g in report["torn_husks"]:
+                continue  # not a commit, so not a gap
+            (report["feed_gaps_healable"] if g in healable
+             else report["feed_gaps_lost"]).append(int(g))
+        # lock + crash tmps
+        report["lock_held"] = fs.exists(self._commit_lock_path)
+        for where in (self.chunks_path, feed_dir):
+            if not fs.exists(where):
+                continue
+            for n in fs.listdir(where):
+                if fs.is_publish_tmp(n):
+                    report["stale_tmps"].append(n)
+        # missing dirs on the CURRENT generation break live reads; on
+        # older ones they break time travel — both are findings. Torn
+        # husks, lost feed gaps: findings. Orphans/lock/tmps: normal
+        # operation or awaiting vacuum.
+        report["ok"] = not (report["missing_dirs"]
+                            or report["feed_gaps_lost"]
+                            or report["torn_husks"])
+        return report
+
     def vacuum(self, keep_manifests: int = 3) -> int:
         """Reclaim data dirs and manifest files outside the retention
         window: the newest ``keep_manifests`` generations survive

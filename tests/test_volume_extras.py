@@ -1861,3 +1861,56 @@ def test_restore_crash_or_conflict_changes_nothing(spark, tmp_path,
 
     assert vol._read_manifest() == man_before
     assert _feed_rows_on_disk(vol) == feed_before
+
+
+def test_fsck_reports_protocol_state(spark, tmp_path):
+    """fsck(): clean table reports ok; injected faults (orphan dir,
+    held lock, stale tmp, feed gap, torn husk, reclaimed dirs) each
+    show up in the right bucket with ok reflecting only genuine
+    damage."""
+    import json as _json
+    import os as _os
+
+    _, vol = _mk_vol(spark, tmp_path, "fsck", n=64, cs=8)
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(0, 0, 0))
+    r = vol.fsck()
+    assert r["ok"] and not r["orphan_dirs"] and not r["missing_dirs"]
+    assert not r["feed_gaps_healable"] and not r["feed_gaps_lost"]
+    assert not r["lock_held"] and not r["stale_tmps"]
+    assert r["generation"] == int(vol._read_manifest()["generation"])
+
+    # normal-operation states: reported, but not failures
+    _os.makedirs(_os.path.join(vol.chunks_path, "data", "commit-orphan"))
+    assert vol._fs.create_exclusive(vol._commit_lock_path)
+    with open(_os.path.join(vol.chunks_path, "feed",
+                            ".gen-x.json.w1-aa"), "wb") as f:
+        f.write(b"t")
+    top = int(vol._read_manifest()["generation"])
+    _os.remove(_os.path.join(vol.chunks_path, "feed",
+                             f"gen-{top:012d}.json"))
+    r = vol.fsck()
+    assert r["ok"]
+    assert r["orphan_dirs"] == ["commit-orphan"]
+    assert r["lock_held"] and r["stale_tmps"] == [".gen-x.json.w1-aa"]
+    assert r["feed_gaps_healable"] == [top] and not r["feed_gaps_lost"]
+    vol._fs.remove(vol._commit_lock_path)
+
+    # genuine damage: a torn husk and a generation with reclaimed dirs
+    # (rewrite the SAME slab so the middle generation's patch commit is
+    # unique to it, then reclaim that commit)
+    vol.upload(np.full((8, 8, 8, 1), 3, np.uint32), offset=(0, 0, 0))
+    top = int(vol._read_manifest()["generation"])
+    vol._fs.write_bytes(vol._manifest_file(top + 1), b"{torn")
+    man1 = vol._load_manifest_generation(top - 1)
+    man2 = vol._load_manifest_generation(top)
+    only_old = ({rel.split("/")[1] for rel in man1["entries"].values()}
+                - {rel.split("/")[1] for rel in man2["entries"].values()})
+    assert only_old
+    import shutil as _shutil
+    for c in only_old:
+        _shutil.rmtree(_os.path.join(vol.chunks_path, "data", c))
+    r = vol.fsck()
+    assert not r["ok"]
+    assert r["torn_husks"] == [top + 1]
+    assert sorted(r["missing_dirs"]) == [top - 1]
+    assert sorted(r["missing_dirs"][top - 1]) == sorted(only_old)
