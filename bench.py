@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "doc_context_windows",
     "doc_policy_scan",
     "simhash_fingerprints",
+    "vox_changes_feed",
+    "embedding_quantize_int8",
     "ann_topk_cosine",
     "embedding_neardup_pairs",
     "embedding_dedup_keep",
@@ -528,31 +530,38 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": full["sf"],
-        # ultra-compact block keys — the r7 measurement showed the
-        # previous names pushed the line past 1985, so env was ALWAYS
-        # dropped and survived only as the last ~24 chars of the FULL
-        # line inside the driver's 2,000-char tail (one more query and
-        # the noise-normalization data would vanish entirely). Full
-        # names live in BENCH_FULL.json / the FULL line.
-        "vol": {"w": round(vol_stats["write_mbps"]),
-                "r": round(vol_stats["read_mbps"])},
-        "seg": {"w": round(seg_stats["write_mbps"]),
-                "r": round(seg_stats["read_mbps"]),
-                "u": seg_stats["unique_sec"]},
-        "sp": {"b": spatial_stats["build_sec"],
-               "mb": spatial_stats["index_mb"]},
-        "an": {"e": anno_stats["export_sec"],
-               "q": anno_stats["bbox_query_sec"]},
-        "env": {"l1": env["load1"], "cp": env["cpu_probe_sec"]},
+        # single flat block (r9): the five nested blocks of r8 cost
+        # ~8 chars of wrapper each; merging them bought the ~32 chars
+        # needed to add vox_changes_feed + embedding_quantize_int8 to
+        # BENCH_QUERIES without dropping the annotation numbers.
+        # vw/vr = volume write/read MB/s, sw/sr/su = seg write/read
+        # MB/s + unique sec, ib/im = spatial-index build sec / MB,
+        # ae/aq = annotation export / bbox-query sec, l1/cp = load1 /
+        # cpu-probe sec. Full names live in BENCH_FULL.json / FULL line.
+        "b": {
+            "vw": round(vol_stats["write_mbps"]),
+            "vr": round(vol_stats["read_mbps"]),
+            "sw": round(seg_stats["write_mbps"]),
+            "sr": round(seg_stats["read_mbps"]),
+            "su": round(seg_stats["unique_sec"], 2),
+            "ib": round(spatial_stats["build_sec"], 2),
+            "im": round(spatial_stats["index_mb"]),
+            "ae": round(anno_stats["export_sec"], 2),
+            "aq": round(anno_stats["bbox_query_sec"], 2),
+            "l1": env["load1"],
+            "cp": round(env["cpu_probe_sec"], 2),
+        },
     }
     # 1985 leaves >= 14 chars of margin inside the driver's 2,000-char
-    # tail (line + newline must fit entirely). env now drops LAST: it
-    # is what makes rounds comparable on this noisy shared host.
+    # tail (line + newline must fit entirely). The guard drops single
+    # flat keys, least-critical first; l1/cp drop LAST — they are what
+    # makes rounds comparable on this noisy shared host.
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("an", "sp", "seg", "vol", "env"):
+    for drop in ("ae", "aq", "ib", "im", "sw", "sr", "su", "vw", "vr",
+                 "l1", "cp"):
         if len(line) <= 1985:
             break
-        compact.pop(drop)
+        compact["b"].pop(drop)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

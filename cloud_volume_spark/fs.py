@@ -205,24 +205,73 @@ class PathOps:
         os.close(fd)
         return True
 
-    # Py4J-wrapped Java exception signatures that mean "another writer
-    # already created the target" — a LOST RACE, the one outcome the
-    # create-if-absent primitives report as False. Anything else
-    # (network, auth, throttling) propagates: mapping a transient 503
-    # to "lock held / publish conflict" would send operators hunting a
-    # lock file that does not exist.
+    # Exception signatures that mean "another writer already created
+    # the target" — a LOST RACE, the one outcome the create-if-absent
+    # primitives report as False. Anything else (network, auth,
+    # throttling) propagates: mapping a transient 503 to "lock held /
+    # publish conflict" would send operators hunting a lock file that
+    # does not exist.
+    #
+    # Java exceptions (the real store path) are classified by EXACT
+    # class simple-name over the ``getCause()`` chain — a genuine IO
+    # failure whose stringified stack trace merely *mentions*
+    # "PreconditionFailed" (a proxy error body echoed into a message, a
+    # wrapped retry trace) must propagate, not read as "exists". The
+    # substring probe survives only for non-Py4J exceptions (pure-
+    # Python store wrappers and test fakes), where the message is all
+    # there is.
+    _RACE_CLASS_NAMES = frozenset({
+        "FileAlreadyExistsException",    # o.a.h.fs + java.nio.file
+        "PathExistsException",           # o.a.h.fs create(overwrite=F)
+        "AlreadyBeingCreatedException",  # HDFS lease contention
+        "RemoteFileChangedException",    # S3A conditional-create reject
+    })
     _RACE_MARKERS = (
         "FileAlreadyExistsException",
-        "AlreadyBeingCreatedException",   # HDFS lease contention
-        "RemoteFileChangedException",     # S3A conditional-create reject
+        "AlreadyBeingCreatedException",
+        "RemoteFileChangedException",
         "PreconditionFailed",
         "Status Code: 412",               # raw S3 If-None-Match failure
     )
 
     @classmethod
     def _is_lost_race(cls, exc: Exception) -> bool:
-        s = repr(exc) + str(exc)
-        return any(m in s for m in cls._RACE_MARKERS)
+        je = getattr(exc, "java_exception", None)
+        if je is None:
+            s = repr(exc) + str(exc)
+            return any(m in s for m in cls._RACE_MARKERS)
+        hops = 0
+        while je is not None and hops < 8:
+            try:
+                name = je.getClass().getName()
+            except Exception:
+                break
+            if name.rsplit(".", 1)[-1] in cls._RACE_CLASS_NAMES:
+                return True
+            # AWS/GCS service exceptions carry the HTTP status as a
+            # field; 412 = If-None-Match / generation-match reject.
+            # The probe targets the exception's OWN structured status,
+            # never the stringified trace of its causes.
+            for probe in ("statusCode", "getStatusCode"):
+                try:
+                    if int(getattr(je, probe)()) == 412:
+                        return True
+                except Exception:
+                    pass
+            # raw-412 fallback for SDKs that only template the status
+            # into the immediate message (kept per-frame and exact —
+            # "Status Code: 412" is the AWS SDK's own format string)
+            try:
+                if "Status Code: 412" in (je.getMessage() or ""):
+                    return True
+            except Exception:
+                pass
+            try:
+                je = je.getCause()
+            except Exception:
+                break
+            hops += 1
+        return False
 
     def _jvm_create_exclusive(self, path: str) -> bool:
         """The generic-store lock primitive (what runs on hdfs/s3a/gs):

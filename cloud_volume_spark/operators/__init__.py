@@ -15,22 +15,22 @@ from cloud_volume_spark import multimodal
 # registered queries; the order rotates per round so every query gets a
 # driver row across consecutive rounds, with tests/test_oracle_parity.py
 # running ALL queries against DuckDB as the local backstop.
-# ROUND-8 ROTATION (executing the round-7 note): `relational` returns
-# to the front — its 20 queries sat outside the round-7 window (all
-# green in CORRECTNESS_r06).  `corpus`/`multimodal`/`similarity`/
-# `curation` stay in-window (fresh r7 green, and they hold this round's
-# changes if any).  Out this round — green in BOTH the r6 and r7
-# windows, the safest to rotate: dedup(7) + text(7) and the tail of
-# voxel_rel.  With 72 queries the window = relational(20) + corpus(8) +
-# multimodal(5) + similarity(8) + curation(8) + voxel_rel(first 1) =
-# exactly 50; the two NEW-this-round queries sit in-window on arrival
-# (embedding_quantize_int8 first in similarity, vox_changes_feed first
-# in voxel_rel), displacing vox_label_histogram (green in both the r6
-# and r7 windows).  ROUND-9 ROTATION: voxel_rel/dedup/text back to the
-# front; relational can rotate out again once its r8 rows are green.
+# ROUND-9 ROTATION (executing the round-8 note): `voxel_rel`/`dedup`/
+# `text` return to the front — their 22 rotated-out queries were last
+# driver-verified in r7 (voxel_rel's head, vox_changes_feed +
+# vox_label_histogram substitutions aside, plus dedup(7) + text(7)).
+# `corpus`/`multimodal`/`similarity` stay in-window.  Out this round —
+# fresh green in the r8 window, the safest to rotate: relational(20)
+# and the tail of curation.  With 72 queries the window =
+# voxel_rel(9) + dedup(7) + text(7) + corpus(8) + multimodal(5) +
+# similarity(8) + curation(first 6) = exactly 50; out-of-window =
+# curation's doc_perplexity + corpus_shuffle and relational(20), all
+# green in CORRECTNESS_r08, so the r8∪r9 union keeps every registered
+# query on a fresh-within-two-rounds driver row.  ROUND-10 ROTATION:
+# relational + curation tail back to the front.
 ALL_MODULES = [
-    relational, corpus, multimodal, similarity, curation, voxel_rel,
-    dedup, text,
+    voxel_rel, dedup, text, corpus, multimodal, similarity, curation,
+    relational,
 ]
 
 

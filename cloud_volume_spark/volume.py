@@ -245,7 +245,14 @@ class Volume:
             vol._pinned_manifest = man  # already fetched + parsed
         elif generation is not None:
             vol._pinned_generation = int(generation)
-            vol._read_manifest()  # fail fast on a vacuumed/absent pin
+            if vol._pinned_generation == 0:
+                # generation 0 is the empty table before the first
+                # publish — the same pinned-empty-snapshot definition
+                # changes(0) and restore(0) use (_generation_or_raise);
+                # there is no manifest-000000000000.json file to load.
+                vol._pinned_manifest = {"generation": 0, "entries": {}}
+            else:
+                vol._read_manifest()  # fail fast on vacuumed/absent pin
         return vol
 
     def _generation_as_of(self, ts) -> tuple:
@@ -281,6 +288,7 @@ class Volume:
             if self._fs.exists(pointer):
                 candidates = [(None, pointer)]
         unstamped = None  # newest readable generation with no stamp
+        saw_stamped = False
         for g, path in candidates:
             raw, err = self._read_bytes_retry(path)
             if err is not None:
@@ -300,14 +308,26 @@ class Volume:
                 if unstamped is None:
                     unstamped = (int(man.get("generation") or 0), man)
                 continue  # keep looking for a stamped qualifier
+            saw_stamped = True
             if float(at) <= ts:
                 return int(man.get("generation") or 0), man
-        if unstamped is not None:
+        if unstamped is not None and not saw_stamped:
+            # a PURE pre-stamp table: every retained generation predates
+            # commit stamping, so no ordering vs ts is derivable at all
+            # and the newest is the documented last resort. The moment
+            # ANY stamped generation exists, this fallback is off: when
+            # all stamps postdate ts, ts predates the (known) table
+            # history and serving unstamped-newest would present current
+            # data as a historical snapshot — raise instead, matching
+            # Delta's TIMESTAMP AS OF out-of-range. Pin unstamped
+            # generations with generation=N.
             return unstamped
         raise ManifestError(
             f"no retained manifest generation at or before timestamp "
-            f"{ts} under {self.chunks_path!r} — older generations may "
-            f"have been vacuumed; retained: {gens[:6]}"
+            f"{ts} under {self.chunks_path!r} — the timestamp predates "
+            f"the retained history (or older generations were "
+            f"vacuumed); retained: {gens[:6]}. Unstamped (pre-stamping) "
+            f"generations can only be opened with generation=N."
         )
 
     @classmethod
@@ -1875,14 +1895,20 @@ class Volume:
         report dict; ``report["ok"]`` is True when nothing is wrong
         beyond normal operation (orphans awaiting vacuum and an
         actively-held lock do NOT fail it — they are states the
-        protocol expects)."""
+        protocol expects). Dirs whose existence probe ERRORED after
+        retries (throttle, network) are UNKNOWN, not missing: they go
+        to ``probe_errors`` — rerun fsck to resolve them — and never
+        count as ``missing_dirs`` or fail ``ok`` (the same transient/
+        confirmed-absent split ``_probe_generation_dirs`` makes by
+        raising 'transient; retry')."""
         from concurrent.futures import ThreadPoolExecutor
 
         fs = self._fs
         report: dict = {"generation": None, "missing_dirs": {},
                         "orphan_dirs": [], "feed_gaps_healable": [],
                         "feed_gaps_lost": [], "torn_husks": [],
-                        "lock_held": False, "stale_tmps": []}
+                        "lock_held": False, "stale_tmps": [],
+                        "probe_errors": []}
         man = self._read_manifest()
         if man is None:
             report["ok"] = True
@@ -1913,9 +1939,16 @@ class Volume:
                 lambda: fs.exists(f"{self.chunks_path}/data/{c}"))
 
         with ThreadPoolExecutor(max_workers=16) as ex:
-            alive = {c: ok for c, (ok, err) in ex.map(exists_c, uniq)}
+            outcome = {c: res for c, res in ex.map(exists_c, uniq)}
+        # a probe that ERRORED (throttle, network) is UNKNOWN, not
+        # absent — reporting it under missing_dirs would present a
+        # transient store hiccup as vacuum damage (and flip ok False).
+        # Such dirs go to probe_errors; rerun fsck to resolve them.
+        failed = {c for c, (_, err) in outcome.items() if err is not None}
+        report["probe_errors"] = sorted(failed)
+        alive = {c: ok for c, (ok, err) in outcome.items() if err is None}
         for g, c in probes:
-            if not alive.get(c, False):
+            if c not in failed and not alive.get(c, False):
                 report["missing_dirs"].setdefault(int(g), []).append(c)
         for g in report["missing_dirs"]:
             report["missing_dirs"][g] = sorted(set(

@@ -232,6 +232,92 @@ def test_lost_race_classifier():
         assert not PathOps._is_lost_race(e), e
 
 
+class _JClass:
+    def __init__(self, name):
+        self._name = name
+
+    def getName(self):
+        return self._name
+
+
+class _JThrowable:
+    """Py4J-shaped Java throwable: class name + message + cause."""
+
+    def __init__(self, cls_name, message="", cause=None, status=None):
+        self._cls, self._msg, self._cause = cls_name, message, cause
+        self._status = status
+
+    def getClass(self):
+        return _JClass(self._cls)
+
+    def getMessage(self):
+        return self._msg
+
+    def getCause(self):
+        return self._cause
+
+    def statusCode(self):
+        if self._status is None:
+            raise AttributeError("no status")
+        return self._status
+
+
+class _JError(Exception):
+    def __init__(self, jexc):
+        super().__init__("py4j wrapped")
+        self.java_exception = jexc
+
+
+def test_lost_race_java_classification():
+    """Java exceptions classify by exact class name over the cause
+    chain — a genuine IO failure whose MESSAGE merely mentions a race
+    marker must propagate (the r8 verdict's false-positive direction),
+    while a marker class buried in the cause chain still reads as a
+    lost race."""
+    # false-positive direction: message echoes markers, class is IO
+    echoed = _JError(_JThrowable(
+        "java.io.IOException",
+        "proxy said: PreconditionFailed / "
+        "FileAlreadyExistsException while uploading"))
+    assert not PathOps._is_lost_race(echoed)
+    # ...even when the echo sits in a nested cause's message
+    nested_echo = _JError(_JThrowable(
+        "java.io.IOException", "upload failed",
+        cause=_JThrowable(
+            "java.net.SocketTimeoutException",
+            "retry trace mentioned RemoteFileChangedException")))
+    assert not PathOps._is_lost_race(nested_echo)
+
+    # true positives: exact class, top-level or via the cause chain
+    assert PathOps._is_lost_race(_JError(_JThrowable(
+        "org.apache.hadoop.fs.FileAlreadyExistsException", "exists")))
+    assert PathOps._is_lost_race(_JError(_JThrowable(
+        "java.io.IOException", "create failed",
+        cause=_JThrowable(
+            "org.apache.hadoop.fs.s3a.RemoteFileChangedException",
+            "precondition"))))
+    # structured 412 status on the exception itself
+    assert PathOps._is_lost_race(_JError(_JThrowable(
+        "software.amazon.awssdk.services.s3.model.S3Exception",
+        "At least one precondition failed", status=412)))
+    # raw-SDK message-templated 412 (AWS format string, own frame only)
+    assert PathOps._is_lost_race(_JError(_JThrowable(
+        "com.amazonaws.services.s3.model.AmazonS3Exception",
+        "If-None-Match (Service: Amazon S3; Status Code: 412)")))
+    # a 503 throttle never reads as a race, even with a cause chain
+    assert not PathOps._is_lost_race(_JError(_JThrowable(
+        "java.io.IOException", "throttled",
+        cause=_JThrowable(
+            "software.amazon.awssdk.services.s3.model.S3Exception",
+            "Slow Down (Service: S3; Status Code: 503)", status=503))))
+    # unreadable cause chain breaks the walk without raising
+    class _Broken(_JThrowable):
+        def getCause(self):
+            raise RuntimeError("gateway gone")
+    assert not PathOps._is_lost_race(_JError(_Broken(
+        "java.io.IOException", "hmm")))
+
+
 def test_jvm_create_exclusive_propagates_genuine_failures(spark, tmp_path):
     """On a conditional-create store, a transient create() failure must
     propagate — reporting it as 'lock held' sends operators hunting a

@@ -1914,3 +1914,85 @@ def test_fsck_reports_protocol_state(spark, tmp_path):
     assert r["torn_husks"] == [top + 1]
     assert sorted(r["missing_dirs"]) == [top - 1]
     assert sorted(r["missing_dirs"][top - 1]) == sorted(only_old)
+
+
+def test_as_of_before_stamped_history_raises(spark, tmp_path):
+    """as_of earlier than EVERY stamped generation is out-of-range
+    (Delta's TIMESTAMP AS OF behavior) — the unstamped-newest fallback
+    applies only to pure pre-stamp tables, never when any stamped
+    generation proves ts predates the known history."""
+    import json as _json
+
+    from cloud_volume_spark.volume import ManifestError
+
+    _, vol = _mk_vol(spark, tmp_path, "asofpre")
+    with pytest.raises(ManifestError, match="predates"):
+        vol._generation_as_of(0.0)
+
+    # mixed table: strip ONE generation's stamp (old-version writer) —
+    # a pre-history ts must still raise, not serve the unstamped gen
+    vol.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    top = vol._manifest_generations()[0]
+    m = _json.loads(vol._fs.read_bytes(vol._manifest_file(top)))
+    m.pop("committed_at", None)
+    vol._fs.write_bytes(vol._manifest_file(top),
+                        _json.dumps(m, sort_keys=True).encode())
+    with pytest.raises(ManifestError, match="generation=N"):
+        vol._generation_as_of(0.0)
+    with pytest.raises(ManifestError):
+        Volume.open(spark, str(tmp_path / "asofpre"), as_of=0.0)
+
+
+def test_open_generation_zero_is_empty_snapshot(spark, tmp_path):
+    """open(generation=0) pins the empty table before the first
+    publish — the same definition changes(0) and restore(0) use — and
+    behaves like any other pinned snapshot (read-only, fill-missing
+    reads), instead of raising a misleading 'vacuumed' ManifestError."""
+    arr, vol = _mk_vol(spark, tmp_path, "genzero")
+    v0 = Volume.open(spark, str(tmp_path / "genzero"), generation=0)
+    assert v0._read_manifest() == {"generation": 0, "entries": {}}
+    out = v0.cutout(Bbox((0, 0, 0), (32, 32, 32)), fill_missing=True)
+    assert (out == 0).all()
+    with pytest.raises(Exception, match="generation 0|time-travel"):
+        v0.upload(np.zeros((32, 32, 32, 1), np.uint32), offset=(0, 0, 0))
+    # the live head is untouched
+    assert np.array_equal(
+        vol.cutout(Bbox((0, 0, 0), (64, 64, 64))), arr)
+
+
+def test_fsck_probe_error_is_not_vacuum_damage(spark, tmp_path):
+    """A dir-existence probe that ERRORS after retries (throttle) is
+    UNKNOWN, not absent: fsck lists it under probe_errors and neither
+    counts it as missing_dirs nor flips ok — a throttled store must
+    not read as vacuum damage."""
+    import os
+
+    _, vol = _mk_vol(spark, tmp_path, "fsckpe", n=64, cs=8)
+    man = vol._read_manifest()
+    victim = sorted(
+        rel.split("/")[1] for rel in man["entries"].values()
+        if rel.startswith("data/"))[0]
+
+    real_exists = vol._fs.exists
+
+    def flaky_exists(path):
+        if path.endswith(f"/data/{victim}"):
+            raise RuntimeError("503 Slow Down")
+        return real_exists(path)
+
+    vol._fs.exists = flaky_exists
+    try:
+        r = vol.fsck()
+    finally:
+        vol._fs.exists = real_exists
+    assert r["probe_errors"] == [victim]
+    assert not r["missing_dirs"]
+    assert r["ok"]
+
+    # a CONFIRMED-absent dir still reports as damage
+    import shutil as _shutil
+    _shutil.rmtree(os.path.join(vol.chunks_path, "data", victim))
+    r = vol.fsck()
+    assert not r["ok"]
+    assert not r["probe_errors"]
+    assert victim in r["missing_dirs"][int(man["generation"])]
