@@ -181,10 +181,14 @@ class Bbox:
             + offset
         )
         maxpt = np.floor_divide(self.maxpt - offset, chunk_size) * chunk_size + offset
-        result = Bbox(minpt, maxpt)
-        if result.empty():
+        # collapse to a point only when an axis INVERTS (box inside a
+        # single chunk); a zero-width slab (minpt == maxpt on an axis)
+        # survives as-is — the reference's exact contract
+        # (lib.py:836-840), verified by test_reference_interop's
+        # randomized sweep against the reference's own Bbox.
+        if np.any(minpt > maxpt):
             return Bbox(minpt, minpt)
-        return result
+        return Bbox(minpt, maxpt)
 
     def round_to_chunk_size(self, chunk_size: Sequence, offset: Sequence = (0, 0, 0)) -> "Bbox":
         """Round each face to the nearest chunk boundary."""
