@@ -433,6 +433,17 @@ class PathOps:
         if self._fs.exists(p):
             self._fs.delete(p, False)
 
+    def mtime(self, path: str) -> float:
+        """Last-modification time, epoch seconds — the age signal for
+        stale-lock breaking (``fsck(repair=True,
+        break_lock_older_than=...)``). Object-store semantics: this is
+        the store's own timestamp for the object, comparable across
+        writers the way their clocks are."""
+        if self._local is not None or self._scheme == "file":
+            return os.path.getmtime(local_part(path))
+        return self._fs.getFileStatus(
+            self._Path(path)).getModificationTime() / 1000.0
+
     def read_bytes(self, path: str) -> bytes:
         if self._local is not None:
             with open(local_part(path), "rb") as f:

@@ -1194,6 +1194,24 @@ class Volume:
                 dict(target["entries"]),
                 expect_generation=int(man["generation"]),
                 old_entries=dict(man["entries"]))
+            # surface the scale-registry scope (docstring above) at the
+            # moment it bites: a mip registered after generation N
+            # serves no chunks at the restored head — say so instead
+            # of letting the user debug an "empty" pyramid level
+            if target["entries"]:
+                with_data = {int(k.split("/")[0])
+                             for k in target["entries"]}
+                hollow = [m for m in range(self.info.num_mips)
+                          if m not in with_data]
+                if hollow:
+                    import warnings
+                    warnings.warn(
+                        f"restore({int(generation)}): mip(s) {hollow} "
+                        "are registered in info but hold no chunks at "
+                        "this generation (scales never unregister; "
+                        "they were likely added after it) — re-run "
+                        "downsample()/generate_pyramid() to refill, "
+                        "or ignore if intended")
             return int(man["generation"]) + 1
 
     # ------------------------------------------------------------------
@@ -1871,10 +1889,11 @@ class Volume:
                 out.append(row)
         return out
 
-    def fsck(self) -> dict:
-        """Read-only invariant check over the whole table — the
-        operations tool every production table format ships (Delta's
-        FSCK analog). Verifies, WITHOUT mutating anything:
+    def fsck(self, repair: bool = False,
+             break_lock_older_than: Optional[float] = None) -> dict:
+        """Invariant check over the whole table — the operations tool
+        every production table format ships (Delta's FSCK analog).
+        Default is READ-ONLY. Verifies, without mutating anything:
 
         - every retained generation's referenced ``data/commit-*``
           dirs exist (``missing_dirs``: generations pointing at
@@ -1900,7 +1919,70 @@ class Volume:
         to ``probe_errors`` — rerun fsck to resolve them — and never
         count as ``missing_dirs`` or fail ``ok`` (the same transient/
         confirmed-absent split ``_probe_generation_dirs`` makes by
-        raising 'transient; retry')."""
+        raising 'transient; retry').
+
+        ``repair=True`` routes each REPAIRABLE finding to its existing
+        remedy, all under the commit lock (held = no live writer, so
+        unreferenced dirs / tmps / torn husks are provably crash
+        debris, and a husk can never be a racer's in-progress
+        publish): orphan dirs and publish tmps are removed, torn
+        manifest husks deleted (those commits never happened — the
+        next publish of that generation would reclaim them anyway),
+        healable feed gaps backfilled via :meth:`repair_feed`.
+        ``missing_dirs`` (vacuum damage) and ``feed_gaps_lost`` have
+        no remedy and stay findings. A held lock makes repair raise
+        :class:`CommitConflictError` — pass ``break_lock_older_than``
+        (seconds) to first break a lock whose file is older than that
+        (a crashed writer; choose it longer than any legitimate
+        commit). Returns the POST-repair report with a ``repaired``
+        summary of actions taken."""
+        report = self._fsck_scan()
+        if not repair:
+            return report
+        import time as _time
+
+        fs = self._fs
+        repaired: dict = {"orphan_dirs": [], "stale_tmps": [],
+                          "torn_husks": [], "feed_gaps_healed": 0,
+                          "lock_broken": False}
+        if report["lock_held"] and break_lock_older_than is not None:
+            try:
+                age = _time.time() - fs.mtime(self._commit_lock_path)
+            except Exception:
+                age = None  # lock vanished: owner finished — proceed
+            if age is not None and age <= float(break_lock_older_than):
+                raise CommitConflictError(
+                    f"commit lock {self._commit_lock_path!r} is only "
+                    f"{age:.0f}s old (threshold "
+                    f"{break_lock_older_than}s) — a writer may be "
+                    "live; not breaking it")
+            if age is not None:
+                fs.remove(self._commit_lock_path)
+                repaired["lock_broken"] = True
+        with self._commit_lock():
+            live = self._fsck_scan()
+            for d in live["orphan_dirs"]:
+                fs.rmtree(f"{self.chunks_path}/data/{d}")
+                repaired["orphan_dirs"].append(d)
+            feed_dir = f"{self.chunks_path}/feed"
+            for n in live["stale_tmps"]:
+                for where in (self.chunks_path, feed_dir):
+                    p = f"{where}/{n}"
+                    if fs.exists(p):
+                        fs.remove(p)
+                if n not in repaired["stale_tmps"]:
+                    repaired["stale_tmps"].append(n)
+            for g in live["torn_husks"]:
+                fs.remove(self._manifest_file(int(g)))
+                repaired["torn_husks"].append(int(g))
+            if live["feed_gaps_healable"]:
+                repaired["feed_gaps_healed"] = int(self.repair_feed())
+        out = self._fsck_scan()
+        out["repaired"] = repaired
+        return out
+
+    def _fsck_scan(self) -> dict:
+        """One read-only pass of :meth:`fsck`'s checks."""
         from concurrent.futures import ThreadPoolExecutor
 
         fs = self._fs
@@ -2389,21 +2471,33 @@ class Volume:
             ).persist()
             key = ["_cvs_kx", "_cvs_ky", "_cvs_kz"]
             try:
-                # ONE validation pass for the per-cell invariants (a
-                # streaming sink's micro-batches are latency-bound, so
-                # fixed per-job overhead matters): null stamps
-                # (unstamped rewrites cannot be ordered — max() would
-                # silently drop them) and mixed extents (sub-cell
-                # tiles: on a fixed grid a cell's legitimate block
-                # extents are grid-determined, so keep-latest would
-                # silently drop every tile but one, at ANY order)
+                # ONE validation job for ALL three per-cell invariants
+                # (r8 verdict perf note — the sink is latency-bound, so
+                # the fixed job count per micro-batch matters; this
+                # was two collects before): null stamps (unstamped
+                # rewrites cannot be ordered — max() would silently
+                # drop them), mixed extents (sub-cell tiles: on a
+                # fixed grid a cell's legitimate block extents are
+                # grid-determined, so keep-latest would silently drop
+                # every tile but one, at ANY order), and equal-MAX-
+                # order content ambiguity. Content distinctness rides
+                # md5 digests (the repo-wide dedup-decision hash) so
+                # the aggregate shuffles 16-byte hashes, not chunk
+                # bytes.
                 bad = (keyed.groupBy(*key).agg(
                            F.sum(F.col(order_col).isNull()
                                  .cast("int")).alias("nulls"),
                            F.countDistinct(F.struct(
                                "x0", "x1", "y0", "y1", "z0", "z1"
-                           )).alias("n_ext"))
-                       .where((F.col("nulls") > 0) | (F.col("n_ext") > 1))
+                           )).alias("n_ext"),
+                           F.max(F.col(order_col)).alias("_maxo"),
+                           F.collect_set(F.struct(
+                               F.col(order_col).alias("o"),
+                               F.md5("blob").alias("h"))).alias("_p"))
+                       .withColumn("n_amb", F.size(F.expr(
+                           "filter(_p, x -> x.o <=> _maxo)")))
+                       .where((F.col("nulls") > 0) | (F.col("n_ext") > 1)
+                              | (F.col("n_amb") > 1))
                        .limit(1).collect())
                 if bad:
                     r = bad[0]
@@ -2414,30 +2508,22 @@ class Volume:
                             f"rows of this micro-batch (cell {cell}) — "
                             "unstamped rewrites cannot be ordered; fix "
                             "the producer")
+                    if r["n_ext"] > 1:
+                        raise ValueError(
+                            f"micro-batch holds {r['n_ext']} different "
+                            f"block extents inside chunk cell {cell} — "
+                            "sub-cell tiles cannot be ordered per cell; "
+                            "emit one grid-aligned block per cell")
                     raise ValueError(
-                        f"micro-batch holds {r['n_ext']} different "
-                        f"block extents inside chunk cell {cell} — "
-                        "sub-cell tiles cannot be ordered per cell; "
-                        "emit one grid-aligned block per cell")
+                        f"micro-batch holds {r['n_amb']} DIFFERENT "
+                        f"rewrites of chunk cell {cell} at the same "
+                        f"{order_col!r} value — the ordering column "
+                        "does not order these rewrites; supply a "
+                        "strictly-ordering column")
                 w = Window.partitionBy(*key)
                 latest = (keyed.withColumn(
                               "_cvs_maxo", F.max(order_col).over(w))
                           .where(F.col(order_col) == F.col("_cvs_maxo")))
-                # EXACT content distinctness among the max-order rows:
-                # equal-order rows with different bytes are an upstream
-                # ordering bug — refuse loudly rather than racing one
-                # version away
-                amb = (latest.groupBy(*key)
-                       .agg(F.countDistinct(F.col("blob")).alias("n"))
-                       .where(F.col("n") > 1).limit(1).collect())
-                if amb:
-                    r = amb[0]
-                    raise ValueError(
-                        f"micro-batch holds {r['n']} DIFFERENT rewrites "
-                        f"of chunk cell ({r._cvs_kx},{r._cvs_ky},"
-                        f"{r._cvs_kz}) at the same {order_col!r} value "
-                        "— the ordering column does not order these "
-                        "rewrites; supply a strictly-ordering column")
                 out = (latest.dropDuplicates(key)
                        .drop(*key, "_cvs_maxo"))
                 self.write_blocks_df(out, mip=mip,

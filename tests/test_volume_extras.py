@@ -1996,3 +1996,184 @@ def test_fsck_probe_error_is_not_vacuum_damage(spark, tmp_path):
     assert not r["ok"]
     assert not r["probe_errors"]
     assert victim in r["missing_dirs"][int(man["generation"])]
+
+
+def test_stream_ingest_interleaves_with_live_compact(
+        spark, tmp_path, monkeypatch):
+    """A compact() landing BETWEEN two micro-batches of a checkpointed
+    stream serializes cleanly: the next batch merges onto the
+    compacted manifest. A commit attempted WHILE the other writer
+    holds the commit lock fails LOUDLY (CommitConflictError — surfaced
+    as a StreamingQueryException on the ingest side), and the
+    checkpointed batch replays to a clean commit once the lock clears:
+    a mid-stream compaction can delay a batch, never lose one."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from cloud_volume_spark.volume import CommitConflictError
+
+    # fragment the initial commit (many files per slab) so the
+    # mid-stream compact() has real work to publish; slab_shift=2
+    # (4 chunks/slab, 16 slabs) so the first micro-batch's merge
+    # rewrite of ONE slab leaves the other 15 fragmented
+    from cloud_volume_spark.catalog import VolumeInfo
+
+    info = VolumeInfo.create(
+        layer_type="segmentation", data_type="uint32", num_channels=1,
+        resolution=(1, 1, 1), voxel_offset=(0, 0, 0),
+        volume_size=(64, 64, 64), chunk_size=(16, 16, 16),
+        encoding="raw")
+    vol = Volume.create(spark, str(tmp_path / "singc"), info,
+                        slab_shift=2)
+    arr = np.arange(64 ** 3, dtype=np.uint32).reshape(64, 64, 64, 1)
+    monkeypatch.setattr(Volume, "_commit_bucket",
+                        lambda self: F.col("morton"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        vol.upload(arr, offset=(0, 0, 0))
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+        monkeypatch.undo()
+    src = str(tmp_path / "singc_src")
+    _os.makedirs(src)
+    schema = ("x0 int, x1 int, y0 int, y1 int, z0 int, z1 int, "
+              "blob binary")
+
+    def block_rows(off, val):
+        a = np.full((16, 16, 16, 1), val, np.uint32)
+        return [(off[0], off[0] + 16, off[1], off[1] + 16,
+                 off[2], off[2] + 16, bytearray(a.tobytes(order="F")))]
+
+    def drain(expect_error=None):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (vol.stream_ingest(stream,
+                               checkpoint=str(tmp_path / "singc_ck"))
+             .trigger(availableNow=True).start())
+        if expect_error is None:
+            q.awaitTermination(120)
+            return sum(int(p["numInputRows"]) for p in q.recentProgress)
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException)
+        with pytest.raises(StreamingQueryException, match=expect_error):
+            q.awaitTermination(120)
+        return None
+
+    # batch 1 → compact → batch 2: clean serialization
+    spark.createDataFrame(block_rows((0, 0, 0), 111), schema=schema) \
+        .write.mode("append").parquet(src)
+    assert drain() == 1
+    g1 = int(vol._read_manifest()["generation"])
+    assert vol.compact() >= 1  # fragmented initial commit: real work
+    g2 = int(vol._read_manifest()["generation"])
+    assert g2 == g1 + 1
+
+    spark.createDataFrame(block_rows((16, 0, 0), 222), schema=schema) \
+        .write.mode("append").parquet(src)
+    assert drain() == 1  # incremental: only the new file
+    assert int(vol._read_manifest()["generation"]) == g2 + 1
+    want = arr.copy()
+    want[0:16, 0:16, 0:16] = 111
+    want[16:32, 0:16, 0:16] = 222
+    assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))),
+                          want)
+    hist = {h["generation"]: h for h in vol.history()}
+    assert hist[g2]["data_change"] is False  # the compact
+    assert hist[g2 + 1]["data_change"] is True  # the merge batch
+
+    # a writer holding the commit lock (compact mid-commit): both the
+    # ingest batch and a competing compact fail loudly...
+    assert vol._fs.create_exclusive(vol._commit_lock_path)
+    try:
+        with pytest.raises(CommitConflictError, match="commit lock"):
+            vol.compact()
+        spark.createDataFrame(block_rows((32, 0, 0), 77), schema=schema) \
+            .write.mode("append").parquet(src)
+        drain(expect_error="commit lock")
+        g_locked = int(vol._read_manifest()["generation"])
+        assert g_locked == g2 + 1  # nothing published under the lock
+    finally:
+        vol._fs.remove(vol._commit_lock_path)
+
+    # ...and the checkpointed batch replays to a clean commit after
+    # the lock clears — the failed batch is delayed, not lost
+    assert drain() == 1
+    want[32:48, 0:16, 0:16] = 77
+    assert np.array_equal(vol.cutout(Bbox((0, 0, 0), (64, 64, 64))),
+                          want)
+    assert int(vol._read_manifest()["generation"]) == g2 + 2
+    # the feed stayed gap-free through fail + replay
+    assert vol.fsck()["ok"]
+
+
+def test_fsck_repair_routes_findings(spark, tmp_path):
+    """fsck(repair=True): orphan dirs, stale tmps, torn husks and
+    healable feed gaps are each routed to their remedy under the
+    commit lock; a fresh lock is NOT broken below the age threshold
+    (CommitConflictError), a stale one is; missing_dirs stay findings
+    (no remedy). The returned report is the post-repair state."""
+    import os as _os
+    import time as _time
+
+    from cloud_volume_spark.volume import CommitConflictError
+
+    _, vol = _mk_vol(spark, tmp_path, "fsckr", n=64, cs=8)
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(0, 0, 0))
+    top = int(vol._read_manifest()["generation"])
+
+    # inject: orphan dir, publish tmps in both roots, torn husk,
+    # feed gap, and a held (stale) lock
+    _os.makedirs(_os.path.join(vol.chunks_path, "data", "commit-orphan"))
+    with open(_os.path.join(vol.chunks_path, ".m.json.w9-ab"), "wb") as f:
+        f.write(b"t")
+    with open(_os.path.join(vol.chunks_path, "feed",
+                            ".gen-x.json.w1-aa"), "wb") as f:
+        f.write(b"t")
+    vol._fs.write_bytes(vol._manifest_file(top + 1), b"{torn")
+    _os.remove(_os.path.join(vol.chunks_path, "feed",
+                             f"gen-{top:012d}.json"))
+    assert vol._fs.create_exclusive(vol._commit_lock_path)
+
+    # repair with no break directive → loud conflict on the held lock
+    with pytest.raises(CommitConflictError, match="commit lock"):
+        vol.fsck(repair=True)
+    # a young lock is protected by the age threshold
+    with pytest.raises(CommitConflictError, match="not breaking"):
+        vol.fsck(repair=True, break_lock_older_than=3600)
+
+    _time.sleep(0.05)
+    r = vol.fsck(repair=True, break_lock_older_than=0.01)
+    assert r["repaired"]["lock_broken"]
+    assert r["repaired"]["orphan_dirs"] == ["commit-orphan"]
+    assert set(r["repaired"]["stale_tmps"]) == {
+        ".m.json.w9-ab", ".gen-x.json.w1-aa"}
+    assert r["repaired"]["torn_husks"] == [top + 1]
+    assert r["repaired"]["feed_gaps_healed"] >= 1
+    # post-repair state is clean
+    assert r["ok"]
+    assert not r["orphan_dirs"] and not r["stale_tmps"]
+    assert not r["torn_husks"] and not r["feed_gaps_healable"]
+    assert not r["lock_held"]
+    # the healed feed entry is real (batch diff recomputable)
+    assert _os.path.exists(_os.path.join(
+        vol.chunks_path, "feed", f"gen-{top:012d}.json"))
+    # and the table still serves
+    assert (vol.cutout(Bbox((0, 0, 0), (8, 8, 8))) == 0).all()
+
+    # an unrepairable finding (vacuum damage) survives repair as a
+    # finding: reclaim a dir only an old generation references
+    vol.upload(np.full((8, 8, 8, 1), 3, np.uint32), offset=(0, 0, 0))
+    top2 = int(vol._read_manifest()["generation"])
+    man1 = vol._load_manifest_generation(top2 - 1)
+    man2 = vol._load_manifest_generation(top2)
+    only_old = ({rel.split("/")[1] for rel in man1["entries"].values()}
+                - {rel.split("/")[1] for rel in man2["entries"].values()})
+    assert only_old
+    import shutil as _shutil
+    for c in only_old:
+        _shutil.rmtree(_os.path.join(vol.chunks_path, "data", c))
+    r = vol.fsck(repair=True)
+    assert not r["ok"]
+    assert sorted(r["missing_dirs"]) == [top2 - 1]
