@@ -420,6 +420,46 @@ def bench_annotations(spark) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_point_read(spark) -> dict:
+    """Serving-path point-read latency, LRU off vs on — the reference's
+    whole reason for `lru.py` (reference `lru.py:190-349`). 40 reads
+    scattered over a 256³ uint16 volume (64³ chunks, 64 chunk dirs):
+    cold = every read re-fetches + decodes its chunk; lru = repeat hits
+    answer from the byte-bounded encoded-chunk cache. Reported in
+    BENCH_FULL only (the compact line is at its char budget)."""
+    from cloud_volume_spark.catalog import VolumeInfo
+    from cloud_volume_spark.volume import Volume
+
+    base = tempfile.mkdtemp(prefix="cvs_benchpt_")
+    try:
+        rng = np.random.default_rng(77)
+        arr = rng.integers(0, 60000, size=(256, 256, 256, 1)).astype(
+            np.uint16)
+        vol = Volume.from_numpy(spark, arr, os.path.join(base, "vol"),
+                                chunk_size=(64, 64, 64))
+        pts = [tuple(int(v) for v in rng.integers(0, 256, 3))
+               for _ in range(40)]
+
+        def read_all():
+            t0 = time.perf_counter()
+            for p in pts:
+                vol.read_voxel(p)
+            return (time.perf_counter() - t0) / len(pts)
+
+        cold_spp = read_all()          # no cache
+        vol.enable_lru(max_bytes=256 * 1024 * 1024)
+        read_all()                      # populate
+        hot_spp = read_all()            # all hits
+        return {
+            "points": len(pts),
+            "cold_ms_per_read": round(cold_spp * 1e3, 2),
+            "lru_ms_per_read": round(hot_spp * 1e3, 3),
+            "speedup": round(cold_spp / max(hot_spp, 1e-9), 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from cloud_volume_spark.session import get_spark
 
@@ -482,6 +522,7 @@ def main() -> None:
     seg_stats = bench_volume_seg(spark)
     spatial_stats = bench_spatial_index(spark)
     anno_stats = bench_annotations(spark)
+    point_stats = bench_point_read(spark)
 
     # environment probe: host contention varies round-to-round (VM on a
     # shared box); loadavg + a fixed single-thread python loop let the
@@ -511,6 +552,7 @@ def main() -> None:
         "volume_seg": seg_stats,
         "spatial_index": spatial_stats,
         "annotations": anno_stats,
+        "point_read": point_stats,
         "env": env,
     }
     try:

@@ -14,6 +14,13 @@ pair growth — a different workload, not a scale test.)
 Usage:  python scripts/bench_scale.py [--replicas 10] [--queries q1,q2]
 Writes one JSON line per (query, scale) to stdout and a summary table.
 Run it alone on the host (same rule as bench.py: no concurrent JVMs).
+
+``--volume`` runs the VOLUMETRIC scale leg instead: the bench.py
+segmentation geometry (1024x1024 uint16, gzip) at z=100/200/400
+(210/420/840 MB logical — 2x/4x the bench volume, 2x/4x the slab
+count), timing write / full-volume cutout / unique / downsample at
+each size.  Linear time-vs-size ratios validate the slab+manifest
+design the way the query leg validates the banded/bucketed plans.
 """
 
 import argparse
@@ -103,6 +110,155 @@ def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
             os.symlink(src, dst)
 
 
+def bench_volume_scale(spark, zs=(100, 200, 400)) -> dict:
+    """Write → read → unique → downsample a segmentation volume at
+    increasing z-extent (constant chunk size, so slab/manifest counts
+    grow with the data).  Content generation matches bench.py's seg
+    probe (piecewise-constant 16x16x10 cells) so per-chunk decode cost
+    is constant and any super-linear growth is orchestration overhead
+    — the thing under test."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from cloud_volume_spark.catalog import VolumeInfo
+    from cloud_volume_spark.geometry import Bbox
+    from cloud_volume_spark.volume import BLOCK_SCHEMA, Volume
+
+    cs = (256, 256, 50)
+    out = {}
+    # warm codegen/Arrow/Python-worker paths on a micro volume so the
+    # first timed size measures the data path, not one-time compiles
+    # (the z=100 write was 2.7x the z=200 write before this)
+    _warm = tempfile.mkdtemp(prefix="cvs_volscale_warm_")
+    try:
+        import numpy as _np
+        wv = Volume.from_numpy(
+            spark,
+            _np.random.default_rng(0).integers(
+                0, 100, (64, 64, 64, 1)).astype(np.uint16),
+            os.path.join(_warm, "vol"), chunk_size=(32, 32, 32))
+        wv.cutout(Bbox((0, 0, 0), (64, 64, 64)))
+        wv.blocks_df().selectExpr("sum(length(blob))").collect()
+        wv.unique().count()
+        wv.downsample(from_mip=0, factor=(2, 2, 1))
+    finally:
+        shutil.rmtree(_warm, ignore_errors=True)
+
+    for z in zs:
+        shape = (1024, 1024, z)
+        base = tempfile.mkdtemp(prefix=f"cvs_volscale_{z}_")
+        try:
+            info = VolumeInfo.create(
+                layer_type="segmentation", data_type="uint16",
+                num_channels=1, resolution=(1, 1, 1),
+                voxel_offset=(0, 0, 0), volume_size=shape,
+                chunk_size=cs, encoding="raw",
+            )
+            # slab_shift=4 (16 chunks/slab): slab and manifest-entry
+            # counts actually grow with z (default 64/slab keeps even
+            # z=400's 128 chunks in 2 slabs — nothing to scale-test)
+            vol = Volume.create(spark, os.path.join(base, "vol"), info,
+                                slab_shift=4)
+            grid = [shape[i] // cs[i] for i in range(3)]
+            coords = [
+                (cx, cy, cz)
+                for cz in range(grid[2])
+                for cy in range(grid[1])
+                for cx in range(grid[0])
+            ]
+            coords_df = spark.createDataFrame(
+                coords, "cx int, cy int, cz int")
+            csx, csy, csz = cs
+
+            def gen(batches):
+                for pdf in batches:
+                    rows = []
+                    for r in pdf.itertuples(index=False):
+                        rng = np.random.default_rng(
+                            r.cx * 10000 + r.cy * 100 + r.cz)
+                        cells = rng.integers(
+                            1, 60000,
+                            size=(csx // 16, csy // 16, csz // 10),
+                            dtype=np.uint16)
+                        arr = np.kron(
+                            cells,
+                            np.ones((16, 16, 10), dtype=np.uint16),
+                        )[..., None]
+                        rows.append((
+                            r.cx * csx, (r.cx + 1) * csx,
+                            r.cy * csy, (r.cy + 1) * csy,
+                            r.cz * csz, (r.cz + 1) * csz,
+                            np.ascontiguousarray(
+                                arr.transpose()).tobytes(),
+                        ))
+                    yield pd.DataFrame(rows, columns=[
+                        "x0", "x1", "y0", "y1", "z0", "z1", "blob"])
+
+            blocks = coords_df.repartition(len(coords)).mapInPandas(
+                gen, schema=BLOCK_SCHEMA)
+            logical_mb = 2 * int(np.prod(shape)) / 1e6
+
+            t0 = time.monotonic()
+            vol.write_blocks_df(blocks, mip=0, compression="gzip")
+            write_sec = time.monotonic() - t0
+            os.sync()
+            slabs_mip0 = len(vol._read_manifest().get("entries", {}))
+
+            # distributed full-volume read at every size (cutout's
+            # driver assembly caps at 512 MiB — z=400 is 0.8 GB; the
+            # blocks_df decode+aggregate is the same full decode with
+            # no driver collect, comparable across all sizes)
+            t0 = time.monotonic()
+            total_bytes = vol.blocks_df(mip=0).selectExpr(
+                "sum(length(blob)) b").collect()[0]["b"]
+            read_sec = time.monotonic() - t0
+            assert total_bytes == 2 * int(np.prod(shape)), total_bytes
+
+            t0 = time.monotonic()
+            n_labels = vol.unique().count()
+            unique_sec = time.monotonic() - t0
+
+            t0 = time.monotonic()
+            vol.downsample(from_mip=0, factor=(2, 2, 1))
+            down_sec = time.monotonic() - t0
+
+            rec = {
+                "z": z, "logical_mb": round(logical_mb, 1),
+                "slabs_mip0": slabs_mip0,
+                "write_sec": round(write_sec, 2),
+                "read_sec": round(read_sec, 2),
+                "unique_sec": round(unique_sec, 2),
+                "unique_labels": int(n_labels),
+                "downsample_sec": round(down_sec, 2),
+            }
+            out[z] = rec
+            print(json.dumps({"volume_scale": rec}), flush=True)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    base_z = zs[0]
+    print("\n# z  mb  slabs_mip0  write_s  read_s  unique_s  down_s  "
+          "(ratios vs z=%d)" % base_z)
+    summary = {}
+    for z in zs:
+        r = out[z]
+        ratios = {
+            k: round(r[k] / max(out[base_z][k], 1e-9), 2)
+            for k in ("write_sec", "read_sec", "unique_sec",
+                      "downsample_sec")
+        }
+        summary[z] = {**r, "ratios": ratios}
+        print(f"# {z}  {r['logical_mb']}  {r['slabs_mip0']}  "
+              f"{r['write_sec']}  {r['read_sec']}  {r['unique_sec']}  "
+              f"{r['downsample_sec']}  {ratios}")
+    print("VOLSCALE_SUMMARY "
+          + json.dumps(summary, separators=(",", ":")))
+    return summary
+
+
 def run(queries, names, sf_dir, passes=2):
     out = {}
     for name in names:
@@ -124,7 +280,20 @@ if __name__ == "__main__":
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--scaled-dir", default="/tmp/cvs_sf1_synth")
+    ap.add_argument("--volume", action="store_true",
+                    help="run the volumetric scale leg instead of the "
+                         "query leg")
+    ap.add_argument("--zs", default="100,200,400",
+                    help="z extents for --volume (1024x1024xZ uint16)")
     args = ap.parse_args()
+
+    if args.volume:
+        from cloud_volume_spark import get_spark
+
+        SPARK = get_spark()
+        bench_volume_scale(
+            SPARK, zs=tuple(int(z) for z in args.zs.split(",")))
+        sys.exit(0)
 
     # the vowel-rotation decorrelation has period len(VOWS): replica 10
     # would be byte-identical to replica 0 (modulo doc_id), handing the
