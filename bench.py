@@ -105,6 +105,55 @@ VOL_SHAPE = (1024, 1024, 100)
 VOL_CHUNK = (256, 256, 50)
 
 
+def make_seg_blocks(spark, shape, chunk_size):
+    """Distributed synthetic segmentation content — piecewise-constant
+    16x16x10 uniform cells per chunk, so chunks compress like real
+    segmentation (~1.3k distinct labels each). THE single generator
+    for both bench.py's seg probe and scripts/bench_scale.py's
+    volumetric leg: the cross-bench comparability in SCALE.md depends
+    on both measuring identical content."""
+    from cloud_volume_spark.volume import BLOCK_SCHEMA
+
+    cs = chunk_size
+    grid = [shape[i] // cs[i] for i in range(3)]
+    coords = [
+        (cx, cy, cz)
+        for cz in range(grid[2])
+        for cy in range(grid[1])
+        for cx in range(grid[0])
+    ]
+    coords_df = spark.createDataFrame(coords, "cx int, cy int, cz int")
+    csx, csy, csz = cs
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rng = np.random.default_rng(
+                    r.cx * 1000 + r.cy * 100 + r.cz
+                )
+                cells = rng.integers(
+                    1, 60000,
+                    size=(csx // 16, csy // 16, csz // 10),
+                    dtype=np.uint16,
+                )
+                arr = np.kron(
+                    cells, np.ones((16, 16, 10), dtype=np.uint16)
+                )[..., None]
+                rows.append((
+                    r.cx * csx, (r.cx + 1) * csx,
+                    r.cy * csy, (r.cy + 1) * csy,
+                    r.cz * csz, (r.cz + 1) * csz,
+                    np.ascontiguousarray(arr.transpose()).tobytes(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["x0", "x1", "y0", "y1", "z0", "z1", "blob"]
+            )
+
+    return coords_df.repartition(len(coords)).mapInPandas(
+        gen, schema=BLOCK_SCHEMA)
+
+
 def bench_queries(spark, sf_dir: str) -> tuple:
     """Each query runs twice; the reported time is the min (steady
     state: the first pass absorbs one-time whole-stage-codegen and any
@@ -232,7 +281,7 @@ def bench_volume_seg(spark) -> dict:
     BASELINE gates at 2x single-node decode time."""
     from cloud_volume_spark.catalog import VolumeInfo
     from cloud_volume_spark.geometry import Bbox
-    from cloud_volume_spark.volume import BLOCK_SCHEMA, Volume
+    from cloud_volume_spark.volume import Volume
 
     base = tempfile.mkdtemp(prefix="cvs_benchseg_")
     try:
@@ -242,48 +291,7 @@ def bench_volume_seg(spark) -> dict:
             volume_size=VOL_SHAPE, chunk_size=VOL_CHUNK, encoding="raw",
         )
         vol = Volume.create(spark, os.path.join(base, "vol"), info)
-        cs = VOL_CHUNK
-        grid = [VOL_SHAPE[i] // cs[i] for i in range(3)]
-        coords = [
-            (cx, cy, cz)
-            for cz in range(grid[2])
-            for cy in range(grid[1])
-            for cx in range(grid[0])
-        ]
-        coords_df = spark.createDataFrame(coords, "cx int, cy int, cz int")
-        csx, csy, csz = cs
-
-        def gen(batches):
-            for pdf in batches:
-                rows = []
-                for r in pdf.itertuples(index=False):
-                    # blobby piecewise-constant labels: 16x16x10 uniform
-                    # cells per chunk -> compresses like real
-                    # segmentation, ~1.3k distinct labels per chunk
-                    rng = np.random.default_rng(
-                        r.cx * 1000 + r.cy * 100 + r.cz
-                    )
-                    cells = rng.integers(
-                        1, 60000,
-                        size=(csx // 16, csy // 16, csz // 10),
-                        dtype=np.uint16,
-                    )
-                    arr = np.kron(
-                        cells, np.ones((16, 16, 10), dtype=np.uint16)
-                    )[..., None]
-                    rows.append((
-                        r.cx * csx, (r.cx + 1) * csx,
-                        r.cy * csy, (r.cy + 1) * csy,
-                        r.cz * csz, (r.cz + 1) * csz,
-                        np.ascontiguousarray(arr.transpose()).tobytes(),
-                    ))
-                yield pd.DataFrame(
-                    rows, columns=["x0", "x1", "y0", "y1", "z0", "z1", "blob"]
-                )
-
-        blocks = coords_df.repartition(len(coords)).mapInPandas(
-            gen, schema=BLOCK_SCHEMA
-        )
+        blocks = make_seg_blocks(spark, VOL_SHAPE, VOL_CHUNK)
         logical_mb = int(np.prod(VOL_SHAPE)) * 2 / 1e6
 
         write_secs, read_secs, uniq_secs = [], [], []

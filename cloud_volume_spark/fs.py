@@ -251,18 +251,30 @@ class PathOps:
             # AWS/GCS service exceptions carry the HTTP status as a
             # field; 412 = If-None-Match / generation-match reject.
             # The probe targets the exception's OWN structured status,
-            # never the stringified trace of its causes.
-            for probe in ("statusCode", "getStatusCode"):
+            # never the stringified trace of its causes. getCode is
+            # the google-cloud-storage StorageException accessor.
+            for probe in ("statusCode", "getStatusCode", "getCode"):
                 try:
                     if int(getattr(je, probe)()) == 412:
                         return True
                 except Exception:
                     pass
-            # raw-412 fallback for SDKs that only template the status
-            # into the immediate message (kept per-frame and exact —
-            # "Status Code: 412" is the AWS SDK's own format string)
+            # message fallback for SDKs that only template the status
+            # into text — per-frame OWN message, and the precondition
+            # wording counts only on service-exception classes (an
+            # IOException whose message merely echoes a proxy body
+            # must still propagate: the r8 ADVICE false-positive)
             try:
-                if "Status Code: 412" in (je.getMessage() or ""):
+                msg = je.getMessage() or ""
+                if "Status Code: 412" in msg:
+                    return True
+                simple = name.rsplit(".", 1)[-1]
+                if (("StorageException" in simple
+                     or "S3Exception" in simple
+                     or "ServiceException" in simple)
+                        and ("PreconditionFailed" in msg
+                             or "Precondition Failed" in msg
+                             or "conditionNotMet" in msg)):
                     return True
             except Exception:
                 pass

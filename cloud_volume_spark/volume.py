@@ -250,6 +250,14 @@ class Volume:
                 # publish — the same pinned-empty-snapshot definition
                 # changes(0) and restore(0) use (_generation_or_raise);
                 # there is no manifest-000000000000.json file to load.
+                # A legacy hive table has data but no generations —
+                # serving it as "empty generation 0" would silently
+                # hide every chunk (restore/compact raise the same way)
+                if vol._is_legacy_layout():
+                    raise ManifestError(
+                        "open(generation=0) requires the snapshot-"
+                        "manifest layout — this is a legacy hive-"
+                        "layout table; run migrate_to_manifest() first")
                 vol._pinned_manifest = {"generation": 0, "entries": {}}
             else:
                 vol._read_manifest()  # fail fast on vacuumed/absent pin
@@ -1195,23 +1203,28 @@ class Volume:
                 expect_generation=int(man["generation"]),
                 old_entries=dict(man["entries"]))
             # surface the scale-registry scope (docstring above) at the
-            # moment it bites: a mip registered after generation N
-            # serves no chunks at the restored head — say so instead
-            # of letting the user debug an "empty" pyramid level
+            # moment it bites: a mip the restore HOLLOWS (populated at
+            # the old head, no chunks at the restored generation —
+            # typically a downsample that ran after N) stays registered
+            # but serves nothing — say so instead of letting the user
+            # debug an "empty" pyramid level. Mips empty at BOTH ends
+            # (pre-registered pyramids never filled) are not the
+            # restore's doing and warrant no warning.
             if target["entries"]:
-                with_data = {int(k.split("/")[0])
-                             for k in target["entries"]}
-                hollow = [m for m in range(self.info.num_mips)
-                          if m not in with_data]
+                target_mips = {int(k.split("/")[0])
+                               for k in target["entries"]}
+                head_mips = {int(k.split("/")[0])
+                             for k in man["entries"]}
+                hollow = sorted(head_mips - target_mips)
                 if hollow:
                     import warnings
                     warnings.warn(
                         f"restore({int(generation)}): mip(s) {hollow} "
-                        "are registered in info but hold no chunks at "
+                        "hold chunks at the current head but none at "
                         "this generation (scales never unregister; "
-                        "they were likely added after it) — re-run "
-                        "downsample()/generate_pyramid() to refill, "
-                        "or ignore if intended")
+                        "they were likely downsampled after it) — "
+                        "re-run downsample()/generate_pyramid() to "
+                        "refill, or ignore if intended")
             return int(man["generation"]) + 1
 
     # ------------------------------------------------------------------
@@ -1936,16 +1949,18 @@ class Volume:
         (a crashed writer; choose it longer than any legitimate
         commit). Returns the POST-repair report with a ``repaired``
         summary of actions taken."""
-        report = self._fsck_scan()
         if not repair:
-            return report
+            return self._fsck_scan()
         import time as _time
 
         fs = self._fs
         repaired: dict = {"orphan_dirs": [], "stale_tmps": [],
                           "torn_husks": [], "feed_gaps_healed": 0,
                           "lock_broken": False}
-        if report["lock_held"] and break_lock_older_than is not None:
+        # one exists() answers the only pre-lock question; the full
+        # scan runs under the lock (and again after repairs)
+        if (break_lock_older_than is not None
+                and fs.exists(self._commit_lock_path)):
             try:
                 age = _time.time() - fs.mtime(self._commit_lock_path)
             except Exception:
@@ -1961,9 +1976,27 @@ class Volume:
                 repaired["lock_broken"] = True
         with self._commit_lock():
             live = self._fsck_scan()
-            for d in live["orphan_dirs"]:
-                fs.rmtree(f"{self.chunks_path}/data/{d}")
-                repaired["orphan_dirs"].append(d)
+            # a manifest whose read ERRED leaves the referenced set
+            # incomplete — "orphan" and "husk" classifications are
+            # unsound then, and acting on them would delete a real
+            # manifest / live data dirs. Destructive repairs are
+            # skipped wholesale; tmps and feed healing stay safe (tmps
+            # are never referenced; repair_feed re-reads what it
+            # needs and refuses on its own errors).
+            destructive_ok = not live["manifest_read_errors"]
+            if destructive_ok:
+                for d in live["orphan_dirs"]:
+                    fs.rmtree(f"{self.chunks_path}/data/{d}")
+                    repaired["orphan_dirs"].append(d)
+                for g in live["torn_husks"]:
+                    fs.remove(self._manifest_file(int(g)))
+                    repaired["torn_husks"].append(int(g))
+            else:
+                repaired["skipped_destructive"] = (
+                    "manifest read errors "
+                    f"{live['manifest_read_errors']} make orphan/husk "
+                    "classification unsound — rerun when the store "
+                    "recovers")
             feed_dir = f"{self.chunks_path}/feed"
             for n in live["stale_tmps"]:
                 for where in (self.chunks_path, feed_dir):
@@ -1972,9 +2005,6 @@ class Volume:
                         fs.remove(p)
                 if n not in repaired["stale_tmps"]:
                     repaired["stale_tmps"].append(n)
-            for g in live["torn_husks"]:
-                fs.remove(self._manifest_file(int(g)))
-                repaired["torn_husks"].append(int(g))
             if live["feed_gaps_healable"]:
                 repaired["feed_gaps_healed"] = int(self.repair_feed())
         out = self._fsck_scan()
@@ -1990,7 +2020,7 @@ class Volume:
                         "orphan_dirs": [], "feed_gaps_healable": [],
                         "feed_gaps_lost": [], "torn_husks": [],
                         "lock_held": False, "stale_tmps": [],
-                        "probe_errors": []}
+                        "probe_errors": [], "manifest_read_errors": []}
         man = self._read_manifest()
         if man is None:
             report["ok"] = True
@@ -2002,8 +2032,20 @@ class Volume:
         referenced: set = set()
         mans: dict = {}
         for g in gens:
+            # transient/confirmed split, same as the dir probes below:
+            # a manifest whose READ errs after retries is UNKNOWN (a
+            # throttle must not read as a torn husk — repair would
+            # delete a real manifest and, with its dirs missing from
+            # the referenced set, destroy live data as "orphans");
+            # only bytes that arrive but do not PARSE are a husk
+            raw, err = self._read_bytes_retry(self._manifest_file(g))
+            if err is not None:
+                report["manifest_read_errors"].append(int(g))
+                continue
             try:
-                mans[g] = self._load_manifest_generation(g)
+                m = json.loads(raw.decode())
+                m["generation"] = int(g)
+                mans[g] = m
             except Exception:
                 report["torn_husks"].append(int(g))
         # dir liveness per retained generation, at vacuum's granularity
@@ -2035,10 +2077,15 @@ class Volume:
         for g in report["missing_dirs"]:
             report["missing_dirs"][g] = sorted(set(
                 report["missing_dirs"][g]))
-        # orphans: dirs no retained generation references
-        for d in fs.listdir(f"{self.chunks_path}/data"):
-            if d.startswith("commit-") and d not in referenced:
-                report["orphan_dirs"].append(d)
+        # orphans: dirs no retained generation references. With any
+        # manifest UNREAD (transient store error) the referenced set is
+        # incomplete and this classification is unsound — report none
+        # rather than label a live generation's dirs as crash debris
+        # (repair additionally refuses destructive actions then)
+        if not report["manifest_read_errors"]:
+            for d in fs.listdir(f"{self.chunks_path}/data"):
+                if d.startswith("commit-") and d not in referenced:
+                    report["orphan_dirs"].append(d)
         # feed-log gaps, split by healability (the single rule)
         feed_dir = f"{self.chunks_path}/feed"
         have = set(fs.listdir(feed_dir)) if fs.exists(feed_dir) else set()

@@ -121,11 +121,10 @@ def bench_volume_scale(spark, zs=(100, 200, 400)) -> dict:
     import tempfile
 
     import numpy as np
-    import pandas as pd
 
     from cloud_volume_spark.catalog import VolumeInfo
     from cloud_volume_spark.geometry import Bbox
-    from cloud_volume_spark.volume import BLOCK_SCHEMA, Volume
+    from cloud_volume_spark.volume import Volume
 
     cs = (256, 256, 50)
     out = {}
@@ -162,43 +161,11 @@ def bench_volume_scale(spark, zs=(100, 200, 400)) -> dict:
             # z=400's 128 chunks in 2 slabs — nothing to scale-test)
             vol = Volume.create(spark, os.path.join(base, "vol"), info,
                                 slab_shift=4)
-            grid = [shape[i] // cs[i] for i in range(3)]
-            coords = [
-                (cx, cy, cz)
-                for cz in range(grid[2])
-                for cy in range(grid[1])
-                for cx in range(grid[0])
-            ]
-            coords_df = spark.createDataFrame(
-                coords, "cx int, cy int, cz int")
-            csx, csy, csz = cs
+            # SAME content generator as bench.py's seg probe — the
+            # cross-bench comparability in SCALE.md depends on it
+            from bench import make_seg_blocks
 
-            def gen(batches):
-                for pdf in batches:
-                    rows = []
-                    for r in pdf.itertuples(index=False):
-                        rng = np.random.default_rng(
-                            r.cx * 10000 + r.cy * 100 + r.cz)
-                        cells = rng.integers(
-                            1, 60000,
-                            size=(csx // 16, csy // 16, csz // 10),
-                            dtype=np.uint16)
-                        arr = np.kron(
-                            cells,
-                            np.ones((16, 16, 10), dtype=np.uint16),
-                        )[..., None]
-                        rows.append((
-                            r.cx * csx, (r.cx + 1) * csx,
-                            r.cy * csy, (r.cy + 1) * csy,
-                            r.cz * csz, (r.cz + 1) * csz,
-                            np.ascontiguousarray(
-                                arr.transpose()).tobytes(),
-                        ))
-                    yield pd.DataFrame(rows, columns=[
-                        "x0", "x1", "y0", "y1", "z0", "z1", "blob"])
-
-            blocks = coords_df.repartition(len(coords)).mapInPandas(
-                gen, schema=BLOCK_SCHEMA)
+            blocks = make_seg_blocks(spark, shape, cs)
             logical_mb = 2 * int(np.prod(shape)) / 1e6
 
             t0 = time.monotonic()

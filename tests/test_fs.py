@@ -463,3 +463,36 @@ def test_commit_primitives_cross_process_atomicity(tmp_path):
         assert len(pub_winners) == 1, (r, pub_winners)
         content = open(tmp_path / f"man-{r}.json", "rb").read()
         assert content == f"writer-{pub_winners[0]}".encode()
+
+
+def test_lost_race_gcs_and_service_message_shapes():
+    """Storage-service rejections that surface the 412 differently —
+    GCS StorageException.getCode(), precondition wording in a
+    service-exception message — still classify as lost races, while
+    the same wording on an IOException frame propagates."""
+    class _GThrowable(_JThrowable):
+        def getCode(self):
+            if self._status is None:
+                raise AttributeError("no code")
+            return self._status
+
+    # google-cloud-storage shape: getCode()==412
+    g = _GThrowable("com.google.cloud.storage.StorageException",
+                    "412 Precondition Failed")
+    g._status = 412
+    assert PathOps._is_lost_race(_JError(g))
+    # precondition wording on a service-exception class counts...
+    assert PathOps._is_lost_race(_JError(_JThrowable(
+        "com.google.cloud.storage.StorageException",
+        "412 Precondition Failed")))
+    assert PathOps._is_lost_race(_JError(_JThrowable(
+        "shaded.example.ObjectStorageServiceException",
+        "conditionNotMet")))
+    # ...the same words on an IO frame do NOT (the ADVICE FP direction)
+    assert not PathOps._is_lost_race(_JError(_JThrowable(
+        "java.io.IOException", "proxy replied: 412 Precondition Failed")))
+    # a 503 StorageException is not a race
+    s = _GThrowable("com.google.cloud.storage.StorageException",
+                    "Service Unavailable")
+    s._status = 503
+    assert not PathOps._is_lost_race(_JError(s))

@@ -2177,3 +2177,78 @@ def test_fsck_repair_routes_findings(spark, tmp_path):
     r = vol.fsck(repair=True)
     assert not r["ok"]
     assert sorted(r["missing_dirs"]) == [top2 - 1]
+
+
+def test_fsck_repair_transient_manifest_read_is_not_destructive(
+        spark, tmp_path):
+    """A manifest whose READ errs after retries is UNKNOWN, not a torn
+    husk: fsck buckets it under manifest_read_errors, and repair SKIPS
+    the destructive remedies (its absence from the referenced set
+    would otherwise misclassify that generation's dirs as orphans and
+    rmtree live data — the review-caught data-loss path)."""
+    _, vol = _mk_vol(spark, tmp_path, "fsckt", n=64, cs=8)
+    vol.upload(np.zeros((8, 8, 8, 1), np.uint32), offset=(0, 0, 0))
+    top = int(vol._read_manifest()["generation"])
+    victim_path = vol._manifest_file(top)
+
+    real_read = vol._fs.read_bytes
+
+    def flaky_read(path):
+        if path == victim_path:
+            raise RuntimeError("503 Slow Down")
+        return real_read(path)
+
+    vol._fs.read_bytes = flaky_read
+    try:
+        r = vol._fsck_scan()
+        assert r["manifest_read_errors"] == [top]
+        assert top not in r["torn_husks"]
+        # the head resolves through _read_manifest's own fallback, so
+        # generation g-1 serves — but NOTHING is classified orphan
+        assert not r["orphan_dirs"]
+
+        rep = vol.fsck(repair=True)
+        assert "skipped_destructive" in rep["repaired"]
+        assert rep["repaired"]["orphan_dirs"] == []
+        assert rep["repaired"]["torn_husks"] == []
+    finally:
+        vol._fs.read_bytes = real_read
+    # nothing was deleted: the manifest file and every dir survive
+    assert vol._fs.exists(victim_path)
+    r = vol.fsck()
+    assert r["ok"] and not r["manifest_read_errors"]
+    assert (vol.cutout(Bbox((0, 0, 0), (8, 8, 8))) == 0).all()
+
+
+def test_open_generation_zero_legacy_table_raises(spark, tmp_path):
+    """open(generation=0) on a legacy hive-layout table raises instead
+    of serving the (full) table as an empty generation-0 snapshot —
+    the same layout guard restore()/compact() apply."""
+    import os as _os
+    import shutil as _shutil
+
+    from cloud_volume_spark.volume import ManifestError
+
+    arr, vol = _mk_vol(spark, tmp_path, "genzl")
+    # demote to the legacy layout: hive mip dir, no manifest log
+    chunks = vol.chunks_path
+    man_files = [n for n in _os.listdir(chunks)
+                 if n.startswith("_manifest")]
+    legacy = vol._read_manifest()
+    src_dirs = {rel for rel in legacy["entries"].values()}
+    _os.makedirs(_os.path.join(chunks, "mip=0"), exist_ok=True)
+    for rel in src_dirs:
+        d = _os.path.join(chunks, rel)
+        for n in _os.listdir(d):
+            if n.endswith(".parquet"):
+                _shutil.copy(_os.path.join(d, n),
+                             _os.path.join(chunks, "mip=0", n))
+    for n in man_files:
+        _os.remove(_os.path.join(chunks, n))
+    _shutil.rmtree(_os.path.join(chunks, "data"))
+    _shutil.rmtree(_os.path.join(chunks, "feed"), ignore_errors=True)
+
+    fresh = Volume.open(spark, str(tmp_path / "genzl"))
+    assert fresh._is_legacy_layout()
+    with pytest.raises(ManifestError, match="legacy"):
+        Volume.open(spark, str(tmp_path / "genzl"), generation=0)
