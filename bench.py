@@ -105,16 +105,20 @@ VOL_SHAPE = (1024, 1024, 100)
 VOL_CHUNK = (256, 256, 50)
 
 
-def make_seg_blocks(spark, shape, chunk_size):
-    """Distributed synthetic segmentation content — piecewise-constant
-    16x16x10 uniform cells per chunk, so chunks compress like real
-    segmentation (~1.3k distinct labels each). THE single generator
-    for both bench.py's seg probe and scripts/bench_scale.py's
-    volumetric leg: the cross-bench comparability in SCALE.md depends
-    on both measuring identical content."""
+def make_blocks(spark, shape, chunk_size, content):
+    """Distributed synthetic volume blocks: one grid-aligned block per
+    chunk, bytes produced by ``content(rng, chunk_size) -> (x,y,z,c)
+    array``. THE single block-generation scaffold for bench.py's image
+    and seg probes AND scripts/bench_scale.py's volumetric leg — the
+    cross-bench comparability in SCALE.md depends on all of them
+    generating through the same path. The per-chunk seed packs the
+    coordinates into disjoint bit fields ((cx<<40)|(cy<<20)|cz):
+    an arithmetic cx*1000+cy*100+cz seed aliases once a volume has
+    10+ chunks on an axis, silently repeating chunk content and
+    skewing unique-label counts and compression ratios."""
     from cloud_volume_spark.volume import BLOCK_SCHEMA
 
-    cs = chunk_size
+    cs = tuple(int(c) for c in chunk_size)
     grid = [shape[i] // cs[i] for i in range(3)]
     coords = [
         (cx, cy, cz)
@@ -130,16 +134,9 @@ def make_seg_blocks(spark, shape, chunk_size):
             rows = []
             for r in pdf.itertuples(index=False):
                 rng = np.random.default_rng(
-                    r.cx * 1000 + r.cy * 100 + r.cz
+                    (r.cx << 40) | (r.cy << 20) | r.cz
                 )
-                cells = rng.integers(
-                    1, 60000,
-                    size=(csx // 16, csy // 16, csz // 10),
-                    dtype=np.uint16,
-                )
-                arr = np.kron(
-                    cells, np.ones((16, 16, 10), dtype=np.uint16)
-                )[..., None]
+                arr = content(rng, cs)
                 rows.append((
                     r.cx * csx, (r.cx + 1) * csx,
                     r.cy * csy, (r.cy + 1) * csy,
@@ -152,6 +149,27 @@ def make_seg_blocks(spark, shape, chunk_size):
 
     return coords_df.repartition(len(coords)).mapInPandas(
         gen, schema=BLOCK_SCHEMA)
+
+
+def _seg_content(rng, cs):
+    """Piecewise-constant 16x16x10 uniform cells per chunk — compresses
+    like real segmentation, ~1.3k distinct labels per chunk."""
+    cells = rng.integers(
+        1, 60000,
+        size=(cs[0] // 16, cs[1] // 16, cs[2] // 10),
+        dtype=np.uint16,
+    )
+    return np.kron(cells, np.ones((16, 16, 10), dtype=np.uint16))[..., None]
+
+
+def _image_content(rng, cs):
+    """Uniform-noise uint8 image content (the reference benchmark's
+    incompressible-ish worst case for gzip)."""
+    return rng.integers(0, 255, size=(*cs, 1)).astype(np.uint8)
+
+
+def make_seg_blocks(spark, shape, chunk_size):
+    return make_blocks(spark, shape, chunk_size, _seg_content)
 
 
 def bench_queries(spark, sf_dir: str) -> tuple:
@@ -190,7 +208,7 @@ def bench_volume(spark) -> dict:
     chunks — comparable to BASELINE.md image-uint8 gzip rows."""
     from cloud_volume_spark.catalog import VolumeInfo
     from cloud_volume_spark.geometry import Bbox
-    from cloud_volume_spark.volume import BLOCK_SCHEMA, Volume
+    from cloud_volume_spark.volume import Volume
 
     base = tempfile.mkdtemp(prefix="cvs_bench_")
     try:
@@ -200,39 +218,7 @@ def bench_volume(spark) -> dict:
             volume_size=VOL_SHAPE, chunk_size=VOL_CHUNK, encoding="raw",
         )
         vol = Volume.create(spark, os.path.join(base, "vol"), info)
-        cs = VOL_CHUNK
-        grid = [VOL_SHAPE[i] // cs[i] for i in range(3)]
-        coords = [
-            (cx, cy, cz)
-            for cz in range(grid[2])
-            for cy in range(grid[1])
-            for cx in range(grid[0])
-        ]
-        coords_df = spark.createDataFrame(coords, "cx int, cy int, cz int")
-
-        csx, csy, csz = cs
-
-        def gen(batches):
-            for pdf in batches:
-                rows = []
-                for r in pdf.itertuples(index=False):
-                    rng = np.random.default_rng(r.cx * 1000 + r.cy * 100 + r.cz)
-                    arr = rng.integers(
-                        0, 255, size=(csx, csy, csz, 1)
-                    ).astype(np.uint8)
-                    rows.append((
-                        r.cx * csx, (r.cx + 1) * csx,
-                        r.cy * csy, (r.cy + 1) * csy,
-                        r.cz * csz, (r.cz + 1) * csz,
-                        np.ascontiguousarray(arr.transpose()).tobytes(),
-                    ))
-                yield pd.DataFrame(
-                    rows, columns=["x0", "x1", "y0", "y1", "z0", "z1", "blob"]
-                )
-
-        blocks = coords_df.repartition(len(coords)).mapInPandas(
-            gen, schema=BLOCK_SCHEMA
-        )
+        blocks = make_blocks(spark, VOL_SHAPE, VOL_CHUNK, _image_content)
         logical_mb = int(np.prod(VOL_SHAPE)) / 1e6
 
         # reference methodology (benchmarks/benchmark.py): repeats of the

@@ -250,14 +250,17 @@ class Volume:
                 # publish — the same pinned-empty-snapshot definition
                 # changes(0) and restore(0) use (_generation_or_raise);
                 # there is no manifest-000000000000.json file to load.
-                # A legacy hive table has data but no generations —
-                # serving it as "empty generation 0" would silently
-                # hide every chunk (restore/compact raise the same way)
-                if vol._is_legacy_layout():
+                # A legacy hive table or interim single-pointer table
+                # has data but no numbered generations — serving either
+                # as "empty generation 0" would silently hide every
+                # chunk (restore/compact raise the same way)
+                if vol._is_legacy_layout() or vol._fs.exists(
+                        f"{vol.chunks_path}/_manifest.json"):
                     raise ManifestError(
-                        "open(generation=0) requires the snapshot-"
-                        "manifest layout — this is a legacy hive-"
-                        "layout table; run migrate_to_manifest() first")
+                        "open(generation=0) requires the numbered "
+                        "snapshot-manifest layout — this table is "
+                        "legacy hive or interim single-pointer; run "
+                        "migrate_to_manifest() first")
                 vol._pinned_manifest = {"generation": 0, "entries": {}}
             else:
                 vol._read_manifest()  # fail fast on vacuumed/absent pin
@@ -1932,7 +1935,14 @@ class Volume:
         to ``probe_errors`` — rerun fsck to resolve them — and never
         count as ``missing_dirs`` or fail ``ok`` (the same transient/
         confirmed-absent split ``_probe_generation_dirs`` makes by
-        raising 'transient; retry').
+        raising 'transient; retry'). A manifest whose READ erred gets
+        the same treatment via ``manifest_read_errors``: that
+        generation is UNVERIFIED (its dirs are excluded from every
+        check and orphan classification is suppressed entirely), so a
+        health check gating on ``ok`` MUST also require
+        ``probe_errors`` and ``manifest_read_errors`` to be empty —
+        ``ok=True`` means "nothing verified is wrong", not
+        "everything was verified".
 
         ``repair=True`` routes each REPAIRABLE finding to its existing
         remedy, all under the commit lock (held = no live writer, so
@@ -2090,11 +2100,18 @@ class Volume:
         feed_dir = f"{self.chunks_path}/feed"
         have = set(fs.listdir(feed_dir)) if fs.exists(feed_dir) else set()
         healable = {g for g, _, _ in self._missing_feed_entries()}
+        unread = set(report["manifest_read_errors"])
         for g in gens:
             if self._feed_file(g).rsplit("/", 1)[1] in have:
                 continue
             if g in report["torn_husks"]:
                 continue  # not a commit, so not a gap
+            if g in unread:
+                # healability needs this manifest; a transient read
+                # error must not read as PERMANENT feed loss — the
+                # generation already sits in manifest_read_errors,
+                # rerun fsck when the store recovers
+                continue
             (report["feed_gaps_healable"] if g in healable
              else report["feed_gaps_lost"]).append(int(g))
         # lock + crash tmps

@@ -471,6 +471,15 @@ def test_lost_race_gcs_and_service_message_shapes():
     service-exception message — still classify as lost races, while
     the same wording on an IOException frame propagates."""
     class _GThrowable(_JThrowable):
+        # only getCode answers — the inherited statusCode/getStatusCode
+        # must NOT shadow it, or this test would pass with the getCode
+        # probe deleted
+        def statusCode(self):
+            raise AttributeError("no statusCode")
+
+        def getStatusCode(self):
+            raise AttributeError("no getStatusCode")
+
         def getCode(self):
             if self._status is None:
                 raise AttributeError("no code")

@@ -2198,6 +2198,10 @@ def test_fsck_repair_transient_manifest_read_is_not_destructive(
             raise RuntimeError("503 Slow Down")
         return real_read(path)
 
+    import os as _os
+
+    _os.remove(_os.path.join(vol.chunks_path, "feed",
+                             f"gen-{top:012d}.json"))
     vol._fs.read_bytes = flaky_read
     try:
         r = vol._fsck_scan()
@@ -2206,6 +2210,11 @@ def test_fsck_repair_transient_manifest_read_is_not_destructive(
         # the head resolves through _read_manifest's own fallback, so
         # generation g-1 serves — but NOTHING is classified orphan
         assert not r["orphan_dirs"]
+        # and its missing feed file is neither healable nor LOST —
+        # healability needs the unreadable manifest, and a throttle
+        # must not tell consumers to batch-restart
+        assert top not in r["feed_gaps_lost"]
+        assert top not in r["feed_gaps_healable"]
 
         rep = vol.fsck(repair=True)
         assert "skipped_destructive" in rep["repaired"]
