@@ -2131,7 +2131,7 @@ class Volume:
                             or report["torn_husks"])
         return report
 
-    def vacuum(self, keep_manifests: int = 3) -> int:
+    def vacuum(self, keep_manifests: int = 3, dry_run: bool = False):
         """Reclaim data dirs and manifest files outside the retention
         window: the newest ``keep_manifests`` generations survive
         INTACT — manifest file AND every data dir any of them
@@ -2142,12 +2142,21 @@ class Volume:
         commit lock. In-flight readers of reclaimed snapshots lose
         their files — run vacuum when no long queries are active,
         exactly the Delta/Iceberg VACUUM contract. Returns dirs
-        removed."""
+        removed.
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) deletes
+        NOTHING and instead returns ``{"data_dirs": [...],
+        "manifests": [gen, ...], "feed_files": [...], "tmps": [...]}``
+        — exactly what a real run with the same ``keep_manifests``
+        would reclaim, decided under the same commit lock so the
+        answer cannot race a concurrent commit."""
         fs = self._fs
+        plan = {"data_dirs": [], "manifests": [], "feed_files": [],
+                "tmps": []}
         with self._commit_lock():
             man = self._read_manifest()
             if man is None:
-                return 0
+                return plan if dry_run else 0
             gens = self._manifest_generations()
             # NEVER drop the generation reads currently resolve to —
             # torn husks above it count toward the keep window and must
@@ -2171,10 +2180,16 @@ class Volume:
             n = 0
             for d in fs.listdir(f"{self.chunks_path}/data"):
                 if d.startswith("commit-") and d not in live:
+                    if dry_run:
+                        plan["data_dirs"].append(d)
+                        continue
                     fs.rmtree(f"{self.chunks_path}/data/{d}")
                     n += 1
             for g in gens:
                 if g not in keep:
+                    if dry_run:
+                        plan["manifests"].append(int(g))
+                        continue
                     fs.remove(self._manifest_file(g))
             # publish tmps orphaned by crashes mid-write (dot-prefixed,
             # invisible to Spark file sources and to every name filter)
@@ -2183,6 +2198,9 @@ class Volume:
             # chunks root, feed tmps in feed/
             for n2 in fs.listdir(self.chunks_path):
                 if fs.is_publish_tmp(n2):
+                    if dry_run:
+                        plan["tmps"].append(n2)
+                        continue
                     fs.remove(f"{self.chunks_path}/{n2}")
             # streaming-feed files follow manifest retention: a feed
             # older than the retained window describes vacuumed data
@@ -2190,7 +2208,10 @@ class Volume:
             if fs.exists(feed_dir):
                 for n2 in fs.listdir(feed_dir):
                     if fs.is_publish_tmp(n2):
-                        fs.remove(f"{feed_dir}/{n2}")
+                        if dry_run:
+                            plan["tmps"].append(n2)
+                        else:
+                            fs.remove(f"{feed_dir}/{n2}")
                         continue
                     if not (n2.startswith("gen-") and n2.endswith(".json")):
                         continue
@@ -2199,8 +2220,11 @@ class Volume:
                     except ValueError:
                         continue
                     if g not in keep:
+                        if dry_run:
+                            plan["feed_files"].append(n2)
+                            continue
                         fs.remove(f"{feed_dir}/{n2}")
-            return n
+            return plan if dry_run else n
 
     def _overwrite_slabs_legacy(self, out: DataFrame,
                                 drop: Optional[Iterable[tuple]],

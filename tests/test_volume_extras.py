@@ -2261,3 +2261,40 @@ def test_open_generation_zero_legacy_table_raises(spark, tmp_path):
     assert fresh._is_legacy_layout()
     with pytest.raises(ManifestError, match="legacy"):
         Volume.open(spark, str(tmp_path / "genzl"), generation=0)
+
+
+def test_vacuum_dry_run_plans_without_deleting(spark, tmp_path):
+    """vacuum(dry_run=True) (Delta's VACUUM DRY RUN): returns exactly
+    what a real run with the same retention would reclaim — and
+    deletes nothing; the subsequent real run reclaims exactly the
+    planned set."""
+    import os as _os
+
+    _, vol = _mk_vol(spark, tmp_path, "vdry", n=64, cs=8)
+    for v in (1, 2, 3):
+        vol.upload(np.full((8, 8, 8, 1), v, np.uint32), offset=(0, 0, 0))
+    with open(_os.path.join(vol.chunks_path, ".m.json.w3-0f"), "wb") as f:
+        f.write(b"t")
+    gens = vol._manifest_generations()
+    assert len(gens) >= 4
+
+    plan = vol.vacuum(keep_manifests=2, dry_run=True)
+    assert set(plan["manifests"]) == set(gens) - set(gens[:2])
+    assert plan["tmps"] == [".m.json.w3-0f"]
+    assert plan["data_dirs"]  # the rewritten slab's old commits
+    # nothing was deleted
+    for g in gens:
+        assert vol._fs.exists(vol._manifest_file(g))
+    for d in plan["data_dirs"]:
+        assert vol._fs.exists(f"{vol.chunks_path}/data/{d}")
+
+    n = vol.vacuum(keep_manifests=2)
+    assert n == len(plan["data_dirs"])
+    for g in plan["manifests"]:
+        assert not vol._fs.exists(vol._manifest_file(g))
+    for d in plan["data_dirs"]:
+        assert not vol._fs.exists(f"{vol.chunks_path}/data/{d}")
+    for fn in plan["feed_files"]:
+        assert not vol._fs.exists(f"{vol.chunks_path}/feed/{fn}")
+    # the table still serves at the retained head
+    assert (vol.cutout(Bbox((0, 0, 0), (8, 8, 8))) == 3).all()
