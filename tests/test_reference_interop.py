@@ -416,3 +416,94 @@ def test_reference_decodes_our_by_id_records(exported_layer):
             offset += ids.nbytes
             assert sorted(int(v) for v in ids) == sorted(row.rel_parent)
         assert offset == len(binary)  # reference's trailing assert
+
+
+def test_shard_files_cross_parse_with_reference():
+    """Shard files synthesized by EITHER implementation parse in the
+    OTHER: our synthesize_shard_file → the reference's own
+    ShardReader.disassemble_shard, and the reference's
+    ShardingSpecification.synthesize_shard → our ShardFileReader —
+    label→bytes maps identical to the input both ways. (raw encodings:
+    the gzip paths route through cloudfiles, which is stubbed.)"""
+    from cloud_volume_spark.sharding import (
+        ShardFileReader, ShardingSpecification as OurSpec,
+        synthesize_shard_file)
+
+    ref_sh = load_ref("datasource.precomputed.sharding")
+    rng = np.random.default_rng(31)
+
+    for hashfn in ("identity", "murmurhash3_x86_128"):
+        params = dict(preshift_bits=2, hash=hashfn,
+                      minishard_bits=3, shard_bits=0)
+        our_spec = OurSpec(**params)
+        ref_spec = ref_sh.ShardingSpecification(
+            type="neuroglancer_uint64_sharded_v1", **params)
+        # one shard's worth of labels (shard_bits=0 → all labels in
+        # shard 0), arbitrary value sizes incl. empty
+        labels = {
+            int(lab): rng.bytes(int(n))
+            for lab, n in zip(
+                rng.choice(2**40, size=40, replace=False),
+                rng.integers(0, 200, size=40))
+        }
+
+        # ours → reference reader
+        blob = synthesize_shard_file(our_spec, labels)
+        ref_reader = object.__new__(ref_sh.ShardReader)
+        ref_reader.spec = ref_spec
+        got = ref_reader.disassemble_shard(blob)
+        assert {int(k): bytes(v) for k, v in got.items()} == labels
+
+        # reference writer → our reader
+        ref_blob = ref_spec.synthesize_shard(labels)
+        ours = dict(ShardFileReader(our_spec, bytes(ref_blob)).items())
+        assert ours == labels
+        # and spot point-lookups through our 3-level index walk
+        rdr = ShardFileReader(our_spec, bytes(ref_blob))
+        for lab in list(labels)[:5]:
+            assert rdr.get(lab) == labels[lab]
+
+
+def test_chunk_codec_bytes_cross_decode_with_reference():
+    """raw / npz chunk encodings cross-decode: bytes our codecs write
+    decode through the reference's own chunks.encode/decode and vice
+    versa (gzip differs only by a zlib container parameter and is
+    covered by the raw path it wraps). fastremap/codec wheels are
+    absent, so only their import is stubbed — raw and npz never call
+    them."""
+    import sys as _sys
+    import types as _types
+
+    if "fastremap" not in _sys.modules:
+        _sys.modules["fastremap"] = _types.ModuleType("fastremap")
+    ref_chunks = load_ref("chunks")
+
+    from cloud_volume_spark import codecs as ours
+
+    rng = np.random.default_rng(61)
+    shape = (16, 8, 4, 1)
+    for dtype in (np.uint8, np.uint16, np.uint32, np.uint64):
+        hi = min(np.iinfo(dtype).max, 2**31 - 1)
+        arr = rng.integers(0, hi, size=shape).astype(dtype)
+
+        # raw: byte-identical both ways (F-order buffer)
+        ref_raw = ref_chunks.encode(arr, "raw")
+        our_raw = ours.encode(arr, "raw")
+        assert bytes(ref_raw) == bytes(our_raw)
+        back = ref_chunks.decode(our_raw, "raw", shape=shape, dtype=dtype)
+        assert np.array_equal(back, arr)
+        back = ours.decode(bytes(ref_raw), "raw", shape=shape,
+                           dtype=np.dtype(dtype))
+        assert np.array_equal(back, arr)
+
+        # npz: containers may differ byte-wise (zlib level); semantic
+        # cross-decode is the contract
+        ref_npz = ref_chunks.encode(arr, "npz")
+        back = ours.decode(bytes(ref_npz), "npz", shape=shape,
+                           dtype=np.dtype(dtype))
+        assert np.array_equal(back, arr)
+        our_npz = ours.encode(arr, "npz")
+        back = ref_chunks.decode(bytes(our_npz), "npz", shape=shape,
+                                 dtype=dtype)
+        assert np.array_equal(back.reshape(shape, order="F")
+                              if back.shape != shape else back, arr)
