@@ -322,10 +322,18 @@ class ShardFileReader:
             raise SpecViolation("shard file shorter than its fixed index")
         fixed = np.frombuffer(blob[:ilen], dtype=np.uint64).reshape(-1, 2)
         self.fixed_index = fixed + np.uint64(ilen)  # decode_index :393
+        self._msi_cache: dict = {}
 
     def minishard_index(self, minishard_no: int) -> np.ndarray:
         """→ uint64 (N,3) of [label, byte_start, byte_end-ish (size)]
-        decoded per ``decode_minishard_index`` :402-418."""
+        decoded per ``decode_minishard_index`` :402-418. Decoded (and
+        for gzip-encoded indices, gunzipped) ONCE per minishard: the
+        list_labels()-then-get-per-label import loops (multilod,
+        skeleton shard ingest) would otherwise re-decode the same
+        index per label — quadratic in labels per minishard."""
+        cached = self._msi_cache.get(int(minishard_no))
+        if cached is not None:
+            return cached
         start, end = (int(v) for v in self.fixed_index[minishard_no])
         if start == end:
             return np.zeros((0, 3), dtype=np.uint64)
@@ -338,6 +346,7 @@ class ShardFileReader:
         idx[:, 1] = np.cumsum(idx[:, 1])
         idx[1:, 1] += np.cumsum(idx[:-1, 2])
         idx[:, 1] += np.uint64(self.spec.index_length())
+        self._msi_cache[int(minishard_no)] = idx
         return idx
 
     def get(self, label: int) -> Optional[bytes]:

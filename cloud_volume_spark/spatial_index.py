@@ -32,11 +32,70 @@ from cloud_volume_spark.geometry import Bbox
 
 
 class SpatialIndex:
+    """``cell_size``/``grid_origin`` define the grid: cell ``g`` covers
+    ``[origin + g*cs, origin + (g+1)*cs)`` per axis. The reference
+    anchors its grid at the dataset's ``physical_bounds.minpt``
+    (reference ``spatial_index.py:367``), NOT at zero — indexes
+    imported from offset datasets carry their origin here. Both
+    parameters persist in a ``_spatial_meta.json`` sidecar written by
+    every build/import; reopening with explicit values that contradict
+    the sidecar raises instead of silently querying the wrong grid."""
+
     def __init__(self, spark: SparkSession, base_path: str,
-                 cell_size: Sequence[float] = (128.0, 128.0, 128.0)):
+                 cell_size: Sequence[float] = None,
+                 grid_origin: Sequence[float] = None):
         self.spark = spark
         self.base_path = base_path
-        self.cell_size = tuple(float(c) for c in cell_size)
+        meta = self._load_meta()
+        self.cell_size = self._resolve(
+            "cell_size", cell_size, meta, (128.0, 128.0, 128.0))
+        self.grid_origin = self._resolve(
+            "grid_origin", grid_origin, meta, (0.0, 0.0, 0.0))
+        # import-time name-fidelity facts (reference round-tripping):
+        # whether the source rendered coordinates float-style, and the
+        # per-axis clamp the reference applies to edge-cell names
+        self.float_names = bool((meta or {}).get("float_names", False))
+        bm = (meta or {}).get("bounds_max")
+        self.bounds_max = tuple(float(v) for v in bm) if bm else None
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.base_path, "_spatial_meta.json")
+
+    def _load_meta(self):
+        import json as _json
+
+        try:
+            with open(self.meta_path) as fh:
+                return _json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    @staticmethod
+    def _resolve(key, explicit, meta, default):
+        stored = tuple(float(v) for v in meta[key]) if (
+            meta and key in meta) else None
+        if explicit is not None:
+            explicit = tuple(float(v) for v in explicit)
+            if stored is not None and stored != explicit:
+                raise ValueError(
+                    f"spatial index {key} mismatch: stored {stored}, "
+                    f"caller passed {explicit} — the stored grid is a "
+                    "fact of the data; reopen without the argument")
+            return explicit
+        return stored if stored is not None else default
+
+    def _write_meta(self) -> None:
+        import json as _json
+
+        os.makedirs(self.base_path, exist_ok=True)
+        meta = {"cell_size": list(self.cell_size),
+                "grid_origin": list(self.grid_origin),
+                "float_names": self.float_names}
+        if self.bounds_max is not None:
+            meta["bounds_max"] = list(self.bounds_max)
+        with open(self.meta_path, "w") as fh:
+            _json.dump(meta, fh)
 
     @property
     def data_path(self) -> str:
@@ -48,16 +107,16 @@ class SpatialIndex:
                           x: str = "x", y: str = "y", z: str = "z") -> None:
         """Index any point-shaped table (voxels, annotation points,
         skeleton vertices): one groupBy produces the whole index."""
-        cs = self.cell_size
+        cs, og = self.cell_size, self.grid_origin
         cells = df.select(
             F.col(label_col).cast("long").alias("label"),
             F.col(x).cast("double").alias("px"),
             F.col(y).cast("double").alias("py"),
             F.col(z).cast("double").alias("pz"),
         ).withColumns({
-            "gx": F.floor(F.col("px") / cs[0]).cast("int"),
-            "gy": F.floor(F.col("py") / cs[1]).cast("int"),
-            "gz": F.floor(F.col("pz") / cs[2]).cast("int"),
+            "gx": F.floor((F.col("px") - og[0]) / cs[0]).cast("int"),
+            "gy": F.floor((F.col("py") - og[1]) / cs[1]).cast("int"),
+            "gz": F.floor((F.col("pz") - og[2]) / cs[2]).cast("int"),
         })
         index = cells.groupBy("label", "gx", "gy", "gz").agg(
             F.min("px").alias("x0"), F.min("py").alias("y0"),
@@ -70,6 +129,7 @@ class SpatialIndex:
             .sortWithinPartitions("gz", "gy", "gx", "label")
             .write.mode("overwrite").parquet(self.data_path)
         )
+        self._write_meta()
 
     def df(self) -> DataFrame:
         return self.spark.read.parquet(self.data_path)
@@ -77,13 +137,22 @@ class SpatialIndex:
     # ---- queries (reference :697-923) ---------------------------------
 
     def _cell_pruned(self, bbox: Bbox) -> DataFrame:
-        cs = self.cell_size
+        import math
+
+        cs, og = self.cell_size, self.grid_origin
         (x0, y0, z0), (x1, y1, z1) = bbox.minpt, bbox.maxpt
+        lo = [int(math.floor((float(v) - og[i]) / cs[i]))
+              for i, v in enumerate((x0, y0, z0))]
+        # exclusive max → last intersecting cell is ceil(v/cs)-1: the
+        # old int((x1-1)//cs) assumed integer coords and dropped the
+        # final cell for fractional maxpts (the index stores DOUBLEs)
+        hi = [int(math.ceil((float(v) - og[i]) / cs[i])) - 1
+              for i, v in enumerate((x1, y1, z1))]
         return (
             self.df()
-            .where(F.col("gx").between(int(x0 // cs[0]), int((x1 - 1) // cs[0])))
-            .where(F.col("gy").between(int(y0 // cs[1]), int((y1 - 1) // cs[1])))
-            .where(F.col("gz").between(int(z0 // cs[2]), int((z1 - 1) // cs[2])))
+            .where(F.col("gx").between(lo[0], hi[0]))
+            .where(F.col("gy").between(lo[1], hi[1]))
+            .where(F.col("gz").between(lo[2], hi[2]))
         )
 
     def query(self, bbox: Bbox, exact: bool = True) -> DataFrame:
@@ -145,27 +214,40 @@ def export_spatial_files(index: SpatialIndex, out_dir: str) -> int:
     import json as _json
 
     import pandas as pd
-    from pyspark.sql import functions as SF
 
     os.makedirs(out_dir, exist_ok=True)
-    cs = index.cell_size
+    cs, og = index.cell_size, index.grid_origin
+    bmax = index.bounds_max
+    float_names = index.float_names
 
     def fmt(v) -> str:
         # match the reference's Bbox.to_filename (lib.py:584-601):
-        # plain str() of the coordinate — integral values render as
-        # bare integers at ANY magnitude. The previous ':g' format
-        # switched to 6-significant-digit scientific notation at
-        # >= 1e6 ('1.00762e+06' for 1007616), producing names the
+        # plain str() of the coordinate in the bounds' own dtype —
+        # integral values render bare for int-dtype bounds and as
+        # '8192.0' for float-dtype bounds (non-integer resolutions);
+        # an imported index remembers which style its source used
+        # (float_names). The previous ':g' format switched to
+        # 6-significant-digit scientific notation at >= 1e6
+        # ('1.00762e+06' for 1007616), producing names the
         # reference's exact-string lookups could never match
         fv = float(v)
+        if float_names:
+            return str(fv)
         return str(int(fv)) if fv == int(fv) else repr(fv)
+
+    def axis_hi(g: int, i: int) -> float:
+        # the reference clamps edge-cell names to the dataset's
+        # physical bounds.maxpt (spatial_index.py:379-381); an
+        # imported index carries that clamp in bounds_max
+        hi = og[i] + (g + 1) * cs[i]
+        return min(hi, bmax[i]) if bmax is not None else hi
 
     def write_cell(keyvals, pdf):
         gx, gy, gz = (int(k) for k in keyvals)
         name = (
-            f"{fmt(gx * cs[0])}-{fmt((gx + 1) * cs[0])}_"
-            f"{fmt(gy * cs[1])}-{fmt((gy + 1) * cs[1])}_"
-            f"{fmt(gz * cs[2])}-{fmt((gz + 1) * cs[2])}.spatial"
+            f"{fmt(og[0] + gx * cs[0])}-{fmt(axis_hi(gx, 0))}_"
+            f"{fmt(og[1] + gy * cs[1])}-{fmt(axis_hi(gy, 1))}_"
+            f"{fmt(og[2] + gz * cs[2])}-{fmt(axis_hi(gz, 2))}.spatial"
         )
         data = {
             str(int(r.label)): [r.x0, r.y0, r.z0, r.x1, r.y1, r.z1]
@@ -224,18 +306,51 @@ def import_spatial_files(spark: SparkSession, src_dir: str,
             ranges.append((float(m.group(1)), float(m.group(2))))
         return ranges  # [(x0,x1),(y0,y1),(z0,z1)]
 
-    # cell size from the first file; grid coords derive per file from
-    # each file's own origin so multi-cell layouts land on the grid
-    cell = parse_name(names[0])
-    cell_size = tuple(hi - lo for lo, hi in cell)
+    # Grid geometry from the WHOLE file set, not the first filename:
+    # the reference anchors cells at physical_bounds.minpt (:367) and
+    # clamps edge-cell names to bounds.maxpt (:379-381), so (a) the
+    # grid origin is the per-axis minimum file origin — NOT zero —
+    # and (b) a clipped edge cell can sort lexicographically first
+    # ('118784-120000' < '53248-61440'), so taking cell_size from
+    # names[0] can corrupt every grid coordinate. Cell size is the
+    # per-axis MAX extent (full cells dominate clipped ones),
+    # validated by requiring every origin to land on the grid.
+    all_ranges = [parse_name(n) for n in names]
+    grid_origin = tuple(
+        min(rr[i][0] for rr in all_ranges) for i in range(3))
+    cell_size = tuple(
+        max(rr[i][1] - rr[i][0] for rr in all_ranges) for i in range(3))
+    for i in range(3):
+        offs = sorted({rr[i][0] - grid_origin[i] for rr in all_ranges})
+        deltas = [b - a for a, b in zip(offs, offs[1:]) if b > a]
+        if deltas and min(deltas) < cell_size[i] - 1e-9:
+            # the max-extent guess skipped a finer grid (possible only
+            # if EVERY cell on this axis is clipped) — the spacing of
+            # observed origins is then the truth
+            cell_size = tuple(
+                min(deltas) if j == i else cell_size[j] for j in range(3))
+        bad = [o for o in offs
+               if abs(o / cell_size[i] - round(o / cell_size[i])) > 1e-6]
+        if bad:
+            raise ValueError(
+                f"axis {i}: .spatial file origins {bad[:3]} do not land "
+                f"on a grid of cell size {cell_size[i]} anchored at "
+                f"{grid_origin[i]} — unrecognized spatial layout")
+    bounds_max = tuple(
+        max(rr[i][1] for rr in all_ranges) for i in range(3))
+    float_names = any(
+        "." in n[: -len(".spatial")] for n in names)
 
     def parse(batches):
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 ranges = parse_name(r.name)
-                gx = int(ranges[0][0] // cell_size[0])
-                gy = int(ranges[1][0] // cell_size[1])
-                gz = int(ranges[2][0] // cell_size[2])
+                gx = int(round((ranges[0][0] - grid_origin[0])
+                               / cell_size[0]))
+                gy = int(round((ranges[1][0] - grid_origin[1])
+                               / cell_size[1]))
+                gz = int(round((ranges[2][0] - grid_origin[2])
+                               / cell_size[2]))
                 with open(os.path.join(src_dir, r.name)) as fh:
                     data = _json.load(fh)
                 if not data:
@@ -252,6 +367,12 @@ def import_spatial_files(spark: SparkSession, src_dir: str,
                              "x0", "y0", "z0", "x1", "y1", "z1"],
                 )
 
+    # a re-import overwrites the parquet — the sidecar must follow it,
+    # not veto it through the constructor's mismatch guard
+    stale = os.path.join(base_path, "_spatial_meta.json")
+    if os.path.exists(stale):
+        os.remove(stale)
+
     files_df = spark.createDataFrame([(n,) for n in names], "name string")
     if len(names) > 1:
         files_df = files_df.repartition(min(len(names), 256))
@@ -261,10 +382,14 @@ def import_spatial_files(spark: SparkSession, src_dir: str,
                "x0 double, y0 double, z0 double, "
                "x1 double, y1 double, z1 double",
     )
-    idx = SpatialIndex(spark, base_path, cell_size=cell_size)
+    idx = SpatialIndex(spark, base_path, cell_size=cell_size,
+                       grid_origin=grid_origin)
+    idx.float_names = float_names
+    idx.bounds_max = bounds_max
     (
         rows.repartitionByRange("gz", "gy", "gx")
         .sortWithinPartitions("gz", "gy", "gx", "label")
         .write.mode("overwrite").parquet(idx.data_path)
     )
+    idx._write_meta()
     return idx

@@ -856,12 +856,23 @@ def test_spatial_files_roundtrip_large_and_negative_coords(spark, tmp_path):
         assert "e" not in n.replace(".spatial", "")
 
     idx2 = import_spatial_files(spark, out, str(tmp_path / "bigin"))
+    # the imported grid anchors at the minimum file origin (-8192,
+    # the reference's physical_bounds.minpt convention), so raw g
+    # coordinates renumber; the PHYSICAL cell ranges must be identical
     a = idx.df().toPandas().sort_values("label").reset_index(drop=True)
     b = idx2.df().toPandas().sort_values("label").reset_index(drop=True)
-    assert a[["label", "gx", "gy", "gz"]].equals(
-        b[["label", "gx", "gy", "gz"]])
+    assert idx2.grid_origin == (-8192.0, 0.0, 0.0)
+    for ax, g in (("x", "gx"), ("y", "gy"), ("z", "gz")):
+        i = "xyz".index(ax)
+        phys_a = a[g] * idx.cell_size[i] + idx.grid_origin[i]
+        phys_b = b[g] * idx2.cell_size[i] + idx2.grid_origin[i]
+        assert (phys_a == phys_b).all(), ax
     for c in ["x0", "y0", "z0", "x1", "y1", "z1"]:
         assert (a[c] == b[c]).all(), c
+    # and a re-export reproduces the reference-format names verbatim
+    out2 = str(tmp_path / "bigout2")
+    assert export_spatial_files(idx2, out2) == 2
+    assert sorted(os.listdir(out2)) == names
 
 
 def test_pyramid_import_export_roundtrip(spark, tmp_path):
@@ -890,3 +901,73 @@ def test_pyramid_import_export_roundtrip(spark, tmp_path):
     vol3 = import_pyramid(
         spark, str(tmp_path / "pre"), str(tmp_path / "pyr3"), mips=[1])
     assert vol3.has_data(1) and not vol3.has_data(0)
+
+
+def test_spatial_import_reference_offset_and_clipped_layouts(
+        spark, tmp_path):
+    """The reference anchors its spatial grid at physical_bounds.minpt
+    and clamps edge-cell NAMES to bounds.maxpt (reference
+    spatial_index.py:367,379-381). Import must (a) not assume a
+    0-anchored grid for offset datasets, (b) not take cell size from
+    the lexicographically-first file — a clipped edge cell can sort
+    first ('118784-...' < '53248-...'), and (c) honor float-rendered
+    names. Export must reproduce the source names verbatim."""
+    import json as _json
+    import os
+
+    from cloud_volume_spark.spatial_index import (
+        export_spatial_files, import_spatial_files,
+    )
+
+    src = str(tmp_path / "refsp")
+    os.makedirs(src)
+    # origin 53248 (NOT a multiple of cs=8192), cells at 53248..118784,
+    # last cell clipped to bounds.maxpt=120000 — and that clipped name
+    # sorts lexicographically FIRST
+    cs = 8192.0
+    # gapped grid (gaps are legal): full cells at 53248..94208, plus
+    # the clipped edge cell at 118784 whose name sorts FIRST ('1' < '5')
+    origins = [53248.0 + k * cs for k in (0, 1, 2, 3, 4, 5, 8)]
+    for k, lo in enumerate(origins):
+        hi = min(lo + cs, 120000.0)
+        name = (f"{int(lo)}-{int(hi)}_0-8192_0-8192.spatial")
+        with open(os.path.join(src, name), "w") as f:
+            _json.dump({str(k + 1): [lo + 0.2, 1, 1, lo + 0.4, 2, 2]}, f)
+    assert sorted(os.listdir(src))[0].startswith("118784-")  # the trap
+
+    idx = import_spatial_files(spark, src, str(tmp_path / "refsp_idx"))
+    assert idx.cell_size == (cs, cs, cs)          # not 1216 from the trap
+    assert idx.grid_origin == (53248.0, 0.0, 0.0)  # not 0-anchored
+    assert idx.bounds_max[0] == 120000.0
+
+    # a point-sized query inside the LAST (clipped) cell finds its label
+    got = {r.label for r in idx.query(
+        Bbox((118784.1, 1.0, 1.0), (118784.5, 2.0, 2.0),
+             dtype="float64")).collect()}
+    assert got == {7}
+    # a query whose float maxpt lands fractionally inside cell k=1
+    # keeps that cell (the old int((x1-1)//cs) dropped it)
+    # maxpt 61440.5 reaches 0.5 units into cell k=1 whose label-2 bbox
+    # starts at 61440.2 — the old int((x1-1)//cs) upper bound dropped
+    # the cell entirely for fractional maxpts
+    got = {r.label for r in idx.query(
+        Bbox((53248.0, 0.0, 0.0), (61440.5, 8192.0, 8192.0),
+             dtype="float64")).collect()}
+    assert 2 in got
+
+    # export reproduces the reference's names, clamp included
+    out = str(tmp_path / "refsp_out")
+    assert export_spatial_files(idx, out) == 7
+    assert sorted(os.listdir(out)) == sorted(os.listdir(src))
+
+    # float-rendered names ('8192.0-16384.0') round-trip in kind
+    src2 = str(tmp_path / "refsp_f")
+    os.makedirs(src2)
+    fname = "8192.0-16384.0_0.0-8192.0_0.0-8192.0.spatial"
+    with open(os.path.join(src2, fname), "w") as f:
+        _json.dump({"5": [9000, 1, 1, 9001, 2, 2]}, f)
+    idx2 = import_spatial_files(spark, src2, str(tmp_path / "refsp_fi"))
+    assert idx2.float_names
+    out2 = str(tmp_path / "refsp_fo")
+    assert export_spatial_files(idx2, out2) == 1
+    assert os.listdir(out2) == [fname]
