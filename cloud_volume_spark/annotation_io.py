@@ -363,7 +363,16 @@ def _read_value(dirpath: str, name: str) -> Optional[bytes]:
     if os.path.exists(plain):
         with open(plain, "rb") as f:
             data = f.read()
-        return gzip.decompress(data) if data[:2] == b"\x1f\x8b" else data
+        if data[:2] == b"\x1f\x8b":
+            # the gzip magic can also occur as the first two bytes of a
+            # legitimate uncompressed buffer (a uint64le count with
+            # n % 65536 == 35615) — sniff, but fall back to raw bytes
+            # rather than crashing on the 1-in-65536 coincidence
+            try:
+                return gzip.decompress(data)
+            except OSError:
+                return data
+        return data
     gzpath = plain + ".gz"
     if os.path.exists(gzpath):
         with open(gzpath, "rb") as f:
@@ -381,6 +390,34 @@ def _list_keys(dirpath: str) -> list[str]:
     )
 
 
+def _list_int_keys(dirpath: str) -> list[int]:
+    """Numeric keys only — foreign layers can carry stray files
+    ('.DS_Store', editor backups) that must not crash the listing."""
+    out = []
+    for k in _list_keys(dirpath):
+        try:
+            out.append(int(k))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+from functools import lru_cache  # noqa: E402  (helper-local import)
+
+
+@lru_cache(maxsize=4)
+def _cached_shard_reader(path: str, spec_json: str, mtime_ns: int,
+                         size: int) -> ShardFileReader:
+    """One blob read + one ShardFileReader (with its minishard-index
+    cache) per shard file — per-label loops (ids → get_by_id,
+    relationship_segids → get_by_relationship) would otherwise re-read
+    and re-decode the whole shard once per label, quadratic per
+    minishard. Keyed on (mtime, size) so a rewritten shard refreshes."""
+    spec = ShardingSpecification.from_dict(json.loads(spec_json))
+    with open(path, "rb") as f:
+        return ShardFileReader(spec, f.read())
+
+
 def _sharded_value(base: str, key: str, spec_dict: dict,
                    label: int) -> Optional[bytes]:
     spec = ShardingSpecification.from_dict(spec_dict)
@@ -388,8 +425,11 @@ def _sharded_value(base: str, key: str, spec_dict: dict,
     path = os.path.join(base, key, f"{shard_no}.shard")
     if not os.path.exists(path):
         return None
-    with open(path, "rb") as f:
-        return ShardFileReader(spec, f.read()).get(label)
+    st = os.stat(path)
+    rdr = _cached_shard_reader(
+        path, json.dumps(spec_dict, sort_keys=True),
+        st.st_mtime_ns, st.st_size)
+    return rdr.get(label)
 
 
 def _rows_frame(axes: Sequence[str], properties: Sequence[dict],
@@ -545,20 +585,29 @@ class PrecomputedAnnotationReader:
         lower = np.array(self.info["lower_bound"], dtype=float)
         cs = self.chunk_size(mip)
         shape = self.grid_shape(mip)
-        lo = np.clip(((np.array(bbox.minpt) - lower) // cs).astype(int),
+        # rank-2 layers are legal (get_all and _decode_cells already
+        # support them) — prune only the axes the grid actually has
+        rank = len(shape)
+        mn = np.array(bbox.minpt, dtype=float)[:rank]
+        mx = np.array(bbox.maxpt, dtype=float)[:rank]
+        lo = np.clip(((mn - lower[:rank]) // cs).astype(int),
                      0, shape - 1)
-        hi = np.clip(((np.array(bbox.maxpt) - lower) // cs).astype(int),
+        hi = np.clip(((mx - lower[:rank]) // cs).astype(int),
                      0, shape - 1)
+
+        def axis(i):
+            return range(lo[i], hi[i] + 1) if rank > i else (0,)
+
         cells = [
             (gx, gy, gz)
-            for gz in range(lo[2], hi[2] + 1)
-            for gy in range(lo[1], hi[1] + 1)
-            for gx in range(lo[0], hi[0] + 1)
+            for gz in axis(2)
+            for gy in axis(1)
+            for gx in axis(0)
         ]
         df = self._decode_cells(cells, mip)
         if exact:
             axes = list(self.dimensions.keys())
-            for i, ax in enumerate(axes):
+            for i, ax in enumerate(axes[:rank]):
                 df = df.where(F.col(ax).between(
                     float(bbox.minpt[i]), float(bbox.maxpt[i])
                 ))
@@ -620,9 +669,7 @@ class PrecomputedAnnotationReader:
                     with open(os.path.join(shard_dir, f), "rb") as fh:
                         out.append(ShardFileReader(spec, fh.read()).list_labels())
             return sorted(int(x) for x in np.concatenate(out)) if out else []
-        return sorted(
-            int(k) for k in _list_keys(os.path.join(self.base_path, by_id["key"]))
-        )
+        return _list_int_keys(os.path.join(self.base_path, by_id["key"]))
 
     def get_by_id(self, ids: Iterable[int]) -> DataFrame:
         """Per-id records incl. relationship arrays, decoded on
@@ -747,9 +794,7 @@ class PrecomputedAnnotationReader:
                     with open(os.path.join(shard_dir, f), "rb") as fh:
                         out.append(ShardFileReader(spec, fh.read()).list_labels())
             return sorted(int(x) for x in np.concatenate(out)) if out else []
-        return sorted(
-            int(k) for k in _list_keys(os.path.join(self.base_path, rel["key"]))
-        )
+        return _list_int_keys(os.path.join(self.base_path, rel["key"]))
 
     # ---- ingest -------------------------------------------------------
 
@@ -868,6 +913,20 @@ def export_precomputed(layer, out_dir: str,
         vstats = v.agg(*lo_exprs, *hi_exprs).collect()[0]
         n_rows = df.count()
         stats = {"n": n_rows, **{k: vstats[k] for k in vstats.asDict()}}
+    elif atype == "ELLIPSOID":
+        # the second vector is per-axis RADII, not a second coordinate
+        # (neuroglancer annotation spec; the reference decodes it as
+        # _pt2 with the same dtype but radius semantics): the extent is
+        # center ± radius — least/greatest of (center, radius) would
+        # declare a lower bound near the radius magnitude and exclude
+        # the far side of every ellipsoid from the upper bound
+        lo_exprs = [F.min(F.col(ax) - F.col(f"{ax}2")).alias(f"min_{ax}")
+                    for ax in axes]
+        hi_exprs = [F.max(F.col(ax) + F.col(f"{ax}2")).alias(f"max_{ax}")
+                    for ax in axes]
+        stats = df.agg(
+            *lo_exprs, *hi_exprs, F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
     elif two:
         lo_exprs = [F.min(F.least(ax, f"{ax}2")).alias(f"min_{ax}")
                     for ax in axes]
@@ -882,8 +941,13 @@ def export_precomputed(layer, out_dir: str,
         stats = df.agg(
             *lo_exprs, *hi_exprs, F.count(F.lit(1)).alias("n"),
         ).collect()[0]
-    lower = [math.floor(stats[f"min_{ax}"]) for ax in axes]
-    upper = [math.floor(stats[f"max_{ax}"]) + 1 for ax in axes]
+    if not int(stats["n"]):
+        # an empty layer exports as a valid empty layer (one empty
+        # cell over a unit bounds), not a TypeError on floor(None)
+        lower, upper = [0, 0, 0], [1, 1, 1]
+    else:
+        lower = [math.floor(stats[f"min_{ax}"]) for ax in axes]
+        upper = [math.floor(stats[f"max_{ax}"]) + 1 for ax in axes]
     cs = [float(c) for c in layer.grid_cell]
     grid_shape = [
         max(1, math.ceil((upper[i] - lower[i]) / cs[i])) for i in range(3)
@@ -1127,8 +1191,12 @@ def export_precomputed(layer, out_dir: str,
 
     def write_ids(batches):
         for pdf in batches:
-            for r in pdf.itertuples(index=False):
-                row = r._asdict()
+            # dict records, NOT itertuples()._asdict(): namedtuple
+            # field renaming mangles property ids that are Python
+            # keywords or invalid identifiers ('class' → '_4'), which
+            # the neuroglancer grammar permits — row['class'] would
+            # KeyError on every executor
+            for row in pdf.to_dict("records"):
                 if poly:
                     pts = np.asarray(row["points"],
                                      np.float32).reshape(-1, ndim)

@@ -58,13 +58,23 @@ class GrapheneLabelCodec:
 
     def pack(self, layer: Column, x: Column, y: Column, z: Column,
              segid: Column) -> Column:
+        """Each field is masked to its own bit width BEFORE shifting:
+        with addition and no masks, an out-of-range segid/x/y/z would
+        silently carry into the adjacent field (segid=2**segid_bits
+        decoding as z+1, segid=0). Masking bounds the damage to the
+        offending field; the scalar :meth:`pack_py` validates and
+        raises instead."""
         o_layer, o_x, o_y, o_z = self._offsets
+
+        def m(col, bits):
+            return col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+
         return (
-            F.shiftleft(layer.cast("long"), o_layer)
-            + F.shiftleft(x.cast("long"), o_x)
-            + F.shiftleft(y.cast("long"), o_y)
-            + F.shiftleft(z.cast("long"), o_z)
-            + segid.cast("long")
+            F.shiftleft(m(layer, self.layer_bits), o_layer)
+            .bitwiseOR(F.shiftleft(m(x, self.spatial_bits[0]), o_x))
+            .bitwiseOR(F.shiftleft(m(y, self.spatial_bits[1]), o_y))
+            .bitwiseOR(F.shiftleft(m(z, self.spatial_bits[2]), o_z))
+            .bitwiseOR(m(segid, self.segid_bits))
         )
 
     def unpack(self, label: Column) -> dict:
@@ -83,6 +93,16 @@ class GrapheneLabelCodec:
         }
 
     def pack_py(self, layer: int, x: int, y: int, z: int, segid: int) -> int:
+        fields = (("layer", layer, self.layer_bits),
+                  ("x", x, self.spatial_bits[0]),
+                  ("y", y, self.spatial_bits[1]),
+                  ("z", z, self.spatial_bits[2]),
+                  ("segid", segid, self.segid_bits))
+        for name, v, bits in fields:
+            if not (0 <= int(v) < (1 << bits)):
+                raise ValueError(
+                    f"{name}={v} out of range for {bits} bits — packing "
+                    "would corrupt the adjacent bit-field")
         o_layer, o_x, o_y, o_z = self._offsets
         return (
             (layer << o_layer) | (x << o_x) | (y << o_y) | (z << o_z) | segid
@@ -142,12 +162,24 @@ class GrapheneLayer:
                   timestamp: Optional[str] = None) -> DataFrame:
         """Batch supervoxel→root resolution at a timestamp — the HTTP
         batch call becomes one broadcast join."""
+        svs = [int(s) for s in supervoxels]
         sv_df = self.spark.createDataFrame(
-            [(int(s),) for s in supervoxels], schema="supervoxel long"
+            [(s,) for s in svs], schema="supervoxel long"
         )
+        # Spark cannot BUILD the left side of a left-outer join, so a
+        # broadcast hint on sv_df is silently dropped and the whole
+        # mapping shuffles. Instead: isin-filter the mapping (predicate
+        # pushdown; at most len(svs) rows survive) and broadcast THAT
+        # as the right side — plannable, one scan, no shuffle. Very
+        # large batches skip the isin expression and let AQE plan it.
+        mapping = self._as_of(timestamp)
+        if len(svs) <= 100_000:
+            matches = F.broadcast(
+                mapping.where(F.col("supervoxel").isin(svs)))
+        else:
+            matches = mapping
         return (
-            F.broadcast(sv_df)
-            .join(self._as_of(timestamp), "supervoxel", "left")
+            sv_df.join(matches, "supervoxel", "left")
             .select(
                 "supervoxel",
                 F.coalesce("root", "supervoxel").alias("root"),

@@ -299,15 +299,22 @@ def import_sharded(spark, src_dir: str, base_path: str, mip: int = 0,
                     ).clamp(bounds)
                     blob = codecs.compress_stream(payload, comp or None)
                     if seg:
+                        # same contract as the unsharded import path:
+                        # codecs.labels reads only the label streams
+                        # where the codec supports it, and an absent
+                        # optional wheel degrades to stats=None instead
+                        # of crashing the whole import
                         shape = tuple(cell.size3()) + (nc,)
-                        uniq = np.unique(
-                            codecs.decode(payload, encoding, shape, dtype,
-                                          params=cparams)
-                        )
-                        stats = (
-                            [int(u) for u in uniq]
-                            if uniq.size <= LABELS_STATS_CAP else None
-                        )
+                        try:
+                            uniq = codecs.labels(payload, encoding,
+                                                 shape, dtype,
+                                                 params=cparams)
+                            stats = (
+                                [int(u) for u in uniq]
+                                if uniq.size <= LABELS_STATS_CAP else None
+                            )
+                        except codecs.EncodingUnavailable:
+                            stats = None
                     else:
                         stats = None
                     rows.append((

@@ -5,6 +5,7 @@ and foreign-layer ingest into the parquet-native AnnotationLayer."""
 
 import gzip
 import json
+import math
 import os
 
 import numpy as np
@@ -866,3 +867,110 @@ if _HAVE_HYP:
         assert set(grels) == set(rels)
         for k in rels:
             assert np.array_equal(grels[k], rels[k])
+
+
+def test_export_ellipsoid_bounds_use_radii(spark, tmp_path):
+    """ELLIPSOID's second vector is per-axis RADII, not a coordinate:
+    declared bounds must be center ± radius. The old least/greatest of
+    (center, radius) put the lower bound near the radius magnitude —
+    thousands of empty grid cells — and excluded every ellipsoid's far
+    side from the upper bound."""
+    pdf = pd.DataFrame({
+        "id": np.array([1, 2], dtype=np.int64),
+        "x": [10000.0, 10100.0], "y": [10000.0, 10050.0],
+        "z": [5000.0, 5020.0],
+        "x2": [5.0, 8.0], "y2": [5.0, 8.0], "z2": [5.0, 8.0],  # radii
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "ell"), annotation_type="ELLIPSOID",
+        grid_cell=(256, 256, 256))
+    layer.write(spark.createDataFrame(pdf))
+    out = str(tmp_path / "ell_out")
+    export_precomputed(layer, out)
+    info = json.load(open(os.path.join(out, "info")))
+    assert info["lower_bound"][0] == math.floor(10000 - 5)
+    assert info["upper_bound"][0] >= 10100 + 8
+    assert info["lower_bound"][2] == math.floor(5000 - 5)
+    # the grid covers the ~100-unit data extent, not a 10000-unit
+    # span down to the radius values
+    assert all(g <= 2 for g in info["spatial"][0]["grid_shape"])
+
+
+def test_export_property_named_like_python_keyword(spark, tmp_path):
+    """A property id that is a Python keyword ('class' is valid per the
+    neuroglancer grammar) must survive the by_id export — namedtuple
+    field renaming turned it into '_4' and KeyError'd every record."""
+    pdf = pd.DataFrame({
+        "id": np.arange(1, 6, dtype=np.int64),
+        "x": np.linspace(0, 10, 5), "y": np.linspace(0, 10, 5),
+        "z": np.linspace(0, 10, 5),
+        "class": np.arange(5, dtype=np.int32),
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "kw"), annotation_type="POINT",
+        properties={"class": {"type": "int32"}})
+    layer.write(spark.createDataFrame(pdf))
+    out = str(tmp_path / "kw_out")
+    export_precomputed(layer, out)
+    rdr = PrecomputedAnnotationReader(spark, out)
+    got = rdr.get_by_id([3]).collect()[0]
+    assert int(got["class"]) == 2
+
+
+def test_export_empty_layer_is_valid(spark, tmp_path):
+    """Zero annotations export as a valid empty layer (unit bounds, one
+    cell), not a TypeError on floor(None)."""
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "empty"), annotation_type="POINT")
+    layer.write(spark.createDataFrame(
+        [], "id long, x double, y double, z double"))
+    out = str(tmp_path / "empty_out")
+    stats = export_precomputed(layer, out)
+    assert stats["annotations"] == 0
+    rdr = PrecomputedAnnotationReader(spark, out)
+    assert rdr.get_all(mip=0).count() == 0
+    assert rdr.ids() == []
+
+
+def test_read_value_gzip_magic_collision(tmp_path):
+    """An UNCOMPRESSED buffer whose first two bytes coincide with the
+    gzip magic (count n with n % 65536 == 35615) must read back raw,
+    not crash in gzip.decompress."""
+    import struct
+
+    from cloud_volume_spark.annotation_io import _read_value
+
+    d = str(tmp_path)
+    n = 35615  # 0x8b1f → little-endian bytes 1f 8b
+    payload = struct.pack("<Q", n) + b"\x00" * 16
+    assert payload[:2] == b"\x1f\x8b"
+    with open(os.path.join(d, "cellkey"), "wb") as f:
+        f.write(payload)
+    assert _read_value(d, "cellkey") == payload
+    # real gzip under a plain name still decompresses
+    with open(os.path.join(d, "gzkey"), "wb") as f:
+        f.write(gzip.compress(b"hello", mtime=0))
+    assert _read_value(d, "gzkey") == b"hello"
+
+
+def test_stray_files_do_not_crash_id_listing(spark, tmp_path):
+    """'.DS_Store'-style stray files in by_id/rel dirs of a foreign
+    layer are skipped, not int()-crashed."""
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "id": np.arange(1, 4, dtype=np.int64),
+        "x": rng.random(3), "y": rng.random(3), "z": rng.random(3),
+        "rel_p": [[1], [2], []],
+    })
+    layer = AnnotationLayer(
+        spark, str(tmp_path / "stray"), annotation_type="POINT",
+        relationships=["p"])
+    layer.write(spark.createDataFrame(pdf))
+    out = str(tmp_path / "stray_out")
+    export_precomputed(layer, out)
+    for sub in ("by_id", "rel_p"):
+        with open(os.path.join(out, sub, ".DS_Store"), "wb") as f:
+            f.write(b"junk")
+    rdr = PrecomputedAnnotationReader(spark, out)
+    assert rdr.ids() == [1, 2, 3]
+    assert rdr.relationship_segids("p") == [1, 2]

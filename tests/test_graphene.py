@@ -132,3 +132,39 @@ def test_resolve_column_scale_path(graphene, spark):
         for r in graphene.resolve_column(df, "label").collect()
     }
     assert got[3] == 100 and got[5] == 200 and got[10] == 200
+
+
+def test_pack_overflow_is_loud_not_corrupting(spark):
+    """An out-of-range field must not carry into the adjacent
+    bit-field: pack_py raises, the Catalyst pack masks each field to
+    its own width (segid=2**segid_bits no longer decodes as z+1)."""
+    from cloud_volume_spark.graphene import GrapheneLabelCodec
+
+    c = GrapheneLabelCodec(layer_bits=8, spatial_bits=(10, 10, 10))
+    with pytest.raises(ValueError, match="segid.*out of range"):
+        c.pack_py(1, 0, 0, 5, 2 ** c.segid_bits)
+    with pytest.raises(ValueError, match="x=.*out of range"):
+        c.pack_py(1, 1 << 10, 0, 0, 7)
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, 0, 0, 5, 2 ** c.segid_bits)],
+        "layer long, x long, y long, z long, segid long")
+    packed = df.select(c.pack(
+        F.col("layer"), F.col("x"), F.col("y"), F.col("z"),
+        F.col("segid")).alias("label"))
+    out = packed.select(
+        *[v.alias(k) for k, v in c.unpack(F.col("label")).items()]
+    ).collect()[0]
+    assert out.z == 5  # neighbor field preserved (masked, not carried)
+    assert out.segid == 0
+
+
+def test_get_roots_broadcasts_the_filtered_mapping(graphene):
+    """get_roots must plan a broadcast join of the isin-filtered
+    mapping — the old hint on the LEFT of a left-outer join was
+    silently dropped and shuffled the whole mapping."""
+    plan = graphene.get_roots([1, 2, 999])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
