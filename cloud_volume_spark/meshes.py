@@ -77,8 +77,13 @@ def from_obj(data) -> dict:
     if isinstance(data, bytes):
         data = data.decode("utf8")
     vertices, faces = [], []
+    # every legal OBJ face-vertex form: v, v/vt, v//vn, v/vt/vn —
+    # the position index is group 1/3/5; the old two-slash-only regex
+    # returned None (AttributeError) on the common 'f 1/1 2/2 3/3'
     face_cplx = re.compile(
-        r"f\s+(\d+)/(\d*)?/(\d+)?\s+(\d+)/(\d*)?/(\d+)?\s+(\d+)/(\d*)?/(\d+)?"
+        r"f\s+(\d+)(?:/\d*(?:/\d+)?)?"
+        r"\s+(\d+)(?:/\d*(?:/\d+)?)?"
+        r"\s+(\d+)(?:/\d*(?:/\d+)?)?"
     )
     face_simple = re.compile(r"f\s+(\d+)\s+(\d+)\s+(\d+)")
     vertex_re = re.compile(r"v\s+([-\d\.e]+)\s+([-\d\.e]+)\s+([-\d\.e]+)")
@@ -88,8 +93,11 @@ def from_obj(data) -> dict:
             continue
         if line[0] == "f":
             if "/" in line:
-                g = face_cplx.match(line).groups()
-                faces.append((int(g[0]), int(g[3]), int(g[6])))
+                m = face_cplx.match(line)
+                if m is None:
+                    raise ValueError(f"unparseable OBJ face line {line!r}")
+                g = m.groups()
+                faces.append((int(g[0]), int(g[1]), int(g[2])))
             else:
                 g = face_simple.match(line).groups()
                 faces.append((int(g[0]), int(g[1]), int(g[2])))
@@ -215,9 +223,15 @@ class MeshLayer:
         def fuse_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
             all_v, all_f, off = [], [], 0
             for r in pdf.sort_values("fragment").itertuples(index=False):
-                # Arrow hands nested lists as object arrays of arrays
-                v = np.vstack(list(r.vertices)).astype(np.float32)
-                f = np.vstack(list(r.faces)).astype(np.int64) + off
+                # Arrow hands nested lists as object arrays of arrays;
+                # EMPTY fragments (nv=0 files are legal precomputed
+                # content) would crash np.vstack — skip them
+                vlist, flist = list(r.vertices), list(r.faces)
+                if not vlist:
+                    continue
+                v = np.vstack(vlist).astype(np.float32)
+                f = (np.vstack(flist).astype(np.int64) + off
+                     if flist else np.zeros((0, 3), np.int64))
                 all_v.append(v)
                 all_f.append(f)
                 off += len(v)

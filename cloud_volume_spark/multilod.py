@@ -243,14 +243,66 @@ class MultiLodMeshLayer:
     dequantize)."""
 
     def __init__(self, spark, base_path: str,
-                 vertex_quantization_bits: int = 16):
+                 vertex_quantization_bits: int = None,
+                 check_writable=None):
+        import json as _json
+        import os as _os
+
         self.spark = spark
         self.base_path = base_path
-        self.vertex_quantization_bits = int(vertex_quantization_bits)
+        self._check_writable = check_writable or (lambda: None)
+        # the quantization width is a FACT of the stored data: a layer
+        # reopened with the wrong default would silently dequantize to
+        # wrong coordinates (2^16-1 vs 2^10-1 denominators) — persist
+        # it in a sidecar on every write and refuse a contradiction
+        stored = None
+        try:
+            with open(_os.path.join(base_path,
+                                    "multilod_meta.json")) as fh:
+                stored = int(_json.load(fh)["vertex_quantization_bits"])
+        except (OSError, ValueError, KeyError):
+            pass
+        if vertex_quantization_bits is not None:
+            explicit = int(vertex_quantization_bits)
+            if stored is not None and stored != explicit:
+                raise ValueError(
+                    f"layer stores vertex_quantization_bits={stored} "
+                    f"but {explicit} was passed — the stored width is "
+                    "a fact of the data; reopen without the argument")
+            self.vertex_quantization_bits = explicit
+        else:
+            self.vertex_quantization_bits = (
+                stored if stored is not None else 16)
+
+    def _write_meta(self) -> None:
+        import json as _json
+        import os as _os
+
+        _os.makedirs(self.base_path, exist_ok=True)
+        with open(_os.path.join(self.base_path,
+                                "multilod_meta.json"), "w") as fh:
+            _json.dump({"vertex_quantization_bits":
+                        self.vertex_quantization_bits}, fh)
 
     @property
     def data_path(self) -> str:
         return f"{self.base_path}/multilod_meshes"
+
+    def _table(self):
+        """The parquet table with keep-latest semantics: put() appends
+        a versioned row per segid, readers keep the max version
+        (mergeSchema tolerates pre-version files, which read as 0)."""
+        from pyspark.sql import Window, functions as sf
+
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(self.data_path))
+        if "version" not in df.columns:
+            return df
+        v = sf.coalesce(sf.col("version"), sf.lit(0))
+        w = Window.partitionBy("segid")
+        return (df.withColumn("_mx", sf.max(v).over(w))
+                .where(v == sf.col("_mx"))
+                .drop("_mx", "version"))
 
     def put(self, segid: int, manifest: MultiLodManifest,
             fragments_per_lod) -> None:
@@ -264,19 +316,24 @@ class MultiLodMeshLayer:
                 raise ValueError(
                     f"lod {lod}: fragment sizes {sizes} != manifest {want}"
                 )
+        self._check_writable()
         fragfile = b"".join(
             b for frags in fragments_per_lod for b in frags
         )
+        import time as _time
+
         df = self.spark.createDataFrame(
             [(int(segid), bytearray(manifest.to_binary()),
-              bytearray(fragfile))],
-            schema="segid long, manifest binary, fragfile binary",
+              bytearray(fragfile), _time.time_ns())],
+            schema="segid long, manifest binary, fragfile binary, "
+                   "version long",
         )
         df.write.mode("append").partitionBy().parquet(self.data_path)
+        self._write_meta()
 
     def get_manifest(self, segid: int) -> MultiLodManifest:
         row = (
-            self.spark.read.parquet(self.data_path)
+            self._table()
             .where(f"segid = {int(segid)}").select("manifest").head()
         )
         if row is None:
@@ -294,7 +351,7 @@ class MultiLodMeshLayer:
         # keyed filter; isin keeps the predicate pushable
         from pyspark.sql import functions as sf
         rows = (
-            self.spark.read.parquet(self.data_path)
+            self._table()
             .where(sf.col("segid").isin(segids))
             .collect()
         )
@@ -313,6 +370,8 @@ class MultiLodMeshLayer:
             for i, (start, end) in enumerate(
                 manifest.fragment_byte_ranges(lod)
             ):
+                if start == end:
+                    continue  # zero-size fragments are legal content
                 qv, fc = decode_lod_fragment(
                     frag[start:end], self.vertex_quantization_bits
                 )
@@ -395,7 +454,7 @@ class MultiLodMeshLayer:
             return pd.DataFrame({"shard": [shard_no], "n": [len(manifests)]})
 
         counts = (
-            self.spark.read.parquet(self.data_path)
+            self._table()
             .withColumn("shard_no", shard_udf("segid"))
             .groupBy("shard_no")
             .applyInPandas(write_shard, schema="shard string, n long")
@@ -417,9 +476,20 @@ class MultiLodMeshLayer:
             ShardFileReader, ShardingSpecification,
         )
 
+        self._check_writable()
         with open(os.path.join(src_dir, "info")) as f:
             info = json.load(f)
         spec_dict = info["sharding"]
+        if spec_dict.get("data_encoding", "raw") != "raw":
+            # the manifest offset points into RAW value bytes; slicing
+            # uncompressed fragment sizes out of gzip-compressed shard
+            # data would persist silently corrupt fragfiles (export
+            # enforces the same invariant via SpecViolation)
+            raise ValueError(
+                "sharded multi-LOD import requires data_encoding='raw' "
+                f"(archive declares {spec_dict.get('data_encoding')!r}) "
+                "— LOD byte ranges are not sliceable from compressed "
+                "values")
         if "vertex_quantization_bits" in info:
             self.vertex_quantization_bits = int(
                 info["vertex_quantization_bits"]
@@ -460,3 +530,4 @@ class MultiLodMeshLayer:
             read_shards, schema="segid long, manifest binary, fragfile binary"
         )
         out.write.mode("overwrite").parquet(self.data_path)
+        self._write_meta()

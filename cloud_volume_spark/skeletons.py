@@ -47,6 +47,12 @@ def encode_precomputed(
     edges = np.asarray(edges, dtype=np.uint32).reshape(-1, 2)
     nv, ne = len(vertices), len(edges)
     parts = [struct.pack("<II", nv, ne), vertices.tobytes(), edges.tobytes()]
+    if radii is None and vertex_types is not None:
+        # the attribute layout is positional (radius THEN vertex_type):
+        # emitting vertex_types without radii would make the decoder
+        # read nv uint8 bytes as float32 radii and crash/corrupt —
+        # encode a zero radius run to keep the layout parseable
+        radii = np.zeros(nv, dtype=np.float32)
     if radii is not None:
         parts.append(np.asarray(radii, dtype=np.float32).reshape(nv).tobytes())
     if vertex_types is not None:
@@ -399,6 +405,24 @@ class SkeletonLayer:
         with open(os.path.join(src_dir, "info")) as f:
             info = json.load(f)
         spec_dict = info["sharding"]
+        # the attribute layout below is positional (radius float32,
+        # vertex_type uint8) — an archive declaring anything else would
+        # be silently misparsed (uint8 bytes read as float32 radii),
+        # so refuse loudly instead
+        attrs = info.get("vertex_attributes")
+        if attrs is not None:
+            declared = [
+                (a.get("id"), a.get("data_type"),
+                 int(a.get("num_components", 1)))
+                for a in attrs
+            ]
+            expected = [("radius", "float32", 1),
+                        ("vertex_types", "uint8", 1)]
+            if declared != expected:
+                raise ValueError(
+                    f"unsupported skeleton vertex_attributes {declared} "
+                    f"— this importer decodes exactly {expected}; "
+                    "other layouts would be silently misparsed")
         if info.get("transform"):
             self.transform = [float(v) for v in info["transform"]]
         paths = sorted(
@@ -445,14 +469,24 @@ class SkeletonLayer:
 
     def import_precomputed(self, src_dir: str) -> None:
         """Read unsharded skeleton files back into the table."""
+        import gzip as _gzip
+
         rows = []
         for name in sorted(os.listdir(src_dir)):
-            if not name.isdigit():
+            # values may be stored verbatim ('123') or gzipped
+            # ('123.gz', the CloudFiles local convention the mesh
+            # importer already handles) — skipping .gz silently
+            # imported such directories as EMPTY tables
+            stem = name[:-3] if name.endswith(".gz") else name
+            if not stem.isdigit():
                 continue
             with open(os.path.join(src_dir, name), "rb") as f:
-                d = decode_precomputed(f.read())
+                blob = f.read()
+            if name.endswith(".gz"):
+                blob = _gzip.decompress(blob)
+            d = decode_precomputed(blob)
             rows.append((
-                int(name),
+                int(stem),
                 [[float(x) for x in v] for v in d["vertices"]],
                 [[int(a) for a in e] for e in d["edges"]],
                 [float(x) for x in d["radii"]] if d["radii"] is not None else None,

@@ -206,6 +206,14 @@ class Volume:
             check_writable=self._check_writable,
         )
 
+    @property
+    def multilod_mesh(self):
+        from cloud_volume_spark.multilod import MultiLodMeshLayer
+        return MultiLodMeshLayer(
+            self.spark, os.path.join(self.base_path, "mesh"),
+            check_writable=self._check_writable,
+        )
+
     @classmethod
     def open(cls, spark: SparkSession, base_path: str,
              max_redirects: int = 10,

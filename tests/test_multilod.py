@@ -115,3 +115,93 @@ def test_garbage_fragment_raises_unsupported_error():
         decode_lod_fragment(b"\x05\x00\x00\x00\x01\x00\x00\x00" + b"\x00" * 7)
     with pytest.raises(UnsupportedMeshEncoding, match="too short"):
         decode_lod_fragment(b"\x01\x02")
+
+
+def test_multilod_reput_keeps_latest_and_sidecar_persists(
+        spark, tmp_path):
+    """Re-putting a segid serves the NEW mesh deterministically
+    (versioned keep-latest, not collect-order roulette), and the
+    quantization width persists in a sidecar so a reopened layer
+    cannot silently dequantize at the wrong bit width."""
+    from cloud_volume_spark.multilod import (
+        MultiLodMeshLayer, encode_lod_fragment,
+    )
+
+    vqb = 10
+    layer = MultiLodMeshLayer(spark, str(tmp_path / "mlv"), vqb)
+    rng = np.random.default_rng(5)
+
+    def one_mesh(scale):
+        v = rng.uniform(0, scale, (9, 3)).astype(np.float64)
+        f = rng.integers(0, 9, (12, 3)).astype(np.uint32)
+        manifest = MultiLodManifest(
+            chunk_shape=(scale, scale, scale),
+            grid_origin=(0, 0, 0),
+            lod_scales=(1.0,),
+            vertex_offsets=np.zeros((1, 3), np.float32),
+            fragment_positions=[[(0, 0, 0)]],
+            fragment_offsets=[[0]],
+            segment_id=3,
+        )
+        qv = to_stored_model_space(v, manifest, 0, vqb, 0)
+        payload = encode_lod_fragment(qv, f, vqb)
+        manifest.fragment_offsets = [np.array([len(payload)])]
+        return manifest, [[payload]], v
+
+    m1, frags1, _ = one_mesh(10.0)
+    layer.put(3, m1, frags1)
+    m2, frags2, v2 = one_mesh(100.0)
+    layer.put(3, m2, frags2)
+    got_v, _ = layer.get(3)[3]
+    # the SECOND mesh wins: its extent is ~100, the first's ~10
+    assert got_v.max() > 20
+
+    # reopened without the argument: sidecar supplies the width
+    reopened = MultiLodMeshLayer(spark, str(tmp_path / "mlv"))
+    assert reopened.vertex_quantization_bits == vqb
+    # a contradicting explicit width refuses loudly
+    with pytest.raises(ValueError, match="fact of the data"):
+        MultiLodMeshLayer(spark, str(tmp_path / "mlv"), 16)
+
+
+def test_multilod_import_refuses_compressed_data_encoding(
+        spark, tmp_path):
+    """A sharded archive with data_encoding='gzip' cannot have LOD
+    byte ranges sliced from its values — import must refuse, not
+    persist silently corrupt fragfiles."""
+    import json as _json
+    import os as _os
+
+    from cloud_volume_spark.multilod import MultiLodMeshLayer
+
+    src = str(tmp_path / "gz_arch")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "info"), "w") as f:
+        _json.dump({
+            "@type": "neuroglancer_multilod_draco",
+            "vertex_quantization_bits": 16,
+            "sharding": {
+                "@type": "neuroglancer_uint64_sharded_v1",
+                "preshift_bits": 0, "hash": "murmurhash3_x86_128",
+                "minishard_bits": 3, "shard_bits": 4,
+                "minishard_index_encoding": "gzip",
+                "data_encoding": "gzip",
+            },
+        }, f)
+    layer = MultiLodMeshLayer(spark, str(tmp_path / "gz_in"))
+    with pytest.raises(ValueError, match="data_encoding='raw'"):
+        layer.import_sharded(src)
+
+
+def test_multilod_write_guard_via_volume(spark, tmp_path):
+    """vol.multilod_mesh inherits the volume's writability guard like
+    mesh/skeleton do: a time-travel-pinned volume refuses multi-LOD
+    writes."""
+    from cloud_volume_spark.volume import Volume
+
+    arr = np.zeros((32, 32, 32, 1), np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "mlg"),
+                            chunk_size=(32, 32, 32))
+    pinned = Volume.open(spark, str(tmp_path / "mlg"), generation=1)
+    with pytest.raises(Exception, match="read-only|pinned|time-travel"):
+        pinned.multilod_mesh.put(1, None, [])

@@ -971,3 +971,82 @@ def test_spatial_import_reference_offset_and_clipped_layouts(
     out2 = str(tmp_path / "refsp_fo")
     assert export_spatial_files(idx2, out2) == 1
     assert os.listdir(out2) == [fname]
+
+
+def test_skeleton_vertex_types_without_radii_roundtrips(rng):
+    """The skeleton attribute layout is positional (radius THEN
+    vertex_type): encoding vertex_types with radii=None must emit a
+    parseable blob (zero radii), not bytes the decoder misreads as
+    float32 radii and crashes on."""
+    v, e, _, t = _mk_skeleton(rng)
+    blob = skel_encode(v, e, None, t)
+    d = skel_decode(blob)
+    assert np.array_equal(d["vertices"], v)
+    assert np.array_equal(d["vertex_types"], t)
+    assert np.allclose(d["radii"], 0.0)
+
+
+def test_skeleton_import_gz_values(spark, rng, tmp_path):
+    """A legacy unsharded skeleton dir storing values as '<segid>.gz'
+    (the CloudFiles local convention the mesh importer handles)
+    imports fully — it used to import as an EMPTY table silently."""
+    import gzip as _gzip
+
+    v, e, r, t = _mk_skeleton(rng)
+    src = str(tmp_path / "skgz")
+    os.makedirs(src)
+    with open(os.path.join(src, "42.gz"), "wb") as f:
+        f.write(_gzip.compress(skel_encode(v, e, r, t), mtime=0))
+    layer = SkeletonLayer(spark, str(tmp_path / "skgz_in"))
+    layer.import_precomputed(src)
+    got = layer.get([42]).collect()[0]
+    assert np.allclose(np.array(got.vertices), v)
+
+
+def test_skeleton_import_sharded_foreign_attributes_refused(
+        spark, tmp_path):
+    """An archive declaring a different vertex_attributes layout is
+    refused loudly — decoding its uint8 attribute as float32 radii
+    would be a silent misparse."""
+    import json as _json
+
+    src = str(tmp_path / "skfa")
+    os.makedirs(src)
+    with open(os.path.join(src, "info"), "w") as f:
+        _json.dump({
+            "@type": "neuroglancer_skeletons",
+            "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0],
+            "vertex_attributes": [
+                {"id": "confidence", "data_type": "uint8",
+                 "num_components": 1},
+            ],
+            "sharding": {
+                "@type": "neuroglancer_uint64_sharded_v1",
+                "preshift_bits": 0, "hash": "murmurhash3_x86_128",
+                "minishard_bits": 2, "shard_bits": 2,
+                "minishard_index_encoding": "raw",
+                "data_encoding": "raw",
+            },
+        }, f)
+    layer = SkeletonLayer(spark, str(tmp_path / "skfa_in"))
+    with pytest.raises(ValueError, match="vertex_attributes"):
+        layer.import_sharded(src)
+
+
+def test_mesh_fuse_skips_empty_fragments(spark, tmp_path, rng):
+    """A fragment row with zero vertices (nv=0 files are legal
+    precomputed content) must not crash the per-segid fuse."""
+    v = rng.uniform(0, 10, (6, 3)).astype(np.float32)
+    f = rng.integers(0, 6, (8, 3)).astype(np.int64)
+    rows = [
+        (7, 0, v.tolist(), f.tolist()),
+        (7, 1, [], []),  # empty fragment
+    ]
+    layer = MeshLayer(spark, str(tmp_path / "meshempty"))
+    layer.write(spark.createDataFrame(
+        rows,
+        schema="segid long, fragment long, "
+               "vertices array<array<float>>, faces array<array<long>>",
+    ))
+    got = layer.get([7]).collect()[0]
+    assert len(got.vertices) > 0
