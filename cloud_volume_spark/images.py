@@ -45,10 +45,10 @@ def _encode_slice(img2d: np.ndarray, image_format: str) -> bytes:
             # min-max: identical voxel values must encode to identical
             # pixels across slices and volumes
             return jpeg_io.encode((img2d >> 8).astype(np.uint8))
-        if np.issubdtype(img2d.dtype, np.floating):
-            # floats are explicitly normalized (volume-wide upstream
-            # when global_norm, else per slice) — same rule as PNG
-            return jpeg_io.encode(_normalize_float(img2d.astype(np.float64)))
+        # floats never reach here: save_images (the only caller)
+        # normalizes float volumes to uint8 before encoding — globally
+        # under global_norm, else per slice — so a float branch here
+        # would be a second, divergent normalization path
         raise ValueError(
             f"JPEG export does not support dtype {img2d.dtype}: JPEG is "
             "lossy and has no defined mapping for label volumes — use "

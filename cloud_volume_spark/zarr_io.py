@@ -63,6 +63,21 @@ def _crc32c_table():
 
 
 def crc32c(data: bytes) -> int:
+    # a C implementation when one is available — the per-byte Python
+    # loop runs ~1 MB/s/core, which dominates any import whose codec
+    # list includes crc32c (zarr-python's sharded configs do)
+    try:
+        import crc32c as _c  # the PyPI 'crc32c' package
+
+        return int(_c.crc32c(bytes(data)))
+    except ImportError:
+        pass
+    try:
+        import google_crc32c as _g
+
+        return int.from_bytes(_g.Checksum(bytes(data)).digest(), "big")
+    except ImportError:
+        pass
     tbl = _crc32c_table()
     crc = 0xFFFFFFFF
     for b in bytes(data):
@@ -469,19 +484,56 @@ def import_zarr3(spark, src_dir: str, base_path: str,
         layer_type=layer_type, data_type=str(dtype), num_channels=nc,
         resolution=res, voxel_offset=voff, volume_size=size3,
         chunk_size=cs3, encoding="raw",
+        # zarr elides all-fill chunks; without the store's fill_value
+        # as our background_color those regions would read back as 0
+        background_color=float(fill_value),
     )
     vol = Volume.create(spark, base_path, info)
     slab_shift = vol.slab_shift
 
-    # driver lists names only
-    chunk_root = os.path.join(arr_dir, prefix) if prefix else arr_dir
-    paths = []
-    for dirpath, _, files in os.walk(chunk_root):
-        for fname in files:
-            if fname == "zarr.json":
+    # driver lists names only. Chunk keys depend on the declared
+    # chunk_key_encoding: 'default' is 'c' + sep + indices — nested
+    # dirs for sep='/', FLAT files 'c.0.0.0' in the array dir for
+    # sep='.' (the old 'c/' walk silently imported such stores as
+    # EMPTY); 'v2' is bare indices with the same two separator forms.
+    def _indices(parts):
+        try:
+            return [int(p) for p in parts]
+        except ValueError:
+            return None  # stray file, not a chunk key
+
+    entries = []  # (path, "i.j.k" canonical key)
+    if prefix and sep == "/":
+        chunk_root = os.path.join(arr_dir, "c")
+        for dirpath, _, files in os.walk(chunk_root):
+            for fname in files:
+                p = os.path.join(dirpath, fname)
+                idx = _indices(
+                    os.path.relpath(p, chunk_root).split(os.sep))
+                if idx is not None:
+                    entries.append((p, ".".join(map(str, idx))))
+    elif prefix:  # default encoding, '.' separator: flat c.0.0.0
+        for fname in sorted(os.listdir(arr_dir)):
+            if not fname.startswith("c" + sep):
                 continue
-            paths.append(os.path.join(dirpath, fname))
-    if not paths:
+            idx = _indices(fname.split(sep)[1:])
+            if idx is not None:
+                entries.append((os.path.join(arr_dir, fname),
+                                ".".join(map(str, idx))))
+    elif sep == "/":  # v2 encoding, nested dirs of bare indices
+        for dirpath, _, files in os.walk(arr_dir):
+            for fname in files:
+                p = os.path.join(dirpath, fname)
+                idx = _indices(os.path.relpath(p, arr_dir).split(os.sep))
+                if idx is not None:
+                    entries.append((p, ".".join(map(str, idx))))
+    else:  # v2 encoding, '.' separator: flat 0.0.0
+        for fname in sorted(os.listdir(arr_dir)):
+            idx = _indices(fname.split(sep))
+            if idx is not None:
+                entries.append((os.path.join(arr_dir, fname),
+                                ".".join(map(str, idx))))
+    if not entries:
         return vol
 
     tchunk = (
@@ -494,16 +546,14 @@ def import_zarr3(spark, src_dir: str, base_path: str,
     comp = compression or ""
 
     files_df = spark.createDataFrame(
-        [(p,) for p in paths], schema="path string"
-    ).repartition(max(1, min(len(paths), 256)))
+        entries, schema="path string, key string"
+    ).repartition(max(1, min(len(entries), 256)))
 
     def read_chunks(batches):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                rel = os.path.relpath(r.path, chunk_root)
-                parts = rel.replace(os.sep, sep).split(sep)
-                idx = [int(p) for p in parts]
+                idx = [int(p) for p in r.key.split(".")]
                 if it is not None and idx[it] != tchunk:
                     continue
                 ci = {a: idx[i] for a, i in
@@ -647,6 +697,14 @@ def import_zarr2(spark, src_dir: str, base_path: str,
     order = meta.get("order", "C")
     compressor = meta.get("compressor") or {}
     comp_id = compressor.get("id")
+    # a non-null filters list means the stored bytes are filter-
+    # transformed (numcodecs delta/shuffle/...) — decoding them as raw
+    # would import garbage voxel values silently
+    if meta.get("filters"):
+        raise NotImplementedError(
+            f"zarr2 filters {meta['filters']!r} are not supported — "
+            "the stored bytes are filter-transformed and would import "
+            "as garbage if read raw")
     sep = meta.get("dimension_separator", ".")
     dims = _default_dims(len(shape))
 
@@ -669,19 +727,39 @@ def import_zarr2(spark, src_dir: str, base_path: str,
         "layer_type",
         "segmentation" if native in (np.uint32, np.uint64) else "image",
     )
+    fill_value = meta.get("fill_value", 0) or 0
     info = VolumeInfo.create(
         layer_type=layer_type, data_type=str(native), num_channels=nc,
         resolution=cvs_attrs.get("resolution", (1, 1, 1)),
         voxel_offset=voff, volume_size=size3, chunk_size=cs3,
         encoding="raw",
+        # zarr elides all-fill chunks; keep the store's fill value as
+        # our background so sparse regions do not read back as 0
+        background_color=float(fill_value),
     )
     vol = Volume.create(spark, base_path, info)
     slab_shift = vol.slab_shift
 
-    names = [
-        n for n in os.listdir(src_dir)
-        if not n.startswith(".") and (sep in n or n.isdigit())
-    ]
+    # keys: '0.0.0' flat files, or NESTED '0/0/0' dirs when
+    # dimension_separator is '/' (a valid layout the flat listdir
+    # crashed on with an executor IndexError)
+    names = []
+    if sep == "/":
+        for dirpath, _, files in os.walk(src_dir):
+            for fname in files:
+                if fname.startswith("."):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(dirpath, fname), src_dir)
+                parts = rel.split(os.sep)
+                if all(p.isdigit() for p in parts):
+                    names.append(rel)
+    else:
+        names = [
+            n for n in os.listdir(src_dir)
+            if not n.startswith(".")
+            and all(p.isdigit() for p in n.split(sep))
+        ]
     if not names:
         return vol
     grid = [int(g) for g in info.grid_shape(0)]
@@ -697,17 +775,14 @@ def import_zarr2(spark, src_dir: str, base_path: str,
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                idx = [int(p) for p in r.name.split(sep)]
+                idx = [int(p)
+                       for p in r.name.replace(os.sep, sep).split(sep)]
                 ci = {a: idx[i] for a, i in
                       (("x", ix), ("y", iy), ("z", iz))}
                 with open(r.path, "rb") as f:
                     payload = f.read()
                 if comp_id in ("zlib", "gzip"):
-                    payload = (
-                        gzip.decompress(payload)
-                        if payload[:2] == b"\x1f\x8b"
-                        else zlib.decompress(payload)
-                    )
+                    payload = _decompress_named(payload, comp_id, None)
                 elif comp_id not in (None, "raw"):
                     raise NotImplementedError(
                         f"zarr2 compressor {comp_id} not supported"
@@ -885,7 +960,17 @@ def import_n5(spark, src_dir: str, base_path: str, mip: int = 0,
             rows = []
             for r in pdf.itertuples(index=False):
                 rel = os.path.relpath(r.path, scale_dir)
-                cx, cy, cz = (int(p) for p in rel.split(os.sep)[:3])
+                parts = rel.split(os.sep)
+                cx, cy, cz = (int(p) for p in parts[:3])
+                # a 4th block-path coordinate means the dataset splits
+                # CHANNELS across blocks (blockSize[3] < channels);
+                # collapsing it onto (cx,cy,cz) would write duplicate
+                # chunk keys with misinterpreted channel bytes — refuse
+                if len(parts) > 3 and any(int(p) != 0 for p in parts[3:]):
+                    raise NotImplementedError(
+                        f"n5 block {rel!r} uses a nonzero 4th (channel-"
+                        "split) coordinate — blockSize must cover every "
+                        "channel for this importer")
                 with open(r.path, "rb") as f:
                     payload = f.read()
                 mode = int.from_bytes(payload[0:2], "big")
