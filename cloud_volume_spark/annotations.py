@@ -170,13 +170,17 @@ class AnnotationLayer:
                         F.lit(" floats (need a non-empty multiple of 3; "
                               "nested vertices must each hold 3)"),
                     )),
-                ).otherwise(F.col("points")),
+                ).otherwise(flat.cast("array<double>")),
             )
+            # canonicalize: STORAGE is always the flat [x0,y0,z0,...]
+            # run the docstring promises — persisting the nested input
+            # form would leave two on-disk dialects for one layer type
+            # (readers/exporters still accept legacy nested tables)
             if "x" not in df.columns:
                 df = df.withColumns({
-                    "x": F.element_at(flat, 1).cast("double"),
-                    "y": F.element_at(flat, 2).cast("double"),
-                    "z": F.element_at(flat, 3).cast("double"),
+                    "x": F.element_at("points", 1).cast("double"),
+                    "y": F.element_at("points", 2).cast("double"),
+                    "z": F.element_at("points", 3).cast("double"),
                 })
         gx = F.floor(F.col("x") / self.grid_cell[0]).cast("int")
         gy = F.floor(F.col("y") / self.grid_cell[1]).cast("int")
@@ -206,22 +210,35 @@ class AnnotationLayer:
         """reader.py:224-306: coarse pass = grid-cell ranges (pruned
         scan), ``exact`` crops to the precise box like the reference's
         post-filter (annotation/metadata.py:62-111)."""
+        import math
+
         (x0, y0, z0), (x1, y1, z1) = bbox.minpt, bbox.maxpt
         gcell = self.grid_cell
+        # exclusive max → last intersecting cell is ceil(hi/cs)-1: the
+        # old int((x1-1)//cs) assumed >=1-unit integer boxes and made
+        # sub-unit float boxes straddling a cell boundary return EMPTY
+        lo = [int(math.floor(float(v) / gcell[i]))
+              for i, v in enumerate((x0, y0, z0))]
+        hi = [int(math.ceil(float(v) / gcell[i])) - 1
+              for i, v in enumerate((x1, y1, z1))]
         df = (
             self.df()
-            .where(F.col("gx").between(
-                int(x0 // gcell[0]), int((x1 - 1) // gcell[0])))
-            .where(F.col("gy").between(
-                int(y0 // gcell[1]), int((y1 - 1) // gcell[1])))
-            .where(F.col("gz").between(
-                int(z0 // gcell[2]), int((z1 - 1) // gcell[2])))
+            .where(F.col("gx").between(lo[0], hi[0]))
+            .where(F.col("gy").between(lo[1], hi[1]))
+            .where(F.col("gz").between(lo[2], hi[2]))
         )
         if exact:
+            # strict < for the exclusive max: the old between(lo,
+            # hi - 1e-9) epsilon is absorbed by double rounding above
+            # ~9e6 (nm-scale coordinates), silently turning [lo, hi)
+            # into [lo, hi] — and wrongly excludes [hi-1e-9, hi) below
             df = (
-                df.where(F.col("x").between(float(x0), float(x1) - 1e-9))
-                .where(F.col("y").between(float(y0), float(y1) - 1e-9))
-                .where(F.col("z").between(float(z0), float(z1) - 1e-9))
+                df.where((F.col("x") >= float(x0))
+                         & (F.col("x") < float(x1)))
+                .where((F.col("y") >= float(y0))
+                       & (F.col("y") < float(y1)))
+                .where((F.col("z") >= float(z0))
+                       & (F.col("z") < float(z1)))
             )
         return df
 

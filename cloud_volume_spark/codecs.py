@@ -183,9 +183,17 @@ def encode(
     if encoding == "crackle":
         if not HAS_CRACKLE:
             raise EncodingUnavailable("crackle not installed")
-        return crackle.compress(np.asfortranarray(img.transpose())[..., 0])
+        arr = np.asfortranarray(img.transpose())
+        if arr.ndim == 4 and arr.shape[3] != 1:
+            raise ValueError(
+                f"crackle encodes one channel at a time, got {arr.shape}")
+        return crackle.compress(arr[..., 0])
     if encoding == "compresso":
-        arr = np.asfortranarray(img.transpose())[..., 0]
+        arr = np.asfortranarray(img.transpose())
+        if arr.ndim == 4 and arr.shape[3] != 1:
+            raise ValueError(
+                f"compresso encodes one channel at a time, got {arr.shape}")
+        arr = arr[..., 0]
         if HAS_COMPRESSO:
             return compresso.compress(arr)
         from cloud_volume_spark import compresso_io
@@ -240,6 +248,23 @@ def _as2d_image(arr: np.ndarray) -> np.ndarray:
     nc = arr.shape[3]
     r = np.moveaxis(arr.T, 0, -1)  # (sz, sy, sx, c)
     return r.reshape(r.shape[0] * r.shape[1], r.shape[2], nc)
+
+
+def _from2d_image(img, shape, dtype) -> np.ndarray:
+    """Inverse of :func:`_as2d_image`: a (sz·sy, sx, c) image matrix →
+    (sx,sy,sz,c) F-contiguous chunk. For single-channel chunks this
+    equals the reference's ravel→F-order reshape (``chunks.py:348``);
+    for c>1 the ravel trick interleaves channels into the voxel stream
+    and scrambles the chunk — the explicit (sz,sy,sx,c) split is the
+    true inverse at any channel count."""
+    sx, sy, sz = int(shape[0]), int(shape[1]), int(shape[2])
+    c = int(shape[3]) if len(shape) > 3 else 1
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[..., np.newaxis]
+    a = a.reshape(sz, sy, sx, c)
+    out = np.asfortranarray(np.transpose(a, (2, 1, 0, 3)))
+    return out.astype(dtype, copy=False).reshape(shape, order="F")
 
 
 def decode(
@@ -304,11 +329,7 @@ def decode(
             from cloud_volume_spark import png_io
 
             img = png_io.decode(bytes(blob))
-        # reference decode_png: ravel → F-order reshape (chunks.py:348)
-        return (
-            np.asarray(img).ravel().astype(dtype, copy=False)
-            .reshape(shape, order="F")
-        )
+        return _from2d_image(img, shape, dtype)
     if encoding in ("npz", "npz_uint8"):
         arr = np.load(
             io.BytesIO(zlib.decompress(bytes(blob))), allow_pickle=False
@@ -335,10 +356,7 @@ def decode(
             from cloud_volume_spark import jpeg_io
 
             data = jpeg_io.decode(bytes(blob))
-        return (
-            np.asarray(data).ravel().astype(dtype, copy=False)
-            .reshape(shape, order="F")
-        )
+        return _from2d_image(data, shape, dtype)
     raise ValueError(f"Unknown encoding: {encoding}")
 
 
@@ -403,13 +421,17 @@ def read_voxel(blob: bytes, encoding: str, shape, dtype, xyz,
 
 
 def remap(
-    blob: bytes, encoding: str, shape, dtype, mapping: dict, preserve_missing: bool = True
+    blob: bytes, encoding: str, shape, dtype, mapping: dict,
+    preserve_missing: bool = True, params: Optional[dict] = None,
 ) -> bytes:
     """Rewrite labels through ``{old: new}`` and re-encode
-    (reference ``chunks.py:395-421``)."""
-    arr = decode(blob, encoding, shape, dtype).copy()
+    (reference ``chunks.py:395-421``). ``params`` carries the scale's
+    declared codec tuning exactly as for :func:`decode`/:func:`encode`
+    — without it a non-default cseg block size mis-decodes, and the
+    rewritten blob would no longer match the catalog's decode params."""
+    arr = decode(blob, encoding, shape, dtype, params=params).copy()
     arr = remap_array(arr, mapping, preserve_missing=preserve_missing)
-    return encode(arr, encoding)
+    return encode(arr, encoding, params=params)
 
 
 def remap_array(arr: np.ndarray, mapping: dict, preserve_missing: bool = True) -> np.ndarray:

@@ -213,3 +213,52 @@ def test_encoding_level_keys_accept_both_jxl_spellings():
         )
         assert info.scale(0)["jxl_quality"] == 90
         assert info.compression_params(0)["level"] == 90
+
+
+def test_multichannel_png_jpeg_decode_is_true_inverse():
+    """The ravel→F-reshape decode trick only inverts the 2D image
+    layout for single-channel chunks; c>1 png (lossless: exact) and
+    RGB jpeg (lossy: close) must round-trip through the explicit
+    (sz,sy,sx,c) inverse, not return scrambled channels."""
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 255, (6, 5, 4, 3)).astype(np.uint8)
+    back = codecs.decode(codecs.encode(a, "png"), "png", a.shape, np.uint8)
+    assert np.array_equal(back, a)
+    # jpeg is lossy — structure must survive (mean abs error small,
+    # channels not swapped)
+    smooth = np.zeros((16, 16, 2, 3), np.uint8)
+    smooth[..., 0] = 200  # red-ish everywhere
+    smooth[..., 2] = 30
+    back = codecs.decode(
+        codecs.encode(smooth, "jpeg"), "jpeg", smooth.shape, np.uint8)
+    assert abs(int(back[..., 0].mean()) - 200) < 12
+    assert abs(int(back[..., 2].mean()) - 30) < 12
+
+
+def test_remap_honors_codec_params():
+    """remap() must decode AND re-encode with the scale's declared
+    codec params — a non-default cseg block size mis-decoded before
+    (reshape error or silent garbage), and the rewritten blob fell
+    back to the default dialect."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(1, 50, (8, 8, 4, 1)).astype(np.uint32)
+    params = {"block_size": (4, 4, 4)}
+    blob = codecs.encode(a, "compressed_segmentation", params=params)
+    out = codecs.remap(
+        blob, "compressed_segmentation", a.shape, np.uint32,
+        {1: 1001}, params=params)
+    back = codecs.decode(out, "compressed_segmentation", a.shape,
+                         np.uint32, params=params)
+    want = a.copy()
+    want[a == 1] = 1001
+    assert np.array_equal(back, want)
+
+
+def test_multichannel_single_label_codecs_refuse():
+    """crackle/compresso encode one channel at a time: a 2-channel
+    chunk must raise, not silently store channel 0 only."""
+    a = np.ones((4, 4, 4, 2), np.uint32)
+    with pytest.raises((ValueError, codecs.EncodingUnavailable)):
+        codecs.encode(a, "crackle")
+    with pytest.raises(ValueError, match="one channel"):
+        codecs.encode(a, "compresso")

@@ -616,7 +616,9 @@ def test_polyline_and_enum_roundtrip(spark, rng, tmp_path):
     assert out["cell_type"].dtype.name == "category"
     want = pdf["cell_type"].map(dict(zip(enum_values, enum_labels)))
     assert list(out["cell_type"]) == list(want)
-    assert len(out["points"][0]) == 4
+    # storage is the canonical FLAT [x0,y0,z0,...] run (4 vertices =
+    # 12 floats), even when write() received nested vertex lists
+    assert len(out["points"][0]) == 12
 
 
 def test_enum_property_validation(spark, tmp_path):
@@ -1050,3 +1052,32 @@ def test_mesh_fuse_skips_empty_fragments(spark, tmp_path, rng):
     ))
     got = layer.get([7]).collect()[0]
     assert len(got.vertices) > 0
+
+
+def test_annotation_bbox_subunit_and_boundary_exactness(
+        spark, tmp_path):
+    """Sub-unit float boxes straddling a grid-cell boundary must scan
+    the right cell (the old (x1-1)//cs upper bound returned EMPTY),
+    and the exclusive max bound must be exact at nm-scale coordinate
+    magnitudes where the old hi-1e-9 epsilon was absorbed by double
+    rounding."""
+    pdf = pd.DataFrame({
+        "id": np.array([1, 2, 3], dtype=np.int64),
+        "x": [128.2, 9_000_128.0, 9_000_127.9999],
+        "y": [1.0, 1.0, 1.0],
+        "z": [1.0, 1.0, 1.0],
+    })
+    layer = AnnotationLayer(spark, str(tmp_path / "annsub"),
+                            annotation_type="POINT")
+    layer.write(spark.createDataFrame(pdf))
+
+    # sub-unit box [128.0, 128.5) catches the annotation at 128.2
+    got = set(layer.get_by_bbox(
+        Bbox((128.0, 0.0, 0.0), (128.5, 8.0, 8.0),
+             dtype="float64")).toPandas()["id"])
+    assert got == {1}
+    # exclusive max at ~9e6: x == x1 excluded, x just below included
+    got = set(layer.get_by_bbox(
+        Bbox((9_000_000.0, 0.0, 0.0), (9_000_128.0, 8.0, 8.0),
+             dtype="float64")).toPandas()["id"])
+    assert got == {3}
