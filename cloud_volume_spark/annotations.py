@@ -123,6 +123,18 @@ class AnnotationLayer:
 
     # ---- write --------------------------------------------------------
 
+    def grid_cell_cols(self) -> dict:
+        """{gx,gy,gz} cell-derivation expressions — THE single source
+        for both the batch writer and the streaming ingest
+        (streaming/windowed.ingest_annotations_stream): divergent
+        copies would let get_by_bbox's pruning silently drop rows
+        written by the other path."""
+        return {
+            "gx": F.floor(F.col("x") / self.grid_cell[0]).cast("int"),
+            "gy": F.floor(F.col("y") / self.grid_cell[1]).cast("int"),
+            "gz": F.floor(F.col("z") / self.grid_cell[2]).cast("int"),
+        }
+
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Persist annotations; derives the spatial-grid cell columns so
         parquet stats give the same pruning the reference's grid files
@@ -182,11 +194,9 @@ class AnnotationLayer:
                     "y": F.element_at("points", 2).cast("double"),
                     "z": F.element_at("points", 3).cast("double"),
                 })
-        gx = F.floor(F.col("x") / self.grid_cell[0]).cast("int")
-        gy = F.floor(F.col("y") / self.grid_cell[1]).cast("int")
-        gz = F.floor(F.col("z") / self.grid_cell[2]).cast("int")
+        cells = self.grid_cell_cols()
         out = (
-            df.withColumn("gx", gx).withColumn("gy", gy).withColumn("gz", gz)
+            df.withColumns(cells)
             .repartitionByRange("gz", "gy", "gx")
             .sortWithinPartitions("gz", "gy", "gx", "id")
         )

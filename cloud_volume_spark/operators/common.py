@@ -20,7 +20,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # Truncate (not round) to microseconds — matches how a ns
         # instant floors into coarser units.
         if isinstance(df.schema["ts"].dataType, LongType):
+            # integer division, NOT (ts/1000).cast: the double round
+            # trip can round UP across a microsecond boundary and loses
+            # exactness above 2^53 ns — `div` floors exactly
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     return df

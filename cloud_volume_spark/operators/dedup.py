@@ -116,15 +116,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing any band hash become candidate near-duplicate pairs. The
     join key is the band hash — buckets, not an all-pairs product."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
-                for b in range(N_HASHES // 2)
-            ])
-        ).alias("band", "band_hash"),
-    )
+    bands = band_frame(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -277,8 +269,14 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in pairs.collect():
-            ra, rb = find(r.u), find(r.v)
+        # Arrow-batched pandas collect: 1M edges land as two int64
+        # columns (~16 MB), not 1M PySpark Row objects (~100+ bytes
+        # each) — the driver-memory figure the threshold comment
+        # promises
+        pdf_edges = pairs.toPandas()
+        for ru, rv in zip(pdf_edges["u"].to_numpy(),
+                          pdf_edges["v"].to_numpy()):
+            ra, rb = find(int(ru)), find(int(rv))
             if ra != rb:
                 if ra < rb:
                     parent[rb] = ra
@@ -437,6 +435,9 @@ def materialized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_id, _dataset_fingerprint(sf_dir))
     df = _CLUSTER_CACHE.get(key)
     if df is not None:
+        # LRU, not FIFO: refresh recency so the hottest map is never
+        # the eviction victim (dict preserves insertion order)
+        _CLUSTER_CACHE[key] = _CLUSTER_CACHE.pop(key)
         return df
     # entries keyed to a different applicationId belong to a stopped
     # session — their persisted blocks are gone; drop the references
@@ -549,15 +550,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A standing corpus would keep its band table materialized; here
     both sides derive from the same parquet for oracle parity.)"""
     sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[
-                F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
-                for b in range(N_HASHES // 2)
-            ])
-        ).alias("band", "band_hash"),
-    )
+    bands = band_frame(sig)
     is_new = F.col("doc_id") % INGEST_MOD == 0
     new_b = bands.where(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "band_hash"
@@ -643,25 +636,37 @@ def signature_frame_maponly(docs: DataFrame) -> DataFrame:
         f"transform(sequence(1, greatest(length(text) - {SHINGLE_W - 1}, 1),"
         f" {SHINGLE_STEP}), i -> substr(text, i, {SHINGLE_W}))"
     )
-    def _hash_min(salt: str, off: int):
-        # closure factory: pyspark reads the lambda's arity, so default
-        # args would make it look like a 3-arg higher-order lambda
+    # ONE md5 pass per salt (2 total), staged as digest arrays that
+    # the 8 h-columns slice with cheap substrings — embedding the md5
+    # inside each h_j's own transform ran 8 md5 array passes per row
+    # per micro-batch (no CSE across separate higher-order lambdas),
+    # the exact 4x hashing cost the module header's design avoids.
+    # The two-step select survives CollapseProject because the digest
+    # transforms are non-cheap and referenced 4 times each. Closure
+    # factories, not default args: pyspark reads the lambda's arity.
+    def _digest(salt: str):
         def fn(s):
-            return F.substring(
-                F.md5(F.concat(F.lit(f"{salt}|"), s)), off, 8
-            )
+            return F.md5(F.concat(F.lit(f"{salt}|"), s))
         return fn
 
+    def _sub(off: int):
+        def fn(d):
+            return F.substring(d, off, 8)
+        return fn
+
+    staged = docs.select(
+        "*",
+        F.transform(toks, _digest("a")).alias("_dg_a"),
+        F.transform(toks, _digest("b")).alias("_dg_b"),
+    )
     cols = [F.col("doc_id")]
     for j in range(N_HASHES):
-        salt = "ab"[j // 4]
+        dg = F.col("_dg_a") if j < 4 else F.col("_dg_b")
         off = 1 + 8 * (j % 4)
         cols.append(
-            F.array_min(
-                F.transform(toks, _hash_min(salt, off))
-            ).alias(f"h{j}")
+            F.array_min(F.transform(dg, _sub(off))).alias(f"h{j}")
         )
-    return docs.select(*cols)
+    return staged.select(*cols)
 
 
 def band_frame(sig: DataFrame) -> DataFrame:

@@ -43,26 +43,25 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
     except Exception:
         prior = None
+
+    def _restore():
+        # one restore path for both the probe-failure and the
+        # not-a-ns-stream cases (the toggle is session-global)
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         ts_is_long = isinstance(
             spark.read.parquet(src_dir).schema["ts"].dataType, LongType
         )
     except Exception:
-        # probe failed (missing dir, bad files): restore the conf so a
-        # throwing call cannot leak the session-global toggle
-        if prior is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+        _restore()  # a throwing call must not leak the toggle
         raise
     if not ts_is_long:
-        # restore: the stream doesn't need the legacy conf, so don't
-        # leave a session-global toggle behind as a probe side effect
-        if prior is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+        _restore()  # the stream doesn't need the legacy conf
     # else: the conf stays set for the session — the parquet reader
     # needs it for the lifetime of the ns-unit stream, not only the
     # probe; callers mixing ns-event streams with other TIMESTAMP(NANOS)
@@ -75,8 +74,11 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         .parquet(src_dir)
     )
     if ts_is_long:
+        # exact integer floor — same rule (and same fix) as the batch
+        # loader in operators/common.py: double division can round up
+        # across a microsecond boundary
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return stream
 
@@ -213,14 +215,12 @@ def ingest_annotations_stream(layer, src_dir: str, checkpoint_dir: str,
     ``trigger(availableNow=True)`` semantics via ``.awaitTermination``
     after the backlog drains, or leave running for continuous ingest."""
     spark = layer.spark
-    gx = F.floor(F.col("x") / layer.grid_cell[0]).cast("int")
-    gy = F.floor(F.col("y") / layer.grid_cell[1]).cast("int")
-    gz = F.floor(F.col("z") / layer.grid_cell[2]).cast("int")
+    cells = layer.grid_cell_cols()  # the batch writer's own exprs
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 16)
         .parquet(src_dir)
-        .withColumn("gx", gx).withColumn("gy", gy).withColumn("gz", gz)
+        .withColumns(cells)
     )
     return (
         stream.writeStream
@@ -304,7 +304,9 @@ def streaming_incremental_dedup(docs_stream: DataFrame,
 
     static_bands = band_frame(signature_frame_maponly(static_docs)).select(
         F.col("doc_id").alias("dup_of"), "band", "band_hash"
-    )
+    ).persist()  # the stream-static join rescans the static side per
+    # micro-batch; without persist every trigger re-shingles and
+    # re-md5s the ENTIRE corpus (the pipeline's most expensive stage)
     new_bands = band_frame(signature_frame_maponly(docs_stream))
     return (
         new_bands.join(static_bands, ["band", "band_hash"])
@@ -333,7 +335,7 @@ def streaming_contamination(docs_stream: DataFrame,
 
     bench = (
         _word_grams(benchmark_docs, CONTAM_NGRAM).select("gram").distinct()
-    )
+    ).persist()  # recomputed per micro-batch otherwise (stream-static)
     return (
         _word_grams(docs_stream, CONTAM_NGRAM)
         .join(F.broadcast(bench), "gram")
