@@ -29,7 +29,9 @@ from cloud_volume_spark.operators.dedup import (
     SHINGLES_SQL,
     materialized_clusters,
 )
-from cloud_volume_spark.operators.text import STOPWORDS, doc_quality_score
+from cloud_volume_spark.operators.text import (
+    QUALITY_SQL, STOPWORDS, doc_quality_score,
+)
 
 # ---------------------------------------------------------------------------
 # stratified sampling
@@ -39,7 +41,11 @@ from cloud_volume_spark.operators.text import STOPWORDS, doc_quality_score
 # threshold. en is downsampled harder (it dominates web corpora); the
 # long-tail languages keep more — the standard rebalancing move.
 SAMPLE_RATE_HEX = {"en": "40", "es": "80", "fr": "80", "de": "80", "zh": "80"}
-DEFAULT_RATE_HEX = "20"
+# unlisted long-tail languages keep the MOST (c0 = 75%) — a default
+# below en's 25% would sample the tail hardest, the inverse of the
+# rebalancing intent above (unreachable in the 5-language fixture, so
+# only a real corpus would have hit it)
+DEFAULT_RATE_HEX = "c0"
 
 
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +105,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # df_ is VOCABULARY-sized (Heaps' law: unbounded on raw web
+        # text) — no forced broadcast, same rule as doc_perplexity's
+        # vocab join; AQE still broadcasts while it measures small.
+        # n_docs is one row: broadcast is always right.
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score_bp",
@@ -301,13 +311,9 @@ walk (u, comp) AS (
 ),
 clusters AS (SELECT u AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY u),
 quality AS (
-    SELECT doc_id,
-           FLOOR(LEAST(1.0, LENGTH(text) / 500.0)
-                 * (1 - LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
-                        t -> t IN {STOPWORDS!r}))
-                      / LEN(STRING_SPLIT(TRIM(text), ' '))::DOUBLE)
-                 * 10000 + 0.5)::BIGINT AS quality_score_bp
-    FROM documents
+    -- ONE source of truth for the score: text.py's QUALITY_SQL,
+    -- composed as a subquery (the Spark side calls doc_quality_score)
+    SELECT doc_id, quality_score_bp FROM ({QUALITY_SQL}) qsrc
 )
 SELECT c.doc_id, c.cluster_id, q.quality_score_bp,
        (ROW_NUMBER() OVER (
@@ -336,11 +342,19 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum(n_toks).over(w) - n_toks
-    return docs.select(
+    staged = docs.select(
         "doc_id", "source",
         n_toks.alias("n_tokens"),
-        F.floor(start / PACK_BUDGET).cast("long").alias("bin_id"),
-        (start % PACK_BUDGET).cast("long").alias("bin_offset"),
+        start.cast("long").alias("_start"),
+    )
+    return staged.select(
+        "doc_id", "source", "n_tokens",
+        # integer `div`, matching the oracle's `//`: floor(double /)
+        # rounds across a bin boundary once cumulative tokens pass
+        # 2^53 — the same long-exactness class as the line_dedup key
+        F.expr(f"_start div {PACK_BUDGET}").alias("bin_id"),
+        F.expr(f"_start % {PACK_BUDGET}").cast("long")
+        .alias("bin_offset"),
     )
 
 
@@ -372,10 +386,14 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any
     word 5-gram with a held-out benchmark set (here: ``doc_id %
     CONTAM_MOD == 0``, standing in for checked-in eval sets). The
-    benchmark's distinct-gram table is tiny and explicitly broadcast —
-    at 100 TB the corpus side streams map-only through the broadcast
-    hash join and aggregates per doc; no all-pairs, no big shuffle on
-    the gram column.
+    benchmark's distinct-gram table is explicitly broadcast — at
+    100 TB the corpus side streams map-only through the broadcast hash
+    join and aggregates per doc; no all-pairs, no big shuffle on the
+    gram column. The broadcast is justified by REAL eval sets, which
+    are small and fixed (MMLU/GSM8K-class: thousands of docs); the
+    modulo holdout here is a stand-in whose gram table scales with the
+    corpus, so it is hint-safe only at test scale — production callers
+    must pass a genuinely small benchmark table.
 
     Gram keys are _rolling_gram 64-bit hashes (curation.py): a
     spurious collision can only ADD a match, i.e. drop an extra doc —

@@ -622,6 +622,12 @@ def global_row_number(
         out_col,
         (F.row_number().over(w) + off_map[F.col("_bkt")]).cast("long"),
     ).drop("_bkt")
+    # release the quantile/count cache without yanking it from under
+    # the (lazy) result: checkpoint the small ranked output locally,
+    # then unpersist — otherwise every call leaks one pinned copy of
+    # the keyed frame for the life of the session
+    out = out.localCheckpoint(eager=True)
+    df.unpersist()
     return out, acc
 
 

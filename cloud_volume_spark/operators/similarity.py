@@ -368,6 +368,42 @@ SEMDEDUP_NLIST = 16       # coarse clusters (vec_id 100..116 as centroids)
 SEMDEDUP_T = 0.8          # within-cluster cosine threshold
 
 
+def _centroid_frame(emb: DataFrame, base_id: int,
+                    nlist: int) -> DataFrame:
+    """(cent_id, cvec, cnrm): the deterministic coarse-centroid sample
+    (vec_id base_id..base_id+nlist, the k-means stand-in) — shared by
+    the assignment below and IVF's query-probe side."""
+    return emb.where(
+        (F.col("vec_id") >= base_id) & (F.col("vec_id") < base_id + nlist)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+
+def _assign_nearest_centroid(emb: DataFrame, base_id: int,
+                             nlist: int) -> DataFrame:
+    """(vec_id, embedding, nrm, cent_id): each vector assigned to its
+    nearest coarse centroid by rounded cosine, ties to the lowest
+    cent_id — THE single assignment contract shared by IVF search and
+    semantic dedup; a one-sided edit to tie-break/rounding would
+    silently make "nearest centroid" mean two things."""
+    cents = _centroid_frame(emb, base_id, nlist)
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("cvec"))
+        / (F.col("nrm") * F.col("cnrm")),
+        6,
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("csim"))
+        .withColumn("crnk", F.row_number().over(wv))
+        .where(F.col("crnk") == 1)
+        .select("vec_id", "embedding", "nrm", "cent_id")
+    )
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest coarse
@@ -386,25 +422,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
-    cents = emb.where(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + SEMDEDUP_NLIST)
-    ).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"),
-        F.col("nrm").alias("cnrm"),
-    )
-    csim = F.round(
-        _dot(F.col("embedding"), F.col("cvec"))
-        / (F.col("nrm") * F.col("cnrm")),
-        6,
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("csim"))
-        .withColumn("crnk", F.row_number().over(wv))
-        .where(F.col("crnk") == 1)
-        .select("vec_id", "embedding", "nrm", "cent_id")
-    )
+    assign = _assign_nearest_centroid(emb, 100, SEMDEDUP_NLIST)
     a = assign.select(
         "cent_id", F.col("vec_id").alias("id_hi"),
         F.col("embedding").alias("e_hi"), F.col("nrm").alias("n_hi"),
@@ -513,26 +531,8 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
-    cents = emb.where(
-        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + NLIST)
-    ).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"),
-        F.col("nrm").alias("cnrm"),
-    )
-
-    csim = F.round(
-        _dot(F.col("embedding"), F.col("cvec"))
-        / (F.col("nrm") * F.col("cnrm")),
-        6,
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("csim"))
-        .withColumn("crnk", F.row_number().over(wv))
-        .where(F.col("crnk") == 1)
-        .select("vec_id", "embedding", "nrm", "cent_id")
-    )
+    assign = _assign_nearest_centroid(emb, 100, NLIST)
+    cents = _centroid_frame(emb, 100, NLIST)  # the query probe side
 
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
@@ -766,7 +766,13 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        return _kmeans_rounds(emb)
+        out = _kmeans_rounds(emb)
+        # materialize the final assignment BEFORE releasing the cache:
+        # the returned DataFrame is evaluated lazily by the caller,
+        # i.e. after the finally unpersisted — the final pass would
+        # silently rescan and re-cast the full parquet. localCheckpoint
+        # stores just (vec_id, cluster, sq_dist).
+        return out.localCheckpoint(eager=True)
     finally:
         emb.unpersist()
 
@@ -801,7 +807,17 @@ def _kmeans_rounds(emb: DataFrame) -> DataFrame:
             assign(emb, cents)
             .select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("mv"))
+            # DECIMAL accumulation: double AVG sums in partial-agg
+            # order, so the pre-rounding value can differ by 1 ulp
+            # run-to-run and engine-to-engine, flipping ROUND(_, 6) at
+            # a .5e-6 boundary. Exact order-independent decimal SUM,
+            # then ONE double division + ROUND — the identical fp op
+            # chain in both engines (decimal AVG itself divides with
+            # engine-specific rounding, so sum/count it is)
+            .agg(F.round(
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                / F.count("x"), 6
+            ).alias("mv"))
             .collect()
         )
         nxt: dict = {}
@@ -835,7 +851,9 @@ def _kmeans_sql() -> str:
         FROM emb e CROSS JOIN c{t} c
     ) WHERE rn = 1)""")
         parts.append(f"""m{t} AS (
-    SELECT cluster, i, ROUND(AVG(v[i]), 6) AS mv
+    SELECT cluster, i,
+           ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mv
     FROM a{t}, UNNEST(GENERATE_SERIES(1, {DIM})) AS s(i)
     GROUP BY cluster, i)""")
         parts.append(f"""c{t + 1} AS (

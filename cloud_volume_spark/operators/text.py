@@ -136,7 +136,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint over normalized text —
     the content-addressing primitive exact dedup builds on."""
     docs = load(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    # explicit class, not \s: Java \s includes vertical tab \x0B,
+    # RE2 (DuckDB) \s does not — a \x0B in any document diverged the
+    # two engines' fingerprints. [ \t\n\r\f] means the same in both.
+    norm = F.lower(F.trim(F.regexp_replace("text", "[ \t\n\r\f]+", " ")))
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
@@ -146,8 +149,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINT_SQL = r"""
 SELECT doc_id,
-       MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fingerprint,
-       LENGTH(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS norm_len
+       MD5(LOWER(TRIM(REGEXP_REPLACE(text, '[ \t\n\r\f]+', ' ', 'g')))) AS fingerprint,
+       LENGTH(LOWER(TRIM(REGEXP_REPLACE(text, '[ \t\n\r\f]+', ' ', 'g')))) AS norm_len
 FROM documents
 """
 
