@@ -130,6 +130,15 @@ def decompress_stream(data: bytes, method: Optional[str]) -> bytes:
                 "is not installed"
             )
         return brotli.decompress(data)
+    if method == "zstd":
+        try:
+            import zstandard
+        except ImportError:
+            raise EncodingUnavailable(
+                "this chunk is zstd-compressed but the zstandard "
+                "package is not installed"
+            ) from None
+        return zstandard.ZstdDecompressor().decompress(data)
     raise ValueError(f"Unknown compression: {method}")
 
 

@@ -309,7 +309,14 @@ def reify_slices(
         lo_bound = int(bounds.minpt[i])
         hi_bound = int(bounds.maxpt[i])
         if isinstance(sl, (int, np.integer)):
-            sl = slice(int(sl), int(sl) + 1)
+            # normalize a negative int BEFORE widening to a slice:
+            # slice(-1, 0) inverts (start += hi_bound but stop=0 stays),
+            # silently yielding an empty region for vol[-1] instead of
+            # the last plane
+            k = int(sl)
+            if k < 0:
+                k += hi_bound
+            sl = slice(k, k + 1)
         if sl.step not in (None, 1):
             raise ValueError(f"Step slicing is not supported: {sl}")
         start = lo_bound if sl.start is None else int(sl.start)

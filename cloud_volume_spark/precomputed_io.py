@@ -14,6 +14,7 @@ write their own partition's files, the driver only lists directories.
 from __future__ import annotations
 
 import gzip
+import zlib
 import os
 from typing import Optional
 
@@ -34,11 +35,21 @@ from cloud_volume_spark.chunking import compressed_morton_code
 def export_unsharded(vol: Volume, out_dir: str, mip: int = 0,
                      gzip_files: bool = True) -> int:
     """Chunk table → precomputed directory. Returns file count."""
+    from cloud_volume_spark.paths import require_local, resolve_cloudpath
+
+    out_dir = require_local(resolve_cloudpath(out_dir),
+                            "export_unsharded")
     key = vol.info.key(mip)
     scale_dir = os.path.join(out_dir, key)
     os.makedirs(scale_dir, exist_ok=True)
-    # precomputed-compatible info (VolumeInfo already is)
-    vol.info.commit(out_dir)
+    # precomputed-compatible info — with any stale per-scale
+    # 'sharding' key stripped (e.g. a volume imported FROM a sharded
+    # layer): readers seeing scale.sharding next to loose chunk files
+    # would take the shard path and fail
+    info = vol.info.clone()
+    for sc in info.info.get("scales", []):
+        sc.pop("sharding", None)
+    info.commit(out_dir)
 
     suffix = ".gz" if gzip_files else ""
 
@@ -48,7 +59,11 @@ def export_unsharded(vol: Volume, out_dir: str, mip: int = 0,
             for r in pdf.itertuples(index=False):
                 bbox = Bbox((r.x0, r.y0, r.z0), (r.x1, r.y1, r.z1))
                 raw = codecs.decompress_stream(r.blob, r.compression or None)
-                payload = gzip.compress(raw, mtime=0) if gzip_files else raw
+                # compress_stream = the tuned deterministic gzip
+                # (level 6, mtime=0): level-9 here paid 2-3x CPU per
+                # chunk for <1% size, per codecs' own measurement
+                payload = (codecs.compress_stream(raw, "gzip")
+                           if gzip_files else raw)
                 with open(
                     os.path.join(scale_dir, bbox.to_filename() + suffix), "wb"
                 ) as f:
@@ -112,13 +127,27 @@ def import_pyramid(spark, src_dir: str, base_path: str,
         for m in mips
     }
 
+    def _is_chunk_name(n: str) -> bool:
+        # stray files (partial uploads, Thumbs.db, .shard) must be
+        # skipped, not crash the whole import in Bbox.from_filename
+        base = n
+        for suf in (".gz", ".br", ".zstd"):
+            if base.endswith(suf):
+                base = base[: -len(suf)]
+                break
+        try:
+            Bbox.from_filename(base)
+            return True
+        except Exception:
+            return False
+
     entries = []
     for m in mips:
         scale_dir = os.path.join(src_dir, info.key(m))
         entries.extend(
             (os.path.join(scale_dir, n), n, m)
             for n in sorted(os.listdir(scale_dir))
-            if not n.startswith(".")
+            if not n.startswith(".") and _is_chunk_name(n)
         )
     files_df = spark.createDataFrame(
         entries, schema="path string, name string, mip int",
@@ -129,15 +158,28 @@ def import_pyramid(spark, src_dir: str, base_path: str,
             rows = []
             for r in pdf.itertuples(index=False):
                 cs, voff, grid, encoding, cparams = meta[int(r.mip)]
-                bbox = Bbox.from_filename(r.name)
+                name = r.name
+                stage = None
+                for suf, enc in ((".gz", "gzip"), (".br", "br"),
+                                 (".zstd", "zstd")):
+                    if name.endswith(suf):
+                        name, stage = name[: -len(suf)], enc
+                        break
+                bbox = Bbox.from_filename(name)
                 with open(r.path, "rb") as f:
                     payload = f.read()
-                if r.name.endswith(".gz"):
-                    payload = gzip.decompress(payload)
+                if stage is not None:
+                    # dispatch on the suffix the filename grammar
+                    # accepts — treating .br/.zstd as raw stored the
+                    # still-compressed bytes as chunk data
+                    payload = codecs.decompress_stream(payload, stage)
                 else:
                     try:  # content-encoded gzip without suffix
                         payload = gzip.decompress(payload)
-                    except (OSError, EOFError):
+                    except (OSError, EOFError, zlib.error):
+                        # zlib.error: payload merely STARTED with the
+                        # gzip magic (possible in raw voxel bytes) —
+                        # fall back to raw, don't kill the import
                         pass
                 cx = (int(bbox.minpt[0]) - voff[0]) // cs[0]
                 cy = (int(bbox.minpt[1]) - voff[1]) // cs[1]
@@ -202,9 +244,12 @@ def export_sharded(vol: Volume, out_dir: str, mip: int = 0,
     code (reference ``_upload_shard``/``make_shard``,
     ``image/__init__.py:455-482, 758-827``). One applyInPandas group
     per shard synthesizes its file; returns shard count."""
+    from cloud_volume_spark.paths import require_local, resolve_cloudpath
     from cloud_volume_spark.sharding import (
         ShardingSpecification, synthesize_shard_file,
     )
+
+    out_dir = require_local(resolve_cloudpath(out_dir), "export_sharded")
 
     if spec is None:
         spec = ShardingSpecification(
@@ -254,7 +299,10 @@ def import_sharded(spark, src_dir: str, base_path: str, mip: int = 0,
     files (3-level index walk) and emit chunk rows; morton codes decode
     back to grid coordinates."""
     from cloud_volume_spark.chunking import decode_morton
+    from cloud_volume_spark.paths import require_local, resolve_cloudpath
     from cloud_volume_spark.sharding import ShardFileReader, ShardingSpecification
+
+    src_dir = require_local(resolve_cloudpath(src_dir), "import_sharded")
 
     info = VolumeInfo.load(src_dir)
     key = info.key(mip)

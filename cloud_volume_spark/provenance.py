@@ -5,7 +5,6 @@ description. Stored as ``provenance`` JSON next to ``info``."""
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import asdict, dataclass, field
 from datetime import datetime, timezone
 
@@ -41,14 +40,27 @@ class Provenance:
         )
 
     def commit(self, base_path: str) -> None:
-        os.makedirs(base_path, exist_ok=True)
-        with open(os.path.join(base_path, "provenance"), "w") as f:
-            f.write(self.to_json())
+        # PathOps, not raw open(): VolumeInfo.commit writes `info`
+        # through the store layer — a gs://-rooted volume would
+        # otherwise get its audit sidecar written to a LOCAL
+        # './gs:/...' directory, silently diverging from the info
+        from cloud_volume_spark.fs import PathOps
+        from cloud_volume_spark.paths import resolve_cloudpath
+
+        base_path = resolve_cloudpath(base_path)
+        ops = PathOps(base_path)
+        ops.makedirs(base_path)
+        ops.write_bytes(f"{base_path}/provenance",
+                        self.to_json().encode("utf-8"))
 
     @classmethod
     def load(cls, base_path: str) -> "Provenance":
-        path = os.path.join(base_path, "provenance")
-        if not os.path.exists(path):
+        from cloud_volume_spark.fs import PathOps
+        from cloud_volume_spark.paths import resolve_cloudpath
+
+        base_path = resolve_cloudpath(base_path)
+        ops = PathOps(base_path)
+        if not ops.exists(f"{base_path}/provenance"):
             return cls()
-        with open(path) as f:
-            return cls.from_json(f.read())
+        return cls.from_json(
+            ops.read_bytes(f"{base_path}/provenance").decode("utf-8"))

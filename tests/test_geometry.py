@@ -75,3 +75,21 @@ def test_reify_negative_and_open():
 def test_scale_by():
     b = Bbox((3, 3, 3), (10, 10, 10))
     assert b.scale_by((2, 2, 1)) == Bbox((1, 1, 3), (5, 5, 10))
+
+
+def test_negative_int_index_reifies_last_plane():
+    """vol[-1] must mean the LAST plane: converting int -1 to
+    slice(-1, 0) inverted the box (start normalized, stop=0 kept) and
+    silently returned an empty region."""
+    import numpy as np
+
+    from cloud_volume_spark.geometry import reify_slices
+
+    bounds = Bbox((0, 0, 0), (128, 128, 128))
+    bbox, _ = reify_slices((-1, slice(None), slice(None)), bounds)
+    assert list(bbox.minpt) == [127, 0, 0]
+    assert list(bbox.maxpt) == [128, 128, 128]
+    # other negatives keep working
+    bbox, _ = reify_slices((-2, -1, 5), bounds)
+    assert list(bbox.minpt) == [126, 127, 5]
+    assert list(bbox.maxpt) == [127, 128, 6]

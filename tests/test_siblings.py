@@ -1081,3 +1081,52 @@ def test_annotation_bbox_subunit_and_boundary_exactness(
         Bbox((9_000_000.0, 0.0, 0.0), (9_000_128.0, 8.0, 8.0),
              dtype="float64")).toPandas()["id"])
     assert got == {3}
+
+
+def test_export_unsharded_strips_stale_sharding_key(spark, tmp_path):
+    """A volume whose info carries a per-scale 'sharding' key (e.g.
+    imported from a sharded layer) must export UNSHARDED with the key
+    stripped — readers seeing scale.sharding next to loose chunk files
+    take the shard path and fail."""
+    from cloud_volume_spark.precomputed_io import (
+        export_unsharded, import_pyramid,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, (32, 32, 32, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "sh"),
+                            chunk_size=(16, 16, 16))
+    vol.info.info["scales"][0]["sharding"] = {
+        "@type": "neuroglancer_uint64_sharded_v1", "preshift_bits": 0,
+        "hash": "identity", "minishard_bits": 2, "shard_bits": 2,
+        "minishard_index_encoding": "raw", "data_encoding": "raw",
+    }
+    out = str(tmp_path / "sh_out")
+    export_unsharded(vol, out)
+    info = json.load(open(os.path.join(out, "info")))
+    assert all("sharding" not in sc for sc in info["scales"])
+    back = import_pyramid(spark, out, str(tmp_path / "sh_back"))
+    assert np.array_equal(
+        back.cutout(Bbox((0, 0, 0), (32, 32, 32))), arr)
+
+
+def test_import_pyramid_skips_stray_files(spark, tmp_path):
+    """Partial uploads / Thumbs.db in a scale dir must be skipped, not
+    crash the whole pyramid import in Bbox.from_filename."""
+    from cloud_volume_spark.precomputed_io import (
+        export_unsharded, import_pyramid,
+    )
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (32, 32, 32, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "st"),
+                            chunk_size=(16, 16, 16))
+    out = str(tmp_path / "st_out")
+    export_unsharded(vol, out)
+    scale_dir = os.path.join(out, vol.info.key(0))
+    for stray in ("Thumbs.db", "0-16_0-16_0-16.gz.tmp"):
+        with open(os.path.join(scale_dir, stray), "wb") as f:
+            f.write(b"junk")
+    back = import_pyramid(spark, out, str(tmp_path / "st_back"))
+    assert np.array_equal(
+        back.cutout(Bbox((0, 0, 0), (32, 32, 32))), arr)
