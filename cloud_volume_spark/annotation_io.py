@@ -30,6 +30,7 @@ import gzip
 import json
 import math
 import os
+import zlib
 from typing import Iterable, Optional, Sequence
 
 import numpy as np
@@ -370,7 +371,10 @@ def _read_value(dirpath: str, name: str) -> Optional[bytes]:
             # rather than crashing on the 1-in-65536 coincidence
             try:
                 return gzip.decompress(data)
-            except OSError:
+            except (OSError, EOFError, zlib.error):
+                # gzip raises any of these when the payload merely
+                # starts with 1f 8b but has a non-gzip body — the exact
+                # coincidence this fallback targets
                 return data
         return data
     gzpath = plain + ".gz"

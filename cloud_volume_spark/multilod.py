@@ -246,20 +246,27 @@ class MultiLodMeshLayer:
                  vertex_quantization_bits: int = None,
                  check_writable=None):
         import json as _json
-        import os as _os
+
+        from cloud_volume_spark.paths import resolve_cloudpath
 
         self.spark = spark
-        self.base_path = base_path
+        self.base_path = resolve_cloudpath(base_path)
         self._check_writable = check_writable or (lambda: None)
         # the quantization width is a FACT of the stored data: a layer
         # reopened with the wrong default would silently dequantize to
         # wrong coordinates (2^16-1 vs 2^10-1 denominators) — persist
-        # it in a sidecar on every write and refuse a contradiction
+        # it in a sidecar on every write and refuse a contradiction.
+        # PathOps, not raw open(): put()/get ride Spark (remote URIs
+        # work), so the sidecar must too — on a remote base_path a raw
+        # open() would land it in a stray local dir and a reopen on
+        # another machine would silently default to 16 bits
         stored = None
         try:
-            with open(_os.path.join(base_path,
-                                    "multilod_meta.json")) as fh:
-                stored = int(_json.load(fh)["vertex_quantization_bits"])
+            ops = self._ops()
+            meta_path = f"{self.base_path}/multilod_meta.json"
+            if ops.exists(meta_path):
+                stored = int(_json.loads(ops.read_bytes(meta_path))
+                             ["vertex_quantization_bits"])
         except (OSError, ValueError, KeyError):
             pass
         if vertex_quantization_bits is not None:
@@ -274,15 +281,20 @@ class MultiLodMeshLayer:
             self.vertex_quantization_bits = (
                 stored if stored is not None else 16)
 
+    def _ops(self):
+        from cloud_volume_spark.fs import PathOps
+
+        return PathOps(self.base_path, spark=self.spark)
+
     def _write_meta(self) -> None:
         import json as _json
-        import os as _os
 
-        _os.makedirs(self.base_path, exist_ok=True)
-        with open(_os.path.join(self.base_path,
-                                "multilod_meta.json"), "w") as fh:
-            _json.dump({"vertex_quantization_bits":
-                        self.vertex_quantization_bits}, fh)
+        ops = self._ops()
+        ops.makedirs(self.base_path)
+        ops.write_bytes(
+            f"{self.base_path}/multilod_meta.json",
+            _json.dumps({"vertex_quantization_bits":
+                         self.vertex_quantization_bits}).encode("utf-8"))
 
     @property
     def data_path(self) -> str:

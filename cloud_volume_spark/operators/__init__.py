@@ -15,22 +15,18 @@ from cloud_volume_spark import multimodal
 # registered queries; the order rotates per round so every query gets a
 # driver row across consecutive rounds, with tests/test_oracle_parity.py
 # running ALL queries against DuckDB as the local backstop.
-# ROUND-9 ROTATION (executing the round-8 note): `voxel_rel`/`dedup`/
-# `text` return to the front — their 22 rotated-out queries were last
-# driver-verified in r7 (voxel_rel's head, vox_changes_feed +
-# vox_label_histogram substitutions aside, plus dedup(7) + text(7)).
-# `corpus`/`multimodal`/`similarity` stay in-window.  Out this round —
-# fresh green in the r8 window, the safest to rotate: relational(20)
-# and the tail of curation.  With 72 queries the window =
-# voxel_rel(9) + dedup(7) + text(7) + corpus(8) + multimodal(5) +
-# similarity(8) + curation(first 6) = exactly 50; out-of-window =
-# curation's doc_perplexity + corpus_shuffle and relational(20), all
-# green in CORRECTNESS_r08, so the r8∪r9 union keeps every registered
-# query on a fresh-within-two-rounds driver row.  ROUND-10 ROTATION:
-# relational + curation tail back to the front.
+# ROUND-10 ROTATION (executing the round-9 note): `relational` and the
+# `curation` tail (doc_perplexity, corpus_shuffle — the only two queries
+# without an r9 driver row) return to the front.  With 72 queries the
+# window = relational(20) + curation(8) + corpus(8) + multimodal(5) +
+# similarity(8) + text(first 1) = exactly 50; out-of-window = text's
+# tail(6), voxel_rel(9), dedup(7) — all green in CORRECTNESS_r09, so
+# the r9∪r10 union keeps every registered query on a
+# fresh-within-two-rounds driver row.  ROUND-11 ROTATION: voxel_rel +
+# dedup + text back to the front.
 ALL_MODULES = [
-    voxel_rel, dedup, text, corpus, multimodal, similarity, curation,
-    relational,
+    relational, curation, corpus, multimodal, similarity, text,
+    voxel_rel, dedup,
 ]
 
 

@@ -418,10 +418,14 @@ class SkeletonLayer:
             ]
             expected = [("radius", "float32", 1),
                         ("vertex_types", "uint8", 1)]
-            if declared != expected:
+            # decode_precomputed already handles archives carrying only
+            # radius, or neither attribute (its off<len probes) — any
+            # PREFIX of the expected layout is valid; only a layout
+            # with different ids/dtypes/order would be misparsed
+            if declared != expected[:len(declared)]:
                 raise ValueError(
                     f"unsupported skeleton vertex_attributes {declared} "
-                    f"— this importer decodes exactly {expected}; "
+                    f"— this importer decodes a prefix of {expected}; "
                     "other layouts would be silently misparsed")
         if info.get("transform"):
             self.transform = [float(v) for v in info["transform"]]

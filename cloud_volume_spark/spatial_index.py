@@ -44,8 +44,10 @@ class SpatialIndex:
     def __init__(self, spark: SparkSession, base_path: str,
                  cell_size: Sequence[float] = None,
                  grid_origin: Sequence[float] = None):
+        from cloud_volume_spark.paths import resolve_cloudpath
+
         self.spark = spark
-        self.base_path = base_path
+        self.base_path = resolve_cloudpath(base_path)
         meta = self._load_meta()
         self.cell_size = self._resolve(
             "cell_size", cell_size, meta, (128.0, 128.0, 128.0))
@@ -62,12 +64,25 @@ class SpatialIndex:
     def meta_path(self) -> str:
         return os.path.join(self.base_path, "_spatial_meta.json")
 
+    def _ops(self):
+        # PathOps, not raw open(): the index data already reads/writes
+        # through Spark (remote URIs work), so the sidecar must ride the
+        # same store layer — a gs://-rooted index would otherwise get
+        # its grid facts written to a LOCAL './gs:/...' dir and a
+        # reopen elsewhere would silently fall back to the default
+        # grid, the exact wrong-grid failure the sidecar exists to stop
+        from cloud_volume_spark.fs import PathOps
+
+        return PathOps(self.base_path, spark=self.spark)
+
     def _load_meta(self):
         import json as _json
 
         try:
-            with open(self.meta_path) as fh:
-                return _json.load(fh)
+            ops = self._ops()
+            if not ops.exists(self.meta_path):
+                return None
+            return _json.loads(ops.read_bytes(self.meta_path))
         except (OSError, ValueError):
             return None
 
@@ -88,14 +103,15 @@ class SpatialIndex:
     def _write_meta(self) -> None:
         import json as _json
 
-        os.makedirs(self.base_path, exist_ok=True)
+        ops = self._ops()
+        ops.makedirs(self.base_path)
         meta = {"cell_size": list(self.cell_size),
                 "grid_origin": list(self.grid_origin),
                 "float_names": self.float_names}
         if self.bounds_max is not None:
             meta["bounds_max"] = list(self.bounds_max)
-        with open(self.meta_path, "w") as fh:
-            _json.dump(meta, fh)
+        ops.write_bytes(self.meta_path,
+                        _json.dumps(meta).encode("utf-8"))
 
     @property
     def data_path(self) -> str:

@@ -947,6 +947,18 @@ def test_read_value_gzip_magic_collision(tmp_path):
     with open(os.path.join(d, "cellkey"), "wb") as f:
         f.write(payload)
     assert _read_value(d, "cellkey") == payload
+    # gzip.decompress raises OSError for that payload (bad method byte);
+    # a VALID 10-byte header with a non-deflate body raises zlib.error,
+    # and a bare truncated header raises EOFError — all three are the
+    # same 1f 8b coincidence and must fall back to raw bytes
+    zpayload = bytes.fromhex("1f8b08000000000000ff") + b"\xff\xff\xfe\x01"
+    with open(os.path.join(d, "zkey"), "wb") as f:
+        f.write(zpayload)
+    assert _read_value(d, "zkey") == zpayload
+    epayload = bytes.fromhex("1f8b08000000000000ff")
+    with open(os.path.join(d, "ekey"), "wb") as f:
+        f.write(epayload)
+    assert _read_value(d, "ekey") == epayload
     # real gzip under a plain name still decompresses
     with open(os.path.join(d, "gzkey"), "wb") as f:
         f.write(gzip.compress(b"hello", mtime=0))

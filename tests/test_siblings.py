@@ -1130,3 +1130,119 @@ def test_import_pyramid_skips_stray_files(spark, tmp_path):
     back = import_pyramid(spark, out, str(tmp_path / "st_back"))
     assert np.array_equal(
         back.cutout(Bbox((0, 0, 0), (32, 32, 32))), arr)
+
+
+def test_skeleton_import_sharded_radius_only_accepted(spark, tmp_path):
+    """A sharded archive declaring only [radius] (a valid PREFIX of the
+    positional layout) imports cleanly — decode_precomputed already
+    handles the missing vertex_types via its off<len probe; only a
+    layout with different ids/dtypes/order is refused."""
+    import json as _json
+
+    from cloud_volume_spark.sharding import (
+        ShardingSpecification, synthesize_shard_file,
+    )
+    from cloud_volume_spark.skeletons import (
+        SkeletonLayer, encode_precomputed,
+    )
+
+    rng = np.random.default_rng(11)
+    spec = ShardingSpecification(
+        preshift_bits=0, hash="murmurhash3_x86_128",
+        minishard_bits=1, shard_bits=0,
+        minishard_index_encoding="raw", data_encoding="raw",
+    )
+    originals = {}
+    values = {}
+    for segid in (7, 12, 40):
+        v = rng.random((5, 3)).astype(np.float32) * 100
+        e = np.array([[0, 1], [1, 2], [2, 3], [3, 4]], dtype=np.uint32)
+        r = rng.random(5).astype(np.float32)
+        originals[segid] = (v, e, r)
+        values[segid] = encode_precomputed(v, e, radii=r)
+
+    src = str(tmp_path / "sk_ronly")
+    os.makedirs(src)
+    with open(os.path.join(src, "0.shard"), "wb") as f:
+        f.write(synthesize_shard_file(spec, values))
+    with open(os.path.join(src, "info"), "w") as f:
+        _json.dump({
+            "@type": "neuroglancer_skeletons",
+            "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0],
+            "vertex_attributes": [
+                {"id": "radius", "data_type": "float32",
+                 "num_components": 1},
+            ],
+            "sharding": spec.to_dict(),
+        }, f)
+
+    layer = SkeletonLayer(spark, str(tmp_path / "sk_ronly_in"))
+    layer.import_sharded(src)
+    for segid, (v, e, r) in originals.items():
+        got = layer.get([segid]).collect()
+        assert len(got) == 1, segid
+        assert np.allclose(np.array(got[0].vertices), v)
+        assert np.array_equal(np.array(got[0].edges), e)
+        assert np.allclose(np.array(got[0].radii), r)
+        assert got[0].vertex_types is None
+
+    # an empty declaration (no attributes at all) is also a valid prefix
+    values2 = {9: encode_precomputed(originals[7][0], originals[7][1])}
+    src2 = str(tmp_path / "sk_noattr")
+    os.makedirs(src2)
+    with open(os.path.join(src2, "0.shard"), "wb") as f:
+        f.write(synthesize_shard_file(spec, values2))
+    with open(os.path.join(src2, "info"), "w") as f:
+        _json.dump({
+            "@type": "neuroglancer_skeletons",
+            "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0],
+            "vertex_attributes": [],
+            "sharding": spec.to_dict(),
+        }, f)
+    layer2 = SkeletonLayer(spark, str(tmp_path / "sk_noattr_in"))
+    layer2.import_sharded(src2)
+    assert layer2.get([9]).count() == 1
+
+
+def test_spatial_index_sidecar_rides_store_layer(spark, tmp_path,
+                                                 monkeypatch):
+    """The _spatial_meta.json sidecar must go through PathOps like the
+    index data: on a ``file://`` base path (the JVM branch — the same
+    code path a gs:///s3a:// index takes) the sidecar lands inside the
+    real index dir, and a reopen recovers the grid instead of silently
+    defaulting.  A raw open() would have written './file:/...'."""
+    monkeypatch.chdir(tmp_path)  # any stray local dir shows up here
+    base = "file://" + str(tmp_path / "sidx_uri")
+    idx = SpatialIndex(spark, base, cell_size=(50, 50, 50),
+                       grid_origin=(10, 10, 10))
+    pts = spark.createDataFrame(
+        [(1, 20.0, 30.0, 40.0), (2, 90.0, 90.0, 90.0)],
+        "label long, x double, y double, z double")
+    idx.build_from_points(pts)
+    assert os.path.isfile(str(tmp_path / "sidx_uri" / "_spatial_meta.json"))
+    assert not os.path.exists(str(tmp_path / "file:")), \
+        "sidecar written to a stray local './file:/...' dir"
+    reopened = SpatialIndex(spark, base)
+    assert reopened.cell_size == (50.0, 50.0, 50.0)
+    assert reopened.grid_origin == (10.0, 10.0, 10.0)
+    with pytest.raises(ValueError, match="mismatch"):
+        SpatialIndex(spark, base, cell_size=(128, 128, 128))
+
+
+def test_multilod_meta_rides_store_layer(spark, tmp_path, monkeypatch):
+    """multilod_meta.json goes through PathOps: a ``file://`` layer
+    persists vertex_quantization_bits inside the layer dir (not a stray
+    local 'file:' dir) and a reopen recovers it instead of silently
+    defaulting to 16 bits."""
+    from cloud_volume_spark.multilod import MultiLodMeshLayer
+
+    monkeypatch.chdir(tmp_path)
+    base = "file://" + str(tmp_path / "ml_uri")
+    layer = MultiLodMeshLayer(spark, base, vertex_quantization_bits=10)
+    layer._write_meta()
+    assert os.path.isfile(str(tmp_path / "ml_uri" / "multilod_meta.json"))
+    assert not os.path.exists(str(tmp_path / "file:"))
+    reopened = MultiLodMeshLayer(spark, base)
+    assert reopened.vertex_quantization_bits == 10
+    with pytest.raises(ValueError, match="vertex_quantization_bits"):
+        MultiLodMeshLayer(spark, base, vertex_quantization_bits=16)
