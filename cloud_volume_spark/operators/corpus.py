@@ -23,15 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.operators.curation import word_gram_ctes_sql
 from cloud_volume_spark.operators.dedup import (
-    _BANDS_SQL,
-    _SIG_SQL_COLS,
-    SHINGLES_SQL,
+    CC_CTES_SQL,
     materialized_clusters,
 )
-from cloud_volume_spark.operators.text import (
-    QUALITY_SQL, STOPWORDS, doc_quality_score,
-)
+from cloud_volume_spark.operators.text import QUALITY_SQL, doc_quality_score
 
 # ---------------------------------------------------------------------------
 # stratified sampling
@@ -287,28 +284,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KEEP_BEST_SQL = f"""
-WITH RECURSIVE shingles AS ({SHINGLES_SQL}),
-sigs AS (
-    SELECT doc_id, {_SIG_SQL_COLS}
-    FROM shingles GROUP BY doc_id
-),
-bands AS ({_BANDS_SQL}),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
-),
-edges AS (
-    SELECT doc_a AS u, doc_b AS v FROM pairs
-    UNION ALL
-    SELECT doc_b AS u, doc_a AS v FROM pairs
-),
-walk (u, comp) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT e.u, w.comp FROM walk w JOIN edges e ON e.v = w.u
-),
+WITH RECURSIVE {CC_CTES_SQL},
 clusters AS (SELECT u AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY u),
 quality AS (
     -- ONE source of truth for the score: text.py's QUALITY_SQL,
@@ -430,16 +406,7 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAMINATION_SQL = f"""
-WITH base AS (
-    SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents
-),
-grams AS (
-    SELECT doc_id,
-           MD5(ARRAY_TO_STRING(toks[s.i : s.i + {CONTAM_NGRAM - 1}], ' '))
-               AS gram
-    FROM base,
-         UNNEST(GENERATE_SERIES(1, LEN(toks) - {CONTAM_NGRAM - 1})) AS s(i)
-),
+WITH {word_gram_ctes_sql(CONTAM_NGRAM)},
 bench AS (
     SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_MOD} = 0
 ),

@@ -44,7 +44,7 @@ def _rot64(c, r: int):
     return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
 
 
-def _rolling_gram(width: int):
+def _rolling_gram(width: int, hashes_col: str = "_th"):
     """Order-sensitive 64-bit word-gram key from PER-TOKEN hashes:
     each token is xxhash64'd ONCE per document, then a gram's key is
     the xor of its tokens' hashes rotated by distinct per-offset
@@ -61,7 +61,10 @@ def _rolling_gram(width: int):
     operators (line_dedup, minhash, exact dedup), where a false merge
     destroys data, keep their 128-bit md5 keys.
 
-    Returns (tok_hashes_col, idxs_col, gram_fn) built from ``text``."""
+    Returns (tok_hashes_col, idxs_col, gram_fn) built from ``text``.
+    The caller must alias the returned hash array to ``hashes_col``
+    (default ``_th``) before applying ``gram_fn`` — the closure
+    resolves the array by that name."""
     toks = F.split(F.trim("text"), " ")
     n = F.size(toks)
     # Spark's sequence(1, 0) counts *down*; guard short docs explicitly
@@ -71,10 +74,10 @@ def _rolling_gram(width: int):
     h = F.transform(toks, lambda t: F.xxhash64(t))
 
     def gram(i):
-        out = _rot64(F.element_at("_th", i), 1)
+        out = _rot64(F.element_at(hashes_col, i), 1)
         for k in range(1, width):
             out = out.bitwiseXOR(
-                _rot64(F.element_at("_th", i + k), (1 + 13 * k) % 64)
+                _rot64(F.element_at(hashes_col, i + k), (1 + 13 * k) % 64)
             )
         return out
 
@@ -153,17 +156,28 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BOILERPLATE_SQL = f"""
-WITH base AS (
+def word_gram_ctes_sql(width: int) -> str:
+    """``base`` + ``grams`` CTEs producing (doc_id, gram) for every
+    word ``width``-gram — THE SQL mirror of :func:`_word_grams` (keys
+    differ by design: md5 strings here vs 64-bit rolling hashes on the
+    Spark side; the downstream counts agree).  Every oracle that needs
+    word grams (boilerplate here, corpus.CONTAMINATION_SQL) formats
+    this one template so a tokenizer/slicing change can't leave one
+    mirror stale."""
+    return f"""base AS (
     SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks FROM documents
 ),
 grams AS (
     SELECT doc_id,
-           MD5(ARRAY_TO_STRING(toks[s.i : s.i + {BOILER_NGRAM - 1}], ' '))
+           MD5(ARRAY_TO_STRING(toks[s.i : s.i + {width - 1}], ' '))
                AS gram
     FROM base,
-         UNNEST(GENERATE_SERIES(1, LEN(toks) - {BOILER_NGRAM - 1})) AS s(i)
-),
+         UNNEST(GENERATE_SERIES(1, LEN(toks) - {width - 1})) AS s(i)
+)"""
+
+
+BOILERPLATE_SQL = f"""
+WITH {word_gram_ctes_sql(BOILER_NGRAM)},
 boiler AS (
     SELECT gram FROM (
         SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gram
@@ -226,9 +240,13 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.least(
             F.lit(255).cast("bigint"),
-            F.floor(
-                (F.lit(256) * F.col("w_s") * F.col("n_total"))
-                / (F.lit(MIX_BUDGET_DEN) * F.col("w_total") * F.col("c_s"))
+            # `div`, not `/`+floor: double division goes lossy past
+            # 2^53 (≈1.2e13 docs at w=3) and would break the documented
+            # exact-integer threshold — identically in both engines, so
+            # the parity gate could never catch it
+            F.expr(
+                f"(256 * w_s * n_total) div "
+                f"({MIX_BUDGET_DEN} * w_total * c_s)"
             ).cast("bigint"),
         ).alias("t_s"),
     ).select(
@@ -260,9 +278,9 @@ totals AS (
 ),
 thresh AS (
     SELECT source,
-           PRINTF('%02x', LEAST(255, FLOOR(
+           PRINTF('%02x', LEAST(255,
                (256 * w_s * n_total)
-               / ({MIX_BUDGET_DEN} * w_total * c_s)))::INT) AS t_hex
+               // ({MIX_BUDGET_DEN} * w_total * c_s))::INT) AS t_hex
     FROM counts, totals
 )
 SELECT d.doc_id, d.source,

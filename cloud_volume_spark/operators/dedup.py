@@ -452,13 +452,17 @@ def materialized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE shingles AS ({{shingles}}),
+# The shingle→signature→band→pairs→CC CTE chain, templated so every
+# oracle that needs the cluster map (dedup_clusters here,
+# corpus.KEEP_BEST_SQL) formats the SAME text with the SAME fragments —
+# a banding or walk change can't silently leave one oracle clustering
+# differently from the Spark side.
+_CC_CTES_TEMPLATE = """shingles AS ({shingles}),
 sigs AS (
-    SELECT doc_id, {{sig_cols}}
+    SELECT doc_id, {sig_cols}
     FROM shingles GROUP BY doc_id
 ),
-bands AS ({{bands}}),
+bands AS ({bands}),
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -474,9 +478,17 @@ walk (u, comp) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT e.u, w.comp FROM walk w JOIN edges e ON e.v = w.u
+)"""
+
+# the canonical formatting (the exact fragments the Spark side mirrors)
+CC_CTES_SQL = _CC_CTES_TEMPLATE.format(
+    shingles=SHINGLES_SQL, sig_cols=_SIG_SQL_COLS, bands=_BANDS_SQL
 )
-SELECT u AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY u
-"""
+
+DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _CC_CTES_TEMPLATE
+    + "\nSELECT u AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY u\n"
+)
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
