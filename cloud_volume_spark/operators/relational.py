@@ -87,29 +87,37 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15")
     )
+    # rank on an exact integer-cent sum, not a rounded float sum: the
+    # engines' partial-agg merge orders differ, and a ~1-ulp float-sum
+    # difference at a rounding boundary would flip which order is rank
+    # 10 vs 11 (the same mechanism orders_above_customer_avg documents).
+    # cents/100.0 at the end is a single correctly-rounded IEEE divide
+    # of an exactly-representable integer — bit-identical across engines
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(cents).alias("revenue_cents"))
         .select(
             "l_orderkey",
             F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
-            "revenue",
+            (F.col("revenue_cents") / 100.0).alias("revenue"),
+            "revenue_cents",
         )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
         .limit(10)
+        .drop("revenue_cents")
     )
 
 
 Q3_SQL = """
 SELECT l_orderkey,
        FLOOR(EPOCH(o_orderdate))::BIGINT AS o_orderdate_epoch,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)
+           / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -117,7 +125,8 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15'
   AND l_shipdate > TIMESTAMP '1995-03-15'
 GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC, l_orderkey ASC
+ORDER BY SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)
+         DESC, l_orderkey ASC
 LIMIT 10
 """
 
@@ -204,36 +213,44 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     nation = load(spark, sf_dir, "nation")
+    # rank on the exact integer-cent sum (o_totalprice is a 2-dp
+    # amount, so cents are exact); a rounded float sum could flip rank
+    # 3 vs 4 between engines at a .005 boundary
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     revenue = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name", "c_nationkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .agg(F.sum(cents).alias("spend_cents"))
     )
     w = Window.partitionBy("c_nationkey").orderBy(
-        F.desc("total_spend"), F.asc("c_custkey")
+        F.desc("spend_cents"), F.asc("c_custkey")
     )
     return (
         revenue.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
-        .select("n_name", "c_custkey", "c_name", "total_spend", "rnk")
+        .select(
+            "n_name", "c_custkey", "c_name",
+            (F.col("spend_cents") / 100.0).alias("total_spend"),
+            "rnk",
+        )
     )
 
 
 TOP_CUSTOMERS_SQL = """
 WITH revenue AS (
     SELECT c_custkey, c_name, c_nationkey,
-           ROUND(SUM(o_totalprice), 2) AS total_spend
+           SUM(FLOOR(o_totalprice * 100 + 0.5)::BIGINT) AS spend_cents
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey, c_name, c_nationkey
 ), ranked AS (
     SELECT *, ROW_NUMBER() OVER (
         PARTITION BY c_nationkey
-        ORDER BY total_spend DESC, c_custkey ASC
+        ORDER BY spend_cents DESC, c_custkey ASC
     ) AS rnk
     FROM revenue
 )
-SELECT n_name, c_custkey, c_name, total_spend, rnk
+SELECT n_name, c_custkey, c_name, spend_cents / 100.0 AS total_spend, rnk
 FROM ranked JOIN nation ON c_nationkey = n_nationkey
 WHERE rnk <= 3
 """
@@ -342,7 +359,11 @@ WITH with_gap AS (
 ), flagged AS (
     SELECT *,
            CASE WHEN prev_ts IS NULL
-                     OR EPOCH(ts) - EPOCH(prev_ts) > 1800
+                     -- FLOOR on BOTH operands: Spark's unix_timestamp
+                     -- is whole-second, so a raw EPOCH diff here would
+                     -- break a session at a 1800.4 s gap that Spark
+                     -- (floored diff 1800) keeps open
+                     OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(prev_ts)) > 1800
                 THEN 1 ELSE 0 END AS new_session
     FROM with_gap
 ), with_id AS (
@@ -367,19 +388,26 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event picks up the user's most recent
     order at-or-before the event time — the pattern behind graphene's
     timestamped supervoxel→root resolution (SURVEY §2.3), expressed as
-    window-over-union rather than a per-row server call."""
+    a time-bounded join + per-event max rather than a per-row server
+    call."""
     events = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
-    orders = load(spark, sf_dir, "orders")
-    latest = (
-        orders.groupBy("o_custkey")
-        .agg(
-            F.max("o_orderdate").alias("latest_order_date"),
-        )
-    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    # TRUE as-of: only orders at-or-before the event time qualify — an
+    # unconditional per-customer MAX would report an order from the
+    # event's future.  Equi-join on the customer key with the time
+    # bound as a join predicate, then a per-event max: each event
+    # expands only into its own customer's qualifying orders (bounded
+    # per-key fan-out), never a cross product.
     return (
         events.join(
-            latest, events.user_id == latest.o_custkey, "left"
+            orders,
+            (events.user_id == orders.o_custkey)
+            & (F.unix_timestamp(orders.o_orderdate)
+               <= F.unix_timestamp(events.ts)),
+            "left",
         )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.max("o_orderdate").alias("latest_order_date"))
         .select(
             "event_id",
             "user_id",
@@ -390,15 +418,14 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_ASOF_SQL = """
-WITH latest AS (
-    SELECT o_custkey, MAX(o_orderdate) AS latest_order_date
-    FROM orders GROUP BY o_custkey
-)
 SELECT event_id, user_id,
        FLOOR(EPOCH(ts))::BIGINT AS ts_epoch,
-       FLOOR(EPOCH(latest_order_date))::BIGINT AS latest_order_epoch
-FROM events LEFT JOIN latest ON user_id = o_custkey
+       FLOOR(EPOCH(MAX(o_orderdate)))::BIGINT AS latest_order_epoch
+FROM events LEFT JOIN orders
+  ON user_id = o_custkey
+     AND FLOOR(EPOCH(o_orderdate)) <= FLOOR(EPOCH(ts))
 WHERE event_type = 'purchase'
+GROUP BY event_id, user_id, ts
 """
 
 
@@ -592,7 +619,12 @@ def global_row_number(
 
     Returns ``(df_with_out_col, total_rows)``.
     """
-    df = df.persist()
+    # keep the PERSISTED handle: withColumn below rebinds `df`, and
+    # unpersist() on the rebound frame is a silent no-op (it only drops
+    # a cache entry whose plan sameResults the given plan) — the
+    # original frame would stay pinned for the life of the session
+    base = df.persist()
+    df = base
     qs = [i / nbuckets for i in range(1, nbuckets)]
     bounds = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
     if bounds:
@@ -627,7 +659,7 @@ def global_row_number(
     # then unpersist — otherwise every call leaks one pinned copy of
     # the keyed frame for the life of the session
     out = out.localCheckpoint(eager=True)
-    df.unpersist()
+    base.unpersist()
     return out, acc
 
 
@@ -645,8 +677,12 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket counts) are cluster insurance that only pays off when
     one task cannot hold the rows."""
     orders = load(spark, sf_dir, "orders")
+    # integer-cent spend: the ranking key must be exact, or a float-sum
+    # ulp at a decile boundary moves a customer between deciles in one
+    # engine only (cents order == dollar order, so NTILE is unchanged)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     spend = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("spend")
+        F.sum(cents).alias("spend")
     ).persist()
     n = spend.count()
     if n < GLOBAL_RANK_SMALL_N:
@@ -668,7 +704,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("spend"), 2).alias("decile_spend"),
+            (F.sum("spend") / 100.0).alias("decile_spend"),
         )
     )
     # the result is bounded (≤10 rows): materialize it now so the
@@ -682,13 +718,14 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECILES_SQL = """
 WITH spend AS (
-    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+    SELECT o_custkey,
+           SUM(FLOOR(o_totalprice * 100 + 0.5)::BIGINT) AS spend
     FROM orders GROUP BY o_custkey
 ), tiled AS (
     SELECT *, NTILE(10) OVER (ORDER BY spend ASC, o_custkey ASC) AS decile
     FROM spend
 )
-SELECT decile, COUNT(*) AS n_customers, ROUND(SUM(spend), 2) AS decile_spend
+SELECT decile, COUNT(*) AS n_customers, SUM(spend) / 100.0 AS decile_spend
 FROM tiled GROUP BY decile
 """
 
@@ -815,31 +852,41 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
+    # exact integer units (10^-4 dollars, matching the old 4-dp round)
+    # so the top-20 cut can't flip on engine-dependent float-sum order;
+    # units/10000.0 is a bit-identical IEEE divide in both engines
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
-        )
+        .agg(F.sum(units).alias("revenue_units"))
     )
     # Top-k as sort-limit (TakeOrderedAndProject — distributed per-partition
     # top-20 + driver merge), NOT a global row_number window, which would pull
     # every aggregated customer row into one task (~15M rows at sf100).  The
     # rank is then attached on the already-bounded 20-row result, where the
     # single-partition window is O(20).
-    top = agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
-    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return top.withColumn("rnk", F.row_number().over(w))
+    top = agg.orderBy(F.desc("revenue_units"), F.asc("c_custkey")).limit(20)
+    w = Window.orderBy(F.desc("revenue_units"), F.asc("c_custkey"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            (F.col("revenue_units") / 10000.0).alias("revenue"),
+            "rnk",
+        )
+    )
 
 
 Q10_SQL = """
 WITH agg AS (
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           SUM(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)::BIGINT)
+               AS revenue_units
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -847,10 +894,10 @@ WITH agg AS (
     WHERE l_returnflag = 'R'
     GROUP BY c_custkey, c_name, n_name
 )
-SELECT *
+SELECT c_custkey, c_name, n_name, revenue_units / 10000.0 AS revenue, rnk
 FROM (
     SELECT *, ROW_NUMBER() OVER (
-        ORDER BY revenue DESC, c_custkey ASC
+        ORDER BY revenue_units DESC, c_custkey ASC
     ) AS rnk
     FROM agg
 )

@@ -364,15 +364,16 @@ FROM walk GROUP BY u
 """
 
 
-SEMDEDUP_NLIST = 16       # coarse clusters (vec_id 100..116 as centroids)
+SEMDEDUP_NLIST = 16       # coarse clusters (vec_id 100..115 incl. as centroids)
 SEMDEDUP_T = 0.8          # within-cluster cosine threshold
 
 
 def _centroid_frame(emb: DataFrame, base_id: int,
                     nlist: int) -> DataFrame:
     """(cent_id, cvec, cnrm): the deterministic coarse-centroid sample
-    (vec_id base_id..base_id+nlist, the k-means stand-in) — shared by
-    the assignment below and IVF's query-probe side."""
+    (vec_id in [base_id, base_id+nlist) — half-open, nlist centroids;
+    the k-means stand-in) — shared by the assignment below and IVF's
+    query-probe side."""
     return emb.where(
         (F.col("vec_id") >= base_id) & (F.col("vec_id") < base_id + nlist)
     ).select(
@@ -422,7 +423,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
-    assign = _assign_nearest_centroid(emb, 100, SEMDEDUP_NLIST)
+    # the assignment (scan + broadcast-centroid argmin + per-vector
+    # window shuffle) feeds THREE consumers below (both self-join sides
+    # and the final left join); without pinning it, Spark re-runs the
+    # whole subtree per consumer — kmeans persists at the same point
+    # for the same reason
+    assign = _assign_nearest_centroid(
+        emb, 100, SEMDEDUP_NLIST
+    ).localCheckpoint(eager=True)
     a = assign.select(
         "cent_id", F.col("vec_id").alias("id_hi"),
         F.col("embedding").alias("e_hi"), F.col("nrm").alias("n_hi"),

@@ -259,10 +259,28 @@ def test_embedding_dedup_keep_planted_components(spark, tmp_path):
 def test_semantic_dedup_plan_bounded_joins(spark, sf_dir):
     """Centroid assignment must be a broadcast product against the
     NLIST-row centroid table (never vector x vector), and the
-    within-cluster self-join must be a hash join on cent_id."""
+    within-cluster self-join must be a hash join on cent_id.
+    semantic_dedup checkpoints the assignment (it feeds three
+    consumers), which truncates the visible lineage — so the
+    assignment subtree is gated directly and the final plan is gated
+    on what remains after the checkpoint."""
+    from cloud_volume_spark.operators.common import load
+    from cloud_volume_spark.operators.similarity import (
+        SEMDEDUP_NLIST, _as_double, _assign_nearest_centroid, _with_norm,
+    )
+
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("embedding"))
+    )
+    aplan = _plan(_assign_nearest_centroid(emb, 100, SEMDEDUP_NLIST))
+    assert "CartesianProduct" not in aplan
+    assert "BroadcastNestedLoopJoin" in aplan  # x broadcast(16 centroids)
+    assert aplan.count("pythonUDF") == 0
+
     plan = _plan(all_queries()["semantic_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # x broadcast(16 centroids)
+    assert "BroadcastNestedLoopJoin" not in plan  # self-join is equi
     assert plan.count("pythonUDF") == 0
 
 
