@@ -151,8 +151,11 @@ class VolumeInfo:
         ``redirected_from`` recorded on the instance."""
         from cloud_volume_spark.fs import PathOps
 
+        def norm(p: str) -> str:
+            return p.rstrip("/")
+
         visited: list = []
-        path = base_path
+        path = norm(base_path)
         if max_redirects <= 0:
             info = cls.from_json(
                 PathOps(path).read_bytes(f"{path}/info").decode("utf-8"))
@@ -160,14 +163,22 @@ class VolumeInfo:
             info.redirected_from = []
             return info
         for _ in range(max_redirects):
-            info = cls.from_json(
+            # parse the raw document BEFORE validating: the reference's
+            # documented stub form {"redirect": "..."} carries no
+            # type/data_type/scales, so constructing VolumeInfo first
+            # would raise before the redirect key is ever examined —
+            # only the FINAL document must be a full, valid info
+            doc = json.loads(
                 PathOps(path).read_bytes(f"{path}/info").decode("utf-8"))
-            target = info.info.get("redirect")
+            target = doc.get("redirect")
             if not target:
                 break
-            target = target.rstrip("/")
+            target = norm(target)
             if target == path:
                 break
+            # visited entries are normalized identically to target, so
+            # a slash-variant cycle (A/ -> B -> A) is caught here as
+            # CyclicRedirectError instead of burning the hop budget
             if target in visited:
                 hops = "\n\t".join(
                     f"{i + 1}. {v}" for i, v in enumerate(visited))
@@ -178,6 +189,7 @@ class VolumeInfo:
         else:
             raise TooManyRedirectsError(
                 f"more than {max_redirects} redirect hops from {base_path}")
+        info = cls(doc)
         info.base_path = path
         info.redirected_from = visited
         return info

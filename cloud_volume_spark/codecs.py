@@ -443,6 +443,18 @@ def remap(
     return encode(arr, encoding, params=params)
 
 
+def _coerce_labels(values, dtype):
+    """Fold signed bit patterns back into unsigned label space: ids
+    >= 2^63 round-trip through Spark BIGINT columns as negative Python
+    ints, and ``np.fromiter(..., dtype=uint64)`` would raise
+    OverflowError on them instead of reinterpreting the bits."""
+    dtype = np.dtype(dtype)
+    if dtype.kind != "u":
+        return list(values)
+    span = 1 << (dtype.itemsize * 8)
+    return [int(v) + span if int(v) < 0 else int(v) for v in values]
+
+
 def remap_array(arr: np.ndarray, mapping: dict, preserve_missing: bool = True) -> np.ndarray:
     """Vectorized dictionary remap (the ``fastremap.remap`` role).
 
@@ -451,8 +463,10 @@ def remap_array(arr: np.ndarray, mapping: dict, preserve_missing: bool = True) -
     """
     if not mapping:
         return arr
-    keys = np.fromiter(mapping.keys(), dtype=arr.dtype, count=len(mapping))
-    vals = np.fromiter(mapping.values(), dtype=arr.dtype, count=len(mapping))
+    keys = np.fromiter(_coerce_labels(mapping.keys(), arr.dtype),
+                       dtype=arr.dtype, count=len(mapping))
+    vals = np.fromiter(_coerce_labels(mapping.values(), arr.dtype),
+                       dtype=arr.dtype, count=len(mapping))
     order = np.argsort(keys)
     keys, vals = keys[order], vals[order]
     flat = arr.ravel()
@@ -471,7 +485,9 @@ def mask_except(
 ) -> np.ndarray:
     """Zero every voxel whose label is not in ``keep_labels``
     (reference ``frontends/precomputed.py:852-871``)."""
-    keep = np.asarray(sorted(set(int(v) for v in keep_labels)), dtype=arr.dtype)
+    keep = np.asarray(
+        sorted(set(_coerce_labels(keep_labels, arr.dtype))), dtype=arr.dtype
+    )
     keep_mask = np.isin(arr, keep)
     if preserve_zeros:
         keep_mask |= arr == 0

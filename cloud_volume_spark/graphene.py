@@ -34,27 +34,75 @@ from cloud_volume_spark.geometry import Bbox
 from cloud_volume_spark.volume import Volume
 
 
+_U64 = 1 << 64
+
+
+def _to_signed64(v: int) -> int:
+    """uint64 value → the signed-BIGINT bit pattern Spark stores."""
+    v = int(v) & (_U64 - 1)
+    return v - _U64 if v >= (1 << 63) else v
+
+
+def _to_unsigned64(v: int) -> int:
+    """signed-BIGINT bit pattern → the uint64 value it represents."""
+    return int(v) & (_U64 - 1)
+
+
 class GrapheneLabelCodec:
-    """Bit-field label codec (reference graphene/metadata.py:183-318):
-    uint64 = [layer: layer_bits][x|y|z: spatial_bits each][segid: rest]."""
+    """Bit-field label codec (reference graphene/metadata.py:183-346):
+    uint64 = [layer: layer_bits][x|y|z: ct bits each][segid: rest],
+    packed from bit 64 down — ``layer`` occupies the TOP bits exactly
+    as ``encode_label`` does (``layer_offset = 64 - n_bits_for_layer_id``).
 
-    def __init__(self, layer_bits: int = 8, spatial_bits: Sequence[int] = (10, 10, 10)):
+    The spatial bit count ``ct`` is per-LAYER in the reference
+    (``info['graph']['spatial_bit_masks'][level]``); pass
+    ``spatial_bits_per_layer={layer: ct}`` for that behaviour, or the
+    legacy ``spatial_bits=(bx, by, bz)`` triple for a single fixed
+    layout.  Spark BIGINT is the signed bit pattern of the uint64:
+    ``pack`` can legitimately produce negative longs (layer values with
+    the top bit set), and ``unpack`` uses ``shiftrightunsigned`` so the
+    sign bit never smears into the decoded fields.  ``pack_py`` returns
+    the true unsigned value; :func:`_to_signed64` converts to the
+    BIGINT pattern when comparing against Spark output."""
+
+    def __init__(self, layer_bits: int = 8,
+                 spatial_bits: Sequence[int] = (10, 10, 10),
+                 spatial_bits_per_layer: Optional[dict] = None):
         self.layer_bits = int(layer_bits)
-        self.spatial_bits = tuple(int(b) for b in spatial_bits)
-        # segid takes the remainder of 63 bits: the top (sign) bit stays
-        # clear so SQL BIGINT bit ops behave like uint64 in the reference
-        self.segid_bits = 63 - self.layer_bits - sum(self.spatial_bits)
-        if self.segid_bits <= 0:
-            raise ValueError("bit budget exceeds 63 (sign-safe) bits")
+        if spatial_bits_per_layer is not None:
+            self.per_layer = {
+                int(k): int(v) for k, v in spatial_bits_per_layer.items()
+            }
+            if not self.per_layer:
+                raise ValueError("spatial_bits_per_layer is empty")
+            self.spatial_bits = None
+            for layer, ct in self.per_layer.items():
+                if 64 - self.layer_bits - 3 * ct <= 0:
+                    raise ValueError(
+                        f"layer {layer}: 3*{ct} spatial bits + "
+                        f"{self.layer_bits} layer bits exceed 64")
+        else:
+            self.per_layer = None
+            self.spatial_bits = tuple(int(b) for b in spatial_bits)
+            self.segid_bits = 64 - self.layer_bits - sum(self.spatial_bits)
+            if self.segid_bits <= 0:
+                raise ValueError("bit budget exceeds 64 bits")
 
-    # offsets from the top (bit 62 downward; bit 63 = sign stays clear)
-    @property
-    def _offsets(self):
-        o_layer = 63 - self.layer_bits
-        o_x = o_layer - self.spatial_bits[0]
-        o_y = o_x - self.spatial_bits[1]
-        o_z = o_y - self.spatial_bits[2]
-        return o_layer, o_x, o_y, o_z
+    def _layout(self, layer: int):
+        """(o_x, o_y, o_z, bx, by, bz, segid_bits) for a layer value."""
+        o_layer = 64 - self.layer_bits
+        if self.per_layer is not None:
+            if int(layer) not in self.per_layer:
+                raise ValueError(
+                    f"layer {layer} has no spatial_bit_masks entry")
+            ct = self.per_layer[int(layer)]
+            bx = by = bz = ct
+        else:
+            bx, by, bz = self.spatial_bits
+        o_x = o_layer - bx
+        o_y = o_x - by
+        o_z = o_y - bz
+        return o_x, o_y, o_z, bx, by, bz, o_z  # segid_bits == o_z
 
     def pack(self, layer: Column, x: Column, y: Column, z: Column,
              segid: Column) -> Column:
@@ -63,60 +111,103 @@ class GrapheneLabelCodec:
         silently carry into the adjacent field (segid=2**segid_bits
         decoding as z+1, segid=0). Masking bounds the damage to the
         offending field; the scalar :meth:`pack_py` validates and
-        raises instead."""
-        o_layer, o_x, o_y, o_z = self._offsets
+        raises instead.  Per-layer layouts branch on the layer VALUE
+        (a when-chain over the registered layers — bounded, JVM-side)."""
+        o_layer = 64 - self.layer_bits
 
         def m(col, bits):
             return col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
 
-        return (
-            F.shiftleft(m(layer, self.layer_bits), o_layer)
-            .bitwiseOR(F.shiftleft(m(x, self.spatial_bits[0]), o_x))
-            .bitwiseOR(F.shiftleft(m(y, self.spatial_bits[1]), o_y))
-            .bitwiseOR(F.shiftleft(m(z, self.spatial_bits[2]), o_z))
-            .bitwiseOR(m(segid, self.segid_bits))
-        )
+        def packed_for(bx, by, bz, segid_bits):
+            o_x = o_layer - bx
+            o_y = o_x - by
+            o_z = o_y - bz
+            return (
+                F.shiftleft(m(layer, self.layer_bits), o_layer)
+                .bitwiseOR(F.shiftleft(m(x, bx), o_x))
+                .bitwiseOR(F.shiftleft(m(y, by), o_y))
+                .bitwiseOR(F.shiftleft(m(z, bz), o_z))
+                .bitwiseOR(m(segid, segid_bits))
+            )
+
+        if self.per_layer is None:
+            bx, by, bz = self.spatial_bits
+            return packed_for(bx, by, bz, self.segid_bits)
+        expr = None
+        for lv in sorted(self.per_layer):
+            ct = self.per_layer[lv]
+            branch = packed_for(ct, ct, ct, 64 - self.layer_bits - 3 * ct)
+            cond = layer.cast("long") == lv
+            expr = F.when(cond, branch) if expr is None else (
+                expr.when(cond, branch))
+        return expr  # unregistered layer → NULL, loud downstream
 
     def unpack(self, label: Column) -> dict:
-        o_layer, o_x, o_y, o_z = self._offsets
+        """Decode with ``shiftrightunsigned`` throughout: labels whose
+        layer sets bit 63 are negative BIGINTs and an arithmetic shift
+        would sign-extend into every field."""
+        o_layer = 64 - self.layer_bits
         mask = lambda bits: (1 << bits) - 1
-        return {
-            "layer": F.shiftright(label, o_layer).bitwiseAND(
-                F.lit(mask(self.layer_bits))),
-            "x": F.shiftright(label, o_x).bitwiseAND(
-                F.lit(mask(self.spatial_bits[0]))),
-            "y": F.shiftright(label, o_y).bitwiseAND(
-                F.lit(mask(self.spatial_bits[1]))),
-            "z": F.shiftright(label, o_z).bitwiseAND(
-                F.lit(mask(self.spatial_bits[2]))),
-            "segid": label.bitwiseAND(F.lit(mask(self.segid_bits))),
-        }
+        layer_col = F.shiftrightunsigned(label, o_layer).bitwiseAND(
+            F.lit(mask(self.layer_bits)))
+
+        def fields_for(bx, by, bz, segid_bits):
+            o_x = o_layer - bx
+            o_y = o_x - by
+            o_z = o_y - bz
+            return {
+                "x": F.shiftrightunsigned(label, o_x).bitwiseAND(
+                    F.lit(mask(bx))),
+                "y": F.shiftrightunsigned(label, o_y).bitwiseAND(
+                    F.lit(mask(by))),
+                "z": F.shiftrightunsigned(label, o_z).bitwiseAND(
+                    F.lit(mask(bz))),
+                "segid": label.bitwiseAND(F.lit(mask(segid_bits))),
+            }
+
+        if self.per_layer is None:
+            bx, by, bz = self.spatial_bits
+            out = fields_for(bx, by, bz, self.segid_bits)
+        else:
+            out = {}
+            for key in ("x", "y", "z", "segid"):
+                expr = None
+                for lv in sorted(self.per_layer):
+                    ct = self.per_layer[lv]
+                    branch = fields_for(
+                        ct, ct, ct, 64 - self.layer_bits - 3 * ct)[key]
+                    cond = layer_col == lv
+                    expr = F.when(cond, branch) if expr is None else (
+                        expr.when(cond, branch))
+                out[key] = expr
+        out["layer"] = layer_col
+        return {k: out[k] for k in ("layer", "x", "y", "z", "segid")}
 
     def pack_py(self, layer: int, x: int, y: int, z: int, segid: int) -> int:
-        fields = (("layer", layer, self.layer_bits),
-                  ("x", x, self.spatial_bits[0]),
-                  ("y", y, self.spatial_bits[1]),
-                  ("z", z, self.spatial_bits[2]),
-                  ("segid", segid, self.segid_bits))
+        o_x, o_y, o_z, bx, by, bz, segid_bits = self._layout(layer)
+        fields = (("layer", layer, self.layer_bits), ("x", x, bx),
+                  ("y", y, by), ("z", z, bz), ("segid", segid, segid_bits))
         for name, v, bits in fields:
             if not (0 <= int(v) < (1 << bits)):
                 raise ValueError(
                     f"{name}={v} out of range for {bits} bits — packing "
                     "would corrupt the adjacent bit-field")
-        o_layer, o_x, o_y, o_z = self._offsets
         return (
-            (layer << o_layer) | (x << o_x) | (y << o_y) | (z << o_z) | segid
+            (layer << (64 - self.layer_bits))
+            | (x << o_x) | (y << o_y) | (z << o_z) | segid
         )
 
     def unpack_py(self, label: int) -> dict:
-        o_layer, o_x, o_y, o_z = self._offsets
+        label = _to_unsigned64(label)  # accept the signed bit pattern too
         mask = lambda bits: (1 << bits) - 1
+        layer = (label >> (64 - self.layer_bits)) & mask(self.layer_bits)
+        o_x, o_y, o_z, bx, by, bz, segid_bits = self._layout(layer)
         return {
-            "layer": (label >> o_layer) & mask(self.layer_bits),
-            "x": (label >> o_x) & mask(self.spatial_bits[0]),
-            "y": (label >> o_y) & mask(self.spatial_bits[1]),
-            "z": (label >> o_z) & mask(self.spatial_bits[2]),
-            "segid": label & mask(self.segid_bits),
+            "layer": layer,
+            "x": (label >> o_x) & mask(bx),
+            "y": (label >> o_y) & mask(by),
+            "z": (label >> o_z) & mask(bz),
+            "segid": label & mask(segid_bits),
         }
 
 
@@ -140,7 +231,16 @@ class GrapheneLayer:
 
     def write_mapping(self, df: DataFrame, mode: str = "overwrite") -> None:
         """``valid_to`` NULL = current version. Partition-friendly:
-        bucketed by supervoxel hash via repartition."""
+        bucketed by supervoxel hash via repartition.  The frame is
+        coerced to MAPPING_SCHEMA on the way in — a string valid_from
+        would otherwise persist and silently break ``_as_of``'s
+        timestamp comparisons on reopen."""
+        df = df.select(*[
+            F.col(name).cast(typ).alias(name)
+            for name, typ in (
+                f.split() for f in self.MAPPING_SCHEMA.split(", ")
+            )
+        ])
         df.repartition("supervoxel").write.mode(mode).parquet(self.mapping_path)
 
     def mapping_df(self) -> DataFrame:
@@ -191,12 +291,16 @@ class GrapheneLayer:
         """Resolve an arbitrary label column through the mapping —
         the scale path (mapping broadcast if small, shuffle join if not;
         left to Catalyst/AQE)."""
+        # the mapping's root lands in a temp column first: if the input
+        # already carries a 'root' (a re-resolve at another timestamp),
+        # a bare join would make F.coalesce("root", ...) ambiguous
         m = self._as_of(timestamp).select(
-            F.col("supervoxel").alias(col), F.col("root")
+            F.col("supervoxel").alias(col), F.col("root").alias("_new_root")
         )
-        return df.join(m, col, "left").withColumn(
-            "root", F.coalesce("root", F.col(col))
-        )
+        out = df.drop("root") if "root" in df.columns else df
+        return out.join(m, col, "left").withColumn(
+            "root", F.coalesce("_new_root", F.col(col))
+        ).drop("_new_root")
 
     # ---- get_leaves (frontends/graphene.py:918-980) -------------------
 
@@ -221,6 +325,18 @@ class GrapheneLayer:
         region (stats-column fast path) → as-of join → dictionary remap
         of the assembled array."""
         labels_df = vol.unique(bbox, mip=mip)
+        # unique() presents uint64 volumes as true-unsigned DECIMAL(20,0)
+        # at the API edge; the mapping stores the signed BIGINT bit
+        # pattern — normalize back before the join or ids >= 2^63 would
+        # silently never resolve (decimal +2^63.. vs negative long)
+        if dict(labels_df.dtypes)["label"].startswith("decimal"):
+            labels_df = labels_df.select(
+                F.expr(
+                    "CAST(CASE WHEN label >= 9223372036854775808 "
+                    "THEN label - 18446744073709551616 "
+                    "ELSE label END AS BIGINT)"
+                ).alias("label")
+            )
         mapping_rows = (
             labels_df.join(
                 self._as_of(timestamp).withColumnRenamed("supervoxel", "label"),

@@ -193,6 +193,13 @@ class ShardingSpecification:
             raise SpecViolation(f"unknown type {self.type}")
         if self.hash not in ("identity", "murmurhash3_x86_128"):
             raise SpecViolation(f"unknown hash {self.hash}")
+        # unknown encodings would be silently read/written as raw (the
+        # codec helpers compare == 'gzip'): a spec advertising 'br' or
+        # a case typo like 'GZIP' must be refused, as the reference does
+        for f in ("minishard_index_encoding", "data_encoding"):
+            if getattr(self, f) not in ("raw", "gzip"):
+                raise SpecViolation(
+                    f"{f} must be 'raw' or 'gzip', got {getattr(self, f)!r}")
         if self.minishard_bits + self.shard_bits > 64:
             raise SpecViolation("minishard_bits + shard_bits > 64")
         for f in ("preshift_bits", "minishard_bits", "shard_bits"):

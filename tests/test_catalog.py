@@ -138,3 +138,35 @@ def test_redirect_max_zero_skips_following(tmp_path):
     _commit_with_redirect(p, target=str(tmp_path / "z1"))
     got = VolumeInfo.load(p, max_redirects=0)
     assert got.base_path == p  # redirect not followed
+
+
+def test_redirect_pure_stub_followed(tmp_path):
+    """The reference's documented stub form — an info that is ONLY
+    {"redirect": target}, no type/data_type/scales — must be followed,
+    not rejected by validation before the redirect key is read."""
+    import json as _json
+    import os as _os
+
+    final = str(tmp_path / "real")
+    _commit_with_redirect(final)
+    stub_dir = str(tmp_path / "stub")
+    _os.makedirs(stub_dir)
+    with open(_os.path.join(stub_dir, "info"), "w") as f:
+        _json.dump({"redirect": final}, f)
+    got = VolumeInfo.load(stub_dir)
+    assert got.base_path == final
+    assert got.redirected_from == [stub_dir]
+    assert got.info["type"] == "segmentation"
+
+
+def test_redirect_slash_variant_cycle_raises(tmp_path):
+    """A cycle whose links differ only by a trailing slash must be
+    caught as CyclicRedirectError, not burn the whole hop budget into
+    TooManyRedirectsError."""
+    from cloud_volume_spark.catalog import CyclicRedirectError
+
+    a, b = str(tmp_path / "ca"), str(tmp_path / "cb")
+    _commit_with_redirect(a, target=b)
+    _commit_with_redirect(b, target=a + "/")
+    with pytest.raises(CyclicRedirectError):
+        VolumeInfo.load(a + "/")

@@ -168,3 +168,89 @@ def test_get_roots_broadcasts_the_filtered_mapping(graphene):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_codec_sign_bit_safe(spark):
+    """Layer values with the top bit set pack to a NEGATIVE BIGINT (the
+    signed bit pattern of the uint64) and still decode exactly — the
+    unpack path must use unsigned shifts or the sign would smear into
+    every field."""
+    from cloud_volume_spark.graphene import (
+        GrapheneLabelCodec, _to_signed64, _to_unsigned64,
+    )
+
+    codec = GrapheneLabelCodec(layer_bits=8, spatial_bits=(10, 10, 10))
+    vals = (255, 1023, 2, 900, 123456)
+    packed = codec.pack_py(*vals)
+    assert packed >= (1 << 63)  # top bit set
+    signed = _to_signed64(packed)
+    assert signed < 0 and _to_unsigned64(signed) == packed
+    # python decode accepts both representations
+    for rep in (packed, signed):
+        d = codec.unpack_py(rep)
+        assert (d["layer"], d["x"], d["y"], d["z"], d["segid"]) == vals
+    # Spark decode of the negative long matches
+    df = spark.createDataFrame(
+        [vals], schema="layer int, x int, y int, z int, segid long"
+    )
+    row = df.select(
+        codec.pack(F.col("layer"), F.col("x"), F.col("y"), F.col("z"),
+                   F.col("segid")).alias("label"),
+        *[v.alias(f"u_{k}") for k, v in codec.unpack(
+            codec.pack(F.col("layer"), F.col("x"), F.col("y"), F.col("z"),
+                       F.col("segid"))).items()],
+    ).collect()[0]
+    assert row.label == signed
+    assert (row.u_layer, row.u_x, row.u_y, row.u_z, row.u_segid) == vals
+
+
+def test_codec_per_layer_spark_matches_py(spark):
+    """Per-layer spatial widths: the Catalyst when-chain layout agrees
+    with pack_py/unpack_py for every registered layer."""
+    from cloud_volume_spark.graphene import GrapheneLabelCodec, _to_signed64
+
+    codec = GrapheneLabelCodec(
+        layer_bits=8, spatial_bits_per_layer={1: 10, 2: 10, 3: 8})
+    rows = [(1, 1023, 5, 900, 123), (2, 0, 0, 0, 1), (3, 255, 7, 9, 4096)]
+    df = spark.createDataFrame(
+        rows, schema="layer int, x int, y int, z int, segid long"
+    )
+    packed_col = codec.pack(F.col("layer"), F.col("x"), F.col("y"),
+                            F.col("z"), F.col("segid"))
+    out = df.select(
+        "layer", "x", "y", "z", "segid", packed_col.alias("label"),
+        *[v.alias(f"u_{k}") for k, v in codec.unpack(packed_col).items()],
+    )
+    for r in out.collect():
+        assert r.label == _to_signed64(
+            codec.pack_py(r.layer, r.x, r.y, r.z, r.segid))
+        assert (r.u_layer, r.u_x, r.u_y, r.u_z, r.u_segid) == (
+            r.layer, r.x, r.y, r.z, r.segid)
+
+
+def test_resolve_column_reresolve_and_unsigned_mapping(spark, tmp_path):
+    """resolve_column on a frame that ALREADY has a 'root' column (a
+    re-resolve at another timestamp) must not hit an ambiguous
+    reference; mask_except/remap handle supervoxel ids >= 2^63."""
+    from cloud_volume_spark import codecs
+
+    layer = GrapheneLayer(spark, str(tmp_path / "g2"))
+    big = (1 << 63) + 5  # uint64 id stored as negative long
+    big_signed = big - (1 << 64)
+    df = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:00:00", None),
+         (big_signed, 200, "2024-01-01 00:00:00", None)],
+        schema="supervoxel long, root long, valid_from string, valid_to string",
+    )
+    layer.write_mapping(df)
+    labels = spark.createDataFrame([(1,), (big_signed,)], "label long")
+    once = layer.resolve_column(labels, "label")
+    twice = layer.resolve_column(once, "label")  # must not raise
+    got = {r.label: r.root for r in twice.collect()}
+    assert got == {1: 100, big_signed: 200}
+    # numpy boundary: negative signed patterns into uint64 arrays
+    arr = np.array([[1, big]], dtype=np.uint64)
+    out = codecs.remap_array(arr, {1: 100, big_signed: 200})
+    assert out.tolist() == [[100, 200]]
+    kept = codecs.mask_except(arr, [big_signed])
+    assert kept.tolist() == [[0, big]]

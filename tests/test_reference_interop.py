@@ -507,3 +507,49 @@ def test_chunk_codec_bytes_cross_decode_with_reference():
                                  dtype=dtype)
         assert np.array_equal(back.reshape(shape, order="F")
                               if back.shape != shape else back, arr)
+
+
+def test_graphene_label_codec_matches_reference():
+    """The reference's own GrapheneMetadata.encode_label/decode_label
+    (datasource/graphene/metadata.py:183-346) executed against our
+    GrapheneLabelCodec: identical packed uint64 for every (layer, x, y,
+    z, segid) across per-layer spatial bit widths, and our decoder
+    recovers the reference's fields from the reference's labels."""
+    from cloud_volume_spark.graphene import GrapheneLabelCodec
+
+    load_ref("lib")  # installs stubs + synthetic packages
+    _stub_module("refcv.secrets", cave_credentials=lambda *a, **k: None)
+    # GrapheneMetadata subclasses PrecomputedMetadata but the codec
+    # methods never touch the base class; importing the real base needs
+    # json5 (absent), so the synthetic package carries a placeholder
+    sys.modules["refcv.datasource.precomputed"].PrecomputedMetadata = object
+    _synthetic_pkg("refcv.datasource.graphene",
+                   f"{REF_ROOT}/datasource/graphene")
+    gm = load_ref("datasource.graphene.metadata")
+
+    masks = {str(lv): (10 if lv <= 2 else 8) for lv in range(1, 13)}
+    meta = object.__new__(gm.GrapheneMetadata)
+    meta.info = {"graph": {"n_bits_for_layer_id": 8, "n_layers": 12,
+                           "spatial_bit_masks": masks}}
+    ours = GrapheneLabelCodec(
+        layer_bits=8,
+        spatial_bits_per_layer={int(k): v for k, v in masks.items()},
+    )
+
+    rng = np.random.default_rng(7)
+    for layer in (1, 2, 3, 12):
+        ct = int(masks[str(layer)])
+        segid_bits = 64 - 8 - 3 * ct
+        for _ in range(40):
+            x = int(rng.integers(0, 1 << ct))
+            y = int(rng.integers(0, 1 << ct))
+            z = int(rng.integers(0, 1 << ct))
+            segid = int(rng.integers(0, 1 << segid_bits))
+            ref_label = int(meta.encode_label(layer, x, y, z, segid))
+            assert ours.pack_py(layer, x, y, z, segid) == ref_label, (
+                layer, x, y, z, segid)
+            d = ours.unpack_py(ref_label)
+            rl = meta.decode_label(gm.uint64(ref_label))
+            assert (d["layer"], d["x"], d["y"], d["z"], d["segid"]) == (
+                int(rl.level), int(rl.x), int(rl.y), int(rl.z),
+                int(rl.segid)), ref_label

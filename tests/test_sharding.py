@@ -146,3 +146,22 @@ def test_prefix_data_requires_raw_encoding():
     v9, off9 = r.get_with_offset(9)
     assert v9 == b"value9" and blob[off9 - 2:off9] == b"BB"
     assert r.get(5) is None and r.get_with_offset(5) == (None, None)
+
+
+def test_spec_rejects_unknown_encodings():
+    """Unknown minishard_index_encoding/data_encoding would silently be
+    treated as raw by the codec helpers (they compare == 'gzip') — the
+    spec must refuse them at construction, as the reference does."""
+    import pytest
+
+    from cloud_volume_spark.sharding import (
+        ShardingSpecification, SpecViolation,
+    )
+
+    for field in ("minishard_index_encoding", "data_encoding"):
+        for bad in ("br", "zstd", "GZIP"):
+            with pytest.raises(SpecViolation, match=field):
+                ShardingSpecification(**{field: bad})
+    # the two legal values still construct
+    ShardingSpecification(minishard_index_encoding="gzip",
+                          data_encoding="gzip")
