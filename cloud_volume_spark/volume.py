@@ -48,8 +48,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from cloud_volume_spark import codecs
@@ -745,8 +745,20 @@ class Volume:
                 dset = pads.dataset(local, format="parquet",
                                     partitioning="hive")
             tbl = dset.to_table(columns=columns, filter=filt)
-        except (FileNotFoundError, pa.ArrowInvalid):
-            return []
+        except FileNotFoundError:
+            # a file the manifest referenced vanished between listing
+            # and open — a concurrent vacuum retiring a superseded
+            # generation.  NOT "no chunks": fall back to the Spark
+            # reader, which re-reads the manifest and resolves the
+            # current snapshot.  Returning [] here would silently serve
+            # background data.
+            return None
+        except pa.ArrowInvalid as exc:
+            # corrupt/truncated parquet is a storage fault, never an
+            # empty region — surface it instead of filling background
+            raise IOError(
+                f"corrupt chunk-table fragment under {local!r}: {exc}"
+            ) from exc
         cols = {}
         for name in columns:
             col = tbl.column(name)
@@ -765,6 +777,10 @@ class Volume:
 
     def _resolve_bbox(self, bbox_or_slices, mip: int) -> Bbox:
         bounds = self.info.bounds(mip)
+        if bbox_or_slices is None:
+            # whole-volume request (save_images()/cutout(None) — the
+            # same convention blocks_df/voxels_df/unique already honor)
+            return bounds
         if isinstance(bbox_or_slices, Bbox):
             bbox = bbox_or_slices
             if self.autocrop:
@@ -2656,41 +2672,10 @@ class Volume:
     # ------------------------------------------------------------------
 
     def _decoded_pieces_df(self, bbox: Bbox, mip: int) -> DataFrame:
-        """Pruned scan → decode UDF → pieces cropped to ``bbox``."""
-        dtype = self.info.data_type
-        nc = self.info.num_channels
-        cparams = self.info.compression_params(mip)
-
-        bxm = [int(v) for v in bbox.minpt]
-        bxM = [int(v) for v in bbox.maxpt]
-
-        def decode_crop(batches):
-            for pdf in batches:
-                out = []
-                for r in pdf.itertuples(index=False):
-                    shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
-                    raw = codecs.decompress_stream(r.blob, r.compression or None)
-                    arr = codecs.decode(raw, r.encoding, shape, dtype,
-                                        params=cparams)
-                    # crop to request
-                    lo = [max(bxm[i], [r.x0, r.y0, r.z0][i]) for i in range(3)]
-                    hi = [min(bxM[i], [r.x1, r.y1, r.z1][i]) for i in range(3)]
-                    if any(lo[i] >= hi[i] for i in range(3)):
-                        continue
-                    piece = arr[
-                        lo[0] - r.x0:hi[0] - r.x0,
-                        lo[1] - r.y0:hi[1] - r.y0,
-                        lo[2] - r.z0:hi[2] - r.z0, :,
-                    ]
-                    out.append((
-                        lo[0], hi[0], lo[1], hi[1], lo[2], hi[2],
-                        np.ascontiguousarray(piece.transpose()).tobytes(),
-                    ))
-                yield pd.DataFrame(
-                    out, columns=["x0", "x1", "y0", "y1", "z0", "z1", "blob"]
-                )
-
-        return self._pruned(bbox, mip).mapInPandas(decode_crop, schema=BLOCK_SCHEMA)
+        """Pruned scan → decode UDF → pieces cropped to ``bbox``
+        (one decode-crop implementation: :meth:`_decoded_pieces_from`
+        over the standard pruned scan)."""
+        return self._decoded_pieces_from(self._pruned(bbox, mip), bbox, mip)
 
     def cutout(
         self,
@@ -2726,13 +2711,27 @@ class Volume:
         # decode path for larger-than-driver outputs.
         sel = ["x0", "x1", "y0", "y1", "z0", "z1",
                "encoding", "compression", "blob"]
+        bg = self.info.background_color()
         want_stats = label is not None
+        # stats pruning leaves the skipped regions BACKGROUND-filled;
+        # when the queried label IS the background color that would
+        # make the mask wrongly True over chunks whose stats prove the
+        # label absent — decode those chunks instead of pruning
+        prune_stats = want_stats and (
+            _label_to_signed(label) != _label_to_signed(bg))
+        # n_present counts chunks BEFORE stats skipping, so the
+        # fill_missing=False missing-chunk check still fires on label=
+        # reads (stats-skipped is "present, label absent"; a missing
+        # chunk is data loss and must stay loud)
+        n_present = None
         rows = self._collect_encoded_rows(
             bbox, mip, sel + (["labels_stats"] if want_stats else [])
         )
         if rows is None:
             pruned = self._pruned(bbox, mip)
-            if want_stats:
+            if prune_stats:
+                if not fill:
+                    n_present = pruned.count()
                 # stats-column data skipping before any decode (stats
                 # hold the signed bit pattern — see _label_to_signed)
                 pruned = pruned.where(
@@ -2740,23 +2739,25 @@ class Volume:
                     | F.array_contains("labels_stats", _label_to_signed(label))
                 )
             rows = list(pruned.select(*sel).toPandas().itertuples(index=False))
-        elif want_stats:
+        elif prune_stats:
+            n_present = len(rows)
             rows = [
                 r for r in rows
                 if r.labels_stats is None
                 or _label_to_signed(label) in r.labels_stats
             ]
+        if n_present is None:
+            n_present = len(rows)
 
-        bg = self.info.background_color()
         out = np.full(shape, bg, dtype=dtype)
 
         if not fill:
             cs = self.info.chunk_size(mip)
             voff = self.info.voxel_offset(mip)
             expected = bbox.clamp(self.info.bounds(mip)).num_chunks(cs, voff)
-            if label is None and len(rows) < expected:
+            if n_present < expected:
                 raise EmptyVolumeException(
-                    f"{expected - len(rows)} missing chunks in {bbox} "
+                    f"{expected - n_present} missing chunks in {bbox} "
                     "(fill_missing=False)"
                 )
 
@@ -2980,21 +2981,43 @@ class Volume:
         return codecs.read_voxel(raw, r.encoding, shape, self.info.data_type,
                                  rel, params=self.info.compression_params(mip))
 
-    def download_points(self, pts, mip: int = 0) -> DataFrame:
+    def download_points(self, pts, mip: int = 0, channel: int = 0,
+                        fill_missing: Optional[bool] = None) -> DataFrame:
         """Scattered-point lookup as the classic annotate-points-from-
         raster join (reference ``frontends/precomputed.py:873-907``):
         points keyed by chunk coords ⨝ chunk table → per-chunk extract
-        UDF. Returns DataFrame (x, y, z, value)."""
+        UDF. Returns DataFrame (x, y, z, value).
+
+        Value fidelity matches the sibling readers: DOUBLE for float
+        volumes, BIGINT for integer volumes, true-unsigned
+        DECIMAL(20,0) for uint64 (the ``unique``/``voxels_df``
+        convention).  Out-of-bounds points raise up front (they would
+        otherwise index past the clamped edge-chunk extent inside the
+        UDF); points in unwritten chunks follow ``fill_missing`` —
+        background value when True, EmptyVolumeException when False."""
         info = self.info
         cs = [int(c) for c in info.chunk_size(mip)]
         voff = [int(v) for v in info.voxel_offset(mip)]
         dtype = info.data_type
         nc = info.num_channels
+        if not (0 <= int(channel) < nc):
+            raise ValueError(f"channel {channel} out of range (0..{nc - 1})")
+        channel = int(channel)
         cparams = info.compression_params(mip)
+        fill = self.fill_missing if fill_missing is None else fill_missing
+        bg = info.background_color()
+
+        bounds = info.bounds(mip)
+        pts = [(int(p[0]), int(p[1]), int(p[2])) for p in pts]
+        oob = [p for p in pts if not all(
+            bounds.minpt[i] <= p[i] < bounds.maxpt[i] for i in range(3))]
+        if oob:
+            raise ValueError(
+                f"{len(oob)} point(s) outside volume bounds {bounds} "
+                f"at mip {mip}: {oob[:5]}")
 
         pts_df = self.spark.createDataFrame(
-            [(int(p[0]), int(p[1]), int(p[2])) for p in pts],
-            schema="x int, y int, z int",
+            pts, schema="x int, y int, z int",
         ).dropDuplicates()
         pts_df = (
             pts_df
@@ -3002,34 +3025,94 @@ class Volume:
             .withColumn("cy", F.floor((F.col("y") - voff[1]) / cs[1]).cast("int"))
             .withColumn("cz", F.floor((F.col("z") - voff[2]) / cs[2]).cast("int"))
         )
-        chunks = self.chunks_df().where(F.col("mip") == int(mip))
-        joined = chunks.join(
-            F.broadcast(pts_df), on=["cx", "cy", "cz"], how="inner"
+        # prune the chunk scan with the points' own bounding box (slab
+        # + grid-range predicates reach parquet via _pruned) and the
+        # exact per-axis cell sets — a 5-point lookup must not read the
+        # blob column of every chunk at the mip
+        pbox = Bbox(
+            [min(p[i] for p in pts) for i in range(3)],
+            [max(p[i] for p in pts) + 1 for i in range(3)],
+        )
+        cells = {(
+            (p[0] - voff[0]) // cs[0],
+            (p[1] - voff[1]) // cs[1],
+            (p[2] - voff[2]) // cs[2],
+        ) for p in pts}
+        chunks = self._pruned(pbox, mip).where(
+            F.col("cx").isin([c[0] for c in cells])
+            & F.col("cy").isin([c[1] for c in cells])
+            & F.col("cz").isin([c[2] for c in cells])
+        ).select("cx", "cy", "cz", "x0", "y0", "z0", "x1", "y1", "z1",
+                 "encoding", "compression", "blob")
+        if not fill:
+            # missing chunks are data loss, not background: probe for a
+            # requested cell with no chunk row (cells ≤ n_points keeps
+            # the anti-join bounded)
+            missing = (
+                pts_df.select("cx", "cy", "cz").distinct()
+                .join(chunks.select("cx", "cy", "cz"),
+                      ["cx", "cy", "cz"], "left_anti")
+                .limit(1).count()
+            )
+            if missing:
+                raise EmptyVolumeException(
+                    f"point(s) fall in unwritten chunks (fill_missing"
+                    f"=False) in {pbox} at mip {mip}")
+        # the pruned chunk side is ≤ len(cells) rows — broadcast it so
+        # the left join keeps every point (missing chunk → NULL blob)
+        joined = pts_df.join(
+            F.broadcast(chunks), on=["cx", "cy", "cz"], how="left"
         ).select("x", "y", "z", "x0", "y0", "z0", "x1", "y1", "z1",
                  "encoding", "compression", "blob")
 
+        is_float = np.dtype(dtype).kind == "f"
         out_schema = StructType([
             StructField("x", IntegerType(), False),
             StructField("y", IntegerType(), False),
             StructField("z", IntegerType(), False),
-            StructField("value", LongType(), False),
+            StructField("value",
+                        DoubleType() if is_float else LongType(), False),
         ])
 
         def extract(key, pdf):
             r = pdf.iloc[0]
-            shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
-            raw = codecs.decompress_stream(r.blob, r.compression or None)
-            arr = codecs.decode(raw, r.encoding, shape, dtype,
-                                params=cparams)
-            xs = pdf["x"].to_numpy() - r.x0
-            ys = pdf["y"].to_numpy() - r.y0
-            zs = pdf["z"].to_numpy() - r.z0
-            vals = arr[xs, ys, zs, 0].astype(np.int64)
+            if r.x1 is None or (isinstance(r.x1, float) and np.isnan(r.x1)):
+                # unwritten chunk under fill_missing=True: background
+                vals = np.full(len(pdf), bg, dtype=dtype)
+            else:
+                shape = (int(r.x1 - r.x0), int(r.y1 - r.y0),
+                         int(r.z1 - r.z0), nc)
+                raw = codecs.decompress_stream(r.blob, r.compression or None)
+                arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                    params=cparams)
+                xs = pdf["x"].to_numpy() - int(r.x0)
+                ys = pdf["y"].to_numpy() - int(r.y0)
+                zs = pdf["z"].to_numpy() - int(r.z0)
+                vals = arr[xs, ys, zs, channel]
+            if is_float:
+                vals = vals.astype(np.float64)
+            elif vals.dtype == np.uint64:
+                # signed bit pattern through the LongType column;
+                # re-presented unsigned below
+                vals = vals.view(np.int64)
+            else:
+                vals = vals.astype(np.int64)
             return pd.DataFrame({
                 "x": pdf["x"], "y": pdf["y"], "z": pdf["z"], "value": vals,
             })
 
-        return joined.groupBy("x0", "y0", "z0").applyInPandas(extract, out_schema)
+        out = joined.groupBy("x0", "y0", "z0").applyInPandas(
+            extract, out_schema)
+        if not is_float and np.dtype(dtype) == np.dtype("uint64"):
+            out = out.select(
+                "x", "y", "z",
+                F.expr(
+                    "CASE WHEN value < 0 THEN CAST(value AS DECIMAL(20,0)) "
+                    "+ 18446744073709551616 "
+                    "ELSE CAST(value AS DECIMAL(20,0)) END"
+                ).alias("value"),
+            )
+        return out
 
     # ------------------------------------------------------------------
     # aggregations (reference rx.unique, frontends.unique)

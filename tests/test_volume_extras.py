@@ -2298,3 +2298,119 @@ def test_vacuum_dry_run_plans_without_deleting(spark, tmp_path):
         assert not vol._fs.exists(f"{vol.chunks_path}/feed/{fn}")
     # the table still serves at the retained head
     assert (vol.cutout(Bbox((0, 0, 0), (8, 8, 8))) == 3).all()
+
+
+# ---- round-10 read-path review regressions ---------------------------------
+
+def test_label_mask_background_query_over_stats_chunks(spark, tmp_path):
+    """cutout(label=bg): chunks whose stats prove bg absent must decode
+    (not stats-prune) — a pruned region stays background-filled and the
+    mask would read wrongly True there."""
+    arr = np.full((64, 32, 32, 1), 7, dtype=np.uint32)
+    arr[32:, :, :, :] = 0  # second chunk genuinely all background
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "lbg"),
+                            chunk_size=(32, 32, 32))
+    mask = vol.cutout(Bbox((0, 0, 0), (64, 32, 32)), label=0)
+    assert not mask[:32].any()
+    assert mask[32:].all()
+    # the non-bg label path still stats-prunes and answers exactly
+    mask7 = vol.cutout(Bbox((0, 0, 0), (64, 32, 32)), label=7)
+    assert mask7[:32].all() and not mask7[32:].any()
+
+
+def test_label_mask_fill_missing_false_still_loud(spark, tmp_path):
+    """label= reads must not bypass the missing-chunk check: a chunk
+    that is ABSENT (deleted) is data loss, distinct from
+    stats-skipped."""
+    from cloud_volume_spark.volume import EmptyVolumeException
+
+    arr = np.full((64, 32, 32, 1), 9, dtype=np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "lfm"),
+                            chunk_size=(32, 32, 32))
+    vol.delete(Bbox((32, 0, 0), (64, 32, 32)))
+    with pytest.raises(EmptyVolumeException):
+        vol.cutout(Bbox((0, 0, 0), (64, 32, 32)), label=9,
+                   fill_missing=False)
+    mask = vol.cutout(Bbox((0, 0, 0), (64, 32, 32)), label=9,
+                      fill_missing=True)
+    assert mask[:32].all() and not mask[32:].any()
+
+
+def test_download_points_float_dtype_and_channel(spark, rng, tmp_path):
+    """Float volumes return DOUBLE values (no int64 truncation) and the
+    channel parameter selects the channel; out-of-range channel and
+    out-of-bounds points are refused up front."""
+    arr = rng.random((32, 32, 16, 2)).astype(np.float32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "fpt"),
+                            chunk_size=(16, 16, 16))
+    pts = [(3, 4, 5), (31, 0, 15), (16, 16, 8)]
+    for ch in (0, 1):
+        got = {(r.x, r.y, r.z): r.value
+               for r in vol.download_points(pts, channel=ch).collect()}
+        for p in pts:
+            assert got[p] == pytest.approx(
+                float(arr[p[0], p[1], p[2], ch]), abs=0)
+    with pytest.raises(ValueError, match="channel"):
+        vol.download_points(pts, channel=2)
+    with pytest.raises(ValueError, match="bounds"):
+        vol.download_points([(32, 0, 0)])
+
+
+def test_download_points_uint64_boundary(spark, tmp_path):
+    """uint64 ids >= 2^63 come back as true-unsigned values (the
+    unique()/voxels_df convention), not negative wraps."""
+    arr = np.ones((16, 16, 16, 1), dtype=np.uint64)
+    big = (1 << 63) + 5
+    arr[3, 4, 5, 0] = big
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "upt"),
+                            chunk_size=(16, 16, 16))
+    got = {(r.x, r.y, r.z): int(r.value)
+           for r in vol.download_points([(3, 4, 5), (0, 0, 0)]).collect()}
+    assert got[(3, 4, 5)] == big
+    assert got[(0, 0, 0)] == 1
+
+
+def test_download_points_missing_chunk(spark, tmp_path):
+    """Points in unwritten chunks follow fill_missing instead of
+    silently vanishing from the result."""
+    from cloud_volume_spark.volume import EmptyVolumeException
+
+    arr = np.full((64, 32, 32, 1), 4, dtype=np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "mpt"),
+                            chunk_size=(32, 32, 32))
+    vol.delete(Bbox((32, 0, 0), (64, 32, 32)))
+    pts = [(1, 1, 1), (40, 2, 3)]
+    with pytest.raises(EmptyVolumeException):
+        vol.download_points(pts, fill_missing=False).collect()
+    got = {(r.x, r.y, r.z): r.value
+           for r in vol.download_points(pts, fill_missing=True).collect()}
+    assert got[(1, 1, 1)] == 4
+    assert got[(40, 2, 3)] == 0  # background
+
+
+def test_save_images_default_bbox(spark, rng, tmp_path):
+    """save_images() with no bbox exports the WHOLE volume (the
+    advertised default) instead of crashing in reify_slices."""
+    arr = rng.integers(0, 255, (16, 16, 4, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "simg"),
+                            chunk_size=(16, 16, 4))
+    out = vol.save_images(directory=str(tmp_path / "imgout"))
+    import os as _os
+    assert len([f for f in _os.listdir(out) if f.endswith(".png")]) == 4
+
+
+def test_corrupt_fragment_raises_not_background(spark, tmp_path):
+    """A truncated parquet fragment must surface as an IO error, never
+    silently read as an empty region (background fill)."""
+    import glob as _glob
+
+    arr = np.full((16, 16, 16, 1), 3, dtype=np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "cor"),
+                            chunk_size=(16, 16, 16))
+    frags = _glob.glob(f"{vol.chunks_path}/data/**/*.parquet",
+                       recursive=True)
+    assert frags
+    with open(frags[0], "wb") as f:
+        f.write(b"not parquet at all")
+    with pytest.raises(IOError):
+        vol.cutout(Bbox((0, 0, 0), (16, 16, 16)))
