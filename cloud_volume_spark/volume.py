@@ -144,6 +144,54 @@ def shade(dest: np.ndarray, dest_bbox: Bbox, src: np.ndarray, src_bbox: Bbox) ->
         src[s0[0]:s1[0], s0[1]:s1[1], s0[2]:s1[2], :]
 
 
+def _block_reduce(arr: np.ndarray, factor, seg: bool) -> np.ndarray:
+    """Reduce ``(sx, sy, sz, nc)`` by ``factor`` per axis: per-block
+    mean for images, per-block MODE for segmentations (deterministic
+    ties → smallest label).  Partial edge blocks are reduced over the
+    voxels actually present — trimming to factor multiples would
+    silently drop the trailing rows of every edge chunk whose clamped
+    extent is not a multiple of the factor (x-size 65 at factor 2 must
+    produce 33 output columns, not 32)."""
+    fx, fy, fz = (int(f) for f in factor)
+    sx, sy, sz, nc = arr.shape
+    ox, oy, oz = (-(-sx // fx), -(-sy // fy), -(-sz // fz))
+    out = np.empty((ox, oy, oz, nc), dtype=arr.dtype)
+
+    def segments(s, f):
+        full = (s // f) * f
+        seg_list = []
+        if full:
+            seg_list.append((0, full, f))
+        if s > full:
+            seg_list.append((full, s, s - full))
+        return seg_list
+
+    for (x0, x1, wx) in segments(sx, fx):
+        for (y0, y1, wy) in segments(sy, fy):
+            for (z0, z1, wz) in segments(sz, fz):
+                sub = arr[x0:x1, y0:y1, z0:z1, :]
+                nx, ny, nz = (x1 - x0) // wx, (y1 - y0) // wy, (z1 - z0) // wz
+                v = sub.reshape(nx, wx, ny, wy, nz, wz, nc)
+                if seg:
+                    k = wx * wy * wz
+                    b = v.transpose(0, 2, 4, 6, 1, 3, 5).reshape(
+                        nx, ny, nz, nc, k)
+                    srt = np.sort(b, axis=-1)
+                    # mode via pairwise equality counts (k ≤ fx*fy*fz,
+                    # tiny): argmax over a sorted axis returns the
+                    # FIRST maximal run → smallest most-frequent label
+                    counts = (srt[..., :, None] == srt[..., None, :]).sum(-1)
+                    idx = counts.argmax(-1)
+                    red = np.take_along_axis(
+                        srt, idx[..., None], -1)[..., 0]
+                else:
+                    red = v.mean(axis=(1, 3, 5)).astype(arr.dtype)
+                out[x0 // fx:x0 // fx + nx,
+                    y0 // fy:y0 // fy + ny,
+                    z0 // fz:z0 // fz + nz, :] = red
+    return out
+
+
 def _slab_of(morton: int, shift: int = SLAB_SHIFT) -> int:
     return int(morton) >> int(shift)
 
@@ -905,13 +953,24 @@ class Volume:
     ) -> None:
         """Pad to alignment with background instead of reading the shell
         (write-once workloads, reference ``tx.py:35-61``)."""
+        self._check_writable()
+        self.info.check_mip_writable(mip)
         if arr.ndim == 3:
             arr = arr[..., np.newaxis]
+        # same gate as upload(): a wrong-dtype array would encode at
+        # the wrong byte width and poison every later decode of the
+        # chunk; an out-of-bounds write would silently crop
+        if arr.dtype != self.info.dtype:
+            raise ValueError(
+                f"dtype mismatch: volume {self.info.dtype} vs data {arr.dtype}"
+            )
         info = self.info
         cs = info.chunk_size(mip)
         voff = info.voxel_offset(mip)
         bounds = info.bounds(mip)
         bbox = Bbox.from_delta(offset, arr.shape[:3])
+        if self.bounded and not bounds.contains_bbox(bbox):
+            raise OutOfBoundsError(f"{bbox} outside bounds {bounds}")
         aligned = bbox.expand_to_chunk_size(cs, voff).clamp(bounds)
         bg = info.background_color()
         padded = np.full(
@@ -2403,13 +2462,17 @@ class Volume:
         semantics, distributed): required for incremental writers like
         :meth:`stream_ingest` whose batches revisit slabs."""
         info = self.info
+        info.check_mip_writable(mip)
         slab_shift = self.slab_shift
         cs = np.asarray(info.chunk_size(mip))
         voff = np.asarray(info.voxel_offset(mip))
         grid = [int(g) for g in info.grid_shape(mip)]
+        bounds = info.bounds(mip)
+        bmax = [int(v) for v in bounds.maxpt]
         encoding = info.encoding(mip)
         cparams = info.compression_params(mip)
         dtype = info.data_type
+        itemsize = np.dtype(dtype).itemsize
         nc = info.num_channels
         seg = info.layer_type == "segmentation"
         comp = compression or ""
@@ -2419,6 +2482,30 @@ class Volume:
                 out = []
                 for r in pdf.itertuples(index=False):
                     shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
+                    # refuse misaligned or mis-sized blocks HERE: a
+                    # floor-assigned unaligned block would commit chunk
+                    # rows overlapping its neighbors, and a wrong-length
+                    # blob on the raw fast path would poison every later
+                    # decode — corruption must not defer to read time
+                    for axis in range(3):
+                        lo = (r.x0, r.y0, r.z0)[axis]
+                        hi = (r.x1, r.y1, r.z1)[axis]
+                        if (lo - voff[axis]) % cs[axis] != 0:
+                            raise ValueError(
+                                f"block {lo}.. not on the chunk grid "
+                                f"(axis {axis}, chunk {int(cs[axis])}, "
+                                f"offset {int(voff[axis])})")
+                        cell_hi = min(int(lo + cs[axis]), bmax[axis])
+                        if not (lo < hi <= cell_hi):
+                            raise ValueError(
+                                f"block extent [{lo},{hi}) exceeds its "
+                                f"chunk cell [{lo},{cell_hi}) on axis "
+                                f"{axis}")
+                    want = int(np.prod(shape)) * itemsize
+                    if len(r.blob) != want:
+                        raise ValueError(
+                            f"block blob is {len(r.blob)} bytes, expected "
+                            f"{want} for shape {shape} {dtype}")
                     cx = int((r.x0 - voff[0]) // cs[0])
                     cy = int((r.y0 - voff[1]) // cs[1])
                     cz = int((r.z0 - voff[2]) // cs[2])
@@ -3230,6 +3317,14 @@ class Volume:
     def delete(self, bbox_or_slices, mip: int = 0) -> None:
         """Chunk-aligned region delete (reference
         ``image/__init__.py:516-557``)."""
+        if bbox_or_slices is None:
+            # the read surfaces treat None as "whole volume"; for a
+            # DESTRUCTIVE call that convenience is a footgun — wiping a
+            # mip must be spelled out (delete(vol.info.bounds(mip)))
+            raise ValueError(
+                "delete() requires an explicit bbox; to clear a whole "
+                "mip pass vol.info.bounds(mip)")
+        self.info.check_mip_writable(mip)
         bbox = self._resolve_bbox(bbox_or_slices, mip)
         cs = self.info.chunk_size(mip)
         voff = self.info.voxel_offset(mip)
@@ -3337,6 +3432,8 @@ class Volume:
         broadcast-join remap job (reference ``chunks.py:395-421``
         applied volume-wide). Mapping is broadcast to executors;
         per-chunk rewrite is a vectorized numpy remap."""
+        self._check_writable()
+        self.info.check_mip_writable(mip)
         bmap = self.spark.sparkContext.broadcast(
             {int(k): int(v) for k, v in mapping.items()}
         )
@@ -3379,25 +3476,14 @@ class Volume:
             man0 = self._read_manifest()
             src = self.chunks_df(mip=int(mip), manifest=man0)
             out = src.mapInPandas(rewrite, schema=CHUNK_SCHEMA)
-            if self._is_legacy_layout():
-                tmp = f"{self.chunks_path}.tmp-remap-{uuid.uuid4().hex[:12]}"
-                try:
-                    (
-                        out.repartition(F.col("mip"), self._commit_bucket())
-                        .sortWithinPartitions("slab", "morton")
-                        .write.mode("overwrite")
-                        .option("compression", "none")
-                        .partitionBy("mip", "slab").parquet(tmp)
-                    )
-                    mip_dir = f"{self.chunks_path}/mip={mip}"
-                    if fs.exists(mip_dir):
-                        fs.rmtree(mip_dir)
-                    fs.rename(f"{tmp}/mip={mip}", mip_dir)
-                finally:
-                    fs.rmtree(tmp)
-            else:
-                self._overwrite_slabs(out, replace_mips=[int(mip)],
-                                      snapshot=man0)
+            # ONE commit path: _overwrite_slabs routes legacy tables
+            # through the per-slab swap internally. The hand-rolled
+            # whole-mip rmtree-then-rename this replaced had a
+            # data-loss window: after rmtree(mip_dir), a rename failure
+            # hit the finally-rmtree(tmp) and destroyed the ONLY
+            # surviving copy of the mip.
+            self._overwrite_slabs(out, replace_mips=[int(mip)],
+                                  snapshot=man0)
 
     # ------------------------------------------------------------------
     # downsample (beyond-reference: the actual reduction job)
@@ -3458,7 +3544,12 @@ class Volume:
             factor * np.asarray(info.downsample_ratio(from_mip), dtype=np.int64)
         )
         to_mip = [s["key"] for s in info.info["scales"]].index(scale["key"])
-        info.commit(self.base_path)
+        info.check_mip_writable(to_mip)  # maintenance must honor mip locks
+        # the scale is registered IN MEMORY only at this point; the
+        # info file commits AFTER the reduce job publishes its data —
+        # committing first would advertise a phantom empty mip forever
+        # if the job dies (a crash between data and info commit is
+        # repaired by re-running downsample, which overwrites)
 
         slab_shift = self.slab_shift
         cs_to = np.asarray(info.chunk_size(to_mip))
@@ -3468,6 +3559,7 @@ class Volume:
         dtype = info.data_type
         nc = info.num_channels
         seg = info.layer_type == "segmentation"
+        bg_value = info.background_color()
         encoding = info.encoding(to_mip)
         src_params = info.compression_params(from_mip)
         dst_params = info.compression_params(to_mip)
@@ -3501,22 +3593,17 @@ class Volume:
             cell = Bbox.from_delta(
                 voff_to + np.array([tcx, tcy, tcz]) * cs_to, cs_to
             ).clamp(bounds_to)
-            out = np.zeros(tuple(cell.size3()) + (nc,), dtype=dtype)
+            # background init, not zeros: a sparsely-covered parent
+            # must agree with what cutout(fill) serves at the base mip
+            out = np.full(tuple(cell.size3()) + (nc,), bg_value, dtype=dtype)
             for r in pdf.itertuples(index=False):
                 shape = (r.x1 - r.x0, r.y1 - r.y0, r.z1 - r.z0, nc)
                 raw = codecs.decompress_stream(r.blob, r.compression or None)
                 arr = codecs.decode(raw, r.encoding, shape, dtype,
                                     params=src_params)
-                sx, sy, sz = shape[:3]
-                # trim to multiples of the factor, then block-reduce
-                tx_, ty_, tz_ = (sx // fx) * fx, (sy // fy) * fy, (sz // fz) * fz
-                a = arr[:tx_, :ty_, :tz_, :]
-                v = a.reshape(tx_ // fx, fx, ty_ // fy, fy, tz_ // fz, fz, nc)
-                if seg:
-                    # mode via corner-sample (deterministic striding)
-                    red = a[::fx, ::fy, ::fz, :]
-                else:
-                    red = v.mean(axis=(1, 3, 5)).astype(dtype)
+                # mean (images) / mode (segmentations) per block, with
+                # partial edge blocks reduced over present voxels
+                red = _block_reduce(arr, (fx, fy, fz), seg)
                 child = Bbox(
                     (r.x0 // fx, r.y0 // fy, r.z0 // fz),
                     (r.x0 // fx + red.shape[0], r.y0 // fy + red.shape[1],
@@ -3550,6 +3637,7 @@ class Volume:
                     int(to_mip), (fx, fy, fz), with_parent_keys,
                     reduce_group)
                 if done:
+                    info.commit(self.base_path)
                     return to_mip
             out = with_parent_keys(build_src(man0)).groupBy(
                 "tcx", "tcy", "tcz"
@@ -3562,6 +3650,8 @@ class Volume:
             # maintain a level without touching unrelated slabs)
             self._overwrite_slabs(out, replace_mips=[int(to_mip)],
                                   snapshot=man0)
+            # scale registration publishes only after the data did
+            info.commit(self.base_path)
         return to_mip
 
     def _downsample_incremental(self, man0: dict, old_man: dict,

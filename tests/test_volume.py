@@ -231,12 +231,59 @@ def test_downsample_image(spark, rng, tmp_path):
     assert np.array_equal(out, expected)
 
 
+def _mode_expect(arr, fx, fy, fz):
+    """Independent mode oracle: majority label per block, ties to the
+    smallest label; partial edge blocks reduce over present voxels."""
+    from collections import Counter
+
+    sx, sy, sz, nc = arr.shape
+    ox, oy, oz = -(-sx // fx), -(-sy // fy), -(-sz // fz)
+    out = np.zeros((ox, oy, oz, nc), dtype=arr.dtype)
+    for i in range(ox):
+        for j in range(oy):
+            for k in range(oz):
+                for c in range(nc):
+                    block = arr[i * fx:(i + 1) * fx, j * fy:(j + 1) * fy,
+                                k * fz:(k + 1) * fz, c].ravel()
+                    cnt = Counter(block.tolist())
+                    best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                    out[i, j, k, c] = best[0]
+    return out
+
+
 def test_downsample_segmentation(spark, rng, tmp_path):
-    arr = rng.integers(0, 50, size=(64, 64, 32, 1)).astype(np.uint32)
+    """Segmentation downsample is block MODE (majority label, ties to
+    smallest) — corner-sample striding loses thin structures whose
+    labels miss block corners."""
+    arr = rng.integers(0, 5, size=(64, 64, 32, 1)).astype(np.uint32)
     vol = Volume.from_numpy(spark, arr, str(tmp_path / "dsseg"), chunk_size=(32, 32, 32))
     mip1 = vol.downsample(0, factor=(2, 2, 1))
     out = vol.cutout(Bbox((0, 0, 0), (32, 32, 32)), mip=mip1)
-    assert np.array_equal(out, arr[::2, ::2, :, :])
+    assert np.array_equal(out, _mode_expect(arr, 2, 2, 1))
+
+
+def test_downsample_edge_partial_blocks(spark, rng, tmp_path):
+    """Non-factor-multiple dimensions: the trailing partial block of
+    edge chunks must be represented at the target mip (x-size 65 at
+    factor 2 → 33 columns), for both mean and mode reductions."""
+    # segmentation, 65 wide (chunk 32 → edge chunk width 1)
+    arr = rng.integers(0, 5, size=(65, 32, 16, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "dsp"),
+                            chunk_size=(32, 32, 16))
+    mip1 = vol.downsample(0, factor=(2, 2, 1))
+    assert list(vol.info.volume_size(mip1)) == [33, 16, 16]
+    out = vol.cutout(Bbox((0, 0, 0), (33, 16, 16)), mip=mip1)
+    assert np.array_equal(out, _mode_expect(arr, 2, 2, 1))
+    # image mean over partial tail (present voxels only)
+    img = rng.integers(0, 255, size=(65, 32, 16, 1)).astype(np.uint8)
+    ivol = Volume.from_numpy(spark, img, str(tmp_path / "dspi"),
+                             chunk_size=(32, 32, 16))
+    imip1 = ivol.downsample(0, factor=(2, 2, 1))
+    iout = ivol.cutout(Bbox((0, 0, 0), (33, 16, 16)), mip=imip1)
+    full = img[:64].reshape(32, 2, 16, 2, 16, 1, 1).mean(axis=(1, 3, 5)).astype(np.uint8)
+    tail = img[64:65].reshape(1, 1, 16, 2, 16, 1, 1).mean(axis=(1, 3, 5)).astype(np.uint8)
+    assert np.array_equal(iout[:32], full)
+    assert np.array_equal(iout[32:], tail)
 
 
 def test_downsample_with_voxel_offset(spark, rng, tmp_path):
@@ -319,3 +366,94 @@ def test_blocks_df_large_path(image_vol):
         (r.x1 - r.x0) * (r.y1 - r.y0) * (r.z1 - r.z0) for r in df.collect()
     )
     assert total == 128 ** 3
+
+
+def test_downsample_background_init_and_no_phantom_scale(spark, rng, tmp_path):
+    """(1) Sparse parents fill uncovered regions with background_color,
+    agreeing with what the base mip serves there; (2) a downsample
+    whose reduce job dies must NOT leave the scale advertised in the
+    on-disk info (phantom empty mip)."""
+    arr = np.full((32, 32, 16, 1), 200, dtype=np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "dsbg"),
+                            chunk_size=(16, 16, 16))
+    vol.info.info["background_color"] = 255
+    vol.info.commit(vol.base_path)
+    # remove half the base chunks: the parent cell is sparsely covered
+    vol.delete(Bbox((16, 0, 0), (32, 32, 16)))
+    mip1 = vol.downsample(0, factor=(2, 2, 1))
+    out = vol.cutout(Bbox((0, 0, 0), (16, 16, 16)), mip=mip1,
+                     fill_missing=True)
+    assert (out[:8] == 200).all()
+    assert (out[8:] == 255).all()  # uncovered region = background, not 0
+
+    # failed job → no phantom scale in the committed info
+    from cloud_volume_spark.catalog import VolumeInfo
+    vol2 = Volume.from_numpy(spark, arr, str(tmp_path / "dsfail"),
+                             chunk_size=(16, 16, 16))
+    n_scales = len(VolumeInfo.load(vol2.base_path).info["scales"])
+    import cloud_volume_spark.volume as volmod
+    orig = volmod._block_reduce
+
+    def boom(*a, **k):
+        raise RuntimeError("injected reduce failure")
+
+    volmod._block_reduce = boom
+    try:
+        with pytest.raises(Exception):
+            vol2.downsample(0, factor=(2, 2, 1))
+    finally:
+        volmod._block_reduce = orig
+    assert len(VolumeInfo.load(vol2.base_path).info["scales"]) == n_scales
+
+
+def test_write_paths_validate_and_honor_locks(spark, rng, tmp_path):
+    """upload_with_overwrite_partial_chunks gets upload()'s dtype and
+    bounds gates; write_blocks_df refuses misaligned/mis-sized blocks;
+    delete(None) is refused; every mutation path honors mip locks."""
+    from cloud_volume_spark.volume import OutOfBoundsError
+
+    arr = rng.integers(0, 100, size=(32, 32, 16, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "wv"),
+                            chunk_size=(16, 16, 16))
+    with pytest.raises(ValueError, match="dtype"):
+        vol.upload_with_overwrite_partial_chunks(
+            np.zeros((16, 16, 16, 1), dtype=np.uint64), (0, 0, 0))
+    with pytest.raises(OutOfBoundsError):
+        vol.upload_with_overwrite_partial_chunks(
+            np.zeros((32, 32, 16, 1), dtype=np.uint32), (16, 0, 0))
+    with pytest.raises(ValueError, match="explicit bbox"):
+        vol.delete(None)
+
+    # write_blocks_df: wrong blob size and misaligned origin refuse
+    good = np.zeros((16, 16, 16, 1), dtype=np.uint32)
+    bad_rows = [(0, 16, 0, 16, 0, 16,
+                 bytes(good.tobytes()[:-4]))]  # short blob
+    bdf = spark.createDataFrame(
+        bad_rows, "x0 int, x1 int, y0 int, y1 int, z0 int, z1 int, blob binary")
+    with pytest.raises(Exception, match="bytes"):
+        vol.write_blocks_df(bdf, merge=True)
+    mis_rows = [(1, 17, 0, 16, 0, 16,
+                 bytes(np.ascontiguousarray(good.transpose()).tobytes()))]
+    mdf = spark.createDataFrame(
+        mis_rows, "x0 int, x1 int, y0 int, y1 int, z0 int, z1 int, blob binary")
+    with pytest.raises(Exception, match="grid"):
+        vol.write_blocks_df(mdf, merge=True)
+
+    # mip locks hold on every mutation path
+    vol.info.lock_mips([0])
+    blk = [(0, 16, 0, 16, 0, 16,
+            bytes(np.ascontiguousarray(good.transpose()).tobytes()))]
+    okdf = spark.createDataFrame(
+        blk, "x0 int, x1 int, y0 int, y1 int, z0 int, z1 int, blob binary")
+    for call in (
+        lambda: vol.upload(arr[:16, :16, :16], (0, 0, 0)),
+        lambda: vol.upload_with_overwrite_partial_chunks(
+            arr[:16, :16, :16], (0, 0, 0)),
+        lambda: vol.write_blocks_df(okdf),
+        lambda: vol.delete(Bbox((0, 0, 0), (16, 16, 16))),
+        lambda: vol.apply_remap({1: 2}),
+    ):
+        with pytest.raises(PermissionError):
+            call()
+    vol.info.unlock_mips([0])
+    vol.delete(Bbox((0, 0, 0), (16, 16, 16)))  # unlocked works again
