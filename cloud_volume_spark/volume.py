@@ -177,13 +177,23 @@ def _block_reduce(arr: np.ndarray, factor, seg: bool) -> np.ndarray:
                     b = v.transpose(0, 2, 4, 6, 1, 3, 5).reshape(
                         nx, ny, nz, nc, k)
                     srt = np.sort(b, axis=-1)
-                    # mode via pairwise equality counts (k ≤ fx*fy*fz,
-                    # tiny): argmax over a sorted axis returns the
-                    # FIRST maximal run → smallest most-frequent label
-                    counts = (srt[..., :, None] == srt[..., None, :]).sum(-1)
-                    idx = counts.argmax(-1)
-                    red = np.take_along_axis(
-                        srt, idx[..., None], -1)[..., 0]
+                    # mode as the longest run over the sorted axis,
+                    # first maximal run → smallest most-frequent label.
+                    # O(k) passes of O(n)-sized temporaries — a pairwise
+                    # equality matrix would be O(n·k²) and reaches
+                    # gigabytes per task at factor (4,4,4)+ on standard
+                    # decoded chunk sizes
+                    best = srt[..., 0].copy()
+                    best_n = np.ones(best.shape, dtype=np.int32)
+                    cur_n = np.ones(best.shape, dtype=np.int32)
+                    for j in range(1, k):
+                        same = srt[..., j] == srt[..., j - 1]
+                        cur_n = np.where(same, cur_n + 1, 1)
+                        upd = cur_n > best_n
+                        if upd.any():
+                            best[upd] = srt[..., j][upd]
+                            best_n[upd] = cur_n[upd]
+                    red = best
                 else:
                     red = v.mean(axis=(1, 3, 5)).astype(arr.dtype)
                 out[x0 // fx:x0 // fx + nx,
@@ -899,18 +909,13 @@ class Volume:
             ))
         return rows
 
-    def upload(
-        self,
-        arr: np.ndarray,
-        offset: Sequence[int] = (0, 0, 0),
-        mip: int = 0,
-        compression: Optional[str] = "gzip",
-        delete_black_uploads: bool = False,
-    ) -> None:
-        """Write an array at ``offset``. Grid-aligned regions write
-        directly; non-aligned writes read-modify-write the boundary
-        shell (reference ``tx.upload:140-191`` — same concurrent-write
-        caveat as ``datasource/__init__.py:9-35``)."""
+    def _validate_upload(self, arr: np.ndarray, offset, mip: int):
+        """The shared gate for every array-upload path: writability +
+        mip lock, channel-axis fixup, dtype match (a wrong-dtype array
+        would encode at the wrong byte width and poison every later
+        decode), bounds containment (an out-of-bounds write would
+        silently crop). One definition so new gates cannot drift
+        between :meth:`upload` and its variants."""
         self._check_writable()
         self.info.check_mip_writable(mip)
         if arr.ndim == 3:
@@ -926,6 +931,23 @@ class Volume:
         bbox = Bbox.from_delta(offset, arr.shape[:3])
         if self.bounded and not bounds.contains_bbox(bbox):
             raise OutOfBoundsError(f"{bbox} outside bounds {bounds}")
+        return arr, bbox, cs, voff, bounds
+
+    def upload(
+        self,
+        arr: np.ndarray,
+        offset: Sequence[int] = (0, 0, 0),
+        mip: int = 0,
+        compression: Optional[str] = "gzip",
+        delete_black_uploads: bool = False,
+    ) -> None:
+        """Write an array at ``offset``. Grid-aligned regions write
+        directly; non-aligned writes read-modify-write the boundary
+        shell (reference ``tx.upload:140-191`` — same concurrent-write
+        caveat as ``datasource/__init__.py:9-35``)."""
+        arr, bbox, cs, voff, bounds = self._validate_upload(arr, offset, mip)
+        info = self.info
+        offset = bbox.minpt
 
         aligned = bbox.expand_to_chunk_size(cs, voff).clamp(bounds)
         if aligned != bbox:
@@ -953,24 +975,8 @@ class Volume:
     ) -> None:
         """Pad to alignment with background instead of reading the shell
         (write-once workloads, reference ``tx.py:35-61``)."""
-        self._check_writable()
-        self.info.check_mip_writable(mip)
-        if arr.ndim == 3:
-            arr = arr[..., np.newaxis]
-        # same gate as upload(): a wrong-dtype array would encode at
-        # the wrong byte width and poison every later decode of the
-        # chunk; an out-of-bounds write would silently crop
-        if arr.dtype != self.info.dtype:
-            raise ValueError(
-                f"dtype mismatch: volume {self.info.dtype} vs data {arr.dtype}"
-            )
+        arr, bbox, cs, voff, bounds = self._validate_upload(arr, offset, mip)
         info = self.info
-        cs = info.chunk_size(mip)
-        voff = info.voxel_offset(mip)
-        bounds = info.bounds(mip)
-        bbox = Bbox.from_delta(offset, arr.shape[:3])
-        if self.bounded and not bounds.contains_bbox(bbox):
-            raise OutOfBoundsError(f"{bbox} outside bounds {bounds}")
         aligned = bbox.expand_to_chunk_size(cs, voff).clamp(bounds)
         bg = info.background_color()
         padded = np.full(
@@ -2490,7 +2496,7 @@ class Volume:
                     for axis in range(3):
                         lo = (r.x0, r.y0, r.z0)[axis]
                         hi = (r.x1, r.y1, r.z1)[axis]
-                        if (lo - voff[axis]) % cs[axis] != 0:
+                        if lo < voff[axis] or (lo - voff[axis]) % cs[axis] != 0:
                             raise ValueError(
                                 f"block {lo}.. not on the chunk grid "
                                 f"(axis {axis}, chunk {int(cs[axis])}, "
@@ -3540,10 +3546,40 @@ class Volume:
             old_man = self._generation_or_raise(since_generation)
         info = self.info
         factor = np.asarray(factor, dtype=np.int64)
+        cs_from = np.asarray(info.chunk_size(from_mip), dtype=np.int64)
+        voff_from = np.asarray(info.voxel_offset(from_mip), dtype=np.int64)
+        for axis in range(3):
+            f = int(factor[axis])
+            if int(cs_from[axis]) % f or int(voff_from[axis]) % f:
+                # an interior chunk whose extent or origin is not a
+                # factor multiple reduces to a parent window that
+                # OVERLAPS its neighbor's — which child wins a shared
+                # parent voxel would depend on reduce iteration order
+                raise ValueError(
+                    f"downsample factor {tuple(int(x) for x in factor)} "
+                    f"must divide the source chunk size "
+                    f"{tuple(int(c) for c in cs_from)} and voxel offset "
+                    f"{tuple(int(v) for v in voff_from)} on every axis"
+                )
+        prev_scales = json.loads(json.dumps(info.info["scales"]))
         scale = info.add_scale(
             factor * np.asarray(info.downsample_ratio(from_mip), dtype=np.int64)
         )
         to_mip = [s["key"] for s in info.info["scales"]].index(scale["key"])
+        try:
+            return self._downsample_run(
+                info, from_mip, to_mip, factor, compression, old_man)
+        except BaseException:
+            # roll back the in-memory registration: the info file only
+            # commits after the data publishes, but without this a later
+            # unrelated info.commit on the SAME handle (another
+            # downsample, lock_mips, provenance edit) would publish the
+            # phantom dataless scale this ordering exists to prevent
+            info.info["scales"] = prev_scales
+            raise
+
+    def _downsample_run(self, info, from_mip, to_mip, factor,
+                        compression, old_man):
         info.check_mip_writable(to_mip)  # maintenance must honor mip locks
         # the scale is registered IN MEMORY only at this point; the
         # info file commits AFTER the reduce job publishes its data —

@@ -404,6 +404,30 @@ def test_downsample_background_init_and_no_phantom_scale(spark, rng, tmp_path):
     finally:
         volmod._block_reduce = orig
     assert len(VolumeInfo.load(vol2.base_path).info["scales"]) == n_scales
+    # ... and not in the in-memory handle either: a later unrelated
+    # info.commit must not publish the phantom scale
+    assert len(vol2.info.info["scales"]) == n_scales
+    vol2.info.commit(vol2.base_path)
+    assert len(VolumeInfo.load(vol2.base_path).info["scales"]) == n_scales
+    # a lock-refused downsample rolls back the registration the same way
+    ok_mip = vol2.downsample(0, factor=(2, 2, 1))  # repair path works
+    n_scales = len(vol2.info.info["scales"])
+    vol2.info.lock_mips([ok_mip])
+    with pytest.raises(PermissionError):
+        vol2.downsample(0, factor=(2, 2, 1))
+    vol2.info.unlock_mips([ok_mip])
+    assert len(vol2.info.info["scales"]) == n_scales
+
+
+def test_downsample_factor_must_divide_grid(spark, rng, tmp_path):
+    """cs % factor != 0 would make interior chunks reduce to OVERLAPPING
+    parent windows (nondeterministic winner) — refused loudly."""
+    arr = rng.integers(0, 5, size=(30, 16, 16, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "dsdiv"),
+                            chunk_size=(15, 16, 16))
+    with pytest.raises(ValueError, match="must divide"):
+        vol.downsample(0, factor=(2, 1, 1))
+    assert len(vol.info.info["scales"]) == 1  # nothing registered
 
 
 def test_write_paths_validate_and_honor_locks(spark, rng, tmp_path):
@@ -438,6 +462,16 @@ def test_write_paths_validate_and_honor_locks(spark, rng, tmp_path):
         mis_rows, "x0 int, x1 int, y0 int, y1 int, z0 int, z1 int, blob binary")
     with pytest.raises(Exception, match="grid"):
         vol.write_blocks_df(mdf, merge=True)
+    # grid-multiple but BELOW voxel_offset must refuse at the gate, not
+    # uint64-wrap inside morton encoding
+    ovol = Volume.from_numpy(spark, arr, str(tmp_path / "wvoff"),
+                             chunk_size=(16, 16, 16), voxel_offset=(16, 0, 0))
+    below = [(0, 16, 0, 16, 0, 16,
+              bytes(np.ascontiguousarray(good.transpose()).tobytes()))]
+    bldf = spark.createDataFrame(
+        below, "x0 int, x1 int, y0 int, y1 int, z0 int, z1 int, blob binary")
+    with pytest.raises(Exception, match="grid"):
+        ovol.write_blocks_df(bldf, merge=True)
 
     # mip locks hold on every mutation path
     vol.info.lock_mips([0])
