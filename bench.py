@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "events_running_total",
     "events_sessionize",
     "events_asof_latest_order",
+    "events_funnel",
+    "event_props_extract",
     "vox_unique_bbox",
     "vox_label_histogram",
     "vox_label_envelope",
@@ -76,6 +78,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "doc_context_windows",
     "doc_policy_scan",
+    "doc_pii_redact",
     "simhash_fingerprints",
     "vox_changes_feed",
     "embedding_quantize_int8",

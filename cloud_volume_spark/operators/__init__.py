@@ -17,13 +17,17 @@ from cloud_volume_spark import multimodal
 # running ALL queries against DuckDB as the local backstop.
 # ROUND-10 ROTATION (executing the round-9 note): `relational` and the
 # `curation` tail (doc_perplexity, corpus_shuffle — the only two queries
-# without an r9 driver row) return to the front.  With 72 queries the
-# window = relational(20) + curation(8) + corpus(8) + multimodal(5) +
-# similarity(8) + text(first 1) = exactly 50; out-of-window = text's
-# tail(6), voxel_rel(9), dedup(7) — all green in CORRECTNESS_r09, so
-# the r9∪r10 union keeps every registered query on a
-# fresh-within-two-rounds driver row.  ROUND-11 ROTATION: voxel_rel +
-# dedup + text back to the front.
+# without an r9 driver row) return to the front.  Round 10 also ADDS
+# three queries (events_funnel, event_props_extract → relational;
+# doc_pii_redact → corpus), bringing the registry to 75; the window =
+# relational(22) + curation(8) + corpus(9) + multimodal(5) +
+# similarity(first 6) = exactly 50, so every NEW query gets an r10
+# driver row; out-of-window = similarity's tail(2: ivf_ann_topk,
+# embedding_kmeans), text(7), voxel_rel(9), dedup(7) — all green in
+# CORRECTNESS_r09, so the r9∪r10 union keeps every registered query on
+# a fresh-within-two-rounds driver row.  ROUND-11 ROTATION: voxel_rel +
+# dedup + text + similarity to the front (they hold every query whose
+# last row is r9).
 ALL_MODULES = [
     relational, curation, corpus, multimodal, similarity, text,
     voxel_rel, dedup,

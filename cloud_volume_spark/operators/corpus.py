@@ -254,6 +254,58 @@ FROM documents
 """
 
 # ---------------------------------------------------------------------------
+# PII redaction — the action half of the policy scan above
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Redact PII-shaped spans (emails, 4+-digit runs) with typed
+    placeholder tokens and count what was redacted — the scrubbing
+    pass a corpus pipeline runs between `doc_policy_scan` flagging and
+    training. Pure map-side regexp_replace (JVM built-in, no shuffle);
+    the redacted text is emitted as an md5 digest so the result stays
+    row-count-light for the oracle compare while still pinning every
+    byte of the redaction output.
+
+    Email first, THEN digit runs: a digit-bearing local part
+    (``user1234@x.yz``) must become one ``<EMAIL>`` token, not an
+    ``<EMAIL>`` with a ``<NUMBER>`` hole punched in it — so the digit
+    runs are counted on the email-redacted text (counting them on the
+    raw text would double-count digits the email redaction already
+    swallowed, and n_redactions would not equal the substitutions
+    actually made)."""
+    email_redacted = F.regexp_replace(F.col("text"), PAT_EMAIL, "<EMAIL>")
+    n_email = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(PAT_EMAIL), F.lit(0)))
+    n_number = F.size(
+        F.regexp_extract_all(email_redacted, F.lit(PAT_NUMBER), F.lit(0)))
+    redacted = F.regexp_replace(email_redacted, PAT_NUMBER, "<NUMBER>")
+    return docs.select(
+        "doc_id",
+        (n_email + n_number).cast("int").alias("n_redactions"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_redact(load(spark, sf_dir, "documents"))
+
+
+PII_REDACT_SQL = f"""
+WITH staged AS (
+    SELECT doc_id, text,
+           REGEXP_REPLACE(text, '{PAT_EMAIL}', '<EMAIL>', 'g')
+               AS email_redacted
+    FROM documents
+)
+SELECT doc_id,
+       (LEN(REGEXP_EXTRACT_ALL(text, '{PAT_EMAIL}'))
+        + LEN(REGEXP_EXTRACT_ALL(email_redacted, '{PAT_NUMBER}')))::INT
+           AS n_redactions,
+       MD5(REGEXP_REPLACE(email_redacted, '{PAT_NUMBER}', '<NUMBER>', 'g'))
+           AS redacted_md5
+FROM staged
+"""
+
+# ---------------------------------------------------------------------------
 # keep-best dedup
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,6 +536,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "doc_context_windows": doc_context_windows,
     "doc_policy_scan": doc_policy_scan,
+    "doc_pii_redact": doc_pii_redact,
     "dedup_keep_best": dedup_keep_best,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_contamination": corpus_contamination,
@@ -497,5 +550,6 @@ ORACLE_SQL = {
     "tfidf_top_terms": TFIDF_SQL,
     "doc_context_windows": CONTEXT_WINDOWS_SQL,
     "doc_policy_scan": POLICY_SCAN_SQL,
+    "doc_pii_redact": PII_REDACT_SQL,
     "dedup_keep_best": KEEP_BEST_SQL,
 }

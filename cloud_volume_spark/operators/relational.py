@@ -945,11 +945,139 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# third wave: sequential funnel + semi-structured (JSON) extraction —
+# the event-analytics shapes a telemetry/clickstream pipeline runs at
+# 100 TB that the reference engine has no analog for
+# ---------------------------------------------------------------------------
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): for each
+    user, the first view, the first click AT OR AFTER that view, and
+    the first purchase at or after that click — the sequential
+    dependency that makes funnels harder than three independent mins.
+
+    Scale shape: three groupBy(user_id) partial aggregations over the
+    (filtered) event stream; each later stage joins events against a
+    PER-USER aggregate (one row per converting user — orders of
+    magnitude smaller than the event log), so AQE broadcasts it while
+    it fits and falls back to a co-partitioned shuffle join beyond.
+    Raw-timestamp comparisons (microsecond exact in both engines);
+    epochs floored only at the output edge, per the module convention."""
+    events = load(spark, sf_dir, "events")
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .join(views, "user_id")
+        .where(F.col("c_ts") >= F.col("view_ts"))
+        .groupBy("user_id").agg(F.min("c_ts").alias("click_ts"))
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .join(clicks, "user_id")
+        .where(F.col("p_ts") >= F.col("click_ts"))
+        .groupBy("user_id").agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("view_ts").alias("view_epoch"),
+            F.unix_timestamp("click_ts").alias("click_epoch"),
+            F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).alias("funnel_depth"),
+        )
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS view_ts
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS click_ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+    GROUP BY e.user_id
+)
+SELECT v.user_id,
+       FLOOR(EPOCH(view_ts))::BIGINT AS view_epoch,
+       FLOOR(EPOCH(click_ts))::BIGINT AS click_epoch,
+       FLOOR(EPOCH(purchase_ts))::BIGINT AS purchase_epoch,
+       (1 + (click_ts IS NOT NULL)::INT
+          + (purchase_ts IS NOT NULL)::INT) AS funnel_depth
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column and aggregate per event type. ``get_json_object`` is a JVM
+    built-in (no Python in the hot path) and a malformed/missing key
+    degrades to NULL on both engines (Spark returns NULL natively;
+    the oracle goes through TRY_CAST), surfaced via n_with_k rather
+    than crashing the scan — the posture a 100 TB log pipeline needs.
+    All-integer aggregates, so parity is exact in any addition order."""
+    events = load(spark, sf_dir, "events")
+    # try_cast, not cast: under ANSI mode a non-numeric "$.k" value
+    # would fail the whole scan; degrade-to-NULL is the contract here
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
+# json_valid guard: duckdb's json_extract_string RAISES on malformed
+# JSON where Spark's get_json_object returns NULL — the guard aligns
+# the oracle with the engine's degrade-to-NULL contract
+EVENT_PROPS_SQL = """
+WITH extracted AS (
+    SELECT event_type,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k
+    FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max,
+       SUM(k)::BIGINT AS k_sum
+FROM extracted GROUP BY event_type
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
     "q10_returned_items": q10_returned_items,
     "customers_without_orders": customers_without_orders,
+    "events_funnel": events_funnel,
+    "event_props_extract": event_props_extract,
 })
 
 # the driver's correctness window covers the first 50 registered
@@ -985,4 +1113,6 @@ ORACLE_SQL.update({
     "customer_spend_deciles": DECILES_SQL,
     "largest_order_per_customer": LARGEST_ORDER_SQL,
     "event_type_share": EVENT_SHARE_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "event_props_extract": EVENT_PROPS_SQL,
 })

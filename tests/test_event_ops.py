@@ -1,0 +1,114 @@
+"""Planted-data tests for the round-10 event/PII operators.
+
+The cross-engine oracle (tests/test_oracle_parity.py + the driver gate)
+checks these against DuckDB on the real tables; the tests here plant
+the edge cases the synthetic tables cannot exhibit: out-of-order funnel
+stages, malformed JSON, and actual PII-shaped spans.
+"""
+
+import hashlib
+from datetime import datetime
+
+import pytest
+
+from cloud_volume_spark.operators.corpus import pii_redact
+from cloud_volume_spark.operators.relational import (
+    event_props_extract,
+    events_funnel,
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def _ts(minute):
+    return datetime(2024, 1, 1, 0, minute, 0)
+
+
+def test_events_funnel_stage_order_is_enforced(spark, tmp_path):
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, _ts(10), 1, "view", 0.0, "{}"),
+        (2, _ts(20), 1, "click", 0.0, "{}"),
+        (3, _ts(30), 1, "purchase", 0.0, "{}"),
+        # user 2: click BEFORE first view — funnel must not count it,
+        # so the later purchase can't attach either
+        (4, _ts(5), 2, "click", 0.0, "{}"),
+        (5, _ts(10), 2, "view", 0.0, "{}"),
+        (6, _ts(20), 2, "purchase", 0.0, "{}"),
+        # user 3: purchase BEFORE first qualifying click
+        (7, _ts(10), 3, "view", 0.0, "{}"),
+        (8, _ts(15), 3, "purchase", 0.0, "{}"),
+        (9, _ts(20), 3, "click", 0.0, "{}"),
+        # user 4: never viewed — excluded from the funnel entirely
+        (10, _ts(5), 4, "click", 0.0, "{}"),
+        # user 5: second click qualifies even though the first doesn't
+        (11, _ts(8), 5, "click", 0.0, "{}"),
+        (12, _ts(10), 5, "view", 0.0, "{}"),
+        (13, _ts(12), 5, "click", 0.0, "{}"),
+        (14, _ts(14), 5, "purchase", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["user_id"]: r for r in events_funnel(spark, sf).collect()}
+
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["funnel_depth"] == 3
+    assert got[2]["funnel_depth"] == 1
+    assert got[2]["click_epoch"] is None
+    assert got[2]["purchase_epoch"] is None
+    assert got[3]["funnel_depth"] == 2
+    assert got[3]["purchase_epoch"] is None
+    assert got[5]["funnel_depth"] == 3
+    # the qualifying click is the 00:12 one, not the pre-view 00:08 one
+    assert got[5]["click_epoch"] == int(_ts(12).timestamp())
+
+
+def test_event_props_extract_degrades_malformed_json_to_null(spark, tmp_path):
+    rows = [
+        (1, _ts(1), 1, "click", 0.0, '{"k": 7}'),
+        (2, _ts(2), 1, "click", 0.0, "not json at all"),
+        (3, _ts(3), 1, "click", 0.0, None),
+        (4, _ts(4), 1, "click", 0.0, '{"j": 1}'),       # key missing
+        (5, _ts(5), 1, "click", 0.0, '{"k": "abc"}'),   # non-numeric
+        (6, _ts(6), 1, "click", 0.0, '{"k": 35}'),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = event_props_extract(spark, sf).collect()[0]
+    assert row["n_events"] == 6
+    assert row["n_with_k"] == 2
+    assert row["k_min"] == 7 and row["k_max"] == 35 and row["k_sum"] == 42
+
+
+def test_pii_redact_planted_spans(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact user1234@example.com or call 555.1234 x99"),
+            (2, "no pii here at all"),
+            (3, "ids 0001 and 123456789 appear"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+
+    # email swallowed whole (digits inside it must NOT double-count);
+    # "555.1234" has no 4+ digit run on either side of the dot except
+    # "1234"
+    assert got[1]["n_redactions"] == 2
+    expected1 = "contact <EMAIL> or call 555.<NUMBER> x99"
+    assert got[1]["redacted_md5"] == hashlib.md5(
+        expected1.encode()).hexdigest()
+
+    assert got[2]["n_redactions"] == 0
+    assert got[2]["redacted_md5"] == hashlib.md5(
+        b"no pii here at all").hexdigest()
+
+    assert got[3]["n_redactions"] == 2
+    expected3 = "ids <NUMBER> and <NUMBER> appear"
+    assert got[3]["redacted_md5"] == hashlib.md5(
+        expected3.encode()).hexdigest()

@@ -374,3 +374,33 @@ def test_vox_changes_feed_plan_partial_agg_no_product(spark, sf_dir):
     assert "partial_count" in plan
     assert "Window" not in plan
     assert "FullOuter" in plan
+
+
+def test_events_funnel_plan_shape(spark, sf_dir):
+    """The funnel's later stages join the event stream against per-user
+    aggregates (a converting-user row each) — equi-joins only (AQE
+    picks broadcast vs shuffle by measured size), never a product, and
+    no window (the sequential mins are partial-aggregating groupBys)."""
+    plan = _plan(all_queries()["events_funnel"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan
+
+
+def test_event_props_extract_stays_jvm_side(spark, sf_dir):
+    """JSON extraction rides get_json_object (JVM built-in) — a Python
+    json.loads UDF here would put the whole 100 TB scan on the slow
+    path."""
+    plan = _plan(all_queries()["event_props_extract"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_count" in plan
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """Redaction is a pure map: no exchange anywhere in the plan."""
+    plan = _plan(all_queries()["doc_pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
