@@ -140,7 +140,13 @@ class GrapheneLabelCodec:
             cond = layer.cast("long") == lv
             expr = F.when(cond, branch) if expr is None else (
                 expr.when(cond, branch))
-        return expr  # unregistered layer → NULL, loud downstream
+        # unregistered layer: raise, don't emit NULL — a NULL label
+        # silently drops out of downstream equi-joins/groupBys and can
+        # be persisted by a write path; pack_py raises for the same
+        # input and the Spark path must mirror it
+        return expr.otherwise(F.raise_error(F.concat(
+            F.lit("graphene pack: unregistered layer "),
+            layer.cast("string"))))
 
     def unpack(self, label: Column) -> dict:
         """Decode with ``shiftrightunsigned`` throughout: labels whose
@@ -179,7 +185,11 @@ class GrapheneLabelCodec:
                     cond = layer_col == lv
                     expr = F.when(cond, branch) if expr is None else (
                         expr.when(cond, branch))
-                out[key] = expr
+                # unregistered layer in the DATA is corruption: raise
+                # like unpack_py (via _layout), don't emit NULL fields
+                out[key] = expr.otherwise(F.raise_error(F.concat(
+                    F.lit("graphene unpack: label has unregistered "
+                          "layer "), layer_col.cast("string"))))
         out["layer"] = layer_col
         return {k: out[k] for k in ("layer", "x", "y", "z", "segid")}
 

@@ -3109,6 +3109,34 @@ class Volume:
                 f"{len(oob)} point(s) outside volume bounds {bounds} "
                 f"at mip {mip}: {oob[:5]}")
 
+        is_float = np.dtype(dtype).kind == "f"
+        is_u64 = np.dtype(dtype) == np.dtype("uint64")
+        out_schema = StructType([
+            StructField("x", IntegerType(), False),
+            StructField("y", IntegerType(), False),
+            StructField("z", IntegerType(), False),
+            StructField("value",
+                        DoubleType() if is_float else LongType(), False),
+        ])
+
+        def present(out: DataFrame) -> DataFrame:
+            # uint64 rides the LongType column as a signed bit pattern;
+            # re-present true-unsigned (the unique/voxels_df convention)
+            if not is_u64:
+                return out
+            return out.select(
+                "x", "y", "z",
+                F.expr(
+                    "CASE WHEN value < 0 THEN CAST(value AS DECIMAL(20,0)) "
+                    "+ 18446744073709551616 "
+                    "ELSE CAST(value AS DECIMAL(20,0)) END"
+                ).alias("value"),
+            )
+
+        if not pts:
+            # empty request -> empty result, not a min()-over-nothing crash
+            return present(self.spark.createDataFrame([], out_schema))
+
         pts_df = self.spark.createDataFrame(
             pts, schema="x int, y int, z int",
         ).dropDuplicates()
@@ -3118,10 +3146,6 @@ class Volume:
             .withColumn("cy", F.floor((F.col("y") - voff[1]) / cs[1]).cast("int"))
             .withColumn("cz", F.floor((F.col("z") - voff[2]) / cs[2]).cast("int"))
         )
-        # prune the chunk scan with the points' own bounding box (slab
-        # + grid-range predicates reach parquet via _pruned) and the
-        # exact per-axis cell sets — a 5-point lookup must not read the
-        # blob column of every chunk at the mip
         pbox = Bbox(
             [min(p[i] for p in pts) for i in range(3)],
             [max(p[i] for p in pts) + 1 for i in range(3)],
@@ -3131,16 +3155,31 @@ class Volume:
             (p[1] - voff[1]) // cs[1],
             (p[2] - voff[2]) // cs[2],
         ) for p in pts}
-        chunks = self._pruned(pbox, mip).where(
-            F.col("cx").isin([c[0] for c in cells])
-            & F.col("cy").isin([c[1] for c in cells])
-            & F.col("cz").isin([c[2] for c in cells])
-        ).select("cx", "cy", "cz", "x0", "y0", "z0", "x1", "y1", "z1",
-                 "encoding", "compression", "blob")
+        # two-stage chunk pruning: the per-axis IN-lists reach the
+        # parquet scan (row-group pruning) but admit the CROSS PRODUCT
+        # of the coordinate sets — 50 diagonal points would admit up to
+        # 50^3 chunks; the semi-join against the broadcast cell set then
+        # keeps exactly the requested cells. Only int cell triples are
+        # ever broadcast — the blob-carrying chunk side stays distributed
+        # (broadcasting it would collect unbounded encoded blobs to the
+        # driver).
+        cells_df = pts_df.select("cx", "cy", "cz").distinct()
+        chunks = (
+            self._pruned(pbox, mip)
+            .where(
+                F.col("cx").isin([c[0] for c in cells])
+                & F.col("cy").isin([c[1] for c in cells])
+                & F.col("cz").isin([c[2] for c in cells])
+            )
+            .join(F.broadcast(cells_df), ["cx", "cy", "cz"], "left_semi")
+            .select("cx", "cy", "cz", "x0", "y0", "z0", "x1", "y1", "z1",
+                    "encoding", "compression", "blob")
+        )
         if not fill:
             # missing chunks are data loss, not background: probe for a
-            # requested cell with no chunk row (cells ≤ n_points keeps
-            # the anti-join bounded)
+            # requested cell with no chunk row (cells <= n_points keeps
+            # the anti-join bounded; the probe projects cell coords only,
+            # so its scan never reads the blob column)
             missing = (
                 pts_df.select("cx", "cy", "cz").distinct()
                 .join(chunks.select("cx", "cy", "cz"),
@@ -3151,61 +3190,65 @@ class Volume:
                 raise EmptyVolumeException(
                     f"point(s) fall in unwritten chunks (fill_missing"
                     f"=False) in {pbox} at mip {mip}")
-        # the pruned chunk side is ≤ len(cells) rows — broadcast it so
-        # the left join keeps every point (missing chunk → NULL blob)
-        joined = pts_df.join(
-            F.broadcast(chunks), on=["cx", "cy", "cz"], how="left"
-        ).select("x", "y", "z", "x0", "y0", "z0", "x1", "y1", "z1",
-                 "encoding", "compression", "blob")
+        # one row per touched CHUNK (that chunk's points grouped into an
+        # array) so the join moves each encoded blob exactly once —
+        # joining raw point rows against the chunk table would replicate
+        # a chunk's blob once PER POINT through the exchange
+        pts_cell = pts_df.groupBy("cx", "cy", "cz").agg(
+            F.collect_list(F.struct("x", "y", "z")).alias("cell_pts"))
+        joined = chunks.join(F.broadcast(pts_cell),
+                             ["cx", "cy", "cz"], "inner")
 
-        is_float = np.dtype(dtype).kind == "f"
-        out_schema = StructType([
-            StructField("x", IntegerType(), False),
-            StructField("y", IntegerType(), False),
-            StructField("z", IntegerType(), False),
-            StructField("value",
-                        DoubleType() if is_float else LongType(), False),
-        ])
+        def extract(batches):
+            for pdf in batches:
+                frames = []
+                for r in pdf.itertuples():
+                    shape = (int(r.x1 - r.x0), int(r.y1 - r.y0),
+                             int(r.z1 - r.z0), nc)
+                    raw = codecs.decompress_stream(
+                        r.blob, r.compression or None)
+                    arr = codecs.decode(raw, r.encoding, shape, dtype,
+                                        params=cparams)
+                    cp = r.cell_pts
+                    xs = np.array([p["x"] for p in cp], dtype=np.int64)
+                    ys = np.array([p["y"] for p in cp], dtype=np.int64)
+                    zs = np.array([p["z"] for p in cp], dtype=np.int64)
+                    vals = arr[xs - int(r.x0), ys - int(r.y0),
+                               zs - int(r.z0), channel]
+                    if is_float:
+                        vals = vals.astype(np.float64)
+                    elif vals.dtype == np.uint64:
+                        # signed bit pattern through the LongType column;
+                        # re-presented unsigned in present()
+                        vals = vals.view(np.int64)
+                    else:
+                        vals = vals.astype(np.int64)
+                    frames.append(pd.DataFrame({
+                        "x": xs.astype(np.int32),
+                        "y": ys.astype(np.int32),
+                        "z": zs.astype(np.int32),
+                        "value": vals,
+                    }))
+                if frames:
+                    yield pd.concat(frames)
 
-        def extract(key, pdf):
-            r = pdf.iloc[0]
-            if r.x1 is None or (isinstance(r.x1, float) and np.isnan(r.x1)):
-                # unwritten chunk under fill_missing=True: background
-                vals = np.full(len(pdf), bg, dtype=dtype)
-            else:
-                shape = (int(r.x1 - r.x0), int(r.y1 - r.y0),
-                         int(r.z1 - r.z0), nc)
-                raw = codecs.decompress_stream(r.blob, r.compression or None)
-                arr = codecs.decode(raw, r.encoding, shape, dtype,
-                                    params=cparams)
-                xs = pdf["x"].to_numpy() - int(r.x0)
-                ys = pdf["y"].to_numpy() - int(r.y0)
-                zs = pdf["z"].to_numpy() - int(r.z0)
-                vals = arr[xs, ys, zs, channel]
-            if is_float:
-                vals = vals.astype(np.float64)
-            elif vals.dtype == np.uint64:
-                # signed bit pattern through the LongType column;
-                # re-presented unsigned below
-                vals = vals.view(np.int64)
-            else:
-                vals = vals.astype(np.int64)
-            return pd.DataFrame({
-                "x": pdf["x"], "y": pdf["y"], "z": pdf["z"], "value": vals,
-            })
-
-        out = joined.groupBy("x0", "y0", "z0").applyInPandas(
-            extract, out_schema)
-        if not is_float and np.dtype(dtype) == np.dtype("uint64"):
-            out = out.select(
-                "x", "y", "z",
-                F.expr(
-                    "CASE WHEN value < 0 THEN CAST(value AS DECIMAL(20,0)) "
-                    "+ 18446744073709551616 "
-                    "ELSE CAST(value AS DECIMAL(20,0)) END"
-                ).alias("value"),
-            )
-        return out
+        hit = joined.mapInPandas(extract, out_schema)
+        # points whose cell has no chunk row: background under
+        # fill_missing=True (fill=False raised above, so this leg is
+        # provably empty then and unioning it is plan-only)
+        bg_np = np.full(1, bg, dtype=dtype)
+        if is_float:
+            bg_lit = F.lit(float(bg_np[0])).cast("double")
+        elif is_u64:
+            bg_lit = F.lit(int(bg_np.view(np.int64)[0])).cast("long")
+        else:
+            bg_lit = F.lit(int(bg_np.astype(np.int64)[0])).cast("long")
+        bg_rows = (
+            pts_df.join(F.broadcast(chunks.select("cx", "cy", "cz")),
+                        ["cx", "cy", "cz"], "left_anti")
+            .select("x", "y", "z", bg_lit.alias("value"))
+        )
+        return present(hit.unionByName(bg_rows))
 
     # ------------------------------------------------------------------
     # aggregations (reference rx.unique, frontends.unique)

@@ -254,3 +254,29 @@ def test_resolve_column_reresolve_and_unsigned_mapping(spark, tmp_path):
     assert out.tolist() == [[100, 200]]
     kept = codecs.mask_except(arr, [big_signed])
     assert kept.tolist() == [[0, big]]
+
+
+def test_codec_unregistered_layer_raises_not_null(spark):
+    """pack/unpack on a layer with no spatial_bit_masks entry must
+    raise like pack_py/_layout — a silent NULL label would drop rows
+    from downstream joins and could be persisted by a write path."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cloud_volume_spark.graphene import GrapheneLabelCodec
+
+    codec = GrapheneLabelCodec(
+        layer_bits=8, spatial_bits_per_layer={1: 10, 2: 10})
+    df = spark.createDataFrame(
+        [(3, 1, 1, 1, 7)], schema="layer int, x int, y int, z int, segid long"
+    )
+    with pytest.raises(Exception, match="unregistered layer"):
+        df.select(codec.pack(F.col("layer"), F.col("x"), F.col("y"),
+                             F.col("z"), F.col("segid")).alias("label")
+                  ).collect()
+    with pytest.raises(ValueError, match="no spatial_bit_masks"):
+        codec.pack_py(3, 1, 1, 1, 7)
+    # unpack of a label carrying an unregistered layer raises too
+    bad = spark.createDataFrame([( (3 << 56) | 5,)], schema="label long")
+    with pytest.raises(Exception, match="unregistered"):
+        bad.select(*[v.alias(k) for k, v in
+                     codec.unpack(F.col("label")).items()]).collect()

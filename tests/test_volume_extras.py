@@ -2414,3 +2414,32 @@ def test_corrupt_fragment_raises_not_background(spark, tmp_path):
         f.write(b"not parquet at all")
     with pytest.raises(IOError):
         vol.cutout(Bbox((0, 0, 0), (16, 16, 16)))
+
+def test_download_points_empty_list(spark, rng, tmp_path):
+    """An empty point list returns an empty (x,y,z,value) frame, not a
+    min()-over-nothing ValueError."""
+    arr = rng.integers(0, 9, (16, 16, 16, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "ept"),
+                            chunk_size=(16, 16, 16))
+    out = vol.download_points([])
+    assert out.columns == ["x", "y", "z", "value"]
+    assert out.count() == 0
+
+
+def test_download_points_diagonal_exact_pruning(spark, rng, tmp_path):
+    """Points along the grid diagonal: the per-axis IN-list pruning
+    admits the CROSS PRODUCT of the cell coordinates, so correctness
+    (and the no-driver-collect plan) must come from the exact cell-set
+    join. Many points in ONE chunk also exercises the one-blob-per-
+    chunk grouping."""
+    arr = rng.integers(0, 1 << 30, (64, 64, 64, 1)).astype(np.uint32)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "dpt"),
+                            chunk_size=(16, 16, 16))
+    diag = [(i, i, i) for i in range(0, 64, 7)]          # spans 4^3 cells
+    dense = [(1, 2, z) for z in range(16)]               # one chunk, 16 pts
+    pts = diag + dense
+    got = {(r.x, r.y, r.z): int(r.value)
+           for r in vol.download_points(pts).collect()}
+    assert len(got) == len(set(pts))
+    for p in pts:
+        assert got[p] == int(arr[p[0], p[1], p[2], 0]), p
