@@ -19,6 +19,8 @@ from cloud_volume_spark.streaming.windowed import (  # noqa: F401
     streaming_exact_dedup,
     streaming_incremental_dedup,
     streaming_quality_filter,
+    streaming_funnel,
     streaming_label_envelope,
+    streaming_pii_redact,
     windowed_event_counts,
 )

@@ -10,7 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 def _events_schema(ts_type) -> StructType:
@@ -342,3 +343,110 @@ def streaming_contamination(docs_stream: DataFrame,
         .select("doc_id")
         .dropDuplicates(["doc_id"])
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming conversion funnel (custom stateful operator)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STATE_SCHEMA = StructType([
+    # stage timestamps in MICROSECONDS (comparisons at full precision;
+    # the floor-to-seconds happens only at the output edge, mirroring
+    # relational.events_funnel)
+    StructField("view_us", LongType(), True),
+    StructField("click_us", LongType(), True),
+    StructField("purchase_us", LongType(), True),
+])
+
+FUNNEL_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), True),
+    StructField("view_epoch", LongType(), True),
+    StructField("click_epoch", LongType(), True),
+    StructField("purchase_epoch", LongType(), True),
+    StructField("funnel_depth", IntegerType(), True),
+])
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Incrementally maintained conversion funnel — the streaming
+    counterpart of ``relational.events_funnel``: per user, first view,
+    first click at-or-after that view, first purchase at-or-after that
+    click. A per-user three-slot state machine via
+    ``applyInPandasWithState`` (the stage DEPENDENCY is why this isn't
+    a windowed aggregation: a click only counts once the view slot is
+    filled, state outlives any window).
+
+    Equals the batch operator when each user's events arrive in
+    non-decreasing ``ts`` order ACROSS micro-batches (rows within a
+    micro-batch are sorted here, so intra-batch disorder is fine) —
+    the usual contract for a log-ordered feed. A stream cannot
+    retroactively admit an earlier click when an even-earlier view
+    arrives late, because that would require retaining every
+    non-qualifying click forever (unbounded state).
+
+    ``events``: streaming DataFrame with at least
+    (ts timestamp, user_id long, event_type string).
+    Output mode: update — one row per user per micro-batch that
+    touched it; the latest emission per user is the current funnel.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.exists:
+            v, c, p = state.get
+        else:
+            v = c = p = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts")
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                us = ts.value // 1000  # pd.Timestamp.value is ns
+                if et == "view":
+                    if v is None:
+                        v = us
+                elif et == "click":
+                    if v is not None and c is None and us >= v:
+                        c = us
+                elif et == "purchase":
+                    if c is not None and p is None and us >= c:
+                        p = us
+        state.update((v, c, p))
+        if v is None:
+            # no view yet: the batch funnel has no row for this user
+            return
+        depth = 1 + (c is not None) + (p is not None)
+        yield pd.DataFrame({
+            "user_id": [int(key[0])],
+            "view_epoch": [v // 1_000_000],
+            "click_epoch": [None if c is None else c // 1_000_000],
+            "purchase_epoch": [None if p is None else p // 1_000_000],
+            "funnel_depth": [depth],
+        })
+
+    return (
+        events.select("ts", "user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming PII redaction
+# ---------------------------------------------------------------------------
+
+def streaming_pii_redact(docs: DataFrame) -> DataFrame:
+    """On-ingest PII scrubbing: the exact plan fragment of
+    ``corpus.pii_redact`` applied to a document stream — stateless
+    map-only regexp work, so no watermark and no streaming state at
+    all; every micro-batch is independently correct (tested
+    availableNow ≡ batch)."""
+    from cloud_volume_spark.operators.corpus import pii_redact
+
+    return pii_redact(docs)

@@ -321,3 +321,128 @@ def test_streaming_contamination_matches_batch(spark, sf_dir, tmp_path):
     batch = corpus_contamination(spark, sf_dir).toPandas()
     want = set(batch[batch["contaminated"] == 1]["doc_id"])
     assert got == want and len(want) > 0
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Per-user stateful funnel over a time-ordered two-batch feed must
+    converge to the batch events_funnel result (update mode: last
+    emission per user wins)."""
+    import pandas as pd
+
+    from cloud_volume_spark.operators.relational import events_funnel
+    from cloud_volume_spark.streaming import streaming_funnel
+
+    events = load(spark, sf_dir, "events")
+    n = events.count()
+    mid_ts = (events.select("ts").orderBy("ts").limit(n // 2)
+              .agg(F.max("ts")).collect()[0][0])
+    d = tmp_path / "funnel_feed"
+    d.mkdir()
+    # ts-ordered across batches: every user's early events land in b0
+    (events.where(F.col("ts") <= F.lit(mid_ts))
+     .coalesce(1).write.parquet(str(d / "b0")))
+    (events.where(F.col("ts") > F.lit(mid_ts))
+     .coalesce(1).write.parquet(str(d / "b1")))
+
+    ts_type = events.schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream
+        .schema(f"event_id long, ts {ts_type}, user_id long, "
+                "event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory").queryName("sfunnel")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from sfunnel").toPandas()
+        .groupby("user_id").last().reset_index()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    batch = (
+        events_funnel(spark, sf_dir).toPandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert list(got["user_id"]) == list(batch["user_id"])
+    for col in ["view_epoch", "click_epoch", "purchase_epoch",
+                "funnel_depth"]:
+        pd.testing.assert_series_equal(
+            got[col].astype("float64"), batch[col].astype("float64"),
+            check_names=False), col
+
+
+def test_streaming_funnel_intra_batch_disorder(spark, tmp_path):
+    """Rows arriving out of ts order WITHIN a micro-batch are sorted
+    before the state machine runs: a (purchase, click, view) file still
+    yields a depth-3 funnel."""
+    import pandas as pd
+
+    from cloud_volume_spark.streaming import streaming_funnel
+
+    rows = [  # reverse stage order in the file
+        (3, "2024-01-01 00:30:00", 7, "purchase", 0.0, "{}"),
+        (2, "2024-01-01 00:20:00", 7, "click", 0.0, "{}"),
+        (1, "2024-01-01 00:10:00", 7, "view", 0.0, "{}"),
+    ]
+    d = tmp_path / "disorder"
+    d.mkdir()
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(str(d / "b0"))
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory").queryName("sfunnel2")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sfunnel2").toPandas()
+    assert len(got) == 1
+    assert int(got["funnel_depth"].iloc[0]) == 3
+
+
+def test_streaming_pii_redact_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless streaming redaction emits exactly the batch rows."""
+    import pandas as pd
+
+    from cloud_volume_spark.operators.corpus import doc_pii_redact
+    from cloud_volume_spark.streaming import (
+        read_documents_stream, streaming_pii_redact,
+    )
+
+    d = tmp_path / "docs_pii_stream"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(str(d), "part-0.parquet"),
+    )
+    stream = streaming_pii_redact(read_documents_stream(spark, str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("spii")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from spii").toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    batch = (
+        doc_pii_redact(spark, sf_dir).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
