@@ -140,13 +140,19 @@ class GrapheneLabelCodec:
             cond = layer.cast("long") == lv
             expr = F.when(cond, branch) if expr is None else (
                 expr.when(cond, branch))
-        # unregistered layer: raise, don't emit NULL — a NULL label
-        # silently drops out of downstream equi-joins/groupBys and can
-        # be persisted by a write path; pack_py raises for the same
-        # input and the Spark path must mirror it
-        return expr.otherwise(F.raise_error(F.concat(
-            F.lit("graphene pack: unregistered layer "),
-            layer.cast("string"))))
+        # NULL layer input propagates NULL (SQL semantics — e.g. the
+        # unmatched side of an outer join feeding the codec); a NON-NULL
+        # unregistered layer raises like pack_py's ValueError — a NULL
+        # label for it would silently drop from downstream equi-joins/
+        # groupBys and could be persisted by a write path. concat_ws,
+        # not concat: concat would NULL the whole diagnostic if the
+        # cast ever returned NULL.
+        return (
+            F.when(layer.isNull(), F.lit(None).cast("long"))
+            .otherwise(expr.otherwise(F.raise_error(F.concat_ws(
+                " ", F.lit("graphene pack: unregistered layer"),
+                layer.cast("string")))))
+        )
 
     def unpack(self, label: Column) -> dict:
         """Decode with ``shiftrightunsigned`` throughout: labels whose
@@ -185,11 +191,17 @@ class GrapheneLabelCodec:
                     cond = layer_col == lv
                     expr = F.when(cond, branch) if expr is None else (
                         expr.when(cond, branch))
-                # unregistered layer in the DATA is corruption: raise
-                # like unpack_py (via _layout), don't emit NULL fields
-                out[key] = expr.otherwise(F.raise_error(F.concat(
-                    F.lit("graphene unpack: label has unregistered "
-                          "layer "), layer_col.cast("string"))))
+                # NULL label propagates NULL fields (SQL semantics); a
+                # non-NULL label carrying an unregistered layer is
+                # corruption in the DATA: raise like unpack_py (via
+                # _layout), don't emit NULL fields
+                out[key] = (
+                    F.when(label.isNull(), F.lit(None).cast("long"))
+                    .otherwise(expr.otherwise(F.raise_error(F.concat_ws(
+                        " ",
+                        F.lit("graphene unpack: label has unregistered"
+                              " layer"), layer_col.cast("string")))))
+                )
         out["layer"] = layer_col
         return {k: out[k] for k in ("layer", "x", "y", "z", "segid")}
 

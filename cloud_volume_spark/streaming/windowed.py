@@ -377,29 +377,42 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
     filled, state outlives any window).
 
     Equals the batch operator when each user's events arrive in
-    non-decreasing ``ts`` order ACROSS micro-batches (rows within a
-    micro-batch are sorted here, so intra-batch disorder is fine) —
-    the usual contract for a log-ordered feed. A stream cannot
+    non-decreasing ``ts`` order ACROSS micro-batches (a micro-batch's
+    rows are concatenated across arrow chunks and sorted ONCE here —
+    per-chunk sorting would mis-order disorder that spans the
+    arrow-batch boundary — so intra-batch disorder is fine) — the
+    usual contract for a log-ordered feed. A stream cannot
     retroactively admit an earlier click when an even-earlier view
     arrives late, because that would require retaining every
     non-qualifying click forever (unbounded state).
 
     ``events``: streaming DataFrame with at least
-    (ts timestamp, user_id long, event_type string).
+    (ts timestamp, user_id long, event_type string). NULL-``ts`` rows
+    are dropped (the batch operator's MIN/>= comparisons skip them).
     Output mode: update — one row per user per micro-batch that
     touched it; the latest emission per user is the current funnel.
     """
     import pandas as pd
+
+    # equal-timestamp stage ties must resolve view -> click -> purchase:
+    # batch's `click_ts >= view_ts` admits a click AT the first-view
+    # instant, so the view must be applied to state first (and sorting
+    # by ts alone is unstable — the tie order would be nondeterministic)
+    _STAGE_RANK = {"view": 0, "click": 1, "purchase": 2}
 
     def update(key, pdfs, state):
         if state.exists:
             v, c, p = state.get
         else:
             v = c = p = None
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("ts")
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # ONE concat+sort over the whole micro-batch: the arrow
+            # chunk iterator carries no cross-chunk ordering
+            pdf = pd.concat(chunks).dropna(subset=["ts"])
+            pdf = pdf.assign(
+                _rank=pdf["event_type"].map(_STAGE_RANK)
+            ).sort_values(["ts", "_rank"], kind="stable")
             for ts, et in zip(pdf["ts"], pdf["event_type"]):
                 us = ts.value // 1000  # pd.Timestamp.value is ns
                 if et == "view":

@@ -3181,7 +3181,7 @@ class Volume:
             # the anti-join bounded; the probe projects cell coords only,
             # so its scan never reads the blob column)
             missing = (
-                pts_df.select("cx", "cy", "cz").distinct()
+                cells_df
                 .join(chunks.select("cx", "cy", "cz"),
                       ["cx", "cy", "cz"], "left_anti")
                 .limit(1).count()
@@ -3233,9 +3233,12 @@ class Volume:
                     yield pd.concat(frames)
 
         hit = joined.mapInPandas(extract, out_schema)
-        # points whose cell has no chunk row: background under
-        # fill_missing=True (fill=False raised above, so this leg is
-        # provably empty then and unioning it is plan-only)
+        if not fill:
+            # the eager probe above proved no cell is missing — the
+            # background leg would execute a second pruned scan +
+            # anti-join just to produce zero rows, so skip it entirely
+            return present(hit)
+        # points whose cell has no chunk row: background fill
         bg_np = np.full(1, bg, dtype=dtype)
         if is_float:
             bg_lit = F.lit(float(bg_np[0])).cast("double")

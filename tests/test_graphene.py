@@ -280,3 +280,29 @@ def test_codec_unregistered_layer_raises_not_null(spark):
     with pytest.raises(Exception, match="unregistered"):
         bad.select(*[v.alias(k) for k, v in
                      codec.unpack(F.col("label")).items()]).collect()
+
+
+def test_codec_null_inputs_propagate_null(spark):
+    """NULL layer (pack) / NULL label (unpack) propagate NULL per SQL
+    semantics — e.g. the unmatched side of an outer join feeding the
+    codec — instead of tripping the unregistered-layer raise."""
+    from cloud_volume_spark.graphene import GrapheneLabelCodec
+
+    codec = GrapheneLabelCodec(
+        layer_bits=8, spatial_bits_per_layer={1: 10, 2: 10})
+    df = spark.createDataFrame(
+        [(None, 1, 1, 1, 7), (1, 2, 3, 4, 5)],
+        schema="layer int, x int, y int, z int, segid long")
+    out = df.select(codec.pack(
+        F.col("layer"), F.col("x"), F.col("y"), F.col("z"),
+        F.col("segid")).alias("label")).collect()
+    labels = sorted((r.label is None) for r in out)
+    assert labels == [False, True]
+
+    bad = spark.createDataFrame(
+        [(None,), (codec.pack_py(1, 2, 3, 4, 5),)], schema="label long")
+    rows = bad.select(*[v.alias(k) for k, v in
+                        codec.unpack(F.col("label")).items()]).collect()
+    by_null = {r.x is None: r for r in rows}
+    assert by_null[True].segid is None and by_null[True].y is None
+    assert by_null[False].segid == 5

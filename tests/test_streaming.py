@@ -446,3 +446,94 @@ def test_streaming_pii_redact_matches_batch(spark, sf_dir, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, batch)
+
+
+def test_streaming_funnel_disorder_across_arrow_chunks(spark, tmp_path):
+    """Intra-batch disorder that SPANS the arrow-chunk boundary must
+    still be sorted as one micro-batch: with 2-row arrow chunks, a file
+    ordered (click, purchase, view) puts the view in a later chunk than
+    the clicks — per-chunk sorting would reject them forever."""
+    from cloud_volume_spark.streaming import streaming_funnel
+
+    rows = [
+        (1, "2024-01-01 00:20:00", 7, "click", 0.0, "{}"),
+        (2, "2024-01-01 00:30:00", 7, "purchase", 0.0, "{}"),
+        (3, "2024-01-01 00:10:00", 7, "view", 0.0, "{}"),
+    ]
+    d = tmp_path / "chunk_disorder"
+    d.mkdir()
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(str(d / "b0"))
+
+    prior = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream
+            .schema("event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string")
+            .parquet(str(d) + "/*")
+        )
+        q = (
+            streaming_funnel(stream)
+            .writeStream.format("memory").queryName("sfunnel3")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prior)
+    got = spark.sql("select * from sfunnel3").toPandas()
+    assert len(got) == 1
+    assert int(got["funnel_depth"].iloc[0]) == 3
+
+
+def test_streaming_funnel_equal_ts_ties_and_null_ts(spark, tmp_path):
+    """Batch's >= comparisons admit a click AT the first-view instant
+    and a purchase AT that click instant — the streaming sort must
+    apply view before click before purchase on ties regardless of file
+    order. NULL-ts rows are ignored like batch MIN/>= semantics."""
+    from cloud_volume_spark.streaming import streaming_funnel
+
+    rows = [
+        # user 7: all three stages at the SAME instant, purchase first
+        (1, "2024-01-01 00:10:00", 7, "purchase", 0.0, "{}"),
+        (2, "2024-01-01 00:10:00", 7, "click", 0.0, "{}"),
+        (3, "2024-01-01 00:10:00", 7, "view", 0.0, "{}"),
+        # user 8: only a NULL-ts view -> no funnel row at all
+        (4, None, 8, "view", 0.0, "{}"),
+        # user 9: NULL-ts view ignored; real view later; click before it
+        (5, None, 9, "view", 0.0, "{}"),
+        (6, "2024-01-01 00:05:00", 9, "click", 0.0, "{}"),
+        (7, "2024-01-01 00:10:00", 9, "view", 0.0, "{}"),
+    ]
+    d = tmp_path / "tie_null"
+    d.mkdir()
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(str(d / "b0"))
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory").queryName("sfunnel4")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {int(r.user_id): r
+           for _, r in spark.sql("select * from sfunnel4")
+           .toPandas().iterrows()}
+    assert set(got) == {7, 9}
+    assert int(got[7]["funnel_depth"]) == 3
+    # user 9: pre-view click never qualifies; depth stays 1
+    assert int(got[9]["funnel_depth"]) == 1
