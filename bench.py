@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "events_asof_latest_order",
     "events_funnel",
     "event_props_extract",
+    "events_cohort_retention",
     "vox_unique_bbox",
     "vox_label_histogram",
     "vox_label_envelope",

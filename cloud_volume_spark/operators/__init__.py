@@ -18,11 +18,12 @@ from cloud_volume_spark import multimodal
 # ROUND-10 ROTATION (executing the round-9 note): `relational` and the
 # `curation` tail (doc_perplexity, corpus_shuffle — the only two queries
 # without an r9 driver row) return to the front.  Round 10 also ADDS
-# three queries (events_funnel, event_props_extract → relational;
-# doc_pii_redact → corpus), bringing the registry to 75; the window =
-# relational(22) + curation(8) + corpus(9) + multimodal(5) +
-# similarity(first 6) = exactly 50, so every NEW query gets an r10
-# driver row; out-of-window = similarity's tail(2: ivf_ann_topk,
+# four queries (events_funnel, event_props_extract,
+# events_cohort_retention → relational; doc_pii_redact → corpus),
+# bringing the registry to 76; the window = relational(23) +
+# curation(8) + corpus(9) + multimodal(5) + similarity(first 5) =
+# exactly 50, so every NEW query gets an r10 driver row;
+# out-of-window = similarity's tail(3: srp_ann_topk, ivf_ann_topk,
 # embedding_kmeans), text(7), voxel_rel(9), dedup(7) — all green in
 # CORRECTNESS_r09, so the r9∪r10 union keeps every registered query on
 # a fresh-within-two-rounds driver row.  ROUND-11 ROTATION: voxel_rel +

@@ -1071,6 +1071,47 @@ FROM extracted GROUP BY event_type
 """
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users cohorted by the epoch-week of
+    their first event; for each (cohort_week, week_offset), how many of
+    that cohort were active offset weeks later. Two partial-aggregating
+    shuffles (per-user first event; distinct user-weeks) plus a join
+    against the per-user cohort map — user-level aggregates, so AQE
+    broadcasts while small and co-partitions beyond. Epoch-weeks are
+    floor(whole-second epoch / 604800) in BOTH engines — all-integer,
+    so parity is exact."""
+    events = load(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    cohorts = (
+        events.groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = events.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(cohorts, "user_id")
+        .groupBy("cohort_week",
+                 (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH weeks AS (
+    SELECT user_id,
+           FLOOR(FLOOR(EPOCH(ts)) / 604800)::BIGINT AS week
+    FROM events
+), cohorts AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, week FROM weeks
+)
+SELECT cohort_week, (week - cohort_week) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN cohorts c USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1078,6 +1119,7 @@ QUERIES.update({
     "customers_without_orders": customers_without_orders,
     "events_funnel": events_funnel,
     "event_props_extract": event_props_extract,
+    "events_cohort_retention": events_cohort_retention,
 })
 
 # the driver's correctness window covers the first 50 registered
@@ -1115,4 +1157,5 @@ ORACLE_SQL.update({
     "event_type_share": EVENT_SHARE_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "event_props_extract": EVENT_PROPS_SQL,
+    "events_cohort_retention": COHORT_RETENTION_SQL,
 })

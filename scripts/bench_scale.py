@@ -110,6 +110,49 @@ def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
             os.symlink(src, dst)
 
 
+EVENT_QUERIES = [
+    "events_funnel",
+    "events_cohort_retention",
+    "event_props_extract",
+    "events_sessionize",
+    "events_running_total",
+]
+
+
+def make_scaled_events(spark, src_dir: str, out_dir: str,
+                       replicas: int) -> None:
+    """Replicate the events table with per-replica user_id/event_id
+    offsets: users are DISJOINT across replicas, so the per-user state
+    and aggregation cardinality the event operators shuffle on grows
+    linearly with the data — naive replication would instead deepen
+    every user's history 10x (denser per-key groups, same key count),
+    a different workload than more users."""
+    from pyspark.sql import functions as F
+
+    from cloud_volume_spark.operators.common import load
+
+    ev = load(spark, src_dir, "events")  # handles TIMESTAMP(NANOS)
+    parts = []
+    for r in range(replicas):
+        parts.append(ev.select(
+            (F.col("event_id") + F.lit(r * 10 ** 12)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(r * 10 ** 9)).alias("user_id"),
+            "event_type", "value", "props",
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        src = f"{src_dir}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+
+
 def bench_volume_scale(spark, zs=(100, 200, 400)) -> dict:
     """Write → read → unique → downsample a segmentation volume at
     increasing z-extent (constant chunk size, so slab/manifest counts
@@ -250,6 +293,11 @@ if __name__ == "__main__":
     ap.add_argument("--volume", action="store_true",
                     help="run the volumetric scale leg instead of the "
                          "query leg")
+    ap.add_argument("--events", action="store_true",
+                    help="run the EVENT-operator scale leg (funnel/"
+                         "json/sessionize/running-total over a "
+                         "disjoint-user replicated events table)")
+    ap.add_argument("--events-dir", default="/tmp/cvs_events_synth")
     ap.add_argument("--zs", default="100,200,400",
                     help="z extents for --volume (1024x1024xZ uint16)")
     args = ap.parse_args()
@@ -260,6 +308,37 @@ if __name__ == "__main__":
         SPARK = get_spark()
         bench_volume_scale(
             SPARK, zs=tuple(int(z) for z in args.zs.split(",")))
+        sys.exit(0)
+
+    if args.events:
+        from cloud_volume_spark import get_spark
+        from cloud_volume_spark import operators
+
+        SPARK = get_spark()
+        qs = operators.all_queries()
+        marker = f"{args.events_dir}/_SCALE.json"
+        fresh = False
+        if os.path.exists(marker):
+            with open(marker) as f:
+                fresh = json.load(f).get("replicas") == args.replicas
+        if not fresh:
+            import shutil
+            shutil.rmtree(args.events_dir, ignore_errors=True)
+            t0 = time.monotonic()
+            make_scaled_events(SPARK, SF01, args.events_dir, args.replicas)
+            with open(marker, "w") as f:
+                json.dump({"replicas": args.replicas, "src": SF01}, f)
+            print(f"# synthesized {args.replicas}x events in "
+                  f"{time.monotonic() - t0:.1f}s", flush=True)
+        base = run(qs, EVENT_QUERIES, SF01)
+        scaled = run(qs, EVENT_QUERIES, args.events_dir)
+        print("\n# query  base_s  scaled_s  time_ratio  rows_ratio  "
+              f"(scale={args.replicas}x)")
+        for name in EVENT_QUERIES:
+            b, s = base[name], scaled[name]
+            print(f"# {name}  {b['sec']}  {s['sec']}  "
+                  f"{round(s['sec'] / max(b['sec'], 1e-9), 2)}  "
+                  f"{round(s['rows'] / max(b['rows'], 1), 2)}")
         sys.exit(0)
 
     # the vowel-rotation decorrelation has period len(VOWS): replica 10

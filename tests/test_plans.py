@@ -404,3 +404,13 @@ def test_pii_redact_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_cohort_retention_plan_shape(spark, sf_dir):
+    """Cohort retention is two partial-aggregating shuffles plus a
+    user-level equi-join — no product, no window."""
+    plan = _plan(all_queries()["events_cohort_retention"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan
