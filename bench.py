@@ -562,47 +562,60 @@ def main() -> None:
     print("FULL " + json.dumps(full))
 
     # Final line: the driver's contract (metric/value/unit/queries/sf),
-    # kept under the 2,000-char tail with a hard guard that drops the
-    # optional blocks (never the contract fields) if it ever grows.
-    compact = {
-        "metric": "steady_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in times.items()},
-        "sf": full["sf"],
-        # single flat block (r9): the five nested blocks of r8 cost
-        # ~8 chars of wrapper each; merging them bought the ~32 chars
-        # needed to add vox_changes_feed + embedding_quantize_int8 to
-        # BENCH_QUERIES without dropping the annotation numbers.
-        # vw/vr = volume write/read MB/s, sw/sr/su = seg write/read
-        # MB/s + unique sec, ib/im = spatial-index build sec / MB,
-        # ae/aq = annotation export / bbox-query sec, l1/cp = load1 /
-        # cpu-probe sec. Full names live in BENCH_FULL.json / FULL line.
-        "b": {
-            "vw": round(vol_stats["write_mbps"]),
-            "vr": round(vol_stats["read_mbps"]),
-            "sw": round(seg_stats["write_mbps"]),
-            "sr": round(seg_stats["read_mbps"]),
-            "su": round(seg_stats["unique_sec"], 2),
-            "ib": round(spatial_stats["build_sec"], 2),
-            "im": round(spatial_stats["index_mb"]),
-            "ae": round(anno_stats["export_sec"], 2),
-            "aq": round(anno_stats["bbox_query_sec"], 2),
-            "l1": env["load1"],
-            "cp": round(env["cpu_probe_sec"], 2),
-        },
-    }
-    # 1985 leaves >= 14 chars of margin inside the driver's 2,000-char
-    # tail (line + newline must fit entirely). The guard drops single
-    # flat keys, least-critical first; l1/cp drop LAST — they are what
-    # makes rounds comparable on this noisy shared host.
-    line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("ae", "aq", "ib", "im", "sw", "sr", "su", "vw", "vr",
-                 "l1", "cp"):
-        if len(line) <= 1985:
-            break
-        compact["b"].pop(drop)
-        line = json.dumps(compact, separators=(",", ":"))
+    # kept under the 2,000-char tail. At 75+ queries the old 2-decimal
+    # map alone is ~1,976 chars — the r10 run silently crushed the "b"
+    # block down to {"cp"} (losing l1, the one number that makes rounds
+    # comparable on this noisy shared host). The guard is now a fit
+    # ladder: query seconds at 2 decimals while the l1-bearing line
+    # fits, else 1 decimal (BENCH_FULL.json keeps 3 decimals either
+    # way); the "b" block is built ADDITIVELY most-critical-first —
+    # l1 (load marker), then the four BASELINE.md throughput rows,
+    # then the rest — so growth degrades precision and optional keys,
+    # never the contract fields or the load marker.
+    # vw/vr = volume write/read MB/s, sw/sr/su = seg write/read
+    # MB/s + unique sec, ib/im = spatial-index build sec / MB,
+    # ae/aq = annotation export / bbox-query sec, l1/cp = load1 /
+    # cpu-probe sec. Full names live in BENCH_FULL.json / FULL line.
+    b_priority = [
+        ("l1", env["load1"]),
+        ("vw", round(vol_stats["write_mbps"])),
+        ("vr", round(vol_stats["read_mbps"])),
+        ("sw", round(seg_stats["write_mbps"])),
+        ("sr", round(seg_stats["read_mbps"])),
+        ("su", round(seg_stats["unique_sec"], 2)),
+        ("ib", round(spatial_stats["build_sec"], 2)),
+        ("im", round(spatial_stats["index_mb"])),
+        ("ae", round(anno_stats["export_sec"], 2)),
+        ("aq", round(anno_stats["bbox_query_sec"], 2)),
+        ("cp", round(env["cpu_probe_sec"], 2)),
+    ]
+    BUDGET = 1985  # >= 14 chars of margin inside the 2,000-char tail
+
+    def _fit(ndigits):
+        compact = {
+            "metric": "steady_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, ndigits) for k, v in times.items()},
+            "sf": full["sf"],
+            "b": {},
+        }
+        base = len(json.dumps(compact, separators=(",", ":")))
+        if base + len('"l1":') + len(json.dumps(env["load1"])) > BUDGET:
+            return None  # can't even fit the load marker
+        for k, v in b_priority:
+            compact["b"][k] = v
+            if len(json.dumps(compact, separators=(",", ":"))) > BUDGET:
+                del compact["b"][k]
+        return json.dumps(compact, separators=(",", ":"))
+
+    line = _fit(2) or _fit(1)
+    if line is None:  # contract fields alone exceed the tail: bare line
+        line = json.dumps({
+            "metric": "steady_total_sec", "value": total, "unit": "sec",
+            "queries": {k: round(v, 1) for k, v in times.items()},
+            "sf": full["sf"],
+        }, separators=(",", ":"))
     print(line)
 
 
