@@ -1091,7 +1091,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         active.join(cohorts, "user_id")
         .groupBy("cohort_week",
                  (F.col("week") - F.col("cohort_week")).alias("week_offset"))
-        .agg(F.count_distinct("user_id").alias("n_active"))
+        # plain count, NOT count_distinct: active is already distinct
+        # on (user_id, week) and a user has exactly ONE cohort_week, so
+        # each user contributes at most one row per group — a distinct
+        # aggregate here would add a whole extra shuffle round for an
+        # identical answer
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
 
 
@@ -1106,7 +1111,7 @@ WITH weeks AS (
     SELECT DISTINCT user_id, week FROM weeks
 )
 SELECT cohort_week, (week - cohort_week) AS week_offset,
-       COUNT(DISTINCT a.user_id) AS n_active
+       COUNT(*) AS n_active
 FROM active a JOIN cohorts c USING (user_id)
 GROUP BY cohort_week, week_offset
 """

@@ -51,6 +51,43 @@ DEFAULT_QUERIES = [
 VOWS = "aeiousrtln"
 
 
+
+def symlink_through(src_dir: str, out_dir: str, tables) -> None:
+    """Link the tables these queries don't replicate so query loaders
+    that resolve paths eagerly still find every table."""
+    for t in tables:
+        src = f"{src_dir}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+
+
+def ensure_scaled(spark, src_dir: str, out_dir: str, replicas: int,
+                  builder, what: str) -> None:
+    """Build the scaled dir unless a completion marker proves the same
+    (replicas, src) pair built it: a stale dir from a different
+    --replicas, a DIFFERENT source dataset (SPARK_GRAFT_SF_DIR moved),
+    or a crash between table writes must be rebuilt, not silently
+    reused — cross-dataset base-vs-scaled ratios are meaningless."""
+    marker = f"{out_dir}/_SCALE.json"
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        fresh = (m.get("replicas") == replicas
+                 and m.get("src") == os.path.abspath(src_dir))
+    if not fresh:
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        builder(spark, src_dir, out_dir, replicas)
+        with open(marker, "w") as f:
+            json.dump({"replicas": replicas,
+                       "src": os.path.abspath(src_dir)}, f)
+        print(f"# synthesized {replicas}x {what} in "
+              f"{time.monotonic() - t0:.1f}s", flush=True)
+
+
 def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
     from pyspark.sql import functions as F
 
@@ -100,14 +137,9 @@ def make_scaled(spark, src_dir: str, out_dir: str, replicas: int) -> None:
         f"{out_dir}/documents.parquet")
     out_embs.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet")
-    # the relational tables are not used by these queries but the
-    # query loaders may resolve paths eagerly — symlink them through
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
-        src = f"{src_dir}/{t}.parquet"
-        dst = f"{out_dir}/{t}.parquet"
-        if os.path.exists(src) and not os.path.exists(dst):
-            os.symlink(src, dst)
+    symlink_through(src_dir, out_dir,
+                    ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem", "events"))
 
 
 EVENT_QUERIES = [
@@ -145,12 +177,9 @@ def make_scaled_events(spark, src_dir: str, out_dir: str,
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/events.parquet")
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "documents", "embeddings"):
-        src = f"{src_dir}/{t}.parquet"
-        dst = f"{out_dir}/{t}.parquet"
-        if os.path.exists(src) and not os.path.exists(dst):
-            os.symlink(src, dst)
+    symlink_through(src_dir, out_dir,
+                    ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem", "documents", "embeddings"))
 
 
 def bench_volume_scale(spark, zs=(100, 200, 400)) -> dict:
@@ -316,20 +345,8 @@ if __name__ == "__main__":
 
         SPARK = get_spark()
         qs = operators.all_queries()
-        marker = f"{args.events_dir}/_SCALE.json"
-        fresh = False
-        if os.path.exists(marker):
-            with open(marker) as f:
-                fresh = json.load(f).get("replicas") == args.replicas
-        if not fresh:
-            import shutil
-            shutil.rmtree(args.events_dir, ignore_errors=True)
-            t0 = time.monotonic()
-            make_scaled_events(SPARK, SF01, args.events_dir, args.replicas)
-            with open(marker, "w") as f:
-                json.dump({"replicas": args.replicas, "src": SF01}, f)
-            print(f"# synthesized {args.replicas}x events in "
-                  f"{time.monotonic() - t0:.1f}s", flush=True)
+        ensure_scaled(SPARK, SF01, args.events_dir, args.replicas,
+                      make_scaled_events, "events")
         base = run(qs, EVENT_QUERIES, SF01)
         scaled = run(qs, EVENT_QUERIES, args.events_dir)
         print("\n# query  base_s  scaled_s  time_ratio  rows_ratio  "
@@ -357,23 +374,8 @@ if __name__ == "__main__":
     names = [q for q in args.queries.split(",") if q]
     qs = operators.all_queries()
 
-    # completion marker records the replica count: a stale dir from a
-    # different --replicas (or a crash between the two table writes)
-    # must be rebuilt, not silently reused under the wrong label
-    marker = f"{args.scaled_dir}/_SCALE.json"
-    fresh = False
-    if os.path.exists(marker):
-        with open(marker) as f:
-            fresh = json.load(f).get("replicas") == args.replicas
-    if not fresh:
-        import shutil
-        shutil.rmtree(args.scaled_dir, ignore_errors=True)
-        t0 = time.monotonic()
-        make_scaled(SPARK, SF01, args.scaled_dir, args.replicas)
-        with open(marker, "w") as f:
-            json.dump({"replicas": args.replicas, "src": SF01}, f)
-        print(f"# synthesized {args.replicas}x corpus in "
-              f"{time.monotonic() - t0:.1f}s", flush=True)
+    ensure_scaled(SPARK, SF01, args.scaled_dir, args.replicas,
+                  make_scaled, "corpus")
 
     base = run(qs, names, SF01)
     scaled = run(qs, names, args.scaled_dir)
