@@ -607,6 +607,11 @@ def main() -> None:
             compact["b"][k] = v
             if len(json.dumps(compact, separators=(",", ":"))) > BUDGET:
                 del compact["b"][k]
+        if ndigits > 1 and len(compact["b"]) < 5:
+            # 2-decimal seconds squeezed out the BASELINE throughput
+            # rows (l1+vw+vr+sw+sr are the cross-round signal): prefer
+            # the 1-decimal rung, which fits all of them
+            return None
         return json.dumps(compact, separators=(",", ":"))
 
     line = _fit(2) or _fit(1)
