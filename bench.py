@@ -458,6 +458,64 @@ def bench_point_read(spark) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+
+TAIL_BUDGET = 1985  # >= 14 chars of margin inside the 2,000-char tail
+
+
+def fit_tail_line(times, total, sf, b_priority, budget=None):
+    """Build the driver-facing final JSON line under the stdout-tail
+    budget. Ladder: 2-decimal query seconds IF the five cross-round
+    signal keys (l1 + the four BASELINE throughput rows) still fit,
+    else 1 decimal; extras added most-critical-first; terminal rung
+    sheds the FASTEST query rows (slow ones are the informative ones)
+    with a qdropped count rather than ever printing an unparseable
+    over-budget line. Unit-tested in tests/test_bench_tail.py."""
+    budget = TAIL_BUDGET if budget is None else budget
+    l1 = dict(b_priority).get("l1", 0)
+
+    def _fit(ndigits):
+        compact = {
+            "metric": "steady_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, ndigits) for k, v in times.items()},
+            "sf": sf,
+            "b": {},
+        }
+        base = len(json.dumps(compact, separators=(",", ":")))
+        if base + len('"l1":') + len(json.dumps(l1)) > budget:
+            return None  # can't even fit the load marker
+        for k, v in b_priority:
+            compact["b"][k] = v
+            if len(json.dumps(compact, separators=(",", ":"))) > budget:
+                del compact["b"][k]
+        if ndigits > 1 and len(compact["b"]) < 5:
+            # 2-decimal seconds squeezed out the BASELINE throughput
+            # rows (l1+vw+vr+sw+sr are the cross-round signal): prefer
+            # the 1-decimal rung, which fits all of them
+            return None
+        return json.dumps(compact, separators=(",", ":"))
+
+    line = _fit(2) or _fit(1)
+    if line is None:
+        kept = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+        compact = {
+            "metric": "steady_total_sec", "value": total, "unit": "sec",
+            "queries": {k: round(v, 1) for k, v in kept.items()},
+            "sf": sf, "qdropped": 0,
+            "b": {"l1": l1},
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        names_fast_first = sorted(times, key=lambda k: times[k])
+        i = 0
+        while len(line) > budget and i < len(names_fast_first):
+            del compact["queries"][names_fast_first[i]]
+            compact["qdropped"] += 1
+            i += 1
+            line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     from cloud_volume_spark.session import get_spark
 
@@ -589,54 +647,7 @@ def main() -> None:
         ("aq", round(anno_stats["bbox_query_sec"], 2)),
         ("cp", round(env["cpu_probe_sec"], 2)),
     ]
-    BUDGET = 1985  # >= 14 chars of margin inside the 2,000-char tail
-
-    def _fit(ndigits):
-        compact = {
-            "metric": "steady_total_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": {k: round(v, ndigits) for k, v in times.items()},
-            "sf": full["sf"],
-            "b": {},
-        }
-        base = len(json.dumps(compact, separators=(",", ":")))
-        if base + len('"l1":') + len(json.dumps(env["load1"])) > BUDGET:
-            return None  # can't even fit the load marker
-        for k, v in b_priority:
-            compact["b"][k] = v
-            if len(json.dumps(compact, separators=(",", ":"))) > BUDGET:
-                del compact["b"][k]
-        if ndigits > 1 and len(compact["b"]) < 5:
-            # 2-decimal seconds squeezed out the BASELINE throughput
-            # rows (l1+vw+vr+sw+sr are the cross-round signal): prefer
-            # the 1-decimal rung, which fits all of them
-            return None
-        return json.dumps(compact, separators=(",", ":"))
-
-    line = _fit(2) or _fit(1)
-    if line is None:
-        # even the 1-decimal contract exceeds the tail (would take
-        # ~130 registered queries): keep the line PARSEABLE by shedding
-        # the FASTEST query rows — the slow ones are the informative
-        # ones — and say how many were dropped; full data is in
-        # BENCH_FULL.json either way
-        kept = dict(sorted(times.items(), key=lambda kv: -kv[1]))
-        compact = {
-            "metric": "steady_total_sec", "value": total, "unit": "sec",
-            "queries": {k: round(v, 1) for k, v in kept.items()},
-            "sf": full["sf"], "qdropped": 0,
-            "b": {"l1": env["load1"]},
-        }
-        line = json.dumps(compact, separators=(",", ":"))
-        names_fast_first = sorted(times, key=lambda k: times[k])
-        i = 0
-        while len(line) > BUDGET and i < len(names_fast_first):
-            del compact["queries"][names_fast_first[i]]
-            compact["qdropped"] += 1
-            i += 1
-            line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(fit_tail_line(times, total, full["sf"], b_priority))
 
 
 if __name__ == "__main__":
