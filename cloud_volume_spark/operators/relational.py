@@ -951,53 +951,57 @@ FROM (
 # 100 TB that the reference engine has no analog for
 # ---------------------------------------------------------------------------
 
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel (view → click → purchase): for each
-    user, the first view, the first click AT OR AFTER that view, and
-    the first purchase at or after that click — the sequential
-    dependency that makes funnels harder than three independent mins.
+def funnel(events: DataFrame, stages: Sequence[str],
+           key: str = "user_id", ts: str = "ts",
+           stage_col: str = "event_type") -> DataFrame:
+    """General N-stage ordered funnel: for each key, the first stage-0
+    event, then for each later stage the first event at-or-after the
+    previous stage's chosen instant — the sequential dependency that
+    makes funnels harder than N independent mins. Returns one row per
+    key that reached stage 0, with ``<stage>_epoch`` (floored seconds,
+    NULL when unreached) per stage and ``funnel_depth``.
 
-    Scale shape: three groupBy(user_id) partial aggregations over the
+    Scale shape: N groupBy(key) partial aggregations over the
     (filtered) event stream; each later stage joins events against a
-    PER-USER aggregate (one row per converting user — orders of
+    PER-KEY aggregate (one row per converting key — orders of
     magnitude smaller than the event log), so AQE broadcasts it while
     it fits and falls back to a co-partitioned shuffle join beyond.
-    Raw-timestamp comparisons (microsecond exact in both engines);
-    epochs floored only at the output edge, per the module convention."""
-    events = load(spark, sf_dir, "events")
-    views = (
-        events.where(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("view_ts"))
+    Raw-timestamp comparisons (microsecond exact); epochs floored only
+    at the output edge, per the module convention."""
+    if not stages:
+        raise ValueError("funnel: need at least one stage")
+    reached = (
+        events.where(F.col(stage_col) == stages[0])
+        .groupBy(key).agg(F.min(ts).alias(f"{stages[0]}_ts"))
     )
-    clicks = (
-        events.where(F.col("event_type") == "click")
-        .select("user_id", F.col("ts").alias("c_ts"))
-        .join(views, "user_id")
-        .where(F.col("c_ts") >= F.col("view_ts"))
-        .groupBy("user_id").agg(F.min("c_ts").alias("click_ts"))
-    )
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select("user_id", F.col("ts").alias("p_ts"))
-        .join(clicks, "user_id")
-        .where(F.col("p_ts") >= F.col("click_ts"))
-        .groupBy("user_id").agg(F.min("p_ts").alias("purchase_ts"))
-    )
-    return (
-        views.join(clicks, "user_id", "left")
-        .join(purchases, "user_id", "left")
-        .select(
-            "user_id",
-            F.unix_timestamp("view_ts").alias("view_epoch"),
-            F.unix_timestamp("click_ts").alias("click_epoch"),
-            F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
-            (
-                F.lit(1)
-                + F.col("click_ts").isNotNull().cast("int")
-                + F.col("purchase_ts").isNotNull().cast("int")
-            ).alias("funnel_depth"),
+    per_stage = [reached]
+    for prev, stage in zip(stages, stages[1:]):
+        reached = (
+            events.where(F.col(stage_col) == stage)
+            .select(key, F.col(ts).alias("_ts"))
+            .join(per_stage[-1].select(key, f"{prev}_ts"), key)
+            .where(F.col("_ts") >= F.col(f"{prev}_ts"))
+            .groupBy(key).agg(F.min("_ts").alias(f"{stage}_ts"))
         )
+        per_stage.append(reached)
+    out = per_stage[0]
+    for nxt in per_stage[1:]:
+        out = out.join(nxt, key, "left")
+    depth = F.lit(1)
+    for stage in stages[1:]:
+        depth = depth + F.col(f"{stage}_ts").isNotNull().cast("int")
+    return out.select(
+        key,
+        *[F.unix_timestamp(f"{s}_ts").alias(f"{s}_epoch") for s in stages],
+        depth.alias("funnel_depth"),
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase over the events table — the registered
+    3-stage instance of :func:`funnel` (see it for the scale notes)."""
+    return funnel(load(spark, sf_dir, "events"),
+                  ("view", "click", "purchase"))
 
 
 EVENTS_FUNNEL_SQL = """

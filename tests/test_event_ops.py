@@ -112,3 +112,30 @@ def test_pii_redact_planted_spans(spark):
     expected3 = "ids <NUMBER> and <NUMBER> appear"
     assert got[3]["redacted_md5"] == hashlib.md5(
         expected3.encode()).hexdigest()
+
+
+def test_funnel_generalizes_to_n_stages(spark, tmp_path):
+    """The N-stage core: a 4-stage funnel enforces the same
+    at-or-after chain at every hop, with per-stage epochs and depth."""
+    from cloud_volume_spark.operators.relational import funnel
+
+    rows = [
+        # user 1 completes all four stages in order
+        (1, _ts(5), 1, "signup", 0.0, "{}"),
+        (2, _ts(10), 1, "view", 0.0, "{}"),
+        (3, _ts(20), 1, "click", 0.0, "{}"),
+        (4, _ts(30), 1, "purchase", 0.0, "{}"),
+        # user 2 skips click: purchase cannot attach
+        (5, _ts(5), 2, "signup", 0.0, "{}"),
+        (6, _ts(10), 2, "view", 0.0, "{}"),
+        (7, _ts(30), 2, "purchase", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    got = {r["user_id"]: r for r in funnel(
+        events, ("signup", "view", "click", "purchase")).collect()}
+    assert got[1]["funnel_depth"] == 4
+    assert got[1]["purchase_epoch"] == int(_ts(30).timestamp())
+    assert got[2]["funnel_depth"] == 2
+    assert got[2]["click_epoch"] is None
+    assert got[2]["purchase_epoch"] is None
