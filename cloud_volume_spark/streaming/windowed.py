@@ -349,101 +349,96 @@ def streaming_contamination(docs_stream: DataFrame,
 # streaming conversion funnel (custom stateful operator)
 # ---------------------------------------------------------------------------
 
-FUNNEL_STATE_SCHEMA = StructType([
-    # stage timestamps in MICROSECONDS (comparisons at full precision;
-    # the floor-to-seconds happens only at the output edge, mirroring
-    # relational.events_funnel)
-    StructField("view_us", LongType(), True),
-    StructField("click_us", LongType(), True),
-    StructField("purchase_us", LongType(), True),
-])
+def streaming_funnel(events: DataFrame,
+                     stages=("view", "click", "purchase"),
+                     key: str = "user_id") -> DataFrame:
+    """Incrementally maintained N-stage conversion funnel — the
+    streaming counterpart of ``relational.funnel`` (default stages =
+    the registered ``events_funnel`` instance): per key, the first
+    stage-0 event, then per later stage the first event at-or-after
+    the previous stage's chosen instant. A per-key N-slot state
+    machine via ``applyInPandasWithState`` (the stage DEPENDENCY is
+    why this isn't a windowed aggregation: a stage only counts once
+    the previous slot is filled, and state outlives any window).
 
-FUNNEL_OUT_SCHEMA = StructType([
-    StructField("user_id", LongType(), True),
-    StructField("view_epoch", LongType(), True),
-    StructField("click_epoch", LongType(), True),
-    StructField("purchase_epoch", LongType(), True),
-    StructField("funnel_depth", IntegerType(), True),
-])
-
-
-def streaming_funnel(events: DataFrame) -> DataFrame:
-    """Incrementally maintained conversion funnel — the streaming
-    counterpart of ``relational.events_funnel``: per user, first view,
-    first click at-or-after that view, first purchase at-or-after that
-    click. A per-user three-slot state machine via
-    ``applyInPandasWithState`` (the stage DEPENDENCY is why this isn't
-    a windowed aggregation: a click only counts once the view slot is
-    filled, state outlives any window).
-
-    Equals the batch operator when each user's events arrive in
+    Equals the batch operator when each key's events arrive in
     non-decreasing ``ts`` order ACROSS micro-batches (a micro-batch's
     rows are concatenated across arrow chunks and sorted ONCE here —
     per-chunk sorting would mis-order disorder that spans the
     arrow-batch boundary — so intra-batch disorder is fine) — the
     usual contract for a log-ordered feed. A stream cannot
-    retroactively admit an earlier click when an even-earlier view
-    arrives late, because that would require retaining every
-    non-qualifying click forever (unbounded state).
+    retroactively admit an earlier stage-k event when an even-earlier
+    stage-(k-1) event arrives late, because that would require
+    retaining every non-qualifying event forever (unbounded state).
 
     ``events``: streaming DataFrame with at least
-    (ts timestamp, user_id long, event_type string). NULL-``ts`` rows
+    (ts timestamp, <key> long, event_type string). NULL-``ts`` rows
     are dropped (the batch operator's MIN/>= comparisons skip them).
-    Output mode: update — one row per user per micro-batch that
-    touched it; the latest emission per user is the current funnel.
+    Output mode: update — one row per key per micro-batch that touched
+    it; the latest emission per key is the current funnel.
     """
     import pandas as pd
 
-    # equal-timestamp stage ties must resolve view -> click -> purchase:
-    # batch's `click_ts >= view_ts` admits a click AT the first-view
-    # instant, so the view must be applied to state first (and sorting
-    # by ts alone is unstable — the tie order would be nondeterministic)
-    _STAGE_RANK = {"view": 0, "click": 1, "purchase": 2}
+    stages = tuple(stages)
+    if not stages:
+        raise ValueError("streaming_funnel: need at least one stage")
+    # stage timestamps in MICROSECONDS (comparisons at full precision;
+    # the floor-to-seconds happens only at the output edge, mirroring
+    # relational.funnel)
+    state_schema = StructType([
+        StructField(f"s{i}_us", LongType(), True)
+        for i in range(len(stages))
+    ])
+    out_schema = StructType(
+        [StructField(key, LongType(), True)]
+        + [StructField(f"{s}_epoch", LongType(), True) for s in stages]
+        + [StructField("funnel_depth", IntegerType(), True)]
+    )
+    # equal-timestamp stage ties must resolve in STAGE ORDER: batch's
+    # `>=` comparisons admit a stage-k event AT the stage-(k-1)
+    # instant, so the earlier stage must be applied to state first
+    # (and sorting by ts alone is unstable — the tie order would be
+    # nondeterministic)
+    rank = {s: i for i, s in enumerate(stages)}
 
-    def update(key, pdfs, state):
-        if state.exists:
-            v, c, p = state.get
-        else:
-            v = c = p = None
+    def update(k, pdfs, state):
+        slots = list(state.get) if state.exists else [None] * len(stages)
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             # ONE concat+sort over the whole micro-batch: the arrow
             # chunk iterator carries no cross-chunk ordering
             pdf = pd.concat(chunks).dropna(subset=["ts"])
             pdf = pdf.assign(
-                _rank=pdf["event_type"].map(_STAGE_RANK)
+                _rank=pdf["event_type"].map(rank)
             ).sort_values(["ts", "_rank"], kind="stable")
             for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                i = rank.get(et)
+                if i is None or slots[i] is not None:
+                    continue
                 us = ts.value // 1000  # pd.Timestamp.value is ns
-                if et == "view":
-                    if v is None:
-                        v = us
-                elif et == "click":
-                    if v is not None and c is None and us >= v:
-                        c = us
-                elif et == "purchase":
-                    if c is not None and p is None and us >= c:
-                        p = us
-        state.update((v, c, p))
-        if v is None:
-            # no view yet: the batch funnel has no row for this user
+                if i == 0:
+                    slots[0] = us
+                elif slots[i - 1] is not None and us >= slots[i - 1]:
+                    slots[i] = us
+        state.update(tuple(slots))
+        if slots[0] is None:
+            # stage 0 not reached: the batch funnel has no row yet
             return
-        depth = 1 + (c is not None) + (p is not None)
-        yield pd.DataFrame({
-            "user_id": [int(key[0])],
-            "view_epoch": [v // 1_000_000],
-            "click_epoch": [None if c is None else c // 1_000_000],
-            "purchase_epoch": [None if p is None else p // 1_000_000],
-            "funnel_depth": [depth],
-        })
+        row = {key: [int(k[0])]}
+        for name, us in zip(stages, slots):
+            row[f"{name}_epoch"] = [
+                None if us is None else us // 1_000_000]
+        row["funnel_depth"] = [
+            1 + sum(1 for us in slots[1:] if us is not None)]
+        yield pd.DataFrame(row)
 
     return (
-        events.select("ts", "user_id", "event_type")
-        .groupBy("user_id")
+        events.select("ts", key, "event_type")
+        .groupBy(key)
         .applyInPandasWithState(
             update,
-            outputStructType=FUNNEL_OUT_SCHEMA,
-            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
             outputMode="update",
             timeoutConf="NoTimeout",
         )

@@ -537,3 +537,51 @@ def test_streaming_funnel_equal_ts_ties_and_null_ts(spark, tmp_path):
     assert int(got[7]["funnel_depth"]) == 3
     # user 9: pre-view click never qualifies; depth stays 1
     assert int(got[9]["funnel_depth"]) == 1
+
+
+def test_streaming_funnel_n_stage(spark, tmp_path):
+    """The N-stage streaming state machine: a 4-stage funnel enforces
+    the chain at every hop, matching the batch funnel() core."""
+    from cloud_volume_spark.streaming import streaming_funnel
+
+    rows = [
+        # user 1 completes all four stages (file order scrambled)
+        (1, "2024-01-01 00:40:00", 1, "purchase", 0.0, "{}"),
+        (2, "2024-01-01 00:05:00", 1, "signup", 0.0, "{}"),
+        (3, "2024-01-01 00:20:00", 1, "click", 0.0, "{}"),
+        (4, "2024-01-01 00:10:00", 1, "view", 0.0, "{}"),
+        # user 2 skips click: purchase cannot attach
+        (5, "2024-01-01 00:05:00", 2, "signup", 0.0, "{}"),
+        (6, "2024-01-01 00:10:00", 2, "view", 0.0, "{}"),
+        (7, "2024-01-01 00:30:00", 2, "purchase", 0.0, "{}"),
+    ]
+    d = tmp_path / "nstage"
+    d.mkdir()
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(str(d / "b0"))
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_funnel(stream, stages=("signup", "view", "click",
+                                         "purchase"))
+        .writeStream.format("memory").queryName("sfunnel5")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {int(r.user_id): r
+           for _, r in spark.sql("select * from sfunnel5")
+           .toPandas().iterrows()}
+    assert int(got[1]["funnel_depth"]) == 4
+    assert got[1]["signup_epoch"] is not None
+    assert int(got[2]["funnel_depth"]) == 2
+    import pandas as pd
+    assert pd.isna(got[2]["click_epoch"])
+    assert pd.isna(got[2]["purchase_epoch"])
