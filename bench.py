@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "events_funnel",
     "event_props_extract",
     "events_cohort_retention",
+    "events_top_paths",
+    "corpus_snapshot_diff",
     "vox_unique_bbox",
     "vox_label_histogram",
     "vox_label_envelope",

@@ -18,12 +18,13 @@ from cloud_volume_spark import multimodal
 # ROUND-10 ROTATION (executing the round-9 note): `relational` and the
 # `curation` tail (doc_perplexity, corpus_shuffle — the only two queries
 # without an r9 driver row) return to the front.  Round 10 also ADDS
-# four queries (events_funnel, event_props_extract,
-# events_cohort_retention → relational; doc_pii_redact → corpus),
-# bringing the registry to 76; the window = relational(23) +
-# curation(8) + corpus(9) + multimodal(5) + similarity(first 5) =
-# exactly 50, so every NEW query gets an r10 driver row;
-# out-of-window = similarity's tail(3: srp_ann_topk, ivf_ann_topk,
+# six queries (events_funnel, event_props_extract,
+# events_cohort_retention, events_top_paths → relational;
+# doc_pii_redact, corpus_snapshot_diff → corpus), bringing the registry
+# to 78; the window = relational(24) + curation(8) + corpus(10) +
+# multimodal(5) + similarity(first 3) = exactly 50, so every NEW query
+# gets an r10 driver row; out-of-window = similarity's tail(5:
+# embedding_dedup_keep, semantic_dedup, srp_ann_topk, ivf_ann_topk,
 # embedding_kmeans), text(7), voxel_rel(9), dedup(7) — all green in
 # CORRECTNESS_r09, so the r9∪r10 union keeps every registered query on
 # a fresh-within-two-rounds driver row.  ROUND-11 ROTATION: voxel_rel +

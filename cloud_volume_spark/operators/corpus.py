@@ -479,6 +479,95 @@ WHERE d.doc_id % {CONTAM_MOD} != 0
 
 
 # ---------------------------------------------------------------------------
+# snapshot diff (incremental-refresh CDC)
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key: str = "doc_id",
+                  payload: str = "text") -> DataFrame:
+    """Change-data-capture between two corpus snapshots: which docs
+    were added, removed, or changed — the planning input for an
+    incremental refresh (re-dedup/re-embed only the delta instead of
+    reprocessing the corpus; :func:`~cloud_volume_spark.operators.
+    dedup.dedup_incremental` then consumes exactly the ``added`` +
+    ``changed`` set). The table-level analog of the volume layer's
+    ``Volume.changes()``.
+
+    Scale: each side collapses to (key, md5(payload)) map-side, so the
+    full-outer hash equi-join shuffles 16-byte digests — never document
+    bytes — on a unique key (no skew by construction). At 100 TB both
+    scans prune to two columns and the join is the only exchange; AQE
+    broadcasts a small side (e.g. a daily delta vs the corpus).
+    Unchanged rows are dropped post-join, so the output is delta-sized.
+    """
+    o = old.select(F.col(key), F.md5(payload).alias("old_hash"))
+    n = new.select(F.col(key), F.md5(payload).alias("new_hash"))
+    return (
+        o.join(n, key, "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("old_hash").isNull(), F.lit("added"))
+            .when(F.col("new_hash").isNull(), F.lit("removed"))
+            .when(F.col("old_hash") != F.col("new_hash"),
+                  F.lit("changed")),
+        )
+        .where(F.col("status").isNotNull())
+        .select(key, "status", "old_hash", "new_hash")
+    )
+
+
+# deterministic synthetic snapshots over the single documents table:
+# membership and the edit set are md5-keyspace slices (the repo-wide
+# RAND-free sampling idiom), so both engines derive bit-identical
+# snapshots. A = 14/16 of docs, B = an overlapping 14/16, and 2/16 of
+# docs get their B-side text suffixed to simulate an edit.
+_SNAP_MEMBER_HEX = "e"   # first md5 hex char < 'e' → in snapshot
+_SNAP_EDIT_HEX = "2"     # first md5 hex char < '2' → edited in B
+
+
+def _snap_hex1(tag: str):
+    return F.substring(
+        F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))), 1, 1)
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered instance of :func:`snapshot_diff` over two derived
+    snapshots of the documents table (see the derivation constants
+    above)."""
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(_snap_hex1("snapA|") < _SNAP_MEMBER_HEX)
+    new = docs.where(_snap_hex1("snapB|") < _SNAP_MEMBER_HEX).withColumn(
+        "text",
+        F.when(_snap_hex1("edit|") < _SNAP_EDIT_HEX,
+               F.concat(F.col("text"), F.lit(" ~v2")))
+        .otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+    SELECT doc_id, MD5(text) AS old_hash
+    FROM documents
+    WHERE SUBSTRING(MD5('snapA|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+), new AS (
+    SELECT doc_id,
+           MD5(CASE WHEN SUBSTRING(MD5('edit|' || CAST(doc_id AS VARCHAR)),
+                                   1, 1) < '2'
+                    THEN text || ' ~v2' ELSE text END) AS new_hash
+    FROM documents
+    WHERE SUBSTRING(MD5('snapB|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+)
+SELECT doc_id,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed' END AS status,
+       old_hash, new_hash
+FROM old FULL OUTER JOIN new USING (doc_id)
+WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+"""
+
+
+# ---------------------------------------------------------------------------
 # end-to-end curation pipeline
 
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,6 +629,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_contamination": corpus_contamination,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -552,4 +642,5 @@ ORACLE_SQL = {
     "doc_policy_scan": POLICY_SCAN_SQL,
     "doc_pii_redact": PII_REDACT_SQL,
     "dedup_keep_best": KEEP_BEST_SQL,
+    "corpus_snapshot_diff": SNAPSHOT_DIFF_SQL,
 }

@@ -1121,6 +1121,65 @@ GROUP BY cohort_week, week_offset
 """
 
 
+def top_paths(events: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Top-k length-``n`` event-type paths (consecutive per-user
+    transitions) — the sequence-mining primitive behind "what do users
+    do right before purchase" questions.
+
+    Determinism: within a user the sequence orders on (ts, event_id) —
+    event_id breaks timestamp ties exactly like the sessionizer — and
+    the top-k boundary breaks count ties on the path string, so the
+    result is engine-exact.
+
+    Scale: ONE shuffle on user_id for the lead() window — the same
+    partitioning every other per-user operator here shuffles on, so at
+    100 TB a pre-bucketed events table serves all of them shuffle-free
+    — then a groupBy on the path string whose partial aggregate
+    collapses each task to ≤|event_type|^n rows (path cardinality, not
+    event cardinality), and a sort-limit top-k over that tiny aggregate
+    (TakeOrderedAndProject, never a single-partition global sort).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w).alias(f"_t{i}") for i in range(1, n)
+    ]
+    steps = events.select(*cols)
+    last = f"_t{n - 1}"
+    return (
+        steps.where(F.col(last).isNotNull())
+        .select(F.concat_ws(">", *[c for c in steps.columns]).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(k)
+    )
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type trigram paths over the events table — the
+    registered n=3 instance of :func:`top_paths`."""
+    return top_paths(load(spark, sf_dir, "events"), n=3, k=20)
+
+
+EVENTS_TOP_PATHS_SQL = """
+WITH seq AS (
+    SELECT event_type AS t0,
+           LEAD(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+           LEAD(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+    FROM events
+)
+SELECT t0 || '>' || t1 || '>' || t2 AS path,
+       COUNT(*) AS n_paths
+FROM seq
+WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY 1
+ORDER BY n_paths DESC, path
+LIMIT 20
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1129,6 +1188,7 @@ QUERIES.update({
     "events_funnel": events_funnel,
     "event_props_extract": event_props_extract,
     "events_cohort_retention": events_cohort_retention,
+    "events_top_paths": events_top_paths,
 })
 
 # the driver's correctness window covers the first 50 registered
@@ -1167,4 +1227,5 @@ ORACLE_SQL.update({
     "events_funnel": EVENTS_FUNNEL_SQL,
     "event_props_extract": EVENT_PROPS_SQL,
     "events_cohort_retention": COHORT_RETENTION_SQL,
+    "events_top_paths": EVENTS_TOP_PATHS_SQL,
 })

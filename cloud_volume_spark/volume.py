@@ -1265,10 +1265,11 @@ class Volume:
         manifest log, so a scale registered after generation N (e.g. a
         later ``downsample``) stays registered but serves no chunks at
         the restored head — the same observable state as a mip whose
-        data was deleted, detectable via the mip-presence probe.
-        (Delta versions table metadata in the log; this engine keeps
-        the reference's separate info file, where scales never
-        unregister.)"""
+        data was deleted, detectable via the mip-presence probe and
+        surfaced by :meth:`history` as that generation's
+        ``empty_mips``. (Delta versions table metadata in the log;
+        this engine keeps the reference's separate info file, where
+        scales never unregister.)"""
         self._lru_clear()
         with self._commit_lock():
             if self._is_legacy_layout():
@@ -1943,13 +1944,21 @@ class Volume:
         ``slab_shift``, ``mips`` present), the Delta ``DESCRIBE
         HISTORY`` analog. Torn husks are listed with ``readable:
         False`` rather than hidden (they explain why reads resolve an
-        older generation). Driver-side: the log is file-count bounded
-        by vacuum retention."""
+        older generation). ``empty_mips`` names scales in the CURRENT
+        info registry with zero chunks at that generation — the
+        restore()-past-a-scale-registration case (restore rolls back
+        chunk entries but not the scale registry, so a later-added mip
+        stays registered and serves nothing; see restore()'s
+        docstring) and the all-deleted/delete_black case both surface
+        here instead of as a silently-empty cutout. Driver-side: the
+        log is file-count bounded by vacuum retention."""
+        registered = set(range(self.info.num_mips))
         out = []
         for g in self._manifest_generations():
             try:
                 man = self._load_manifest_generation(g)
                 entries = man.get("entries", {})
+                present = sorted({int(k.split("/")[0]) for k in entries})
                 out.append({
                     "generation": g,
                     "readable": True,
@@ -1959,13 +1968,14 @@ class Volume:
                     # False = compaction (Delta's operation=OPTIMIZE
                     # distinction): bytes moved, content identical
                     "data_change": man.get("data_change", True),
-                    "mips": sorted({int(k.split("/")[0]) for k in entries}),
+                    "mips": present,
+                    "empty_mips": sorted(registered - set(present)),
                 })
             except Exception:
                 out.append({"generation": g, "readable": False,
                             "entries": None, "slab_shift": None,
                             "committed_at": None, "data_change": None,
-                            "mips": None})
+                            "mips": None, "empty_mips": None})
         if not out:
             # interim single-pointer format: _read_manifest still
             # serves chunks/_manifest.json, so history() must report
@@ -1976,18 +1986,21 @@ class Volume:
                 row = {"generation": None, "readable": False,
                        "entries": None, "slab_shift": None,
                        "committed_at": None, "data_change": None,
-                       "mips": None, "interim_pointer": True}
+                       "mips": None, "empty_mips": None,
+                       "interim_pointer": True}
                 try:
                     man = json.loads(self._fs.read_bytes(pointer).decode())
                     entries = man.get("entries", {})
+                    present = sorted(
+                        {int(k.split("/")[0]) for k in entries})
                     row.update({
                         "generation": man.get("generation"),
                         "readable": True,
                         "entries": len(entries),
                         "slab_shift": man.get("slab_shift"),
                         "committed_at": man.get("committed_at"),
-                        "mips": sorted(
-                            {int(k.split("/")[0]) for k in entries}),
+                        "mips": present,
+                        "empty_mips": sorted(registered - set(present)),
                     })
                 except Exception:
                     pass

@@ -139,3 +139,60 @@ def test_funnel_generalizes_to_n_stages(spark, tmp_path):
     assert got[2]["funnel_depth"] == 2
     assert got[2]["click_epoch"] is None
     assert got[2]["purchase_epoch"] is None
+
+
+def test_top_paths_tie_break_and_user_isolation(spark, tmp_path):
+    """Path mining edge cases the synthetic table can't exhibit:
+    equal timestamps order on event_id (the sessionizer's tie rule),
+    paths never cross users, and a user with < n events contributes
+    nothing."""
+    from cloud_volume_spark.operators.relational import top_paths
+
+    rows = [
+        # user 1: a>b>c with b,c at the SAME ts — event_id decides
+        (1, _ts(0), 1, "a", 0.0, "{}"),
+        (2, _ts(5), 1, "b", 0.0, "{}"),
+        (3, _ts(5), 1, "c", 0.0, "{}"),
+        # user 2: only two events — no trigram
+        (4, _ts(0), 2, "x", 0.0, "{}"),
+        (5, _ts(5), 2, "y", 0.0, "{}"),
+        # user 3: a>b>c again (so the top path has count 2)
+        (6, _ts(0), 3, "a", 0.0, "{}"),
+        (7, _ts(1), 3, "b", 0.0, "{}"),
+        (8, _ts(2), 3, "c", 0.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    got = [(r["path"], r["n_paths"]) for r in
+           top_paths(events, n=3, k=10).collect()]
+    # nothing like y>a>b (cross-user) or x>y>? (short user) appears
+    assert got == [("a>b>c", 2)]
+    # bigram form sees user 2 and both same-user transitions
+    got2 = {r["path"]: r["n_paths"] for r in
+            top_paths(events, n=2, k=10).collect()}
+    assert got2 == {"a>b": 2, "b>c": 2, "x>y": 1}
+    # k truncates on (count desc, path asc): deterministic boundary
+    top1 = top_paths(events, n=2, k=1).collect()
+    assert [(r["path"], r["n_paths"]) for r in top1] == [("a>b", 2)]
+
+
+def test_snapshot_diff_planted_statuses(spark):
+    """snapshot_diff core: each status class planted, unchanged rows
+    dropped, digests reported from the side that has them."""
+    import hashlib
+
+    from cloud_volume_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[2]["status"] == "changed"
+    assert got[2]["old_hash"] == hashlib.md5(b"will change").hexdigest()
+    assert got[2]["new_hash"] == hashlib.md5(b"changed!").hexdigest()
+    assert got[3]["status"] == "removed" and got[3]["new_hash"] is None
+    assert got[4]["status"] == "added" and got[4]["old_hash"] is None

@@ -414,3 +414,33 @@ def test_cohort_retention_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert "partial_min" in plan
+
+
+def test_top_paths_plan_sort_limit_and_partial_agg(spark, sf_dir):
+    """Path mining shuffles once on user_id for the lead() window, the
+    trigram count partial-aggregates (each task collapses to path
+    cardinality, not event cardinality), and the top-k is
+    TakeOrderedAndProject — never a global single-partition sort."""
+    plan = _plan(all_queries()["events_top_paths"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_snapshot_diff_plan_joins_digests_not_text(spark, sf_dir):
+    """The CDC diff's full-outer join must shuffle (doc_id, md5 digest)
+    pairs — the text column is consumed map-side by the md5 projection
+    and never crosses the exchange — and the join is a plain hash/SMJ
+    equi-join, no product."""
+    plan = _plan(all_queries()["corpus_snapshot_diff"](spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the exchanges carry the digest columns, not text: 'text' appears
+    # only below the scan/project, never in an Exchange's output list
+    import re
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        assert "text#" not in m.group(1)

@@ -722,6 +722,7 @@ def test_history_lists_generations_and_husks(spark, tmp_path):
         (e["generation"] for e in h), reverse=True)
     assert len(h) == 2 and all(e["readable"] for e in h)
     assert all(e["entries"] >= 1 and e["mips"] == [0] for e in h)
+    assert all(e["empty_mips"] == [] for e in h)
     assert all(e["slab_shift"] == vol.slab_shift for e in h)
     # a torn husk above shows up flagged, not hidden
     top = h[0]["generation"] + 1
@@ -730,8 +731,32 @@ def test_history_lists_generations_and_husks(spark, tmp_path):
     assert h2[0] == {"generation": top, "readable": False,
                      "entries": None, "slab_shift": None,
                      "committed_at": None, "data_change": None,
-                     "mips": None}
+                     "mips": None, "empty_mips": None}
     assert h2[1:] == h
+
+
+def test_history_flags_registered_but_empty_mips(spark, tmp_path):
+    """restore() rolls back chunk entries but NOT the scale registry
+    (documented in restore()'s docstring), so a mip registered after
+    the restore target stays registered and serves no chunks — the
+    confusing silently-empty-cutout state. history() must surface it:
+    the restored head's row names that mip in ``empty_mips``."""
+    import numpy as np
+
+    _, vol = _mk_vol(spark, tmp_path, "histmip", n=64, cs=16)
+    g1 = int(vol._read_manifest()["generation"])
+    vol.downsample()  # registers + populates mip 1 after g1
+    h = vol.history()
+    assert h[0]["mips"] == [0, 1] and h[0]["empty_mips"] == []
+    # pre-downsample generations: mip 1 is registered NOW but has no
+    # chunks THEN — flagged, not hidden
+    old = next(e for e in h if e["generation"] == g1)
+    assert old["mips"] == [0] and old["empty_mips"] == [1]
+
+    vol.restore(g1)
+    head = vol.history()[0]
+    assert head["readable"] and head["mips"] == [0]
+    assert head["empty_mips"] == [1]
 
 
 def test_vacuum_interim_pointer_table_keeps_live_dirs(spark, tmp_path):
