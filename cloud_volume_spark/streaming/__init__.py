@@ -21,6 +21,7 @@ from cloud_volume_spark.streaming.windowed import (  # noqa: F401
     streaming_quality_filter,
     streaming_funnel,
     streaming_label_envelope,
+    streaming_path_mine,
     streaming_pii_redact,
     windowed_event_counts,
 )

@@ -446,6 +446,76 @@ def streaming_funnel(events: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# streaming path mining
+# ---------------------------------------------------------------------------
+
+def streaming_path_mine(events: DataFrame, n: int = 3,
+                        key: str = "user_id") -> DataFrame:
+    """Incrementally emit completed length-``n`` event-type paths per
+    key — the streaming counterpart of ``relational.top_paths``'s
+    n-gram stage. Per-key state is just the last ``n-1`` event types
+    (a fixed-width tail, bytes per key, never a growing history), via
+    ``applyInPandasWithState``; each arriving event completes at most
+    one n-gram ending at it, so output volume ≡ the batch operator's
+    pre-aggregation row count.
+
+    Deliberately emits (key, path) ROWS rather than running top-k
+    counts: chaining a second stateful aggregation behind
+    applyInPandasWithState in one query is not a supported streaming
+    topology, and the global top-k over the emitted rows is a cheap
+    batch rollup on the sink (exactly ``top_paths``'s groupBy/
+    TakeOrderedAndProject tail) — the standard split between the
+    stateful stream stage and the serving-side aggregate.
+
+    Ordering contract = ``streaming_funnel``'s: per-key non-decreasing
+    ``ts`` ACROSS micro-batches; intra-batch disorder is repaired by
+    one concat+sort over the whole micro-batch on (ts, event_id) —
+    the batch operator's exact tie rule. NULL-``ts`` rows are dropped
+    (lead() over a window never orders them deterministically either).
+    """
+    import pandas as pd
+
+    if n < 2:
+        raise ValueError("streaming_path_mine: need n >= 2")
+    state_schema = StructType([
+        StructField(f"t{i}", StringType(), True) for i in range(n - 1)
+    ])
+    out_schema = StructType([
+        StructField(key, LongType(), True),
+        StructField("path", StringType(), True),
+    ])
+
+    def update(k, pdfs, state):
+        tail = list(state.get) if state.exists else [None] * (n - 1)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        paths = []
+        if chunks:
+            # ONE concat+sort over the micro-batch (cross-arrow-chunk
+            # disorder; same rationale as streaming_funnel)
+            pdf = pd.concat(chunks).dropna(subset=["ts"])
+            pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+            for et in pdf["event_type"]:
+                if all(t is not None for t in tail):
+                    paths.append(">".join([*tail, et]))
+                tail = [*tail[1:], et]
+        state.update(tuple(tail))
+        if paths:
+            yield pd.DataFrame({key: int(k[0]), "path": paths})
+
+    return (
+        events.select("ts", "event_id", key, "event_type")
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming PII redaction
 # ---------------------------------------------------------------------------
 

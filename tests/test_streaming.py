@@ -585,3 +585,88 @@ def test_streaming_funnel_n_stage(spark, tmp_path):
     import pandas as pd
     assert pd.isna(got[2]["click_epoch"])
     assert pd.isna(got[2]["purchase_epoch"])
+
+
+def test_streaming_path_mine_matches_batch(spark, sf_dir, tmp_path):
+    """Stateful n-gram emission over a time-ordered two-batch feed
+    must reproduce the batch top_paths counts exactly — including
+    trigrams whose first events landed in batch 0 and whose completer
+    arrives in batch 1 (the saved-tail case)."""
+    from cloud_volume_spark.operators.relational import top_paths
+    from cloud_volume_spark.streaming import streaming_path_mine
+
+    events = load(spark, sf_dir, "events")
+    n = events.count()
+    mid_ts = (events.select("ts").orderBy("ts").limit(n // 2)
+              .agg(F.max("ts")).collect()[0][0])
+    d = tmp_path / "paths_feed"
+    d.mkdir()
+    (events.where(F.col("ts") <= F.lit(mid_ts))
+     .coalesce(1).write.parquet(str(d / "b0")))
+    (events.where(F.col("ts") > F.lit(mid_ts))
+     .coalesce(1).write.parquet(str(d / "b1")))
+
+    ts_type = events.schema["ts"].dataType.simpleString()
+    stream = (
+        spark.readStream
+        .schema(f"event_id long, ts {ts_type}, user_id long, "
+                "event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_path_mine(stream, n=3)
+        .writeStream.format("memory").queryName("spaths")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select path, count(*) as n_paths from spaths "
+                  "group by path order by n_paths desc, path limit 20")
+        .toPandas()
+    )
+    batch = top_paths(events, n=3, k=20).toPandas()
+    assert got["path"].tolist() == batch["path"].tolist()
+    assert got["n_paths"].tolist() == batch["n_paths"].tolist()
+
+
+def test_streaming_path_mine_tail_spans_batches(spark, tmp_path):
+    """Planted cross-batch check: with (a,b) in batch 0 and (c) in
+    batch 1, the a>b>c trigram is emitted by batch 1 off the saved
+    2-slot tail; a second user's interleaved events never leak in, and
+    NULL-ts rows are dropped."""
+    from cloud_volume_spark.streaming import streaming_path_mine
+
+    d = tmp_path / "span"
+    d.mkdir()
+    sch = ("event_id long, ts string, user_id long, "
+           "event_type string, value double, props string")
+    b0 = spark.createDataFrame([
+        (1, "2024-01-01 00:01:00", 7, "a", 0.0, "{}"),
+        (2, "2024-01-01 00:02:00", 7, "b", 0.0, "{}"),
+        (3, "2024-01-01 00:01:30", 9, "z", 0.0, "{}"),
+        (4, None, 7, "poison", 0.0, "{}"),
+    ], sch).withColumn("ts", F.to_timestamp("ts"))
+    b1 = spark.createDataFrame([
+        (5, "2024-01-01 00:03:00", 7, "c", 0.0, "{}"),
+        (6, "2024-01-01 00:04:00", 9, "z", 0.0, "{}"),
+    ], sch).withColumn("ts", F.to_timestamp("ts"))
+    b0.coalesce(1).write.parquet(str(d / "b0"))
+    b1.coalesce(1).write.parquet(str(d / "b1"))
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_path_mine(stream, n=3)
+        .writeStream.format("memory").queryName("spanpaths")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["path"])
+           for r in spark.sql("select * from spanpaths").collect()}
+    assert got == {(7, "a>b>c")}
