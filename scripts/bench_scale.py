@@ -148,6 +148,7 @@ EVENT_QUERIES = [
     "event_props_extract",
     "events_sessionize",
     "events_running_total",
+    "events_top_paths",
 ]
 
 
