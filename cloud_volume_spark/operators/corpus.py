@@ -498,9 +498,18 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     scans prune to two columns and the join is the only exchange; AQE
     broadcasts a small side (e.g. a daily delta vs the corpus).
     Unchanged rows are dropped post-join, so the output is delta-sized.
+
+    A NULL payload hashes as the empty document (COALESCE before md5):
+    md5(NULL) is NULL on both engines, and a NULL hash on a PRESENT
+    row would be misread as absence — a NULL-text doc in the old
+    snapshot would report "added" instead of unchanged/changed.
     """
-    o = old.select(F.col(key), F.md5(payload).alias("old_hash"))
-    n = new.select(F.col(key), F.md5(payload).alias("new_hash"))
+    o = old.select(F.col(key),
+                   F.md5(F.coalesce(F.col(payload), F.lit("")))
+                   .alias("old_hash"))
+    n = new.select(F.col(key),
+                   F.md5(F.coalesce(F.col(payload), F.lit("")))
+                   .alias("new_hash"))
     return (
         o.join(n, key, "full_outer")
         .withColumn(
@@ -546,14 +555,17 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SNAPSHOT_DIFF_SQL = """
 WITH old AS (
-    SELECT doc_id, MD5(text) AS old_hash
+    -- COALESCE before MD5 mirrors snapshot_diff: a NULL payload is
+    -- the empty document, never a NULL hash masquerading as absence
+    SELECT doc_id, MD5(COALESCE(text, '')) AS old_hash
     FROM documents
     WHERE SUBSTRING(MD5('snapA|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
 ), new AS (
     SELECT doc_id,
-           MD5(CASE WHEN SUBSTRING(MD5('edit|' || CAST(doc_id AS VARCHAR)),
+           MD5(COALESCE(
+               CASE WHEN SUBSTRING(MD5('edit|' || CAST(doc_id AS VARCHAR)),
                                    1, 1) < '2'
-                    THEN text || ' ~v2' ELSE text END) AS new_hash
+                    THEN text || ' ~v2' ELSE text END, '')) AS new_hash
     FROM documents
     WHERE SUBSTRING(MD5('snapB|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
 )

@@ -1138,12 +1138,20 @@ def top_paths(events: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     collapses each task to ≤|event_type|^n rows (path cardinality, not
     event cardinality), and a sort-limit top-k over that tiny aggregate
     (TakeOrderedAndProject, never a single-partition global sort).
+
+    NULL rows are dropped up front (the streaming counterpart's
+    contract): a NULL ts has no deterministic window position — and
+    the engines even disagree on it, ASC NULLS FIRST vs LAST — and a
+    NULL event_type would silently shorten its paths under concat_ws's
+    skip-null semantics, misgrouping them with genuine (n-1)-grams.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clean = events.where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     cols = [F.col("event_type")] + [
         F.lead("event_type", i).over(w).alias(f"_t{i}") for i in range(1, n)
     ]
-    steps = events.select(*cols)
+    steps = clean.select(*cols)
     last = f"_t{n - 1}"
     return (
         steps.where(F.col(last).isNotNull())
@@ -1169,6 +1177,10 @@ WITH seq AS (
            LEAD(event_type, 2) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS t2
     FROM events
+    -- same NULL-drop as the Spark side: NULL ts would ORDER BY
+    -- differently across engines (NULLS FIRST vs LAST) and NULL
+    -- event_type would shorten paths under skip-null concat
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
 )
 SELECT t0 || '>' || t1 || '>' || t2 AS path,
        COUNT(*) AS n_paths

@@ -160,6 +160,10 @@ def test_top_paths_tie_break_and_user_isolation(spark, tmp_path):
         (6, _ts(0), 3, "a", 0.0, "{}"),
         (7, _ts(1), 3, "b", 0.0, "{}"),
         (8, _ts(2), 3, "c", 0.0, "{}"),
+        # NULL rows are dropped (never a shortened concat_ws path or
+        # an engine-divergent NULLS FIRST/LAST window position)
+        (9, None, 3, "q", 0.0, "{}"),
+        (10, _ts(3), 3, None, 0.0, "{}"),
     ]
     sf = _write_events(spark, tmp_path, rows)
     events = spark.read.parquet(f"{sf}/events.parquet")
@@ -184,15 +188,21 @@ def test_snapshot_diff_planted_statuses(spark):
     from cloud_volume_spark.operators.corpus import snapshot_diff
 
     old = spark.createDataFrame(
-        [(1, "same"), (2, "will change"), (3, "will be removed")],
+        [(1, "same"), (2, "will change"), (3, "will be removed"),
+         (5, None), (6, None)],
         "doc_id long, text string")
     new = spark.createDataFrame(
-        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        [(1, "same"), (2, "changed!"), (4, "brand new"),
+         (5, None), (6, "filled in")],
         "doc_id long, text string")
     got = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
-    assert set(got) == {2, 3, 4}
+    # 5 (NULL→NULL) is unchanged — a NULL payload hashes as the empty
+    # doc, never as absence; 6 (NULL→text) is changed, not added
+    assert set(got) == {2, 3, 4, 6}
     assert got[2]["status"] == "changed"
     assert got[2]["old_hash"] == hashlib.md5(b"will change").hexdigest()
     assert got[2]["new_hash"] == hashlib.md5(b"changed!").hexdigest()
     assert got[3]["status"] == "removed" and got[3]["new_hash"] is None
     assert got[4]["status"] == "added" and got[4]["old_hash"] is None
+    assert got[6]["status"] == "changed"
+    assert got[6]["old_hash"] == hashlib.md5(b"").hexdigest()

@@ -646,6 +646,7 @@ def test_streaming_path_mine_tail_spans_batches(spark, tmp_path):
         (2, "2024-01-01 00:02:00", 7, "b", 0.0, "{}"),
         (3, "2024-01-01 00:01:30", 9, "z", 0.0, "{}"),
         (4, None, 7, "poison", 0.0, "{}"),
+        (99, "2024-01-01 00:02:30", 7, None, 0.0, "{}"),
     ], sch).withColumn("ts", F.to_timestamp("ts"))
     b1 = spark.createDataFrame([
         (5, "2024-01-01 00:03:00", 7, "c", 0.0, "{}"),
