@@ -206,3 +206,76 @@ def test_snapshot_diff_planted_statuses(spark):
     assert got[4]["status"] == "added" and got[4]["old_hash"] is None
     assert got[6]["status"] == "changed"
     assert got[6]["old_hash"] == hashlib.md5(b"").hexdigest()
+
+
+def test_top_paths_matches_python_model_randomized(spark, tmp_path):
+    """Randomized cross-check against a 15-line pure-Python model:
+    random event logs with NULL ts/type rows and heavy ts ties must
+    produce identical full path counts (k large enough to disable the
+    top-k truncation, so the whole distribution is compared)."""
+    import numpy as np
+
+    from cloud_volume_spark.operators.relational import top_paths
+
+    rng = np.random.default_rng(42)
+    n_ev, n_users, types = 3000, 40, list("abcde")
+    rows = []
+    for eid in range(n_ev):
+        ts = (None if rng.random() < 0.02
+              else _ts(int(rng.integers(0, 50))))  # few minutes → ties
+        et = None if rng.random() < 0.02 else types[rng.integers(0, 5)]
+        rows.append((eid, ts, int(rng.integers(0, n_users)), et, 0.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    events = spark.read.parquet(f"{sf}/events.parquet")
+
+    # pure-Python model: per user sort by (ts, event_id), drop NULLs,
+    # count consecutive trigrams
+    from collections import Counter, defaultdict
+    per_user = defaultdict(list)
+    for eid, ts, uid, et, _, _ in rows:
+        if ts is not None and et is not None:
+            per_user[uid].append((ts, eid, et))
+    model = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        for i in range(len(seq) - 2):
+            model[">".join(s[2] for s in seq[i:i + 3])] += 1
+
+    got = {r["path"]: r["n_paths"]
+           for r in top_paths(events, n=3, k=10 ** 9).collect()}
+    assert got == dict(model)
+
+
+def test_snapshot_diff_matches_python_model_randomized(spark):
+    """Randomized diff vs a dict model: random membership and payloads
+    (including NULLs and empty strings) classify identically."""
+    import numpy as np
+
+    from cloud_volume_spark.operators.corpus import snapshot_diff
+
+    rng = np.random.default_rng(7)
+    def snap():
+        out = {}
+        for i in range(300):
+            if rng.random() < 0.7:
+                r = rng.random()
+                out[i] = (None if r < 0.1 else
+                          "" if r < 0.2 else
+                          f"doc {int(rng.integers(0, 8))}")
+        return out
+    a, b = snap(), snap()
+    model = {}
+    for i in set(a) | set(b):
+        if i not in a:
+            model[i] = "added"
+        elif i not in b:
+            model[i] = "removed"
+        elif (a[i] or "") != (b[i] or ""):
+            model[i] = "changed"
+    old = spark.createDataFrame(list(a.items()) or [(0, "x")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame(list(b.items()) or [(0, "x")],
+                                "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == model
