@@ -4054,6 +4054,33 @@ class Volume:
             )
         )
 
+    def table_stats(self) -> DataFrame:
+        """ANALYZE TABLE analog: per-(mip, encoding, compression) chunk
+        counts, stored bytes, logical voxels and slab spread from the
+        chunk table alone — no decode, one partial-aggregating scan.
+        The reference computes the same numbers one HEAD/list call at a
+        time (``cacheservice:98``-style accounting); here the 100 TB
+        answer is a single groupBy whose partial aggregates collapse
+        each task to the tiny (mip × codec) key space. Logical voxels
+        use the stored extents, so non-aligned edge chunks count their
+        true (clipped) size."""
+        vox = (
+            (F.col("x1") - F.col("x0")).cast("long")
+            * (F.col("y1") - F.col("y0")).cast("long")
+            * (F.col("z1") - F.col("z0")).cast("long")
+        )
+        return (
+            self.chunks_df()
+            .groupBy("mip", "encoding", "compression")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.length("blob")).alias("stored_bytes"),
+                F.sum(vox).alias("logical_voxels"),
+                F.countDistinct("slab").alias("n_slabs"),
+            )
+            .orderBy("mip", "encoding", "compression")
+        )
+
     # ------------------------------------------------------------------
     # re-chunk transfer (reference xfer rerender strategy, xfer.py:59-102)
     # ------------------------------------------------------------------

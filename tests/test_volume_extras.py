@@ -41,6 +41,22 @@ def test_shard_stats(vol):
     assert all(r.stored_bytes > 0 for r in stats)
 
 
+def test_table_stats(vol):
+    v, arr = vol
+    rows = v.table_stats().collect()
+    # single-mip single-codec table: exactly one group, exact voxels
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.mip == 0 and r.n_chunks == 3 * 3 * 2
+    assert r.logical_voxels == 96 * 96 * 48
+    assert r.stored_bytes > 0 and r.n_slabs >= 1
+    # a second mip adds its own group with the downsampled voxel count
+    v.downsample()
+    rows2 = {x.mip: x for x in v.table_stats().collect()}
+    assert set(rows2) == {0, 1}
+    assert rows2[1].logical_voxels == 48 * 48 * 48
+
+
 def test_rechunk_roundtrip(vol, tmp_path):
     v, arr = vol
     # 32^3 -> 48x48x24: non-divisible geometry, pieces span targets
