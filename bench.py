@@ -469,11 +469,13 @@ def fit_tail_line(times, total, sf, b_priority, budget=None):
     budget. Ladder: 2-decimal query seconds IF the five cross-round
     signal keys (l1 + the four BASELINE throughput rows) still fit,
     else 1 decimal; extras added most-critical-first; terminal rung
-    sheds the FASTEST query rows (slow ones are the informative ones)
-    with a qdropped count rather than ever printing an unparseable
-    over-budget line. Unit-tested in tests/test_bench_tail.py."""
+    RESERVES all five signal keys and sheds the FASTEST query rows
+    instead (slow ones are the informative ones, and the signal keys
+    are the only cross-round comparands) with a qdropped count rather
+    than ever printing an unparseable over-budget line. Unit-tested in
+    tests/test_bench_tail.py."""
     budget = TAIL_BUDGET if budget is None else budget
-    l1 = dict(b_priority).get("l1", 0)
+    signal = b_priority[:5]  # l1 + vw/vr/sw/sr
 
     def _fit(ndigits):
         compact = {
@@ -484,17 +486,14 @@ def fit_tail_line(times, total, sf, b_priority, budget=None):
             "sf": sf,
             "b": {},
         }
-        base = len(json.dumps(compact, separators=(",", ":")))
-        if base + len('"l1":') + len(json.dumps(l1)) > budget:
-            return None  # can't even fit the load marker
         for k, v in b_priority:
             compact["b"][k] = v
             if len(json.dumps(compact, separators=(",", ":"))) > budget:
                 del compact["b"][k]
-        if ndigits > 1 and len(compact["b"]) < 5:
-            # 2-decimal seconds squeezed out the BASELINE throughput
-            # rows (l1+vw+vr+sw+sr are the cross-round signal): prefer
-            # the 1-decimal rung, which fits all of them
+        if len(compact["b"]) < 5:
+            # this rung squeezed out part of the cross-round signal
+            # (l1+vw+vr+sw+sr): fall to the next rung, which trades
+            # query precision / the fastest query rows for it instead
             return None
         return json.dumps(compact, separators=(",", ":"))
 
@@ -505,7 +504,7 @@ def fit_tail_line(times, total, sf, b_priority, budget=None):
             "metric": "steady_total_sec", "value": total, "unit": "sec",
             "queries": {k: round(v, 1) for k, v in kept.items()},
             "sf": sf, "qdropped": 0,
-            "b": {"l1": l1},
+            "b": dict(signal),
         }
         line = json.dumps(compact, separators=(",", ":"))
         names_fast_first = sorted(times, key=lambda k: times[k])
@@ -515,6 +514,13 @@ def fit_tail_line(times, total, sf, b_priority, budget=None):
             compact["qdropped"] += 1
             i += 1
             line = json.dumps(compact, separators=(",", ":"))
+        # spare room after the shed goes to the remaining extras,
+        # most-critical-first
+        for k, v in b_priority[5:]:
+            compact["b"][k] = v
+            if len(json.dumps(compact, separators=(",", ":"))) > budget:
+                del compact["b"][k]
+        line = json.dumps(compact, separators=(",", ":"))
     return line
 
 

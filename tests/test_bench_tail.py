@@ -47,13 +47,23 @@ def test_small_roster_keeps_two_decimals_and_full_b():
 
 
 def test_large_roster_degrades_to_one_decimal_keeping_signal_keys():
+    """At the CURRENT roster size every signal key must survive; if
+    the roster has outgrown even the 1-decimal rung, only a handful of
+    the FASTEST query rows may be shed for them (signal keys are the
+    only cross-round comparands; slow queries are the informative
+    rows)."""
     times = _times(len(BENCH_QUERIES))
     line = fit_tail_line(times, 80.0, 0.1, _b_priority())
     assert len(line) <= TAIL_BUDGET
     d = json.loads(line)
     for k in ("l1", "vw", "vr", "sw", "sr"):
         assert k in d["b"], f"signal key {k} lost"
-    assert len(d["queries"]) == len(BENCH_QUERIES)
+    dropped = d.get("qdropped", 0)
+    assert dropped + len(d["queries"]) == len(BENCH_QUERIES)
+    assert dropped <= 5, "roster far outgrew the tail budget"
+    # the slowest rows always survive a shed
+    slowest = max(times, key=lambda k: times[k])
+    assert slowest in d["queries"]
 
 
 def test_huge_roster_sheds_fastest_queries_parseably():
