@@ -490,10 +490,13 @@ def fit_tail_line(times, total, sf, b_priority, budget=None):
             compact["b"][k] = v
             if len(json.dumps(compact, separators=(",", ":"))) > budget:
                 del compact["b"][k]
-        if len(compact["b"]) < 5:
+        if any(k not in compact["b"] for k, _ in signal):
             # this rung squeezed out part of the cross-round signal
-            # (l1+vw+vr+sw+sr): fall to the next rung, which trades
-            # query precision / the fastest query rows for it instead
+            # (l1+vw+vr+sw+sr) — by NAME, not count: a wide signal
+            # value sheds while a narrow extra still fits, so a key
+            # census would accept the rung with the wrong five. Fall
+            # to the next rung, which trades query precision / the
+            # fastest query rows for the signal instead.
             return None
         return json.dumps(compact, separators=(",", ":"))
 

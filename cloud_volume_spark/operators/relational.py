@@ -1037,11 +1037,19 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrades to NULL on both engines (Spark returns NULL natively;
     the oracle goes through TRY_CAST), surfaced via n_with_k rather
     than crashing the scan — the posture a 100 TB log pipeline needs.
-    All-integer aggregates, so parity is exact in any addition order."""
+    All-integer aggregates, so parity is exact in any addition order.
+
+    Only integer-LITERAL strings count as k: the same explicit
+    ``^-?[0-9]+$`` gate on both engines, because the engines' native
+    casts disagree at every edge (duckdb TRY_CAST rounds '1.5' where
+    Spark NULLs it; Spark's cast trims whitespace and accepts '+5'
+    where the gate rejects both) — the regexp IS the cross-engine
+    numeric contract, not a convenience."""
     events = load(spark, sf_dir, "events")
+    raw = F.get_json_object(F.col("props"), "$.k")
     # try_cast, not cast: under ANSI mode a non-numeric "$.k" value
     # would fail the whole scan; degrade-to-NULL is the contract here
-    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    k = F.when(raw.rlike("^-?[0-9]+$"), raw.try_cast("long"))
     return (
         events.withColumn("k", k)
         .groupBy("event_type")
@@ -1057,11 +1065,20 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # json_valid guard: duckdb's json_extract_string RAISES on malformed
 # JSON where Spark's get_json_object returns NULL — the guard aligns
-# the oracle with the engine's degrade-to-NULL contract
+# the oracle with the engine's degrade-to-NULL contract. The integer
+# regexp gate matters too: a bare TRY_CAST('1.5' AS BIGINT) ROUNDS in
+# duckdb while Spark's try_cast('long') yields NULL — only
+# integer-literal strings count as k on either engine.
 EVENT_PROPS_SQL = """
 WITH extracted AS (
     SELECT event_type,
            CASE WHEN json_valid(props)
+                     AND regexp_matches(
+                         COALESCE(json_extract_string(props, '$.k'), ''),
+                         '^-?[0-9]+$')
+                -- TRY_CAST still (not CAST): an overflowing integer
+                -- literal passes the regexp and must NULL, not raise,
+                -- exactly like Spark's try_cast
                 THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
            END AS k
     FROM events
@@ -1145,6 +1162,9 @@ def top_paths(events: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     NULL event_type would silently shorten its paths under concat_ws's
     skip-null semantics, misgrouping them with genuine (n-1)-grams.
     """
+    if n < 2:
+        raise ValueError("top_paths: need n >= 2 (a length-1 'path' "
+                         "is event_type_share's plain frequency count)")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     clean = events.where(
         F.col("ts").isNotNull() & F.col("event_type").isNotNull())

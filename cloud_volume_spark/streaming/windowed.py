@@ -373,9 +373,16 @@ def streaming_funnel(events: DataFrame,
 
     ``events``: streaming DataFrame with at least
     (ts timestamp, <key> long, event_type string). NULL-``ts`` rows
-    are dropped (the batch operator's MIN/>= comparisons skip them).
-    Output mode: update — one row per key per micro-batch that touched
-    it; the latest emission per key is the current funnel.
+    are dropped — with one honest divergence from batch: a key whose
+    ONLY stage-0 events are NULL-ts gets a depth-1 row with a NULL
+    epoch from the batch operator (MIN over all-NULL is NULL, the
+    group still exists) but no row here, because admitting it would
+    have to be retracted if a real-ts stage-0 event arrived later
+    (batch MIN skips NULLs), and a stream can't retract. Feeds whose
+    ts is non-NULL — the log-ordered contract above — are exactly
+    batch-equal. Output mode: update — one row per key per micro-batch
+    that touched it; the latest emission per key is the current
+    funnel.
     """
     import pandas as pd
 
@@ -424,7 +431,11 @@ def streaming_funnel(events: DataFrame,
         if slots[0] is None:
             # stage 0 not reached: the batch funnel has no row yet
             return
-        row = {key: [int(k[0])]}
+        # NULL keys group together (batch groupBy does the same) and
+        # must emit as None — int() of the NULL key (it arrives as
+        # None OR float NaN depending on the arrow path) would kill
+        # the whole stream on one malformed event
+        row = {key: [None if pd.isna(k[0]) else int(k[0])]}
         for name, us in zip(stages, slots):
             row[f"{name}_epoch"] = [
                 None if us is None else us // 1_000_000]
@@ -502,7 +513,11 @@ def streaming_path_mine(events: DataFrame, n: int = 3,
                 tail = [*tail[1:], et]
         state.update(tuple(tail))
         if paths:
-            yield pd.DataFrame({key: int(k[0]), "path": paths})
+            # NULL-key group emits as None (same rule as the funnel:
+            # one malformed event must never kill the stream; the NULL
+            # key arrives as None or NaN depending on the arrow path)
+            kv = None if pd.isna(k[0]) else int(k[0])
+            yield pd.DataFrame({key: [kv] * len(paths), "path": paths})
 
     return (
         events.select("ts", "event_id", key, "event_type")

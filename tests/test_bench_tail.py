@@ -104,3 +104,19 @@ def test_ensure_scaled_rebuilds_on_src_or_replica_change(tmp_path):
     ensure_scaled(None, str(src2), out, 5, builder, "t")
     assert len(calls) == 3
     assert calls[-1][0] == str(src2)
+
+
+def test_wide_signal_value_falls_through_not_silently_shed():
+    """A rung that fits five b keys but not the five SIGNAL keys must
+    be rejected by name: with an extremely wide sr value the 2/1-dp
+    rungs shed it, and only the terminal rung (which reserves the
+    signal by name) may emit — sr must appear in the final line."""
+    times = _times(len(BENCH_QUERIES))
+    prio = _b_priority()
+    prio[4] = ("sr", 86412345678901234)  # absurdly wide signal value
+    line = fit_tail_line(times, 80.0, 0.1, prio)
+    assert len(line) <= TAIL_BUDGET
+    d = json.loads(line)
+    for k in ("l1", "vw", "vr", "sw", "sr"):
+        assert k in d["b"], f"signal key {k} lost"
+    assert d["b"]["sr"] == 86412345678901234

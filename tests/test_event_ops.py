@@ -279,3 +279,43 @@ def test_snapshot_diff_matches_python_model_randomized(spark):
     got = {r["doc_id"]: r["status"]
            for r in snapshot_diff(old, new).collect()}
     assert got == model
+
+
+def test_event_props_extract_integer_literal_gate(spark, tmp_path):
+    """Fractional / exponent / whitespace / overflow k values must be
+    excluded IDENTICALLY by both engines (duckdb TRY_CAST rounds '1.5'
+    where Spark NULLs it — the shared regexp gate is the contract)."""
+    import duckdb
+
+    from cloud_volume_spark.operators.relational import EVENT_PROPS_SQL
+
+    rows = [
+        (1, _ts(1), 1, "click", 0.0, '{"k": 7}'),
+        (2, _ts(2), 1, "click", 0.0, '{"k": 1.5}'),      # fractional
+        (3, _ts(3), 1, "click", 0.0, '{"k": 1e3}'),      # exponent
+        (4, _ts(4), 1, "click", 0.0, '{"k": " 8"}'),     # whitespace
+        (5, _ts(5), 1, "click", 0.0, '{"k": "+9"}'),     # signed-plus
+        (6, _ts(6), 1, "click", 0.0, '{"k": -3}'),       # negative ok
+        (7, _ts(7), 1, "click", 0.0,
+         '{"k": 99999999999999999999999}'),              # overflows
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = event_props_extract(spark, sf).collect()[0]
+    assert got["n_with_k"] == 2
+    assert got["k_min"] == -3 and got["k_max"] == 7 and got["k_sum"] == 4
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf}/events.parquet/*.parquet'")
+    o = con.execute(EVENT_PROPS_SQL).fetchone()
+    # (event_type, n_events, n_with_k, k_min, k_max, k_sum)
+    assert o[2] == 2 and o[3] == -3 and o[4] == 7 and o[5] == 4
+
+
+def test_top_paths_rejects_n_below_two(spark, tmp_path):
+    from cloud_volume_spark.operators.relational import top_paths
+
+    sf = _write_events(spark, tmp_path, [(1, _ts(0), 1, "a", 0.0, "{}")])
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    with pytest.raises(ValueError, match="n >= 2"):
+        top_paths(events, n=1)

@@ -671,3 +671,72 @@ def test_streaming_path_mine_tail_spans_batches(spark, tmp_path):
     got = {(r["user_id"], r["path"])
            for r in spark.sql("select * from spanpaths").collect()}
     assert got == {(7, "a>b>c")}
+
+
+def test_streaming_path_mine_null_key_group_survives(spark, tmp_path):
+    """A NULL user_id event must not kill the stream (int(None) did):
+    NULL keys group together and emit with a NULL key, exactly like a
+    batch groupBy."""
+    from cloud_volume_spark.streaming import streaming_path_mine
+
+    d = tmp_path / "nullkey"
+    d.mkdir()
+    sch = ("event_id long, ts string, user_id long, "
+           "event_type string, value double, props string")
+    b0 = spark.createDataFrame([
+        (1, "2024-01-01 00:01:00", None, "a", 0.0, "{}"),
+        (2, "2024-01-01 00:02:00", None, "b", 0.0, "{}"),
+        (3, "2024-01-01 00:03:00", None, "c", 0.0, "{}"),
+        (4, "2024-01-01 00:01:00", 5, "x", 0.0, "{}"),
+        (5, "2024-01-01 00:02:00", 5, "y", 0.0, "{}"),
+        (6, "2024-01-01 00:03:00", 5, "z", 0.0, "{}"),
+    ], sch).withColumn("ts", F.to_timestamp("ts"))
+    b0.coalesce(1).write.parquet(str(d / "b0"))
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_path_mine(stream, n=3)
+        .writeStream.format("memory").queryName("nullkeypaths")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["path"])
+           for r in spark.sql("select * from nullkeypaths").collect()}
+    assert got == {(None, "a>b>c"), (5, "x>y>z")}
+
+
+def test_streaming_funnel_null_key_group_survives(spark, tmp_path):
+    """Same NULL-key guard for the funnel: a NULL user_id view event
+    emits a NULL-keyed depth-1 row instead of killing the stream."""
+    from cloud_volume_spark.streaming import streaming_funnel
+
+    d = tmp_path / "nullfunnel"
+    d.mkdir()
+    sch = ("event_id long, ts string, user_id long, "
+           "event_type string, value double, props string")
+    spark.createDataFrame([
+        (1, "2024-01-01 00:01:00", None, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:02:00", 3, "view", 0.0, "{}"),
+    ], sch).withColumn("ts", F.to_timestamp("ts")).coalesce(1)\
+        .write.parquet(str(d / "b0"))
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory").queryName("nullfunnel")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["funnel_depth"]
+           for r in spark.sql("select * from nullfunnel").collect()}
+    assert got == {None: 1, 3: 1}
