@@ -33,11 +33,12 @@ from cloud_volume_spark.meshes import MeshLayer
 from cloud_volume_spark.skeletons import SkeletonLayer
 from cloud_volume_spark.spatial_index import SpatialIndex
 from cloud_volume_spark.images import save_images
+from cloud_volume_spark.ann_index import IVFIndex, build_ivf_index
 
 __version__ = "0.1.0"
 
 __all__ = [
     "get_spark", "Vec", "Bbox", "VolumeInfo", "Volume",
     "AnnotationLayer", "MeshLayer", "SkeletonLayer", "SpatialIndex",
-    "save_images", "__version__",
+    "save_images", "IVFIndex", "build_ivf_index", "__version__",
 ]

@@ -1,0 +1,240 @@
+"""Persistent IVF ANN index: build once, query many.
+
+The registered ``ivf_ann_topk`` query (``operators/similarity.py``)
+recomputes centroid assignment per call — right for the oracle gate,
+wrong for serving. This module is the production lifecycle around the
+SAME primitives (``_assign_nearest_centroid`` is the single assignment
+contract — a one-sided tie-break edit cannot diverge the two paths):
+
+- :func:`build_ivf_index` — assign every vector to its nearest coarse
+  centroid and persist the inverted lists as parquet PARTITIONED BY
+  ``cent_id``, plus a centroid parquet and a JSON meta sidecar
+  (written through :class:`~cloud_volume_spark.fs.PathOps`, so remote
+  URIs work — the spatial-index sidecar lesson).
+- :class:`IVFIndex` — open the persisted index and :meth:`search` it:
+  probe selection runs on the broadcast centroid table, the probed
+  ``cent_id`` set is pushed into the lists scan as a LITERAL filter,
+  so Spark's partition pruning reads ONLY the probed inverted lists
+  from disk. That is the 100 TB shape: nprobe/nlist of the corpus per
+  query batch instead of a full scan, with no index rebuild per query.
+
+Centroid modes: ``"sample"`` (the deterministic vec_id slice the
+oracle uses — search results are bit-identical to ``ivf_ann_topk``)
+or ``"kmeans"`` (Lloyd's rounds from ``embedding_kmeans``'s engine for
+better list balance; still deterministic — seeded from the same
+sample).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from cloud_volume_spark.fs import PathOps
+
+_META_VERSION = 1
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    out_path: str,
+    nlist: int = 16,
+    centroid_base_id: int = 100,
+    centroids: str = "sample",
+    kmeans_rounds: int = 5,
+) -> "IVFIndex":
+    """Build and persist an IVF index over ``emb`` (vec_id long,
+    embedding array<numeric>). One assignment job + one partitioned
+    write; the centroid table is tiny (nlist rows) and lands as a
+    single parquet. Returns the opened index."""
+    from cloud_volume_spark.operators.similarity import (
+        _as_double, _assign_nearest_centroid, _centroid_frame, _with_norm,
+    )
+
+    if centroids not in ("sample", "kmeans"):
+        raise ValueError(f"unknown centroid mode {centroids!r}")
+    spark = emb.sparkSession
+    fs = PathOps(out_path, spark)
+    e = _with_norm(emb.select(
+        "vec_id", _as_double("embedding").alias("embedding")))
+
+    if centroids == "kmeans":
+        cents = _kmeans_centroids(e, nlist, centroid_base_id,
+                                  kmeans_rounds)
+    else:
+        cents = _centroid_frame(e, centroid_base_id, nlist)
+        n_cents = cents.count()
+        if n_cents != nlist:
+            raise ValueError(
+                f"sample centroids: vec_id slice [{centroid_base_id}, "
+                f"{centroid_base_id + nlist}) yielded {n_cents} rows, "
+                f"need {nlist} — pick a base id inside the corpus")
+    cents = cents.coalesce(1)
+    cents.write.mode("overwrite").parquet(f"{out_path}/centroids.parquet")
+
+    # re-read so the assignment broadcasts the PERSISTED centroids —
+    # search must see byte-identical cvecs, not a recomputation
+    cents_p = spark.read.parquet(f"{out_path}/centroids.parquet")
+    assign = _assign_with(e, cents_p)
+    (assign.repartition("cent_id")
+     .write.mode("overwrite").partitionBy("cent_id")
+     .parquet(f"{out_path}/lists.parquet"))
+
+    dim = len(e.select("embedding").first()[0])
+    meta = {"version": _META_VERSION, "nlist": int(nlist), "dim": int(dim),
+            "count": assign.count(), "centroids": centroids,
+            "centroid_base_id": int(centroid_base_id)}
+    fs.write_bytes(f"{out_path}/ivf_meta.json",
+                   json.dumps(meta, sort_keys=True).encode())
+    return IVFIndex.open(spark, out_path)
+
+
+def _assign_with(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """The similarity-module assignment contract (rounded cosine,
+    ties to lowest cent_id) against an ARBITRARY centroid frame."""
+    from cloud_volume_spark.operators.similarity import _dot
+
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("cvec"))
+        / (F.col("nrm") * F.col("cnrm")), 6)
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id"))
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cent_id",
+                csim.alias("csim"))
+        .withColumn("crnk", F.row_number().over(wv))
+        .where(F.col("crnk") == 1)
+        .select("vec_id", "embedding", "nrm", "cent_id")
+    )
+
+
+def _kmeans_centroids(e: DataFrame, nlist: int, base_id: int,
+                      rounds: int) -> DataFrame:
+    """Deterministic Lloyd's: seeded from the vec_id sample slice,
+    refined with per-dimension means (the embedding_kmeans engine's
+    shape: broadcast centroids, map-side argmin, partial-agg means)."""
+    from cloud_volume_spark.operators.similarity import (
+        _assign_fold, _with_norm,
+    )
+
+    cents = {
+        int(r["cent_id"]): list(r["cvec"])
+        for r in e.where((F.col("vec_id") >= base_id)
+                         & (F.col("vec_id") < base_id + nlist))
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cvec")).collect()
+    }
+    if len(cents) != nlist:
+        raise ValueError(
+            f"kmeans seeds: vec_id slice [{base_id}, {base_id + nlist}) "
+            f"yielded {len(cents)} rows, need {nlist}")
+    dim = len(next(iter(cents.values())))
+    # _assign_fold's contract names the vector column "v"
+    work = e.select("vec_id", F.col("embedding").alias("v")).persist()
+    try:
+        for _ in range(rounds):
+            assigned = _assign_fold(work, cents)
+            rows = (
+                assigned.groupBy("cluster")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
+                       for i in range(dim)],
+                     F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            for r in rows:
+                if r["n"] > 0:
+                    cents[int(r["cluster"])] = [
+                        float(r[f"m{i}"]) for i in range(dim)]
+    finally:
+        work.unpersist()
+    spark = e.sparkSession
+    out = spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cents.items())],
+        "cent_id long, cvec array<double>")
+    return _with_norm(out, "cvec", "cnrm")
+
+
+class IVFIndex:
+    """Handle over a persisted IVF index directory."""
+
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        fs = PathOps(path, spark)
+        meta_path = f"{path}/ivf_meta.json"
+        if not fs.exists(meta_path):
+            raise FileNotFoundError(
+                f"not an IVF index (no ivf_meta.json): {path}")
+        meta = json.loads(fs.read_bytes(meta_path).decode())
+        if meta.get("version") != _META_VERSION:
+            raise ValueError(
+                f"ivf_meta version {meta.get('version')} unsupported "
+                f"(expected {_META_VERSION}); rebuild the index")
+        return cls(spark, path, meta)
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/centroids.parquet")
+
+    def lists(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/lists.parquet")
+
+    def search(self, queries: DataFrame, k: int = 5,
+               nprobe: int = 4,
+               exclude_self: bool = True) -> DataFrame:
+        """Top-k cosine neighbors per query row (query_id long, qvec
+        array<numeric>). Probe selection is a tiny Q×nlist job on the
+        broadcast centroid table; its distinct cent_id set (≤ nlist
+        values) is collected and pushed into the lists scan as a
+        literal isin — PartitionFilters in the plan, so only the
+        probed inverted lists are read. Candidate scoring is an
+        equi-join on cent_id with the query side broadcast, exact
+        cosine rerank, row_number top-k — identical tie rules to
+        ``ivf_ann_topk`` (sim desc, neighbor_id asc, 6-dp rounding)."""
+        from cloud_volume_spark.operators.similarity import (
+            _as_double, _dot, _with_norm,
+        )
+
+        q = _with_norm(queries.select(
+            "query_id", _as_double("qvec").alias("qvec")), "qvec", "qnrm")
+        cents = self.centroids()
+        qsim = F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnrm") * F.col("cnrm")), 6)
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("qsim"), F.asc("cent_id"))
+        probe = (
+            q.crossJoin(F.broadcast(cents))
+            .select("query_id", "qvec", "qnrm", "cent_id",
+                    qsim.alias("qsim"))
+            .withColumn("qrnk", F.row_number().over(wq))
+            .where(F.col("qrnk") <= int(nprobe))
+            .select("query_id", "qvec", "qnrm", "cent_id")
+        )
+        # bounded by nlist (the meta records it): the literal filter
+        # is what turns probing into partition pruning; the probe
+        # recomputation this collect implies is a Q×nlist flyweight
+        probed = [r["cent_id"] for r in
+                  probe.select("cent_id").distinct().collect()]
+        lists = self.lists().where(F.col("cent_id").isin(probed))
+        cand = lists.join(F.broadcast(probe), on="cent_id")
+        if exclude_self:
+            cand = cand.where(F.col("vec_id") != F.col("query_id"))
+        sim = _dot(F.col("embedding"), F.col("qvec")) / (
+            F.col("nrm") * F.col("qnrm"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            cand.select(
+                "query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(sim, 6).alias("sim"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= int(k))
+        )

@@ -1,0 +1,101 @@
+"""Persistent IVF index lifecycle: build → open → search.
+
+The search path must be BIT-IDENTICAL to the registered ivf_ann_topk
+query when built with the same (sample-mode) centroids — the index is
+the serving form of the same contract, not a second implementation —
+and the probed-lists scan must show real partition pruning."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_volume_spark.ann_index import IVFIndex, build_ivf_index
+from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.operators.similarity import (
+    N_QUERIES, NLIST, NPROBE, TOP_K, ivf_ann_topk,
+)
+
+
+def _queries(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"),
+             F.col("embedding").alias("qvec"))
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ivf") / "idx")
+    emb = load(spark, sf_dir, "embeddings")
+    return build_ivf_index(emb, out, nlist=NLIST, centroid_base_id=100,
+                           centroids="sample")
+
+
+def test_search_equals_registered_query(spark, sf_dir, index):
+    got = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["sim"])
+        for r in index.search(_queries(spark, sf_dir),
+                              k=TOP_K, nprobe=NPROBE).collect())
+    want = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["sim"])
+        for r in ivf_ann_topk(spark, sf_dir).collect())
+    assert got == want and len(got) > 0
+
+
+def test_meta_roundtrip_and_open_guards(spark, index, tmp_path):
+    reopened = IVFIndex.open(spark, index.path)
+    assert reopened.meta["nlist"] == NLIST
+    assert reopened.meta["count"] == index.lists().count()
+    assert reopened.meta["centroids"] == "sample"
+    with pytest.raises(FileNotFoundError, match="ivf_meta"):
+        IVFIndex.open(spark, str(tmp_path / "nope"))
+    # version guard refuses loudly instead of misreading a future layout
+    bad = tmp_path / "badver"
+    bad.mkdir()
+    (bad / "ivf_meta.json").write_text(json.dumps({"version": 99}))
+    with pytest.raises(ValueError, match="version 99"):
+        IVFIndex.open(spark, str(bad))
+
+
+def test_search_scan_is_partition_pruned(spark, sf_dir, index):
+    """The probed cent_id literal filter must reach the lists scan as
+    PartitionFilters — only nprobe-ish of the nlist inverted-list
+    directories are read, the whole point of persisting the index."""
+    df = index.search(_queries(spark, sf_dir), k=TOP_K, nprobe=NPROBE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    scan = [seg for seg in plan.split("(1) Scan parquet")
+            if "lists.parquet" in seg]
+    assert scan, plan
+    assert "PartitionFilters" in scan[0]
+    assert "cent_id" in scan[0].split("PartitionFilters", 1)[1].split(
+        "\n", 2)[0] + scan[0].split("PartitionFilters", 1)[1].split(
+        "\n", 2)[1]
+
+
+def test_kmeans_mode_builds_deterministically(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    a = build_ivf_index(emb, str(tmp_path / "a"), nlist=8,
+                        centroids="kmeans", kmeans_rounds=2)
+    b = build_ivf_index(emb, str(tmp_path / "b"), nlist=8,
+                        centroids="kmeans", kmeans_rounds=2)
+    ca = sorted(map(tuple, a.centroids().select("cent_id", "cvec")
+                    .toPandas().itertuples(index=False)))
+    cb = sorted(map(tuple, b.centroids().select("cent_id", "cvec")
+                    .toPandas().itertuples(index=False)))
+    assert [(c, list(v)) for c, v in ca] == [(c, list(v)) for c, v in cb]
+    res = a.search(_queries(spark, sf_dir), k=3, nprobe=2)
+    counts = {r["query_id"]: r["n"] for r in
+              res.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert counts and all(n <= 3 for n in counts.values())
+
+
+def test_build_guards(spark, sf_dir, tmp_path):
+    emb = load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="centroid mode"):
+        build_ivf_index(emb, str(tmp_path / "x"), centroids="magic")
+    with pytest.raises(ValueError, match="need 16"):
+        build_ivf_index(emb.where(F.col("vec_id") < 50),
+                        str(tmp_path / "y"), nlist=16,
+                        centroid_base_id=100)
