@@ -328,6 +328,10 @@ if __name__ == "__main__":
                          "json/sessionize/running-total over a "
                          "disjoint-user replicated events table)")
     ap.add_argument("--events-dir", default="/tmp/cvs_events_synth")
+    ap.add_argument("--ivf", action="store_true",
+                    help="run the persistent-IVF-index scale leg "
+                         "(build + partition-pruned search, 1x vs 10x "
+                         "embeddings)")
     ap.add_argument("--zs", default="100,200,400",
                     help="z extents for --volume (1024x1024xZ uint16)")
     args = ap.parse_args()
@@ -338,6 +342,46 @@ if __name__ == "__main__":
         SPARK = get_spark()
         bench_volume_scale(
             SPARK, zs=tuple(int(z) for z in args.zs.split(",")))
+        sys.exit(0)
+
+    if args.ivf:
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        from cloud_volume_spark import get_spark
+        from cloud_volume_spark.ann_index import build_ivf_index
+
+        SPARK = get_spark()
+        ensure_scaled(SPARK, SF01, args.scaled_dir, args.replicas,
+                      make_scaled, "corpus")
+        out = {}
+        for tag, d in (("1x", SF01), ("10x", args.scaled_dir)):
+            emb = SPARK.read.parquet(f"{d}/embeddings.parquet")
+            t0 = _t.monotonic()
+            idx = build_ivf_index(emb, f"/tmp/cvs_ivf_{tag}", nlist=16,
+                                  centroids="sample")
+            build_s = _t.monotonic() - t0
+            q = emb.where(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+            best = None
+            for _ in range(2):
+                t0 = _t.monotonic()
+                n = idx.search(q, k=5, nprobe=4).count()
+                dt = _t.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            out[tag] = {"vectors": idx.meta["count"],
+                        "build_s": round(build_s, 3),
+                        "search_s": round(best, 3), "rows": n}
+            print(json.dumps({"leg": "ivf", "scale": tag, **out[tag]}),
+                  flush=True)
+        b, s = out["1x"], out["10x"]
+        print(f"\n# ivf  build {b['build_s']}→{s['build_s']} "
+              f"({round(s['build_s'] / max(b['build_s'], 1e-9), 2)}x), "
+              f"search {b['search_s']}→{s['search_s']} "
+              f"({round(s['search_s'] / max(b['search_s'], 1e-9), 2)}x) "
+              f"at {round(s['vectors'] / max(b['vectors'], 1), 1)}x vectors")
         sys.exit(0)
 
     if args.events:
