@@ -3,8 +3,10 @@
 The registered ``ivf_ann_topk`` query (``operators/similarity.py``)
 recomputes centroid assignment per call — right for the oracle gate,
 wrong for serving. This module is the production lifecycle around the
-SAME primitives (``_assign_nearest_centroid`` is the single assignment
-contract — a one-sided tie-break edit cannot diverge the two paths):
+SAME primitives: ``similarity.rank_centroids`` is the single
+centroid-affinity contract (assignment = crnk 1, probing = crnk <=
+nprobe) consumed by BOTH paths, so a one-sided tie-break or rounding
+edit cannot diverge a persisted index from the oracle-gated query:
 
 - :func:`build_ivf_index` — assign every vector to its nearest coarse
   centroid and persist the inverted lists as parquet PARTITIONED BY
@@ -50,7 +52,7 @@ def build_ivf_index(
     write; the centroid table is tiny (nlist rows) and lands as a
     single parquet. Returns the opened index."""
     from cloud_volume_spark.operators.similarity import (
-        _as_double, _assign_nearest_centroid, _centroid_frame, _with_norm,
+        _as_double, _centroid_frame, _with_norm,
     )
 
     if centroids not in ("sample", "kmeans"):
@@ -76,39 +78,32 @@ def build_ivf_index(
 
     # re-read so the assignment broadcasts the PERSISTED centroids —
     # search must see byte-identical cvecs, not a recomputation
+    from cloud_volume_spark.operators.similarity import rank_centroids
+
     cents_p = spark.read.parquet(f"{out_path}/centroids.parquet")
-    assign = _assign_with(e, cents_p)
+    assign = (
+        rank_centroids(e, cents_p)
+        .where(F.col("crnk") == 1)
+        .select("vec_id", "embedding", "nrm", "cent_id")
+    )
     (assign.repartition("cent_id")
      .write.mode("overwrite").partitionBy("cent_id")
      .parquet(f"{out_path}/lists.parquet"))
 
-    dim = len(e.select("embedding").first()[0])
-    meta = {"version": _META_VERSION, "nlist": int(nlist), "dim": int(dim),
-            "count": assign.count(), "centroids": centroids,
+    # count + dim from the JUST-WRITTEN lists (records what was
+    # actually persisted and avoids re-running the whole assignment
+    # job — the dominant cost — a second time for a scalar)
+    lists_p = spark.read.parquet(f"{out_path}/lists.parquet")
+    first = lists_p.select("embedding").first()
+    if first is None:
+        raise ValueError("build_ivf_index: empty embedding frame")
+    meta = {"version": _META_VERSION, "nlist": int(nlist),
+            "dim": len(first[0]),
+            "count": lists_p.count(), "centroids": centroids,
             "centroid_base_id": int(centroid_base_id)}
     fs.write_bytes(f"{out_path}/ivf_meta.json",
                    json.dumps(meta, sort_keys=True).encode())
     return IVFIndex.open(spark, out_path)
-
-
-def _assign_with(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """The similarity-module assignment contract (rounded cosine,
-    ties to lowest cent_id) against an ARBITRARY centroid frame."""
-    from cloud_volume_spark.operators.similarity import _dot
-
-    csim = F.round(
-        _dot(F.col("embedding"), F.col("cvec"))
-        / (F.col("nrm") * F.col("cnrm")), 6)
-    wv = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cent_id"))
-    return (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cent_id",
-                csim.alias("csim"))
-        .withColumn("crnk", F.row_number().over(wv))
-        .where(F.col("crnk") == 1)
-        .select("vec_id", "embedding", "nrm", "cent_id")
-    )
 
 
 def _kmeans_centroids(e: DataFrame, nlist: int, base_id: int,
@@ -198,23 +193,15 @@ class IVFIndex:
         cosine rerank, row_number top-k — identical tie rules to
         ``ivf_ann_topk`` (sim desc, neighbor_id asc, 6-dp rounding)."""
         from cloud_volume_spark.operators.similarity import (
-            _as_double, _dot, _with_norm,
+            _as_double, _dot, _with_norm, rank_centroids,
         )
 
         q = _with_norm(queries.select(
             "query_id", _as_double("qvec").alias("qvec")), "qvec", "qnrm")
         cents = self.centroids()
-        qsim = F.round(
-            _dot(F.col("qvec"), F.col("cvec"))
-            / (F.col("qnrm") * F.col("cnrm")), 6)
-        wq = Window.partitionBy("query_id").orderBy(
-            F.desc("qsim"), F.asc("cent_id"))
         probe = (
-            q.crossJoin(F.broadcast(cents))
-            .select("query_id", "qvec", "qnrm", "cent_id",
-                    qsim.alias("qsim"))
-            .withColumn("qrnk", F.row_number().over(wq))
-            .where(F.col("qrnk") <= int(nprobe))
+            rank_centroids(q, cents, "query_id", "qvec", "qnrm")
+            .where(F.col("crnk") <= int(nprobe))
             .select("query_id", "qvec", "qnrm", "cent_id")
         )
         # bounded by nlist (the meta records it): the literal filter

@@ -970,6 +970,10 @@ def funnel(events: DataFrame, stages: Sequence[str],
     at the output edge, per the module convention."""
     if not stages:
         raise ValueError("funnel: need at least one stage")
+    if len(set(stages)) != len(stages):
+        # a repeated stage would build two <stage>_ts frames whose
+        # join raises AMBIGUOUS_REFERENCE at best — refuse clearly
+        raise ValueError(f"funnel: duplicate stage in {tuple(stages)}")
     reached = (
         events.where(F.col(stage_col) == stages[0])
         .groupBy(key).agg(F.min(ts).alias(f"{stages[0]}_ts"))

@@ -382,24 +382,39 @@ def _centroid_frame(emb: DataFrame, base_id: int,
     )
 
 
+def rank_centroids(frame: DataFrame, cents: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   nrm_col: str = "nrm") -> DataFrame:
+    """THE centroid-affinity contract, in one place: rounded-6dp cosine
+    against the broadcast (cent_id, cvec, cnrm) frame, ranked per id by
+    (sim desc, cent_id asc) into ``crnk``. Assignment is crnk == 1,
+    IVF probing is crnk <= nprobe — both the per-call operators here
+    AND the persistent index (:mod:`cloud_volume_spark.ann_index`)
+    consume this function, so a tie-break or rounding edit cannot
+    silently make "nearest centroid" mean two things across the
+    oracle-gated query and a previously persisted index."""
+    csim = F.round(
+        _dot(F.col(vec_col), F.col("cvec"))
+        / (F.col(nrm_col) * F.col("cnrm")),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_csim"), F.asc("cent_id"))
+    return (
+        frame.crossJoin(F.broadcast(cents))
+        .withColumn("_csim", csim)
+        .withColumn("crnk", F.row_number().over(w))
+        .drop("_csim")
+    )
+
+
 def _assign_nearest_centroid(emb: DataFrame, base_id: int,
                              nlist: int) -> DataFrame:
     """(vec_id, embedding, nrm, cent_id): each vector assigned to its
-    nearest coarse centroid by rounded cosine, ties to the lowest
-    cent_id — THE single assignment contract shared by IVF search and
-    semantic dedup; a one-sided edit to tie-break/rounding would
-    silently make "nearest centroid" mean two things."""
+    nearest coarse centroid — crnk == 1 of :func:`rank_centroids`."""
     cents = _centroid_frame(emb, base_id, nlist)
-    csim = F.round(
-        _dot(F.col("embedding"), F.col("cvec"))
-        / (F.col("nrm") * F.col("cnrm")),
-        6,
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     return (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cent_id", csim.alias("csim"))
-        .withColumn("crnk", F.row_number().over(wv))
+        rank_centroids(emb, cents)
         .where(F.col("crnk") == 1)
         .select("vec_id", "embedding", "nrm", "cent_id")
     )
@@ -546,17 +561,9 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
         F.col("nrm").alias("qnrm"),
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
-    qsim = F.round(
-        _dot(F.col("qvec"), F.col("cvec"))
-        / (F.col("qnrm") * F.col("cnrm")),
-        6,
-    )
     probe = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qvec", "qnrm", "cent_id", qsim.alias("qsim"))
-        .withColumn("qrnk", F.row_number().over(wq))
-        .where(F.col("qrnk") <= NPROBE)
+        rank_centroids(q, cents, "query_id", "qvec", "qnrm")
+        .where(F.col("crnk") <= NPROBE)
         .select("query_id", "qvec", "qnrm", "cent_id")
     )
 

@@ -389,6 +389,12 @@ def streaming_funnel(events: DataFrame,
     stages = tuple(stages)
     if not stages:
         raise ValueError("streaming_funnel: need at least one stage")
+    if len(set(stages)) != len(stages):
+        # the rank dict would silently map the repeated stage to its
+        # LAST slot, leaving slot 0 unfillable — every key would
+        # silently vanish from the output instead of erroring
+        raise ValueError(
+            f"streaming_funnel: duplicate stage in {stages}")
     # stage timestamps in MICROSECONDS (comparisons at full precision;
     # the floor-to-seconds happens only at the output edge, mirroring
     # relational.funnel)

@@ -2515,11 +2515,20 @@ class Volume:
                                 f"(axis {axis}, chunk {int(cs[axis])}, "
                                 f"offset {int(voff[axis])})")
                         cell_hi = min(int(lo + cs[axis]), bmax[axis])
-                        if not (lo < hi <= cell_hi):
+                        if hi != cell_hi:
+                            # exact-extent, not <=: an interior block
+                            # covering only part of its cell would
+                            # commit a chunk row whose readers assume
+                            # the grid-determined shape — voxels past
+                            # the stored extent would silently read as
+                            # background (or index out of range) at
+                            # read time. Partial writes go through
+                            # upload()'s read-modify-write, never here.
                             raise ValueError(
-                                f"block extent [{lo},{hi}) exceeds its "
-                                f"chunk cell [{lo},{cell_hi}) on axis "
-                                f"{axis}")
+                                f"block extent [{lo},{hi}) must cover "
+                                f"its whole chunk cell [{lo},{cell_hi}) "
+                                f"on axis {axis} (bounds-clamped); "
+                                f"partial writes belong to upload()")
                     want = int(np.prod(shape)) * itemsize
                     if len(r.blob) != want:
                         raise ValueError(
@@ -2947,10 +2956,7 @@ class Volume:
         """Large-cutout path: decoded blocks as a DataFrame (no driver
         assembly) — the ``to_dask`` analog and the 100 TB answer to the
         reference's shared-memory buffers."""
-        if bbox_or_slices is None:
-            bbox = self.info.bounds(mip)
-        else:
-            bbox = self._resolve_bbox(bbox_or_slices, mip)
+        bbox = self._resolve_bbox(bbox_or_slices, mip)  # None = bounds
         return self._decoded_pieces_df(bbox, mip)
 
     def voxels_df(self, bbox_or_slices=None, mip: int = 0) -> DataFrame:
@@ -3281,10 +3287,7 @@ class Volume:
         one-column DataFrame ``label BIGINT``; ``approx=True`` gives
         ``approx_count_distinct`` instead of the exact set.
         """
-        if bbox_or_slices is None:
-            bbox = self.info.bounds(mip)
-        else:
-            bbox = self._resolve_bbox(bbox_or_slices, mip)
+        bbox = self._resolve_bbox(bbox_or_slices, mip)  # None = bounds
         cs = self.info.chunk_size(mip)
         voff = self.info.voxel_offset(mip)
         pruned = self._pruned(bbox, mip)
@@ -3935,10 +3938,7 @@ class Volume:
         sets the destination scales' codec tuning key (jpeg_quality /
         png_level / fpzip_precision, reference ``metadata.py:807-815``)
         and drives the re-encode."""
-        bbox = (
-            self.info.bounds(mip) if bbox_or_slices is None
-            else self._resolve_bbox(bbox_or_slices, mip)
-        )
+        bbox = self._resolve_bbox(bbox_or_slices, mip)  # None = bounds
         dst_info = self.info.clone()
         dst_enc = encoding or self.info.encoding(mip)
         level_key = ENCODING_LEVEL_KEYS.get(dst_enc)
@@ -3998,10 +3998,7 @@ class Volume:
         """Raw chunk rows for a region, blobs untouched (reference
         ``download_files`` — cache warming / transfers). Column-pruned
         scan; filename column mirrors the precomputed naming."""
-        bbox = (
-            self.info.bounds(mip) if bbox_or_slices is None
-            else self._resolve_bbox(bbox_or_slices, mip)
-        )
+        bbox = self._resolve_bbox(bbox_or_slices, mip)  # None = bounds
         return self._pruned(bbox, mip).select(
             F.concat_ws(
                 "_",

@@ -319,3 +319,17 @@ def test_top_paths_rejects_n_below_two(spark, tmp_path):
     events = spark.read.parquet(f"{sf}/events.parquet")
     with pytest.raises(ValueError, match="n >= 2"):
         top_paths(events, n=1)
+
+
+def test_funnel_rejects_duplicate_stages(spark, tmp_path):
+    """A repeated stage would join two identically-named <stage>_ts
+    frames (ambiguous reference at best); both funnel forms refuse."""
+    from cloud_volume_spark.operators.relational import funnel
+    from cloud_volume_spark.streaming import streaming_funnel
+
+    sf = _write_events(spark, tmp_path, [(1, _ts(0), 1, "view", 0.0, "{}")])
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    with pytest.raises(ValueError, match="duplicate stage"):
+        funnel(events, ("view", "click", "view"))
+    with pytest.raises(ValueError, match="duplicate stage"):
+        streaming_funnel(events, ("view", "click", "view"))

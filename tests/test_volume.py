@@ -462,6 +462,18 @@ def test_write_paths_validate_and_honor_locks(spark, rng, tmp_path):
         mis_rows, "x0 int, x1 int, y0 int, y1 int, z0 int, z1 int, blob binary")
     with pytest.raises(Exception, match="grid"):
         vol.write_blocks_df(mdf, merge=True)
+    # an INTERIOR sub-cell tile must refuse too: length-matched blob,
+    # aligned origin, hi < cell_hi — committing it would make voxels
+    # 8..15 of the cell silently read as background (the cell counts
+    # as present) while read_voxel indexes past the stored extent
+    half = np.zeros((8, 16, 16, 1), dtype=np.uint32)
+    sub_rows = [(0, 8, 0, 16, 0, 16,
+                 bytes(np.ascontiguousarray(half.transpose()).tobytes()))]
+    sdf = spark.createDataFrame(
+        sub_rows, "x0 int, x1 int, y0 int, y1 int, z0 int, z1 int, blob binary")
+    with pytest.raises(Exception, match="whole chunk cell"):
+        vol.write_blocks_df(sdf, merge=True)
+
     # grid-multiple but BELOW voxel_offset must refuse at the gate, not
     # uint64-wrap inside morton encoding
     ovol = Volume.from_numpy(spark, arr, str(tmp_path / "wvoff"),
