@@ -180,6 +180,57 @@ class IVFIndex:
     def lists(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.path}/lists.parquet")
 
+    def list_stats(self) -> DataFrame:
+        """Per-inverted-list row counts — the list-balance observable
+        (a skewed list is the IVF failure mode: its probes degrade
+        toward brute force). One partial-aggregating scan, no vectors
+        read (column pruning keeps the embedding bytes on disk)."""
+        return (self.lists().groupBy("cent_id")
+                .agg(F.count(F.lit(1)).alias("n_vectors"))
+                .orderBy("cent_id"))
+
+    def add(self, emb: DataFrame) -> int:
+        """Incrementally index new vectors — the consumer of a corpus
+        delta (``corpus.snapshot_diff``'s added/changed set → embed →
+        add) without rebuilding: assignment runs ONLY over the new
+        batch against the persisted centroids (the index's frozen
+        quantizer — exactly how IVF indexes grow; recall degrades only
+        as the data distribution drifts from the trained centroids,
+        surfaced by :meth:`list_stats` imbalance), and the new rows
+        parquet-append into their list partitions. Duplicate vec_ids
+        are refused loudly: search's dropDuplicates would otherwise
+        silently keep an arbitrary copy. Returns the number added."""
+        from cloud_volume_spark.operators.similarity import (
+            _as_double, _with_norm, rank_centroids,
+        )
+
+        e = _with_norm(emb.select(
+            "vec_id", _as_double("embedding").alias("embedding")))
+        dup = (e.select("vec_id")
+               .join(self.lists().select("vec_id"), "vec_id")
+               .limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"add(): vec_id {dup[0][0]} is already indexed — "
+                "re-embedding a changed doc needs a rebuild (parquet "
+                "partitions are append-only; an in-place replace would "
+                "leave both versions searchable)")
+        assign = (
+            rank_centroids(e, self.centroids())
+            .where(F.col("crnk") == 1)
+            .select("vec_id", "embedding", "nrm", "cent_id")
+        )
+        (assign.repartition("cent_id")
+         .write.mode("append").partitionBy("cent_id")
+         .parquet(f"{self.path}/lists.parquet"))
+        n_total = self.lists().count()
+        added = n_total - self.meta["count"]
+        self.meta = {**self.meta, "count": n_total}
+        fs = PathOps(self.path, self.spark)
+        fs.write_bytes(f"{self.path}/ivf_meta.json",
+                       json.dumps(self.meta, sort_keys=True).encode())
+        return added
+
     def search(self, queries: DataFrame, k: int = 5,
                nprobe: int = 4,
                exclude_self: bool = True) -> DataFrame:

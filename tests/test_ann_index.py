@@ -99,3 +99,41 @@ def test_build_guards(spark, sf_dir, tmp_path):
         build_ivf_index(emb.where(F.col("vec_id") < 50),
                         str(tmp_path / "y"), nlist=16,
                         centroid_base_id=100)
+
+
+def test_incremental_add_equals_full_build(spark, sf_dir, tmp_path):
+    """build(half) + add(rest) must search IDENTICALLY to build(full):
+    assignment depends only on the persisted centroids, which the
+    half-build already contains (the sample slice lives in the first
+    half). Duplicate vec_ids refuse loudly; meta count tracks."""
+    emb = load(spark, sf_dir, "embeddings")
+    half = emb.where(F.col("vec_id") < 250)
+    rest = emb.where(F.col("vec_id") >= 250)
+
+    idx = build_ivf_index(half, str(tmp_path / "inc"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    n0 = idx.meta["count"]
+    added = idx.add(rest)
+    assert added == rest.count()
+    assert idx.meta["count"] == n0 + added
+    # reopened handle sees the appended meta
+    assert IVFIndex.open(spark, idx.path).meta["count"] == n0 + added
+
+    full = build_ivf_index(emb, str(tmp_path / "full"), nlist=NLIST,
+                           centroid_base_id=100, centroids="sample")
+    q = _queries(spark, sf_dir)
+    got = sorted(map(tuple, idx.search(q, k=TOP_K, nprobe=NPROBE)
+                     .select("query_id", "rnk", "neighbor_id", "sim")
+                     .collect()))
+    want = sorted(map(tuple, full.search(q, k=TOP_K, nprobe=NPROBE)
+                      .select("query_id", "rnk", "neighbor_id", "sim")
+                      .collect()))
+    assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError, match="already indexed"):
+        idx.add(emb.where(F.col("vec_id") == 300))
+
+    stats = {r["cent_id"]: r["n_vectors"]
+             for r in idx.list_stats().collect()}
+    assert sum(stats.values()) == n0 + added
+    assert set(stats) <= set(range(100, 100 + NLIST))
