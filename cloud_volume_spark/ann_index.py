@@ -52,11 +52,13 @@ def build_ivf_index(
     write; the centroid table is tiny (nlist rows) and lands as a
     single parquet. Returns the opened index."""
     from cloud_volume_spark.operators.similarity import (
-        _as_double, _centroid_frame, _with_norm,
+        _as_double, _centroid_frame, _with_norm, rank_centroids,
     )
 
     if centroids not in ("sample", "kmeans"):
         raise ValueError(f"unknown centroid mode {centroids!r}")
+    if nlist < 1:
+        raise ValueError(f"nlist must be >= 1, got {nlist}")
     spark = emb.sparkSession
     fs = PathOps(out_path, spark)
     e = _with_norm(emb.select(
@@ -78,8 +80,6 @@ def build_ivf_index(
 
     # re-read so the assignment broadcasts the PERSISTED centroids —
     # search must see byte-identical cvecs, not a recomputation
-    from cloud_volume_spark.operators.similarity import rank_centroids
-
     cents_p = spark.read.parquet(f"{out_path}/centroids.parquet")
     assign = (
         rank_centroids(e, cents_p)
@@ -92,8 +92,11 @@ def build_ivf_index(
 
     # count + dim from the JUST-WRITTEN lists (records what was
     # actually persisted and avoids re-running the whole assignment
-    # job — the dominant cost — a second time for a scalar)
-    lists_p = spark.read.parquet(f"{out_path}/lists.parquet")
+    # job — the dominant cost — a second time for a scalar). The
+    # explicit schema keeps an all-empty write readable so the empty
+    # case fails with OUR message, not a schema-inference error.
+    lists_p = spark.read.schema(assign.schema).parquet(
+        f"{out_path}/lists.parquet")
     first = lists_p.select("embedding").first()
     if first is None:
         raise ValueError("build_ivf_index: empty embedding frame")
@@ -206,15 +209,39 @@ class IVFIndex:
 
         e = _with_norm(emb.select(
             "vec_id", _as_double("embedding").alias("embedding")))
-        dup = (e.select("vec_id")
-               .join(self.lists().select("vec_id"), "vec_id")
-               .limit(1).collect())
-        if dup:
+        # ONE validation job for all three batch invariants: a
+        # wrong-dimension vector would NULL every csim (zip_with pads
+        # with nulls) and land at the lowest cent_id with garbage
+        # affinity; an in-batch duplicate would collapse to whichever
+        # copy crnk==1 keeps; a vec_id already on disk would leave two
+        # versions searchable under dropDuplicates' arbitrary pick.
+        dim = int(self.meta["dim"])
+        bad = (
+            e.join(self.lists().select(
+                "vec_id", F.lit(1).alias("_onx")), "vec_id", "left")
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.max(F.size("embedding")).alias("_dim"),
+                 F.max("_onx").alias("_on"))
+            .where((F.col("_n") > 1) | F.col("_dim").isNull()
+                   | (F.col("_dim") != dim) | F.col("_on").isNotNull())
+            .limit(1).collect())
+        if bad:
+            r = bad[0]
+            if r["_on"] is not None:
+                raise ValueError(
+                    f"add(): vec_id {r['vec_id']} is already indexed — "
+                    "re-embedding a changed doc needs a rebuild "
+                    "(parquet partitions are append-only; an in-place "
+                    "replace would leave both versions searchable)")
+            if r["_n"] > 1:
+                raise ValueError(
+                    f"add(): vec_id {r['vec_id']} appears {r['_n']} "
+                    "times in the batch — deduplicate the delta first")
             raise ValueError(
-                f"add(): vec_id {dup[0][0]} is already indexed — "
-                "re-embedding a changed doc needs a rebuild (parquet "
-                "partitions are append-only; an in-place replace would "
-                "leave both versions searchable)")
+                f"add(): vec_id {r['vec_id']} has dimension "
+                f"{r['_dim']}, index is {dim}-dimensional")
+        n_new = e.count()
         assign = (
             rank_centroids(e, self.centroids())
             .where(F.col("crnk") == 1)
@@ -223,13 +250,15 @@ class IVFIndex:
         (assign.repartition("cent_id")
          .write.mode("append").partitionBy("cent_id")
          .parquet(f"{self.path}/lists.parquet"))
-        n_total = self.lists().count()
-        added = n_total - self.meta["count"]
-        self.meta = {**self.meta, "count": n_total}
+        # `added` comes from the BATCH, not a lists-count delta: a
+        # crash after a previous append but before its meta write must
+        # not inflate this call's report. meta recounts the lists, so
+        # a stale count self-heals here.
+        self.meta = {**self.meta, "count": self.lists().count()}
         fs = PathOps(self.path, self.spark)
         fs.write_bytes(f"{self.path}/ivf_meta.json",
                        json.dumps(self.meta, sort_keys=True).encode())
-        return added
+        return n_new
 
     def search(self, queries: DataFrame, k: int = 5,
                nprobe: int = 4,

@@ -137,3 +137,28 @@ def test_incremental_add_equals_full_build(spark, sf_dir, tmp_path):
              for r in idx.list_stats().collect()}
     assert sum(stats.values()) == n0 + added
     assert set(stats) <= set(range(100, 100 + NLIST))
+
+
+def test_add_batch_invariants_refuse_loudly(spark, sf_dir, tmp_path):
+    """add()'s one-job batch validation: in-batch duplicate vec_ids,
+    wrong-dimension vectors, and NULL embeddings all refuse with a
+    clear error instead of silently landing with NULL affinity."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb.where(F.col("vec_id") < 250),
+                          str(tmp_path / "g"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    one = emb.where(F.col("vec_id") == 300)
+    with pytest.raises(ValueError, match="appears 2 times"):
+        idx.add(one.unionAll(one))
+    with pytest.raises(ValueError, match="dimension"):
+        idx.add(one.select("vec_id",
+                           F.slice("embedding", 1, 8).alias("embedding")))
+    with pytest.raises(ValueError, match="dimension"):
+        idx.add(one.select(
+            "vec_id",
+            F.lit(None).cast("array<double>").alias("embedding")))
+    # a clean batch still lands and reports its own size
+    assert idx.add(one) == 1
+    # nlist guard on build
+    with pytest.raises(ValueError, match="nlist"):
+        build_ivf_index(emb, str(tmp_path / "z"), nlist=0)
