@@ -162,3 +162,45 @@ def test_add_batch_invariants_refuse_loudly(spark, sf_dir, tmp_path):
     # nlist guard on build
     with pytest.raises(ValueError, match="nlist"):
         build_ivf_index(emb, str(tmp_path / "z"), nlist=0)
+
+
+def test_incremental_refresh_loop(spark, sf_dir, tmp_path):
+    """The round-10 pieces composed as the incremental-refresh loop a
+    100 TB pipeline runs: corpus snapshot diff → delta doc ids →
+    (embed; here: select their vectors) → IVFIndex.add — only the
+    delta is assigned and appended, and the refreshed index serves the
+    union corpus identically to a from-scratch build."""
+    from cloud_volume_spark.operators.corpus import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = load(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+
+    # yesterday's corpus = docs with doc_id < 300; today adds the rest
+    old = docs.where(F.col("doc_id") < 300)
+    new = docs  # superset: no removed/changed docs in this run
+    delta_ids = (snapshot_diff(old, new)
+                 .where(F.col("status") == "added").select("doc_id"))
+    # "embed the delta": embeddings keyed by the same id space
+    delta_vecs = emb.join(
+        delta_ids.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+    base_vecs = emb.join(delta_vecs.select("vec_id"), "vec_id",
+                         "left_anti")
+    assert delta_vecs.count() + base_vecs.count() == n_emb
+
+    idx = build_ivf_index(base_vecs, str(tmp_path / "serve"),
+                          nlist=NLIST, centroid_base_id=100,
+                          centroids="sample")
+    added = idx.add(delta_vecs)
+    assert added == delta_vecs.count() and added > 0
+
+    full = build_ivf_index(emb, str(tmp_path / "scratch"), nlist=NLIST,
+                           centroid_base_id=100, centroids="sample")
+    q = _queries(spark, sf_dir)
+    got = sorted(map(tuple, idx.search(q, k=TOP_K, nprobe=NPROBE)
+                     .select("query_id", "rnk", "neighbor_id", "sim")
+                     .collect()))
+    want = sorted(map(tuple, full.search(q, k=TOP_K, nprobe=NPROBE)
+                      .select("query_id", "rnk", "neighbor_id", "sim")
+                      .collect()))
+    assert got == want and len(got) > 0
