@@ -4038,7 +4038,9 @@ class Volume:
     def shard_stats(self, mip: int = 0) -> DataFrame:
         """Per-slab chunk counts and byte sizes from the table alone —
         the ``ShardReader.list_labels``-style index-only statistics scan
-        (reference ``sharding.py:790-820``); no blob bytes are read."""
+        (reference ``sharding.py:790-820``); no blob is DECODED
+        (``length(blob)`` still scans the column's pages — byte-count
+        without decompress/parse, not a metadata-only read)."""
         return (
             self.chunks_df()
             .where(F.col("mip") == int(mip))
