@@ -15,24 +15,19 @@ from cloud_volume_spark import multimodal
 # registered queries; the order rotates per round so every query gets a
 # driver row across consecutive rounds, with tests/test_oracle_parity.py
 # running ALL queries against DuckDB as the local backstop.
-# ROUND-10 ROTATION (executing the round-9 note): `relational` and the
-# `curation` tail (doc_perplexity, corpus_shuffle — the only two queries
-# without an r9 driver row) return to the front.  Round 10 also ADDS
-# six queries (events_funnel, event_props_extract,
-# events_cohort_retention, events_top_paths → relational;
-# doc_pii_redact, corpus_snapshot_diff → corpus), bringing the registry
-# to 78; the window = relational(24) + curation(8) + corpus(10) +
-# multimodal(5) + similarity(first 3) = exactly 50, so every NEW query
-# gets an r10 driver row; out-of-window = similarity's tail(5:
-# embedding_dedup_keep, semantic_dedup, srp_ann_topk, ivf_ann_topk,
-# embedding_kmeans), text(7), voxel_rel(9), dedup(7) — all green in
-# CORRECTNESS_r09, so the r9∪r10 union keeps every registered query on
-# a fresh-within-two-rounds driver row.  ROUND-11 ROTATION: voxel_rel +
-# dedup + text + similarity to the front (they hold every query whose
-# last row is r9).
+# ROUND-11 ROTATION (executing the round-10 note): voxel_rel(9) +
+# dedup(7) + text(7) + similarity(8) = 31 to the front — they hold every
+# query whose last driver row is r9.  The window's remaining 19 slots go
+# to NEW round-11 queries followed by the head of `relational`;
+# out-of-window = the rest of relational + curation + corpus +
+# multimodal, ALL of which have green rows in CORRECTNESS_r10, so the
+# r10∪r11 union keeps every registered query on a fresh-within-two-
+# rounds driver row.  ROUND-12 ROTATION: relational + curation + corpus
+# + multimodal to the front (47 queries — they hold every query whose
+# last row is r10), leaving 3 window slots for the r11-module tail.
 ALL_MODULES = [
-    relational, curation, corpus, multimodal, similarity, text,
-    voxel_rel, dedup,
+    voxel_rel, dedup, text, similarity, relational, curation, corpus,
+    multimodal,
 ]
 
 
