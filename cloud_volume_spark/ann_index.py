@@ -1,4 +1,4 @@
-"""Persistent IVF ANN index: build once, query many.
+"""Persistent IVF ANN index: build once, query many, grow and shrink.
 
 The registered ``ivf_ann_topk`` query (``operators/similarity.py``)
 recomputes centroid assignment per call — right for the oracle gate,
@@ -19,17 +19,25 @@ edit cannot diverge a persisted index from the oracle-gated query:
   so Spark's partition pruning reads ONLY the probed inverted lists
   from disk. That is the 100 TB shape: nprobe/nlist of the corpus per
   query batch instead of a full scan, with no index rebuild per query.
+- :meth:`IVFIndex.add` / :meth:`IVFIndex.remove` — the incremental
+  lifecycle: a corpus delta (``corpus.snapshot_diff``) appends its
+  added docs into their list partitions (one assignment job over the
+  DELTA only) and rewrites ONLY the list partitions containing removed
+  docs (dynamic partition overwrite — the ``compact()`` analog at the
+  lists layer). A changed doc is ``remove`` + ``add``. Both mutations
+  take an exclusive lock file (the volume layer's ``_commit_lock``
+  pattern), so two writers cannot interleave appends.
 
 Centroid modes: ``"sample"`` (the deterministic vec_id slice the
 oracle uses — search results are bit-identical to ``ivf_ann_topk``)
-or ``"kmeans"`` (Lloyd's rounds from ``embedding_kmeans``'s engine for
-better list balance; still deterministic — seeded from the same
-sample).
+or ``"kmeans"`` (spherical Lloyd's rounds for better list balance;
+deterministic — seeded from the same sample).
 """
 
 from __future__ import annotations
 
 import json
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -37,6 +45,45 @@ from pyspark.sql.window import Window
 from cloud_volume_spark.fs import PathOps
 
 _META_VERSION = 1
+
+
+def _validate_embedding_frame(e: DataFrame, dim: int | None = None,
+                              context: str = "build_ivf_index") -> tuple:
+    """ONE aggregate job enforcing the batch contract shared by build
+    and add (the round-10 advice: build must refuse what add refuses):
+    non-empty, no NULL embeddings, one uniform dimension (== ``dim``
+    when the index already fixes it), no duplicate vec_ids. A violator
+    would otherwise NULL its cosine against every centroid and land in
+    the lowest cent_id list with garbage affinity. Returns
+    ``(n_rows, dim)``."""
+    s = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.sum(F.col("embedding").isNull().cast("long")).alias("n_null"),
+        F.min(F.size("embedding")).alias("dmin"),
+        F.max(F.size("embedding")).alias("dmax"),
+    ).first()
+    n = int(s["n"])
+    if n == 0:
+        raise ValueError(f"{context}: empty embedding frame")
+    if int(s["n_null"] or 0) > 0:
+        raise ValueError(
+            f"{context}: {s['n_null']} of {n} rows have a NULL "
+            "embedding — drop or re-embed them first")
+    if s["dmin"] != s["dmax"]:
+        raise ValueError(
+            f"{context}: mixed embedding dimensions in the batch "
+            f"({s['dmin']}..{s['dmax']}) — one width per index")
+    if dim is not None and int(s["dmax"]) != dim:
+        raise ValueError(
+            f"{context}: batch dimension {s['dmax']}, index is "
+            f"{dim}-dimensional")
+    if int(s["n_ids"]) != n:
+        raise ValueError(
+            f"{context}: {n - int(s['n_ids'])} duplicate vec_ids in "
+            "the batch — deduplicate first (an indexed duplicate would "
+            "leave search's dropDuplicates keeping an arbitrary copy)")
+    return n, int(s["dmax"])
 
 
 def build_ivf_index(
@@ -48,9 +95,9 @@ def build_ivf_index(
     kmeans_rounds: int = 5,
 ) -> "IVFIndex":
     """Build and persist an IVF index over ``emb`` (vec_id long,
-    embedding array<numeric>). One assignment job + one partitioned
-    write; the centroid table is tiny (nlist rows) and lands as a
-    single parquet. Returns the opened index."""
+    embedding array<numeric>). One validation job + one assignment job
+    + one partitioned write; the centroid table is tiny (nlist rows)
+    and lands as a single parquet. Returns the opened index."""
     from cloud_volume_spark.operators.similarity import (
         _as_double, _centroid_frame, _with_norm, rank_centroids,
     )
@@ -63,10 +110,14 @@ def build_ivf_index(
     fs = PathOps(out_path, spark)
     e = _with_norm(emb.select(
         "vec_id", _as_double("embedding").alias("embedding")))
+    # validate BEFORE any expensive work or on-disk state: same
+    # contract add() enforces, so a bad vector can't slip in through
+    # the initial build either
+    n_total, dim = _validate_embedding_frame(e)
 
     if centroids == "kmeans":
         cents = _kmeans_centroids(e, nlist, centroid_base_id,
-                                  kmeans_rounds)
+                                  kmeans_rounds, dim)
     else:
         cents = _centroid_frame(e, centroid_base_id, nlist)
         n_cents = cents.count()
@@ -90,19 +141,12 @@ def build_ivf_index(
      .write.mode("overwrite").partitionBy("cent_id")
      .parquet(f"{out_path}/lists.parquet"))
 
-    # count + dim from the JUST-WRITTEN lists (records what was
-    # actually persisted and avoids re-running the whole assignment
-    # job — the dominant cost — a second time for a scalar). The
-    # explicit schema keeps an all-empty write readable so the empty
-    # case fails with OUR message, not a schema-inference error.
-    lists_p = spark.read.schema(assign.schema).parquet(
-        f"{out_path}/lists.parquet")
-    first = lists_p.select("embedding").first()
-    if first is None:
-        raise ValueError("build_ivf_index: empty embedding frame")
+    # count + dim come from the validated input: every validated row
+    # yields exactly one crnk==1 row (NULL/mixed-dim rows — the only
+    # drop modes — were refused above), so no post-write rescan is
+    # needed to know what was persisted.
     meta = {"version": _META_VERSION, "nlist": int(nlist),
-            "dim": len(first[0]),
-            "count": lists_p.count(), "centroids": centroids,
+            "dim": dim, "count": n_total, "centroids": centroids,
             "centroid_base_id": int(centroid_base_id)}
     fs.write_bytes(f"{out_path}/ivf_meta.json",
                    json.dumps(meta, sort_keys=True).encode())
@@ -110,42 +154,71 @@ def build_ivf_index(
 
 
 def _kmeans_centroids(e: DataFrame, nlist: int, base_id: int,
-                      rounds: int) -> DataFrame:
-    """Deterministic Lloyd's: seeded from the vec_id sample slice,
-    refined with per-dimension means (the embedding_kmeans engine's
-    shape: broadcast centroids, map-side argmin, partial-agg means)."""
+                      rounds: int, dim: int) -> DataFrame:
+    """Deterministic SPHERICAL Lloyd's: vectors are L2-normalized
+    before the rounds, so the squared-Euclidean argmin inside
+    refinement (``_assign_fold``) IS the cosine argmin used by list
+    assignment and probing (``||u - c||^2 = 2 - 2 cos`` on unit
+    vectors) — one metric everywhere, instead of refining by L2 and
+    serving by cosine (the round-10 advice's mismatch). Centroid means
+    are re-normalized each round (classic spherical k-means); the
+    final cosine assignment is invariant to that scaling but the
+    rounds stay metric-consistent.
+
+    Mean reduction is posexplode + groupBy(cluster, pos) partial agg —
+    the ``embedding_kmeans`` engine's shape — so plan width is
+    DIM-INDEPENDENT: at real embedding widths (768-4096) a
+    per-dimension ``F.avg(col[i])`` aggregate would generate
+    thousand-column plans; this one shuffles partitions x k x dim
+    partial rows through a constant-size plan."""
+    import math
+
     from cloud_volume_spark.operators.similarity import (
         _assign_fold, _with_norm,
     )
 
+    unit = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / F.col("nrm")).alias("v"))
     cents = {
         int(r["cent_id"]): list(r["cvec"])
-        for r in e.where((F.col("vec_id") >= base_id)
-                         & (F.col("vec_id") < base_id + nlist))
+        for r in unit.where((F.col("vec_id") >= base_id)
+                            & (F.col("vec_id") < base_id + nlist))
         .select(F.col("vec_id").alias("cent_id"),
-                F.col("embedding").alias("cvec")).collect()
+                F.col("v").alias("cvec")).collect()
     }
     if len(cents) != nlist:
         raise ValueError(
             f"kmeans seeds: vec_id slice [{base_id}, {base_id + nlist}) "
             f"yielded {len(cents)} rows, need {nlist}")
-    dim = len(next(iter(cents.values())))
     # _assign_fold's contract names the vector column "v"
-    work = e.select("vec_id", F.col("embedding").alias("v")).persist()
+    work = unit.persist()
     try:
         for _ in range(rounds):
-            assigned = _assign_fold(work, cents)
             rows = (
-                assigned.groupBy("cluster")
-                .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
-                       for i in range(dim)],
-                     F.count(F.lit(1)).alias("n"))
+                _assign_fold(work, cents)
+                .select("cluster", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                # exact order-independent decimal SUM then one double
+                # division + ROUND — the determinism recipe from
+                # similarity._kmeans_rounds (double AVG sums in
+                # partial-agg order and can flip the 6dp rounding)
+                .agg(F.round(
+                    F.sum(F.col("x").cast("decimal(38,12)"))
+                    .cast("double") / F.count("x"), 6).alias("mv"))
                 .collect()
             )
+            means: dict = {}
             for r in rows:
-                if r["n"] > 0:
-                    cents[int(r["cluster"])] = [
-                        float(r[f"m{i}"]) for i in range(dim)]
+                means.setdefault(int(r["cluster"]),
+                                 [0.0] * dim)[int(r["pos"])] = float(r["mv"])
+            for cid, m in means.items():
+                nrm = math.sqrt(sum(x * x for x in m))
+                if nrm > 0.0:
+                    # empty clusters (absent from `means`) and
+                    # degenerate all-zero means keep their previous
+                    # centroid
+                    cents[cid] = [round(x / nrm, 6) for x in m]
     finally:
         work.unpersist()
     spark = e.sparkSession
@@ -192,73 +265,204 @@ class IVFIndex:
                 .agg(F.count(F.lit(1)).alias("n_vectors"))
                 .orderBy("cent_id"))
 
+    # ---- mutation ----------------------------------------------------
+
+    @property
+    def _lock_path(self) -> str:
+        return f"{self.path}/.ivf-lock"
+
+    @contextmanager
+    def _mutation_lock(self):
+        """Exclusive index-mutation lock (the volume layer's
+        ``_commit_lock`` pattern, ``volume.py:2398``): two concurrent
+        ``add``/``remove`` calls would otherwise interleave their
+        appends / partition rewrites and their meta writes. Crashed
+        holders leave the lock file behind by design — loud beats a
+        silent steal; delete it after confirming the writer is dead
+        (and see ``add``'s docstring for torn-append recovery)."""
+        fs = PathOps(self.path, self.spark)
+        if not fs.create_exclusive(self._lock_path):
+            raise RuntimeError(
+                f"another writer holds the index lock "
+                f"{self._lock_path!r}; retry after its mutation "
+                "finishes, or delete the file if the writer crashed")
+        try:
+            yield fs
+        finally:
+            fs.remove(self._lock_path)
+
+    def _write_meta(self, fs: PathOps) -> None:
+        fs.write_bytes(f"{self.path}/ivf_meta.json",
+                       json.dumps(self.meta, sort_keys=True).encode())
+
+    def refresh_count(self) -> int:
+        """Recount the lists (ids-only, column-pruned scan) and
+        persist — the self-heal for a crash between a data append /
+        partition rewrite and its meta write. ``add``/``remove``
+        themselves track the count incrementally (O(delta), not
+        O(index))."""
+        with self._mutation_lock() as fs:
+            self.meta = {**self.meta, "count": self.lists().count()}
+            self._write_meta(fs)
+        return int(self.meta["count"])
+
     def add(self, emb: DataFrame) -> int:
         """Incrementally index new vectors — the consumer of a corpus
-        delta (``corpus.snapshot_diff``'s added/changed set → embed →
-        add) without rebuilding: assignment runs ONLY over the new
-        batch against the persisted centroids (the index's frozen
-        quantizer — exactly how IVF indexes grow; recall degrades only
-        as the data distribution drifts from the trained centroids,
-        surfaced by :meth:`list_stats` imbalance), and the new rows
+        delta (``corpus.snapshot_diff``'s added set → embed → add)
+        without rebuilding: assignment runs ONLY over the new batch
+        against the persisted centroids (the index's frozen quantizer
+        — exactly how IVF indexes grow; recall degrades only as the
+        data distribution drifts from the trained centroids, surfaced
+        by :meth:`list_stats` imbalance), and the new rows
         parquet-append into their list partitions. Duplicate vec_ids
-        are refused loudly: search's dropDuplicates would otherwise
-        silently keep an arbitrary copy. Returns the number added."""
+        are refused loudly (a changed doc is :meth:`remove` then
+        ``add``). Returns the number added.
+
+        Atomicity: the append is ONE Spark job, published at job
+        commit by the Hadoop committer — atomic on rename-based
+        filesystems (local, HDFS); on object stores without atomic
+        rename a crash mid-commit can leave a PREFIX of the batch
+        visible. Recovery is ``remove(batch_ids, missing_ok=True)``
+        then re-``add`` — the lock file this method takes marks the
+        mutation in flight. A crash after the append but before the
+        meta write leaves only the COUNT stale; :meth:`refresh_count`
+        heals it (duplicate refusal reads the lists, never the count,
+        so correctness is unaffected)."""
         from cloud_volume_spark.operators.similarity import (
             _as_double, _with_norm, rank_centroids,
         )
 
         e = _with_norm(emb.select(
             "vec_id", _as_double("embedding").alias("embedding")))
-        # ONE validation job for all three batch invariants: a
-        # wrong-dimension vector would NULL every csim (zip_with pads
-        # with nulls) and land at the lowest cent_id with garbage
-        # affinity; an in-batch duplicate would collapse to whichever
-        # copy crnk==1 keeps; a vec_id already on disk would leave two
-        # versions searchable under dropDuplicates' arbitrary pick.
-        dim = int(self.meta["dim"])
-        bad = (
-            e.join(self.lists().select(
-                "vec_id", F.lit(1).alias("_onx")), "vec_id", "left")
-            .groupBy("vec_id")
-            .agg(F.count(F.lit(1)).alias("_n"),
-                 F.max(F.size("embedding")).alias("_dim"),
-                 F.max("_onx").alias("_on"))
-            .where((F.col("_n") > 1) | F.col("_dim").isNull()
-                   | (F.col("_dim") != dim) | F.col("_on").isNotNull())
-            .limit(1).collect())
-        if bad:
-            r = bad[0]
-            if r["_on"] is not None:
+        with self._mutation_lock() as fs:
+            # ONE validation job for all four batch invariants: a
+            # wrong-dimension/NULL vector would NULL every csim
+            # (zip_with pads with nulls) and land at the lowest
+            # cent_id with garbage affinity; an in-batch duplicate
+            # would collapse to whichever copy crnk==1 keeps; a vec_id
+            # already on disk would leave two versions searchable
+            # under dropDuplicates' arbitrary pick.
+            dim = int(self.meta["dim"])
+            bad = (
+                e.join(self.lists().select(
+                    "vec_id", F.lit(1).alias("_onx")), "vec_id", "left")
+                .groupBy("vec_id")
+                .agg(F.count(F.lit(1)).alias("_n"),
+                     F.max(F.size("embedding")).alias("_dim"),
+                     F.max("_onx").alias("_on"))
+                .where((F.col("_n") > 1) | F.col("_dim").isNull()
+                       | (F.col("_dim") != dim) | F.col("_on").isNotNull())
+                .limit(1).collect())
+            if bad:
+                r = bad[0]
+                if r["_on"] is not None:
+                    raise ValueError(
+                        f"add(): vec_id {r['vec_id']} is already "
+                        "indexed — a changed doc is remove() then "
+                        "add() (an in-place append would leave both "
+                        "versions searchable)")
+                if r["_n"] > 1:
+                    raise ValueError(
+                        f"add(): vec_id {r['vec_id']} appears {r['_n']} "
+                        "times in the batch — deduplicate the delta "
+                        "first")
                 raise ValueError(
-                    f"add(): vec_id {r['vec_id']} is already indexed — "
-                    "re-embedding a changed doc needs a rebuild "
-                    "(parquet partitions are append-only; an in-place "
-                    "replace would leave both versions searchable)")
-            if r["_n"] > 1:
-                raise ValueError(
-                    f"add(): vec_id {r['vec_id']} appears {r['_n']} "
-                    "times in the batch — deduplicate the delta first")
-            raise ValueError(
-                f"add(): vec_id {r['vec_id']} has dimension "
-                f"{r['_dim']}, index is {dim}-dimensional")
-        n_new = e.count()
-        assign = (
-            rank_centroids(e, self.centroids())
-            .where(F.col("crnk") == 1)
-            .select("vec_id", "embedding", "nrm", "cent_id")
-        )
-        (assign.repartition("cent_id")
-         .write.mode("append").partitionBy("cent_id")
-         .parquet(f"{self.path}/lists.parquet"))
-        # `added` comes from the BATCH, not a lists-count delta: a
-        # crash after a previous append but before its meta write must
-        # not inflate this call's report. meta recounts the lists, so
-        # a stale count self-heals here.
-        self.meta = {**self.meta, "count": self.lists().count()}
-        fs = PathOps(self.path, self.spark)
-        fs.write_bytes(f"{self.path}/ivf_meta.json",
-                       json.dumps(self.meta, sort_keys=True).encode())
+                    f"add(): vec_id {r['vec_id']} has dimension "
+                    f"{r['_dim']}, index is {dim}-dimensional")
+            n_new = e.count()
+            assign = (
+                rank_centroids(e, self.centroids())
+                .where(F.col("crnk") == 1)
+                .select("vec_id", "embedding", "nrm", "cent_id")
+            )
+            (assign.repartition("cent_id")
+             .write.mode("append").partitionBy("cent_id")
+             .parquet(f"{self.path}/lists.parquet"))
+            # O(delta) bookkeeping: the batch was validated disjoint
+            # from the on-disk ids and drop-free, so count grows by
+            # exactly n_new — recounting the whole index here would
+            # pay O(index) per O(delta) work (refresh_count() is the
+            # on-demand recount).
+            self.meta = {**self.meta, "count":
+                         int(self.meta["count"]) + n_new}
+            self._write_meta(fs)
         return n_new
+
+    def remove(self, vec_ids, missing_ok: bool = False) -> int:
+        """Delete vectors by id, rewriting ONLY the inverted-list
+        partitions that contain them — the ``compact()`` analog at the
+        lists layer, closing the snapshot_diff→reindex loop for
+        CHANGED and REMOVED docs (changed = ``remove`` + :meth:`add`)
+        without a full rebuild.
+
+        ``vec_ids``: an iterable of ints or a single-column DataFrame
+        named ``vec_id``. Ids not in the index refuse loudly unless
+        ``missing_ok=True`` (the torn-append recovery mode — see
+        :meth:`add`). Returns the number of rows actually removed.
+
+        Shape: one ids-only scan locates the affected cent_ids (the
+        embedding bytes stay on disk — column pruning); the survivors
+        of ONLY those partitions are materialized (bounded by the
+        affected lists, delta-scale for a delta-sized remove) and
+        written back with DYNAMIC partition overwrite, so untouched
+        inverted lists are never rewritten; a fully-emptied list's
+        directory is dropped explicitly (dynamic overwrite only
+        replaces partitions present in the output)."""
+        spark = self.spark
+        if isinstance(vec_ids, DataFrame):
+            ids = vec_ids.select(F.col("vec_id").cast("long")).distinct()
+        else:
+            ids = spark.createDataFrame(
+                [(int(v),) for v in sorted(set(vec_ids))], "vec_id long")
+        with self._mutation_lock() as fs:
+            n_req = ids.count()
+            if n_req == 0:
+                return 0
+            lists = self.lists()
+            # per-affected-list hit counts: ≤ nlist rows, one
+            # ids-only scan
+            per_cent = (lists.select("vec_id", "cent_id")
+                        .join(F.broadcast(ids), "vec_id")
+                        .groupBy("cent_id")
+                        .agg(F.count(F.lit(1)).alias("_hits"))
+                        .collect())
+            n_hit = sum(int(r["_hits"]) for r in per_cent)
+            if n_hit != n_req and not missing_ok:
+                missing = (ids.join(lists.select("vec_id"), "vec_id",
+                                    "left_anti").limit(1).collect())
+                raise ValueError(
+                    f"remove(): vec_id {missing[0]['vec_id']} is not "
+                    "indexed — pass missing_ok=True if this is a "
+                    "torn-append recovery")
+            if n_hit == 0:
+                return 0
+            affected = sorted(int(r["cent_id"]) for r in per_cent)
+            before = {int(r["cent_id"]): int(r["n"]) for r in
+                      lists.where(F.col("cent_id").isin(affected))
+                      .groupBy("cent_id")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            survivors = (
+                lists.where(F.col("cent_id").isin(affected))
+                .join(F.broadcast(ids), "vec_id", "left_anti")
+                .select("vec_id", "embedding", "nrm", "cent_id")
+                # materialize BEFORE the overwrite: Spark refuses a
+                # write into a path its plan is reading from; bounded
+                # by the affected lists only
+                .localCheckpoint(eager=True))
+            (survivors.repartition("cent_id")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("cent_id")
+             .parquet(f"{self.path}/lists.parquet"))
+            emptied = [c for r in per_cent
+                       for c in [int(r["cent_id"])]
+                       if before[c] == int(r["_hits"])]
+            for c in emptied:
+                fs.rmtree(f"{self.path}/lists.parquet/cent_id={c}")
+            self.meta = {**self.meta, "count":
+                         int(self.meta["count"]) - n_hit}
+            self._write_meta(fs)
+        return n_hit
 
     def search(self, queries: DataFrame, k: int = 5,
                nprobe: int = 4,

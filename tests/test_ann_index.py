@@ -204,3 +204,242 @@ def test_incremental_refresh_loop(spark, sf_dir, tmp_path):
                       .select("query_id", "rnk", "neighbor_id", "sim")
                       .collect()))
     assert got == want and len(got) > 0
+
+
+def test_remove_rewrites_only_affected_lists(spark, sf_dir, tmp_path):
+    """remove() = the compact() analog at the lists layer: only the
+    partitions holding removed ids are rewritten (untouched list files
+    keep their mtimes), search thereafter equals a from-scratch build
+    over the surviving vectors, and meta count tracks O(delta)."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, str(tmp_path / "rm"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    n0 = idx.meta["count"]
+
+    victims = [r["vec_id"] for r in
+               idx.lists().where(F.col("cent_id") == 100)
+               .select("vec_id").orderBy("vec_id").limit(3).collect()]
+    assert len(victims) == 3
+    untouched = sorted(
+        c for c in os.listdir(f"{idx.path}/lists.parquet")
+        if c.startswith("cent_id=") and c != "cent_id=100")
+    mt_before = {
+        c: sorted((f, os.path.getmtime(f"{idx.path}/lists.parquet/{c}/{f}"))
+                  for f in os.listdir(f"{idx.path}/lists.parquet/{c}")
+                  if f.endswith(".parquet"))
+        for c in untouched}
+
+    removed = idx.remove(victims)
+    assert removed == 3
+    assert idx.meta["count"] == n0 - 3
+    assert IVFIndex.open(spark, idx.path).meta["count"] == n0 - 3
+    mt_after = {
+        c: sorted((f, os.path.getmtime(f"{idx.path}/lists.parquet/{c}/{f}"))
+                  for f in os.listdir(f"{idx.path}/lists.parquet/{c}")
+                  if f.endswith(".parquet"))
+        for c in untouched}
+    assert mt_after == mt_before, "untouched inverted lists were rewritten"
+
+    scratch = build_ivf_index(
+        emb.where(~F.col("vec_id").isin(victims)),
+        str(tmp_path / "scratch"), nlist=NLIST,
+        centroid_base_id=100, centroids="sample")
+    q = _queries(spark, sf_dir)
+    got = sorted(map(tuple, idx.search(q, k=TOP_K, nprobe=NPROBE)
+                     .select("query_id", "rnk", "neighbor_id", "sim")
+                     .collect()))
+    want = sorted(map(tuple, scratch.search(q, k=TOP_K, nprobe=NPROBE)
+                      .select("query_id", "rnk", "neighbor_id", "sim")
+                      .collect()))
+    assert got == want and len(got) > 0
+
+    # strict mode refuses an unindexed id; recovery mode tolerates it
+    with pytest.raises(ValueError, match="not indexed"):
+        idx.remove(victims)
+    assert idx.remove(victims, missing_ok=True) == 0
+    assert idx.remove([]) == 0
+
+
+def test_remove_emptied_list_drops_partition(spark, sf_dir, tmp_path):
+    """Removing every vector of one inverted list must drop its
+    partition directory (dynamic overwrite only replaces partitions
+    present in the output), so list_stats and search never see stale
+    rows."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, str(tmp_path / "empty"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    whole = [r["vec_id"] for r in
+             idx.lists().where(F.col("cent_id") == 101)
+             .select("vec_id").collect()]
+    assert whole
+    assert idx.remove(whole) == len(whole)
+    assert "cent_id=101" not in os.listdir(f"{idx.path}/lists.parquet")
+    stats = {r["cent_id"] for r in idx.list_stats().collect()}
+    assert 101 not in stats
+    assert idx.lists().where(F.col("cent_id") == 101).count() == 0
+
+
+def test_changed_doc_refresh_loop(spark, sf_dir, tmp_path):
+    """snapshot_diff → remove(changed ∪ removed) → add(added ∪
+    changed): the full incremental-refresh loop now covers CHANGED and
+    REMOVED docs without a rebuild, and serves identically to a
+    from-scratch build over the new snapshot."""
+    from cloud_volume_spark.operators.corpus import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = load(spark, sf_dir, "embeddings")
+
+    # old snapshot = docs 0..400; new drops [0,5), edits [5,10)
+    # (simulated by negating their embeddings), adds the rest
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 5).withColumn(
+        "text", F.when(F.col("doc_id") < 10,
+                       F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+    diff = snapshot_diff(old, new)
+    by_status = {s: [r["doc_id"] for r in
+                     diff.where(F.col("status") == s)
+                     .select("doc_id").collect()]
+                 for s in ("added", "removed", "changed")}
+    assert by_status["removed"] and by_status["changed"] \
+        and by_status["added"]
+
+    new_emb = emb.join(new.select(F.col("doc_id").alias("vec_id")),
+                       "vec_id").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") < 10,
+               F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding")))
+
+    old_emb = emb.join(old.select(F.col("doc_id").alias("vec_id")),
+                       "vec_id")
+    idx = build_ivf_index(old_emb, str(tmp_path / "serve"),
+                          nlist=NLIST, centroid_base_id=100,
+                          centroids="sample")
+    gone = by_status["removed"] + by_status["changed"]
+    assert idx.remove(gone) == len(gone)
+    delta = new_emb.join(
+        spark.createDataFrame(
+            [(int(i),) for i in
+             by_status["added"] + by_status["changed"]],
+            "vec_id long"), "vec_id")
+    assert idx.add(delta) == len(by_status["added"]) \
+        + len(by_status["changed"])
+
+    scratch = build_ivf_index(new_emb, str(tmp_path / "scr"),
+                              nlist=NLIST, centroid_base_id=100,
+                              centroids="sample")
+    q = _queries(spark, sf_dir)
+    got = sorted(map(tuple, idx.search(q, k=TOP_K, nprobe=NPROBE)
+                     .select("query_id", "rnk", "neighbor_id", "sim")
+                     .collect()))
+    want = sorted(map(tuple, scratch.search(q, k=TOP_K, nprobe=NPROBE)
+                      .select("query_id", "rnk", "neighbor_id", "sim")
+                      .collect()))
+    assert got == want and len(got) > 0
+
+
+def test_mutation_lock_refuses_second_writer(spark, sf_dir, tmp_path):
+    """add/remove/refresh_count take the exclusive lock file and
+    release it on exit — a held lock refuses loudly, it is never
+    silently stolen."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb.where(F.col("vec_id") < 250),
+                          str(tmp_path / "lock"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    lock = f"{idx.path}/.ivf-lock"
+    open(lock, "w").close()
+    one = emb.where(F.col("vec_id") == 300)
+    with pytest.raises(RuntimeError, match="index lock"):
+        idx.add(one)
+    with pytest.raises(RuntimeError, match="index lock"):
+        idx.remove([0])
+    with pytest.raises(RuntimeError, match="index lock"):
+        idx.refresh_count()
+    os.remove(lock)
+    assert idx.add(one) == 1
+    assert not os.path.exists(lock)
+    assert idx.remove([300]) == 1
+    assert not os.path.exists(lock)
+
+
+def test_add_is_o_delta_and_refresh_heals(spark, sf_dir, tmp_path,
+                                          monkeypatch):
+    """add() reads the lists exactly once (the validation join) — no
+    full recount per delta batch — and refresh_count() is the explicit
+    self-heal for a count made stale by a crash between append and
+    meta write."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb.where(F.col("vec_id") < 250),
+                          str(tmp_path / "od"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    calls = []
+    orig = IVFIndex.lists
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(IVFIndex, "lists", counting)
+    n0 = idx.meta["count"]
+    assert idx.add(emb.where(F.col("vec_id") == 300)) == 1
+    assert len(calls) == 1, "add() rescanned the lists beyond validation"
+    assert idx.meta["count"] == n0 + 1
+    monkeypatch.undo()
+
+    # simulate the crash-between-append-and-meta staleness
+    from cloud_volume_spark.fs import PathOps
+
+    idx.meta = {**idx.meta, "count": 1}
+    idx._write_meta(PathOps(idx.path, idx.spark))
+    assert IVFIndex.open(spark, idx.path).meta["count"] == 1
+    assert idx.refresh_count() == idx.lists().count() == n0 + 1
+    assert IVFIndex.open(spark, idx.path).meta["count"] == n0 + 1
+
+
+def test_build_validates_batch(spark, sf_dir, tmp_path):
+    """build enforces the SAME batch contract as add (round-10
+    advice): mixed dimensions, NULL embeddings, and duplicate vec_ids
+    refuse loudly BEFORE any expensive work or on-disk state."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    mixed = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7, F.slice("embedding", 1, 8))
+        .otherwise(F.col("embedding")))
+    with pytest.raises(ValueError, match="mixed embedding dimensions"):
+        build_ivf_index(mixed, str(tmp_path / "m"))
+    nulled = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7,
+               F.lit(None).cast("array<double>"))
+        .otherwise(F.transform("embedding",
+                               lambda x: x.cast("double"))))
+    with pytest.raises(ValueError, match="NULL"):
+        build_ivf_index(nulled, str(tmp_path / "n"))
+    dup = emb.unionAll(emb.where(F.col("vec_id") == 7))
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        build_ivf_index(dup, str(tmp_path / "d"))
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_index(emb.where(F.lit(False)), str(tmp_path / "e"))
+    # nothing was persisted by the refused builds
+    for d in ("m", "n", "d", "e"):
+        assert not os.path.exists(str(tmp_path / d / "lists.parquet"))
+
+
+def test_kmeans_centroids_are_spherical(spark, sf_dir, tmp_path):
+    """kmeans mode is spherical: refined centroids are unit-norm (to
+    6dp component rounding), so the Lloyd rounds' Euclidean argmin is
+    the same cosine contract assignment and probing use."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, str(tmp_path / "sph"), nlist=8,
+                          centroids="kmeans", kmeans_rounds=2)
+    for r in idx.centroids().select("cnrm").collect():
+        assert abs(r["cnrm"] - 1.0) < 1e-3, r["cnrm"]
