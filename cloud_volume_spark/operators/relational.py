@@ -1165,13 +1165,17 @@ def top_paths(events: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     the engines even disagree on it, ASC NULLS FIRST vs LAST — and a
     NULL event_type would silently shorten its paths under concat_ws's
     skip-null semantics, misgrouping them with genuine (n-1)-grams.
+    event_id is dropped too: it is the ts tie-breaker, so a NULL there
+    sorts NULLS FIRST in Spark and NULLS LAST in DuckDB on a tied ts,
+    silently permuting the path (round-10 advice).
     """
     if n < 2:
         raise ValueError("top_paths: need n >= 2 (a length-1 'path' "
                          "is event_type_share's plain frequency count)")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     clean = events.where(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull())
     cols = [F.col("event_type")] + [
         F.lead("event_type", i).over(w).alias(f"_t{i}") for i in range(1, n)
     ]
@@ -1201,10 +1205,12 @@ WITH seq AS (
            LEAD(event_type, 2) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS t2
     FROM events
-    -- same NULL-drop as the Spark side: NULL ts would ORDER BY
-    -- differently across engines (NULLS FIRST vs LAST) and NULL
-    -- event_type would shorten paths under skip-null concat
+    -- same NULL-drop as the Spark side: NULL ts (or a NULL event_id
+    -- tie-breaker on a tied ts) would ORDER BY differently across
+    -- engines (NULLS FIRST vs LAST) and NULL event_type would
+    -- shorten paths under skip-null concat
     WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      AND event_id IS NOT NULL
 )
 SELECT t0 || '>' || t1 || '>' || t2 AS path,
        COUNT(*) AS n_paths

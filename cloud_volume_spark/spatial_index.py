@@ -221,50 +221,97 @@ class SpatialIndex:
         return self.df().select("label").distinct()
 
 
-def export_spatial_files(index: SpatialIndex, out_dir: str) -> int:
-    """Write the parquet index back out as reference-format ``.spatial``
-    JSON files (one per grid cell, ``{label: [x0,y0,z0,x1,y1,z1]}``,
-    named by the cell's physical range) — the files the reference's
-    own readers and SQL bulk-loaders consume. One applyInPandas group
-    per cell writes its file; returns the cell count."""
-    import json as _json
+def _cell_filename(gx: int, gy: int, gz: int, cs, og, bmax,
+                   float_names: bool) -> str:
+    """Reference-format cell filename for grid cell (gx, gy, gz).
 
-    import pandas as pd
-
-    os.makedirs(out_dir, exist_ok=True)
-    cs, og = index.cell_size, index.grid_origin
-    bmax = index.bounds_max
-    float_names = index.float_names
-
+    Matches the reference's Bbox.to_filename (lib.py:584-601): plain
+    str() of the coordinate in the bounds' own dtype — integral values
+    render bare for int-dtype bounds and as '8192.0' for float-dtype
+    bounds (non-integer resolutions); an imported index remembers
+    which style its source used (float_names). A ':g' format would
+    switch to 6-significant-digit scientific notation at >= 1e6
+    ('1.00762e+06' for 1007616), producing names the reference's
+    exact-string lookups could never match. Edge-cell names clamp to
+    the dataset's physical bounds.maxpt (reference
+    spatial_index.py:379-381), carried in bounds_max."""
     def fmt(v) -> str:
-        # match the reference's Bbox.to_filename (lib.py:584-601):
-        # plain str() of the coordinate in the bounds' own dtype —
-        # integral values render bare for int-dtype bounds and as
-        # '8192.0' for float-dtype bounds (non-integer resolutions);
-        # an imported index remembers which style its source used
-        # (float_names). The previous ':g' format switched to
-        # 6-significant-digit scientific notation at >= 1e6
-        # ('1.00762e+06' for 1007616), producing names the
-        # reference's exact-string lookups could never match
         fv = float(v)
         if float_names:
             return str(fv)
         return str(int(fv)) if fv == int(fv) else repr(fv)
 
     def axis_hi(g: int, i: int) -> float:
-        # the reference clamps edge-cell names to the dataset's
-        # physical bounds.maxpt (spatial_index.py:379-381); an
-        # imported index carries that clamp in bounds_max
         hi = og[i] + (g + 1) * cs[i]
         return min(hi, bmax[i]) if bmax is not None else hi
 
+    return (
+        f"{fmt(og[0] + gx * cs[0])}-{fmt(axis_hi(gx, 0))}_"
+        f"{fmt(og[1] + gy * cs[1])}-{fmt(axis_hi(gy, 1))}_"
+        f"{fmt(og[2] + gz * cs[2])}-{fmt(axis_hi(gz, 2))}.spatial"
+    )
+
+
+def export_spatial_files(index: SpatialIndex, out_dir: str) -> int:
+    """Write the parquet index back out as reference-format ``.spatial``
+    JSON files (one per grid cell, ``{label: [x0,y0,z0,x1,y1,z1]}``,
+    named by the cell's physical range) — the files the reference's
+    own readers and SQL bulk-loaders consume. Returns the cell count.
+
+    Two write strategies by target:
+
+    - scheme-less local dir: one applyInPandas group per cell writes
+      its file executor-parallel (single-machine semantics — in
+      local mode every executor shares the filesystem).
+    - any ``scheme://`` URI (``file://`` included): the grouped cells
+      stream to the DRIVER (``toLocalIterator`` — one cell in memory
+      at a time) and write through :class:`~cloud_volume_spark.fs.
+      PathOps`' Hadoop branch. Executor-side ``open()`` against a
+      joined URI would land each cell in a stray local dir on
+      whichever machine ran the task — the exact remote-sidecar bug
+      class this module already fixed for ``_spatial_meta.json``; a
+      driver-serial write is the correct (and reference-parity:
+      the reference writes these serially too) shape for a
+      small-files interop format."""
+    import json as _json
+
+    from cloud_volume_spark.fs import PathOps, is_local
+
+    cs, og = index.cell_size, index.grid_origin
+    bmax = index.bounds_max
+    float_names = index.float_names
+
+    if not is_local(out_dir):
+        ops = PathOps(out_dir, index.spark)
+        ops.makedirs(out_dir)
+        grouped = (
+            index.df().groupBy("gx", "gy", "gz")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                "label", "x0", "y0", "z0", "x1", "y1", "z1")))
+                .alias("rows"))
+        )
+        n_cells = 0
+        for row in grouped.toLocalIterator():
+            name = _cell_filename(int(row["gx"]), int(row["gy"]),
+                                  int(row["gz"]), cs, og, bmax,
+                                  float_names)
+            data = {
+                str(int(r["label"])): [r["x0"], r["y0"], r["z0"],
+                                       r["x1"], r["y1"], r["z1"]]
+                for r in row["rows"]
+            }
+            ops.write_bytes(f"{out_dir}/{name}",
+                            _json.dumps(data).encode("utf-8"))
+            n_cells += 1
+        return n_cells
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
     def write_cell(keyvals, pdf):
         gx, gy, gz = (int(k) for k in keyvals)
-        name = (
-            f"{fmt(og[0] + gx * cs[0])}-{fmt(axis_hi(gx, 0))}_"
-            f"{fmt(og[1] + gy * cs[1])}-{fmt(axis_hi(gy, 1))}_"
-            f"{fmt(og[2] + gz * cs[2])}-{fmt(axis_hi(gz, 2))}.spatial"
-        )
+        name = _cell_filename(gx, gy, gz, cs, og, bmax, float_names)
         data = {
             str(int(r.label)): [r.x0, r.y0, r.z0, r.x1, r.y1, r.z1]
             for r in pdf.itertuples(index=False)
@@ -289,16 +336,22 @@ def import_spatial_files(spark: SparkSession, src_dir: str,
     the covering cell's physical range (``x0-x1_y0-y1_z0-z1.spatial``,
     reference ``spatial_index.py:320`` file naming / :697-761 bbox
     reads). The reference bulk-loads ~140k of these into SQLite in
-    >1 h single-threaded (:680-684); here the file list becomes a
-    DataFrame and every executor parses its files — the same
-    distributed shape as the annotation-layer ingest.
+    >1 h single-threaded (:680-684); here the whole directory is ONE
+    distributed ``spark.read.text(wholetext)`` scan — file contents
+    travel through Hadoop's FileSystem layer, so any ``scheme://``
+    source works (no executor-side ``open()`` against a joined local
+    path: that would read a stray per-executor dir on a real cluster,
+    the remote-sidecar bug class) — parsed executor-side per file.
     """
     import json as _json
 
     import pandas as pd
 
+    from cloud_volume_spark.fs import PathOps
+
+    src_ops = PathOps(src_dir, spark)
     names = sorted(
-        f for f in os.listdir(src_dir) if f.endswith(".spatial")
+        f for f in src_ops.listdir(src_dir) if f.endswith(".spatial")
     )
     if not names:
         raise FileNotFoundError(f"no .spatial files under {src_dir}")
@@ -358,17 +411,22 @@ def import_spatial_files(spark: SparkSession, src_dir: str,
         "." in n[: -len(".spatial")] for n in names)
 
     def parse(batches):
+        from urllib.parse import unquote, urlparse
+
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                ranges = parse_name(r.name)
+                # input_file_name() yields a (URL-encoded) URI; the
+                # grid facts live in the basename
+                name = unquote(
+                    os.path.basename(urlparse(r.src_file).path))
+                ranges = parse_name(name)
                 gx = int(round((ranges[0][0] - grid_origin[0])
                                / cell_size[0]))
                 gy = int(round((ranges[1][0] - grid_origin[1])
                                / cell_size[1]))
                 gz = int(round((ranges[2][0] - grid_origin[2])
                                / cell_size[2]))
-                with open(os.path.join(src_dir, r.name)) as fh:
-                    data = _json.load(fh)
+                data = _json.loads(r.value)
                 if not data:
                     continue
                 rows = [
@@ -385,11 +443,19 @@ def import_spatial_files(spark: SparkSession, src_dir: str,
 
     # a re-import overwrites the parquet — the sidecar must follow it,
     # not veto it through the constructor's mismatch guard
+    base_ops = PathOps(base_path, spark)
     stale = os.path.join(base_path, "_spatial_meta.json")
-    if os.path.exists(stale):
-        os.remove(stale)
+    if base_ops.exists(stale):
+        base_ops.remove(stale)
 
-    files_df = spark.createDataFrame([(n,) for n in names], "name string")
+    # ONE distributed text scan of the whole directory: file bytes
+    # ride Hadoop's FileSystem on the executors (works for any
+    # scheme), one row per file via wholetext
+    files_df = (
+        spark.read.option("wholetext", True)
+        .text(f"{src_dir}/*.spatial")
+        .withColumn("src_file", F.input_file_name())
+    )
     if len(names) > 1:
         files_df = files_df.repartition(min(len(names), 256))
     rows = files_df.mapInPandas(

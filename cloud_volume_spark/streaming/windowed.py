@@ -487,7 +487,8 @@ def streaming_path_mine(events: DataFrame, n: int = 3,
     Ordering contract = ``streaming_funnel``'s: per-key non-decreasing
     ``ts`` ACROSS micro-batches; intra-batch disorder is repaired by
     one concat+sort over the whole micro-batch on (ts, event_id) —
-    the batch operator's exact tie rule. NULL-``ts`` and
+    the batch operator's exact tie rule. NULL-``ts``, NULL-``event_id``
+    (the tie-breaker — engines disagree on its NULL sort order), and
     NULL-``event_type`` rows are dropped, the batch operator's exact
     rule (so a NULL-typed event splices its neighbors adjacent on
     both paths; a None in the tail would otherwise crash the join).
@@ -511,7 +512,8 @@ def streaming_path_mine(events: DataFrame, n: int = 3,
         if chunks:
             # ONE concat+sort over the micro-batch (cross-arrow-chunk
             # disorder; same rationale as streaming_funnel)
-            pdf = pd.concat(chunks).dropna(subset=["ts", "event_type"])
+            pdf = pd.concat(chunks).dropna(
+                subset=["ts", "event_id", "event_type"])
             pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
             for et in pdf["event_type"]:
                 if all(t is not None for t in tail):

