@@ -622,13 +622,6 @@ def main() -> None:
         "point_read": point_stats,
         "env": env,
     }
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json"), "w") as fh:
-            json.dump(full, fh, indent=1)
-    except OSError:
-        pass
-    print("FULL " + json.dumps(full))
 
     # Final line: the driver's contract (metric/value/unit/queries/sf),
     # kept under the 2,000-char tail. At 75+ queries the old 2-decimal
@@ -658,7 +651,25 @@ def main() -> None:
         ("aq", round(anno_stats["bbox_query_sec"], 2)),
         ("cp", round(env["cpu_probe_sec"], 2)),
     ]
-    print(fit_tail_line(times, total, full["sf"], b_priority))
+    line = fit_tail_line(times, total, full["sf"], b_priority)
+    # a terminal-rung shed drops the FASTEST query rows from the
+    # compact line; name them durably here (char-budget arithmetic:
+    # naming them IN the compact line costs nearly what the shed
+    # frees, so the count lives in the tail and the names live in the
+    # committed BENCH_FULL.json — the round-10 verdict's
+    # "document the shed row by name")
+    kept = set(json.loads(line).get("queries", {}))
+    shed = sorted(k for k in times if k not in kept)
+    if shed:
+        full["qdropped_names"] = shed
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    print("FULL " + json.dumps(full))
+    print(line)
 
 
 if __name__ == "__main__":
