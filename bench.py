@@ -368,12 +368,14 @@ def bench_spatial_index(spark) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def bench_annotations(spark) -> dict:
-    """Distributed annotation-layer build + query: synthesize 2M point
-    annotations, export the precomputed spatial level (one
-    applyInPandas group per cell encodes its binary buffer), then
-    bbox-query ~1/8 of the volume through the cell-fan-out reader.
-    The reference writes/reads the same layout from one process."""
+def bench_annotations(spark, n: int = 2_000_000) -> dict:
+    """Distributed annotation-layer build + query: synthesize ``n``
+    point annotations (2M default — BASELINE.md's geometry), export
+    the precomputed spatial level (one applyInPandas group per cell
+    encodes its binary buffer), then bbox-query ~1/8 of the volume
+    through the cell-fan-out reader. The reference writes/reads the
+    same layout from one process. scripts/bench_scale.py
+    --annotations reuses this at 2M vs 20M for the scale ratio."""
     from pyspark.sql import functions as SF
 
     from cloud_volume_spark.annotation_io import (
@@ -382,7 +384,7 @@ def bench_annotations(spark) -> dict:
     from cloud_volume_spark.annotations import AnnotationLayer
     from cloud_volume_spark.geometry import Bbox
 
-    n, space = 2_000_000, 8192.0
+    space = 8192.0
     base = tempfile.mkdtemp(prefix="cvs_anno_")
     try:
         pts = spark.range(n).select(

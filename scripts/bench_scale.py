@@ -332,6 +332,14 @@ if __name__ == "__main__":
                     help="run the persistent-IVF-index scale leg "
                          "(build + partition-pruned search, 1x vs 10x "
                          "embeddings)")
+    ap.add_argument("--ann-dim", action="store_true",
+                    help="run the embedding-WIDTH scale leg: kmeans "
+                         "IVF build + search at dim 64 vs 768 (same "
+                         "row count) — proves the posexplode mean "
+                         "reduction holds at realistic widths")
+    ap.add_argument("--annotations", action="store_true",
+                    help="run the annotation-layer scale leg: export "
+                         "+ bbox query at 2M vs 20M points")
     ap.add_argument("--zs", default="100,200,400",
                     help="z extents for --volume (1024x1024xZ uint16)")
     args = ap.parse_args()
@@ -382,6 +390,79 @@ if __name__ == "__main__":
               f"search {b['search_s']}→{s['search_s']} "
               f"({round(s['search_s'] / max(b['search_s'], 1e-9), 2)}x) "
               f"at {round(s['vectors'] / max(b['vectors'], 1), 1)}x vectors")
+        sys.exit(0)
+
+    if args.ann_dim:
+        import shutil
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        from cloud_volume_spark import get_spark
+        from cloud_volume_spark.ann_index import build_ivf_index
+
+        SPARK = get_spark()
+        n = SPARK.read.parquet(f"{SF01}/embeddings.parquet").count()
+        out = {}
+        for dim in (64, 768):
+            # deterministic synthetic vectors at width `dim`, same row
+            # count as sf0.1 embeddings: JVM-side sin() spread, no RAND
+            # (content is irrelevant to the timing; what is under test
+            # is that the spherical-kmeans build and the cosine search
+            # stay O(dim) in TIME with a constant-size PLAN — the
+            # pre-round-11 per-dimension F.avg aggregate would emit a
+            # 768-column plan here)
+            emb = SPARK.range(n).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda p: F.sin(F.col("id") * 0.7 + p * 0.13),
+                ).alias("embedding"))
+            path = f"/tmp/cvs_ivf_dim{dim}"
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = _t.monotonic()
+            idx = build_ivf_index(emb, path, nlist=16,
+                                  centroids="kmeans", kmeans_rounds=3)
+            build_s = _t.monotonic() - t0
+            q = emb.where(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+            best = None
+            for _ in range(2):
+                t0 = _t.monotonic()
+                rows = idx.search(q, k=5, nprobe=4).count()
+                dt = _t.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            out[dim] = {"vectors": idx.meta["count"], "dim": dim,
+                        "build_s": round(build_s, 3),
+                        "search_s": round(best, 3), "rows": rows}
+            print(json.dumps({"leg": "ann_dim", **out[dim]}),
+                  flush=True)
+        b, s = out[64], out[768]
+        print(f"\n# ann_dim  build {b['build_s']}→{s['build_s']} "
+              f"({round(s['build_s'] / max(b['build_s'], 1e-9), 2)}x), "
+              f"search {b['search_s']}→{s['search_s']} "
+              f"({round(s['search_s'] / max(b['search_s'], 1e-9), 2)}x) "
+              f"at 12x dim")
+        sys.exit(0)
+
+    if args.annotations:
+        from bench import bench_annotations
+        from cloud_volume_spark import get_spark
+
+        SPARK = get_spark()
+        out = {}
+        for n in (2_000_000, 20_000_000):
+            out[n] = bench_annotations(SPARK, n=n)
+            print(json.dumps({"leg": "annotations", "n": n, **out[n]}),
+                  flush=True)
+        b, s = out[2_000_000], out[20_000_000]
+        print(f"\n# annotations  export {b['export_sec']}→"
+              f"{s['export_sec']} "
+              f"({round(s['export_sec'] / max(b['export_sec'], 1e-9), 2)}x),"
+              f" bbox_query {b['bbox_query_sec']}→{s['bbox_query_sec']} "
+              f"({round(s['bbox_query_sec'] / max(b['bbox_query_sec'], 1e-9), 2)}x)"
+              f" at 10x points")
         sys.exit(0)
 
     if args.events:
