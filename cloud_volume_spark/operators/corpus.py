@@ -256,6 +256,21 @@ FROM documents
 # ---------------------------------------------------------------------------
 # PII redaction — the action half of the policy scan above
 
+def redact_text_frame(docs: DataFrame) -> DataFrame:
+    """``text`` with PII spans replaced in place (email first, THEN
+    digit runs — :func:`pii_redact`'s ordering rationale) — the
+    text-preserving core for composing redaction AHEAD of other
+    text operators (shingling, dedup, packing): pure map-side
+    regexp_replace, works identically on batch frames and streams
+    (no shuffle, no state). ``pii_redact`` is the registered
+    digest-emitting form of the same substitutions."""
+    return docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PAT_EMAIL, "<EMAIL>"),
+            PAT_NUMBER, "<NUMBER>"))
+
+
 def pii_redact(docs: DataFrame) -> DataFrame:
     """Redact PII-shaped spans (emails, 4+-digit runs) with typed
     placeholder tokens and count what was redacted — the scrubbing

@@ -23,5 +23,6 @@ from cloud_volume_spark.streaming.windowed import (  # noqa: F401
     streaming_label_envelope,
     streaming_path_mine,
     streaming_pii_redact,
+    streaming_redact_text,
     windowed_event_counts,
 )

@@ -553,3 +553,15 @@ def streaming_pii_redact(docs: DataFrame) -> DataFrame:
     from cloud_volume_spark.operators.corpus import pii_redact
 
     return pii_redact(docs)
+
+
+def streaming_redact_text(docs: DataFrame) -> DataFrame:
+    """Text-preserving on-ingest redaction — the composable stage
+    form: downstream streaming operators (incremental dedup,
+    contamination, quality) consume the scrubbed ``text`` directly,
+    so one pipeline does CDC → redact → dedup in a single query
+    (tested end-to-end, availableNow ≡ the batch composition).
+    Stateless map-only, like :func:`streaming_pii_redact`."""
+    from cloud_volume_spark.operators.corpus import redact_text_frame
+
+    return redact_text_frame(docs)

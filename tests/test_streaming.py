@@ -740,3 +740,92 @@ def test_streaming_funnel_null_key_group_survives(spark, tmp_path):
     got = {r["user_id"]: r["funnel_depth"]
            for r in spark.sql("select * from nullfunnel").collect()}
     assert got == {None: 1, 3: 1}
+
+
+def test_streaming_cdc_redact_dedup_pipeline(spark, sf_dir, tmp_path):
+    """The composed CDC-to-curation pipeline the docstrings promise,
+    in ONE streaming query: incoming-document stream → on-ingest PII
+    redaction (text-preserving) → stream-static incremental dedup
+    against the (equally redacted) standing corpus — availableNow ≡
+    the batch composition (pii redaction then the registered
+    dedup_incremental over the same redacted snapshot). A planted doc
+    pair that differs ONLY inside email addresses is flagged by both
+    paths BECAUSE redaction ran first — the raw-text batch dedup does
+    not flag it — so the test pins the composition's semantics, not
+    just its plumbing."""
+    import pandas as pd
+
+    from cloud_volume_spark.operators.corpus import redact_text_frame
+    from cloud_volume_spark.operators.dedup import (
+        INGEST_MOD, dedup_incremental,
+    )
+    from cloud_volume_spark.streaming import (
+        read_documents_stream, streaming_incremental_dedup,
+        streaming_redact_text,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).select("doc_id", "text")
+    # planted pair: minimal shared prose, five long pairwise-distinct
+    # email addresses each — raw char-8 shingles barely overlap (so
+    # the 4-band LSH cannot match them raw), redacted texts are
+    # byte-identical
+    prose = "cc: "
+    mk = lambda names: prose + " ".join(
+        f"{n}.vonhumboldt.{n}{i}@dept{i}.{n}corp.example.org"
+        for i, n in enumerate(names))
+    static_plant = (900001, mk(["alice", "bruno", "carol", "dmitri", "elena"]))
+    stream_plant = (900010, mk(["frank", "grete", "henry", "ingrid", "jonas"]))
+    assert stream_plant[0] % INGEST_MOD == 0
+    assert static_plant[0] % INGEST_MOD != 0
+
+    incoming = docs.where(F.col("doc_id") % INGEST_MOD == 0).unionAll(
+        spark.createDataFrame([stream_plant], "doc_id long, text string"))
+    static_docs = docs.where(F.col("doc_id") % INGEST_MOD != 0).unionAll(
+        spark.createDataFrame([static_plant], "doc_id long, text string"))
+
+    d = tmp_path / "cdc_stream"
+    d.mkdir()
+    incoming.toPandas().to_parquet(str(d / "part-0.parquet"))
+
+    # ONE composed streaming query: read → redact → dedup
+    stream = streaming_incremental_dedup(
+        streaming_redact_text(read_documents_stream(spark, str(d))),
+        redact_text_frame(static_docs),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("scdc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(r.doc_id
+              for r in spark.sql("select doc_id from scdc").collect())
+
+    # batch mirror: redact the SAME snapshot, write it as a documents
+    # table, run the registered batch operator (explode-path
+    # signatures — a genuinely different computation of the same
+    # contract)
+    mirror = tmp_path / "cdc_mirror"
+    mirror.mkdir()
+    redact_text_frame(incoming.unionAll(static_docs)).toPandas().to_parquet(
+        str(mirror / "documents.parquet"))
+    batch = dedup_incremental(spark, str(mirror)).toPandas()
+    want = set(batch[batch["is_kept"] == 0]["doc_id"])
+    assert got == want and len(want) > 0
+
+    # the planted pair is flagged BECAUSE of redaction...
+    assert stream_plant[0] in got
+    dup_of = {r.doc_id: r.dup_of
+              for r in spark.sql("select * from scdc").collect()}
+    assert dup_of[stream_plant[0]] == static_plant[0]
+    # ...and would NOT be flagged on the raw text
+    raw_mirror = tmp_path / "cdc_mirror_raw"
+    raw_mirror.mkdir()
+    incoming.unionAll(static_docs).toPandas().to_parquet(
+        str(raw_mirror / "documents.parquet"))
+    raw = dedup_incremental(spark, str(raw_mirror)).toPandas()
+    raw_flagged = set(raw[raw["is_kept"] == 0]["doc_id"])
+    assert stream_plant[0] not in raw_flagged
