@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     "customer_spend_deciles",
     "largest_order_per_customer",
     "event_type_share",
+    "fuzzy_neardup_titles",
+    "source_mixture_stats",
+    "bigram_lm_top",
+    "embedding_dim_stats",
+    "events_conversion_lag",
 ]
 
 VOL_SHAPE = (1024, 1024, 100)

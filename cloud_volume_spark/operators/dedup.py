@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from cloud_volume_spark.operators.common import load
 
@@ -614,6 +615,68 @@ WHERE d.doc_id % {INGEST_MOD} = 0
 """
 
 
+FUZZY_TITLE_W = 24   # the "title": leading text slice compared edit-wise
+FUZZY_BLOCK_W = 8    # blocking key: title prefix — pairs only within a block
+FUZZY_MAX_DIST = 6   # edit-distance near-dup threshold on the title
+FUZZY_BLOCK_CAP = 64  # blocks larger than this are excluded (documented)
+
+
+def fuzzy_neardup_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-duplicate pairs on document titles
+    (the leading FUZZY_TITLE_W chars) — the record-linkage primitive
+    MinHash cannot express: Levenshtein tolerates transposed/edited
+    characters in SHORT strings where shingle overlap collapses.
+
+    Scale shape: a classic blocking join, never all-pairs — candidates
+    are generated by an EQUI-join on the title's FUZZY_BLOCK_W-char
+    prefix (one shuffle on the block key; the window block-size count
+    rides the same partitioning), and `levenshtein` (JVM built-in,
+    whole-stage codegen) verifies only within-block pairs. Blocks
+    larger than FUZZY_BLOCK_CAP are EXCLUDED, loudly documented: a hot
+    prefix ("the ", boilerplate headers) would otherwise go quadratic;
+    production blocking widens the key or adds a second blocking pass
+    for those — the cap keeps worst-case work per block bounded at
+    100 TB, the same DOC_FREQ_CAP discipline as the LSH path."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_TITLE_W).alias("title"),
+        F.substring("text", 1, FUZZY_BLOCK_W).alias("blk"),
+    )
+    wb = Window.partitionBy("blk")
+    t = (t.withColumn("_bn", F.count(F.lit(1)).over(wb))
+         .where(F.col("_bn") <= FUZZY_BLOCK_CAP)
+         .drop("_bn"))
+    a = t.select(F.col("doc_id").alias("doc_a"),
+                 F.col("title").alias("title_a"), "blk")
+    b = t.select(F.col("doc_id").alias("doc_b"),
+                 F.col("title").alias("title_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("title_a", "title_b").alias("dist"))
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
+FUZZY_TITLES_SQL = f"""
+WITH titles AS (
+    SELECT doc_id, substr(text, 1, {FUZZY_TITLE_W}) AS title,
+           substr(text, 1, {FUZZY_BLOCK_W}) AS blk,
+           COUNT(*) OVER (PARTITION BY substr(text, 1, {FUZZY_BLOCK_W}))
+               AS bn
+    FROM documents WHERE text IS NOT NULL
+), t AS (SELECT doc_id, title, blk FROM titles
+         WHERE bn <= {FUZZY_BLOCK_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.title, b.title) AS dist
+FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
@@ -622,6 +685,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_clusters": materialized_clusters,
+    "fuzzy_neardup_titles": fuzzy_neardup_titles,
 }
 
 ORACLE_SQL = {
@@ -634,6 +698,7 @@ ORACLE_SQL = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL.format(
         shingles=SHINGLES_SQL, sig_cols=_SIG_SQL_COLS, bands=_BANDS_SQL
     ),
+    "fuzzy_neardup_titles": FUZZY_TITLES_SQL,
 }
 
 

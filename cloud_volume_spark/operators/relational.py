@@ -1222,6 +1222,106 @@ LIMIT 20
 """
 
 
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day time-to-convert: for each user, seconds from their
+    FIRST view to their first purchase at-or-after it, aggregated by
+    the day of the first view — count, min, max, exact mean, and the
+    exact MEDIAN — the funnel-latency readout next to
+    ``events_funnel``'s step counts.
+
+    Engine-exact median without quantile functions (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` interpolate by
+    different formulas): rank lags per day on (lag, user_id), take the
+    rows at floor((n+1)/2) and ceil((n+1)/2), average — at most two
+    integers, so the mean is exact in a double. Days are integer
+    epoch-day indexes (floor(epoch/86400)): timezone-free on both
+    engines where a calendar DATE cast is not.
+
+    Scale: two partial-aggregated shuffles on user_id (first-view,
+    first-purchase) + one user_id equi-join — the same key every event
+    operator shuffles on, so a pre-bucketed events table serves them
+    all co-located — then a day-keyed window over day-sized groups and
+    a day-cardinality aggregate. NULL ts/user_id drop at the edge
+    (the NULLS FIRST/LAST divergence)."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    fv = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    fp = (ev.where(F.col("event_type") == "purchase")
+          .join(fv, "user_id")
+          .where(F.col("ts") >= F.col("first_view"))
+          .groupBy("user_id")
+          .agg(F.min("ts").alias("first_purchase")))
+    lag = fv.join(fp, "user_id").select(
+        "user_id",
+        F.floor(F.unix_timestamp("first_view") / 86400)
+        .cast("long").alias("day_idx"),
+        (F.unix_timestamp("first_purchase")
+         - F.unix_timestamp("first_view")).cast("long").alias("lag_s"),
+    )
+    w = Window.partitionBy("day_idx").orderBy("lag_s", "user_id")
+    wn = Window.partitionBy("day_idx")
+    ranked = (lag.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    med = (ranked.where(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.ceil((F.col("n") + 1) / 2)))
+        .groupBy("day_idx")
+        .agg(F.round(F.sum("lag_s") / F.count(F.lit(1)), 1)
+             .alias("median_lag_s")))
+    stats = lag.groupBy("day_idx").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+        F.round(F.sum("lag_s") / F.count(F.lit(1)), 6)
+        .alias("avg_lag_s"),
+    )
+    return stats.join(med, "day_idx")
+
+
+CONVERSION_LAG_SQL = """
+WITH ev AS (
+    SELECT * FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), fv AS (
+    SELECT user_id, MIN(ts) AS first_view
+    FROM ev WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+    SELECT e.user_id, MIN(e.ts) AS first_purchase
+    FROM ev e JOIN fv USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+    GROUP BY e.user_id
+), lag AS (
+    -- FLOOR(EPOCH(..)): duckdb EPOCH keeps fractional seconds where
+    -- Spark unix_timestamp truncates — the repo-wide epoch idiom
+    SELECT fv.user_id,
+           CAST(FLOOR(FLOOR(EPOCH(fv.first_view)) / 86400) AS BIGINT)
+               AS day_idx,
+           CAST(FLOOR(EPOCH(fp.first_purchase))
+                - FLOOR(EPOCH(fv.first_view)) AS BIGINT) AS lag_s
+    FROM fv JOIN fp USING (user_id)
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY day_idx
+                                 ORDER BY lag_s, user_id) AS rn,
+           COUNT(*) OVER (PARTITION BY day_idx) AS n
+    FROM lag
+), med AS (
+    SELECT day_idx, ROUND(SUM(lag_s) / COUNT(*), 1) AS median_lag_s
+    FROM ranked
+    WHERE rn = FLOOR((n + 1) / 2) OR rn = CEIL((n + 1) / 2)
+    GROUP BY day_idx
+), stats AS (
+    SELECT day_idx, COUNT(*) AS n_converted, MIN(lag_s) AS min_lag_s,
+           MAX(lag_s) AS max_lag_s,
+           ROUND(SUM(lag_s) / COUNT(*), 6) AS avg_lag_s
+    FROM lag GROUP BY day_idx
+)
+SELECT stats.day_idx, n_converted, min_lag_s, max_lag_s, avg_lag_s,
+       median_lag_s
+FROM stats JOIN med USING (day_idx)
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1238,9 +1338,13 @@ QUERIES.update({
 # a single-partition window) and was re-keyed first that round for a
 # fresh driver row (green in CORRECTNESS_r05). The ordering is now
 # round-rotated at the module level instead — see
-# operators/__init__.py::ALL_MODULES.
+# operators/__init__.py::ALL_MODULES. events_conversion_lag is NEW in
+# round 11 and keyed second so it lands inside the window's relational
+# head (the r11 window = 31 rotated + 4 new module-front queries +
+# the first 15 relational entries).
 QUERIES = {
     "q10_returned_items": QUERIES["q10_returned_items"],
+    "events_conversion_lag": events_conversion_lag,
     **{k: v for k, v in QUERIES.items() if k != "q10_returned_items"},
 }
 
@@ -1270,4 +1374,5 @@ ORACLE_SQL.update({
     "event_props_extract": EVENT_PROPS_SQL,
     "events_cohort_retention": COHORT_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
+    "events_conversion_lag": CONVERSION_LAG_SQL,
 })

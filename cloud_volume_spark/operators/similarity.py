@@ -896,6 +896,58 @@ SELECT vec_id, cluster, sq_dist FROM (
 KMEANS_SQL = _kmeans_sql()
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA: mean, population std, min, max for
+    every vector component — the table that catches dead dimensions
+    (std ~ 0), mis-scaled encoders, and NaN-poisoned batches before
+    they reach an index build.
+
+    Scale: posexplode + groupBy(pos) — the dim-independent reduction
+    shape shared with the kmeans paths; the shuffle carries partitions
+    x dim partial rows through a constant-size plan at any embedding
+    width. Determinism: exact decimal SUM then one double division +
+    ROUND (the kmeans recipe — double partial-agg summation order
+    could flip the 6dp rounding); std derives from the ROUNDED mean by
+    the identical op chain in both engines."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        _as_double("embedding").alias("v"))
+    x = emb.select(F.posexplode("v").alias("pos", "x"))
+    n = F.count(F.lit(1))
+    mean = F.round(
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double") / n, 6)
+    m2 = F.sum((F.col("x") * F.col("x"))
+               .cast("decimal(38,12)")).cast("double") / n
+    return (
+        x.groupBy("pos")
+        .agg(
+            n.alias("n_vectors"),
+            mean.alias("mean"),
+            F.round(F.sqrt(F.greatest(m2 - mean * mean, F.lit(0.0))),
+                    6).alias("std"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+    )
+
+
+DIM_STATS_SQL = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT i - 1 AS pos, v[i] AS x
+      FROM e, UNNEST(generate_series(1, len(v))) s(i))
+SELECT pos, COUNT(*) AS n_vectors,
+  ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+        / COUNT(*), 6) AS mean,
+  ROUND(SQRT(GREATEST(
+    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+    - ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+            / COUNT(*), 6)
+      * ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+              / COUNT(*), 6), 0)), 6) AS std,
+  ROUND(MIN(x), 6) AS min_x, ROUND(MAX(x), 6) AS max_x
+FROM x GROUP BY pos
+"""
+
+
 QUERIES = {
     # new-this-round first: registration order feeds the driver's
     # 50-query window (see operators/__init__.py)
@@ -907,6 +959,7 @@ QUERIES = {
     "srp_ann_topk": srp_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_kmeans": embedding_kmeans,
+    "embedding_dim_stats": embedding_dim_stats,
 }
 
 ORACLE_SQL = {
@@ -918,4 +971,5 @@ ORACLE_SQL = {
     "srp_ann_topk": SRP_ANN_SQL,
     "ivf_ann_topk": IVF_ANN_SQL,
     "embedding_kmeans": KMEANS_SQL,
+    "embedding_dim_stats": DIM_STATS_SQL,
 }

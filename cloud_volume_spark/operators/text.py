@@ -378,6 +378,133 @@ FROM base
 """
 
 
+def source_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition: doc count, total characters,
+    language spread, and the dominant language with its share — the
+    table a mixture-weight designer reads before setting per-domain
+    sampling rates (and the drift monitor a recurring crawl compares
+    across snapshots).
+
+    Scale: two partial-aggregating shuffles on low-cardinality keys
+    ((source, lang) then source) and one equi-join between them —
+    every stage collapses map-side to at most |sources|x|langs| rows
+    per task, so the plan is flat in corpus size. Deterministic
+    dominant language: ties break on the lang string itself. NULL
+    source/lang rows are dropped at the edge (the engines disagree on
+    NULL ordering and a NULL group is not a mixture component)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull() & F.col("lang").isNotNull())
+    per_lang = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "lang")
+    top = (per_lang.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("source", F.col("lang").alias("top_lang"),
+                   F.col("n").alias("_top_n")))
+    return (
+        tot.join(top, "source")
+        .select("source", "n_docs", "sum_chars", "n_langs", "top_lang",
+                F.round(F.col("_top_n") / F.col("n_docs"), 6)
+                .alias("top_lang_share"))
+    )
+
+
+SOURCE_MIXTURE_SQL = """
+WITH base AS (
+    SELECT source, lang, text FROM documents
+    WHERE source IS NOT NULL AND lang IS NOT NULL
+), per_lang AS (
+    SELECT source, lang, COUNT(*) AS n FROM base GROUP BY source, lang
+), tot AS (
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(LENGTH(text))::BIGINT AS sum_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM base GROUP BY source
+), top AS (
+    SELECT source, lang AS top_lang, n AS top_n,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n DESC, lang) AS rn
+    FROM per_lang
+)
+SELECT t.source, t.n_docs, t.sum_chars, t.n_langs, top.top_lang,
+       ROUND(top.top_n / t.n_docs, 6) AS top_lang_share
+FROM tot t JOIN top ON t.source = top.source AND top.rn = 1
+"""
+
+
+BIGRAM_TOP_K = 20
+
+
+def bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model head: the BIGRAM_TOP_K most
+    frequent word bigrams with their conditional probability
+    P(w2 | w1) = c(w1,w2) / c(w1 as a bigram head) — the n-gram LM
+    statistic behind perplexity filters and autocomplete heads.
+
+    Scale: the explode is bounded (one row per adjacent token pair),
+    the (w1, w2) count partial-aggregates map-side to vocab^2 rows per
+    task, the head counts derive from the ALREADY-aggregated bigram
+    table (vocab^2-sized, not corpus-sized), and the top-k is a
+    sort-limit (TakeOrderedAndProject), never a global sort. Ties at
+    the k boundary break on (w1, w2) for an engine-exact cut.
+    Whitespace is collapsed before splitting so both engines tokenize
+    identical word arrays; sub-2-token docs contribute nothing."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"),
+                                           r"\s+", " ")), " ")
+    base = docs.select(toks.alias("t")).where(F.size("t") >= 2)
+    bg = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.get("t", i - 1).alias("w1"),
+                    F.get("t", i).alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    c1 = c2.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
+    return (
+        c2.join(c1, "w1")
+        .select("w1", "w2", "n_bigram", "n_w1",
+                F.round(F.col("n_bigram") / F.col("n_w1"), 6)
+                .alias("cond_p"))
+        .orderBy(F.desc("n_bigram"), "w1", "w2")
+        .limit(BIGRAM_TOP_K)
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH toks AS (
+    SELECT string_split_regex(trim(regexp_replace(text, '\\s+', ' ',
+                                                  'g')), ' ') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+), bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) s(i)
+    WHERE len(t) >= 2
+), c2 AS (
+    SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, SUM(n_bigram)::BIGINT AS n_w1 FROM c2 GROUP BY w1
+)
+SELECT w1, w2, n_bigram, n_w1, ROUND(n_bigram / n_w1, 6) AS cond_p
+FROM c2 JOIN c1 USING (w1)
+ORDER BY n_bigram DESC, w1, w2
+LIMIT {BIGRAM_TOP_K}
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_subword_count": doc_subword_count,
@@ -386,6 +513,8 @@ QUERIES = {
     "doc_langid": doc_langid,
     "doc_repetition": doc_repetition,
     "doc_quality_filter": doc_quality_filter,
+    "source_mixture_stats": source_mixture_stats,
+    "bigram_lm_top": bigram_lm_top,
 }
 
 ORACLE_SQL = {
@@ -396,4 +525,6 @@ ORACLE_SQL = {
     "doc_quality_score": QUALITY_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "doc_langid": LANGID_SQL,
+    "source_mixture_stats": SOURCE_MIXTURE_SQL,
+    "bigram_lm_top": BIGRAM_LM_SQL,
 }

@@ -444,3 +444,60 @@ def test_snapshot_diff_plan_joins_digests_not_text(spark, sf_dir):
     import re
     for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
         assert "text#" not in m.group(1)
+
+
+def test_fuzzy_titles_plan_blocked_equi_join(spark, sf_dir):
+    """Fuzzy title near-dup is a BLOCKING join: candidates come from
+    an equi-join on the title-prefix block key (never a product), the
+    block-size cap rides a window over the same blk partitioning, and
+    levenshtein stays a JVM built-in (no Python eval)."""
+    plan = _plan(all_queries()["fuzzy_neardup_titles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "levenshtein" in plan
+
+
+def test_source_mixture_plan_partial_agg(spark, sf_dir):
+    """Mixture stats = two partial-aggregating shuffles on tiny keys +
+    one equi-join; never a product."""
+    plan = _plan(all_queries()["source_mixture_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_bigram_lm_plan_sort_limit_and_partial_agg(spark, sf_dir):
+    """The bigram LM's (w1,w2) count partial-aggregates map-side (the
+    explode output collapses to vocab^2 rows per task), head counts
+    derive from the aggregated table, and the top-k is
+    TakeOrderedAndProject — never a global sort; all JVM-side."""
+    plan = _plan(all_queries()["bigram_lm_top"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_embedding_dim_stats_plan_partial_agg(spark, sf_dir):
+    """Per-dimension stats partial-aggregate the posexplode output on
+    pos — the shuffle carries partitions x dim partial rows, with a
+    constant-size plan at any embedding width; no window, no join."""
+    plan = _plan(all_queries()["embedding_dim_stats"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_conversion_lag_plan_shape(spark, sf_dir):
+    """Conversion lag: user_id partial-agg shuffles + equi-joins (AQE
+    broadcasts the converting-user side), day-keyed window for the
+    exact median — no product, no Python eval."""
+    plan = _plan(all_queries()["events_conversion_lag"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan
+    assert "BatchEvalPython" not in plan
