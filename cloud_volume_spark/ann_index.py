@@ -464,6 +464,42 @@ class IVFIndex:
             self._write_meta(fs)
         return n_hit
 
+    def compact_lists(self, max_files_per_list: int = 8) -> int:
+        """Rewrite inverted lists whose partition directory has
+        accumulated more than ``max_files_per_list`` parquet files —
+        the small-files tax of a daily :meth:`add` loop (every append
+        job adds its own part files to each touched partition; after
+        months of deltas a probe opens dozens of tiny footers per
+        list). Same dynamic-partition-overwrite shape as
+        :meth:`remove`: ONLY the offending partitions are rewritten
+        (``repartition("cent_id")`` leaves one task — one output file
+        — per list), untouched lists keep their files, vector content
+        and meta count are unchanged. Returns the number of lists
+        rewritten."""
+        with self._mutation_lock() as fs:
+            base = f"{self.path}/lists.parquet"
+            crowded = []
+            for d in fs.listdir(base):
+                if not d.startswith("cent_id="):
+                    continue
+                n_files = sum(
+                    1 for f in fs.listdir(f"{base}/{d}")
+                    if f.endswith(".parquet"))
+                if n_files > max_files_per_list:
+                    crowded.append(int(d.split("=", 1)[1]))
+            if not crowded:
+                return 0
+            survivors = (
+                self.lists().where(F.col("cent_id").isin(crowded))
+                .select("vec_id", "embedding", "nrm", "cent_id")
+                .localCheckpoint(eager=True))
+            (survivors.repartition("cent_id")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("cent_id")
+             .parquet(base))
+        return len(crowded)
+
     def search(self, queries: DataFrame, k: int = 5,
                nprobe: int = 4,
                exclude_self: bool = True) -> DataFrame:

@@ -443,3 +443,54 @@ def test_kmeans_centroids_are_spherical(spark, sf_dir, tmp_path):
                           centroids="kmeans", kmeans_rounds=2)
     for r in idx.centroids().select("cnrm").collect():
         assert abs(r["cnrm"] - 1.0) < 1e-3, r["cnrm"]
+
+
+def test_compact_lists_merges_small_files(spark, sf_dir, tmp_path):
+    """A daily add() loop accumulates part files per touched list;
+    compact_lists rewrites ONLY the crowded partitions down to one
+    file each, leaves quiet lists' files alone, and search is
+    bit-identical before and after."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb.where(F.col("vec_id") < 250),
+                          str(tmp_path / "cp"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    # ten single-vector adds: each appends a part file to one list
+    for vid in range(250, 260):
+        assert idx.add(emb.where(F.col("vec_id") == vid)) == 1
+
+    base = f"{idx.path}/lists.parquet"
+
+    def files_per_list():
+        return {
+            d: sorted(f for f in os.listdir(f"{base}/{d}")
+                      if f.endswith(".parquet"))
+            for d in os.listdir(base) if d.startswith("cent_id=")
+        }
+
+    before = files_per_list()
+    # the fresh build writes one file per list (repartition on the
+    # partition key); every list an add() touched has >= 2
+    crowded = {d for d, fl in before.items() if len(fl) > 1}
+    assert crowded, "adds did not fan out enough part files"
+    q = _queries(spark, sf_dir)
+    want = sorted(map(tuple, idx.search(q, k=TOP_K, nprobe=NPROBE)
+                      .select("query_id", "rnk", "neighbor_id", "sim")
+                      .collect()))
+    n0 = idx.meta["count"]
+
+    assert idx.compact_lists(max_files_per_list=1) == len(crowded)
+    after = files_per_list()
+    for d in before:
+        if d in crowded:
+            assert len(after[d]) == 1, d
+        else:
+            assert after[d] == before[d], f"quiet list {d} rewritten"
+    got = sorted(map(tuple, idx.search(q, k=TOP_K, nprobe=NPROBE)
+                     .select("query_id", "rnk", "neighbor_id", "sim")
+                     .collect()))
+    assert got == want
+    assert idx.meta["count"] == n0 == idx.lists().count()
+    # idempotent: a second pass finds nothing crowded
+    assert idx.compact_lists(max_files_per_list=1) == 0
