@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "largest_order_per_customer",
     "event_type_share",
     "fuzzy_neardup_titles",
+    "dedup_rate_by_source",
     "source_mixture_stats",
     "bigram_lm_top",
     "embedding_dim_stats",

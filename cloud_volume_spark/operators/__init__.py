@@ -16,19 +16,20 @@ from cloud_volume_spark import multimodal
 # driver row across consecutive rounds, with tests/test_oracle_parity.py
 # running ALL queries against DuckDB as the local backstop.
 # ROUND-11 ROTATION (executing the round-10 note): voxel_rel(9) +
-# dedup(7+1) + text(7+2) + similarity(8+1) = 35 to the front — they
-# hold every query whose last driver row is r9 PLUS four of the five
-# NEW round-11 queries (fuzzy_neardup_titles → dedup;
-# source_mixture_stats, bigram_lm_top → text; embedding_dim_stats →
-# similarity); the fifth, events_conversion_lag, is keyed second
-# inside `relational` so the window's remaining 15 slots (the
-# relational head) include it. Registry = 83; out-of-window = the
-# last 10 of relational + curation + corpus + multimodal, ALL of
-# which have green rows in CORRECTNESS_r10, so the r10∪r11 union
-# keeps every registered query on a fresh-within-two-rounds driver
-# row.  ROUND-12 ROTATION: relational + curation + corpus +
-# multimodal to the front (48 queries — they hold every query whose
-# last row is r10), leaving 2 window slots for the r11-module tail.
+# dedup(7+2) + text(7+2) + similarity(8+1) = 36 to the front — they
+# hold every query whose last driver row is r9 PLUS five of the six
+# NEW round-11 queries (fuzzy_neardup_titles, dedup_rate_by_source →
+# dedup; source_mixture_stats, bigram_lm_top → text;
+# embedding_dim_stats → similarity); the sixth,
+# events_conversion_lag, is keyed second inside `relational` so the
+# window's remaining 14 slots (the relational head) include it.
+# Registry = 84; out-of-window = the last 11 of relational + curation
+# + corpus + multimodal, ALL of which have green rows in
+# CORRECTNESS_r10, so the r10∪r11 union keeps every registered query
+# on a fresh-within-two-rounds driver row.  ROUND-12 ROTATION:
+# relational + curation + corpus + multimodal to the front (48
+# queries — they hold every query whose last row is r10), leaving 2
+# window slots for the r11-module tail.
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,

@@ -615,6 +615,52 @@ WHERE d.doc_id % {INGEST_MOD} = 0
 """
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication readout off the cluster map: how many of
+    each source's docs are non-canonical near-duplicates (doc_id !=
+    its cluster's min-doc_id label) — the dashboard number a crawl
+    operator watches per domain, and the input to down-weighting
+    duplicate-heavy sources in the mixture.
+
+    Scale: rides :func:`materialized_clusters` (the labeling is
+    computed once per session and REUSED — this query never re-derives
+    CC from text), one doc_id equi-join projecting only (doc_id,
+    source), one partial-aggregating shuffle on the low-cardinality
+    source key. dup_rate_bp = non-canonical docs per 10k."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()).select("doc_id", "source")
+    cl = materialized_clusters(spark, sf_dir)
+    dup = (F.col("doc_id") != F.col("cluster_id")).cast("long")
+    return (
+        docs.join(cl, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(dup).alias("n_dupes"),
+            F.round(F.sum(dup) * 10000 / F.count(F.lit(1)), 2)
+            .alias("dup_rate_bp"),
+        )
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = (
+    "WITH RECURSIVE " + CC_CTES_SQL + """,
+clusters AS (SELECT u AS doc_id, MIN(comp) AS cluster_id
+             FROM walk GROUP BY u)
+SELECT d.source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT c.cluster_id) AS n_clusters,
+       SUM(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0
+           END)::BIGINT AS n_dupes,
+       ROUND(SUM(CASE WHEN c.doc_id <> c.cluster_id THEN 1 ELSE 0 END)
+             * 10000 / COUNT(*), 2) AS dup_rate_bp
+FROM documents d JOIN clusters c USING (doc_id)
+WHERE d.source IS NOT NULL
+GROUP BY d.source
+"""
+)
+
+
 FUZZY_TITLE_W = 24   # the "title": leading text slice compared edit-wise
 FUZZY_BLOCK_W = 8    # blocking key: title prefix — pairs only within a block
 FUZZY_MAX_DIST = 6   # edit-distance near-dup threshold on the title
@@ -686,6 +732,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_clusters": materialized_clusters,
     "fuzzy_neardup_titles": fuzzy_neardup_titles,
+    "dedup_rate_by_source": dedup_rate_by_source,
 }
 
 ORACLE_SQL = {
@@ -699,6 +746,7 @@ ORACLE_SQL = {
         shingles=SHINGLES_SQL, sig_cols=_SIG_SQL_COLS, bands=_BANDS_SQL
     ),
     "fuzzy_neardup_titles": FUZZY_TITLES_SQL,
+    "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE_SQL,
 }
 
 

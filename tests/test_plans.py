@@ -501,3 +501,23 @@ def test_conversion_lag_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_min" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_rate_by_source_reuses_cluster_map(spark, sf_dir):
+    """The per-source dup-rate readout joins the MATERIALIZED cluster
+    map (InMemoryTableScan — never re-derives CC from text) with a
+    two-column documents projection, then partial-aggregates on
+    source."""
+    plan = _plan(all_queries()["dedup_rate_by_source"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # docs side prunes to (doc_id, source): text never scans. The
+    # cluster map is cached, so the ONLY parquet scans in this plan
+    # are the documents projection.
+    scans = [seg for seg in plan.split("Scan parquet")[1:]
+             if "documents.parquet" in seg and "ReadSchema" in seg]
+    assert scans, plan
+    for seg in scans:
+        schema_line = seg.split("ReadSchema", 1)[1].split("\n", 1)[0]
+        assert "text" not in schema_line, schema_line
