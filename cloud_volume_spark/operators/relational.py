@@ -1222,6 +1222,31 @@ LIMIT 20
 """
 
 
+def conversion_lag_frame(events: DataFrame) -> DataFrame:
+    """(user_id, day_idx, lag_s): each user's seconds from FIRST view
+    to their first purchase at-or-after it, with the epoch-day index
+    of the first view — the per-user stage shared by
+    :func:`events_conversion_lag` (batch per-day rollup) and
+    ``streaming.streaming_conversion_lag`` (the stateful on-arrival
+    emitter, tested row-equal to this frame)."""
+    ev = events.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    fv = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    fp = (ev.where(F.col("event_type") == "purchase")
+          .join(fv, "user_id")
+          .where(F.col("ts") >= F.col("first_view"))
+          .groupBy("user_id")
+          .agg(F.min("ts").alias("first_purchase")))
+    return fv.join(fp, "user_id").select(
+        "user_id",
+        F.floor(F.unix_timestamp("first_view") / 86400)
+        .cast("long").alias("day_idx"),
+        (F.unix_timestamp("first_purchase")
+         - F.unix_timestamp("first_view")).cast("long").alias("lag_s"),
+    )
+
+
 def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day time-to-convert: for each user, seconds from their
     FIRST view to their first purchase at-or-after it, aggregated by
@@ -1243,22 +1268,7 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     all co-located — then a day-keyed window over day-sized groups and
     a day-cardinality aggregate. NULL ts/user_id drop at the edge
     (the NULLS FIRST/LAST divergence)."""
-    ev = load(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-    fv = (ev.where(F.col("event_type") == "view")
-          .groupBy("user_id").agg(F.min("ts").alias("first_view")))
-    fp = (ev.where(F.col("event_type") == "purchase")
-          .join(fv, "user_id")
-          .where(F.col("ts") >= F.col("first_view"))
-          .groupBy("user_id")
-          .agg(F.min("ts").alias("first_purchase")))
-    lag = fv.join(fp, "user_id").select(
-        "user_id",
-        F.floor(F.unix_timestamp("first_view") / 86400)
-        .cast("long").alias("day_idx"),
-        (F.unix_timestamp("first_purchase")
-         - F.unix_timestamp("first_view")).cast("long").alias("lag_s"),
-    )
+    lag = conversion_lag_frame(load(spark, sf_dir, "events"))
     w = Window.partitionBy("day_idx").orderBy("lag_s", "user_id")
     wn = Window.partitionBy("day_idx")
     ranked = (lag.withColumn("rn", F.row_number().over(w))

@@ -16,6 +16,7 @@ from cloud_volume_spark.streaming.windowed import (  # noqa: F401
     read_events_stream,
     session_window_stats,
     streaming_contamination,
+    streaming_conversion_lag,
     streaming_exact_dedup,
     streaming_incremental_dedup,
     streaming_quality_filter,

@@ -540,6 +540,84 @@ def streaming_path_mine(events: DataFrame, n: int = 3,
     )
 
 
+def streaming_conversion_lag(events: DataFrame,
+                             key: str = "user_id") -> DataFrame:
+    """Emit ``(user_id, day_idx, lag_s)`` ONCE per user at the moment
+    of their first view→purchase conversion — the streaming
+    counterpart of ``relational.conversion_lag_frame`` (tested
+    row-equal); the per-day median/stats rollup is the batch tail on
+    the sink, exactly ``streaming_path_mine``'s stateful/serving
+    split. Per-key state is two scalars (first-view nanos + a done
+    flag) — fixed bytes per user, never a history.
+
+    Ordering contract = ``streaming_funnel``'s: per-key non-decreasing
+    ``ts`` ACROSS micro-batches. Within a batch the FULL batch is
+    visible, so first-view is resolved over all of the batch's views
+    before purchases are scanned — a purchase tied on ts with the
+    first view matches ``ts >= first_view`` exactly as the batch
+    operator's filter does, regardless of intra-batch order. lag_s
+    truncates each epoch to whole seconds BEFORE subtracting (Spark
+    ``unix_timestamp`` semantics), so values are bit-equal to the
+    batch frame. NULL ts/event_type/key rows drop at the edge (the
+    batch operator's rule)."""
+    import pandas as pd
+
+    state_schema = StructType([
+        StructField("first_view_ns", LongType(), True),
+        StructField("done", IntegerType(), True),
+    ])
+    out_schema = StructType([
+        StructField(key, LongType(), True),
+        StructField("day_idx", LongType(), True),
+        StructField("lag_s", LongType(), True),
+    ])
+
+    def update(k, pdfs, state):
+        fv_ns, done = (tuple(state.get) if state.exists
+                       else (None, 0))
+        out = []
+        if not done and not pd.isna(k[0]):
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks).dropna(
+                    subset=["ts", "event_type"])
+                views = pdf[pdf["event_type"] == "view"]
+                if len(views):
+                    batch_min = int(views["ts"].min().value)
+                    fv_ns = batch_min if fv_ns is None else min(
+                        int(fv_ns), batch_min)
+                if fv_ns is not None:
+                    # normalize to ns explicitly: the arrow batch may
+                    # arrive as datetime64[us] or [ns] depending on
+                    # the conversion path, and a bare astype(int64)
+                    # would compare µs against the ns state
+                    ts_ns = (pdf["ts"].values
+                             .astype("datetime64[ns]").astype("int64"))
+                    purch = pdf[(pdf["event_type"] == "purchase")
+                                & (ts_ns >= int(fv_ns))]
+                    if len(purch):
+                        fp_ns = int(purch["ts"].min().value)
+                        fv_s = int(fv_ns) // 1_000_000_000
+                        out.append((int(k[0]), fv_s // 86400,
+                                    fp_ns // 1_000_000_000 - fv_s))
+                        done = 1
+        state.update((fv_ns, done))
+        if out:
+            yield pd.DataFrame(out, columns=[key, "day_idx", "lag_s"])
+
+    return (
+        events.select("ts", key, "event_type")
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming PII redaction
 # ---------------------------------------------------------------------------

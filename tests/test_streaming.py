@@ -829,3 +829,124 @@ def test_streaming_cdc_redact_dedup_pipeline(spark, sf_dir, tmp_path):
     raw = dedup_incremental(spark, str(raw_mirror)).toPandas()
     raw_flagged = set(raw[raw["is_kept"] == 0]["doc_id"])
     assert stream_plant[0] not in raw_flagged
+
+
+def test_streaming_conversion_lag_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful on-arrival conversion emitter must produce exactly
+    the rows of relational.conversion_lag_frame — one (user, day_idx,
+    lag_s) per converting user, bit-equal lag seconds — across
+    multiple micro-batches (per-key ts order held across files), with
+    a tied-ts purchase matched exactly as the batch ts >= first_view
+    filter does."""
+    import pandas as pd
+
+    from cloud_volume_spark.operators.relational import (
+        conversion_lag_frame,
+    )
+    from cloud_volume_spark.streaming import (
+        read_events_stream, streaming_conversion_lag,
+    )
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # two arrival files split ON TIME (the contract: per-key ts
+    # non-decreasing across micro-batches)
+    cut = events.agg(
+        F.expr("percentile_approx(unix_timestamp(ts), 0.5)")).collect()[0][0]
+    d = tmp_path / "conv_stream"
+    d.mkdir()
+    epdf = events.toPandas()
+    early = epdf[epdf["ts"].astype("int64") // 10**9 <= cut]
+    late = epdf[epdf["ts"].astype("int64") // 10**9 > cut]
+    early.to_parquet(str(d / "part-0.parquet"))
+    late.to_parquet(str(d / "part-1.parquet"))
+
+    stream = streaming_conversion_lag(read_events_stream(spark, str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sconv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.day_idx, r.lag_s)
+        for r in spark.sql("select * from sconv").collect())
+    want = sorted(
+        (r.user_id, r.day_idx, r.lag_s)
+        for r in conversion_lag_frame(events).collect())
+    assert got == want and len(want) > 0
+
+
+def test_streaming_conversion_lag_tied_ts_and_nulls(spark, tmp_path):
+    """Planted edges: a purchase TIED on ts with the first view (and
+    sorted before it by event_id) still converts — the batch filter is
+    ts >= first_view, not arrival order; purchases before any view
+    never convert; NULL user_id/ts/type rows are dropped; a user
+    converts at most once."""
+    import pandas as pd
+
+    from cloud_volume_spark.operators.relational import (
+        conversion_lag_frame,
+    )
+    from cloud_volume_spark.streaming import (
+        read_events_stream, streaming_conversion_lag,
+    )
+
+    base = pd.Timestamp("2024-03-01 12:00:00")
+
+    def row(eid, ts, uid, typ):
+        return (eid, ts, uid, typ, 0.0, "{}")
+
+    rows = [
+        # user 1: purchase tied on ts with first view, smaller event_id
+        row(1, base, 1, "purchase"),
+        row(2, base, 1, "view"),
+        # user 2: purchase strictly before view -> no conversion, then
+        # a later purchase converts
+        row(3, base, 2, "purchase"),
+        row(4, base + pd.Timedelta(seconds=10), 2, "view"),
+        row(5, base + pd.Timedelta(seconds=70), 2, "purchase"),
+        # user 3: converts in file 1, second purchase in file 2 must
+        # not re-emit
+        row(6, base, 3, "view"),
+        row(7, base + pd.Timedelta(seconds=5), 3, "purchase"),
+        # NULL rows
+        row(8, None, 1, "view"),
+        row(9, base, None, "view"),
+        row(10, base, 4, None),
+    ]
+    later = [row(11, base + pd.Timedelta(hours=1), 3, "purchase")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rws):
+        df = pd.DataFrame(rws, columns=cols)
+        # None in an int column must stay int64-with-null in parquet
+        # (a float64 user_id would mismatch the probed stream schema)
+        df["event_id"] = df["event_id"].astype("Int64")
+        df["user_id"] = df["user_id"].astype("Int64")
+        # NaT-capable MICROSECOND timestamps: parquet ns-precision
+        # reads back as bigint on the Spark side
+        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        return df
+
+    d = tmp_path / "conv_edges"
+    d.mkdir()
+    frame(rows).to_parquet(str(d / "p0.parquet"))
+    frame(later).to_parquet(str(d / "p1.parquet"))
+
+    stream = streaming_conversion_lag(read_events_stream(spark, str(d)))
+    q = (stream.writeStream.format("memory").queryName("sconv2")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.user_id, r.day_idx, r.lag_s)
+                 for r in spark.sql("select * from sconv2").collect())
+    events = spark.read.parquet(str(d))
+    want = sorted((r.user_id, r.day_idx, r.lag_s)
+                  for r in conversion_lag_frame(events).collect())
+    assert got == want
+    by_user = {u: (dy, lg) for u, dy, lg in got}
+    assert by_user[1][1] == 0      # tied-ts conversion, lag 0
+    assert by_user[2][1] == 60     # only the post-view purchase counts
+    assert by_user[3][1] == 5      # first conversion only, once
+    assert set(by_user) == {1, 2, 3}
