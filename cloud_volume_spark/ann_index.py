@@ -46,22 +46,35 @@ from cloud_volume_spark.fs import PathOps
 
 _META_VERSION = 1
 
+# the inverted-lists layout, fixed at build time: reads always carry
+# this schema explicitly, so an index whose every list was remove()d
+# (a full-corpus refresh between remove and re-add) stays READABLE —
+# schema inference over a dir holding only _SUCCESS would otherwise
+# fail every subsequent lists()/search()/add() with
+# UNABLE_TO_INFER_SCHEMA, bricking the index at its most fragile
+# moment. cent_id is pinned bigint (inference would flip the partition
+# column between int and bigint depending on the values present).
+_LISTS_SCHEMA = ("vec_id bigint, embedding array<double>, "
+                 "nrm double, cent_id bigint")
+
 
 def _validate_embedding_frame(e: DataFrame, dim: int | None = None,
                               context: str = "build_ivf_index") -> tuple:
     """ONE aggregate job enforcing the batch contract shared by build
     and add (the round-10 advice: build must refuse what add refuses):
     non-empty, no NULL embeddings, one uniform dimension (== ``dim``
-    when the index already fixes it), no duplicate vec_ids. A violator
-    would otherwise NULL its cosine against every centroid and land in
-    the lowest cent_id list with garbage affinity. Returns
-    ``(n_rows, dim)``."""
+    when the index already fixes it), no duplicate vec_ids, no
+    zero-norm vectors. A violator would otherwise NULL its cosine
+    against every centroid and land in the lowest cent_id list with
+    garbage affinity (or, for a zero vector, throw a raw ANSI
+    divide-by-zero mid-build). Returns ``(n_rows, dim)``."""
     s = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("vec_id").alias("n_ids"),
         F.sum(F.col("embedding").isNull().cast("long")).alias("n_null"),
         F.min(F.size("embedding")).alias("dmin"),
         F.max(F.size("embedding")).alias("dmax"),
+        F.min("nrm").alias("min_nrm"),
     ).first()
     n = int(s["n"])
     if n == 0:
@@ -83,6 +96,14 @@ def _validate_embedding_frame(e: DataFrame, dim: int | None = None,
             f"{context}: {n - int(s['n_ids'])} duplicate vec_ids in "
             "the batch — deduplicate first (an indexed duplicate would "
             "leave search's dropDuplicates keeping an arbitrary copy)")
+    if float(s["min_nrm"]) == 0.0:
+        # an all-zero vector has no cosine direction: every division
+        # by its norm (unit-normalization in kmeans, csim in
+        # rank_centroids) is a divide-by-zero under ANSI mode — refuse
+        # it here with the contract's loud error instead
+        raise ValueError(
+            f"{context}: the batch contains a zero-norm embedding — "
+            "cosine affinity is undefined for it; drop or re-embed")
     return n, int(s["dmax"])
 
 
@@ -254,7 +275,8 @@ class IVFIndex:
         return self.spark.read.parquet(f"{self.path}/centroids.parquet")
 
     def lists(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/lists.parquet")
+        return (self.spark.read.schema(_LISTS_SCHEMA)
+                .parquet(f"{self.path}/lists.parquet"))
 
     def list_stats(self) -> DataFrame:
         """Per-inverted-list row counts — the list-balance observable
@@ -349,9 +371,11 @@ class IVFIndex:
                 .groupBy("vec_id")
                 .agg(F.count(F.lit(1)).alias("_n"),
                      F.max(F.size("embedding")).alias("_dim"),
+                     F.min("nrm").alias("_nrm"),
                      F.max("_onx").alias("_on"))
                 .where((F.col("_n") > 1) | F.col("_dim").isNull()
-                       | (F.col("_dim") != dim) | F.col("_on").isNotNull())
+                       | (F.col("_dim") != dim) | F.col("_on").isNotNull()
+                       | (F.col("_nrm") == 0.0))
                 .limit(1).collect())
             if bad:
                 r = bad[0]
@@ -366,6 +390,11 @@ class IVFIndex:
                         f"add(): vec_id {r['vec_id']} appears {r['_n']} "
                         "times in the batch — deduplicate the delta "
                         "first")
+                if r["_dim"] is not None and r["_dim"] == dim:
+                    raise ValueError(
+                        f"add(): vec_id {r['vec_id']} has a zero-norm "
+                        "embedding — cosine affinity is undefined for "
+                        "it; drop or re-embed")
                 raise ValueError(
                     f"add(): vec_id {r['vec_id']} has dimension "
                     f"{r['_dim']}, index is {dim}-dimensional")

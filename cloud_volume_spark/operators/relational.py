@@ -1350,8 +1350,9 @@ QUERIES.update({
 # round-rotated at the module level instead — see
 # operators/__init__.py::ALL_MODULES. events_conversion_lag is NEW in
 # round 11 and keyed second so it lands inside the window's relational
-# head (the r11 window = 31 rotated + 4 new module-front queries +
-# the first 15 relational entries).
+# head (the r11 window = 31 rotated + 5 new module-front queries +
+# the first 14 relational entries; the single source of truth for the
+# arithmetic is the ALL_MODULES comment).
 QUERIES = {
     "q10_returned_items": QUERIES["q10_returned_items"],
     "events_conversion_lag": events_conversion_lag,

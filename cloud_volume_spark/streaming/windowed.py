@@ -547,15 +547,21 @@ def streaming_conversion_lag(events: DataFrame,
     counterpart of ``relational.conversion_lag_frame`` (tested
     row-equal); the per-day median/stats rollup is the batch tail on
     the sink, exactly ``streaming_path_mine``'s stateful/serving
-    split. Per-key state is two scalars (first-view nanos + a done
-    flag) — fixed bytes per user, never a history.
+    split. Per-key state is three scalars (first-view nanos, earliest
+    pre-view purchase nanos, done flag) — fixed bytes per user, never
+    a history.
 
     Ordering contract = ``streaming_funnel``'s: per-key non-decreasing
     ``ts`` ACROSS micro-batches. Within a batch the FULL batch is
     visible, so first-view is resolved over all of the batch's views
     before purchases are scanned — a purchase tied on ts with the
     first view matches ``ts >= first_view`` exactly as the batch
-    operator's filter does, regardless of intra-batch order. lag_s
+    operator's filter does, regardless of intra-batch order. The one
+    cross-batch tie (purchase in an EARLIER micro-batch than the view
+    it ties with) is covered by a single pending-purchase scalar:
+    under non-decreasing ts, a pre-view purchase can only ever convert
+    on ts EQUALITY with the eventual first view, so remembering the
+    earliest one seen is exact — no purchase history needed. lag_s
     truncates each epoch to whole seconds BEFORE subtracting (Spark
     ``unix_timestamp`` semantics), so values are bit-equal to the
     batch frame. NULL ts/event_type/key rows drop at the edge (the
@@ -564,6 +570,7 @@ def streaming_conversion_lag(events: DataFrame,
 
     state_schema = StructType([
         StructField("first_view_ns", LongType(), True),
+        StructField("pend_purchase_ns", LongType(), True),
         StructField("done", IntegerType(), True),
     ])
     out_schema = StructType([
@@ -573,8 +580,8 @@ def streaming_conversion_lag(events: DataFrame,
     ])
 
     def update(k, pdfs, state):
-        fv_ns, done = (tuple(state.get) if state.exists
-                       else (None, 0))
+        fv_ns, pend_ns, done = (tuple(state.get) if state.exists
+                                else (None, None, 0))
         out = []
         if not done and not pd.isna(k[0]):
             chunks = [pdf for pdf in pdfs if len(pdf)]
@@ -586,22 +593,34 @@ def streaming_conversion_lag(events: DataFrame,
                     batch_min = int(views["ts"].min().value)
                     fv_ns = batch_min if fv_ns is None else min(
                         int(fv_ns), batch_min)
+                # normalize to ns explicitly: the arrow batch may
+                # arrive as datetime64[us] or [ns] depending on the
+                # conversion path, and a bare astype(int64) would
+                # compare µs against the ns state
+                ts_ns = (pdf["ts"].values
+                         .astype("datetime64[ns]").astype("int64"))
+                is_purch = (pdf["event_type"] == "purchase").to_numpy()
                 if fv_ns is not None:
-                    # normalize to ns explicitly: the arrow batch may
-                    # arrive as datetime64[us] or [ns] depending on
-                    # the conversion path, and a bare astype(int64)
-                    # would compare µs against the ns state
-                    ts_ns = (pdf["ts"].values
-                             .astype("datetime64[ns]").astype("int64"))
-                    purch = pdf[(pdf["event_type"] == "purchase")
-                                & (ts_ns >= int(fv_ns))]
-                    if len(purch):
-                        fp_ns = int(purch["ts"].min().value)
+                    fp_ns = None
+                    # a pre-view purchase remembered from an earlier
+                    # batch converts iff it ties the first view's ts
+                    if pend_ns is not None and int(pend_ns) >= int(fv_ns):
+                        fp_ns = int(pend_ns)
+                    m = is_purch & (ts_ns >= int(fv_ns))
+                    if m.any():
+                        batch_fp = int(ts_ns[m].min())
+                        fp_ns = batch_fp if fp_ns is None else min(
+                            fp_ns, batch_fp)
+                    if fp_ns is not None:
                         fv_s = int(fv_ns) // 1_000_000_000
                         out.append((int(k[0]), fv_s // 86400,
                                     fp_ns // 1_000_000_000 - fv_s))
                         done = 1
-        state.update((fv_ns, done))
+                elif is_purch.any():
+                    batch_pp = int(ts_ns[is_purch].min())
+                    pend_ns = batch_pp if pend_ns is None else min(
+                        int(pend_ns), batch_pp)
+        state.update((fv_ns, pend_ns, done))
         if out:
             yield pd.DataFrame(out, columns=[key, "day_idx", "lag_s"])
 

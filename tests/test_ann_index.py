@@ -494,3 +494,54 @@ def test_compact_lists_merges_small_files(spark, sf_dir, tmp_path):
     assert idx.meta["count"] == n0 == idx.lists().count()
     # idempotent: a second pass finds nothing crowded
     assert idx.compact_lists(max_files_per_list=1) == 0
+
+
+def test_remove_everything_keeps_index_usable(spark, sf_dir, tmp_path):
+    """Emptying EVERY inverted list (a full-corpus refresh between
+    remove and re-add) must not brick the index: reads carry an
+    explicit schema, so lists()/search()/add() keep working against
+    the empty layout and the re-add restores full service."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, str(tmp_path / "all"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    every = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    assert idx.remove(every) == len(every)
+    assert idx.meta["count"] == 0
+    assert idx.lists().count() == 0
+    assert idx.list_stats().count() == 0
+    q = _queries(spark, sf_dir)
+    assert idx.search(q, k=TOP_K, nprobe=NPROBE).count() == 0
+    # the documented follow-up: re-add the refreshed corpus
+    assert idx.add(emb) == len(every)
+    got = sorted(map(tuple, idx.search(q, k=TOP_K, nprobe=NPROBE)
+                     .select("query_id", "rnk", "neighbor_id", "sim")
+                     .collect()))
+    want = sorted(map(tuple, build_ivf_index(
+        emb, str(tmp_path / "fresh"), nlist=NLIST,
+        centroid_base_id=100, centroids="sample")
+        .search(q, k=TOP_K, nprobe=NPROBE)
+        .select("query_id", "rnk", "neighbor_id", "sim").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_zero_norm_embedding_refused(spark, sf_dir, tmp_path):
+    """A zero-norm vector has no cosine direction: build (both
+    centroid modes) and add must refuse it loudly instead of throwing
+    a raw ANSI divide-by-zero mid-job."""
+    emb = load(spark, sf_dir, "embeddings")
+    zeroed = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7,
+               F.transform("embedding", lambda x: x * 0.0))
+        .otherwise(F.transform("embedding",
+                               lambda x: x.cast("double"))))
+    with pytest.raises(ValueError, match="zero-norm"):
+        build_ivf_index(zeroed, str(tmp_path / "z1"))
+    with pytest.raises(ValueError, match="zero-norm"):
+        build_ivf_index(zeroed, str(tmp_path / "z2"), centroids="kmeans",
+                        kmeans_rounds=1)
+    idx = build_ivf_index(emb.where(F.col("vec_id") >= 10),
+                          str(tmp_path / "z3"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    with pytest.raises(ValueError, match="zero-norm"):
+        idx.add(zeroed.where(F.col("vec_id") == 7))

@@ -915,8 +915,15 @@ def test_streaming_conversion_lag_tied_ts_and_nulls(spark, tmp_path):
         row(8, None, 1, "view"),
         row(9, base, None, "view"),
         row(10, base, 4, None),
+        # user 5: purchase in THIS file ties on ts with the view that
+        # only arrives in the NEXT file (legal under non-decreasing
+        # per-key ts) — the pending-purchase scalar must convert it
+        row(12, base + pd.Timedelta(hours=1), 5, "purchase"),
     ]
-    later = [row(11, base + pd.Timedelta(hours=1), 3, "purchase")]
+    later = [
+        row(11, base + pd.Timedelta(hours=1), 3, "purchase"),
+        row(13, base + pd.Timedelta(hours=1), 5, "view"),
+    ]
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
     def frame(rws):
@@ -949,4 +956,5 @@ def test_streaming_conversion_lag_tied_ts_and_nulls(spark, tmp_path):
     assert by_user[1][1] == 0      # tied-ts conversion, lag 0
     assert by_user[2][1] == 60     # only the post-view purchase counts
     assert by_user[3][1] == 5      # first conversion only, once
-    assert set(by_user) == {1, 2, 3}
+    assert by_user[5][1] == 0      # cross-batch tie converts
+    assert set(by_user) == {1, 2, 3, 5}
