@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "customer_spend_deciles",
     "largest_order_per_customer",
     "event_type_share",
+    "q8_market_share",
+    "q13_customer_distribution",
     "fuzzy_neardup_titles",
     "dedup_rate_by_source",
     "source_mixture_stats",

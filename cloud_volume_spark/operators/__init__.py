@@ -20,16 +20,17 @@ from cloud_volume_spark import multimodal
 # hold every query whose last driver row is r9 PLUS five of the six
 # NEW round-11 queries (fuzzy_neardup_titles, dedup_rate_by_source →
 # dedup; source_mixture_stats, bigram_lm_top → text;
-# embedding_dim_stats → similarity); the sixth,
-# events_conversion_lag, is keyed second inside `relational` so the
-# window's remaining 14 slots (the relational head) include it.
-# Registry = 84; out-of-window = the last 11 of relational + curation
+# embedding_dim_stats → similarity); the remaining three
+# (events_conversion_lag, q8_market_share, q13_customer_distribution)
+# are keyed second/third/fourth inside `relational` so the window's
+# remaining 14 slots (the relational head) include them.
+# Registry = 86; out-of-window = the last 13 of relational + curation
 # + corpus + multimodal, ALL of which have green rows in
 # CORRECTNESS_r10, so the r10∪r11 union keeps every registered query
 # on a fresh-within-two-rounds driver row.  ROUND-12 ROTATION:
-# relational + curation + corpus + multimodal to the front (48
-# queries — they hold every query whose last row is r10), leaving 2
-# window slots for the r11-module tail.
+# relational + curation + corpus + multimodal to the front (50
+# queries — they hold every query whose last row is r10, exactly
+# filling the window; the r11-module queries all have r11 rows).
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,

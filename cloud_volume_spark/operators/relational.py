@@ -1332,6 +1332,131 @@ FROM stats JOIN med USING (day_idx)
 """
 
 
+Q8_REGION = "ASIA"
+Q8_TYPE = "STANDARD"
+Q8_NATION = "NATION_3"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): for each order year in
+    [1995, 1996], the share of {Q8_REGION}-customer revenue on
+    {Q8_TYPE} parts supplied by {Q8_NATION} (reference workload shape:
+    an 8-table snowflake join reduced to a two-level aggregate; the
+    reference repo has no partsupp table, which Q8 does not need).
+
+    Scale: every join is an equi-join on a key; part/nation/region
+    prune map-side behind pushed filters and broadcast (dimension
+    tables), lineitem→orders is the one fact-fact shuffle. Share =
+    exact decimal SUMs (order-independent) divided once, rounded 6dp —
+    the cross-engine determinism recipe (a double SUM's partial-agg
+    order could flip the rounding)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") <= "1996-12-31"))
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE)
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    vol = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat.alias("n1"),
+              F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(reg, F.col("n1.n_regionkey") == reg.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat.alias("n2"),
+              F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")
+    return (
+        vol.groupBy("o_year")
+        .agg(F.round(
+            dec(F.when(F.col("supp_nation") == Q8_NATION,
+                       F.col("volume")).otherwise(F.lit(0.0)))
+            / dec(F.col("volume")), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+WITH vol AS (
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+      AND o_orderdate >= '1995-01-01' AND o_orderdate <= '1996-12-31'
+)
+SELECT o_year,
+       ROUND(
+         CAST(SUM(CAST(CASE WHEN supp_nation = '{Q8_NATION}'
+                       THEN volume ELSE 0.0 END
+                       AS DECIMAL(38,12))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(38,12))) AS DOUBLE),
+         6) AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): histogram of
+    customers by number of non-urgent orders, including the
+    zero-order customers the left join preserves. (The reference
+    schema has no o_comment, so the 'special requests' exclusion is
+    adapted to o_orderpriority = '1-URGENT' — same plan shape: a
+    filtered left outer join.)
+
+    Scale: one c_custkey left equi-join (orders side filtered
+    map-side), a per-customer partial-aggregating count, then a
+    histogram groupBy whose cardinality is the max order count —
+    tiny. Pure integer outputs: engine-exact with no rounding."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) per
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1348,14 +1473,17 @@ QUERIES.update({
 # a single-partition window) and was re-keyed first that round for a
 # fresh driver row (green in CORRECTNESS_r05). The ordering is now
 # round-rotated at the module level instead — see
-# operators/__init__.py::ALL_MODULES. events_conversion_lag is NEW in
-# round 11 and keyed second so it lands inside the window's relational
-# head (the r11 window = 31 rotated + 5 new module-front queries +
-# the first 14 relational entries; the single source of truth for the
-# arithmetic is the ALL_MODULES comment).
+# operators/__init__.py::ALL_MODULES. events_conversion_lag,
+# q8_market_share, and q13_customer_distribution are NEW in round 11
+# and keyed second/third/fourth so they land inside the window's
+# relational head (the r11 window = 31 rotated + 5 new module-front
+# queries + the first 14 relational entries; the single source of
+# truth for the arithmetic is the ALL_MODULES comment).
 QUERIES = {
     "q10_returned_items": QUERIES["q10_returned_items"],
     "events_conversion_lag": events_conversion_lag,
+    "q8_market_share": q8_market_share,
+    "q13_customer_distribution": q13_customer_distribution,
     **{k: v for k, v in QUERIES.items() if k != "q10_returned_items"},
 }
 
@@ -1386,4 +1514,6 @@ ORACLE_SQL.update({
     "events_cohort_retention": COHORT_RETENTION_SQL,
     "events_top_paths": EVENTS_TOP_PATHS_SQL,
     "events_conversion_lag": CONVERSION_LAG_SQL,
+    "q8_market_share": Q8_SQL,
+    "q13_customer_distribution": Q13_SQL,
 })

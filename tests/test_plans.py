@@ -521,3 +521,26 @@ def test_dedup_rate_by_source_reuses_cluster_map(spark, sf_dir):
     for seg in scans:
         schema_line = seg.split("ReadSchema", 1)[1].split("\n", 1)[0]
         assert "text" not in schema_line, schema_line
+
+
+def test_q8_market_share_plan_broadcast_dims_no_product(spark, sf_dir):
+    """Q8's snowflake: dimension tables (part/nation/region/supplier/
+    customer) ride broadcast equi-joins behind pushed filters; the one
+    fact-fact join is a shuffle equi-join; never a product."""
+    plan = _plan(all_queries()["q8_market_share"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q13_plan_left_join_and_partial_count(spark, sf_dir):
+    """Q13: one left equi-join on c_custkey (orders filtered
+    map-side), per-customer partial count, tiny histogram aggregate,
+    sort on the aggregate only."""
+    plan = _plan(all_queries()["q13_customer_distribution"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftOuter" in plan
+    assert "partial_count" in plan
