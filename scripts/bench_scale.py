@@ -149,6 +149,7 @@ EVENT_QUERIES = [
     "events_sessionize",
     "events_running_total",
     "events_top_paths",
+    "events_conversion_lag",
 ]
 
 
