@@ -677,6 +677,38 @@ class Volume:
             df = df.where(F.col("slab").isin([int(s) for s in slabs]))
         return df
 
+    @property
+    def available_mips(self) -> list:
+        """Mip levels the info registers (reference
+        ``frontends/precomputed.py:364`` / ``metadata.py:509-511`` —
+        defined scales, not data presence; :meth:`has_data` /
+        :meth:`history` answer the presence question)."""
+        return list(range(self.info.num_mips))
+
+    def mip_bounds(self, mip: int) -> Bbox:
+        """The mip's physical bounds as a Bbox (reference
+        ``frontends/precomputed.py`` ``mip_bounds``)."""
+        return self.info.bounds(int(mip))
+
+    def slices_to_global_coords(self, slices, mip: int):
+        """Convert ``mip``-level slices to mip-0 (global) slices —
+        reference ``frontends/precomputed.py:470-475`` (there the mip
+        is instance state; here it is explicit, like every other mip
+        argument on this class)."""
+        bbox = slices if isinstance(slices, Bbox) else Bbox.from_slices(
+            slices)
+        out = self.info.bbox_to_mip(bbox, int(mip), 0)
+        return out if isinstance(slices, Bbox) else out.to_slices()
+
+    def slices_from_global_coords(self, slices, mip: int):
+        """Convert mip-0 (global) slices to ``mip``-level slices —
+        reference ``frontends/precomputed.py:477-484`` (the
+        neuroglancer-cursor debugging helper)."""
+        bbox = slices if isinstance(slices, Bbox) else Bbox.from_slices(
+            slices)
+        out = self.info.bbox_to_mip(bbox, 0, int(mip))
+        return out if isinstance(slices, Bbox) else out.to_slices()
+
     def has_data(self, mip: int) -> bool:
         """Reference ``image/__init__.py:102-118``."""
         from pyspark.errors import AnalysisException

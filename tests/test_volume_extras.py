@@ -2484,3 +2484,36 @@ def test_download_points_diagonal_exact_pruning(spark, rng, tmp_path):
     assert len(got) == len(set(pts))
     for p in pts:
         assert got[p] == int(arr[p[0], p[1], p[2], 0]), p
+
+
+def test_mip_coordinate_conveniences(spark, rng, tmp_path):
+    """Reference-API parity helpers: available_mips lists the defined
+    scales, mip_bounds returns the mip's Bbox, and the global-coords
+    slice converters round-trip through bbox_to_mip exactly as the
+    reference's frontends do (precomputed.py:470-484)."""
+    import numpy as np
+
+    from cloud_volume_spark.geometry import Bbox
+    from cloud_volume_spark.volume import Volume
+
+    arr = rng.integers(0, 99, size=(64, 64, 32, 1)).astype(np.uint8)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "mips"),
+                            chunk_size=(32, 32, 32))
+    vol.downsample(from_mip=0, factor=(2, 2, 1))
+    assert vol.available_mips == [0, 1]
+    b0 = vol.mip_bounds(0)
+    b1 = vol.mip_bounds(1)
+    assert tuple(b0.maxpt) == (64, 64, 32)
+    assert tuple(b1.maxpt) == (32, 32, 32)
+
+    sl0 = (slice(8, 40), slice(16, 64), slice(0, 32))
+    sl1 = vol.slices_from_global_coords(sl0, mip=1)
+    assert sl1 == Bbox((4, 8, 0), (20, 32, 32)).to_slices()
+    # and back: to_global re-expands (integer-exact for this factor)
+    back = vol.slices_to_global_coords(sl1, mip=1)
+    assert back == sl0
+    # Bbox in → Bbox out
+    bb = vol.slices_from_global_coords(Bbox((8, 16, 0), (40, 64, 32)),
+                                       mip=1)
+    assert isinstance(bb, Bbox)
+    assert tuple(bb.minpt) == (4, 8, 0) and tuple(bb.maxpt) == (20, 32, 32)
