@@ -677,6 +677,82 @@ class Volume:
             df = df.where(F.col("slab").isin([int(s) for s in slabs]))
         return df
 
+    # reference-frontend metadata parity (frontends/precomputed.py):
+    # there these properties reflect the instance's CURRENT mip; this
+    # class is mip-stateless (every read/write takes mip explicitly),
+    # so the bare properties are the mip-0 values and the mip_* family
+    # takes the mip — the reference's own mip_* methods, 1:1.
+
+    @property
+    def layer_type(self) -> str:
+        return self.info.layer_type
+
+    @property
+    def data_type(self) -> str:
+        return self.info.data_type
+
+    @property
+    def dtype(self):
+        return self.info.dtype
+
+    @property
+    def num_channels(self) -> int:
+        return self.info.num_channels
+
+    @property
+    def shape(self) -> tuple:
+        """(x, y, z, channels) at mip 0 — the reference's ``shape``."""
+        return self.mip_shape(0)
+
+    def mip_shape(self, mip: int) -> tuple:
+        size = self.info.volume_size(int(mip))
+        return (int(size[0]), int(size[1]), int(size[2]),
+                self.info.num_channels)
+
+    @property
+    def bounds(self) -> Bbox:
+        return self.info.bounds(0)
+
+    @property
+    def resolution(self) -> tuple:
+        return self.mip_resolution(0)
+
+    def mip_resolution(self, mip: int) -> tuple:
+        return tuple(int(v) for v in self.info.resolution(int(mip)))
+
+    @property
+    def chunk_size(self) -> tuple:
+        return self.mip_chunk_size(0)
+
+    def mip_chunk_size(self, mip: int) -> tuple:
+        return tuple(int(v) for v in self.info.chunk_size(int(mip)))
+
+    @property
+    def volume_size(self) -> tuple:
+        return self.mip_volume_size(0)
+
+    def mip_volume_size(self, mip: int) -> tuple:
+        return tuple(int(v) for v in self.info.volume_size(int(mip)))
+
+    @property
+    def voxel_offset(self) -> tuple:
+        return self.mip_voxel_offset(0)
+
+    def mip_voxel_offset(self, mip: int) -> tuple:
+        return tuple(int(v) for v in self.info.voxel_offset(int(mip)))
+
+    @property
+    def encoding(self) -> str:
+        return self.mip_encoding(0)
+
+    def mip_encoding(self, mip: int) -> str:
+        return self.info.encoding(int(mip))
+
+    @property
+    def available_resolutions(self) -> list:
+        """Reference ``frontends/precomputed.py:368-371``."""
+        return [self.mip_resolution(m) for m in self.available_mips]
+
     @property
     def available_mips(self) -> list:
         """Mip levels the info registers (reference

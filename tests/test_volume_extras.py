@@ -2517,3 +2517,31 @@ def test_mip_coordinate_conveniences(spark, rng, tmp_path):
                                        mip=1)
     assert isinstance(bb, Bbox)
     assert tuple(bb.minpt) == (4, 8, 0) and tuple(bb.maxpt) == (20, 32, 32)
+
+
+def test_reference_metadata_property_parity(spark, rng, tmp_path):
+    """The everyday reference-frontend metadata surface on Volume:
+    bare properties are the mip-0 values (this class is mip-stateless)
+    and the mip_* family mirrors the reference's methods 1:1."""
+    import numpy as np
+
+    from cloud_volume_spark.volume import Volume
+
+    arr = rng.integers(0, 9, size=(64, 64, 32, 2)).astype(np.uint16)
+    vol = Volume.from_numpy(spark, arr, str(tmp_path / "meta"),
+                            chunk_size=(32, 32, 32))
+    vol.downsample(from_mip=0, factor=(2, 2, 1))
+    assert vol.layer_type in ("image", "segmentation")
+    assert vol.data_type == "uint16" and vol.dtype == np.uint16
+    assert vol.num_channels == 2
+    assert vol.shape == (64, 64, 32, 2)
+    assert vol.mip_shape(1) == (32, 32, 32, 2)
+    assert tuple(vol.bounds.maxpt) == (64, 64, 32)
+    assert vol.chunk_size == (32, 32, 32)
+    assert vol.volume_size == (64, 64, 32)
+    assert vol.mip_volume_size(1) == (32, 32, 32)
+    assert vol.voxel_offset == (0, 0, 0)
+    assert vol.encoding == vol.mip_encoding(0)
+    assert vol.mip_resolution(1)[0] == 2 * vol.resolution[0]
+    assert vol.available_resolutions == [
+        vol.mip_resolution(0), vol.mip_resolution(1)]
