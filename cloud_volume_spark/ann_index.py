@@ -357,48 +357,23 @@ class IVFIndex:
         e = _with_norm(emb.select(
             "vec_id", _as_double("embedding").alias("embedding")))
         with self._mutation_lock() as fs:
-            # ONE validation job for all four batch invariants: a
-            # wrong-dimension/NULL vector would NULL every csim
-            # (zip_with pads with nulls) and land at the lowest
-            # cent_id with garbage affinity; an in-batch duplicate
-            # would collapse to whichever copy crnk==1 keeps; a vec_id
-            # already on disk would leave two versions searchable
-            # under dropDuplicates' arbitrary pick.
-            dim = int(self.meta["dim"])
-            bad = (
-                e.join(self.lists().select(
-                    "vec_id", F.lit(1).alias("_onx")), "vec_id", "left")
-                .groupBy("vec_id")
-                .agg(F.count(F.lit(1)).alias("_n"),
-                     F.max(F.size("embedding")).alias("_dim"),
-                     F.min("nrm").alias("_nrm"),
-                     F.max("_onx").alias("_on"))
-                .where((F.col("_n") > 1) | F.col("_dim").isNull()
-                       | (F.col("_dim") != dim) | F.col("_on").isNotNull()
-                       | (F.col("_nrm") == 0.0))
-                .limit(1).collect())
-            if bad:
-                r = bad[0]
-                if r["_on"] is not None:
-                    raise ValueError(
-                        f"add(): vec_id {r['vec_id']} is already "
-                        "indexed — a changed doc is remove() then "
-                        "add() (an in-place append would leave both "
-                        "versions searchable)")
-                if r["_n"] > 1:
-                    raise ValueError(
-                        f"add(): vec_id {r['vec_id']} appears {r['_n']} "
-                        "times in the batch — deduplicate the delta "
-                        "first")
-                if r["_dim"] is not None and r["_dim"] == dim:
-                    raise ValueError(
-                        f"add(): vec_id {r['vec_id']} has a zero-norm "
-                        "embedding — cosine affinity is undefined for "
-                        "it; drop or re-embed")
+            # THE shared batch validator (one agg job: NULL /
+            # mixed-dim / duplicate / zero-norm — literally the same
+            # function build runs, so a new invariant can never be
+            # enforced on one path only), plus add()'s own invariant:
+            # a vec_id already on disk would leave two versions
+            # searchable under search's dropDuplicates arbitrary pick.
+            n_new, _ = _validate_embedding_frame(
+                e, dim=int(self.meta["dim"]), context="add()")
+            clash = (e.select("vec_id")
+                     .join(self.lists().select("vec_id"), "vec_id")
+                     .limit(1).collect())
+            if clash:
                 raise ValueError(
-                    f"add(): vec_id {r['vec_id']} has dimension "
-                    f"{r['_dim']}, index is {dim}-dimensional")
-            n_new = e.count()
+                    f"add(): vec_id {clash[0]['vec_id']} is already "
+                    "indexed — a changed doc is remove() then add() "
+                    "(an in-place append would leave both versions "
+                    "searchable)")
             assign = (
                 rank_centroids(e, self.centroids())
                 .where(F.col("crnk") == 1)

@@ -29,10 +29,13 @@ def _events_schema(ts_type) -> StructType:
 EVENTS_SCHEMA = _events_schema(TimestampType())
 
 
-def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, src_dir: str,
+                       max_files_per_trigger: int = 8) -> DataFrame:
     """File-source stream over a directory of event parquet files.
     New files appearing in the directory are discovered incrementally —
     the ingestion pattern for a bucket fed by an upstream producer.
+    ``max_files_per_trigger=1`` makes each arrival file its own
+    micro-batch (what the cross-batch stateful-operator tests need).
 
     readStream needs a declared schema, so probe the files with a batch
     read first and mirror ``operators.common.load``'s dtype guard: older
@@ -71,7 +74,7 @@ def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     stream = (
         spark.readStream
         .schema(_events_schema(LongType() if ts_is_long else TimestampType()))
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(src_dir)
     )
     if ts_is_long:
@@ -559,9 +562,11 @@ def streaming_conversion_lag(events: DataFrame,
     operator's filter does, regardless of intra-batch order. The one
     cross-batch tie (purchase in an EARLIER micro-batch than the view
     it ties with) is covered by a single pending-purchase scalar:
-    under non-decreasing ts, a pre-view purchase can only ever convert
-    on ts EQUALITY with the eventual first view, so remembering the
-    earliest one seen is exact — no purchase history needed. lag_s
+    under non-decreasing ts the eventual first view's ts is >= every
+    earlier purchase's ts, so a pre-view purchase can only ever
+    convert on ts EQUALITY with it — remembering the LATEST one seen
+    is exact (an earlier one is strictly below any future view's ts
+    and can never qualify; no purchase history needed). lag_s
     truncates each epoch to whole seconds BEFORE subtracting (Spark
     ``unix_timestamp`` semantics), so values are bit-equal to the
     batch frame. NULL ts/event_type/key rows drop at the edge (the
@@ -617,8 +622,12 @@ def streaming_conversion_lag(events: DataFrame,
                                     fp_ns // 1_000_000_000 - fv_s))
                         done = 1
                 elif is_purch.any():
-                    batch_pp = int(ts_ns[is_purch].min())
-                    pend_ns = batch_pp if pend_ns is None else min(
+                    # keep the LATEST pre-view purchase: only a ts
+                    # tied with the (>= everything so far) future
+                    # first view can convert, and when it does it IS
+                    # the minimum qualifying purchase ts
+                    batch_pp = int(ts_ns[is_purch].max())
+                    pend_ns = batch_pp if pend_ns is None else max(
                         int(pend_ns), batch_pp)
         state.update((fv_ns, pend_ns, done))
         if out:

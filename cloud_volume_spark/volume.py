@@ -770,20 +770,31 @@ class Volume:
         """Convert ``mip``-level slices to mip-0 (global) slices —
         reference ``frontends/precomputed.py:470-475`` (there the mip
         is instance state; here it is explicit, like every other mip
-        argument on this class)."""
-        bbox = slices if isinstance(slices, Bbox) else Bbox.from_slices(
-            slices)
-        out = self.info.bbox_to_mip(bbox, int(mip), 0)
-        return out if isinstance(slices, Bbox) else out.to_slices()
+        argument on this class). Input slices normalize through
+        ``reify_slices`` against the mip's bounds, so int axes,
+        open-ended, and negative slices work exactly as on
+        ``__getitem__``."""
+        from cloud_volume_spark.geometry import reify_slices
+
+        if isinstance(slices, Bbox):
+            return self.info.bbox_to_mip(slices, int(mip), 0)
+        bbox, _ = reify_slices(slices, self.info.bounds(int(mip)),
+                               bounded=self.bounded)
+        return self.info.bbox_to_mip(bbox, int(mip), 0).to_slices()
 
     def slices_from_global_coords(self, slices, mip: int):
         """Convert mip-0 (global) slices to ``mip``-level slices —
         reference ``frontends/precomputed.py:477-484`` (the
-        neuroglancer-cursor debugging helper)."""
-        bbox = slices if isinstance(slices, Bbox) else Bbox.from_slices(
-            slices)
-        out = self.info.bbox_to_mip(bbox, 0, int(mip))
-        return out if isinstance(slices, Bbox) else out.to_slices()
+        neuroglancer-cursor debugging helper). Same ``reify_slices``
+        normalization as :meth:`slices_to_global_coords`, against the
+        mip-0 bounds."""
+        from cloud_volume_spark.geometry import reify_slices
+
+        if isinstance(slices, Bbox):
+            return self.info.bbox_to_mip(slices, 0, int(mip))
+        bbox, _ = reify_slices(slices, self.info.bounds(0),
+                               bounded=self.bounded)
+        return self.info.bbox_to_mip(bbox, 0, int(mip)).to_slices()
 
     def has_data(self, mip: int) -> bool:
         """Reference ``image/__init__.py:102-118``."""

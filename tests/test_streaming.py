@@ -860,7 +860,10 @@ def test_streaming_conversion_lag_matches_batch(spark, sf_dir, tmp_path):
     early.to_parquet(str(d / "part-0.parquet"))
     late.to_parquet(str(d / "part-1.parquet"))
 
-    stream = streaming_conversion_lag(read_events_stream(spark, str(d)))
+    # one file per trigger so the two arrival files really are two
+    # micro-batches
+    stream = streaming_conversion_lag(
+        read_events_stream(spark, str(d), max_files_per_trigger=1))
     q = (
         stream.writeStream.format("memory")
         .queryName("sconv")
@@ -915,10 +918,14 @@ def test_streaming_conversion_lag_tied_ts_and_nulls(spark, tmp_path):
         row(8, None, 1, "view"),
         row(9, base, None, "view"),
         row(10, base, 4, None),
-        # user 5: purchase in THIS file ties on ts with the view that
-        # only arrives in the NEXT file (legal under non-decreasing
-        # per-key ts) — the pending-purchase scalar must convert it
-        row(12, base + pd.Timedelta(hours=1), 5, "purchase"),
+        # user 5: TWO purchases in THIS file, the later tying on ts
+        # with the view that only arrives in the NEXT file (legal
+        # under non-decreasing per-key ts) — the pending-purchase
+        # scalar must keep the LATEST pre-view purchase (the earlier
+        # one is strictly below any future view's ts and can never
+        # qualify) and convert on the tie
+        row(12, base + pd.Timedelta(minutes=30), 5, "purchase"),
+        row(14, base + pd.Timedelta(hours=1), 5, "purchase"),
     ]
     later = [
         row(11, base + pd.Timedelta(hours=1), 3, "purchase"),
@@ -942,7 +949,12 @@ def test_streaming_conversion_lag_tied_ts_and_nulls(spark, tmp_path):
     frame(rows).to_parquet(str(d / "p0.parquet"))
     frame(later).to_parquet(str(d / "p1.parquet"))
 
-    stream = streaming_conversion_lag(read_events_stream(spark, str(d)))
+    # ONE FILE PER TRIGGER: the default 8 would fold both files into
+    # a single micro-batch under availableNow and the cross-batch
+    # state path would never run — the whole point of the planted
+    # user-5 case
+    stream = streaming_conversion_lag(
+        read_events_stream(spark, str(d), max_files_per_trigger=1))
     q = (stream.writeStream.format("memory").queryName("sconv2")
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
