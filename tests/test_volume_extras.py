@@ -2517,6 +2517,14 @@ def test_mip_coordinate_conveniences(spark, rng, tmp_path):
                                        mip=1)
     assert isinstance(bb, Bbox)
     assert tuple(bb.minpt) == (4, 8, 0) and tuple(bb.maxpt) == (20, 32, 32)
+    # int axes / open-ended / negative slices normalize through
+    # reify_slices exactly as on __getitem__ (review finding)
+    got = vol.slices_from_global_coords((slice(8, None), slice(0, 64), 2),
+                                        mip=1)
+    assert got == Bbox((4, 0, 2), (32, 32, 3)).to_slices()  # z factor 1
+    got = vol.slices_to_global_coords((slice(-4, None), slice(None), 0),
+                                      mip=1)
+    assert got == Bbox((56, 0, 0), (64, 64, 1)).to_slices()
 
 
 def test_reference_metadata_property_parity(spark, rng, tmp_path):
