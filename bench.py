@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "event_type_share",
     "q8_market_share",
     "q13_customer_distribution",
+    "simhash_hamming_pairs",
     "fuzzy_neardup_titles",
     "dedup_rate_by_source",
     "source_mixture_stats",

@@ -16,15 +16,15 @@ from cloud_volume_spark import multimodal
 # driver row across consecutive rounds, with tests/test_oracle_parity.py
 # running ALL queries against DuckDB as the local backstop.
 # ROUND-11 ROTATION (executing the round-10 note): voxel_rel(9) +
-# dedup(7+2) + text(7+2) + similarity(8+1) = 36 to the front — they
-# hold every query whose last driver row is r9 PLUS five of the six
-# NEW round-11 queries (fuzzy_neardup_titles, dedup_rate_by_source →
-# dedup; source_mixture_stats, bigram_lm_top → text;
-# embedding_dim_stats → similarity); the remaining three
+# dedup(7+3) + text(7+2) + similarity(8+1) = 37 to the front — they
+# hold every query whose last driver row is r9 PLUS six of the nine
+# NEW round-11 queries (fuzzy_neardup_titles, dedup_rate_by_source,
+# simhash_hamming_pairs → dedup; source_mixture_stats, bigram_lm_top
+# → text; embedding_dim_stats → similarity); the remaining three
 # (events_conversion_lag, q8_market_share, q13_customer_distribution)
 # are keyed second/third/fourth inside `relational` so the window's
-# remaining 14 slots (the relational head) include them.
-# Registry = 86; out-of-window = the last 13 of relational + curation
+# remaining 13 slots (the relational head) include them.
+# Registry = 87; out-of-window = the last 14 of relational + curation
 # + corpus + multimodal, ALL of which have green rows in
 # CORRECTNESS_r10, so the r10∪r11 union keeps every registered query
 # on a fresh-within-two-rounds driver row.  ROUND-12 ROTATION:

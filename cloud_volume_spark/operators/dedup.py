@@ -615,6 +615,59 @@ WHERE d.doc_id % {INGEST_MOD} = 0
 """
 
 
+SIMHASH_MAX_HAMMING = 1   # near-dup predicate: popcount(xor) <= 1
+SIMHASH_BAND_CAP = 256    # band groups above this are excluded (documented)
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the
+    multi-index (pigeonhole) join: the 16-bit fingerprint splits into
+    two 8-bit bands, and any pair within distance
+    SIMHASH_MAX_HAMMING=1 must agree on at least one FULL band, so
+    candidates come from two equi-joins on (band_id, band_val) and
+    the exact ``bit_count(xor)`` verifies only those — never an
+    all-pairs product. This is the other half of the simhash story
+    (``simhash_fingerprints`` computes the prints; this consumes
+    them), and the standard exact-Hamming trick (k+1 bands catch
+    distance k).
+
+    Scale: ONE shuffle on the band key (the verify is map-side bit
+    arithmetic, JVM built-ins); band groups larger than
+    SIMHASH_BAND_CAP are EXCLUDED — the same hot-key discipline as the
+    LSH DOC_FREQ_CAP and the fuzzy-title block cap. SIMHASH_BITS=16 is
+    the oracle-friendly miniature (16-bit prints saturate on a shared
+    vocabulary); production uses 64-bit prints with 16-bit bands,
+    where band groups are tiny and the cap never binds — the plan
+    shape is identical."""
+    sims = simhash_fingerprints(spark, sf_dir)
+    bands = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band_id"),
+                     F.col("simhash").bitwiseAND(255).alias("band_val")),
+            F.struct(F.lit(1).alias("band_id"),
+                     F.shiftright("simhash", 8).bitwiseAND(255)
+                     .alias("band_val")),
+        )).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    w = Window.partitionBy("band_id", "band_val")
+    ok = (bands.withColumn("_n", F.count(F.lit(1)).over(w))
+          .where(F.col("_n") <= SIMHASH_BAND_CAP).drop("_n"))
+    a = ok.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = ok.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("sh_b"), "band_id", "band_val")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication readout off the cluster map: how many of
     each source's docs are non-canonical near-duplicates (doc_id !=
@@ -733,7 +786,31 @@ QUERIES = {
     "dedup_clusters": materialized_clusters,
     "fuzzy_neardup_titles": fuzzy_neardup_titles,
     "dedup_rate_by_source": dedup_rate_by_source,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
 }
+
+
+SIMHASH_HAMMING_SQL = f"""
+WITH sims AS ({{simhash}}),
+bands AS (
+    SELECT doc_id, simhash, band_id,
+           CASE band_id WHEN 0 THEN simhash & 255
+                        ELSE (simhash >> 8) & 255 END AS band_val
+    FROM sims, (VALUES (0), (1)) b(band_id)
+), sized AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS n
+    FROM bands
+), ok AS (
+    SELECT doc_id, simhash, band_id, band_val FROM sized
+    WHERE n <= {SIMHASH_BAND_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM ok a JOIN ok b ON a.band_id = b.band_id
+                   AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
@@ -747,6 +824,8 @@ ORACLE_SQL = {
     ),
     "fuzzy_neardup_titles": FUZZY_TITLES_SQL,
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE_SQL,
+    "simhash_hamming_pairs": SIMHASH_HAMMING_SQL.format(
+        simhash=SIMHASH_SQL),
 }
 
 

@@ -544,3 +544,15 @@ def test_q13_plan_left_join_and_partial_count(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftOuter" in plan
     assert "partial_count" in plan
+
+
+def test_simhash_hamming_plan_banded_join_jvm_side(spark, sf_dir):
+    """Multi-index Hamming pairs: candidates from equi-joins on the
+    band key only (never a product), verify is JVM bit arithmetic
+    (no Python eval anywhere in the plan)."""
+    plan = _plan(all_queries()["simhash_hamming_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "bit_count" in plan
