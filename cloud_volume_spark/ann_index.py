@@ -59,7 +59,8 @@ _LISTS_SCHEMA = ("vec_id bigint, embedding array<double>, "
 
 
 def _validate_embedding_frame(e: DataFrame, dim: int | None = None,
-                              context: str = "build_ivf_index") -> tuple:
+                              context: str = "build_ivf_index",
+                              allow_empty: bool = False) -> tuple:
     """ONE aggregate job enforcing the batch contract shared by build
     and add (the round-10 advice: build must refuse what add refuses):
     non-empty, no NULL embeddings, one uniform dimension (== ``dim``
@@ -78,6 +79,8 @@ def _validate_embedding_frame(e: DataFrame, dim: int | None = None,
     ).first()
     n = int(s["n"])
     if n == 0:
+        if allow_empty:
+            return 0, dim
         raise ValueError(f"{context}: empty embedding frame")
     if int(s["n_null"] or 0) > 0:
         raise ValueError(
@@ -363,8 +366,13 @@ class IVFIndex:
             # enforced on one path only), plus add()'s own invariant:
             # a vec_id already on disk would leave two versions
             # searchable under search's dropDuplicates arbitrary pick.
+            # empty delta = no-op (a snapshot-diff round with nothing
+            # added/changed must not crash the refresh loop)
             n_new, _ = _validate_embedding_frame(
-                e, dim=int(self.meta["dim"]), context="add()")
+                e, dim=int(self.meta["dim"]), context="add()",
+                allow_empty=True)
+            if n_new == 0:
+                return 0
             clash = (e.select("vec_id")
                      .join(self.lists().select("vec_id"), "vec_id")
                      .limit(1).collect())

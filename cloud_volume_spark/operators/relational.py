@@ -1476,8 +1476,8 @@ QUERIES.update({
 # operators/__init__.py::ALL_MODULES. events_conversion_lag,
 # q8_market_share, and q13_customer_distribution are NEW in round 11
 # and keyed second/third/fourth so they land inside the window's
-# relational head (the r11 window = 31 rotated + 5 new module-front
-# queries + the first 14 relational entries; the single source of
+# relational head (the r11 window = 31 rotated + 6 new module-front
+# queries + the first 13 relational entries; the single source of
 # truth for the arithmetic is the ALL_MODULES comment).
 QUERIES = {
     "q10_returned_items": QUERIES["q10_returned_items"],

@@ -550,7 +550,7 @@ def streaming_conversion_lag(events: DataFrame,
     counterpart of ``relational.conversion_lag_frame`` (tested
     row-equal); the per-day median/stats rollup is the batch tail on
     the sink, exactly ``streaming_path_mine``'s stateful/serving
-    split. Per-key state is three scalars (first-view nanos, earliest
+    split. Per-key state is three scalars (first-view nanos, LATEST
     pre-view purchase nanos, done flag) — fixed bytes per user, never
     a history.
 

@@ -779,7 +779,8 @@ class Volume:
         if isinstance(slices, Bbox):
             return self.info.bbox_to_mip(slices, int(mip), 0)
         bbox, _ = reify_slices(slices, self.info.bounds(int(mip)),
-                               bounded=self.bounded)
+                               bounded=self.bounded,
+                               autocrop=self.autocrop)
         return self.info.bbox_to_mip(bbox, int(mip), 0).to_slices()
 
     def slices_from_global_coords(self, slices, mip: int):
@@ -793,7 +794,8 @@ class Volume:
         if isinstance(slices, Bbox):
             return self.info.bbox_to_mip(slices, 0, int(mip))
         bbox, _ = reify_slices(slices, self.info.bounds(0),
-                               bounded=self.bounded)
+                               bounded=self.bounded,
+                               autocrop=self.autocrop)
         return self.info.bbox_to_mip(bbox, 0, int(mip)).to_slices()
 
     def has_data(self, mip: int) -> bool:

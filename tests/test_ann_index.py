@@ -545,3 +545,22 @@ def test_zero_norm_embedding_refused(spark, sf_dir, tmp_path):
                           centroid_base_id=100, centroids="sample")
     with pytest.raises(ValueError, match="zero-norm"):
         idx.add(zeroed.where(F.col("vec_id") == 7))
+
+
+def test_add_empty_delta_is_noop(spark, sf_dir, tmp_path):
+    """A snapshot-diff round with nothing added/changed must not crash
+    the refresh loop: add(empty) returns 0, touches nothing, and
+    releases the lock."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb.where(F.col("vec_id") < 250),
+                          str(tmp_path / "noop"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    n0 = idx.meta["count"]
+    assert idx.add(emb.where(F.lit(False))) == 0
+    assert idx.meta["count"] == n0
+    assert not os.path.exists(f"{idx.path}/.ivf-lock")
+    # build still refuses empty loudly
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_index(emb.where(F.lit(False)), str(tmp_path / "e"))
