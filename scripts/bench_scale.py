@@ -364,13 +364,35 @@ if __name__ == "__main__":
         SPARK = get_spark()
         ensure_scaled(SPARK, SF01, args.scaled_dir, args.replicas,
                       make_scaled, "corpus")
+        import shutil
+
         out = {}
         for tag, d in (("1x", SF01), ("10x", args.scaled_dir)):
             emb = SPARK.read.parquet(f"{d}/embeddings.parquet")
+            path = f"/tmp/cvs_ivf_{tag}"
+            shutil.rmtree(path, ignore_errors=True)
+            # hold out a 1% delta so the LIFECYCLE timings (add of the
+            # delta, remove of an equal-sized id set) are measured at
+            # both scales — the mutations must stay delta-/list-bounded,
+            # not index-bounded
+            n_total = emb.count()
+            n_delta = max(n_total // 100, 5)
+            cut = emb.select("vec_id").orderBy(F.desc("vec_id")).limit(
+                n_delta).agg(F.min("vec_id")).collect()[0][0]
+            base_emb = emb.where(F.col("vec_id") < cut)
+            delta_emb = emb.where(F.col("vec_id") >= cut)
             t0 = _t.monotonic()
-            idx = build_ivf_index(emb, f"/tmp/cvs_ivf_{tag}", nlist=16,
+            idx = build_ivf_index(base_emb, path, nlist=16,
                                   centroids="sample")
             build_s = _t.monotonic() - t0
+            t0 = _t.monotonic()
+            added = idx.add(delta_emb)
+            add_s = _t.monotonic() - t0
+            t0 = _t.monotonic()
+            removed = idx.remove(
+                [r["vec_id"] for r in delta_emb.select("vec_id").collect()])
+            remove_s = _t.monotonic() - t0
+            idx.add(delta_emb)  # restore for the search timing
             q = emb.where(F.col("vec_id") < 10).select(
                 F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qvec"))
@@ -382,12 +404,19 @@ if __name__ == "__main__":
                 best = dt if best is None else min(best, dt)
             out[tag] = {"vectors": idx.meta["count"],
                         "build_s": round(build_s, 3),
+                        "add_s": round(add_s, 3), "n_delta": added,
+                        "remove_s": round(remove_s, 3),
+                        "n_removed": removed,
                         "search_s": round(best, 3), "rows": n}
             print(json.dumps({"leg": "ivf", "scale": tag, **out[tag]}),
                   flush=True)
         b, s = out["1x"], out["10x"]
         print(f"\n# ivf  build {b['build_s']}→{s['build_s']} "
               f"({round(s['build_s'] / max(b['build_s'], 1e-9), 2)}x), "
+              f"add(1%) {b['add_s']}→{s['add_s']} "
+              f"({round(s['add_s'] / max(b['add_s'], 1e-9), 2)}x), "
+              f"remove(1%) {b['remove_s']}→{s['remove_s']} "
+              f"({round(s['remove_s'] / max(b['remove_s'], 1e-9), 2)}x), "
               f"search {b['search_s']}→{s['search_s']} "
               f"({round(s['search_s'] / max(b['search_s'], 1e-9), 2)}x) "
               f"at {round(s['vectors'] / max(b['vectors'], 1), 1)}x vectors")
