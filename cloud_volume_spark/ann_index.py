@@ -63,16 +63,22 @@ def _validate_embedding_frame(e: DataFrame, dim: int | None = None,
                               allow_empty: bool = False) -> tuple:
     """ONE aggregate job enforcing the batch contract shared by build
     and add (the round-10 advice: build must refuse what add refuses):
-    non-empty, no NULL embeddings, one uniform dimension (== ``dim``
-    when the index already fixes it), no duplicate vec_ids, no
-    zero-norm vectors. A violator would otherwise NULL its cosine
-    against every centroid and land in the lowest cent_id list with
-    garbage affinity (or, for a zero vector, throw a raw ANSI
-    divide-by-zero mid-build). Returns ``(n_rows, dim)``."""
+    non-empty, no NULL embeddings, no NULL/NaN *components* inside an
+    embedding, one uniform dimension (== ``dim`` when the index
+    already fixes it), no duplicate vec_ids, no zero-norm vectors. A
+    violator would otherwise NULL (or NaN — which sorts ABOVE every
+    real double under DESC, stealing crnk=1) its cosine against every
+    centroid and land in an arbitrary inverted list with garbage
+    affinity (or, for a zero vector, throw a raw ANSI divide-by-zero
+    mid-build). Returns ``(n_rows, dim)``."""
+    # exists() is NULL on a NULL array; sum skips NULLs, so NULL
+    # embeddings stay the n_null check's job
+    bad_elem = F.exists("embedding", lambda x: x.isNull() | F.isnan(x))
     s = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("vec_id").alias("n_ids"),
         F.sum(F.col("embedding").isNull().cast("long")).alias("n_null"),
+        F.sum(bad_elem.cast("long")).alias("n_bad_elem"),
         F.min(F.size("embedding")).alias("dmin"),
         F.max(F.size("embedding")).alias("dmax"),
         F.min("nrm").alias("min_nrm"),
@@ -86,6 +92,11 @@ def _validate_embedding_frame(e: DataFrame, dim: int | None = None,
         raise ValueError(
             f"{context}: {s['n_null']} of {n} rows have a NULL "
             "embedding — drop or re-embed them first")
+    if int(s["n_bad_elem"] or 0) > 0:
+        raise ValueError(
+            f"{context}: {s['n_bad_elem']} of {n} rows have a NULL or "
+            "NaN component inside the embedding — its norm/cosine is "
+            "NULL or NaN (garbage affinity); drop or re-embed first")
     if s["dmin"] != s["dmax"]:
         raise ValueError(
             f"{context}: mixed embedding dimensions in the batch "
@@ -99,7 +110,11 @@ def _validate_embedding_frame(e: DataFrame, dim: int | None = None,
             f"{context}: {n - int(s['n_ids'])} duplicate vec_ids in "
             "the batch — deduplicate first (an indexed duplicate would "
             "leave search's dropDuplicates keeping an arbitrary copy)")
-    if float(s["min_nrm"]) == 0.0:
+    # min_nrm can only be NULL if every row's norm is NULL/NaN-skipped
+    # — the component check above fires first, but guard the float()
+    # so a future reorder can't turn the contract error into a raw
+    # TypeError (round-11 advice)
+    if s["min_nrm"] is not None and float(s["min_nrm"]) == 0.0:
         # an all-zero vector has no cosine direction: every division
         # by its norm (unit-normalization in kmeans, csim in
         # rank_centroids) is a divide-by-zero under ANSI mode — refuse
@@ -422,14 +437,24 @@ class IVFIndex:
         replaces partitions present in the output)."""
         spark = self.spark
         if isinstance(vec_ids, DataFrame):
-            ids = vec_ids.select(F.col("vec_id").cast("long")).distinct()
+            # materialize the id set ONCE (round-11 advice): the hit
+            # count, missing probe, and survivors anti-join below are
+            # separate jobs, and a non-deterministic input plan (limit/
+            # sample) re-evaluated per job would desynchronize them.
+            # Ids are delta-scale by contract, so a driver collect is
+            # the cheap pin.
+            rows = (vec_ids.select(F.col("vec_id").cast("long"))
+                    .distinct().collect())
+            if any(r["vec_id"] is None for r in rows):
+                raise ValueError("remove(): NULL vec_id in the id frame")
+            pinned = sorted(int(r["vec_id"]) for r in rows)
         else:
-            ids = spark.createDataFrame(
-                [(int(v),) for v in sorted(set(vec_ids))], "vec_id long")
+            pinned = sorted({int(v) for v in vec_ids})
+        if not pinned:
+            return 0
+        ids = spark.createDataFrame([(v,) for v in pinned], "vec_id long")
         with self._mutation_lock() as fs:
-            n_req = ids.count()
-            if n_req == 0:
-                return 0
+            n_req = len(pinned)
             lists = self.lists()
             # per-affected-list hit counts: ≤ nlist rows, one
             # ids-only scan

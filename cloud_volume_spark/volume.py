@@ -773,7 +773,12 @@ class Volume:
         argument on this class). Input slices normalize through
         ``reify_slices`` against the mip's bounds, so int axes,
         open-ended, and negative slices work exactly as on
-        ``__getitem__``."""
+        ``__getitem__``.
+
+        INTENTIONAL DIVERGENCE: a ``Bbox`` input returns a ``Bbox``
+        (type-preserving), whereas the reference always returns slices
+        via ``bbox.to_slices()`` — call ``.to_slices()`` on the result
+        if porting code that indexes it as slices."""
         from cloud_volume_spark.geometry import reify_slices
 
         if isinstance(slices, Bbox):
@@ -787,8 +792,9 @@ class Volume:
         """Convert mip-0 (global) slices to ``mip``-level slices —
         reference ``frontends/precomputed.py:477-484`` (the
         neuroglancer-cursor debugging helper). Same ``reify_slices``
-        normalization as :meth:`slices_to_global_coords`, against the
-        mip-0 bounds."""
+        normalization — and the same intentional Bbox-in/Bbox-out
+        divergence from the reference's always-slices return — as
+        :meth:`slices_to_global_coords`, against the mip-0 bounds."""
         from cloud_volume_spark.geometry import reify_slices
 
         if isinstance(slices, Bbox):

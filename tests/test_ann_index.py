@@ -564,3 +564,67 @@ def test_add_empty_delta_is_noop(spark, sf_dir, tmp_path):
     # build still refuses empty loudly
     with pytest.raises(ValueError, match="empty"):
         build_ivf_index(emb.where(F.lit(False)), str(tmp_path / "e"))
+
+
+def test_nan_and_null_components_refused(spark, sf_dir, tmp_path):
+    """Round-11 advice: a NULL element or NaN component INSIDE an
+    embedding array passes the array-level NULL check but NULLs/NaNs
+    its norm — NaN sorts above every real double under DESC, stealing
+    crnk=1 — so the shared validator must refuse it in build AND add,
+    and an all-bad batch must raise the contract error, not a raw
+    TypeError off a NULL min_nrm."""
+    emb = load(spark, sf_dir, "embeddings")
+    as_dbl = F.transform("embedding", lambda x: x.cast("double"))
+    nan_one = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7,
+               F.transform("embedding",
+                           lambda x: x * F.lit(float("nan"))))
+        .otherwise(as_dbl))
+    null_one = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7,
+               F.transform("embedding",
+                           lambda x: F.when(F.lit(False), x.cast("double"))))
+        .otherwise(as_dbl))
+    with pytest.raises(ValueError, match="NaN component"):
+        build_ivf_index(nan_one, str(tmp_path / "n1"))
+    with pytest.raises(ValueError, match="NaN component"):
+        build_ivf_index(null_one, str(tmp_path / "n2"))
+    idx = build_ivf_index(emb.where(F.col("vec_id") >= 10),
+                          str(tmp_path / "n3"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    with pytest.raises(ValueError, match="NaN component"):
+        idx.add(nan_one.where(F.col("vec_id") == 7))
+    # every row bad: still the contract error (min_nrm is NULL here)
+    with pytest.raises(ValueError, match="NaN component"):
+        build_ivf_index(
+            emb.withColumn(
+                "embedding",
+                F.transform("embedding",
+                            lambda x: F.when(F.lit(False),
+                                             x.cast("double")))),
+            str(tmp_path / "n4"))
+
+
+def test_remove_pins_nondeterministic_id_frame(spark, sf_dir, tmp_path):
+    """Round-11 advice: remove() must evaluate a caller-supplied id
+    frame exactly once — a LIMIT-without-ORDER plan may return a
+    different id set per job, desynchronizing the hit count, the
+    emptied-partition set, and the survivors rewrite. With the pinned
+    collect, meta count, lists(), and search stay consistent."""
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb, str(tmp_path / "pin"), nlist=NLIST,
+                          centroid_base_id=100, centroids="sample")
+    n0 = int(idx.meta["count"])
+    # non-deterministic by construction: LIMIT over a shuffled frame
+    wobbly = (emb.select("vec_id")
+              .repartition(8, "vec_id")
+              .limit(25))
+    n_rm = idx.remove(wobbly)
+    assert n_rm == 25
+    assert int(idx.meta["count"]) == n0 - 25
+    assert idx.lists().count() == n0 - 25
+    # NULL ids refuse loudly instead of a raw int(None) TypeError
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        idx.remove(spark.createDataFrame([(None,)], "vec_id long"))
