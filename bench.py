@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "bigram_lm_top",
     "embedding_dim_stats",
     "events_conversion_lag",
+    "q4_order_priority",
+    "q21_suppliers_waiting",
 ]
 
 VOL_SHAPE = (1024, 1024, 100)

@@ -1457,6 +1457,133 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+# the synthetic schema has no l_commitdate/l_receiptdate, so the
+# classic "line arrived late" predicate adapts to shipping more than
+# LATE_DAYS after the order date — same correlated-EXISTS plan shape
+LATE_SHIP_DAYS = 60
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): count one quarter's orders
+    per priority where at least one line shipped late — the classic
+    correlated EXISTS, planned as a LEFT SEMI hash join so each order
+    is counted once no matter how many late lines it has (a plain
+    inner join would need a re-distinct).
+
+    Scale: the orders side is filtered map-side by the pushed date
+    window before the semi join; lineitem is projected to two columns
+    (column pruning reaches the scan); the late predicate rides the
+    semi join as a post-match filter on the o_orderkey equi-key — one
+    shuffle, then a 5-row aggregate. No date functions that disagree
+    across engines: timestamp + INTERVAL arithmetic is exact."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-04-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01")))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate
+           > orders.o_orderdate + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-04-01' AND o_orderdate < '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {LATE_SHIP_DAYS} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+Q21_NATION = "NATION_9"  # the synthetic nation with the most suppliers
+
+
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for one nation's
+    suppliers, count late lines on finished multi-supplier orders
+    where this supplier was the ONLY late one — the classic
+    EXISTS + NOT EXISTS pair, planned as a LEFT SEMI then a LEFT ANTI
+    join on the same l_orderkey equi-key with the supplier-inequality
+    as a post-match condition (never a nested-loop product). Late =
+    shipped > LATE_SHIP_DAYS after the order date (schema adaptation,
+    see :data:`LATE_SHIP_DAYS`).
+
+    Scale: the lateness flag is computed ONCE on a lineitem⋈orders
+    projection and reused by all three legs (l1 / the EXISTS side /
+    the NOT-EXISTS side), so the fact table is scanned once per leg
+    with two columns; the semi and anti joins shuffle on l_orderkey
+    (co-partitioned, AQE-coalesced); supplier⋈nation is a broadcast;
+    the final top-100 is a sort-limit (TakeOrderedAndProject)."""
+    orders = (load(spark, sf_dir, "orders")
+              .where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    l = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate")
+         + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")).alias("late"))
+    l1 = l.where(F.col("late"))
+    others = l.select(F.col("l_orderkey").alias("o_key"),
+                      F.col("l_suppkey").alias("o_supp"))
+    others_late = (l.where(F.col("late"))
+                   .select(F.col("l_orderkey").alias("o_key"),
+                           F.col("l_suppkey").alias("o_supp")))
+    cand = l1.join(
+        others,
+        (l1.l_orderkey == others.o_key)
+        & (l1.l_suppkey != others.o_supp), "left_semi")
+    cand = cand.join(
+        others_late,
+        (cand.l_orderkey == others_late.o_key)
+        & (cand.l_suppkey != others_late.o_supp), "left_anti")
+    nat = load(spark, sf_dir, "nation").where(
+        F.col("n_name") == Q21_NATION)
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name"))
+    return (cand.join(supp, cand.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100))
+
+
+Q21_SQL = f"""
+WITH l AS (
+    SELECT l_orderkey, l_suppkey,
+           l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE l1.late AND n_name = '{Q21_NATION}'
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1488,6 +1615,8 @@ QUERIES = {
 }
 
 QUERIES.update({
+    "q4_order_priority": q4_order_priority,
+    "q21_suppliers_waiting": q21_suppliers_waiting,
     "orders_above_customer_avg": orders_above_customer_avg,
     "urgent_orders_with_lineitems": urgent_orders_with_lineitems,
     "brand_type_pivot": brand_type_pivot,
@@ -1516,4 +1645,6 @@ ORACLE_SQL.update({
     "events_conversion_lag": CONVERSION_LAG_SQL,
     "q8_market_share": Q8_SQL,
     "q13_customer_distribution": Q13_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q21_suppliers_waiting": Q21_SQL,
 })

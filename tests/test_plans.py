@@ -556,3 +556,30 @@ def test_simhash_hamming_plan_banded_join_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "bit_count" in plan
+
+
+def test_q4_plan_is_left_semi_with_pushed_dates(spark, sf_dir):
+    """Q4's correlated EXISTS plans as a LEFT SEMI hash join on the
+    o_orderkey equi-key (the late predicate as a post-match
+    condition); the date window is pushed to the orders scan; never a
+    nested-loop product."""
+    plan = _plan(all_queries()["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan
+    assert "partial_count" in plan
+
+
+def test_q21_plan_semi_then_anti_no_product(spark, sf_dir):
+    """Q21's EXISTS + NOT EXISTS pair plans as a LEFT SEMI then a
+    LEFT ANTI equi-join on l_orderkey (supplier inequality post-match);
+    supplier⋈nation broadcasts; the top-100 is a sort-limit, not a
+    global sort."""
+    plan = _plan(all_queries()["q21_suppliers_waiting"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
