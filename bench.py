@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "events_conversion_lag",
     "q4_order_priority",
     "q21_suppliers_waiting",
+    "simhash_hamming_k_pairs",
 ]
 
 VOL_SHAPE = (1024, 1024, 100)

@@ -668,6 +668,140 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the production-shaped generalization of simhash_hamming_pairs: wide
+# prints, distance <= k via the pigeonhole construction (k+1 bands —
+# any pair within distance k agrees on at least one FULL band).
+# 60 bits (not 64) so every band value and the assembled print stay
+# positive signed BIGINTs on BOTH engines — the sign bit would need
+# engine-specific overflow/wrap semantics under Spark's ANSI mode and
+# buys nothing for the join shape, which is identical.
+SIMHASH_K_BITS = 60
+SIMHASH_K_BANDS = 4                      # k+1 bands catch distance k
+SIMHASH_K_MAX_HAMMING = SIMHASH_K_BANDS - 1
+SIMHASH_K_BAND_BITS = SIMHASH_K_BITS // SIMHASH_K_BANDS
+SIMHASH_K_BAND_MASK = (1 << SIMHASH_K_BAND_BITS) - 1
+SIMHASH_K_BAND_CAP = 256                 # hot-band exclusion, documented
+
+
+def _simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash prints: same ±1-vote construction as
+    :func:`simhash_fingerprints`, with bits drawn from TWO salted md5
+    digests (30 hex digits each) so the print is wide enough that band
+    groups stay tiny on a shared vocabulary — the production regime
+    the 16-bit miniature saturates out of."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), " ")).alias("tok"))
+        .select("doc_id",
+                F.md5(F.concat(F.lit("w0|"), F.col("tok"))).alias("h0"),
+                F.md5(F.concat(F.lit("w1|"), F.col("tok"))).alias("h1")))
+    votes = [
+        F.sum(
+            F.when(
+                F.ascii(F.substring(f"h{b // 30}", b % 30 + 1, 1)) >= 56, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_K_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for b in range(SIMHASH_K_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
+        simhash = bit if simhash is None else simhash + bit
+    return agg.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def simhash_hamming_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance SIMHASH_K_MAX_HAMMING
+    over 60-bit SimHash prints — :func:`simhash_hamming_pairs`
+    generalized to the production shape its docstring names: wide
+    prints split into SIMHASH_K_BANDS 15-bit bands, candidates from
+    ONE equi-join on (band_id, band_val), exact ``bit_count(xor)``
+    verify, distance <= k guaranteed caught by the pigeonhole
+    principle (k+1 bands, so at most k differing bits can spoil at
+    most k bands).
+
+    Scale: identical plan family to the 2-band miniature — one shuffle
+    on the band key, JVM-side verify, SIMHASH_K_BAND_CAP hot-band
+    exclusion (at 15-bit bands over realistic corpora the cap is
+    headroom, not a binding filter; the 10x leg in SCALE.md checks
+    that). The fingerprint aggregate is 60 SUM(CASE) partials over two
+    md5 digests per token — map-side, one (doc_id) shuffle."""
+    sims = _simhash_wide(spark, sf_dir)
+    bands = sims.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.shiftright("simhash", j * SIMHASH_K_BAND_BITS)
+                .bitwiseAND(SIMHASH_K_BAND_MASK).alias("band_val"))
+            for j in range(SIMHASH_K_BANDS)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    w = Window.partitionBy("band_id", "band_val")
+    ok = (bands.withColumn("_n", F.count(F.lit(1)).over(w))
+          .where(F.col("_n") <= SIMHASH_K_BAND_CAP).drop("_n"))
+    a = ok.select(F.col("doc_id").alias("doc_a"),
+                  F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = ok.select(F.col("doc_id").alias("doc_b"),
+                  F.col("simhash").alias("sh_b"), "band_id", "band_val")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_K_MAX_HAMMING)
+        .distinct()
+    )
+
+
+_VOTE_K_SQL = ", ".join(
+    f"SUM(CASE WHEN ASCII(SUBSTR(h{b // 30}, {b % 30 + 1}, 1)) >= 56 "
+    f"THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_K_BITS)
+)
+_BITS_K_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(SIMHASH_K_BITS)
+)
+_BAND_K_CASE = " ".join(
+    f"WHEN {j} THEN (simhash >> {j * SIMHASH_K_BAND_BITS}) "
+    f"& {SIMHASH_K_BAND_MASK}"
+    for j in range(SIMHASH_K_BANDS)
+)
+_BAND_K_VALUES = ", ".join(f"({j})" for j in range(SIMHASH_K_BANDS))
+
+SIMHASH_HAMMING_K_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, MD5('w0|' || t.tok) AS h0, MD5('w1|' || t.tok) AS h1
+    FROM documents, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS t(tok)
+), votes AS (
+    SELECT doc_id, {_VOTE_K_SQL}
+    FROM toks GROUP BY doc_id
+), sims AS (
+    SELECT doc_id, ({_BITS_K_SQL})::BIGINT AS simhash FROM votes
+), bands AS (
+    SELECT doc_id, simhash, band_id,
+           CASE band_id {_BAND_K_CASE} END AS band_val
+    FROM sims, (VALUES {_BAND_K_VALUES}) b(band_id)
+), sized AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS n
+    FROM bands
+), ok AS (
+    SELECT doc_id, simhash, band_id, band_val FROM sized
+    WHERE n <= {SIMHASH_K_BAND_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM ok a JOIN ok b ON a.band_id = b.band_id
+                   AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_K_MAX_HAMMING}
+"""
+
+
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication readout off the cluster map: how many of
     each source's docs are non-canonical near-duplicates (doc_id !=
@@ -787,6 +921,7 @@ QUERIES = {
     "fuzzy_neardup_titles": fuzzy_neardup_titles,
     "dedup_rate_by_source": dedup_rate_by_source,
     "simhash_hamming_pairs": simhash_hamming_pairs,
+    "simhash_hamming_k_pairs": simhash_hamming_k_pairs,
 }
 
 
@@ -826,6 +961,7 @@ ORACLE_SQL = {
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE_SQL,
     "simhash_hamming_pairs": SIMHASH_HAMMING_SQL.format(
         simhash=SIMHASH_SQL),
+    "simhash_hamming_k_pairs": SIMHASH_HAMMING_K_SQL,
 }
 
 

@@ -85,3 +85,34 @@ def test_two_chains_and_singleton(spark, monkeypatch):
     out = _labels(dedup.connected_components(spark, nodes, pairs))
     want = {(i, 0) for i in range(30)} | {(i, 30) for i in range(30, 60)} | {(60, 60)}
     assert out == want
+
+
+def test_hamming_k_banded_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole completeness of the generalized Hamming join: with
+    k+1 bands, EVERY pair within distance k agrees on at least one
+    full band, so the banded equi-join must return exactly the
+    all-pairs truth (the band cap has headroom at this corpus size —
+    if it ever binds here the construction, not the host, changed)."""
+    from pyspark.sql import functions as F
+
+    from cloud_volume_spark.operators.dedup import (
+        SIMHASH_K_MAX_HAMMING, _simhash_wide, simhash_hamming_k_pairs)
+
+    sims = _simhash_wide(spark, sf_dir).cache()
+    try:
+        a = sims.select(F.col("doc_id").alias("doc_a"),
+                        F.col("simhash").alias("sh_a"))
+        b = sims.select(F.col("doc_id").alias("doc_b"),
+                        F.col("simhash").alias("sh_b"))
+        brute = (
+            a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .cast("int").alias("hamming"))
+            .where(F.col("hamming") <= SIMHASH_K_MAX_HAMMING))
+        want = {tuple(r) for r in brute.collect()}
+        got = {tuple(r) for r in
+               simhash_hamming_k_pairs(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        sims.unpersist()

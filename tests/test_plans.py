@@ -583,3 +583,15 @@ def test_q21_plan_semi_then_anti_no_product(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_simhash_hamming_k_plan_banded_join_jvm_side(spark, sf_dir):
+    """The wide (60-bit, 4-band, k<=3) Hamming join keeps the same
+    plan family as the 2-band miniature: equi-join on the band key
+    only, JVM bit_count verify, no products, no Python eval."""
+    plan = _plan(all_queries()["simhash_hamming_k_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "bit_count" in plan
