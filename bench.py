@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q21_suppliers_waiting",
     "simhash_hamming_k_pairs",
+    "doc_bigram_logprob",
 ]
 
 VOL_SHAPE = (1024, 1024, 100)

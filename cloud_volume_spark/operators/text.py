@@ -442,6 +442,30 @@ FROM tot t JOIN top ON t.source = top.source AND top.rn = 1
 BIGRAM_TOP_K = 20
 
 
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent word pair, whitespace
+    collapsed before splitting so both engines tokenize identical
+    arrays; sub-2-token docs contribute nothing. Shared by the model
+    head (:func:`bigram_lm_top`) and the per-doc scorer
+    (:func:`doc_bigram_logprob`)."""
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"),
+                                           r"\s+", " ")), " ")
+    base = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.get("t", i - 1).alias("w1"),
+                    F.get("t", i).alias("w2")),
+            )
+        ).alias("bg")
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+
 def bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram language-model head: the BIGRAM_TOP_K most
     frequent word bigrams with their conditional probability
@@ -456,21 +480,7 @@ def bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k boundary break on (w1, w2) for an engine-exact cut.
     Whitespace is collapsed before splitting so both engines tokenize
     identical word arrays; sub-2-token docs contribute nothing."""
-    docs = load(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
-    toks = F.split(F.trim(F.regexp_replace(F.col("text"),
-                                           r"\s+", " ")), " ")
-    base = docs.select(toks.alias("t")).where(F.size("t") >= 2)
-    bg = base.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.get("t", i - 1).alias("w1"),
-                    F.get("t", i).alias("w2")),
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+    bg = _doc_bigrams(spark, sf_dir).select("w1", "w2")
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
     c1 = c2.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
     return (
@@ -505,6 +515,85 @@ LIMIT {BIGRAM_TOP_K}
 """
 
 
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM score: the mean negative log-likelihood
+    of each doc's word bigrams under the corpus's own bigram model
+    with add-one smoothing — ``P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)``,
+    V = number of distinct bigram heads. This closes the loop between
+    :func:`bigram_lm_top` (the model) and the unigram
+    ``doc_perplexity`` proxy: the KenLM-style quality filter a data
+    pipeline actually runs (high-nll docs are far from the corpus
+    distribution → junk candidates). Emitted as
+    ``floor(nll * 1e4 + 0.5)`` so both engines agree after an
+    identical fp op chain.
+
+    Scale: the model (c2 joined c1) is a vocab²-sized AGGREGATED
+    table built once — the corpus is never shuffled to the model side;
+    the per-doc bigram counts join it on (w1, w2) (one corpus-sized
+    shuffle with map-side partials, AQE broadcasts the model while it
+    fits); V is a broadcast scalar. Scoring a FOREIGN corpus against
+    this model would left-join with ``coalesce(n_bigram, 0) /
+    coalesce(n_w1, 0)`` — here the model derives from the same docs,
+    so every bigram hits and the inner join is lossless."""
+    bg = _doc_bigrams(spark, sf_dir)
+    c2 = (bg.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("n_bigram")))
+    c1 = c2.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
+    model = c2.join(c1, "w1")
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    dbg = (bg.groupBy("doc_id", "w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c_doc")))
+    logp = F.log(
+        (F.col("n_bigram") + 1).cast("double")
+        / (F.col("n_w1") + F.col("v")).cast("double"))
+    return (
+        dbg.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_bigrams"),
+            F.floor(
+                -F.sum(F.col("c_doc").cast("double") * logp)
+                / F.sum("c_doc").cast("double") * 10000 + 0.5)
+            .cast("bigint").alias("nll_e4"),
+        )
+    )
+
+
+DOC_BIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(text, '\\s+', ' ',
+                                                  'g')), ' ') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+), bg AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) s(i)
+    WHERE len(t) >= 2
+), c2 AS (
+    SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, SUM(n_bigram)::BIGINT AS n_w1 FROM c2 GROUP BY w1
+), vocab AS (
+    SELECT COUNT(*) AS v FROM c1
+), dbg AS (
+    SELECT doc_id, w1, w2, COUNT(*) AS c_doc
+    FROM bg GROUP BY doc_id, w1, w2
+)
+SELECT doc_id,
+       SUM(c_doc)::BIGINT AS n_bigrams,
+       FLOOR(-SUM(c_doc::DOUBLE * LN((n_bigram + 1)::DOUBLE
+                                     / (n_w1 + v)::DOUBLE))
+             / SUM(c_doc)::DOUBLE * 10000 + 0.5)::BIGINT AS nll_e4
+FROM dbg
+JOIN c2 USING (w1, w2)
+JOIN c1 USING (w1)
+CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_subword_count": doc_subword_count,
@@ -515,6 +604,7 @@ QUERIES = {
     "doc_quality_filter": doc_quality_filter,
     "source_mixture_stats": source_mixture_stats,
     "bigram_lm_top": bigram_lm_top,
+    "doc_bigram_logprob": doc_bigram_logprob,
 }
 
 ORACLE_SQL = {
@@ -527,4 +617,5 @@ ORACLE_SQL = {
     "doc_langid": LANGID_SQL,
     "source_mixture_stats": SOURCE_MIXTURE_SQL,
     "bigram_lm_top": BIGRAM_LM_SQL,
+    "doc_bigram_logprob": DOC_BIGRAM_LOGPROB_SQL,
 }

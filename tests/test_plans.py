@@ -595,3 +595,16 @@ def test_simhash_hamming_k_plan_banded_join_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "bit_count" in plan
+
+
+def test_doc_bigram_logprob_plan_aggregated_model_joins(spark, sf_dir):
+    """The per-doc bigram scorer joins AGGREGATED model tables (c2⋈c1,
+    vocab²-sized) — the corpus-sized side is the per-doc bigram
+    counts, shuffled once with map-side partials; V is a broadcast
+    scalar literal (no product beyond the 1-row cross); everything
+    stays JVM-side."""
+    plan = _plan(all_queries()["doc_bigram_logprob"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
