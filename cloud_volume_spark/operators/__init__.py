@@ -15,37 +15,98 @@ from cloud_volume_spark import multimodal
 # registered queries; the order rotates per round so every query gets a
 # driver row across consecutive rounds, with tests/test_oracle_parity.py
 # running ALL queries against DuckDB as the local backstop.
-# ROUND-11 ROTATION (executing the round-10 note): voxel_rel(9) +
-# dedup(7+3) + text(7+2) + similarity(8+1) = 37 to the front — they
-# hold every query whose last driver row is r9 PLUS six of the nine
-# NEW round-11 queries (fuzzy_neardup_titles, dedup_rate_by_source,
-# simhash_hamming_pairs → dedup; source_mixture_stats, bigram_lm_top
-# → text; embedding_dim_stats → similarity); the remaining three
-# (events_conversion_lag, q8_market_share, q13_customer_distribution)
-# are keyed second/third/fourth inside `relational` so the window's
-# remaining 13 slots (the relational head) include them.
-# Registry = 87; out-of-window = the last 14 of relational + curation
-# + corpus + multimodal, ALL of which have green rows in
-# CORRECTNESS_r10, so the r10∪r11 union keeps every registered query
-# on a fresh-within-two-rounds driver row.  ROUND-12 ROTATION:
-# relational + curation + corpus + multimodal to the front (50
-# queries — they hold every query whose last row is r10, exactly
-# filling the window; the r11-module queries all have r11 rows).
+#
+# Since round 12 the window composition is EXPLICIT: DRIVER_FRONT below
+# lists the keys forced to the registry head, in order; the rest follow
+# in ALL_MODULES order (dict.update keeps first-insertion positions).
+# The invariant — every query OUTSIDE the first 50 has a green row in
+# the PREVIOUS round's CORRECTNESS_r*.json, so the two-round union
+# covers the whole registry — is mechanically enforced by
+# tests/test_registry_invariants.py against the latest committed
+# correctness file. To rotate next round: put the queries whose last
+# driver row is oldest (plus every NEW query) into DRIVER_FRONT, keep
+# it at <= 50 entries, and let the module order pad the window.
+#
+# ROUND-12 ROTATION (executing the round-11 note): the 37 queries whose
+# last driver row is r10 (the relational tail 14 + curation 8 +
+# corpus 10 + multimodal 5) plus the four NEW round-12 queries
+# (q4_order_priority, q21_suppliers_waiting → relational;
+# simhash_hamming_k_pairs → dedup; doc_bigram_logprob → text) = 41
+# fronted; the window's remaining 9 slots fall to voxel_rel's 9
+# queries (all green in r11 — refreshing them is harmless).
+# Registry = 91; out-of-window = dedup(11-1) + text(10-1) +
+# similarity(9) + relational head 13 minus the fronted... precisely:
+# the 41 non-window queries are exactly the r11-green set minus
+# voxel_rel.  ROUND-13 ROTATION: front the 41 queries whose last row
+# will then be r11 (the current out-of-window set) plus any new ones.
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,
 ]
 
+DRIVER_FRONT = [
+    # new in round 12 — first driver rows
+    "q4_order_priority",
+    "q21_suppliers_waiting",
+    "simhash_hamming_k_pairs",
+    "doc_bigram_logprob",
+    # relational tail: last driver row r10
+    "q7_nation_trade",
+    "q14_promo_revenue",
+    "customers_without_orders",
+    "events_funnel",
+    "event_props_extract",
+    "events_cohort_retention",
+    "events_top_paths",
+    "orders_above_customer_avg",
+    "urgent_orders_with_lineitems",
+    "brand_type_pivot",
+    "nations_customers_no_suppliers",
+    "customer_spend_deciles",
+    "largest_order_per_customer",
+    "event_type_share",
+    # curation: last driver row r10
+    "boilerplate_ngrams",
+    "line_dedup",
+    "repeated_spans",
+    "mixture_sample",
+    "token_bucket_stats",
+    "doc_entropy",
+    "doc_perplexity",
+    "corpus_shuffle",
+    # corpus: last driver row r10
+    "corpus_curate",
+    "corpus_sample_stratified",
+    "tfidf_top_terms",
+    "doc_context_windows",
+    "doc_policy_scan",
+    "doc_pii_redact",
+    "dedup_keep_best",
+    "corpus_pack_sequences",
+    "corpus_contamination",
+    "corpus_snapshot_diff",
+    # multimodal: last driver row r10
+    "mm_image_features",
+    "mm_image_resize",
+    "mm_video_frame_sample",
+    "mm_audio_features",
+    "mm_asset_stats",
+]
+
 
 def all_queries():
-    out = {}
+    merged = {}
     for m in ALL_MODULES:
-        out.update(m.QUERIES)
+        merged.update(m.QUERIES)
+    out = {k: merged[k] for k in DRIVER_FRONT}
+    out.update(merged)  # existing keys keep position; rest append
     return out
 
 
 def all_oracle_sql():
-    out = {}
+    merged = {}
     for m in ALL_MODULES:
-        out.update(m.ORACLE_SQL)
+        merged.update(m.ORACLE_SQL)
+    out = {k: merged[k] for k in DRIVER_FRONT if k in merged}
+    out.update(merged)
     return out

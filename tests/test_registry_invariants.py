@@ -48,3 +48,42 @@ def test_oracle_sql_strings_are_nonempty_selects():
     for name, sql in all_oracle_sql().items():
         s = sql.strip().upper()
         assert s.startswith(("SELECT", "WITH")), name
+
+
+def test_driver_front_is_wellformed():
+    """DRIVER_FRONT must reference real queries, contain no
+    duplicates, and fit inside the 50-query driver window."""
+    from cloud_volume_spark.operators import DRIVER_FRONT, all_queries
+
+    registry = all_queries()
+    assert len(DRIVER_FRONT) == len(set(DRIVER_FRONT)), "duplicate keys"
+    assert len(DRIVER_FRONT) <= 50
+    missing = [k for k in DRIVER_FRONT if k not in registry]
+    assert not missing, missing
+    # the front actually leads the registry, in order
+    assert list(registry)[: len(DRIVER_FRONT)] == DRIVER_FRONT
+
+
+def test_out_of_window_queries_are_green_in_latest_correctness():
+    """The rotation contract: every query OUTSIDE the first-50 driver
+    window must have a green row in the latest committed
+    CORRECTNESS_r*.json, so the two-round union keeps the whole
+    registry on fresh driver evidence. Queries newer than that file
+    must be IN the window (their first row is this round's)."""
+    import glob
+    import json
+
+    from cloud_volume_spark.operators import all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert files, "no committed correctness artifact"
+    prev = json.load(open(files[-1]))
+    green = {k for k, v in prev.items()
+             if v.get("rows_match") and v.get("err") is None}
+    window = set(list(all_queries())[:50])
+    stale = [k for k in all_queries()
+             if k not in window and k not in green]
+    assert not stale, (
+        f"out-of-window queries with no green row in {files[-1]}: "
+        f"{stale}")
