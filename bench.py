@@ -123,6 +123,36 @@ BENCH_QUERIES = [
 VOL_SHAPE = (1024, 1024, 100)
 VOL_CHUNK = (256, 256, 50)
 
+# --- steal-aware volume probes ---------------------------------------
+# The r11 driver pass recorded the seg-read row at 2.27x BASELINE's
+# gate purely on external CPU steal (load1 18.4; the same round's
+# quiet pass was 0.31x with zero commits in the decode path). load1
+# cannot gate this — our own 32-thread query stages keep it elevated
+# for minutes after they finish — so each volume pass is BRACKETED by
+# a fixed single-thread busy loop: if both brackets run at nominal
+# speed (~0.19 s on this host), no external burst overlapped the
+# pass. min() is then taken over quiet passes only; if the base
+# passes catch no quiet window, bounded extra passes run, and a
+# fully-stolen artifact says so explicitly (steal_flagged) instead of
+# recording an indefensible number as if the host were idle.
+CPU_PROBE_QUIET_SEC = float(
+    os.environ.get("SPARK_GRAFT_CPU_QUIET_SEC", "0.4"))
+VOL_BASE_PASSES = 4
+VOL_MAX_PASSES = 8
+
+
+def _cpu_probe_sec() -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    return round(time.perf_counter() - t0, 3)
+
+
+def _quiet_pass_ids(probes) -> list:
+    return [i for i, (a, b) in enumerate(probes)
+            if a <= CPU_PROBE_QUIET_SEC and b <= CPU_PROBE_QUIET_SEC]
+
 
 def make_blocks(spark, shape, chunk_size, content):
     """Distributed synthetic volume blocks: one grid-aligned block per
@@ -246,8 +276,11 @@ def bench_volume(spark) -> dict:
         # the old drop-pass-0 convention threw away the only clean
         # window on a loaded host (r6 seg read: [0.401, 1.944, 3.894]
         # reported 1.944). All passes stay in *_secs_all.
-        write_secs, read_secs = [], []
-        for _ in range(4):
+        # r12: passes are steal-probe bracketed (see CPU_PROBE_QUIET_SEC)
+        # and min() prefers quiet passes.
+        write_secs, read_secs, probes = [], [], []
+        while True:
+            p0 = _cpu_probe_sec()
             t0 = time.perf_counter()
             vol.write_blocks_df(blocks, mip=0, compression="gzip")
             write_secs.append(time.perf_counter() - t0)
@@ -261,9 +294,15 @@ def bench_volume(spark) -> dict:
             out = vol.cutout(Bbox((0, 0, 0), VOL_SHAPE))
             read_secs.append(time.perf_counter() - t0)
             assert out.shape[:3] == VOL_SHAPE
+            probes.append((p0, _cpu_probe_sec()))
+            quiet = _quiet_pass_ids(probes)
+            if (len(probes) >= VOL_BASE_PASSES and quiet) \
+                    or len(probes) >= VOL_MAX_PASSES:
+                break
 
-        write_sec = min(write_secs)
-        read_sec = min(read_secs)
+        use = quiet or list(range(len(probes)))
+        write_sec = min(write_secs[i] for i in use)
+        read_sec = min(read_secs[i] for i in use)
         return {
             "logical_mb": round(logical_mb, 1),
             "write_sec": round(write_sec, 3),
@@ -272,6 +311,9 @@ def bench_volume(spark) -> dict:
             "read_mbps": round(logical_mb / read_sec, 1),
             "write_secs_all": [round(s, 3) for s in write_secs],
             "read_secs_all": [round(s, 3) for s in read_secs],
+            "cpu_probe_secs_all": probes,
+            "quiet_passes": len(quiet),
+            "steal_flagged": not quiet,
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -299,9 +341,10 @@ def bench_volume_seg(spark) -> dict:
         blocks = make_seg_blocks(spark, VOL_SHAPE, VOL_CHUNK)
         logical_mb = int(np.prod(VOL_SHAPE)) * 2 / 1e6
 
-        write_secs, read_secs, uniq_secs = [], [], []
+        write_secs, read_secs, uniq_secs, probes = [], [], [], []
         n_labels = 0
-        for _ in range(4):
+        while True:
+            p0 = _cpu_probe_sec()
             t0 = time.perf_counter()
             vol.write_blocks_df(blocks, mip=0, compression="gzip")
             write_secs.append(time.perf_counter() - t0)
@@ -313,13 +356,21 @@ def bench_volume_seg(spark) -> dict:
             t0 = time.perf_counter()
             n_labels = vol.unique(Bbox((0, 0, 0), VOL_SHAPE)).count()
             uniq_secs.append(time.perf_counter() - t0)
+            probes.append((p0, _cpu_probe_sec()))
+            quiet = _quiet_pass_ids(probes)
+            if (len(probes) >= VOL_BASE_PASSES and quiet) \
+                    or len(probes) >= VOL_MAX_PASSES:
+                break
 
-        # min over ALL passes (see bench_volume): the BASELINE seg-read
-        # row compares against the reference's *logical* MB/s (gzip-
-        # inflated over a 1 Gbps link) and must not depend on which
-        # pass the shared host happened to leave alone
-        write_sec = min(write_secs)
-        read_sec = min(read_secs)
+        # min over quiet (steal-free) passes when any exist, else over
+        # all: the BASELINE seg-read row compares against the
+        # reference's *logical* MB/s (gzip-inflated over a 1 Gbps
+        # link) and must not depend on which pass the shared host
+        # happened to burst into — the r11 2.27x "breach" was exactly
+        # four stolen passes recorded as if clean
+        use = quiet or list(range(len(probes)))
+        write_sec = min(write_secs[i] for i in use)
+        read_sec = min(read_secs[i] for i in use)
         # on-disk (compressed) size, so the logical-vs-stored gzip
         # ratio behind the reference's "logical MB/s" rows is explicit
         stored = 0
@@ -331,11 +382,14 @@ def bench_volume_seg(spark) -> dict:
             "stored_mb": round(stored / 1e6, 1),
             "write_mbps": round(logical_mb / write_sec, 1),
             "read_mbps": round(logical_mb / read_sec, 1),
-            "unique_sec": round(min(uniq_secs), 3),
+            "unique_sec": round(min(uniq_secs[i] for i in use), 3),
             "unique_labels": int(n_labels),
             "write_secs_all": [round(s, 3) for s in write_secs],
             "read_secs_all": [round(s, 3) for s in read_secs],
             "unique_secs_all": [round(s, 3) for s in uniq_secs],
+            "cpu_probe_secs_all": probes,
+            "quiet_passes": len(quiet),
+            "steal_flagged": not quiet,
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -652,7 +706,8 @@ def main() -> None:
     # vw/vr = volume write/read MB/s, sw/sr/su = seg write/read
     # MB/s + unique sec, ib/im = spatial-index build sec / MB,
     # ae/aq = annotation export / bbox-query sec, l1/cp = load1 /
-    # cpu-probe sec. Full names live in BENCH_FULL.json / FULL line.
+    # cpu-probe sec, vq/sq = quiet (steal-free) volume/seg pass
+    # counts. Full names live in BENCH_FULL.json / FULL line.
     b_priority = [
         ("l1", env["load1"]),
         ("vw", round(vol_stats["write_mbps"])),
@@ -660,6 +715,13 @@ def main() -> None:
         ("sw", round(seg_stats["write_mbps"])),
         ("sr", round(seg_stats["read_mbps"])),
         ("su", round(seg_stats["unique_sec"], 2)),
+        # steal-probe verdicts for the volume legs: quiet (bracket-
+        # probed steal-free) pass counts — 0 means the throughput rows
+        # above were recorded entirely inside an external burst and
+        # carry steal_flagged in BENCH_FULL.json. Ranked right after
+        # the throughput rows they qualify (1-2 chars each).
+        ("vq", int(vol_stats["quiet_passes"])),
+        ("sq", int(seg_stats["quiet_passes"])),
         ("ib", round(spatial_stats["build_sec"], 2)),
         ("im", round(spatial_stats["index_mb"])),
         ("ae", round(anno_stats["export_sec"], 2)),
