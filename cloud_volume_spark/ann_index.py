@@ -582,3 +582,46 @@ class IVFIndex:
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= int(k))
         )
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                     exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k by full scan — the recall ground truth for
+    :meth:`IVFIndex.search`, with IDENTICAL tie rules (sim rounded to
+    6 dp, then neighbor_id ascending), so at ``nprobe == nlist`` the
+    approximate and exact rank sets are equal by construction.
+    ``emb``: (vec_id, embedding); ``queries``: (query_id, qvec).
+    O(N·Q) with the query side broadcast — the measurement tool, not
+    the serving path."""
+    from cloud_volume_spark.operators.similarity import (
+        _as_double, _dot, _with_norm,
+    )
+
+    e = _with_norm(emb.select(
+        "vec_id", _as_double("embedding").alias("embedding")))
+    q = _with_norm(queries.select(
+        "query_id", _as_double("qvec").alias("qvec")), "qvec", "qnrm")
+    pairs = e.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.where(F.col("vec_id") != F.col("query_id"))
+    sim = _dot(F.col("embedding"), F.col("qvec")) / (
+        F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     F.round(sim, 6).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(k))
+    )
+
+
+def recall_at_k(approx: DataFrame, truth: DataFrame) -> float:
+    """Fraction of exact top-k (query_id, neighbor_id) pairs the
+    approximate result recovered — recall@k averaged over queries
+    (both frames hold k rows per query, so the pair-level ratio IS
+    the per-query mean). 1.0 when truth is empty."""
+    keys = ["query_id", "neighbor_id"]
+    hit = approx.select(*keys).join(truth.select(*keys), keys).count()
+    tot = truth.count()
+    return hit / tot if tot else 1.0

@@ -338,6 +338,11 @@ if __name__ == "__main__":
                          "IVF build + search at dim 64 vs 768 (same "
                          "row count) — proves the posexplode mean "
                          "reduction holds at realistic widths")
+    ap.add_argument("--ivf-recall", action="store_true",
+                    help="characterize IVFIndex.search recall@k vs the "
+                         "brute-force truth at nprobe in {1,2,4,8,nlist} "
+                         "on sf0.1 embeddings (both centroid modes) and "
+                         "once at a synthetic dim-768 corpus")
     ap.add_argument("--annotations", action="store_true",
                     help="run the annotation-layer scale leg: export "
                          "+ bbox query at 2M vs 20M points")
@@ -351,6 +356,60 @@ if __name__ == "__main__":
         SPARK = get_spark()
         bench_volume_scale(
             SPARK, zs=tuple(int(z) for z in args.zs.split(",")))
+        sys.exit(0)
+
+    if args.ivf_recall:
+        import shutil
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        from cloud_volume_spark import get_spark
+        from cloud_volume_spark.ann_index import (
+            brute_force_topk, build_ivf_index, recall_at_k,
+        )
+
+        SPARK = get_spark()
+        K, NQ, NLIST = 10, 50, 16
+
+        def leg(tag, emb):
+            q = emb.where(F.col("vec_id") < NQ).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+            truth = brute_force_topk(emb, q, k=K).cache()
+            truth.count()
+            for mode in ("sample", "kmeans"):
+                path = f"/tmp/cvs_ivfrec_{tag}_{mode}"
+                shutil.rmtree(path, ignore_errors=True)
+                idx = build_ivf_index(emb, path, nlist=NLIST,
+                                      centroids=mode, kmeans_rounds=3)
+                for nprobe in (1, 2, 4, 8, NLIST):
+                    got = idx.search(q, k=K, nprobe=nprobe)
+                    r = recall_at_k(got, truth)
+                    best = None
+                    for _ in range(2):
+                        t0 = _t.monotonic()
+                        got.count()
+                        dt = _t.monotonic() - t0
+                        best = dt if best is None else min(best, dt)
+                    print(json.dumps({
+                        "leg": "ivf_recall", "corpus": tag,
+                        "mode": mode, "nprobe": nprobe, "k": K,
+                        "recall": round(r, 3),
+                        "search_s": round(best, 3)}), flush=True)
+            truth.unpersist()
+
+        leg("sf0.1_dim64",
+            SPARK.read.parquet(f"{SF01}/embeddings.parquet"))
+        # synthetic dim-768 corpus, same construction as --ann-dim:
+        # deterministic JVM sin() spread, no RAND
+        n = SPARK.read.parquet(f"{SF01}/embeddings.parquet").count()
+        leg("synth_dim768", SPARK.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(767)),
+                lambda p: F.sin(F.col("id") * 0.7 + p * 0.13),
+            ).alias("embedding")))
         sys.exit(0)
 
     if args.ivf:

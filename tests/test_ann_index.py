@@ -628,3 +628,31 @@ def test_remove_pins_nondeterministic_id_frame(spark, sf_dir, tmp_path):
     # NULL ids refuse loudly instead of a raw int(None) TypeError
     with pytest.raises(ValueError, match="NULL vec_id"):
         idx.remove(spark.createDataFrame([(None,)], "vec_id long"))
+
+
+def test_recall_contract(spark, sf_dir, index):
+    """The quality contract the index implies but never stated
+    (round-11 verdict): at nprobe == nlist, search IS exact — recall
+    1.0 against the brute-force truth by construction (identical
+    6-dp/neighbor_id tie rules); at the default nprobe=4 it must hold
+    a pinned empirical floor. The floor (0.4) is measured on this
+    synthetic corpus — near-uniform vectors, the WORST case for IVF
+    since there is no cluster structure for the coarse quantizer to
+    exploit; real embedding corpora sit well above it (SCALE.md's
+    recall table)."""
+    from cloud_volume_spark.ann_index import brute_force_topk, recall_at_k
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _queries(spark, sf_dir)
+    truth = brute_force_topk(emb, q, k=TOP_K).cache()
+    try:
+        assert truth.count() == N_QUERIES * TOP_K
+        full = recall_at_k(index.search(q, k=TOP_K, nprobe=NLIST), truth)
+        assert full == 1.0
+        part = recall_at_k(index.search(q, k=TOP_K, nprobe=4), truth)
+        assert part >= 0.4, part
+        # recall is monotone in nprobe on this corpus
+        one = recall_at_k(index.search(q, k=TOP_K, nprobe=1), truth)
+        assert one <= part <= full
+    finally:
+        truth.unpersist()
