@@ -392,15 +392,33 @@ def source_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant language: ties break on the lang string itself. NULL
     source/lang rows are dropped at the edge (the engines disagree on
     NULL ordering and a NULL group is not a mixture component)."""
+    return mixture_from_lang_counts(
+        lang_count_frame(load(spark, sf_dir, "documents")))
+
+
+def lang_count_frame(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) doc and char counts — the single partial
+    aggregate BOTH mixture paths share: the batch readout above and
+    the streaming drift monitor (``streaming.streaming_source_mixture``
+    keeps exactly these rows as its state)."""
+    return (docs.where(
+        F.col("source").isNotNull() & F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.length("text")).alias("sum_chars")))
+
+
+def mixture_from_lang_counts(per_lang: DataFrame) -> DataFrame:
+    """The mixture readout derived from a (source, lang, n, sum_chars)
+    composition table — |sources|x|langs| rows, so this is driver-cheap
+    no matter the corpus size. Shared verbatim by the batch operator
+    and the streaming monitor's sink-side derivation, which is what
+    makes the streaming ≡ batch test an identity, not a coincidence."""
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents").where(
-        F.col("source").isNotNull() & F.col("lang").isNotNull())
-    per_lang = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n"))
-    tot = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text")).alias("sum_chars"),
+    tot = per_lang.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("sum_chars").alias("sum_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("n"), "lang")

@@ -25,5 +25,6 @@ from cloud_volume_spark.streaming.windowed import (  # noqa: F401
     streaming_path_mine,
     streaming_pii_redact,
     streaming_redact_text,
+    streaming_source_mixture,
     windowed_event_counts,
 )

@@ -671,3 +671,25 @@ def streaming_redact_text(docs: DataFrame) -> DataFrame:
     from cloud_volume_spark.operators.corpus import redact_text_frame
 
     return redact_text_frame(docs)
+
+
+def streaming_source_mixture(docs: DataFrame) -> DataFrame:
+    """Streaming mixture-drift monitor state: per-(source, lang) doc
+    and char counts over a document stream — the stateful core of the
+    composition dashboard a recurring crawl watches, completing the
+    ``operators.text.source_mixture_stats`` story for the CDC/ingest
+    feed. The aggregate is EXACTLY the batch operator's shared
+    ``lang_count_frame`` fragment, so the stream keeps one bounded
+    state row per (source, lang) — |sources|x|langs|, independent of
+    stream length — and the readout (dominant language, shares) comes
+    from applying ``mixture_from_lang_counts`` over the sink table,
+    the same |sources|x|langs|-sized derivation the batch path uses:
+    streaming ≡ batch is an identity of shared plan fragments, not a
+    re-implementation (tested availableNow ≡ batch across multiple
+    micro-batches). Run in complete or update output mode. With a
+    timestamped feed, window the same aggregate behind
+    ``withWatermark`` to get per-interval drift instead of running
+    composition."""
+    from cloud_volume_spark.operators.text import lang_count_frame
+
+    return lang_count_frame(docs)

@@ -970,3 +970,50 @@ def test_streaming_conversion_lag_tied_ts_and_nulls(spark, tmp_path):
     assert by_user[3][1] == 5      # first conversion only, once
     assert by_user[5][1] == 0      # cross-batch tie converts
     assert set(by_user) == {1, 2, 3, 5}
+
+
+def test_streaming_source_mixture_matches_batch(spark, sf_dir, tmp_path):
+    """The mixture-drift monitor: per-(source, lang) streaming state
+    after the backlog drains must equal the batch lang_count_frame
+    rows exactly, and the mixture readout derived from the sink table
+    (mixture_from_lang_counts — the SAME fragment the batch operator
+    uses) must equal the registered source_mixture_stats output. The
+    backlog is staged as 16 files so the aggregate genuinely updates
+    across micro-batches (maxFilesPerTrigger=8 → ≥2 triggers)."""
+    from cloud_volume_spark.operators.text import (
+        mixture_from_lang_counts, source_mixture_stats,
+    )
+    from cloud_volume_spark.streaming import (
+        read_documents_stream, streaming_source_mixture,
+    )
+
+    d = tmp_path / "docs_mixstream"
+    (load(spark, sf_dir, "documents")
+     .repartition(16)
+     .write.parquet(str(d)))
+    stream = streaming_source_mixture(read_documents_stream(spark, str(d)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("smix")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1, "expected >= 2 micro-batches"
+
+    # pin the memory-sink view: mixture_from_lang_counts self-joins
+    # its input, and Spark's attribute dedup refuses to resolve a
+    # self-joined MemoryPlan
+    state = spark.sql("select * from smix").localCheckpoint(eager=True)
+    got_state = {tuple(r) for r in state.collect()}
+    from cloud_volume_spark.operators.text import lang_count_frame
+    want_state = {tuple(r) for r in
+                  lang_count_frame(load(spark, sf_dir, "documents"))
+                  .collect()}
+    assert got_state == want_state and len(got_state) > 0
+
+    got = {tuple(r) for r in mixture_from_lang_counts(state).collect()}
+    want = {tuple(r) for r in
+            source_mixture_stats(spark, sf_dir).collect()}
+    assert got == want
