@@ -167,9 +167,11 @@ def test_add_batch_invariants_refuse_loudly(spark, sf_dir, tmp_path):
 def test_incremental_refresh_loop(spark, sf_dir, tmp_path):
     """The round-10 pieces composed as the incremental-refresh loop a
     100 TB pipeline runs: corpus snapshot diff → delta doc ids →
-    (embed; here: select their vectors) → IVFIndex.add — only the
-    delta is assigned and appended, and the refreshed index serves the
-    union corpus identically to a from-scratch build."""
+    (embed; here: select their vectors) → IVFIndex.add →
+    compact_lists — only the delta is assigned and appended, the
+    compaction sweeps the small files the append fanned out, and the
+    refreshed-then-compacted index serves the union corpus identically
+    to a from-scratch build (the full daily sequence in one test)."""
     from cloud_volume_spark.operators.corpus import snapshot_diff
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -193,6 +195,12 @@ def test_incremental_refresh_loop(spark, sf_dir, tmp_path):
                           centroids="sample")
     added = idx.add(delta_vecs)
     assert added == delta_vecs.count() and added > 0
+    # the day's append fanned part files into the touched lists; the
+    # maintenance step of the same loop sweeps them — and must not
+    # change what the index serves (compared below) or holds
+    n_before = idx.meta["count"]
+    assert idx.compact_lists(max_files_per_list=1) > 0
+    assert idx.meta["count"] == n_before == idx.lists().count()
 
     full = build_ivf_index(emb, str(tmp_path / "scratch"), nlist=NLIST,
                            centroid_base_id=100, centroids="sample")
