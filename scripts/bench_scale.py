@@ -184,6 +184,48 @@ def make_scaled_events(spark, src_dir: str, out_dir: str,
                      "orders", "lineitem", "documents", "embeddings"))
 
 
+TPCH_QUERIES = [
+    "q4_order_priority",
+    "q21_suppliers_waiting",
+]
+
+
+def make_scaled_tpch(spark, src_dir: str, out_dir: str,
+                     replicas: int) -> None:
+    """Replicate orders + lineitem with per-replica o_orderkey /
+    l_orderkey offsets: ORDERS are disjoint across replicas (the
+    semi/anti joins and per-order groups that Q4/Q21 shuffle on grow
+    linearly), while customer/supplier keys repeat — each customer and
+    supplier simply carries 10x the history, which is exactly how a
+    fact table outgrows its dimensions at constant dimension
+    cardinality."""
+    from pyspark.sql import functions as F
+
+    from cloud_volume_spark.operators.common import load
+
+    orders = load(spark, src_dir, "orders")
+    li = load(spark, src_dir, "lineitem")
+    o_parts, l_parts = [], []
+    for r in range(replicas):
+        off = F.lit(r * 10 ** 12)
+        o_parts.append(orders.withColumn(
+            "o_orderkey", (F.col("o_orderkey") + off).cast("long")))
+        l_parts.append(li.withColumn(
+            "l_orderkey", (F.col("l_orderkey") + off).cast("long")))
+    out_o, out_l = o_parts[0], l_parts[0]
+    for p in o_parts[1:]:
+        out_o = out_o.unionByName(p)
+    for p in l_parts[1:]:
+        out_l = out_l.unionByName(p)
+    out_o.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet")
+    out_l.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet")
+    symlink_through(src_dir, out_dir,
+                    ("region", "nation", "customer", "supplier", "part",
+                     "events", "documents", "embeddings"))
+
+
 def bench_volume_scale(spark, zs=(100, 200, 400)) -> dict:
     """Write → read → unique → downsample a segmentation volume at
     increasing z-extent (constant chunk size, so slab/manifest counts
@@ -329,6 +371,11 @@ if __name__ == "__main__":
                          "json/sessionize/running-total over a "
                          "disjoint-user replicated events table)")
     ap.add_argument("--events-dir", default="/tmp/cvs_events_synth")
+    ap.add_argument("--tpch", action="store_true",
+                    help="run the TPC-H fact-table scale leg (Q4/Q21 "
+                         "semi/anti joins over order-disjoint "
+                         "replicated orders+lineitem)")
+    ap.add_argument("--tpch-dir", default="/tmp/cvs_tpch_synth")
     ap.add_argument("--ivf", action="store_true",
                     help="run the persistent-IVF-index scale leg "
                          "(build + partition-pruned search, 1x vs 10x "
@@ -552,6 +599,25 @@ if __name__ == "__main__":
               f" bbox_query {b['bbox_query_sec']}→{s['bbox_query_sec']} "
               f"({round(s['bbox_query_sec'] / max(b['bbox_query_sec'], 1e-9), 2)}x)"
               f" at 10x points")
+        sys.exit(0)
+
+    if args.tpch:
+        from cloud_volume_spark import get_spark
+        from cloud_volume_spark import operators
+
+        SPARK = get_spark()
+        qs = operators.all_queries()
+        ensure_scaled(SPARK, SF01, args.tpch_dir, args.replicas,
+                      make_scaled_tpch, "tpch")
+        base = run(qs, TPCH_QUERIES, SF01)
+        scaled = run(qs, TPCH_QUERIES, args.tpch_dir)
+        print("\n# query  base_s  scaled_s  time_ratio  rows_ratio  "
+              f"(scale={args.replicas}x)")
+        for name in TPCH_QUERIES:
+            b, s = base[name], scaled[name]
+            print(f"# {name}  {b['sec']}  {s['sec']}  "
+                  f"{round(s['sec'] / max(b['sec'], 1e-9), 2)}  "
+                  f"{round(s['rows'] / max(b['rows'], 1), 2)}")
         sys.exit(0)
 
     if args.events:
