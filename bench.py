@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "events_conversion_lag",
     "q4_order_priority",
     "q21_suppliers_waiting",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
     "simhash_hamming_k_pairs",
     "doc_bigram_logprob",
 ]

@@ -29,16 +29,14 @@ from cloud_volume_spark import multimodal
 #
 # ROUND-12 ROTATION (executing the round-11 note): the 37 queries whose
 # last driver row is r10 (the relational tail 14 + curation 8 +
-# corpus 10 + multimodal 5) plus the four NEW round-12 queries
-# (q4_order_priority, q21_suppliers_waiting → relational;
-# simhash_hamming_k_pairs → dedup; doc_bigram_logprob → text) = 41
-# fronted; the window's remaining 9 slots fall to voxel_rel's 9
-# queries (all green in r11 — refreshing them is harmless).
-# Registry = 91; out-of-window = dedup(11-1) + text(10-1) +
-# similarity(9) + relational head 13 minus the fronted... precisely:
-# the 41 non-window queries are exactly the r11-green set minus
-# voxel_rel.  ROUND-13 ROTATION: front the 41 queries whose last row
-# will then be r11 (the current out-of-window set) plus any new ones.
+# corpus 10 + multimodal 5) plus the seven NEW round-12 queries
+# (q4/q21/q15/q17/q18 → relational; simhash_hamming_k_pairs → dedup;
+# doc_bigram_logprob → text) = 44 fronted; the window's remaining 6
+# slots fall to voxel_rel's first 6 queries (all green in r11 —
+# refreshing them is harmless). Registry = 94; the 44 out-of-window
+# queries are all r11-green (enforced by the invariant test).
+# ROUND-13 ROTATION: front those 44 (their last row will then be r11)
+# plus any new queries.
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,
@@ -48,6 +46,9 @@ DRIVER_FRONT = [
     # new in round 12 — first driver rows
     "q4_order_priority",
     "q21_suppliers_waiting",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
     "simhash_hamming_k_pairs",
     "doc_bigram_logprob",
     # relational tail: last driver row r10

@@ -1584,6 +1584,158 @@ LIMIT 100
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose one-quarter
+    revenue equals the maximum — the classic scalar-subquery-on-an-
+    aggregate shape. The revenue table is per-supplier (dimension-
+    sized); the max is a 1-row broadcast crossed against it, so the
+    'subquery' costs one extra reduction over an already-aggregated
+    frame, never a second fact scan (the quarter-filtered lineitem is
+    scanned ONCE).
+
+    Engine-exact: revenue is rounded to 4 dp immediately after the
+    identical sum chain on both engines, and the max-equality compare
+    happens on the ROUNDED value, so a last-ulp summation-order
+    difference cannot select different winners."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 4)
+        .alias("total_revenue"))
+    # TPC-H defines rev as a VIEW consumed twice (per-supplier rows +
+    # the scalar max); Spark recomputes an unmaterialized subtree per
+    # consumer — a second fact scan. A LAZY local checkpoint
+    # materializes the dimension-sized aggregate on first use inside
+    # the same job, so the max branch reads the cached rows and
+    # lineitem is scanned ONCE (plan-gated), with no eager work at
+    # query-construction time.
+    rev = rev.localCheckpoint(eager=False)
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# Q17's p_container predicate adapts to p_type (the synthetic part
+# table has no container column); same selective-dimension plan shape
+Q17_BRAND = "Brand#4"
+Q17_TYPE = "MEDIUM"
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): weekly revenue lost
+    if small-quantity lines of one brand/type were not filled — the
+    correlated scalar-AVG subquery, decorrelated into a per-part
+    average over the SAME brand-filtered join both engines compute
+    once (the filtered slice is scanned, grouped, and self-joined on
+    l_partkey; the full lineitem is never aggregated).
+
+    Engine-exact without rounding tricks: l_quantity values are
+    integral doubles, so SUM is exact in fp regardless of order and
+    AVG = exact_sum / count reproduces bit-identically on both
+    engines — the 'l_quantity < 0.2 * avg' cut cannot flip."""
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") == Q17_BRAND)
+        & (F.col("p_type") == Q17_TYPE)).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    flt = li.join(F.broadcast(part),
+                  li.l_partkey == part.p_partkey).drop("p_partkey")
+    av = flt.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh"))
+    return (
+        flt.join(av, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+             .alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+WITH flt AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = '{Q17_BRAND}' AND p_type = '{Q17_TYPE}'
+), av AS (
+    SELECT l_partkey, AVG(l_quantity) * 0.2 AS qty_thresh
+    FROM flt GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM flt JOIN av USING (l_partkey)
+WHERE l_quantity < qty_thresh
+"""
+
+
+Q18_QTY_THRESHOLD = 250  # between the p90 (180) and p99 (262) order sums
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total line
+    quantity exceeds a threshold, with their customer — the IN-on-a-
+    grouped-HAVING-subquery shape, planned as a LEFT SEMI join against
+    the per-order quantity aggregate (partial map-side sums; the
+    aggregate is orders-cardinality, not lineitem-cardinality).
+    Top-100 by price via sort-limit; o_orderkey breaks residual ties
+    for a total order. Quantities are integral doubles, so the sums
+    are fp-exact on both engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("_sum_qty"))
+           .where(F.col("_sum_qty") > Q18_QTY_THRESHOLD)
+           .select(F.col("l_orderkey").alias("_big_key")))
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (orders.join(big, orders.o_orderkey == big._big_key, "left_semi")
+         .join(li, orders.o_orderkey == li.l_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey))
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                  "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 4) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY_THRESHOLD})
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1617,6 +1769,9 @@ QUERIES = {
 QUERIES.update({
     "q4_order_priority": q4_order_priority,
     "q21_suppliers_waiting": q21_suppliers_waiting,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume_customer": q18_large_volume_customer,
     "orders_above_customer_avg": orders_above_customer_avg,
     "urgent_orders_with_lineitems": urgent_orders_with_lineitems,
     "brand_type_pivot": brand_type_pivot,
@@ -1647,4 +1802,7 @@ ORACLE_SQL.update({
     "q13_customer_distribution": Q13_SQL,
     "q4_order_priority": Q4_SQL,
     "q21_suppliers_waiting": Q21_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_qty_revenue": Q17_SQL,
+    "q18_large_volume_customer": Q18_SQL,
 })

@@ -608,3 +608,42 @@ def test_doc_bigram_logprob_plan_aggregated_model_joins(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q15_plan_single_fact_scan_broadcast_max(spark, sf_dir):
+    """Q15: the quarter-filtered lineitem aggregates ONCE into the
+    lazily-checkpointed revenue view; both consumers (the per-supplier
+    rows and the scalar max) read the materialized RDD, so the fact
+    table never appears twice — or at all — in the visible plan; the
+    scalar max is a 1-row broadcast cross (never a
+    CartesianProduct)."""
+    plan = _plan(all_queries()["q15_top_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the rev view is materialized: its two consumers scan the SAME
+    # checkpointed RDD instead of re-deriving from parquet
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert plan.count("lineitem.parquet") == 0, plan
+
+
+def test_q17_plan_decorrelated_avg_broadcast_part(spark, sf_dir):
+    """Q17: the correlated scalar-AVG decorrelates into a per-part
+    aggregate over the brand-filtered join; the part slice broadcasts
+    behind pushed brand/type filters; no products."""
+    plan = _plan(all_queries()["q17_small_qty_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_avg" in plan or "partial_sum" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q18_plan_semi_on_aggregate_sort_limit(spark, sf_dir):
+    """Q18: the IN-on-grouped-HAVING subquery plans as a LEFT SEMI
+    against the per-order quantity aggregate (partial map-side sums);
+    the top-100 is a sort-limit, never a global sort."""
+    plan = _plan(all_queries()["q18_large_volume_customer"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan
