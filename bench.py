@@ -120,7 +120,9 @@ BENCH_QUERIES = [
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "simhash_hamming_k_pairs",
+    "dedup_cluster_size_stats",
     "doc_bigram_logprob",
+    "embedding_outliers",
 ]
 
 VOL_SHAPE = (1024, 1024, 100)

@@ -29,14 +29,15 @@ from cloud_volume_spark import multimodal
 #
 # ROUND-12 ROTATION (executing the round-11 note): the 37 queries whose
 # last driver row is r10 (the relational tail 14 + curation 8 +
-# corpus 10 + multimodal 5) plus the seven NEW round-12 queries
-# (q4/q21/q15/q17/q18 → relational; simhash_hamming_k_pairs → dedup;
-# doc_bigram_logprob → text) = 44 fronted; the window's remaining 6
-# slots fall to voxel_rel's first 6 queries (all green in r11 —
-# refreshing them is harmless). Registry = 94; the 44 out-of-window
-# queries are all r11-green (enforced by the invariant test).
-# ROUND-13 ROTATION: front those 44 (their last row will then be r11)
-# plus any new queries.
+# corpus 10 + multimodal 5) plus the nine NEW round-12 queries
+# (q4/q21/q15/q17/q18 → relational; simhash_hamming_k_pairs +
+# dedup_cluster_size_stats → dedup; doc_bigram_logprob → text;
+# embedding_outliers → similarity) = 46 fronted; the window's
+# remaining 4 slots fall to voxel_rel's first 4 queries (all green in
+# r11 — refreshing them is harmless). Registry = 96; the 46
+# out-of-window queries are all r11-green (enforced by the invariant
+# test). ROUND-13 ROTATION: front those 46 (their last row will then
+# be r11) plus any new queries.
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,
@@ -50,7 +51,9 @@ DRIVER_FRONT = [
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "simhash_hamming_k_pairs",
+    "dedup_cluster_size_stats",
     "doc_bigram_logprob",
+    "embedding_outliers",
     # relational tail: last driver row r10
     "q7_nation_trade",
     "q14_promo_revenue",

@@ -848,6 +848,39 @@ GROUP BY d.source
 )
 
 
+def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how many clusters have exactly
+    ``sz`` members, with the member total per size — the health readout
+    a dedup operator watches (a fat tail means a boilerplate family or
+    a crawler loop; a spike at sz=2 after an ingest means the batch
+    re-crawled yesterday). Singletons (sz=1) are unique docs.
+
+    Scale: rides :func:`materialized_clusters` (computed once per
+    session, plan-gated reuse) with two tiny partial-aggregating
+    shuffles — per-cluster size (cluster-cardinality) then the
+    histogram (max-cluster-size cardinality). Pure integer output:
+    engine-exact with no rounding."""
+    cl = materialized_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"),
+             (F.count(F.lit(1)) * F.col("sz")).alias("n_docs"))
+    )
+
+
+DEDUP_CLUSTER_SIZE_SQL = (
+    "WITH RECURSIVE " + CC_CTES_SQL + """,
+clusters AS (SELECT u AS doc_id, MIN(comp) AS cluster_id
+             FROM walk GROUP BY u),
+sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM clusters
+          GROUP BY cluster_id)
+SELECT sz, COUNT(*) AS n_clusters, COUNT(*) * sz AS n_docs
+FROM sizes GROUP BY sz
+"""
+)
+
+
 FUZZY_TITLE_W = 24   # the "title": leading text slice compared edit-wise
 FUZZY_BLOCK_W = 8    # blocking key: title prefix — pairs only within a block
 FUZZY_MAX_DIST = 6   # edit-distance near-dup threshold on the title
@@ -922,6 +955,7 @@ QUERIES = {
     "dedup_rate_by_source": dedup_rate_by_source,
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "simhash_hamming_k_pairs": simhash_hamming_k_pairs,
+    "dedup_cluster_size_stats": dedup_cluster_size_stats,
 }
 
 
@@ -962,6 +996,7 @@ ORACLE_SQL = {
     "simhash_hamming_pairs": SIMHASH_HAMMING_SQL.format(
         simhash=SIMHASH_SQL),
     "simhash_hamming_k_pairs": SIMHASH_HAMMING_K_SQL,
+    "dedup_cluster_size_stats": DEDUP_CLUSTER_SIZE_SQL,
 }
 
 

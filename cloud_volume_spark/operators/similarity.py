@@ -948,6 +948,78 @@ FROM x GROUP BY pos
 """
 
 
+OUTLIER_SIGMA = 2.0  # flag vectors > mu + 2*sd from their centroid
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier flags: each vector's squared distance
+    to its k-means centroid, z-scored against its OWN cluster's
+    distance distribution — the curation signal that catches
+    mis-embedded, off-distribution, or poisoned rows before they reach
+    an index or a training mix (the embedding-space analog of the
+    text-side quality filters). Rides :func:`embedding_kmeans`
+    verbatim, so the assignment is the oracle-gated trajectory, not a
+    second clustering.
+
+    Engine-exact boundary: mu and the population sd derive from EXACT
+    decimal sums of the identical sq_dist doubles (the kmeans recipe —
+    a double partial-agg summation order could flip the 2-sigma cut),
+    so the flag compares bit-identical values on both engines.
+    Zero-variance clusters flag nothing. Scale: one |clusters|-sized
+    aggregate and one broadcastable stats join over the
+    already-checkpointed assignment — nothing rescans the corpus."""
+    a = embedding_kmeans(spark, sf_dir)
+    n = F.count(F.lit(1))
+    dec = F.col("sq_dist").cast("decimal(38,12)")
+    dec2 = (F.col("sq_dist") * F.col("sq_dist")).cast("decimal(38,12)")
+    stats = a.groupBy("cluster").agg(
+        (F.sum(dec).cast("double") / n).alias("mu"),
+        F.sqrt(F.greatest(
+            F.sum(dec2).cast("double") / n
+            - (F.sum(dec).cast("double") / n)
+            * (F.sum(dec).cast("double") / n),
+            F.lit(0.0))).alias("sd"),
+    )
+    return (
+        a.join(stats, "cluster")
+        .select(
+            "vec_id", "cluster",
+            F.floor(F.col("sq_dist") * 10000 + 0.5).cast("bigint")
+            .alias("sq_dist_e4"),
+            ((F.col("sd") > 0)
+             & (F.col("sq_dist") - F.col("mu")
+                > OUTLIER_SIGMA * F.col("sd")))
+            .cast("int").alias("is_outlier"),
+        )
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH base AS (
+{KMEANS_SQL}
+), stats AS (
+    SELECT cluster,
+           CAST(SUM(CAST(sq_dist AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS mu,
+           SQRT(GREATEST(
+               CAST(SUM(CAST(sq_dist * sq_dist AS DECIMAL(38,12)))
+                    AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(CAST(sq_dist AS DECIMAL(38,12))) AS DOUBLE)
+                  / COUNT(*))
+               * (CAST(SUM(CAST(sq_dist AS DECIMAL(38,12))) AS DOUBLE)
+                  / COUNT(*)),
+               0)) AS sd
+    FROM base GROUP BY cluster
+)
+SELECT b.vec_id, b.cluster,
+       FLOOR(b.sq_dist * 10000 + 0.5)::BIGINT AS sq_dist_e4,
+       (CASE WHEN s.sd > 0
+                  AND b.sq_dist - s.mu > {OUTLIER_SIGMA} * s.sd
+             THEN 1 ELSE 0 END)::INT AS is_outlier
+FROM base b JOIN stats s USING (cluster)
+"""
+
+
 QUERIES = {
     # new-this-round first: registration order feeds the driver's
     # 50-query window (see operators/__init__.py)
@@ -960,6 +1032,7 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_kmeans": embedding_kmeans,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_outliers": embedding_outliers,
 }
 
 ORACLE_SQL = {
@@ -972,4 +1045,5 @@ ORACLE_SQL = {
     "ivf_ann_topk": IVF_ANN_SQL,
     "embedding_kmeans": KMEANS_SQL,
     "embedding_dim_stats": DIM_STATS_SQL,
+    "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
 }

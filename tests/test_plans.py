@@ -647,3 +647,26 @@ def test_q18_plan_semi_on_aggregate_sort_limit(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cluster_size_stats_reuses_cluster_map(spark, sf_dir):
+    """The cluster-size histogram rides the MATERIALIZED cluster map
+    (InMemoryTableScan) with two tiny partial-aggregating shuffles —
+    never re-deriving CC from text."""
+    plan = _plan(all_queries()["dedup_cluster_size_stats"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_embedding_outliers_plan_rides_checkpointed_assignment(spark, sf_dir):
+    """Outlier flags derive from the kmeans assignment's checkpointed
+    RDD — the corpus is never rescanned; stats join + flag are
+    JVM-side with exact decimal partial sums."""
+    plan = _plan(all_queries()["embedding_outliers"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "embeddings.parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_sum" in plan
