@@ -187,6 +187,9 @@ def make_scaled_events(spark, src_dir: str, out_dir: str,
 TPCH_QUERIES = [
     "q4_order_priority",
     "q21_suppliers_waiting",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
 ]
 
 
