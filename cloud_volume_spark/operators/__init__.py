@@ -37,7 +37,11 @@ from cloud_volume_spark import multimodal
 # r11 — refreshing them is harmless). Registry = 96; the 46
 # out-of-window queries are all r11-green (enforced by the invariant
 # test). ROUND-13 ROTATION: front those 46 (their last row will then
-# be r11) plus any new queries.
+# be r11) plus any new queries. CAPACITY NOTE: a 50-query window
+# refreshed in alternating halves covers at most 100 registered
+# queries on a two-round cadence — at 96 the registry has room for
+# FOUR more; beyond that, retire a query (or accept a three-round
+# union and teach the invariant test about it) before adding.
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,
