@@ -540,16 +540,17 @@ TAIL_BUDGET = 1985  # >= 14 chars of margin inside the 2,000-char tail
 
 def fit_tail_line(times, total, sf, b_priority, budget=None):
     """Build the driver-facing final JSON line under the stdout-tail
-    budget. Ladder: 2-decimal query seconds IF the five cross-round
-    signal keys (l1 + the four BASELINE throughput rows) still fit,
-    else 1 decimal; extras added most-critical-first; terminal rung
-    RESERVES all five signal keys and sheds the FASTEST query rows
+    budget. Ladder: 2-decimal query seconds IF the seven cross-round
+    signal keys (l1 + the four BASELINE throughput rows + their vq/sq
+    steal verdicts) still fit, else 1 decimal; extras added
+    most-critical-first; terminal rung
+    RESERVES all seven signal keys and sheds the FASTEST query rows
     instead (slow ones are the informative ones, and the signal keys
     are the only cross-round comparands) with a qdropped count rather
     than ever printing an unparseable over-budget line. Unit-tested in
     tests/test_bench_tail.py."""
     budget = TAIL_BUDGET if budget is None else budget
-    signal = b_priority[:5]  # l1 + vw/vr/sw/sr
+    signal = b_priority[:7]  # l1 + vw/vr/sw/sr + the vq/sq verdicts
 
     def _fit(ndigits):
         compact = {
@@ -719,14 +720,16 @@ def main() -> None:
         ("vr", round(vol_stats["read_mbps"])),
         ("sw", round(seg_stats["write_mbps"])),
         ("sr", round(seg_stats["read_mbps"])),
-        ("su", round(seg_stats["unique_sec"], 2)),
         # steal-probe verdicts for the volume legs: quiet (bracket-
         # probed steal-free) pass counts — 0 means the throughput rows
         # above were recorded entirely inside an external burst and
-        # carry steal_flagged in BENCH_FULL.json. Ranked right after
-        # the throughput rows they qualify (1-2 chars each).
+        # carry steal_flagged in BENCH_FULL.json. Part of the RESERVED
+        # signal set (fit_tail_line keeps the first seven keys through
+        # every rung): a throughput row without its steal verdict is
+        # exactly the indefensible artifact the r11 seg-read row was.
         ("vq", int(vol_stats["quiet_passes"])),
         ("sq", int(seg_stats["quiet_passes"])),
+        ("su", round(seg_stats["unique_sec"], 2)),
         ("ib", round(spatial_stats["build_sec"], 2)),
         ("im", round(spatial_stats["index_mb"])),
         ("ae", round(anno_stats["export_sec"], 2)),

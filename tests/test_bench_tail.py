@@ -15,9 +15,13 @@ from bench import BENCH_QUERIES, TAIL_BUDGET, fit_tail_line
 from scripts.bench_scale import ensure_scaled
 
 
+SIGNAL_KEYS = ("l1", "vw", "vr", "sw", "sr", "vq", "sq")
+
+
 def _b_priority(l1=7.5):
     return [
         ("l1", l1), ("vw", 62), ("vr", 135), ("sw", 143), ("sr", 864),
+        ("vq", 4), ("sq", 4),
         ("su", 0.38), ("ib", 14.8), ("im", 294), ("ae", 4.41),
         ("aq", 1.55), ("cp", 0.19),
     ]
@@ -56,7 +60,7 @@ def test_large_roster_degrades_to_one_decimal_keeping_signal_keys():
     line = fit_tail_line(times, 80.0, 0.1, _b_priority())
     assert len(line) <= TAIL_BUDGET
     d = json.loads(line)
-    for k in ("l1", "vw", "vr", "sw", "sr"):
+    for k in SIGNAL_KEYS:
         assert k in d["b"], f"signal key {k} lost"
     dropped = d.get("qdropped", 0)
     assert dropped + len(d["queries"]) == len(BENCH_QUERIES)
@@ -112,7 +116,7 @@ def test_ensure_scaled_rebuilds_on_src_or_replica_change(tmp_path):
 
 
 def test_wide_signal_value_falls_through_not_silently_shed():
-    """A rung that fits five b keys but not the five SIGNAL keys must
+    """A rung that fits seven b keys but not the seven SIGNAL keys must
     be rejected by name: with an extremely wide sr value the 2/1-dp
     rungs shed it, and only the terminal rung (which reserves the
     signal by name) may emit — sr must appear in the final line."""
@@ -122,6 +126,6 @@ def test_wide_signal_value_falls_through_not_silently_shed():
     line = fit_tail_line(times, 80.0, 0.1, prio)
     assert len(line) <= TAIL_BUDGET
     d = json.loads(line)
-    for k in ("l1", "vw", "vr", "sw", "sr"):
+    for k in SIGNAL_KEYS:
         assert k in d["b"], f"signal key {k} lost"
     assert d["b"]["sr"] == 86412345678901234
