@@ -554,8 +554,13 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce(n_w1, 0)`` — here the model derives from the same docs,
     so every bigram hits and the inner join is lossless."""
     bg = _doc_bigrams(spark, sf_dir)
+    # materialize the vocab²-sized model base ONCE (lazy checkpoint,
+    # the Q15 view pattern): c1, the model join, and the V scalar all
+    # derive from it — without this each consumer re-derives the
+    # corpus-sized bigram stream, turning two corpus passes into four
     c2 = (bg.groupBy("w1", "w2")
-          .agg(F.count(F.lit(1)).alias("n_bigram")))
+          .agg(F.count(F.lit(1)).alias("n_bigram"))
+          .localCheckpoint(eager=False))
     c1 = c2.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
     model = c2.join(c1, "w1")
     v = c1.agg(F.count(F.lit(1)).alias("v"))
