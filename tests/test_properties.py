@@ -213,3 +213,38 @@ def test_compresso_roundtrip_property(sx, sy, sz, nlabels, dtype, seed):
     blob = compresso_io.compress(arr)
     assert np.array_equal(compresso_io.decompress(blob), arr)
     assert np.array_equal(compresso_io.labels(blob), np.unique(arr))
+
+
+@given(
+    st.integers(min_value=0, max_value=2**60 - 1),
+    st.sets(st.integers(min_value=0, max_value=59), max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_hamming_k_pigeonhole_property(print_a, flips):
+    """The wide Hamming join's completeness rests on band arithmetic:
+    with SIMHASH_K_BANDS bands over SIMHASH_K_BITS bits, ANY pair
+    within distance SIMHASH_K_MAX_HAMMING must agree on at least one
+    full band (k flips spoil at most k of k+1 bands). This pins the
+    constants to each other — changing band count or width without
+    re-deriving max-hamming breaks this long before the Spark test
+    would notice."""
+    from cloud_volume_spark.operators.dedup import (
+        SIMHASH_K_BAND_BITS, SIMHASH_K_BAND_MASK, SIMHASH_K_BANDS,
+        SIMHASH_K_BITS, SIMHASH_K_MAX_HAMMING,
+    )
+
+    assert SIMHASH_K_BANDS * SIMHASH_K_BAND_BITS == SIMHASH_K_BITS
+    assert SIMHASH_K_MAX_HAMMING == SIMHASH_K_BANDS - 1
+    print_b = print_a
+    for f in flips:
+        print_b ^= 1 << f
+    assert bin(print_a ^ print_b).count("1") <= SIMHASH_K_MAX_HAMMING
+
+    def bands(p):
+        return [(p >> (j * SIMHASH_K_BAND_BITS)) & SIMHASH_K_BAND_MASK
+                for j in range(SIMHASH_K_BANDS)]
+
+    assert any(x == y for x, y in zip(bands(print_a), bands(print_b)))
+    # and every band value stays a positive signed 64-bit int on both
+    # engines (the 60-bit design point)
+    assert all(0 <= v < 2**63 for v in bands(print_a) + [print_a])
