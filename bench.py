@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
+    "q19_discounted_revenue",
     "simhash_hamming_k_pairs",
     "dedup_cluster_size_stats",
     "doc_bigram_logprob",

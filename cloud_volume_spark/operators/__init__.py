@@ -29,18 +29,18 @@ from cloud_volume_spark import multimodal
 #
 # ROUND-12 ROTATION (executing the round-11 note): the 37 queries whose
 # last driver row is r10 (the relational tail 14 + curation 8 +
-# corpus 10 + multimodal 5) plus the nine NEW round-12 queries
+# corpus 10 + multimodal 5) plus the TEN new round-12 queries
 # (q4/q21/q15/q17/q18 → relational; simhash_hamming_k_pairs +
 # dedup_cluster_size_stats → dedup; doc_bigram_logprob → text;
-# embedding_outliers → similarity) = 46 fronted; the window's
-# remaining 4 slots fall to voxel_rel's first 4 queries (all green in
-# r11 — refreshing them is harmless). Registry = 96; the 46
+# embedding_outliers → similarity; q19 joined late) = 47 fronted; the
+# window's remaining 3 slots fall to voxel_rel's first 3 queries (all green in
+# r11 — refreshing them is harmless). Registry = 97; the 47
 # out-of-window queries are all r11-green (enforced by the invariant
-# test). ROUND-13 ROTATION: front those 46 (their last row will then
+# test). ROUND-13 ROTATION: front those 47 (their last row will then
 # be r11) plus any new queries. CAPACITY NOTE: a 50-query window
 # refreshed in alternating halves covers at most 100 registered
-# queries on a two-round cadence — at 96 the registry has room for
-# FOUR more; beyond that, retire a query (or accept a three-round
+# queries on a two-round cadence — at 97 the registry has room for
+# THREE more; beyond that, retire a query (or accept a three-round
 # union and teach the invariant test about it) before adding.
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
@@ -54,6 +54,7 @@ DRIVER_FRONT = [
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
+    "q19_discounted_revenue",
     "simhash_hamming_k_pairs",
     "dedup_cluster_size_stats",
     "doc_bigram_logprob",

@@ -1736,6 +1736,61 @@ LIMIT 100
 """
 
 
+# Q19's container/shipmode predicates adapt to p_size/l_quantity
+# bands (the synthetic schema has neither column); the plan-family
+# essence — a disjunction of per-brand conjunctive bands evaluated
+# INSIDE one equi-join — is unchanged
+Q19_BANDS = [
+    ("Brand#4", 1, 15, 1, 15),
+    ("Brand#2", 1, 25, 10, 25),
+    ("Brand#19", 1, 40, 20, 35),
+]
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue over an OR of per-brand
+    (size-band AND quantity-band) conjunctions — the disjunctive-
+    predicate join family the rest of the TPC-H set never exercises.
+    The disjunction stays a residual condition on the p_partkey
+    EQUI-join (hash join + post-match filter, never a nested-loop
+    product), and Catalyst still pushes the derivable per-side
+    bounds: part scans with a p_size range, lineitem with the overall
+    l_quantity envelope.
+
+    Scale: part is the dimension side (broadcast while it fits, AQE
+    otherwise); one scan of each table; single-row output rounded
+    after the identical sum chain."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    disj = None
+    for brand, s_lo, s_hi, q_lo, q_hi in Q19_BANDS:
+        c = ((F.col("p_brand") == brand)
+             & F.col("p_size").between(s_lo, s_hi)
+             & F.col("l_quantity").between(q_lo, q_hi))
+        disj = c if disj is None else (disj | c)
+    return (
+        li.join(part, (li.l_partkey == part.p_partkey) & disj)
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+    )
+
+
+_Q19_DISJ_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_BANDS
+)
+
+Q19_SQL = f"""
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_Q19_DISJ_SQL}
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1772,6 +1827,7 @@ QUERIES.update({
     "q15_top_supplier": q15_top_supplier,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_volume_customer": q18_large_volume_customer,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "orders_above_customer_avg": orders_above_customer_avg,
     "urgent_orders_with_lineitems": urgent_orders_with_lineitems,
     "brand_type_pivot": brand_type_pivot,
@@ -1805,4 +1861,5 @@ ORACLE_SQL.update({
     "q15_top_supplier": Q15_SQL,
     "q17_small_qty_revenue": Q17_SQL,
     "q18_large_volume_customer": Q18_SQL,
+    "q19_discounted_revenue": Q19_SQL,
 })

@@ -190,6 +190,7 @@ TPCH_QUERIES = [
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
+    "q19_discounted_revenue",
 ]
 
 

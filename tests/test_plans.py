@@ -670,3 +670,16 @@ def test_embedding_outliers_plan_rides_checkpointed_assignment(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "partial_sum" in plan
+
+
+def test_q19_plan_disjunction_stays_on_equi_join(spark, sf_dir):
+    """Q19's OR-of-conjunctions rides the p_partkey EQUI-join as a
+    residual condition — hash join, never a nested-loop product — and
+    the derivable per-side bounds are pushed to the scans."""
+    plan = _plan(all_queries()["q19_discounted_revenue"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan \
+        or "ShuffledHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "PushedFilters" in plan
