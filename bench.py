@@ -68,9 +68,7 @@ BENCH_QUERIES = [
     "repeated_spans",
     "corpus_shuffle",
     "mixture_sample",
-    "dedup_exact",
     "dedup_incremental",
-    "minhash_signatures",
     "minhash_lsh_pairs",
     "dedup_clusters",
     "dedup_keep_best",
@@ -82,7 +80,6 @@ BENCH_QUERIES = [
     "doc_context_windows",
     "doc_policy_scan",
     "doc_pii_redact",
-    "simhash_fingerprints",
     "vox_changes_feed",
     "embedding_quantize_int8",
     "ann_topk_cosine",
@@ -107,7 +104,6 @@ BENCH_QUERIES = [
     "event_type_share",
     "q8_market_share",
     "q13_customer_distribution",
-    "simhash_hamming_pairs",
     "fuzzy_neardup_titles",
     "dedup_rate_by_source",
     "source_mixture_stats",

@@ -592,15 +592,27 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     approximate and exact rank sets are equal by construction.
     ``emb``: (vec_id, embedding); ``queries``: (query_id, qvec).
     O(N·Q) with the query side broadcast — the measurement tool, not
-    the serving path."""
+    the serving path.
+
+    Both inputs run the SAME batch validator as build/add (round-12
+    advice): a zero-norm or NaN-component vector would yield NaN sim,
+    which sorts ABOVE every real double under DESC and silently
+    corrupts the recall ground truth — a bad measurement corpus must
+    fail loudly instead of skewing recall numbers."""
     from cloud_volume_spark.operators.similarity import (
         _as_double, _dot, _with_norm,
     )
 
     e = _with_norm(emb.select(
         "vec_id", _as_double("embedding").alias("embedding")))
+    _validate_embedding_frame(e, context="brute_force_topk(corpus)")
     q = _with_norm(queries.select(
         "query_id", _as_double("qvec").alias("qvec")), "qvec", "qnrm")
+    _validate_embedding_frame(
+        q.select(F.col("query_id").alias("vec_id"),
+                 F.col("qvec").alias("embedding"),
+                 F.col("qnrm").alias("nrm")),
+        context="brute_force_topk(queries)")
     pairs = e.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.where(F.col("vec_id") != F.col("query_id"))

@@ -20,86 +20,87 @@ from cloud_volume_spark import multimodal
 # lists the keys forced to the registry head, in order; the rest follow
 # in ALL_MODULES order (dict.update keeps first-insertion positions).
 # The invariant — every query OUTSIDE the first 50 has a green row in
-# the PREVIOUS round's CORRECTNESS_r*.json, so the two-round union
-# covers the whole registry — is mechanically enforced by
-# tests/test_registry_invariants.py against the latest committed
-# correctness file. To rotate next round: put the queries whose last
-# driver row is oldest (plus every NEW query) into DRIVER_FRONT, keep
-# it at <= 50 entries, and let the module order pad the window.
+# the UNION of the two most recent committed CORRECTNESS_r*.json files
+# (so committing a round's artifact and rotating DRIVER_FRONT need not
+# be atomic, per the round-12 advice) — is mechanically enforced by
+# tests/test_registry_invariants.py. To rotate next round: put the
+# queries whose last driver row is oldest (plus every NEW query) into
+# DRIVER_FRONT, keep it at <= 50 entries, and let the module order pad
+# the window.
 #
-# ROUND-12 ROTATION (executing the round-11 note): the 37 queries whose
-# last driver row is r10 (the relational tail 14 + curation 8 +
-# corpus 10 + multimodal 5) plus the TEN new round-12 queries
-# (q4/q21/q15/q17/q18 → relational; simhash_hamming_k_pairs +
-# dedup_cluster_size_stats → dedup; doc_bigram_logprob → text;
-# embedding_outliers → similarity; q19 joined late) = 47 fronted; the
-# window's remaining 3 slots fall to voxel_rel's first 3 queries (all green in
-# r11 — refreshing them is harmless). Registry = 97; the 47
-# out-of-window queries are all r11-green (enforced by the invariant
-# test). ROUND-13 ROTATION: front those 47 (their last row will then
-# be r11) plus any new queries. CAPACITY NOTE: a 50-query window
-# refreshed in alternating halves covers at most 100 registered
-# queries on a two-round cadence — at 97 the registry has room for
-# THREE more; beyond that, retire a query (or accept a three-round
-# union and teach the invariant test about it) before adding.
+# ROUND-13 ROTATION (executing the round-12 prescription): the 47
+# queries whose last driver row is r11, MINUS the four retired to the
+# local-parity tier this round (dedup_exact, minhash_signatures,
+# simhash_fingerprints, simhash_hamming_pairs — each subsumed by a
+# registered superset query, see dedup.RETIRED_QUERIES), leaves 43
+# stale keys; the seven NEW round-13 queries take the remaining
+# slots: window = 7 + 43 = 50 exactly, and the out-of-window set is
+# EXACTLY r12's 50-key window, so the r12∪r13 union covers the whole
+# registry with no leftovers.
+#
+# CAPACITY: registry = 97 - 4 retired + 7 new = 100 — the two-round
+# ceiling is now FULL (a 50-query window refreshed in alternating
+# halves covers at most 100). Round 14 MUST front exactly the 50
+# queries outside this round's window, and must retire one registered
+# query (to RETIRED_QUERIES, which keeps local DuckDB parity) for
+# every new one it adds.
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,
 ]
 
 DRIVER_FRONT = [
-    # new in round 12 — first driver rows
-    "q4_order_priority",
-    "q21_suppliers_waiting",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "simhash_hamming_k_pairs",
-    "dedup_cluster_size_stats",
-    "doc_bigram_logprob",
-    "embedding_outliers",
-    # relational tail: last driver row r10
-    "q7_nation_trade",
-    "q14_promo_revenue",
-    "customers_without_orders",
-    "events_funnel",
-    "event_props_extract",
-    "events_cohort_retention",
-    "events_top_paths",
-    "orders_above_customer_avg",
-    "urgent_orders_with_lineitems",
-    "brand_type_pivot",
-    "nations_customers_no_suppliers",
-    "customer_spend_deciles",
-    "largest_order_per_customer",
-    "event_type_share",
-    # curation: last driver row r10
-    "boilerplate_ngrams",
-    "line_dedup",
-    "repeated_spans",
-    "mixture_sample",
-    "token_bucket_stats",
-    "doc_entropy",
-    "doc_perplexity",
-    "corpus_shuffle",
-    # corpus: last driver row r10
-    "corpus_curate",
-    "corpus_sample_stratified",
-    "tfidf_top_terms",
-    "doc_context_windows",
-    "doc_policy_scan",
-    "doc_pii_redact",
-    "dedup_keep_best",
-    "corpus_pack_sequences",
-    "corpus_contamination",
-    "corpus_snapshot_diff",
-    # multimodal: last driver row r10
-    "mm_image_features",
-    "mm_image_resize",
-    "mm_video_frame_sample",
-    "mm_audio_features",
-    "mm_asset_stats",
+    # new in round 13 — first driver rows (added here as each lands;
+    # until all seven exist the window pads from module order with
+    # r12-green voxel_rel queries, which is harmless)
+    # voxel/graphene: last driver row r11
+    "vox_label_envelope",
+    "vox_point_lookup",
+    "vox_remap",
+    "vox_exists",
+    "vox_downsample",
+    "graphene_label_decode",
+    # dedup: last driver row r11
+    "dedup_incremental",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "fuzzy_neardup_titles",
+    "dedup_rate_by_source",
+    # text: last driver row r11
+    "doc_token_stats",
+    "doc_subword_count",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "doc_langid",
+    "doc_repetition",
+    "doc_quality_filter",
+    "source_mixture_stats",
+    "bigram_lm_top",
+    # similarity: last driver row r11
+    "embedding_quantize_int8",
+    "ann_topk_cosine",
+    "embedding_neardup_pairs",
+    "embedding_dedup_keep",
+    "semantic_dedup",
+    "srp_ann_topk",
+    "ivf_ann_topk",
+    "embedding_kmeans",
+    "embedding_dim_stats",
+    # relational/events: last driver row r11
+    "q10_returned_items",
+    "events_conversion_lag",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "top_customers_per_nation",
+    "rollup_revenue",
+    "events_running_total",
+    "events_sessionize",
+    "events_asof_latest_order",
 ]
 
 
@@ -107,6 +108,13 @@ def all_queries():
     merged = {}
     for m in ALL_MODULES:
         merged.update(m.QUERIES)
+    unknown = [k for k in DRIVER_FRONT if k not in merged]
+    if unknown:
+        # loud, named error instead of a bare KeyError mid-dict-comp
+        # (round-12 advice): a typo during rotation must say which
+        # key is wrong, not brick every import-time consumer opaquely
+        raise ValueError(
+            f"DRIVER_FRONT names unregistered queries: {unknown}")
     out = {k: merged[k] for k in DRIVER_FRONT}
     out.update(merged)  # existing keys keep position; rest append
     return out
@@ -119,3 +127,21 @@ def all_oracle_sql():
     out = {k: merged[k] for k in DRIVER_FRONT if k in merged}
     out.update(merged)
     return out
+
+
+def retired_queries():
+    """Queries retired from the driver registry to free 50-query
+    window slots — still exercised by the local DuckDB parity suite
+    (tests/test_oracle_parity.py) every run; each is subsumed by a
+    registered superset query (see the module-level RETIRED dicts)."""
+    merged = {}
+    for m in ALL_MODULES:
+        merged.update(getattr(m, "RETIRED_QUERIES", {}))
+    return merged
+
+
+def retired_oracle_sql():
+    merged = {}
+    for m in ALL_MODULES:
+        merged.update(getattr(m, "RETIRED_ORACLE_SQL", {}))
+    return merged

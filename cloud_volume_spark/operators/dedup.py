@@ -944,18 +944,33 @@ WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
 
 
 QUERIES = {
-    "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
-    "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "simhash_fingerprints": simhash_fingerprints,
     "dedup_clusters": materialized_clusters,
     "fuzzy_neardup_titles": fuzzy_neardup_titles,
     "dedup_rate_by_source": dedup_rate_by_source,
-    "simhash_hamming_pairs": simhash_hamming_pairs,
     "simhash_hamming_k_pairs": simhash_hamming_k_pairs,
     "dedup_cluster_size_stats": dedup_cluster_size_stats,
+}
+
+# Retired from the DRIVER registry (round 13) to free window slots —
+# each one's full computation remains driver-verified INSIDE a
+# registered superset query, and the local DuckDB parity test
+# (tests/test_oracle_parity.py) still exercises all four every run:
+#   dedup_exact            ⊂ dedup_incremental / line_dedup /
+#                            dedup_keep_best (md5-groupBy family)
+#   minhash_signatures     — recomputed verbatim inside
+#                            DEDUP_INCREMENTAL_SQL / LSH_PAIRS_SQL
+#   simhash_fingerprints   — recomputed verbatim inside
+#                            SIMHASH_HAMMING_SQL (the 16-bit prints)
+#   simhash_hamming_pairs  ⊂ simhash_hamming_k_pairs (same pigeonhole
+#                            join, wide prints, distance ≤ 3)
+RETIRED_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "simhash_fingerprints": simhash_fingerprints,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
 }
 
 
@@ -982,21 +997,24 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 ORACLE_SQL = {
-    "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
-    "minhash_signatures": MINHASH_SQL,
     "minhash_lsh_pairs": LSH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
-    "simhash_fingerprints": SIMHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL.format(
         shingles=SHINGLES_SQL, sig_cols=_SIG_SQL_COLS, bands=_BANDS_SQL
     ),
     "fuzzy_neardup_titles": FUZZY_TITLES_SQL,
     "dedup_rate_by_source": DEDUP_RATE_BY_SOURCE_SQL,
-    "simhash_hamming_pairs": SIMHASH_HAMMING_SQL.format(
-        simhash=SIMHASH_SQL),
     "simhash_hamming_k_pairs": SIMHASH_HAMMING_K_SQL,
     "dedup_cluster_size_stats": DEDUP_CLUSTER_SIZE_SQL,
+}
+
+RETIRED_ORACLE_SQL = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_signatures": MINHASH_SQL,
+    "simhash_fingerprints": SIMHASH_SQL,
+    "simhash_hamming_pairs": SIMHASH_HAMMING_SQL.format(
+        simhash=SIMHASH_SQL),
 }
 
 

@@ -7,15 +7,19 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from cloud_volume_spark.operators import all_oracle_sql, all_queries
+from cloud_volume_spark.operators import (
+    all_oracle_sql, all_queries, retired_oracle_sql, retired_queries,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-QUERIES = all_queries()
-ORACLES = all_oracle_sql()
+# registry + retired tier: retirement frees driver-window slots, it
+# never drops local cross-engine coverage
+QUERIES = {**all_queries(), **retired_queries()}
+ORACLES = {**all_oracle_sql(), **retired_oracle_sql()}
 
 
 @pytest.fixture(scope="module")

@@ -55,10 +55,13 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 
 
 def test_text_ops_stay_jvm_side(spark, sf_dir):
+    from cloud_volume_spark.operators import retired_queries
+
+    reg = {**all_queries(), **retired_queries()}
     for name in ["doc_token_stats", "doc_quality_score", "doc_fingerprint",
                  "doc_langid", "doc_repetition", "corpus_pack_sequences",
                  "dedup_exact", "minhash_signatures", "doc_quality_filter"]:
-        plan = _plan(all_queries()[name](spark, sf_dir))
+        plan = _plan(reg[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
 
@@ -550,7 +553,9 @@ def test_simhash_hamming_plan_banded_join_jvm_side(spark, sf_dir):
     """Multi-index Hamming pairs: candidates from equi-joins on the
     band key only (never a product), verify is JVM bit arithmetic
     (no Python eval anywhere in the plan)."""
-    plan = _plan(all_queries()["simhash_hamming_pairs"](spark, sf_dir))
+    from cloud_volume_spark.operators import retired_queries
+
+    plan = _plan(retired_queries()["simhash_hamming_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan

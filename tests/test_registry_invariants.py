@@ -64,12 +64,16 @@ def test_driver_front_is_wellformed():
     assert list(registry)[: len(DRIVER_FRONT)] == DRIVER_FRONT
 
 
-def test_out_of_window_queries_are_green_in_latest_correctness():
+def test_out_of_window_queries_are_green_in_recent_correctness():
     """The rotation contract: every query OUTSIDE the first-50 driver
-    window must have a green row in the latest committed
-    CORRECTNESS_r*.json, so the two-round union keeps the whole
-    registry on fresh driver evidence. Queries newer than that file
-    must be IN the window (their first row is this round's)."""
+    window must have a green row in the UNION of the two most recent
+    CORRECTNESS_r*.json files, so the whole registry stays on fresh
+    driver evidence. The union (round-12 advice) means committing a
+    round's artifact and rotating DRIVER_FRONT need not be atomic —
+    but a never-rotating builder still goes red one round later, once
+    the two most recent files carry identical windows. Queries newer
+    than both files must be IN the window (their first row is this
+    round's)."""
     import glob
     import json
 
@@ -78,12 +82,28 @@ def test_out_of_window_queries_are_green_in_latest_correctness():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     assert files, "no committed correctness artifact"
-    prev = json.load(open(files[-1]))
-    green = {k for k, v in prev.items()
-             if v.get("rows_match") and v.get("err") is None}
+    green = set()
+    for f in files[-2:]:
+        rows = json.load(open(f))
+        green |= {k for k, v in rows.items()
+                  if v.get("rows_match") and v.get("err") is None}
     window = set(list(all_queries())[:50])
     stale = [k for k in all_queries()
              if k not in window and k not in green]
     assert not stale, (
-        f"out-of-window queries with no green row in {files[-1]}: "
-        f"{stale}")
+        f"out-of-window queries with no green row in the union of "
+        f"{[os.path.basename(f) for f in files[-2:]]}: {stale}")
+
+
+def test_retired_queries_stay_disjoint_and_oracled():
+    """The retired tier (round 13): every retired query keeps an
+    oracle (the local parity suite runs them), and no retired name
+    shadows a registered one — a collision would silently serve the
+    retired implementation under the registered key."""
+    from cloud_volume_spark.operators import (
+        all_queries, retired_oracle_sql, retired_queries,
+    )
+
+    rq, ro = set(retired_queries()), set(retired_oracle_sql())
+    assert rq == ro, (rq - ro, ro - rq)
+    assert rq.isdisjoint(set(all_queries())), rq & set(all_queries())
