@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
     "simhash_hamming_k_pairs",
     "dedup_cluster_size_stats",
     "doc_bigram_logprob",

@@ -53,6 +53,10 @@ DRIVER_FRONT = [
     # new in round 13 — first driver rows (added here as each lands;
     # until all seven exist the window pads from module order with
     # r12-green voxel_rel queries, which is harmless)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
     # voxel/graphene: last driver row r11
     "vox_label_envelope",
     "vox_point_lookup",

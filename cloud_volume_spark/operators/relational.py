@@ -1791,6 +1791,313 @@ WHERE {_Q19_DISJ_SQL}
 """
 
 
+# Q2's partsupp is derived from lineitem (the synthetic schema ships
+# no partsupp table): supplycost(part, supplier) = the minimum
+# observed unit price MIN(ROUND(l_extendedprice / l_quantity, 4)).
+# The division of identical parquet doubles is IEEE-exact on both
+# engines and the 4-dp round happens BEFORE the MIN, so the
+# correlated-minimum compares identical values everywhere.
+Q2_REGION = "EUROPE"
+Q2_MIN_SIZE = 45
+Q2_TYPE = "LARGE"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each large high-size part,
+    the EUROPE supplier(s) whose derived supply cost equals the
+    region-wide minimum for that part — the correlated-MIN-subquery-
+    over-a-join family, decorrelated into a per-part MIN over the
+    region-filtered cost table joined back on (partkey, cost).
+
+    Scale: the part slice is dimension-tiny behind pushed size/type
+    filters and BROADCAST into the lineitem scan, so the fact table is
+    filtered map-side before the (partkey, suppkey) partial-agg
+    shuffle; supplier⋈nation⋈region is a broadcast chain; the
+    correlated MIN runs over the already part-bounded cost table
+    (dimension-sized), never a second fact pass. Top-100 by account
+    balance is a sort-limit."""
+    region = load(spark, sf_dir, "region").where(
+        F.col("r_name") == Q2_REGION)
+    nat = (load(spark, sf_dir, "nation")
+           .join(F.broadcast(region),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_size") >= Q2_MIN_SIZE) & (F.col("p_type") == Q2_TYPE)
+    ).select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    cost = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.round(
+                F.col("l_extendedprice") / F.col("l_quantity"), 4))
+                .alias("supplycost")))
+    rc = cost.join(supp, cost.l_suppkey == supp.s_suppkey)
+    minc = (rc.groupBy(F.col("l_partkey").alias("_mk"))
+            .agg(F.min("supplycost").alias("_min_cost")))
+    return (
+        rc.join(minc, (rc.l_partkey == minc._mk)
+                & (rc.supplycost == minc._min_cost))
+        .join(F.broadcast(part), rc.l_partkey == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("l_partkey").alias("p_partkey"), "p_type",
+                "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH part_f AS (
+    SELECT p_partkey, p_type FROM part
+    WHERE p_size >= {Q2_MIN_SIZE} AND p_type = '{Q2_TYPE}'
+), supp_r AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q2_REGION}'
+), cost AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(ROUND(l_extendedprice / l_quantity, 4)) AS supplycost
+    FROM lineitem JOIN part_f ON l_partkey = p_partkey
+    GROUP BY l_partkey, l_suppkey
+), rc AS (
+    SELECT c.l_partkey, c.supplycost,
+           s.s_suppkey, s.s_name, s.s_acctbal, s.n_name
+    FROM cost c JOIN supp_r s ON c.l_suppkey = s.s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, rc.l_partkey AS p_partkey,
+       p_type, supplycost
+FROM rc JOIN part_f ON rc.l_partkey = p_partkey
+WHERE supplycost = (SELECT MIN(supplycost) FROM rc r2
+                    WHERE r2.l_partkey = rc.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# Q11's ps_supplycost*ps_availqty inventory value is derived from
+# lineitem: value(part) = discounted revenue supplied by one region's
+# suppliers. The HAVING-vs-global-scalar family is unchanged; the
+# TPC-H FRACTION (0.0001/SF — it must shrink as the part count grows)
+# becomes a multiple of the MEAN per-part value, which keeps the
+# output a stable slice of the distribution at every SF instead of
+# going empty past sf0.01.
+Q11_REGION = "ASIA"
+Q11_MEAN_MULT = 2.0
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per-part supplied
+    value from one region's suppliers, keeping parts whose value
+    exceeds FRACTION of the region's total — the group-HAVING vs
+    global-scalar family. The scalar is one extra reduction over the
+    ALREADY-AGGREGATED per-part table (never a second fact scan),
+    broadcast as a 1-row cross join into the filter.
+
+    Engine-exact: per-part values are rounded to 4 dp after identical
+    sum chains; the global total then sums the ROUNDED per-part values
+    in decimal (order-independent, exact), so the > compare is
+    bit-identical on both engines."""
+    nat = (load(spark, sf_dir, "nation")
+           .join(F.broadcast(load(spark, sf_dir, "region")
+                             .where(F.col("r_name") == Q11_REGION)),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey"))
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+           .groupBy("l_partkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 4)
+                .alias("value")))
+    # the per-part aggregate feeds both the rows and the scalar —
+    # materialize it once (the Q15 lesson) so lineitem scans ONCE
+    val = val.localCheckpoint(eager=False)
+    total = val.agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+         / F.count(F.lit(1)) * F.lit(Q11_MEAN_MULT)).alias("_thresh"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("_thresh"))
+        .select(F.col("l_partkey").alias("ps_partkey"), "value")
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH val AS (
+    SELECT l_partkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q11_REGION}'
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS ps_partkey, value
+FROM val
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                      / COUNT(*) * {Q11_MEAN_MULT} FROM val)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+# Q20's ps_availqty is derived from lineitem: a supplier's "available
+# quantity" of a part = total quantity they ever shipped of it; the
+# correlated 0.5×SUM threshold is the part's one-year shipped total.
+Q20_NAME_PREFIX = "red "
+Q20_REGION = "ASIA"
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one region
+    holding more of a 'red' part than half of what the whole market
+    shipped of it in 1996 — the doubly-nested semi-join with a
+    correlated 0.5×SUM subquery, decorrelated into two bounded
+    aggregates joined on partkey, then a LEFT SEMI from supplier onto
+    the qualifying supplier set.
+
+    Scale: the part-name slice broadcasts into BOTH lineitem passes
+    (map-side filter before each partial-agg shuffle); the all-time
+    and 1996 aggregates are (part×supplier)- and part-sized; the
+    qualifying-supplier set is dimension-sized for the semi join.
+    Quantities are integral doubles, so sums are fp-exact on both
+    engines and the 0.5× compare cannot flip."""
+    redp = load(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    red_li = li.join(F.broadcast(redp), li.l_partkey == redp.p_partkey)
+    ps = (red_li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("_qty")))
+    half = (red_li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+        .groupBy(F.col("l_partkey").alias("_hk"))
+        .agg((F.sum("l_quantity") * 0.5).alias("_half")))
+    qual = (ps.join(half, ps.l_partkey == half._hk)
+            .where(F.col("_qty") > F.col("_half"))
+            .select("l_suppkey").distinct())
+    nat = (load(spark, sf_dir, "nation")
+           .join(F.broadcast(load(spark, sf_dir, "region")
+                             .where(F.col("r_name") == Q20_REGION)),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey"))
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey")))
+    return (supp.join(qual, supp.s_suppkey == qual.l_suppkey,
+                      "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_name"))
+
+
+Q20_SQL = f"""
+WITH redp AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+), ps AS (
+    SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+    FROM lineitem JOIN redp ON l_partkey = p_partkey
+    GROUP BY l_partkey, l_suppkey
+), half AS (
+    SELECT l_partkey, 0.5 * SUM(l_quantity) AS half_qty
+    FROM lineitem JOIN redp ON l_partkey = p_partkey
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q20_REGION}'
+  AND s_suppkey IN (SELECT l_suppkey FROM ps
+                    JOIN half USING (l_partkey) WHERE qty > half_qty)
+ORDER BY s_name
+"""
+
+
+# Q22's phone-prefix country code adapts to c_nationkey % 10 (the
+# synthetic customer table has no phone column), and "no orders in
+# 7 years" to "no orders on/after Q22_CUTOFF" (every synthetic
+# customer has SOME order, so the literal anti-join would be empty).
+Q22_CODES = (1, 3, 5, 7, 9)
+Q22_CUTOFF = "1999-01-01"
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): wealthy, inactive
+    customers in selected country codes — the anti-join + scalar-AVG
+    family: the balance cut compares against the average positive
+    balance over the SAME code slice (a 1-row broadcast), and
+    inactivity is a LEFT ANTI join against the date-filtered orders.
+
+    Engine-exact: the average is decimal-exact (balances carry 2 dp,
+    so DECIMAL(18,2) sums are order-independent) and cast to double
+    ONCE before the compare; the output total is the exact decimal
+    sum cast to double — no float-accumulation drift anywhere."""
+    cust = load(spark, sf_dir, "customer").where(
+        (F.col("c_nationkey") % 10).isin(*Q22_CODES)
+    ).select(
+        "c_custkey", "c_acctbal",
+        (F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
+    # exact decimal sum → ONE double division (decimal÷int division
+    # scale/rounding rules differ between engines; double division of
+    # identical operands does not)
+    avgbal = (cust.where(F.col("c_acctbal") > 0.0)
+              .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double")
+                    / F.count(F.lit(1))).alias("_avg")))
+    recent = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(Q22_CUTOFF)).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avgbal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_CODES_SQL = ", ".join(str(c) for c in Q22_CODES)
+
+Q22_SQL = f"""
+WITH c AS (
+    SELECT c_custkey, c_acctbal,
+           CAST(c_nationkey % 10 AS INT) AS cntrycode
+    FROM customer
+    WHERE c_nationkey % 10 IN ({_Q22_CODES_SQL})
+), avgbal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS a
+    FROM c WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           AS totacctbal
+FROM c
+WHERE c_acctbal > (SELECT a FROM avgbal)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '{Q22_CUTOFF}')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 QUERIES.update({
     "q7_nation_trade": q7_nation_trade,
     "q14_promo_revenue": q14_promo_revenue,
@@ -1822,6 +2129,10 @@ QUERIES = {
 }
 
 QUERIES.update({
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q4_order_priority": q4_order_priority,
     "q21_suppliers_waiting": q21_suppliers_waiting,
     "q15_top_supplier": q15_top_supplier,
@@ -1862,4 +2173,8 @@ ORACLE_SQL.update({
     "q17_small_qty_revenue": Q17_SQL,
     "q18_large_volume_customer": Q18_SQL,
     "q19_discounted_revenue": Q19_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q20_potential_promotion": Q20_SQL,
+    "q22_global_sales_opportunity": Q22_SQL,
 })

@@ -191,6 +191,10 @@ TPCH_QUERIES = [
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
 ]
 
 
