@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "corpus_shuffle",
     "mixture_sample",
     "dedup_incremental",
+    "lsh_index_lookup",
     "minhash_lsh_pairs",
     "dedup_clusters",
     "dedup_keep_best",

@@ -57,6 +57,7 @@ DRIVER_FRONT = [
     "q11_important_stock",
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
+    "lsh_index_lookup",
     # voxel/graphene: last driver row r11
     "vox_label_envelope",
     "vox_point_lookup",

@@ -615,6 +615,69 @@ WHERE d.doc_id % {INGEST_MOD} = 0
 """
 
 
+# ---- persistent LSH band index (lsh_index.py) -----------------------
+
+_LSH_INDEX_CACHE: dict = {}
+_LSH_INDEX_CACHE_MAX = 4
+
+
+def clear_lsh_index_cache() -> None:
+    """Drop every cached standing index (tests / session stop). The
+    on-disk directories are left for the OS tempdir reaper."""
+    _LSH_INDEX_CACHE.clear()
+
+
+def _standing_lsh_index(spark: SparkSession, sf_dir: str):
+    """The standing corpus band index with build-once semantics per
+    (session, dataset) — the ``materialized_clusters`` caching pattern
+    applied to an ON-DISK artifact: first call signatures the corpus
+    (``doc_id % INGEST_MOD != 0``) once into a temp directory; later
+    calls (and every ingest lookup) reuse the persisted bands."""
+    import tempfile
+
+    from cloud_volume_spark.lsh_index import build_lsh_index
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, _dataset_fingerprint(sf_dir))
+    idx = _LSH_INDEX_CACHE.get(key)
+    if idx is not None:
+        _LSH_INDEX_CACHE[key] = _LSH_INDEX_CACHE.pop(key)
+        return idx
+    for k in [k for k in _LSH_INDEX_CACHE if k[0] != app_id]:
+        _LSH_INDEX_CACHE.pop(k)
+    while len(_LSH_INDEX_CACHE) >= _LSH_INDEX_CACHE_MAX:
+        _LSH_INDEX_CACHE.pop(next(iter(_LSH_INDEX_CACHE)))
+    corpus = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % INGEST_MOD != 0)
+    idx = build_lsh_index(
+        corpus, tempfile.mkdtemp(prefix="cvs_lsh_idx_"))
+    _LSH_INDEX_CACHE[key] = idx
+    return idx
+
+
+def lsh_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup THROUGH the persistent band index —
+    the production serving path for :func:`dedup_incremental`, which
+    its docstring names ("a standing corpus would keep its band table
+    materialized"): the corpus bands live on disk PARTITIONED BY
+    (band, bucket) (:mod:`cloud_volume_spark.lsh_index`), the batch's
+    distinct buckets prune the scan, and the batch side broadcasts —
+    the corpus is never re-signatured per ingest. Output (and oracle)
+    row-for-row identical to ``dedup_incremental``; what this query
+    adds to the driver gate is the persisted-index execution path.
+
+    Scale: at 100 TB the recompute path pays a full corpus signature
+    per daily batch; this one pays ONE signature at build, then
+    per-ingest cost bounded by the delta + the touched band buckets
+    (pruned scan), with add/remove/compact mirroring the IVF
+    lifecycle. The 10x leg (scripts/bench_scale.py --lsh) shows ingest
+    cost scaling with the DELTA, not the corpus."""
+    idx = _standing_lsh_index(spark, sf_dir)
+    batch = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % INGEST_MOD == 0)
+    return idx.lookup(batch)
+
+
 SIMHASH_MAX_HAMMING = 1   # near-dup predicate: popcount(xor) <= 1
 SIMHASH_BAND_CAP = 256    # band groups above this are excluded (documented)
 
@@ -944,6 +1007,7 @@ WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
 
 
 QUERIES = {
+    "lsh_index_lookup": lsh_index_lookup,
     "dedup_incremental": dedup_incremental,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -997,6 +1061,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 ORACLE_SQL = {
+    # the persisted-index path must produce EXACTLY the recompute
+    # path's rows, so it shares dedup_incremental's oracle text
+    "lsh_index_lookup": DEDUP_INCREMENTAL_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "minhash_lsh_pairs": LSH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

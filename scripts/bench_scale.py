@@ -401,6 +401,13 @@ if __name__ == "__main__":
     ap.add_argument("--annotations", action="store_true",
                     help="run the annotation-layer scale leg: export "
                          "+ bbox query at 2M vs 20M points")
+    ap.add_argument("--lsh", action="store_true",
+                    help="run the persistent-LSH-band-index scale leg: "
+                         "build / fixed-delta add / fixed-batch lookup "
+                         "at 1x vs 10x corpus, vs the re-signature "
+                         "(dedup_incremental-shaped) recompute path — "
+                         "ingest cost must scale with the DELTA, the "
+                         "recompute path with the corpus")
     ap.add_argument("--zs", default="100,200,400",
                     help="z extents for --volume (1024x1024xZ uint16)")
     args = ap.parse_args()
@@ -411,6 +418,93 @@ if __name__ == "__main__":
         SPARK = get_spark()
         bench_volume_scale(
             SPARK, zs=tuple(int(z) for z in args.zs.split(",")))
+        sys.exit(0)
+
+    if args.lsh:
+        import shutil
+        import tempfile
+        import time as _t
+
+        from pyspark.sql import functions as F
+
+        from cloud_volume_spark import get_spark
+        from cloud_volume_spark.lsh_index import build_lsh_index
+        from cloud_volume_spark.operators.dedup import (
+            INGEST_MOD, band_frame, signature_frame_maponly,
+        )
+
+        SPARK = get_spark()
+        ensure_scaled(SPARK, SF01, args.scaled_dir, args.replicas,
+                      make_scaled, "docs")
+
+        def _docs(d):
+            return SPARK.read.parquet(f"{d}/documents.parquet").select(
+                "doc_id", "text")
+
+        out = {}
+        for tag, d in (("1x", SF01), (f"{args.replicas}x",
+                                      args.scaled_dir)):
+            docs = _docs(d)
+            corpus = docs.where(F.col("doc_id") % INGEST_MOD != 0)
+            # fixed-size batch/delta at BOTH scales: doc_id < 640 with
+            # the ingest residue — the same 64 documents everywhere
+            batch = docs.where((F.col("doc_id") % INGEST_MOD == 0)
+                               & (F.col("doc_id") < 640))
+            path = tempfile.mkdtemp(prefix=f"cvs_lsh_leg_{tag}_")
+            shutil.rmtree(path)
+            t0 = _t.monotonic()
+            idx = build_lsh_index(corpus, path)
+            t_build = _t.monotonic() - t0
+            # delta add: the SAME 64 docs under fresh ids
+            delta = batch.withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(10 ** 12))
+                .cast("long"))
+            t0 = _t.monotonic()
+            idx.add(delta)
+            t_add = _t.monotonic() - t0
+            idx.remove(delta.select("doc_id"))
+            t_lkp = None
+            for _ in range(2):
+                t0 = _t.monotonic()
+                n_lkp = idx.lookup(batch).count()
+                dt = _t.monotonic() - t0
+                t_lkp = dt if t_lkp is None else min(t_lkp, dt)
+            # the re-signature path: corpus bands derived from parquet
+            # per run (the dedup_incremental shape, same 64-doc batch)
+            t_rec = None
+            for _ in range(2):
+                t0 = _t.monotonic()
+                cb = band_frame(signature_frame_maponly(corpus))
+                nb = band_frame(signature_frame_maponly(batch)).select(
+                    F.col("doc_id").alias("new_id"), "band", "band_hash")
+                n_rec = (cb.join(F.broadcast(nb), ["band", "band_hash"])
+                         .groupBy("new_id")
+                         .agg(F.min("doc_id").alias("dup_of"),
+                              F.countDistinct("doc_id").alias("n"))
+                         .count())
+                dt = _t.monotonic() - t0
+                t_rec = dt if t_rec is None else min(t_rec, dt)
+            out[tag] = {"n_corpus": corpus.count(),
+                        "build_sec": round(t_build, 3),
+                        "add64_sec": round(t_add, 3),
+                        "lookup64_sec": round(t_lkp, 3),
+                        "lookup_rows": n_lkp,
+                        "recompute64_sec": round(t_rec, 3),
+                        "recompute_rows": n_rec}
+            print(json.dumps({"leg": "lsh", "scale": tag, **out[tag]}),
+                  flush=True)
+            shutil.rmtree(path, ignore_errors=True)
+        b, s = out["1x"], out[f"{args.replicas}x"]
+        print(f"\n# lsh_index  corpus {b['n_corpus']}→{s['n_corpus']}: "
+              f"build {b['build_sec']}→{s['build_sec']} "
+              f"({round(s['build_sec'] / max(b['build_sec'], 1e-9), 2)}x), "
+              f"add64 {b['add64_sec']}→{s['add64_sec']} "
+              f"({round(s['add64_sec'] / max(b['add64_sec'], 1e-9), 2)}x), "
+              f"lookup64 {b['lookup64_sec']}→{s['lookup64_sec']} "
+              f"({round(s['lookup64_sec'] / max(b['lookup64_sec'], 1e-9), 2)}x), "
+              f"recompute64 {b['recompute64_sec']}→{s['recompute64_sec']} "
+              f"({round(s['recompute64_sec'] / max(b['recompute64_sec'], 1e-9), 2)}x)"
+              )
         sys.exit(0)
 
     if args.ivf_recall:
