@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "embedding_dedup_keep",
     "srp_ann_topk",
     "ivf_ann_topk",
+    "ivf_ann_topk_int8",
+    "embedding_curate",
     "embedding_kmeans",
     "semantic_dedup",
     "mm_image_features",

@@ -57,6 +57,29 @@ _META_VERSION = 1
 _LISTS_SCHEMA = ("vec_id bigint, embedding array<double>, "
                  "nrm double, cent_id bigint")
 
+# the OPTIONAL int8 sidecar (IVF-PQ-lite): symmetric-int8 codes stored
+# in their own parquet partitioned the same way, so the affinity scan
+# reads 2-byte components instead of 8-byte doubles (4x less list IO)
+# and the float lists are touched only for the top-R rerank join
+_CODES_SCHEMA = ("vec_id bigint, q array<smallint>, sq bigint, "
+                 "cent_id bigint")
+
+
+def _codes_frame(lists_df: DataFrame) -> DataFrame:
+    """(vec_id, q, sq, cent_id) for a lists-shaped frame — THE
+    quantization contract (``similarity.int8_codes``), with components
+    narrowed to smallint (values are in [-127, 127]; the narrow type
+    is the IO win)."""
+    from cloud_volume_spark.operators.similarity import int8_codes
+
+    c = int8_codes(
+        lists_df.select("vec_id", "embedding", "cent_id"), "embedding")
+    return c.select(
+        "vec_id",
+        F.transform("q", lambda x: x.cast("smallint")).alias("q"),
+        F.col("sq").cast("long").alias("sq"),
+        "cent_id")
+
 
 def _validate_embedding_frame(e: DataFrame, dim: int | None = None,
                               context: str = "build_ivf_index",
@@ -132,6 +155,7 @@ def build_ivf_index(
     centroid_base_id: int = 100,
     centroids: str = "sample",
     kmeans_rounds: int = 5,
+    int8: bool = False,
 ) -> "IVFIndex":
     """Build and persist an IVF index over ``emb`` (vec_id long,
     embedding array<numeric>). One validation job + one assignment job
@@ -179,6 +203,14 @@ def build_ivf_index(
     (assign.repartition("cent_id")
      .write.mode("overwrite").partitionBy("cent_id")
      .parquet(f"{out_path}/lists.parquet"))
+    if int8:
+        # codes derive from the PERSISTED floats (parquet round-trips
+        # doubles exactly, but reading back keeps one source of truth)
+        persisted = (spark.read.schema(_LISTS_SCHEMA)
+                     .parquet(f"{out_path}/lists.parquet"))
+        (_codes_frame(persisted).repartition("cent_id")
+         .write.mode("overwrite").partitionBy("cent_id")
+         .parquet(f"{out_path}/codes.parquet"))
 
     # count + dim come from the validated input: every validated row
     # yields exactly one crnk==1 row (NULL/mixed-dim rows — the only
@@ -186,7 +218,8 @@ def build_ivf_index(
     # needed to know what was persisted.
     meta = {"version": _META_VERSION, "nlist": int(nlist),
             "dim": dim, "count": n_total, "centroids": centroids,
-            "centroid_base_id": int(centroid_base_id)}
+            "centroid_base_id": int(centroid_base_id),
+            "int8": bool(int8)}
     fs.write_bytes(f"{out_path}/ivf_meta.json",
                    json.dumps(meta, sort_keys=True).encode())
     return IVFIndex.open(spark, out_path)
@@ -295,6 +328,20 @@ class IVFIndex:
     def lists(self) -> DataFrame:
         return (self.spark.read.schema(_LISTS_SCHEMA)
                 .parquet(f"{self.path}/lists.parquet"))
+
+    @property
+    def int8(self) -> bool:
+        return bool(self.meta.get("int8"))
+
+    def codes(self) -> DataFrame:
+        """The int8 sidecar (built with ``int8=True``): quantized
+        codes per vector, partitioned like the float lists."""
+        if not self.int8:
+            raise ValueError(
+                "this index has no int8 codes — rebuild with "
+                "build_ivf_index(..., int8=True)")
+        return (self.spark.read.schema(_CODES_SCHEMA)
+                .parquet(f"{self.path}/codes.parquet"))
 
     def list_stats(self) -> DataFrame:
         """Per-inverted-list row counts — the list-balance observable
@@ -405,6 +452,11 @@ class IVFIndex:
             (assign.repartition("cent_id")
              .write.mode("append").partitionBy("cent_id")
              .parquet(f"{self.path}/lists.parquet"))
+            if self.int8:
+                # same delta, same assignment — one map-only quantize
+                (_codes_frame(assign).repartition("cent_id")
+                 .write.mode("append").partitionBy("cent_id")
+                 .parquet(f"{self.path}/codes.parquet"))
             # O(delta) bookkeeping: the batch was validated disjoint
             # from the on-disk ids and drop-free, so count grows by
             # exactly n_new — recounting the whole index here would
@@ -496,6 +548,23 @@ class IVFIndex:
                        if before[c] == int(r["_hits"])]
             for c in emptied:
                 fs.rmtree(f"{self.path}/lists.parquet/cent_id={c}")
+            if self.int8:
+                # the codes sidecar mirrors the SAME affected/emptied
+                # partition set (vec_id→cent_id is identical by
+                # construction) — dynamic overwrite, delta-bounded
+                code_survivors = (
+                    self.codes()
+                    .where(F.col("cent_id").isin(affected))
+                    .join(F.broadcast(ids), "vec_id", "left_anti")
+                    .select("vec_id", "q", "sq", "cent_id")
+                    .localCheckpoint(eager=True))
+                (code_survivors.repartition("cent_id")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("cent_id")
+                 .parquet(f"{self.path}/codes.parquet"))
+                for c in emptied:
+                    fs.rmtree(f"{self.path}/codes.parquet/cent_id={c}")
             self.meta = {**self.meta, "count":
                          int(self.meta["count"]) - n_hit}
             self._write_meta(fs)
@@ -513,8 +582,7 @@ class IVFIndex:
         — per list), untouched lists keep their files, vector content
         and meta count are unchanged. Returns the number of lists
         rewritten."""
-        with self._mutation_lock() as fs:
-            base = f"{self.path}/lists.parquet"
+        def _compact(fs, base, reader, cols):
             crowded = []
             for d in fs.listdir(base):
                 if not d.startswith("cent_id="):
@@ -527,15 +595,27 @@ class IVFIndex:
             if not crowded:
                 return 0
             survivors = (
-                self.lists().where(F.col("cent_id").isin(crowded))
-                .select("vec_id", "embedding", "nrm", "cent_id")
+                reader().where(F.col("cent_id").isin(crowded))
+                .select(*cols)
                 .localCheckpoint(eager=True))
             (survivors.repartition("cent_id")
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("cent_id")
              .parquet(base))
-        return len(crowded)
+            return len(crowded)
+
+        with self._mutation_lock() as fs:
+            n = _compact(fs, f"{self.path}/lists.parquet", self.lists,
+                         ["vec_id", "embedding", "nrm", "cent_id"])
+            if self.int8:
+                # the codes sidecar accumulates the same small-files
+                # tax (every add appends to both); compact it on the
+                # same pass, counted separately
+                n += _compact(fs, f"{self.path}/codes.parquet",
+                              self.codes,
+                              ["vec_id", "q", "sq", "cent_id"])
+        return n
 
     def search(self, queries: DataFrame, k: int = 5,
                nprobe: int = 4,
@@ -579,6 +659,79 @@ class IVFIndex:
                 "query_id", F.col("vec_id").alias("neighbor_id"),
                 F.round(sim, 6).alias("sim"))
             .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= int(k))
+        )
+
+    def search_int8(self, queries: DataFrame, k: int = 5,
+                    nprobe: int = 4, rerank_r: int | None = None,
+                    exclude_self: bool = True) -> DataFrame:
+        """Top-k via the INT8 sidecar (IVF-PQ-lite serving path):
+        candidate affinity is the quantized cosine over
+        ``codes.parquet`` — the pruned scan reads 2-byte components
+        instead of 8-byte doubles, the 4x list-IO cut that pays for
+        itself at 100 TB — keeping the top ``rerank_r`` per query
+        (default ``4*k``); ONLY those rows join back to the float
+        lists (broadcast candidate set, same partition pruning) for
+        the exact cosine rerank with :meth:`search`'s tie rules.
+
+        With ``rerank_r >= `` the probed candidate count, the int8
+        stage prunes nothing and the result equals :meth:`search`
+        exactly (the contract test); finite ``rerank_r`` trades
+        recall for IO — the --ivf-recall leg tables it."""
+        from cloud_volume_spark.operators.similarity import (
+            _as_double, _dot, _with_norm, int8_codes, int8_qsim,
+            rank_centroids,
+        )
+
+        if not self.int8:
+            raise ValueError(
+                "search_int8 needs an int8 index — rebuild with "
+                "build_ivf_index(..., int8=True)")
+        r = int(rerank_r) if rerank_r is not None else 4 * int(k)
+        if r < int(k):
+            raise ValueError(
+                f"rerank_r ({r}) must be >= k ({k}) — fewer reranked "
+                "candidates than results requested")
+        q = _with_norm(queries.select(
+            "query_id", _as_double("qvec").alias("qvec")), "qvec", "qnrm")
+        q = (int8_codes(q, "qvec")
+             .withColumnRenamed("q", "qq")
+             .withColumnRenamed("sq", "qsq"))
+        probe = (
+            rank_centroids(q, self.centroids(), "query_id", "qvec",
+                           "qnrm")
+            .where(F.col("crnk") <= int(nprobe))
+            .select("query_id", "qvec", "qnrm", "qq", "qsq", "cent_id")
+        )
+        probed = [row["cent_id"] for row in
+                  probe.select("cent_id").distinct().collect()]
+        codes = self.codes().where(F.col("cent_id").isin(probed))
+        cand = codes.join(F.broadcast(probe), on="cent_id")
+        if exclude_self:
+            cand = cand.where(F.col("vec_id") != F.col("query_id"))
+        w_r = Window.partitionBy("query_id").orderBy(
+            F.desc("qsim"), F.asc("vec_id"))
+        top_r = (cand.withColumn(
+            "qsim", int8_qsim(F.col("q"), F.col("qq"),
+                              F.col("sq"), F.col("qsq")))
+            .dropDuplicates(["query_id", "vec_id"])
+            .withColumn("_rq", F.row_number().over(w_r))
+            .where(F.col("_rq") <= r)
+            .select("query_id", "vec_id", "qvec", "qnrm"))
+        # exact rerank: the <= Q*r candidate frame broadcasts into the
+        # float lists (same pruned partitions, embedding column read
+        # only here)
+        lists = (self.lists().where(F.col("cent_id").isin(probed))
+                 .select("vec_id", "embedding", "nrm"))
+        sim = _dot(F.col("embedding"), F.col("qvec")) / (
+            F.col("nrm") * F.col("qnrm"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            lists.join(F.broadcast(top_r), on="vec_id")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round(sim, 6).alias("sim"))
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= int(k))
         )

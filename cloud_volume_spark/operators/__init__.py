@@ -58,6 +58,8 @@ DRIVER_FRONT = [
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
     "lsh_index_lookup",
+    "ivf_ann_topk_int8",
+    "embedding_curate",
     # voxel/graphene: last driver row r11
     "vox_label_envelope",
     "vox_point_lookup",

@@ -135,6 +135,46 @@ SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {TOP_K}
 
 # -- int8-quantized ANN (the memory-bound scale path) -----------------------
 
+def int8_codes(df: DataFrame, vec_col: str,
+               keep_scale: bool = False) -> DataFrame:
+    """Append symmetric-int8 code columns ``q`` (array of quantized
+    components, ``floor(x/scale + 0.5)`` with ``scale = max|x|/127``)
+    and ``sq`` (the integer squared norm, floored at 1) — THE
+    quantization contract shared by :func:`embedding_quantize_int8`,
+    :func:`ivf_ann_topk_int8`, and the persisted int8 inverted lists
+    (``ann_index.py``), so a rounding edit cannot silently diverge the
+    serving index from the oracle-gated queries. ``floor(x+0.5)`` is
+    the repo-wide portable rounding; every step is IEEE-identical
+    across engines."""
+    maxabs = F.greatest(
+        F.aggregate(F.col(vec_col), F.lit(0.0),
+                    lambda a, x: F.greatest(a, F.abs(x))),
+        F.lit(1e-12))
+    out = df.withColumn("scale", maxabs / F.lit(127.0))
+    out = out.withColumn(
+        "q", F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5))))
+    out = out.withColumn(
+        "sq", F.greatest(
+            F.aggregate(F.col("q"), F.lit(0).cast("long"),
+                        lambda a, x: a + x * x),
+            F.lit(1).cast("long")))
+    return out if keep_scale else out.drop("scale")
+
+
+def int8_qsim(q_a, q_b, sq_a, sq_b) -> F.Column:
+    """The quantized cosine ``qdot / sqrt(sq_a·sq_b)`` rounded to 6 dp
+    — a pure integer computation divided once, bit-identical across
+    engines (the per-vector scales cancel in the ratio)."""
+    qdot = F.aggregate(
+        F.zip_with(q_a, q_b, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+    return F.round(
+        qdot / (F.sqrt(sq_a.cast("double")) * F.sqrt(sq_b.cast("double"))),
+        6)
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k over SYMMETRIC INT8-QUANTIZED vectors — the
     memory-bandwidth scale path every production vector store ships
@@ -155,34 +195,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the point of the operator."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v"))
-    maxabs = F.greatest(
-        F.aggregate(F.col("v"), F.lit(0.0),
-                    lambda a, x: F.greatest(a, F.abs(x))),
-        F.lit(1e-12))
-    emb = emb.withColumn("scale", maxabs / F.lit(127.0))
-    emb = emb.withColumn(
-        "q", F.transform(
-            F.col("v"),
-            lambda x: F.floor(x / F.col("scale") + F.lit(0.5))))
-    emb = emb.withColumn(
-        "sq", F.greatest(
-            F.aggregate(F.col("q"), F.lit(0).cast("long"),
-                        lambda a, x: a + x * x),
-            F.lit(1).cast("long"))).select("vec_id", "q", "sq")
+    emb = int8_codes(emb, "v").select("vec_id", "q", "sq")
     qset = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
         F.col("sq").alias("qsq"))
     pairs = emb.crossJoin(F.broadcast(qset)).where(
         F.col("vec_id") != F.col("query_id"))
-    qdot = F.aggregate(
-        F.zip_with(F.col("q"), F.col("qq"), lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
-    qsim = qdot / (F.sqrt(F.col("sq").cast("double"))
-                   * F.sqrt(F.col("qsq").cast("double")))
     scored = pairs.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
-        F.round(qsim, 6).alias("qsim"))
+        int8_qsim(F.col("q"), F.col("qq"),
+                  F.col("sq"), F.col("qsq")).alias("qsim"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("qsim"), F.asc("neighbor_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -638,6 +661,153 @@ SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+IVF_INT8_RERANK_R = 10  # int8-affinity candidates kept per query (2x TOP_K)
+
+
+def ivf_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with INT8-QUANTIZED inverted lists (IVF-PQ-lite): candidate
+    scoring inside the probed lists runs on symmetric-int8 codes (the
+    :func:`int8_codes`/:func:`int8_qsim` contract — 4× less list IO
+    than float64 at 100 TB, integer dot products), keeping the top
+    IVF_INT8_RERANK_R per query; ONLY those survivors pay the exact
+    float cosine rerank that produces the final top-k. This is the
+    oracle-gated miniature of the persisted two-file design
+    (``ann_index.py``: codes.parquet scanned for affinity,
+    lists.parquet joined for rerank); here both stages stay inline so
+    the whole operator is SQL-expressible.
+
+    Determinism: the int8 affinity is an exact integer ratio rounded
+    to 6 dp and ranked (qsim desc, neighbor_id asc); the float rerank
+    reuses ``ivf_ann_topk``'s exact tie rules — both stages compare
+    bit-identical values on both engines, so the approximation is the
+    SAME approximation everywhere."""
+    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    ))
+    assign = _assign_nearest_centroid(emb, 100, NLIST)
+    codes = int8_codes(assign, "embedding")
+    cents = _centroid_frame(emb, 100, NLIST)
+
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    q = (int8_codes(q, "qvec")
+         .withColumnRenamed("q", "qq").withColumnRenamed("sq", "qsq"))
+    probe = (
+        rank_centroids(q, cents, "query_id", "qvec", "qnrm")
+        .where(F.col("crnk") <= NPROBE)
+        .select("query_id", "qvec", "qnrm", "qq", "qsq", "cent_id")
+    )
+    cand = codes.join(probe, on="cent_id").where(
+        F.col("vec_id") != F.col("query_id"))
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.desc("qsim"), F.asc("vec_id"))
+    top_r = (cand.withColumn(
+        "qsim", int8_qsim(F.col("q"), F.col("qq"),
+                          F.col("sq"), F.col("qsq")))
+        .withColumn("_rq", F.row_number().over(w_r))
+        .where(F.col("_rq") <= IVF_INT8_RERANK_R))
+    sim = _dot(F.col("embedding"), F.col("qvec")) / (
+        F.col("nrm") * F.col("qnrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        top_r.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+_Q8_SQL = (
+    "LIST_TRANSFORM({v}, x -> CAST(FLOOR(x / (GREATEST("
+    "LIST_MAX(LIST_TRANSFORM({v}, y -> ABS(y))), 1e-12"
+    ") / 127.0) + 0.5) AS BIGINT))"
+)
+_QSIM_SQL = (
+    "ROUND(CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}),"
+    " p -> p[1] * p[2])) AS DOUBLE)"
+    " / (SQRT(CAST({sa} AS DOUBLE)) * SQRT(CAST({sb} AS DOUBLE))), 6)"
+)
+
+IVF_INT8_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+), cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec FROM emb
+    WHERE vec_id >= 100 AND vec_id < {100 + NLIST}
+), assign AS (
+    SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {{cos}} DESC,
+                            c.cent_id ASC
+               ) AS crnk
+        FROM emb e CROSS JOIN cents c
+    ) WHERE crnk = 1
+), codes AS (
+    SELECT vec_id, embedding, cent_id,
+           {_Q8_SQL.format(v='embedding')} AS q
+    FROM assign
+), codes2 AS (
+    SELECT vec_id, embedding, cent_id, q,
+           GREATEST(CAST(LIST_SUM(
+               LIST_TRANSFORM(q, x -> x * x)) AS BIGINT), 1) AS sq
+    FROM codes
+), qset AS (
+    SELECT vec_id AS query_id, embedding AS qvec, q AS qq, sq AS qsq
+    FROM codes2 WHERE vec_id < {N_QUERIES}
+), probe AS (
+    SELECT query_id, cent_id FROM (
+        SELECT q.vec_id AS query_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {{qcos}} DESC,
+                            c.cent_id ASC
+               ) AS qrnk
+        FROM emb q CROSS JOIN cents c
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE qrnk <= {NPROBE}
+), cand AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           c.embedding AS nvec, qs.qvec,
+           {_QSIM_SQL.format(a='c.q', b='qs.qq', sa='c.sq', sb='qs.qsq')}
+               AS qsim
+    FROM codes2 c
+    JOIN probe p ON c.cent_id = p.cent_id
+    JOIN qset qs ON qs.query_id = p.query_id
+    WHERE c.vec_id <> p.query_id
+), top_r AS (
+    SELECT query_id, neighbor_id, nvec, qvec FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY qsim DESC, neighbor_id ASC
+        ) AS rq FROM cand
+    ) WHERE rq <= {IVF_INT8_RERANK_R}
+), rer AS (
+    SELECT query_id, neighbor_id,
+           {{rcos}} AS sim
+    FROM top_r
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rnk
+    FROM rer
+)
+SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+IVF_INT8_SQL = IVF_INT8_SQL.format(
+    cos=_COS_SQL.format(a="e.embedding", b="c.cvec"),
+    qcos=_COS_SQL.format(a="q.embedding", b="c.cvec"),
+    rcos=_COS_SQL.format(a="nvec", b="qvec"),
+)
+
+
 def _plane_sql(plane) -> str:
     return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
 
@@ -1020,6 +1190,207 @@ FROM base b JOIN stats s USING (cluster)
 """
 
 
+# ---- fused embedding curation riding the persistent IVF index -------
+
+_IVF_INDEX_CACHE: dict = {}
+_IVF_INDEX_CACHE_MAX = 4
+
+
+def clear_ivf_index_cache() -> None:
+    _IVF_INDEX_CACHE.clear()
+
+
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
+
+
+def _standing_ivf_index(spark: SparkSession, sf_dir: str):
+    """The standing embedding index with build-once semantics per
+    (session, dataset) — sample centroids (the oracle-expressible
+    quantizer) + the int8 sidecar, so every index-riding operator
+    (curation here, plus ad-hoc ``search``/``search_int8``) shares ONE
+    persisted assignment."""
+    import tempfile
+
+    from cloud_volume_spark.ann_index import build_ivf_index
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, _emb_fingerprint(sf_dir))
+    idx = _IVF_INDEX_CACHE.get(key)
+    if idx is not None:
+        _IVF_INDEX_CACHE[key] = _IVF_INDEX_CACHE.pop(key)
+        return idx
+    for k in [k for k in _IVF_INDEX_CACHE if k[0] != app_id]:
+        _IVF_INDEX_CACHE.pop(k)
+    while len(_IVF_INDEX_CACHE) >= _IVF_INDEX_CACHE_MAX:
+        _IVF_INDEX_CACHE.pop(next(iter(_IVF_INDEX_CACHE)))
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = build_ivf_index(
+        emb, tempfile.mkdtemp(prefix="cvs_ivf_idx_"),
+        nlist=SEMDEDUP_NLIST, centroid_base_id=100, centroids="sample",
+        int8=True)
+    _IVF_INDEX_CACHE[key] = idx
+    return idx
+
+
+def embedding_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused embedding-curation flagship (the embedding analog of
+    ``corpus_curate``): semantic-dedup keep flag ∧ centroid-affinity
+    outlier flag ∧ int8 quantization scale, in ONE plan that RIDES the
+    persisted IVF index — the assignment is READ from the index's
+    inverted lists (``lists.parquet``), never recomputed, and the raw
+    embeddings table never appears in the plan (plan-gated).
+
+    Legs, all off the same lists scan:
+    - dedup: within-cluster lower-id neighbor with cosine >=
+      SEMDEDUP_T (the SemDeDup rule ``semantic_dedup`` oracles) —
+      bounded per-cluster self-join, never N×N;
+    - outlier: cosine to the OWN centroid, z-scored per cluster with
+      exact decimal sums (the ``embedding_outliers`` recipe applied to
+      centroid affinity — low affinity = off-distribution for its own
+      list, the IVF-native outlier signal);
+    - quantize: the per-row int8 scale factor (``int8_codes``
+      contract), map-only.
+
+    ``is_curated`` = kept by dedup ∧ not an outlier — the single flag
+    a training-mix builder consumes. Scale: one pruned-column scan of
+    the lists per leg + one |clusters|-row stats join + a broadcast
+    centroid join; at 100 TB each leg is a map-side pass over the
+    already-partitioned index, and the only shuffles are the
+    cluster-bounded self-join and two tiny aggregates."""
+    idx = _standing_ivf_index(spark, sf_dir)
+    assign = idx.lists()  # vec_id, embedding, nrm, cent_id — persisted
+    cents = idx.centroids()  # cent_id, cvec, cnrm
+
+    # ---- dedup leg (SemDeDup within-cluster rule)
+    a = assign.select(
+        "cent_id", F.col("vec_id").alias("id_hi"),
+        F.col("embedding").alias("e_hi"), F.col("nrm").alias("n_hi"))
+    b = assign.select(
+        "cent_id", F.col("vec_id").alias("id_lo"),
+        F.col("embedding").alias("e_lo"), F.col("nrm").alias("n_lo"))
+    pair_sim = F.round(
+        _dot(F.col("e_hi"), F.col("e_lo"))
+        / (F.col("n_hi") * F.col("n_lo")), 6)
+    dups = (
+        a.join(b, on="cent_id")
+        .where(F.col("id_hi") > F.col("id_lo"))
+        .where(pair_sim >= SEMDEDUP_T)
+        .groupBy(F.col("id_hi").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_dups")))
+
+    # ---- outlier leg (centroid affinity, decimal-exact z-score)
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("cvec"))
+        / (F.col("nrm") * F.col("cnrm")), 6)
+    aff = (assign.join(F.broadcast(cents), on="cent_id")
+           .select("vec_id", "cent_id", "embedding",
+                   csim.alias("csim")))
+    n = F.count(F.lit(1))
+    dec = F.col("csim").cast("decimal(38,12)")
+    dec2 = (F.col("csim") * F.col("csim")).cast("decimal(38,12)")
+    stats = aff.groupBy("cent_id").agg(
+        (F.sum(dec).cast("double") / n).alias("mu"),
+        F.sqrt(F.greatest(
+            F.sum(dec2).cast("double") / n
+            - (F.sum(dec).cast("double") / n)
+            * (F.sum(dec).cast("double") / n),
+            F.lit(0.0))).alias("sd"))
+
+    # ---- quantize leg (map-only int8 scale)
+    scale = F.greatest(
+        F.aggregate(F.col("embedding"), F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, F.abs(x))),
+        F.lit(1e-12)) / F.lit(127.0)
+
+    return (
+        aff.join(stats, "cent_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "cent_id",
+            F.coalesce("n_dups", F.lit(0)).cast("bigint")
+            .alias("n_dups"),
+            ((F.col("sd") > 0)
+             & (F.col("mu") - F.col("csim")
+                > OUTLIER_SIGMA * F.col("sd")))
+            .cast("int").alias("is_outlier"),
+            F.round(scale, 9).alias("q_scale"),
+            ((F.coalesce("n_dups", F.lit(0)) == 0)
+             & ~((F.col("sd") > 0)
+                 & (F.col("mu") - F.col("csim")
+                    > OUTLIER_SIGMA * F.col("sd"))))
+            .cast("int").alias("is_curated")))
+
+
+EMBEDDING_CURATE_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+), cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec FROM emb
+    WHERE vec_id >= 100 AND vec_id < {100 + SEMDEDUP_NLIST}
+), assign AS (
+    SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {{cos}} DESC, c.cent_id ASC
+               ) AS crnk
+        FROM emb e CROSS JOIN cents c
+    ) WHERE crnk = 1
+), dups AS (
+    SELECT hi.vec_id AS vec_id, COUNT(*) AS n_dups
+    FROM assign hi JOIN assign lo
+      ON hi.cent_id = lo.cent_id AND hi.vec_id > lo.vec_id
+    WHERE {{sim}} >= {SEMDEDUP_T}
+    GROUP BY hi.vec_id
+), aff AS (
+    SELECT a.vec_id, a.cent_id, a.embedding,
+           {{acos}} AS csim
+    FROM assign a JOIN cents c ON a.cent_id = c.cent_id
+), stats AS (
+    SELECT cent_id,
+           CAST(SUM(CAST(csim AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS mu,
+           SQRT(GREATEST(
+               CAST(SUM(CAST(csim * csim AS DECIMAL(38,12)))
+                    AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(CAST(csim AS DECIMAL(38,12))) AS DOUBLE)
+                  / COUNT(*))
+               * (CAST(SUM(CAST(csim AS DECIMAL(38,12))) AS DOUBLE)
+                  / COUNT(*)),
+               0)) AS sd
+    FROM aff GROUP BY cent_id
+)
+SELECT f.vec_id, f.cent_id,
+       COALESCE(d.n_dups, 0)::BIGINT AS n_dups,
+       (CASE WHEN s.sd > 0 AND s.mu - f.csim > {OUTLIER_SIGMA} * s.sd
+             THEN 1 ELSE 0 END)::INT AS is_outlier,
+       ROUND(GREATEST(
+           LIST_MAX(LIST_TRANSFORM(f.embedding, y -> ABS(y))), 1e-12
+       ) / 127.0, 9) AS q_scale,
+       (CASE WHEN COALESCE(d.n_dups, 0) = 0
+                  AND NOT (s.sd > 0
+                           AND s.mu - f.csim > {OUTLIER_SIGMA} * s.sd)
+             THEN 1 ELSE 0 END)::INT AS is_curated
+FROM aff f
+JOIN stats s ON f.cent_id = s.cent_id
+LEFT JOIN dups d ON d.vec_id = f.vec_id
+"""
+
+EMBEDDING_CURATE_SQL = EMBEDDING_CURATE_SQL.format(
+    cos=_COS_SQL.format(a="e.embedding", b="c.cvec"),
+    sim=_COS_SQL.format(a="hi.embedding", b="lo.embedding"),
+    acos=_COS_SQL.format(a="a.embedding", b="c.cvec"),
+)
+
+
 QUERIES = {
     # new-this-round first: registration order feeds the driver's
     # 50-query window (see operators/__init__.py)
@@ -1030,6 +1401,8 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "srp_ann_topk": srp_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
+    "ivf_ann_topk_int8": ivf_ann_topk_int8,
+    "embedding_curate": embedding_curate,
     "embedding_kmeans": embedding_kmeans,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_outliers": embedding_outliers,
@@ -1043,6 +1416,8 @@ ORACLE_SQL = {
     "semantic_dedup": SEMDEDUP_SQL,
     "srp_ann_topk": SRP_ANN_SQL,
     "ivf_ann_topk": IVF_ANN_SQL,
+    "ivf_ann_topk_int8": IVF_INT8_SQL,
+    "embedding_curate": EMBEDDING_CURATE_SQL,
     "embedding_kmeans": KMEANS_SQL,
     "embedding_dim_stats": DIM_STATS_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,

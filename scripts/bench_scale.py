@@ -546,6 +546,34 @@ if __name__ == "__main__":
                         "mode": mode, "nprobe": nprobe, "k": K,
                         "recall": round(r, 3),
                         "search_s": round(best, 3)}), flush=True)
+            # int8 sidecar: recall vs the FLOAT search at the same
+            # nprobe (how much the quantized-affinity pruning costs as
+            # rerank_r shrinks), sample centroids, nprobe=nlist so the
+            # only approximation left is the int8 top-R cut
+            path = f"/tmp/cvs_ivfrec_{tag}_int8"
+            shutil.rmtree(path, ignore_errors=True)
+            idx8 = build_ivf_index(emb, path, nlist=NLIST,
+                                   centroids="sample", int8=True)
+            fref = idx8.search(q, k=K, nprobe=NLIST).cache()
+            fref.count()
+            for rr in (K, 2 * K, 4 * K, 8 * K):
+                got = idx8.search_int8(q, k=K, nprobe=NLIST,
+                                       rerank_r=rr)
+                r_vs_float = recall_at_k(got, fref)
+                r_vs_truth = recall_at_k(got, truth)
+                best = None
+                for _ in range(2):
+                    t0 = _t.monotonic()
+                    got.count()
+                    dt = _t.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+                print(json.dumps({
+                    "leg": "ivf_int8_recall", "corpus": tag,
+                    "rerank_r": rr, "k": K,
+                    "recall_vs_float": round(r_vs_float, 3),
+                    "recall_vs_truth": round(r_vs_truth, 3),
+                    "search_s": round(best, 3)}), flush=True)
+            fref.unpersist()
             truth.unpersist()
 
         leg("sf0.1_dim64",

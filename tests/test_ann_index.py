@@ -664,3 +664,112 @@ def test_recall_contract(spark, sf_dir, index):
         assert one <= part <= full
     finally:
         truth.unpersist()
+
+
+# ---- int8 sidecar (IVF-PQ-lite) --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def index8(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ivf8") / "idx")
+    emb = load(spark, sf_dir, "embeddings")
+    return build_ivf_index(emb, out, nlist=NLIST, centroid_base_id=100,
+                           centroids="sample", int8=True)
+
+
+def _canon(df):
+    return sorted((r["query_id"], r["rnk"], r["neighbor_id"], r["sim"])
+                  for r in df.collect())
+
+
+def test_int8_search_equals_registered_int8_query(spark, sf_dir, index8):
+    """The persisted two-file path must be BIT-IDENTICAL to the inline
+    oracle-gated ivf_ann_topk_int8 at the same (nprobe, rerank_r, k)."""
+    from cloud_volume_spark.operators.similarity import (
+        IVF_INT8_RERANK_R, ivf_ann_topk_int8,
+    )
+
+    got = _canon(index8.search_int8(
+        _queries(spark, sf_dir), k=TOP_K, nprobe=NPROBE,
+        rerank_r=IVF_INT8_RERANK_R))
+    want = _canon(ivf_ann_topk_int8(spark, sf_dir))
+    assert got == want and len(got) > 0
+
+
+def test_int8_full_rerank_equals_float_search(spark, sf_dir, index8):
+    """With rerank_r >= every probed candidate, the int8 stage prunes
+    nothing and search_int8 == the float search exactly — at
+    nprobe=nlist that is the exact brute-force contract."""
+    n = int(index8.meta["count"])
+    got = _canon(index8.search_int8(
+        _queries(spark, sf_dir), k=TOP_K, nprobe=NLIST, rerank_r=n))
+    want = _canon(index8.search(
+        _queries(spark, sf_dir), k=TOP_K, nprobe=NLIST))
+    assert got == want and len(got) > 0
+
+
+def test_int8_codes_track_lifecycle(spark, sf_dir, tmp_path):
+    """add/remove/compact maintain the codes sidecar: after any
+    mutation the persisted codes equal a fresh quantization of the
+    persisted float lists, and search_int8 keeps serving."""
+    from cloud_volume_spark.ann_index import _codes_frame
+
+    emb = load(spark, sf_dir, "embeddings")
+    # the first half must contain the sample-centroid slice [100, 104)
+    half_a = emb.where(F.col("vec_id") < 300)
+    half_b = emb.where(F.col("vec_id") >= 300)
+    idx = build_ivf_index(half_a, str(tmp_path / "i8"), nlist=4,
+                          centroid_base_id=100, int8=True)
+
+    def codes_ok():
+        got = sorted((r["vec_id"], tuple(r["q"]), r["sq"], r["cent_id"])
+                     for r in idx.codes().collect())
+        want = sorted((r["vec_id"], tuple(r["q"]), r["sq"], r["cent_id"])
+                      for r in _codes_frame(idx.lists()).collect())
+        assert got == want and len(got) == idx.meta["count"]
+
+    codes_ok()
+    idx.add(half_b)
+    codes_ok()
+    victims = [int(r["vec_id"]) for r in half_b.limit(5).collect()]
+    assert idx.remove(victims) == 5
+    codes_ok()
+    assert idx.codes().where(F.col("vec_id").isin(victims)).count() == 0
+    rewritten = idx.compact_lists(max_files_per_list=1)
+    assert rewritten > 0
+    codes_ok()
+    out = idx.search_int8(_queries(spark, sf_dir), k=3, nprobe=2)
+    assert out.count() > 0
+
+
+def test_int8_requires_int8_index(spark, sf_dir, index, index8):
+    with pytest.raises(ValueError, match="int8"):
+        index.codes()
+    with pytest.raises(ValueError, match="int8"):
+        index.search_int8(_queries(spark, sf_dir))
+    with pytest.raises(ValueError, match="rerank_r"):
+        index8.search_int8(_queries(spark, sf_dir), k=5, rerank_r=2)
+
+
+def test_int8_affinity_scan_prunes_and_skips_floats(spark, sf_dir, index8):
+    """The 100 TB contract: the codes scan carries the probed cent_id
+    literals as PartitionFilters and does NOT read the float embedding
+    column (ReadSchema holds q/sq only); the float lists are read only
+    by the rerank join."""
+    df = index8.search_int8(_queries(spark, sf_dir), k=TOP_K,
+                            nprobe=2, rerank_r=TOP_K)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "codes.parquet" in plan
+    assert "PartitionFilters" in plan
+    # the codes scan's ReadSchema must not include the embedding
+    # column: isolate the codes scan block
+    import re
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    code_scans = [b for b in blocks if "codes.parquet" in b
+                  and "ReadSchema" in b]
+    assert code_scans, plan
+    for b in code_scans:
+        assert "embedding" not in b, b
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -748,3 +748,32 @@ def test_q22_plan_anti_join_broadcast_avg(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "partial_sum" in plan
     assert "PushedFilters" in plan
+
+
+def test_ivf_int8_plan_two_stage_no_product(spark, sf_dir):
+    """ivf_ann_topk_int8: assignment/probing via broadcast centroids,
+    int8 affinity + float rerank both JVM-side, no products beyond the
+    broadcast centroid cross, no Python eval."""
+    plan = _plan(all_queries()["ivf_ann_topk_int8"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # both stage's top-R/top-k windows push partial group limits
+    # (WindowGroupLimit) below the exchange — the rank never funnels
+    # unbounded candidates through one task
+    assert "WindowGroupLimit" in plan
+
+
+def test_embedding_curate_rides_the_persisted_index(spark, sf_dir):
+    """The fused curation flagship reads its assignment from the
+    standing IVF index's inverted lists — the raw embeddings table
+    never appears in the plan, and no centroid cross-join recomputes
+    the assignment (the only joins are the cluster-bounded self-join,
+    the broadcast centroid equi-join, and the stats/dups joins)."""
+    plan = _plan(all_queries()["embedding_curate"](spark, sf_dir))
+    assert "lists.parquet" in plan
+    assert "embeddings.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
