@@ -24,9 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import pandas as pd
 
-# queries that scale linearly; the one remaining quadratic verifier
-# (ngram_jaccard_pairs, df-capped but still a shingle self-join) is
-# correctness-gate only and excluded from the headline set.
+# Every registered query, benched: since r13 the one quadratic
+# verifier (ngram_jaccard_pairs) lives in the RETIRED local-parity
+# tier, so the roster IS the registry with no documented exception
+# (mechanically enforced by test_registry_invariants.py).
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -123,6 +124,7 @@ BENCH_QUERIES = [
     "q11_important_stock",
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
+    "q16_parts_supplier_relationship",
     "simhash_hamming_k_pairs",
     "dedup_cluster_size_stats",
     "doc_bigram_logprob",
@@ -161,6 +163,44 @@ def _cpu_probe_sec() -> float:
 def _quiet_pass_ids(probes) -> list:
     return [i for i, (a, b) in enumerate(probes)
             if a <= CPU_PROBE_QUIET_SEC and b <= CPU_PROBE_QUIET_SEC]
+
+
+# r13: every BASELINE-mapped leg is steal-probe bracketed, not just the
+# two volume probes (the r12 verdict's remaining prescription). The
+# spatial/annotation/point legs are single-measurement shapes, so the
+# generic wrapper below re-runs the WHOLE leg pass until one lands in
+# a probe-quiet window (bounded), then reports the minimum over quiet
+# passes — an artifact either carries its own quiet qualification or
+# says steal_flagged explicitly.
+LEG_BASE_PASSES = 2
+LEG_MAX_PASSES = 4
+
+
+def _quiet_leg(pass_fn, primary: str,
+               base_passes: int = LEG_BASE_PASSES,
+               max_passes: int = LEG_MAX_PASSES) -> dict:
+    """Run ``pass_fn() -> dict`` bracketed by CPU probes until at
+    least one pass is probe-quiet (or the pass budget runs out).
+    Returns the pass with the minimum ``primary`` timing among quiet
+    passes (else among all, flagged), plus the probe record."""
+    results, probes = [], []
+    while True:
+        p0 = _cpu_probe_sec()
+        results.append(pass_fn())
+        probes.append((p0, _cpu_probe_sec()))
+        quiet = _quiet_pass_ids(probes)
+        if (len(probes) >= base_passes and quiet) \
+                or len(probes) >= max_passes:
+            break
+    use = quiet or list(range(len(probes)))
+    best = min(use, key=lambda i: results[i][primary])
+    return {
+        **results[best],
+        f"{primary}_all": [r[primary] for r in results],
+        "cpu_probe_secs_all": probes,
+        "quiet_passes": len(quiet),
+        "steal_flagged": not quiet,
+    }
 
 
 def make_blocks(spark, shape, chunk_size, content):
@@ -424,22 +464,30 @@ def bench_spatial_index(spark) -> dict:
             (SF.abs(SF.hash("id", SF.lit(2))) % space).cast("double").alias("y"),
             (SF.abs(SF.hash("id", SF.lit(3))) % space).cast("double").alias("z"),
         )
-        idx = SpatialIndex(spark, base, cell_size=(512.0, 512.0, 512.0))
-        t0 = time.perf_counter()
-        idx.build_from_points(pts)
-        build_sec = time.perf_counter() - t0
-        index_rows = idx.df().count()
-        size_mb = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(idx.data_path) for f in fs
-        ) / 1e6
-        return {
-            "points": n_points,
-            "labels": n_labels,
-            "build_sec": round(build_sec, 3),
-            "index_rows": index_rows,
-            "index_mb": round(size_mb, 1),
-        }
+        passno = [0]
+
+        def one_pass():
+            passno[0] += 1
+            sub = os.path.join(base, f"p{passno[0]}")
+            idx = SpatialIndex(spark, sub, cell_size=(512.0, 512.0, 512.0))
+            t0 = time.perf_counter()
+            idx.build_from_points(pts)
+            build_sec = time.perf_counter() - t0
+            index_rows = idx.df().count()
+            size_mb = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(idx.data_path) for f in fs
+            ) / 1e6
+            shutil.rmtree(sub, ignore_errors=True)
+            return {
+                "points": n_points,
+                "labels": n_labels,
+                "build_sec": round(build_sec, 3),
+                "index_rows": index_rows,
+                "index_mb": round(size_mb, 1),
+            }
+
+        return _quiet_leg(one_pass, "build_sec")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -477,23 +525,30 @@ def bench_annotations(spark, n: int = 2_000_000) -> dict:
             grid_cell=(1024.0, 1024.0, 1024.0),
         )
         layer.write(pts)
-        out = os.path.join(base, "pre")
-        t0 = time.perf_counter()
-        stats = export_precomputed(layer, out, write_by_id=False)
-        export_sec = time.perf_counter() - t0
-        rdr = PrecomputedAnnotationReader(spark, out)
-        t0 = time.perf_counter()
-        got = rdr.get_by_bbox(
-            Bbox((0, 0, 0), (space / 2, space / 2, space / 2)), mip=0
-        ).count()
-        query_sec = time.perf_counter() - t0
-        return {
-            "annotations": n,
-            "cells": stats["cells"],
-            "export_sec": round(export_sec, 3),
-            "bbox_query_sec": round(query_sec, 3),
-            "bbox_rows": got,
-        }
+        passno = [0]
+
+        def one_pass():
+            passno[0] += 1
+            out = os.path.join(base, f"pre{passno[0]}")
+            t0 = time.perf_counter()
+            stats = export_precomputed(layer, out, write_by_id=False)
+            export_sec = time.perf_counter() - t0
+            rdr = PrecomputedAnnotationReader(spark, out)
+            t0 = time.perf_counter()
+            got = rdr.get_by_bbox(
+                Bbox((0, 0, 0), (space / 2, space / 2, space / 2)), mip=0
+            ).count()
+            query_sec = time.perf_counter() - t0
+            shutil.rmtree(out, ignore_errors=True)
+            return {
+                "annotations": n,
+                "cells": stats["cells"],
+                "export_sec": round(export_sec, 3),
+                "bbox_query_sec": round(query_sec, 3),
+                "bbox_rows": got,
+            }
+
+        return _quiet_leg(one_pass, "export_sec")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -524,16 +579,20 @@ def bench_point_read(spark) -> dict:
                 vol.read_voxel(p)
             return (time.perf_counter() - t0) / len(pts)
 
-        cold_spp = read_all()          # no cache
-        vol.enable_lru(max_bytes=256 * 1024 * 1024)
-        read_all()                      # populate
-        hot_spp = read_all()            # all hits
-        return {
-            "points": len(pts),
-            "cold_ms_per_read": round(cold_spp * 1e3, 2),
-            "lru_ms_per_read": round(hot_spp * 1e3, 3),
-            "speedup": round(cold_spp / max(hot_spp, 1e-9), 1),
-        }
+        def one_pass():
+            vol._lru = None             # back to cold
+            cold_spp = read_all()       # no cache
+            vol.enable_lru(max_bytes=256 * 1024 * 1024)
+            read_all()                  # populate
+            hot_spp = read_all()        # all hits
+            return {
+                "points": len(pts),
+                "cold_ms_per_read": round(cold_spp * 1e3, 2),
+                "lru_ms_per_read": round(hot_spp * 1e3, 3),
+                "speedup": round(cold_spp / max(hot_spp, 1e-9), 1),
+            }
+
+        return _quiet_leg(one_pass, "cold_ms_per_read")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -544,17 +603,19 @@ TAIL_BUDGET = 1985  # >= 14 chars of margin inside the 2,000-char tail
 
 def fit_tail_line(times, total, sf, b_priority, budget=None):
     """Build the driver-facing final JSON line under the stdout-tail
-    budget. Ladder: 2-decimal query seconds IF the seven cross-round
-    signal keys (l1 + the four BASELINE throughput rows + their vq/sq
-    steal verdicts) still fit, else 1 decimal; extras added
-    most-critical-first; terminal rung
-    RESERVES all seven signal keys and sheds the FASTEST query rows
+    budget. Ladder: 2-decimal query seconds IF the ten cross-round
+    signal keys (l1 + the four BASELINE throughput rows + the
+    vq/sq/iq/nq/pq steal verdicts) still fit, else 1 decimal; extras
+    added most-critical-first; terminal rung
+    RESERVES all ten signal keys and sheds the FASTEST query rows
     instead (slow ones are the informative ones, and the signal keys
     are the only cross-round comparands) with a qdropped count rather
     than ever printing an unparseable over-budget line. Unit-tested in
     tests/test_bench_tail.py."""
     budget = TAIL_BUDGET if budget is None else budget
-    signal = b_priority[:7]  # l1 + vw/vr/sw/sr + the vq/sq verdicts
+    # l1 + vw/vr/sw/sr + the vq/sq/iq/nq/pq steal verdicts (r13: one
+    # verdict per bracketed leg family)
+    signal = b_priority[:10]
 
     def _fit(ndigits):
         compact = {
@@ -626,7 +687,10 @@ def main() -> None:
     # whole-stage-codegen (Janino) compilation at that expression count;
     # run the query once so the timed pass measures the data path, not
     # the compiler (generated classes are cached per source)
-    all_queries()["simhash_fingerprints"](spark, sf_dir) \
+    # (simhash_fingerprints moved to the retired tier in r13 — still
+    # the cheapest exerciser of the wide SUM(CASE) codegen shape)
+    from cloud_volume_spark.operators import retired_queries
+    retired_queries()["simhash_fingerprints"](spark, sf_dir) \
         .write.format("noop").mode("overwrite").save()
     # gram-explode + count-distinct + broadcast-join codegen is the
     # other expensive first-compile shape (contamination/boilerplate);
@@ -728,11 +792,17 @@ def main() -> None:
         # probed steal-free) pass counts — 0 means the throughput rows
         # above were recorded entirely inside an external burst and
         # carry steal_flagged in BENCH_FULL.json. Part of the RESERVED
-        # signal set (fit_tail_line keeps the first seven keys through
+        # signal set (fit_tail_line keeps the first ten keys through
         # every rung): a throughput row without its steal verdict is
         # exactly the indefensible artifact the r11 seg-read row was.
         ("vq", int(vol_stats["quiet_passes"])),
         ("sq", int(seg_stats["quiet_passes"])),
+        # r13: the spatial/annotation/point legs are bracketed too —
+        # iq/nq/pq are their quiet-pass counts, so EVERY BASELINE-
+        # mapped row in the artifact carries its own steal verdict
+        ("iq", int(spatial_stats["quiet_passes"])),
+        ("nq", int(anno_stats["quiet_passes"])),
+        ("pq", int(point_stats["quiet_passes"])),
         ("su", round(seg_stats["unique_sec"], 2)),
         ("ib", round(spatial_stats["build_sec"], 2)),
         ("im", round(spatial_stats["index_mb"])),

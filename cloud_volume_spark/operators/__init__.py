@@ -29,16 +29,17 @@ from cloud_volume_spark import multimodal
 # the window.
 #
 # ROUND-13 ROTATION (executing the round-12 prescription): the 47
-# queries whose last driver row is r11, MINUS the four retired to the
+# queries whose last driver row is r11, MINUS the five retired to the
 # local-parity tier this round (dedup_exact, minhash_signatures,
 # simhash_fingerprints, simhash_hamming_pairs — each subsumed by a
-# registered superset query, see dedup.RETIRED_QUERIES), leaves 43
-# stale keys; the seven NEW round-13 queries take the remaining
-# slots: window = 7 + 43 = 50 exactly, and the out-of-window set is
-# EXACTLY r12's 50-key window, so the r12∪r13 union covers the whole
-# registry with no leftovers.
+# registered superset query — plus ngram_jaccard_pairs, the quadratic
+# verifier that was always excluded from bench; see
+# dedup.RETIRED_QUERIES), leaves 42 stale keys; the eight NEW
+# round-13 queries take the remaining slots: window = 8 + 42 = 50
+# exactly, and the out-of-window set is EXACTLY r12's 50-key window,
+# so the r12∪r13 union covers the whole registry with no leftovers.
 #
-# CAPACITY: registry = 97 - 4 retired + 7 new = 100 — the two-round
+# CAPACITY: registry = 97 - 5 retired + 8 new = 100 — the two-round
 # ceiling is now FULL (a 50-query window refreshed in alternating
 # halves covers at most 100). Round 14 MUST front exactly the 50
 # queries outside this round's window, and must retire one registered
@@ -50,13 +51,12 @@ ALL_MODULES = [
 ]
 
 DRIVER_FRONT = [
-    # new in round 13 — first driver rows (added here as each lands;
-    # until all seven exist the window pads from module order with
-    # r12-green voxel_rel queries, which is harmless)
+    # new in round 13 — first driver rows
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
+    "q16_parts_supplier_relationship",
     "lsh_index_lookup",
     "ivf_ann_topk_int8",
     "embedding_curate",
@@ -70,7 +70,6 @@ DRIVER_FRONT = [
     # dedup: last driver row r11
     "dedup_incremental",
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
     "dedup_clusters",
     "fuzzy_neardup_titles",
     "dedup_rate_by_source",

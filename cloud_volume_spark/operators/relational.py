@@ -2027,6 +2027,71 @@ ORDER BY s_name
 """
 
 
+# Q16's partsupp derives from lineitem (DISTINCT (partkey, suppkey)
+# pairs — who ever supplied what), and the 'Customer Complaints'
+# comment exclusion adapts to negative account balance (no comment
+# column in the synthetic schema). The plan-family essence — NOT IN
+# subquery + grouped COUNT DISTINCT — is unchanged.
+Q16_EXCL_BRAND = "Brand#4"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 9, 19, 23, 36, 45, 49, 50)
+
+
+def q16_parts_supplier_relationship(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many distinct
+    suppliers can provide each interesting (brand, type, size) combo,
+    excluding complained-about suppliers — the NOT-IN-subquery +
+    grouped-COUNT-DISTINCT family. The NOT IN plans as a LEFT ANTI
+    hash join (s_suppkey is never NULL, so the semantics coincide —
+    the anti join IS how engines decorrelate a null-free NOT IN).
+
+    Scale: the derived partsupp is a (partkey, suppkey) distinct over
+    a two-column pruned scan (map-side partial dedup before the
+    exchange); the excluded-supplier set is dimension-tiny behind a
+    pushed acctbal filter; the part slice broadcasts behind pushed
+    brand/type/size filters; COUNT DISTINCT shuffles once on the
+    (brand, type, size) group key with the distinct piggybacked."""
+    ps = (load(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("ps_partkey"),
+                  F.col("l_suppkey").alias("ps_suppkey"))
+          .distinct())
+    excl = load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & (F.col("p_type") != Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(excl, ps.ps_suppkey == excl.s_suppkey, "left_anti")
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SIZES_SQL = ", ".join(str(s) for s in Q16_SIZES)
+
+Q16_SQL = f"""
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+    FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_type <> '{Q16_EXCL_TYPE}'
+  AND p_size IN ({_Q16_SIZES_SQL})
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
 # Q22's phone-prefix country code adapts to c_nationkey % 10 (the
 # synthetic customer table has no phone column), and "no orders in
 # 7 years" to "no orders on/after Q22_CUTOFF" (every synthetic
@@ -2131,6 +2196,7 @@ QUERIES = {
 QUERIES.update({
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_stock": q11_important_stock,
+    "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
     "q20_potential_promotion": q20_potential_promotion,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q4_order_priority": q4_order_priority,
@@ -2175,6 +2241,7 @@ ORACLE_SQL.update({
     "q19_discounted_revenue": Q19_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q11_important_stock": Q11_SQL,
+    "q16_parts_supplier_relationship": Q16_SQL,
     "q20_potential_promotion": Q20_SQL,
     "q22_global_sales_opportunity": Q22_SQL,
 })

@@ -19,6 +19,7 @@ from cloud_volume_spark.streaming.windowed import (  # noqa: F401
     streaming_conversion_lag,
     streaming_exact_dedup,
     streaming_incremental_dedup,
+    streaming_lsh_index_dedup,
     streaming_quality_filter,
     streaming_funnel,
     streaming_label_envelope,

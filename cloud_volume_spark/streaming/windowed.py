@@ -319,6 +319,39 @@ def streaming_incremental_dedup(docs_stream: DataFrame,
     )
 
 
+def streaming_lsh_index_dedup(docs_stream: DataFrame,
+                              index) -> DataFrame:
+    """Stream-static incremental dedup THROUGH the persisted LSH band
+    index (:class:`cloud_volume_spark.lsh_index.LSHIndex`) — the
+    serving form of :func:`streaming_incremental_dedup`: the static
+    side is the ON-DISK band table, so no trigger ever re-signatures
+    the corpus (the plain variant must persist a derived band frame
+    and still pays the full signature job once per session; here the
+    bands were materialized once at index build and survive across
+    sessions). The stream side stays pure map-side array expressions;
+    the join key includes the index's bucket column so the static
+    scan stays aligned with its partition layout.
+
+    Same output contract (and the same arbitrary-``dup_of`` caveat)
+    as ``streaming_incremental_dedup``: one ``doc_id, dup_of`` row
+    per duplicate incoming doc."""
+    from cloud_volume_spark.lsh_index import _band_bucket
+    from cloud_volume_spark.operators.dedup import (
+        band_frame, signature_frame_maponly,
+    )
+
+    static_bands = index.bands().select(
+        F.col("doc_id").alias("dup_of"), "band", "band_hash", "bucket")
+    new_bands = band_frame(signature_frame_maponly(docs_stream)) \
+        .withColumn("bucket",
+                    _band_bucket(int(index.meta["n_buckets"])))
+    return (
+        new_bands.join(static_bands, ["band", "bucket", "band_hash"])
+        .select("doc_id", "dup_of")
+        .dropDuplicates(["doc_id"])
+    )
+
+
 def streaming_contamination(docs_stream: DataFrame,
                             benchmark_docs: DataFrame) -> DataFrame:
     """Stream-static benchmark decontamination: each incoming document

@@ -195,6 +195,7 @@ TPCH_QUERIES = [
     "q11_important_stock",
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
+    "q16_parts_supplier_relationship",
 ]
 
 

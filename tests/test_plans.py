@@ -777,3 +777,18 @@ def test_embedding_curate_rides_the_persisted_index(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q16_plan_anti_join_count_distinct(spark, sf_dir):
+    """Q16: the NOT IN plans as a LEFT ANTI hash join against the
+    pushed-filter supplier slice; the part slice broadcasts; the
+    grouped COUNT DISTINCT partial-aggregates map-side; no products,
+    JVM end to end."""
+    plan = _plan(all_queries()["q16_parts_supplier_relationship"](
+        spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "PushedFilters" in plan
+    assert "BatchEvalPython" not in plan

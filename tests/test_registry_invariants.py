@@ -17,15 +17,16 @@ def test_every_query_has_an_oracle():
     assert q == o, (q - o, o - q)
 
 
-def test_bench_roster_is_registry_minus_documented_exclusion():
+def test_bench_roster_is_exactly_the_registry():
+    """Since r13 (ngram_jaccard_pairs retired to the local-parity
+    tier) the bench roster IS the registry — no documented
+    exceptions."""
     from bench import BENCH_QUERIES
     from cloud_volume_spark.operators import all_queries
 
     roster, registry = set(BENCH_QUERIES), set(all_queries())
     assert len(BENCH_QUERIES) == len(roster), "duplicate bench rows"
-    assert roster - registry == set(), "benching unregistered queries"
-    # the one allowed exclusion: the df-capped quadratic verifier
-    assert registry - roster == {"ngram_jaccard_pairs"}
+    assert roster == registry, (registry - roster, roster - registry)
 
 
 def test_correctness_window_has_no_duplicate_names():

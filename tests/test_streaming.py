@@ -1017,3 +1017,52 @@ def test_streaming_source_mixture_matches_batch(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in
             source_mixture_stats(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_lsh_index_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The persisted-index streaming twin: a two-file arrival of the
+    incoming batch joined against the ON-DISK band table must flag
+    exactly the docs the batch dedup_incremental marks as duplicates
+    (cross-batch dropDuplicates state exercised by the split)."""
+    from cloud_volume_spark.lsh_index import build_lsh_index
+    from cloud_volume_spark.operators.dedup import (
+        INGEST_MOD, dedup_incremental,
+    )
+    from cloud_volume_spark.streaming import (
+        read_documents_stream, streaming_lsh_index_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = tmp_path / "lsh_stream"
+    d.mkdir()
+    incoming = docs.where(F.col("doc_id") % INGEST_MOD == 0).toPandas()
+    half = len(incoming) // 2
+    incoming.iloc[:half].to_parquet(str(d / "part-0.parquet"))
+    incoming.iloc[half:].to_parquet(str(d / "part-1.parquet"))
+    idx = build_lsh_index(
+        docs.where(F.col("doc_id") % INGEST_MOD != 0)
+        .select("doc_id", "text"),
+        str(tmp_path / "lshidx"))
+
+    stream = streaming_lsh_index_dedup(
+        read_documents_stream(spark, str(d)), idx)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("slshdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set(
+        r.doc_id for r in spark.sql("select doc_id from slshdedup").collect()
+    )
+    batch = dedup_incremental(spark, sf_dir).toPandas()
+    want = set(batch[batch["is_kept"] == 0]["doc_id"])
+    assert got == want and len(want) > 0
+    # every emitted dup_of is a genuinely indexed corpus doc
+    dup_of = set(
+        r.dup_of for r in spark.sql("select dup_of from slshdedup").collect()
+    )
+    indexed = set(r.doc_id for r in idx.indexed_ids().collect())
+    assert dup_of <= indexed
