@@ -632,7 +632,8 @@ def fit_tail_line(times, total, sf, b_priority, budget=None):
                 del compact["b"][k]
         if any(k not in compact["b"] for k, _ in signal):
             # this rung squeezed out part of the cross-round signal
-            # (l1+vw+vr+sw+sr) — by NAME, not count: a wide signal
+            # (l1 + throughput rows + steal verdicts) — by NAME, not
+            # count: a wide signal
             # value sheds while a narrow extra still fits, so a key
             # census would accept the rung with the wrong five. Fall
             # to the next rung, which trades query precision / the
@@ -659,7 +660,7 @@ def fit_tail_line(times, total, sf, b_priority, budget=None):
             line = json.dumps(compact, separators=(",", ":"))
         # spare room after the shed goes to the remaining extras,
         # most-critical-first
-        for k, v in b_priority[5:]:
+        for k, v in b_priority[len(signal):]:
             compact["b"][k] = v
             if len(json.dumps(compact, separators=(",", ":"))) > budget:
                 del compact["b"][k]

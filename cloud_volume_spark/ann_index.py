@@ -387,11 +387,58 @@ class IVFIndex:
         persist — the self-heal for a crash between a data append /
         partition rewrite and its meta write. ``add``/``remove``
         themselves track the count incrementally (O(delta), not
-        O(index))."""
+        O(index)). On an int8 index, pair with :meth:`sync_codes`:
+        the same crash window can leave the codes sidecar behind the
+        lists."""
         with self._mutation_lock() as fs:
             self.meta = {**self.meta, "count": self.lists().count()}
             self._write_meta(fs)
         return int(self.meta["count"])
+
+    def sync_codes(self) -> int:
+        """Re-derive the int8 sidecar for every inverted list whose
+        codes partition disagrees with its float lists partition — the
+        crash heal for the TWO-write mutation window on an int8 index:
+        ``add``/``remove`` commit the lists job first and the codes
+        job second, so a crash between them leaves ``search_int8``
+        silently behind ``search`` (missing the new batch, or still
+        serving removed vectors' codes). Divergence detection is two
+        ids-only row-count scans per cent_id (every mutation that can
+        tear changes a partition's row count — appends add rows,
+        removals delete them; compaction rewrites files only, equal
+        content); mismatched partitions are re-quantized FROM the
+        lists (dynamic overwrite), codes partitions with no surviving
+        list are dropped. Returns the number of partitions healed —
+        0 means the sidecar is consistent."""
+        if not self.int8:
+            raise ValueError(
+                "sync_codes() needs an int8 index — rebuild with "
+                "build_ivf_index(..., int8=True)")
+        with self._mutation_lock() as fs:
+            l_ct = {int(r["cent_id"]): int(r["n"]) for r in
+                    self.lists().groupBy("cent_id")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+            c_ct = {int(r["cent_id"]): int(r["n"]) for r in
+                    self.codes().groupBy("cent_id")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+            bad = sorted(c for c in set(l_ct) | set(c_ct)
+                         if l_ct.get(c) != c_ct.get(c))
+            if not bad:
+                return 0
+            rewrite = [c for c in bad if c in l_ct]
+            if rewrite:
+                fresh = _codes_frame(
+                    self.lists().where(F.col("cent_id").isin(rewrite))
+                ).localCheckpoint(eager=True)
+                (fresh.repartition("cent_id")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("cent_id")
+                 .parquet(f"{self.path}/codes.parquet"))
+            for c in bad:
+                if c not in l_ct:
+                    fs.rmtree(f"{self.path}/codes.parquet/cent_id={c}")
+        return len(bad)
 
     def add(self, emb: DataFrame) -> int:
         """Incrementally index new vectors — the consumer of a corpus
@@ -414,7 +461,12 @@ class IVFIndex:
         mutation in flight. A crash after the append but before the
         meta write leaves only the COUNT stale; :meth:`refresh_count`
         heals it (duplicate refusal reads the lists, never the count,
-        so correctness is unaffected)."""
+        so correctness is unaffected). On an int8 index the mutation
+        is TWO jobs (lists first, then the codes sidecar): a crash
+        between them leaves ``search_int8`` missing the batch that
+        ``search`` already serves — :meth:`sync_codes` detects and
+        heals exactly that window; run it (with ``refresh_count``)
+        after any crashed mutation."""
         from cloud_volume_spark.operators.similarity import (
             _as_double, _with_norm, rank_centroids,
         )
@@ -486,7 +538,10 @@ class IVFIndex:
         written back with DYNAMIC partition overwrite, so untouched
         inverted lists are never rewritten; a fully-emptied list's
         directory is dropped explicitly (dynamic overwrite only
-        replaces partitions present in the output)."""
+        replaces partitions present in the output). On an int8 index
+        the codes sidecar rewrites in a SECOND job — a crash between
+        the two leaves stale codes still serving the removed vectors;
+        :meth:`sync_codes` is the heal (see :meth:`add`)."""
         spark = self.spark
         if isinstance(vec_ids, DataFrame):
             # materialize the id set ONCE (round-11 advice): the hit

@@ -237,9 +237,12 @@ class LSHIndex:
             n_new = _validate_doc_frame(d, "add()", allow_empty=True)
             if n_new == 0:
                 return 0
-            clash = (d.select("doc_id")
-                     .join(self.bands().select("doc_id").distinct(),
-                           "doc_id")
+            # delta side broadcast, no distinct over the index: a
+            # duplicate needs only ONE matching band row to refuse,
+            # and a .distinct() here would shuffle-aggregate the
+            # whole band table per ingest (the IVFIndex.add shape)
+            clash = (self.bands().select("doc_id")
+                     .join(F.broadcast(d.select("doc_id")), "doc_id")
                      .limit(1).collect())
             if clash:
                 raise ValueError(

@@ -2,8 +2,53 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType
+
+
+def dataset_fingerprint(sf_dir: str, table: str) -> tuple:
+    """Identity of one test table including content version, so a
+    rewrite of the parquet under the same path invalidates any cache
+    keyed on it."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
+
+
+def session_cached(cache: dict, spark: SparkSession, fingerprint,
+                   build, max_entries: int, evict=None):
+    """THE (session, dataset)-keyed LRU for expensive standing
+    artifacts — one implementation shared by the materialized cluster
+    map, the standing LSH band index, and the standing IVF index, so
+    an eviction-logic fix cannot silently apply to one cache only.
+    Semantics: LRU recency bump on hit; entries from other (stopped)
+    applications evicted eagerly; oldest evicted past ``max_entries``;
+    ``evict(value)`` (if given) runs on every eviction and must not
+    raise usefully-catchable errors (wrap it)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, fingerprint)
+    v = cache.get(key)
+    if v is not None:
+        # LRU, not FIFO: refresh recency so the hottest entry is
+        # never the eviction victim (dict preserves insertion order)
+        cache[key] = cache.pop(key)
+        return v
+    for k in [k for k in cache if k[0] != app_id]:
+        old = cache.pop(k)
+        if evict is not None:
+            evict(old)
+    while len(cache) >= max_entries:
+        old = cache.pop(next(iter(cache)))
+        if evict is not None:
+            evict(old)
+    v = build()
+    cache[key] = v
+    return v
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

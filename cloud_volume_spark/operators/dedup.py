@@ -18,7 +18,6 @@ pairs that share a shingle.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -403,14 +402,12 @@ _CLUSTER_CACHE_MAX = 8
 
 
 def _dataset_fingerprint(sf_dir: str) -> tuple:
-    """Identity of the documents table including content version, so a
-    rewrite of the parquet under the same path invalidates the cache."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        return (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        return (path, 0, 0)
+    """Identity of the documents table including content version
+    (``common.dataset_fingerprint`` specialized to this module's
+    table)."""
+    from cloud_volume_spark.operators.common import dataset_fingerprint
+
+    return dataset_fingerprint(sf_dir, "documents")
 
 
 def clear_cluster_cache() -> None:
@@ -431,26 +428,25 @@ def materialized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     map, so composite pipelines pay the shingle→LSH→CC cost once.
     Bounded: oldest entries are unpersisted and evicted beyond
     ``_CLUSTER_CACHE_MAX``; entries from other (stopped) applications
-    are evicted eagerly."""
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, _dataset_fingerprint(sf_dir))
-    df = _CLUSTER_CACHE.get(key)
-    if df is not None:
-        # LRU, not FIFO: refresh recency so the hottest map is never
-        # the eviction victim (dict preserves insertion order)
-        _CLUSTER_CACHE[key] = _CLUSTER_CACHE.pop(key)
+    are evicted eagerly. The cache mechanics live in
+    ``common.session_cached`` (shared with the standing LSH/IVF
+    indexes)."""
+    from cloud_volume_spark.operators.common import session_cached
+
+    def build():
+        df = dedup_clusters(spark, sf_dir).persist()
+        df.count()  # materialize eagerly: consumers join a built map
         return df
-    # entries keyed to a different applicationId belong to a stopped
-    # session — their persisted blocks are gone; drop the references
-    for k in [k for k in _CLUSTER_CACHE if k[0] != app_id]:
-        _CLUSTER_CACHE.pop(k)
-    while len(_CLUSTER_CACHE) >= _CLUSTER_CACHE_MAX:
-        oldest = next(iter(_CLUSTER_CACHE))
-        _CLUSTER_CACHE.pop(oldest).unpersist()
-    df = dedup_clusters(spark, sf_dir).persist()
-    df.count()  # materialize eagerly: consumers join a built map
-    _CLUSTER_CACHE[key] = df
-    return df
+
+    def evict(df):
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a stopped session's blocks are already gone
+
+    return session_cached(
+        _CLUSTER_CACHE, spark, _dataset_fingerprint(sf_dir), build,
+        _CLUSTER_CACHE_MAX, evict)
 
 
 # The shingle→signature→band→pairs→CC CTE chain, templated so every
@@ -636,23 +632,17 @@ def _standing_lsh_index(spark: SparkSession, sf_dir: str):
     import tempfile
 
     from cloud_volume_spark.lsh_index import build_lsh_index
+    from cloud_volume_spark.operators.common import session_cached
 
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, _dataset_fingerprint(sf_dir))
-    idx = _LSH_INDEX_CACHE.get(key)
-    if idx is not None:
-        _LSH_INDEX_CACHE[key] = _LSH_INDEX_CACHE.pop(key)
-        return idx
-    for k in [k for k in _LSH_INDEX_CACHE if k[0] != app_id]:
-        _LSH_INDEX_CACHE.pop(k)
-    while len(_LSH_INDEX_CACHE) >= _LSH_INDEX_CACHE_MAX:
-        _LSH_INDEX_CACHE.pop(next(iter(_LSH_INDEX_CACHE)))
-    corpus = load(spark, sf_dir, "documents").where(
-        F.col("doc_id") % INGEST_MOD != 0)
-    idx = build_lsh_index(
-        corpus, tempfile.mkdtemp(prefix="cvs_lsh_idx_"))
-    _LSH_INDEX_CACHE[key] = idx
-    return idx
+    def build():
+        corpus = load(spark, sf_dir, "documents").where(
+            F.col("doc_id") % INGEST_MOD != 0)
+        return build_lsh_index(
+            corpus, tempfile.mkdtemp(prefix="cvs_lsh_idx_"))
+
+    return session_cached(
+        _LSH_INDEX_CACHE, spark, _dataset_fingerprint(sf_dir), build,
+        _LSH_INDEX_CACHE_MAX)
 
 
 def lsh_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

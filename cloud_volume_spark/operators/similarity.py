@@ -1200,44 +1200,31 @@ def clear_ivf_index_cache() -> None:
     _IVF_INDEX_CACHE.clear()
 
 
-def _emb_fingerprint(sf_dir: str) -> tuple:
-    import os
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        return (path, st.st_mtime_ns, st.st_size)
-    except OSError:
-        return (path, 0, 0)
-
-
 def _standing_ivf_index(spark: SparkSession, sf_dir: str):
     """The standing embedding index with build-once semantics per
     (session, dataset) — sample centroids (the oracle-expressible
     quantizer) + the int8 sidecar, so every index-riding operator
     (curation here, plus ad-hoc ``search``/``search_int8``) shares ONE
-    persisted assignment."""
+    persisted assignment. Cache mechanics: ``common.session_cached``."""
     import tempfile
 
     from cloud_volume_spark.ann_index import build_ivf_index
+    from cloud_volume_spark.operators.common import (
+        dataset_fingerprint, session_cached,
+    )
 
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, _emb_fingerprint(sf_dir))
-    idx = _IVF_INDEX_CACHE.get(key)
-    if idx is not None:
-        _IVF_INDEX_CACHE[key] = _IVF_INDEX_CACHE.pop(key)
-        return idx
-    for k in [k for k in _IVF_INDEX_CACHE if k[0] != app_id]:
-        _IVF_INDEX_CACHE.pop(k)
-    while len(_IVF_INDEX_CACHE) >= _IVF_INDEX_CACHE_MAX:
-        _IVF_INDEX_CACHE.pop(next(iter(_IVF_INDEX_CACHE)))
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    idx = build_ivf_index(
-        emb, tempfile.mkdtemp(prefix="cvs_ivf_idx_"),
-        nlist=SEMDEDUP_NLIST, centroid_base_id=100, centroids="sample",
-        int8=True)
-    _IVF_INDEX_CACHE[key] = idx
-    return idx
+    def build():
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding")
+        return build_ivf_index(
+            emb, tempfile.mkdtemp(prefix="cvs_ivf_idx_"),
+            nlist=SEMDEDUP_NLIST, centroid_base_id=100,
+            centroids="sample", int8=True)
+
+    return session_cached(
+        _IVF_INDEX_CACHE, spark,
+        dataset_fingerprint(sf_dir, "embeddings"), build,
+        _IVF_INDEX_CACHE_MAX)
 
 
 def embedding_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,11 +1291,11 @@ def embedding_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.sum(dec).cast("double") / n),
             F.lit(0.0))).alias("sd"))
 
-    # ---- quantize leg (map-only int8 scale)
-    scale = F.greatest(
-        F.aggregate(F.col("embedding"), F.lit(0.0),
-                    lambda acc, x: F.greatest(acc, F.abs(x))),
-        F.lit(1e-12)) / F.lit(127.0)
+    # ---- quantize leg (map-only int8 scale): THE shared contract —
+    # int8_codes(keep_scale=True) — so a rounding edit there cannot
+    # fork this flag's q_scale from the codes it describes; the
+    # unused q/sq projections are pruned by Catalyst
+    aff = int8_codes(aff, "embedding", keep_scale=True)
 
     return (
         aff.join(stats, "cent_id")
@@ -1321,7 +1308,7 @@ def embedding_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (F.col("mu") - F.col("csim")
                 > OUTLIER_SIGMA * F.col("sd")))
             .cast("int").alias("is_outlier"),
-            F.round(scale, 9).alias("q_scale"),
+            F.round("scale", 9).alias("q_scale"),
             ((F.coalesce("n_dups", F.lit(0)) == 0)
              & ~((F.col("sd") > 0)
                  & (F.col("mu") - F.col("csim")

@@ -773,3 +773,48 @@ def test_int8_affinity_scan_prunes_and_skips_floats(spark, sf_dir, index8):
         assert "embedding" not in b, b
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sync_codes_heals_torn_mutations(spark, sf_dir, tmp_path):
+    """The two-write crash window: a torn add (lists committed, codes
+    not) and a torn remove (stale codes still serving removed ids)
+    must both be detected and healed by sync_codes(); a consistent
+    sidecar reports 0."""
+    import shutil
+
+    from cloud_volume_spark.ann_index import _codes_frame
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(emb.where(F.col("vec_id") < 400),
+                          str(tmp_path / "sync"), nlist=4,
+                          centroid_base_id=100, int8=True)
+    assert idx.sync_codes() == 0
+
+    def codes_ok():
+        got = sorted((r["vec_id"], r["cent_id"])
+                     for r in idx.codes().collect())
+        want = sorted((r["vec_id"], r["cent_id"])
+                      for r in idx.lists().collect())
+        assert got == want
+
+    # torn ADD: the lists append landed, the codes append did not —
+    # simulate by dropping one codes partition wholesale
+    victim = int(idx.codes().select("cent_id").first()["cent_id"])
+    shutil.rmtree(f"{idx.path}/codes.parquet/cent_id={victim}")
+    assert idx.sync_codes() == 1
+    codes_ok()
+
+    # torn REMOVE: the lists partition was rewritten, the stale codes
+    # still carry the removed ids — simulate by appending duplicate
+    # code rows for one partition (codes ahead of lists)
+    stale = (_codes_frame(
+        idx.lists().where(F.col("cent_id") == victim).limit(3)))
+    (stale.repartition("cent_id")
+     .write.mode("append").partitionBy("cent_id")
+     .parquet(f"{idx.path}/codes.parquet"))
+    assert idx.sync_codes() == 1
+    codes_ok()
+    assert idx.sync_codes() == 0
+    # search keeps serving after the heals
+    assert idx.search_int8(_queries(spark, sf_dir), k=3,
+                           nprobe=2).count() > 0

@@ -15,13 +15,17 @@ from bench import BENCH_QUERIES, TAIL_BUDGET, fit_tail_line
 from scripts.bench_scale import ensure_scaled
 
 
-SIGNAL_KEYS = ("l1", "vw", "vr", "sw", "sr", "vq", "sq")
+# the r13 ten-key signal: l1 + the four BASELINE throughput rows +
+# one steal verdict per bracketed leg family (vq/sq/iq/nq/pq) —
+# must mirror main()'s b_priority head and fit_tail_line's reserve
+SIGNAL_KEYS = ("l1", "vw", "vr", "sw", "sr", "vq", "sq",
+               "iq", "nq", "pq")
 
 
 def _b_priority(l1=7.5):
     return [
         ("l1", l1), ("vw", 62), ("vr", 135), ("sw", 143), ("sr", 864),
-        ("vq", 4), ("sq", 4),
+        ("vq", 4), ("sq", 4), ("iq", 2), ("nq", 2), ("pq", 2),
         ("su", 0.38), ("ib", 14.8), ("im", 294), ("ae", 4.41),
         ("aq", 1.55), ("cp", 0.19),
     ]
