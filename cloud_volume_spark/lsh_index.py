@@ -365,6 +365,38 @@ class LSHIndex:
 
     # ---- query -------------------------------------------------------
 
+    def self_pairs(self) -> DataFrame:
+        """Candidate near-duplicate pairs ACROSS the indexed corpus —
+        the weekly full-dedup sweep, off the persisted bands with no
+        re-signature: a self-join on (band, bucket, band_hash) with
+        ``doc_a < doc_b``, distinct. Row-for-row the
+        ``minhash_lsh_pairs`` contract over the indexed documents
+        (bucket is a function of band_hash, so including it in the
+        key changes nothing but keeps the join aligned with the
+        partition layout — co-partitioned scan, no pre-shuffle).
+
+        Scale: the join shuffles on the band key only (bounded
+        buckets, never an all-pairs product); at 100 TB this is the
+        recurring sweep whose signature cost the index already paid
+        once at build."""
+        bands = self.bands()
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
     def lookup(self, docs: DataFrame) -> DataFrame:
         """Near-duplicate lookup for an ingest batch against the
         standing corpus — row-for-row the ``dedup_incremental``

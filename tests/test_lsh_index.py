@@ -183,3 +183,16 @@ def test_lookup_plan_prunes_partitions_and_broadcasts(spark, sf_dir, built):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_self_pairs_matches_minhash_lsh_pairs(spark, sf_dir, tmp_path):
+    """The full-corpus sweep through the persisted bands must produce
+    exactly the oracle-gated minhash_lsh_pairs candidate set (over the
+    whole documents table — build the index over everything here)."""
+    from cloud_volume_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = build_lsh_index(docs, str(tmp_path / "sp"))
+    got = _rows(idx.self_pairs())
+    want = _rows(minhash_lsh_pairs(spark, sf_dir))
+    assert got == want and len(got) > 0
