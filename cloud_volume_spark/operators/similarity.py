@@ -921,6 +921,14 @@ def _assign_fold(df: DataFrame, cdict: dict) -> DataFrame:
     )
 
 
+_KMEANS_CACHE: dict = {}
+_KMEANS_CACHE_MAX = 4
+
+
+def clear_kmeans_cache() -> None:
+    _KMEANS_CACHE.clear()
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column: deterministic init
     (the first KMEANS_K vectors by vec_id), KMEANS_ITERS fixed
@@ -938,28 +946,43 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond, NO shuffle and no window either way; the only shuffle per
     round is the partial-aggregated per-dimension mean. This is
     exactly how distributed Lloyd's is supposed to look: broadcast
-    centroids out, tree-aggregate sums back."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    # iterative algorithm: the parsed/casted vectors are read once and
-    # cached across Lloyd rounds (KMEANS_ITERS mean jobs + the final
-    # assignment all scan it) — the standard persist point for
-    # distributed k-means; MEMORY_AND_DISK so a 100 TB run degrades to
-    # spill, not recompute-from-parquet per round
-    from pyspark import StorageLevel
+    centroids out, tree-aggregate sums back.
 
-    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        out = _kmeans_rounds(emb)
-        # materialize the final assignment BEFORE releasing the cache:
-        # the returned DataFrame is evaluated lazily by the caller,
-        # i.e. after the finally unpersisted — the final pass would
-        # silently rescan and re-cast the full parquet. localCheckpoint
-        # stores just (vec_id, cluster, sq_dist).
-        return out.localCheckpoint(eager=True)
-    finally:
-        emb.unpersist()
+    Compute-once per (session, dataset) — the ``materialized_clusters``
+    pattern (``common.session_cached``): the trajectory is bit-exactly
+    deterministic, so the checkpointed assignment IS the recomputation;
+    composite consumers (``embedding_outliers`` rides it per query, and
+    a bench/serving session runs both) pay the Lloyd rounds once."""
+    from cloud_volume_spark.operators.common import (
+        dataset_fingerprint, session_cached,
+    )
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("v")
+        )
+        # iterative algorithm: the parsed/casted vectors are read once
+        # and cached across Lloyd rounds (KMEANS_ITERS mean jobs + the
+        # final assignment all scan it) — the standard persist point
+        # for distributed k-means; MEMORY_AND_DISK so a 100 TB run
+        # degrades to spill, not recompute-from-parquet per round
+        from pyspark import StorageLevel
+
+        emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out = _kmeans_rounds(emb)
+            # materialize the final assignment BEFORE releasing the
+            # cache: the returned DataFrame is evaluated lazily by the
+            # caller, i.e. after the finally unpersisted — the final
+            # pass would silently rescan and re-cast the full parquet.
+            # localCheckpoint stores just (vec_id, cluster, sq_dist).
+            return out.localCheckpoint(eager=True)
+        finally:
+            emb.unpersist()
+
+    return session_cached(
+        _KMEANS_CACHE, spark, dataset_fingerprint(sf_dir, "embeddings"),
+        build, _KMEANS_CACHE_MAX)
 
 
 def _kmeans_rounds(emb: DataFrame) -> DataFrame:
