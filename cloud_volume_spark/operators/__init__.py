@@ -44,7 +44,27 @@ from cloud_volume_spark import multimodal
 # halves covers at most 100). Round 14 MUST front exactly the 50
 # queries outside this round's window, and must retire one registered
 # query (to RETIRED_QUERIES, which keeps local DuckDB parity) for
-# every new one it adds.
+# every new one it adds. The ROUND-14 FRONT, precomputed (== this
+# round's out-of-window set, in registry order; any r14 retirement
+# drops from here, any new query inserts at the head):
+#   vox_changes_feed, vox_label_histogram, vox_unique_bbox,
+#   simhash_hamming_k_pairs, dedup_cluster_size_stats,
+#   doc_bigram_logprob, embedding_outliers, q7_nation_trade,
+#   q14_promo_revenue, customers_without_orders, events_funnel,
+#   event_props_extract, events_cohort_retention, events_top_paths,
+#   q4_order_priority, q21_suppliers_waiting, q15_top_supplier,
+#   q17_small_qty_revenue, q18_large_volume_customer,
+#   q19_discounted_revenue, orders_above_customer_avg,
+#   urgent_orders_with_lineitems, brand_type_pivot,
+#   nations_customers_no_suppliers, customer_spend_deciles,
+#   largest_order_per_customer, event_type_share, boilerplate_ngrams,
+#   line_dedup, repeated_spans, mixture_sample, token_bucket_stats,
+#   doc_entropy, doc_perplexity, corpus_shuffle, corpus_curate,
+#   corpus_sample_stratified, tfidf_top_terms, doc_context_windows,
+#   doc_policy_scan, doc_pii_redact, dedup_keep_best,
+#   corpus_pack_sequences, corpus_contamination, corpus_snapshot_diff,
+#   mm_image_features, mm_image_resize, mm_video_frame_sample,
+#   mm_audio_features, mm_asset_stats
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,
