@@ -196,3 +196,31 @@ def test_self_pairs_matches_minhash_lsh_pairs(spark, sf_dir, tmp_path):
     got = _rows(idx.self_pairs())
     want = _rows(minhash_lsh_pairs(spark, sf_dir))
     assert got == want and len(got) > 0
+
+
+def test_band_bucket_golden_constants(spark):
+    """The (band, bucket) partition layout is ON-DISK contract: an
+    index written by one session must prune correctly in every later
+    one, so the bucket function (crc32 % n_buckets) is pinned to
+    golden values (cross-checked against zlib.crc32 — the same
+    polynomial Spark's crc32 implements). A Spark upgrade that
+    changed these would silently route lookups to the wrong
+    partitions; this fails it loudly."""
+    import zlib
+
+    from cloud_volume_spark.lsh_index import (
+        DEFAULT_N_BUCKETS, _band_bucket,
+    )
+
+    samples = ["abc", "0123456789abcdef0123456789abcdef", "deadbeef"]
+    df = spark.createDataFrame([(s,) for s in samples],
+                               "band_hash string")
+    got = {r["band_hash"]: r["b"] for r in
+           df.select("band_hash",
+                     _band_bucket(DEFAULT_N_BUCKETS).alias("b"))
+           .collect()}
+    assert got == {"abc": 2,
+                   "0123456789abcdef0123456789abcdef": 14,
+                   "deadbeef": 4}
+    for s in samples:
+        assert got[s] == zlib.crc32(s.encode()) % DEFAULT_N_BUCKETS
