@@ -137,32 +137,128 @@ VOL_CHUNK = (256, 256, 50)
 # --- steal-aware volume probes ---------------------------------------
 # The r11 driver pass recorded the seg-read row at 2.27x BASELINE's
 # gate purely on external CPU steal (load1 18.4; the same round's
-# quiet pass was 0.31x with zero commits in the decode path). load1
-# cannot gate this — our own 32-thread query stages keep it elevated
-# for minutes after they finish — so each volume pass is BRACKETED by
-# a fixed single-thread busy loop: if both brackets run at nominal
-# speed (~0.19 s on this host), no external burst overlapped the
-# pass. min() is then taken over quiet passes only; if the base
-# passes catch no quiet window, bounded extra passes run, and a
-# fully-stolen artifact says so explicitly (steal_flagged) instead of
-# recording an indefensible number as if the host were idle.
+# quiet pass was 0.31x with zero commits in the decode path), so each
+# pass is BRACKETED by CPU probes: if both brackets run at nominal
+# speed, no external burst overlapped the pass. min() is then taken
+# over quiet passes only; if the base passes catch no quiet window,
+# bounded extra passes run, and a fully-stolen artifact says so
+# explicitly (steal_flagged) instead of recording an indefensible
+# number as if the host were idle.
+#
+# r14: the r13 driver artifact proved the single-thread probe BLIND to
+# many-core contention — seg-read recorded 34 MB/s (7.4x the gate) at
+# load1 17.37 with quiet_passes=3: a single Python thread still gets a
+# full core while 32-way Spark stages starve. Measured on this host: a
+# 16-process external load leaves the 1-thread probe at its nominal
+# 0.195 s while a 32-process probe inflates 0.30 -> 0.53 s. Each
+# bracket therefore now runs BOTH probes (st = 1-thread, mt = a
+# 32-process fork-pool spin whose wall time collapses exactly when
+# external processes compete for cores) and records load1. Two gates:
+#   - per-PASS: both brackets' st AND mt probes at nominal speed.
+#     Per-pass load1 is recorded for forensics but NOT gated — the
+#     60 s EMA counts the measured pass's own 32-way burst, so a
+#     quiet host would self-flag by pass 3.
+#   - per-LEG: load1 read at leg ENTRY (we are idle there, after a
+#     bounded settle-wait for our own prior stages' decay) must be
+#     under LOAD1_QUIET_MAX, regardless of probe times — the r13
+#     artifact (entry load ~17) is the motivating counterexample.
+#     Under sustained external steal the settle-wait times out and
+#     the whole leg is steal_flagged, which is the truth.
 CPU_PROBE_QUIET_SEC = float(
     os.environ.get("SPARK_GRAFT_CPU_QUIET_SEC", "0.4"))
+# 32-proc pool spin: idle 0.29-0.32 s on this host, 0.38+ with 8
+# external spinners, 0.52+ with 16 — threshold splits idle jitter
+# from 8-proc-class contention
+MT_PROBE_QUIET_SEC = float(
+    os.environ.get("SPARK_GRAFT_MT_QUIET_SEC", "0.36"))
+MT_PROBE_PROCS = int(os.environ.get("SPARK_GRAFT_MT_PROBE_PROCS", "32"))
+MT_PROBE_SPIN = 5_000_000
+LOAD1_QUIET_MAX = float(
+    os.environ.get("SPARK_GRAFT_LOAD1_QUIET_MAX", "4.0"))
+LOAD1_SETTLE_SEC = float(
+    os.environ.get("SPARK_GRAFT_LOAD1_SETTLE_SEC", "90"))
 VOL_BASE_PASSES = 4
 VOL_MAX_PASSES = 8
+
+_MT_POOL = None
+
+
+def _spin(n: int) -> int:
+    acc = 0
+    for i in range(n):
+        acc += i
+    return acc
 
 
 def _cpu_probe_sec() -> float:
     t0 = time.perf_counter()
-    acc = 0
-    for i in range(5_000_000):
-        acc += i
+    _spin(5_000_000)
     return round(time.perf_counter() - t0, 3)
 
 
-def _quiet_pass_ids(probes) -> list:
+def _mt_probe_sec() -> float:
+    """Wall time for MT_PROBE_PROCS forked workers to spin concurrently
+    — the many-core contention signal the single-thread probe cannot
+    see. The pool persists across probes (fork-once; a per-probe fork
+    of the fat Spark driver would dominate the measurement)."""
+    global _MT_POOL
+    import multiprocessing as _mp
+    try:
+        if _MT_POOL is None:
+            _MT_POOL = _mp.get_context("fork").Pool(MT_PROBE_PROCS)
+        t0 = time.perf_counter()
+        _MT_POOL.map(_spin, [MT_PROBE_SPIN] * MT_PROBE_PROCS, chunksize=1)
+        return round(time.perf_counter() - t0, 3)
+    except Exception:
+        _MT_POOL = None
+        return 999.0  # never-quiet sentinel (json-safe, unlike inf)
+
+
+def _load1() -> float:
+    with open("/proc/loadavg") as fh:
+        return float(fh.read().split()[0])
+
+
+def _probe() -> dict:
+    return {"st": _cpu_probe_sec(), "mt": _mt_probe_sec(),
+            "l1": round(_load1(), 2)}
+
+
+def _probe_quiet(p: dict) -> bool:
+    return (p["st"] <= CPU_PROBE_QUIET_SEC
+            and p["mt"] <= MT_PROBE_QUIET_SEC)
+
+
+def _quiet_pass_ids(probes, entry_ok: bool = True) -> list:
+    if not entry_ok:
+        return []
     return [i for i, (a, b) in enumerate(probes)
-            if a <= CPU_PROBE_QUIET_SEC and b <= CPU_PROBE_QUIET_SEC]
+            if _probe_quiet(a) and _probe_quiet(b)]
+
+
+def _settle_load(max_wait: float = None) -> float:
+    """Bounded wait for load1 to decay under the quiet gate. Our own
+    just-finished 32-way stages keep load1 elevated for ~a minute
+    after the work stops (60 s EMA); without this wait the hard
+    entry gate would flag a genuinely quiet host right after the
+    query phase. Under real sustained steal the wait times out and
+    the caller records the (high) entry load honestly."""
+    budget = LOAD1_SETTLE_SEC if max_wait is None else max_wait
+    t0 = time.perf_counter()
+    l1 = _load1()
+    while l1 > LOAD1_QUIET_MAX and time.perf_counter() - t0 < budget:
+        time.sleep(min(5.0, max(budget, 0.01)))
+        l1 = _load1()
+    return l1
+
+
+def _leg_entry_gate() -> tuple:
+    """(entry_load1, gate_ok) for a bracketed leg: settle, then read
+    load1 while WE are idle — anything over LOAD1_QUIET_MAX there is
+    external (or settle-exhausted, i.e. sustained) contention, and the
+    leg is not-quiet regardless of probe times."""
+    l1 = _settle_load()
+    return round(l1, 2), l1 <= LOAD1_QUIET_MAX
 
 
 # r13: every BASELINE-mapped leg is steal-probe bracketed, not just the
@@ -179,16 +275,18 @@ LEG_MAX_PASSES = 4
 def _quiet_leg(pass_fn, primary: str,
                base_passes: int = LEG_BASE_PASSES,
                max_passes: int = LEG_MAX_PASSES) -> dict:
-    """Run ``pass_fn() -> dict`` bracketed by CPU probes until at
-    least one pass is probe-quiet (or the pass budget runs out).
-    Returns the pass with the minimum ``primary`` timing among quiet
-    passes (else among all, flagged), plus the probe record."""
+    """Run ``pass_fn() -> dict`` behind the leg-entry load gate and
+    bracketed by st+mt CPU probes until at least one pass is
+    probe-quiet (or the pass budget runs out). Returns the pass with
+    the minimum ``primary`` timing among quiet passes (else among all,
+    flagged), plus the probe record."""
+    entry_load1, entry_ok = _leg_entry_gate()
     results, probes = [], []
     while True:
-        p0 = _cpu_probe_sec()
+        p0 = _probe()
         results.append(pass_fn())
-        probes.append((p0, _cpu_probe_sec()))
-        quiet = _quiet_pass_ids(probes)
+        probes.append((p0, _probe()))
+        quiet = _quiet_pass_ids(probes, entry_ok)
         if (len(probes) >= base_passes and quiet) \
                 or len(probes) >= max_passes:
             break
@@ -197,7 +295,8 @@ def _quiet_leg(pass_fn, primary: str,
     return {
         **results[best],
         f"{primary}_all": [r[primary] for r in results],
-        "cpu_probe_secs_all": probes,
+        "probes_all": probes,
+        "entry_load1": entry_load1,
         "quiet_passes": len(quiet),
         "steal_flagged": not quiet,
     }
@@ -325,11 +424,12 @@ def bench_volume(spark) -> dict:
         # the old drop-pass-0 convention threw away the only clean
         # window on a loaded host (r6 seg read: [0.401, 1.944, 3.894]
         # reported 1.944). All passes stay in *_secs_all.
-        # r12: passes are steal-probe bracketed (see CPU_PROBE_QUIET_SEC)
-        # and min() prefers quiet passes.
+        # r12: passes are steal-probe bracketed and min() prefers quiet
+        # passes; r14: st+mt probes + the leg-entry load gate.
+        entry_load1, entry_ok = _leg_entry_gate()
         write_secs, read_secs, probes = [], [], []
         while True:
-            p0 = _cpu_probe_sec()
+            p0 = _probe()
             t0 = time.perf_counter()
             vol.write_blocks_df(blocks, mip=0, compression="gzip")
             write_secs.append(time.perf_counter() - t0)
@@ -343,8 +443,8 @@ def bench_volume(spark) -> dict:
             out = vol.cutout(Bbox((0, 0, 0), VOL_SHAPE))
             read_secs.append(time.perf_counter() - t0)
             assert out.shape[:3] == VOL_SHAPE
-            probes.append((p0, _cpu_probe_sec()))
-            quiet = _quiet_pass_ids(probes)
+            probes.append((p0, _probe()))
+            quiet = _quiet_pass_ids(probes, entry_ok)
             if (len(probes) >= VOL_BASE_PASSES and quiet) \
                     or len(probes) >= VOL_MAX_PASSES:
                 break
@@ -360,7 +460,8 @@ def bench_volume(spark) -> dict:
             "read_mbps": round(logical_mb / read_sec, 1),
             "write_secs_all": [round(s, 3) for s in write_secs],
             "read_secs_all": [round(s, 3) for s in read_secs],
-            "cpu_probe_secs_all": probes,
+            "probes_all": probes,
+            "entry_load1": entry_load1,
             "quiet_passes": len(quiet),
             "steal_flagged": not quiet,
         }
@@ -390,10 +491,11 @@ def bench_volume_seg(spark) -> dict:
         blocks = make_seg_blocks(spark, VOL_SHAPE, VOL_CHUNK)
         logical_mb = int(np.prod(VOL_SHAPE)) * 2 / 1e6
 
+        entry_load1, entry_ok = _leg_entry_gate()
         write_secs, read_secs, uniq_secs, probes = [], [], [], []
         n_labels = 0
         while True:
-            p0 = _cpu_probe_sec()
+            p0 = _probe()
             t0 = time.perf_counter()
             vol.write_blocks_df(blocks, mip=0, compression="gzip")
             write_secs.append(time.perf_counter() - t0)
@@ -405,8 +507,8 @@ def bench_volume_seg(spark) -> dict:
             t0 = time.perf_counter()
             n_labels = vol.unique(Bbox((0, 0, 0), VOL_SHAPE)).count()
             uniq_secs.append(time.perf_counter() - t0)
-            probes.append((p0, _cpu_probe_sec()))
-            quiet = _quiet_pass_ids(probes)
+            probes.append((p0, _probe()))
+            quiet = _quiet_pass_ids(probes, entry_ok)
             if (len(probes) >= VOL_BASE_PASSES and quiet) \
                     or len(probes) >= VOL_MAX_PASSES:
                 break
@@ -436,7 +538,8 @@ def bench_volume_seg(spark) -> dict:
             "write_secs_all": [round(s, 3) for s in write_secs],
             "read_secs_all": [round(s, 3) for s in read_secs],
             "unique_secs_all": [round(s, 3) for s in uniq_secs],
-            "cpu_probe_secs_all": probes,
+            "probes_all": probes,
+            "entry_load1": entry_load1,
             "quiet_passes": len(quiet),
             "steal_flagged": not quiet,
         }
@@ -603,19 +706,22 @@ TAIL_BUDGET = 1985  # >= 14 chars of margin inside the 2,000-char tail
 
 def fit_tail_line(times, total, sf, b_priority, budget=None):
     """Build the driver-facing final JSON line under the stdout-tail
-    budget. Ladder: 2-decimal query seconds IF the ten cross-round
+    budget. Ladder: 2-decimal query seconds IF the fifteen cross-round
     signal keys (l1 + the four BASELINE throughput rows + the
-    vq/sq/iq/nq/pq steal verdicts) still fit, else 1 decimal; extras
+    vq/sq/iq/nq/pq steal verdicts + the vl/sl/il/nl/pl per-leg entry
+    loads) still fit, else 1 decimal; extras
     added most-critical-first; terminal rung
-    RESERVES all ten signal keys and sheds the FASTEST query rows
+    RESERVES all fifteen signal keys and sheds the FASTEST query rows
     instead (slow ones are the informative ones, and the signal keys
     are the only cross-round comparands) with a qdropped count rather
     than ever printing an unparseable over-budget line. Unit-tested in
     tests/test_bench_tail.py."""
     budget = TAIL_BUDGET if budget is None else budget
     # l1 + vw/vr/sw/sr + the vq/sq/iq/nq/pq steal verdicts (r13: one
-    # verdict per bracketed leg family)
-    signal = b_priority[:10]
+    # verdict per bracketed leg family) + the vl/sl/il/nl/pl per-leg
+    # entry-load marks (r14: a quiet claim without its entry load is
+    # exactly the indefensible artifact BENCH_r13's seg row was)
+    signal = b_priority[:15]
 
     def _fit(ndigits):
         compact = {
@@ -736,16 +842,13 @@ def main() -> None:
     point_stats = bench_point_read(spark)
 
     # environment probe: host contention varies round-to-round (VM on a
-    # shared box); loadavg + a fixed single-thread python loop let the
-    # cross-round comparison normalize for it
-    with open("/proc/loadavg") as fh:
-        load1 = float(fh.read().split()[0])
-    t_probe = time.perf_counter()
-    acc = 0
-    for i in range(5_000_000):
-        acc += i
-    cpu_probe = round(time.perf_counter() - t_probe, 3)
-    env = {"load1": load1, "cpu_probe_sec": cpu_probe}
+    # shared box); loadavg + the two fixed probes (1-thread and
+    # 32-process) let the cross-round comparison normalize for it
+    env = {"load1": _load1(), "cpu_probe_sec": _cpu_probe_sec(),
+           "mt_probe_sec": _mt_probe_sec(),
+           "quiet_gates": {"st": CPU_PROBE_QUIET_SEC,
+                           "mt": MT_PROBE_QUIET_SEC,
+                           "load1": LOAD1_QUIET_MAX}}
 
     # Full-fidelity payload: printed on an EARLIER line and written to
     # BENCH_FULL.json, because the driver captures only the last 2,000
@@ -781,8 +884,9 @@ def main() -> None:
     # vw/vr = volume write/read MB/s, sw/sr/su = seg write/read
     # MB/s + unique sec, ib/im = spatial-index build sec / MB,
     # ae/aq = annotation export / bbox-query sec, l1/cp = load1 /
-    # cpu-probe sec, vq/sq = quiet (steal-free) volume/seg pass
-    # counts. Full names live in BENCH_FULL.json / FULL line.
+    # cpu-probe sec, vq/sq/iq/nq/pq = quiet (steal-free) pass counts
+    # per leg, vl/sl/il/nl/pl = per-leg entry load1 (the hard quiet
+    # gate). Full names live in BENCH_FULL.json / FULL line.
     b_priority = [
         ("l1", env["load1"]),
         ("vw", round(vol_stats["write_mbps"])),
@@ -804,6 +908,13 @@ def main() -> None:
         ("iq", int(spatial_stats["quiet_passes"])),
         ("nq", int(anno_stats["quiet_passes"])),
         ("pq", int(point_stats["quiet_passes"])),
+        # r14: per-leg ENTRY loads (read idle, post-settle; > the
+        # LOAD1_QUIET_MAX gate => that leg's quiet count is forced 0)
+        ("vl", round(vol_stats["entry_load1"], 1)),
+        ("sl", round(seg_stats["entry_load1"], 1)),
+        ("il", round(spatial_stats["entry_load1"], 1)),
+        ("nl", round(anno_stats["entry_load1"], 1)),
+        ("pl", round(point_stats["entry_load1"], 1)),
         ("su", round(seg_stats["unique_sec"], 2)),
         ("ib", round(spatial_stats["build_sec"], 2)),
         ("im", round(spatial_stats["index_mb"])),

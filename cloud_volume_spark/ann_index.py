@@ -359,20 +359,26 @@ class IVFIndex:
         return f"{self.path}/.ivf-lock"
 
     @contextmanager
-    def _mutation_lock(self):
+    def _mutation_lock(self, break_lock: bool = False):
         """Exclusive index-mutation lock (the volume layer's
         ``_commit_lock`` pattern, ``volume.py:2398``): two concurrent
         ``add``/``remove`` calls would otherwise interleave their
         appends / partition rewrites and their meta writes. Crashed
         holders leave the lock file behind by design — loud beats a
-        silent steal; delete it after confirming the writer is dead
-        (and see ``add``'s docstring for torn-append recovery)."""
+        silent steal; the heal methods (``refresh_count`` /
+        ``sync_codes``) accept ``break_lock=True`` to steal a DEAD
+        writer's lock, since they take this lock themselves and would
+        otherwise refuse exactly when they're needed."""
         fs = PathOps(self.path, self.spark)
+        if break_lock:
+            fs.remove(self._lock_path)
         if not fs.create_exclusive(self._lock_path):
             raise RuntimeError(
                 f"another writer holds the index lock "
                 f"{self._lock_path!r}; retry after its mutation "
-                "finishes, or delete the file if the writer crashed")
+                "finishes, or — if the writer crashed — run "
+                "refresh_count(break_lock=True) / "
+                "sync_codes(break_lock=True)")
         try:
             yield fs
         finally:
@@ -382,20 +388,23 @@ class IVFIndex:
         fs.write_bytes(f"{self.path}/ivf_meta.json",
                        json.dumps(self.meta, sort_keys=True).encode())
 
-    def refresh_count(self) -> int:
+    def refresh_count(self, break_lock: bool = False) -> int:
         """Recount the lists (ids-only, column-pruned scan) and
         persist — the self-heal for a crash between a data append /
         partition rewrite and its meta write. ``add``/``remove``
         themselves track the count incrementally (O(delta), not
         O(index)). On an int8 index, pair with :meth:`sync_codes`:
         the same crash window can leave the codes sidecar behind the
-        lists."""
-        with self._mutation_lock() as fs:
+        lists. A crashed mutation leaves its ``.ivf-lock`` behind,
+        which would make this heal refuse too — pass
+        ``break_lock=True`` (after confirming the writer is dead) to
+        steal the dead writer's lock."""
+        with self._mutation_lock(break_lock=break_lock) as fs:
             self.meta = {**self.meta, "count": self.lists().count()}
             self._write_meta(fs)
         return int(self.meta["count"])
 
-    def sync_codes(self) -> int:
+    def sync_codes(self, break_lock: bool = False) -> int:
         """Re-derive the int8 sidecar for every inverted list whose
         codes partition disagrees with its float lists partition — the
         crash heal for the TWO-write mutation window on an int8 index:
@@ -409,12 +418,14 @@ class IVFIndex:
         content); mismatched partitions are re-quantized FROM the
         lists (dynamic overwrite), codes partitions with no surviving
         list are dropped. Returns the number of partitions healed —
-        0 means the sidecar is consistent."""
+        0 means the sidecar is consistent. ``break_lock=True`` steals
+        a crashed (confirmed-dead) writer's ``.ivf-lock``, which would
+        otherwise make this heal refuse (see :meth:`refresh_count`)."""
         if not self.int8:
             raise ValueError(
                 "sync_codes() needs an int8 index — rebuild with "
                 "build_ivf_index(..., int8=True)")
-        with self._mutation_lock() as fs:
+        with self._mutation_lock(break_lock=break_lock) as fs:
             l_ct = {int(r["cent_id"]): int(r["n"]) for r in
                     self.lists().groupBy("cent_id")
                     .agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -635,8 +646,12 @@ class IVFIndex:
         :meth:`remove`: ONLY the offending partitions are rewritten
         (``repartition("cent_id")`` leaves one task — one output file
         — per list), untouched lists keep their files, vector content
-        and meta count are unchanged. Returns the number of lists
-        rewritten."""
+        and meta count are unchanged. Returns the number of LISTS
+        partitions rewritten; on an int8 index the codes sidecar is
+        compacted on the same pass (it accumulates the same
+        small-files tax) but its rewrites are NOT in the return —
+        callers assert the return against their crowded-list count
+        (``last_codes_compacted`` carries the sidecar's count)."""
         def _compact(fs, base, reader, cols):
             crowded = []
             for d in fs.listdir(base):
@@ -663,13 +678,17 @@ class IVFIndex:
         with self._mutation_lock() as fs:
             n = _compact(fs, f"{self.path}/lists.parquet", self.lists,
                          ["vec_id", "embedding", "nrm", "cent_id"])
+            self.last_codes_compacted = 0
             if self.int8:
                 # the codes sidecar accumulates the same small-files
                 # tax (every add appends to both); compact it on the
-                # same pass, counted separately
-                n += _compact(fs, f"{self.path}/codes.parquet",
-                              self.codes,
-                              ["vec_id", "q", "sq", "cent_id"])
+                # same pass — counted SEPARATELY, not in the return
+                # (a caller asserting the return equals its
+                # crowded-list count must not see an inflated value
+                # on int8 indexes)
+                self.last_codes_compacted = _compact(
+                    fs, f"{self.path}/codes.parquet", self.codes,
+                    ["vec_id", "q", "sq", "cent_id"])
         return n
 
     def search(self, queries: DataFrame, k: int = 5,
@@ -813,14 +832,19 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
 
     e = _with_norm(emb.select(
         "vec_id", _as_double("embedding").alias("embedding")))
-    _validate_embedding_frame(e, context="brute_force_topk(corpus)")
+    _, corpus_dim = _validate_embedding_frame(
+        e, context="brute_force_topk(corpus)")
     q = _with_norm(queries.select(
         "query_id", _as_double("qvec").alias("qvec")), "qvec", "qnrm")
+    # cross-check the query dim against the CORPUS dim: an internally
+    # consistent query set of a different dimension would zip_with-pad
+    # NULL sims and silently corrupt the recall ground truth — the
+    # exact failure mode the per-frame validation fails loudly on
     _validate_embedding_frame(
         q.select(F.col("query_id").alias("vec_id"),
                  F.col("qvec").alias("embedding"),
                  F.col("qnrm").alias("nrm")),
-        context="brute_force_topk(queries)")
+        dim=corpus_dim, context="brute_force_topk(queries)")
     pairs = e.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.where(F.col("vec_id") != F.col("query_id"))

@@ -196,13 +196,20 @@ class LSHIndex:
         return f"{self.path}/.lsh-lock"
 
     @contextmanager
-    def _mutation_lock(self):
+    def _mutation_lock(self, break_lock: bool = False):
         fs = PathOps(self.path, self.spark)
+        if break_lock:
+            # crash recovery: the dead writer's lock file would
+            # otherwise make the heal itself refuse (heal methods
+            # take this lock too) — only pass this after confirming
+            # the writer is dead
+            fs.remove(self._lock_path)
         if not fs.create_exclusive(self._lock_path):
             raise RuntimeError(
                 f"another writer holds the index lock "
                 f"{self._lock_path!r}; retry after its mutation "
-                "finishes, or delete the file if the writer crashed")
+                "finishes, or — if the writer crashed — run "
+                "refresh_count(break_lock=True)")
         try:
             yield fs
         finally:
@@ -212,12 +219,15 @@ class LSHIndex:
         fs.write_bytes(f"{self.path}/lsh_meta.json",
                        json.dumps(self.meta, sort_keys=True).encode())
 
-    def refresh_count(self) -> int:
+    def refresh_count(self, break_lock: bool = False) -> int:
         """Recount distinct indexed docs and persist — the self-heal
         for a crash between a band append/rewrite and its meta write
         (``add``/``remove`` track the count incrementally: O(delta),
-        not O(index))."""
-        with self._mutation_lock() as fs:
+        not O(index)). A crashed mutation leaves its ``.lsh-lock``
+        file behind, which would make this heal refuse too — pass
+        ``break_lock=True`` (after confirming the writer is dead) to
+        steal the dead writer's lock."""
+        with self._mutation_lock(break_lock=break_lock) as fs:
             self.meta = {**self.meta,
                          "count": self.indexed_ids().count()}
             self._write_meta(fs)

@@ -51,6 +51,33 @@ def session_cached(cache: dict, spark: SparkSession, fingerprint,
     return v
 
 
+def evict_index_dir(idx) -> None:
+    """Evict callback for ``session_cached`` standing ON-DISK indexes
+    (IVF / LSH): remove the evicted index's directory. Without this,
+    every (session, dataset-version) combination leaks a complete
+    index copy in /tmp, which is not reaped between reboots on typical
+    Linux hosts. The dirs are session-derived mkdtemp artifacts; as a
+    guard, only paths inside the system tempdir are removed."""
+    import shutil
+    import tempfile
+
+    path = getattr(idx, "path", None)
+    if path and os.path.realpath(path).startswith(
+            os.path.realpath(tempfile.gettempdir()) + os.sep):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def drain_cache(cache: dict, evict=None) -> None:
+    """Pop every cache entry, running ``evict`` on each — the
+    clear-everything counterpart of session_cached's per-entry
+    eviction, shared so clear_*_cache and the atexit hooks cannot
+    diverge from the LRU's own cleanup."""
+    while cache:
+        v = cache.pop(next(iter(cache)))
+        if evict is not None:
+            evict(v)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized

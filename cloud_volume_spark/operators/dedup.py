@@ -18,6 +18,7 @@ pairs that share a shingle.
 
 from __future__ import annotations
 
+import atexit
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -618,9 +619,16 @@ _LSH_INDEX_CACHE_MAX = 4
 
 
 def clear_lsh_index_cache() -> None:
-    """Drop every cached standing index (tests / session stop). The
-    on-disk directories are left for the OS tempdir reaper."""
-    _LSH_INDEX_CACHE.clear()
+    """Drop every cached standing index AND its on-disk directory
+    (mkdtemp artifacts are not reaped between reboots; registered
+    atexit so a clean session exit leaves no index copies in /tmp)."""
+    from cloud_volume_spark.operators.common import (
+        drain_cache, evict_index_dir,
+    )
+    drain_cache(_LSH_INDEX_CACHE, evict_index_dir)
+
+
+atexit.register(clear_lsh_index_cache)
 
 
 def _standing_lsh_index(spark: SparkSession, sf_dir: str):
@@ -632,7 +640,9 @@ def _standing_lsh_index(spark: SparkSession, sf_dir: str):
     import tempfile
 
     from cloud_volume_spark.lsh_index import build_lsh_index
-    from cloud_volume_spark.operators.common import session_cached
+    from cloud_volume_spark.operators.common import (
+        evict_index_dir, session_cached,
+    )
 
     def build():
         corpus = load(spark, sf_dir, "documents").where(
@@ -642,7 +652,7 @@ def _standing_lsh_index(spark: SparkSession, sf_dir: str):
 
     return session_cached(
         _LSH_INDEX_CACHE, spark, _dataset_fingerprint(sf_dir), build,
-        _LSH_INDEX_CACHE_MAX)
+        _LSH_INDEX_CACHE_MAX, evict=evict_index_dir)
 
 
 def lsh_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import atexit
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1220,7 +1222,16 @@ _IVF_INDEX_CACHE_MAX = 4
 
 
 def clear_ivf_index_cache() -> None:
-    _IVF_INDEX_CACHE.clear()
+    """Drop every cached standing index AND its on-disk directory
+    (mkdtemp artifacts are not reaped between reboots; registered
+    atexit so a clean session exit leaves no index copies in /tmp)."""
+    from cloud_volume_spark.operators.common import (
+        drain_cache, evict_index_dir,
+    )
+    drain_cache(_IVF_INDEX_CACHE, evict_index_dir)
+
+
+atexit.register(clear_ivf_index_cache)
 
 
 def _standing_ivf_index(spark: SparkSession, sf_dir: str):
@@ -1233,7 +1244,7 @@ def _standing_ivf_index(spark: SparkSession, sf_dir: str):
 
     from cloud_volume_spark.ann_index import build_ivf_index
     from cloud_volume_spark.operators.common import (
-        dataset_fingerprint, session_cached,
+        dataset_fingerprint, evict_index_dir, session_cached,
     )
 
     def build():
@@ -1247,7 +1258,7 @@ def _standing_ivf_index(spark: SparkSession, sf_dir: str):
     return session_cached(
         _IVF_INDEX_CACHE, spark,
         dataset_fingerprint(sf_dir, "embeddings"), build,
-        _IVF_INDEX_CACHE_MAX)
+        _IVF_INDEX_CACHE_MAX, evict=evict_index_dir)
 
 
 def embedding_curate(spark: SparkSession, sf_dir: str) -> DataFrame:

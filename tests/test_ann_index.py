@@ -737,6 +737,12 @@ def test_int8_codes_track_lifecycle(spark, sf_dir, tmp_path):
     assert idx.codes().where(F.col("vec_id").isin(victims)).count() == 0
     rewritten = idx.compact_lists(max_files_per_list=1)
     assert rewritten > 0
+    # the return covers the LISTS only (r13 advice: a caller
+    # asserting it against a crowded-list census must not see the
+    # codes sidecar's rewrites folded in); the sidecar's own count
+    # is exposed separately and bounded by nlist
+    assert rewritten <= int(idx.meta["nlist"])
+    assert 0 < idx.last_codes_compacted <= int(idx.meta["nlist"])
     codes_ok()
     out = idx.search_int8(_queries(spark, sf_dir), k=3, nprobe=2)
     assert out.count() > 0
@@ -818,3 +824,46 @@ def test_sync_codes_heals_torn_mutations(spark, sf_dir, tmp_path):
     # search keeps serving after the heals
     assert idx.search_int8(_queries(spark, sf_dir), k=3,
                            nprobe=2).count() > 0
+
+
+def test_break_lock_heals_crashed_writer(spark, sf_dir, tmp_path):
+    """r13 advice: a crashed mutation leaves .ivf-lock behind, and the
+    heal methods take the lock themselves — so the documented heal
+    flow refused on its own prescription. break_lock=True (for a
+    confirmed-dead writer) steals the stale lock; the heal still
+    releases it on the way out."""
+    import os
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    n = emb.count()
+    idx = build_ivf_index(emb, str(tmp_path / "crash"), nlist=4,
+                          centroid_base_id=100, centroids="sample",
+                          int8=True)
+    open(idx._lock_path, "w").close()  # the dead writer's leftovers
+    with pytest.raises(RuntimeError, match="break_lock"):
+        idx.refresh_count()
+    with pytest.raises(RuntimeError, match="break_lock"):
+        idx.sync_codes()
+    assert idx.refresh_count(break_lock=True) == n
+    assert not os.path.exists(idx._lock_path)
+    open(idx._lock_path, "w").close()
+    assert idx.sync_codes(break_lock=True) == 0
+    assert not os.path.exists(idx._lock_path)
+    # and a healthy mutation still refuses a LIVE lock
+    with idx._mutation_lock():
+        with pytest.raises(RuntimeError, match="holds the index lock"):
+            idx.refresh_count()
+
+
+def test_brute_force_topk_dim_mismatch_refused(spark, sf_dir):
+    """r13 advice: an internally-consistent query set of a DIFFERENT
+    dimension than the corpus would zip_with-pad NULL sims and
+    silently corrupt the recall ground truth — the corpus dim is now
+    cross-checked against the query frame."""
+    from cloud_volume_spark.ann_index import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    q = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "query_id long, qvec array<double>")
+    with pytest.raises(ValueError, match="dimension"):
+        brute_force_topk(emb, q, k=3).collect()

@@ -15,17 +15,19 @@ from bench import BENCH_QUERIES, TAIL_BUDGET, fit_tail_line
 from scripts.bench_scale import ensure_scaled
 
 
-# the r13 ten-key signal: l1 + the four BASELINE throughput rows +
-# one steal verdict per bracketed leg family (vq/sq/iq/nq/pq) —
-# must mirror main()'s b_priority head and fit_tail_line's reserve
+# the r14 fifteen-key signal: l1 + the four BASELINE throughput rows +
+# one steal verdict per bracketed leg family (vq/sq/iq/nq/pq) + the
+# per-leg entry loads (vl/sl/il/nl/pl) — must mirror main()'s
+# b_priority head and fit_tail_line's reserve
 SIGNAL_KEYS = ("l1", "vw", "vr", "sw", "sr", "vq", "sq",
-               "iq", "nq", "pq")
+               "iq", "nq", "pq", "vl", "sl", "il", "nl", "pl")
 
 
 def _b_priority(l1=7.5):
     return [
         ("l1", l1), ("vw", 62), ("vr", 135), ("sw", 143), ("sr", 864),
         ("vq", 4), ("sq", 4), ("iq", 2), ("nq", 2), ("pq", 2),
+        ("vl", 1.4), ("sl", 2.2), ("il", 3.1), ("nl", 2.8), ("pl", 1.9),
         ("su", 0.38), ("ib", 14.8), ("im", 294), ("ae", 4.41),
         ("aq", 1.55), ("cp", 0.19),
     ]

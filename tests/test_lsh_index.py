@@ -224,3 +224,18 @@ def test_band_bucket_golden_constants(spark):
                    "deadbeef": 4}
     for s in samples:
         assert got[s] == zlib.crc32(s.encode()) % DEFAULT_N_BUCKETS
+
+
+def test_break_lock_heals_crashed_writer(spark, sf_dir, tmp_path):
+    """r13 advice: the crash-heal flow was contradictory — a crashed
+    add/remove leaves .lsh-lock behind and refresh_count itself takes
+    the lock, so the prescribed heal refused until the user manually
+    deleted the file. break_lock=True steals a confirmed-dead writer's
+    lock; the heal releases it on the way out."""
+    idx = build_lsh_index(
+        _corpus(spark, sf_dir).limit(20), str(tmp_path / "crash"))
+    open(idx._lock_path, "w").close()
+    with pytest.raises(RuntimeError, match="break_lock"):
+        idx.refresh_count()
+    assert idx.refresh_count(break_lock=True) == 20
+    assert not os.path.exists(idx._lock_path)
