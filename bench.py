@@ -61,7 +61,6 @@ BENCH_QUERIES = [
     "doc_langid",
     "doc_repetition",
     "doc_quality_filter",
-    "doc_entropy",
     "doc_perplexity",
     "token_bucket_stats",
     "boilerplate_ngrams",
@@ -98,10 +97,7 @@ BENCH_QUERIES = [
     "mm_video_frame_sample",
     "mm_audio_features",
     "mm_asset_stats",
-    "customers_without_orders",
     "orders_above_customer_avg",
-    "urgent_orders_with_lineitems",
-    "brand_type_pivot",
     "nations_customers_no_suppliers",
     "customer_spend_deciles",
     "largest_order_per_customer",
@@ -125,6 +121,10 @@ BENCH_QUERIES = [
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
     "q16_parts_supplier_relationship",
+    "q9_product_type_profit",
+    "q12_shipmode_priority",
+    "lsh_self_pairs",
+    "curate_join",
     "simhash_hamming_k_pairs",
     "dedup_cluster_size_stats",
     "doc_bigram_logprob",

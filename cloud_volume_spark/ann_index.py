@@ -266,31 +266,7 @@ def _kmeans_centroids(e: DataFrame, nlist: int, base_id: int,
     # _assign_fold's contract names the vector column "v"
     work = unit.persist()
     try:
-        for _ in range(rounds):
-            rows = (
-                _assign_fold(work, cents)
-                .select("cluster", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cluster", "pos")
-                # exact order-independent decimal SUM then one double
-                # division + ROUND — the determinism recipe from
-                # similarity._kmeans_rounds (double AVG sums in
-                # partial-agg order and can flip the 6dp rounding)
-                .agg(F.round(
-                    F.sum(F.col("x").cast("decimal(38,12)"))
-                    .cast("double") / F.count("x"), 6).alias("mv"))
-                .collect()
-            )
-            means: dict = {}
-            for r in rows:
-                means.setdefault(int(r["cluster"]),
-                                 [0.0] * dim)[int(r["pos"])] = float(r["mv"])
-            for cid, m in means.items():
-                nrm = math.sqrt(sum(x * x for x in m))
-                if nrm > 0.0:
-                    # empty clusters (absent from `means`) and
-                    # degenerate all-zero means keep their previous
-                    # centroid
-                    cents[cid] = [round(x / nrm, 6) for x in m]
+        _lloyd_refine(work, cents, rounds, dim)
     finally:
         work.unpersist()
     spark = e.sparkSession
@@ -298,6 +274,42 @@ def _kmeans_centroids(e: DataFrame, nlist: int, base_id: int,
         [(cid, vec) for cid, vec in sorted(cents.items())],
         "cent_id long, cvec array<double>")
     return _with_norm(out, "cvec", "cnrm")
+
+
+def _lloyd_refine(work: DataFrame, cents: dict, rounds: int,
+                  dim: int) -> dict:
+    """The shared spherical-Lloyd refinement loop: ``work`` holds unit
+    vectors in column "v" (``_assign_fold``'s contract), ``cents`` is
+    mutated in place round by round. Mean reduction is posexplode +
+    decimal partial agg (exact order-independent SUM, one double
+    division + 6 dp ROUND) — the ``embedding_kmeans`` determinism
+    recipe; empty / degenerate clusters keep their previous centroid.
+    Used by the initial ``kmeans`` build mode AND :meth:`IVFIndex.
+    retrain`'s warm start, so a tie-break or rounding edit cannot
+    diverge the two."""
+    import math
+
+    from cloud_volume_spark.operators.similarity import _assign_fold
+
+    for _ in range(rounds):
+        rows = (
+            _assign_fold(work, cents)
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(
+                F.sum(F.col("x").cast("decimal(38,12)"))
+                .cast("double") / F.count("x"), 6).alias("mv"))
+            .collect()
+        )
+        means: dict = {}
+        for r in rows:
+            means.setdefault(int(r["cluster"]),
+                             [0.0] * dim)[int(r["pos"])] = float(r["mv"])
+        for cid, m in means.items():
+            nrm = math.sqrt(sum(x * x for x in m))
+            if nrm > 0.0:
+                cents[cid] = [round(x / nrm, 6) for x in m]
+    return cents
 
 
 class IVFIndex:

@@ -28,105 +28,104 @@ from cloud_volume_spark import multimodal
 # DRIVER_FRONT, keep it at <= 50 entries, and let the module order pad
 # the window.
 #
-# ROUND-13 ROTATION (executing the round-12 prescription): the 47
-# queries whose last driver row is r11, MINUS the five retired to the
-# local-parity tier this round (dedup_exact, minhash_signatures,
-# simhash_fingerprints, simhash_hamming_pairs — each subsumed by a
-# registered superset query — plus ngram_jaccard_pairs, the quadratic
-# verifier that was always excluded from bench; see
-# dedup.RETIRED_QUERIES), leaves 42 stale keys; the eight NEW
-# round-13 queries take the remaining slots: window = 8 + 42 = 50
-# exactly, and the out-of-window set is EXACTLY r12's 50-key window,
-# so the r12∪r13 union covers the whole registry with no leftovers.
+# ROUND-14 ROTATION (executing round-13's precomputed prescription):
+# the front is the r13 out-of-window set (last driver row r12) in
+# registry order, MINUS the four retired to the local-parity tier
+# this round — doc_entropy (⊂ doc_perplexity's map-agg shape),
+# customers_without_orders (⊂ q22's anti join),
+# urgent_orders_with_lineitems (⊂ q4, its docstring's own citation),
+# brand_type_pivot (SUM(CASE) pivot, carried by q12/q14) — leaving 46
+# stale keys; the four NEW round-14 queries take the freed slots at
+# the head: window = 4 + 46 = 50 exactly, the out-of-window set is
+# EXACTLY r13's 50-key window (all green in CORRECTNESS_r13), so the
+# r13∪r14 union covers the whole registry with no leftovers.
 #
-# CAPACITY: registry = 97 - 5 retired + 8 new = 100 — the two-round
-# ceiling is now FULL (a 50-query window refreshed in alternating
-# halves covers at most 100). Round 14 MUST front exactly the 50
-# queries outside this round's window, and must retire one registered
-# query (to RETIRED_QUERIES, which keeps local DuckDB parity) for
-# every new one it adds. The ROUND-14 FRONT, precomputed (== this
-# round's out-of-window set, in registry order; any r14 retirement
-# drops from here, any new query inserts at the head):
-#   vox_changes_feed, vox_label_histogram, vox_unique_bbox,
-#   simhash_hamming_k_pairs, dedup_cluster_size_stats,
-#   doc_bigram_logprob, embedding_outliers, q7_nation_trade,
-#   q14_promo_revenue, customers_without_orders, events_funnel,
-#   event_props_extract, events_cohort_retention, events_top_paths,
-#   q4_order_priority, q21_suppliers_waiting, q15_top_supplier,
-#   q17_small_qty_revenue, q18_large_volume_customer,
-#   q19_discounted_revenue, orders_above_customer_avg,
-#   urgent_orders_with_lineitems, brand_type_pivot,
-#   nations_customers_no_suppliers, customer_spend_deciles,
-#   largest_order_per_customer, event_type_share, boilerplate_ngrams,
-#   line_dedup, repeated_spans, mixture_sample, token_bucket_stats,
-#   doc_entropy, doc_perplexity, corpus_shuffle, corpus_curate,
-#   corpus_sample_stratified, tfidf_top_terms, doc_context_windows,
-#   doc_policy_scan, doc_pii_redact, dedup_keep_best,
-#   corpus_pack_sequences, corpus_contamination, corpus_snapshot_diff,
-#   mm_image_features, mm_image_resize, mm_video_frame_sample,
-#   mm_audio_features, mm_asset_stats
+# CAPACITY: registry = 100 - 4 retired + 4 new = 100 — still at the
+# two-round ceiling. Round 15 MUST front exactly the 50 queries
+# outside this round's window (== the r14 additions + the r13-window
+# keys, i.e. this file's previous DRIVER_FRONT with the r14 head
+# prepended... precisely: the ROUND-15 FRONT, precomputed (== this
+# round's out-of-window set, in registry order; any r15 retirement
+# drops from here, any new query inserts at the head)):
+#   q2_min_cost_supplier, q11_important_stock, q20_potential_promotion,
+#   q22_global_sales_opportunity, q16_parts_supplier_relationship,
+#   lsh_index_lookup, ivf_ann_topk_int8, embedding_curate,
+#   vox_label_envelope, vox_point_lookup, vox_remap, vox_exists,
+#   vox_downsample, graphene_label_decode, dedup_incremental,
+#   minhash_lsh_pairs, dedup_clusters, fuzzy_neardup_titles,
+#   dedup_rate_by_source, doc_token_stats, doc_subword_count,
+#   doc_quality_score, doc_fingerprint, doc_langid, doc_repetition,
+#   doc_quality_filter, source_mixture_stats, bigram_lm_top,
+#   embedding_quantize_int8, ann_topk_cosine, embedding_neardup_pairs,
+#   embedding_dedup_keep, semantic_dedup, srp_ann_topk, ivf_ann_topk,
+#   embedding_kmeans, embedding_dim_stats, q10_returned_items,
+#   events_conversion_lag, q8_market_share, q13_customer_distribution,
+#   q1_pricing_summary, q3_shipping_priority, q5_local_supplier,
+#   q6_revenue_forecast, top_customers_per_nation, rollup_revenue,
+#   events_running_total, events_sessionize, events_asof_latest_order
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,
 ]
 
 DRIVER_FRONT = [
-    # new in round 13 — first driver rows
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "q22_global_sales_opportunity",
-    "q16_parts_supplier_relationship",
-    "lsh_index_lookup",
-    "ivf_ann_topk_int8",
-    "embedding_curate",
-    # voxel/graphene: last driver row r11
-    "vox_label_envelope",
-    "vox_point_lookup",
-    "vox_remap",
-    "vox_exists",
-    "vox_downsample",
-    "graphene_label_decode",
-    # dedup: last driver row r11
-    "dedup_incremental",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "fuzzy_neardup_titles",
-    "dedup_rate_by_source",
-    # text: last driver row r11
-    "doc_token_stats",
-    "doc_subword_count",
-    "doc_quality_score",
-    "doc_fingerprint",
-    "doc_langid",
-    "doc_repetition",
-    "doc_quality_filter",
-    "source_mixture_stats",
-    "bigram_lm_top",
-    # similarity: last driver row r11
-    "embedding_quantize_int8",
-    "ann_topk_cosine",
-    "embedding_neardup_pairs",
-    "embedding_dedup_keep",
-    "semantic_dedup",
-    "srp_ann_topk",
-    "ivf_ann_topk",
-    "embedding_kmeans",
-    "embedding_dim_stats",
-    # relational/events: last driver row r11
-    "q10_returned_items",
-    "events_conversion_lag",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_revenue_forecast",
-    "top_customers_per_nation",
-    "rollup_revenue",
-    "events_running_total",
-    "events_sessionize",
-    "events_asof_latest_order",
+    # new in round 14 — first driver rows
+    "q9_product_type_profit",
+    "q12_shipmode_priority",
+    "lsh_self_pairs",
+    "curate_join",
+    # voxel: last driver row r12
+    "vox_changes_feed",
+    "vox_label_histogram",
+    "vox_unique_bbox",
+    # dedup/text: last driver row r12
+    "simhash_hamming_k_pairs",
+    "dedup_cluster_size_stats",
+    "doc_bigram_logprob",
+    "embedding_outliers",
+    # relational/events: last driver row r12
+    "q7_nation_trade",
+    "q14_promo_revenue",
+    "events_funnel",
+    "event_props_extract",
+    "events_cohort_retention",
+    "events_top_paths",
+    "q4_order_priority",
+    "q21_suppliers_waiting",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "orders_above_customer_avg",
+    "nations_customers_no_suppliers",
+    "customer_spend_deciles",
+    "largest_order_per_customer",
+    "event_type_share",
+    # curation: last driver row r12
+    "boilerplate_ngrams",
+    "line_dedup",
+    "repeated_spans",
+    "mixture_sample",
+    "token_bucket_stats",
+    "doc_perplexity",
+    "corpus_shuffle",
+    # corpus: last driver row r12
+    "corpus_curate",
+    "corpus_sample_stratified",
+    "tfidf_top_terms",
+    "doc_context_windows",
+    "doc_policy_scan",
+    "doc_pii_redact",
+    "dedup_keep_best",
+    "corpus_pack_sequences",
+    "corpus_contamination",
+    "corpus_snapshot_diff",
+    # multimodal: last driver row r12
+    "mm_image_features",
+    "mm_image_resize",
+    "mm_video_frame_sample",
+    "mm_audio_features",
+    "mm_asset_stats",
 ]
 
 

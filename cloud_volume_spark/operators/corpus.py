@@ -646,7 +646,59 @@ JOIN mx ON mx.doc_id = d.doc_id
 """
 
 
+def curate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation gate — the composition a training-mix
+    builder actually runs before tokenization: intersect the TEXT
+    verdicts (:func:`corpus_curate`: Gopher quality ∧ text-dup
+    keep-best ∧ mixture sample) with the VECTOR verdicts
+    (``similarity.embedding_curate``: SemDeDup keep ∧ not a
+    centroid-affinity outlier) on doc_id. Text dup ∨ semantic dup ∨
+    off-distribution ⇒ dropped. Docs without a vector (the embeddings
+    table covers a subset at larger SFs) keep their text verdict, with
+    ``has_vector`` making the coverage explicit.
+
+    Scale: ONE equi-join over two already-materialized outputs — the
+    text side rides the session-materialized cluster map, the vector
+    side rides the persisted IVF index's lists (plan-gated: the raw
+    embeddings table appears nowhere; no re-signature, no
+    re-assignment). The vector verdict projects to (id, flag) before
+    the join, so at 100 TB the join sides are id-width, and AQE
+    broadcasts the harder-filtered one."""
+    from cloud_volume_spark.operators.similarity import embedding_curate
+
+    text_sel = corpus_curate(spark, sf_dir)
+    vec = embedding_curate(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("is_curated").alias("_vec_ok"))
+    return (
+        text_sel.join(vec, "doc_id", "left")
+        .select(
+            "doc_id", "source", "lang",
+            F.col("_vec_ok").isNotNull().cast("int").alias("has_vector"),
+            F.coalesce("_vec_ok", F.lit(1)).cast("int").alias("is_final"),
+        )
+    )
+
+
+def _curate_join_sql() -> str:
+    from cloud_volume_spark.operators.similarity import (
+        EMBEDDING_CURATE_SQL,
+    )
+
+    return f"""
+WITH text_sel AS ({_curate_sql()}),
+vec AS (
+    SELECT vec_id AS doc_id, is_curated FROM ({EMBEDDING_CURATE_SQL}) v
+)
+SELECT t.doc_id, t.source, t.lang,
+       (v.doc_id IS NOT NULL)::INT AS has_vector,
+       COALESCE(v.is_curated, 1)::INT AS is_final
+FROM text_sel t LEFT JOIN vec v ON v.doc_id = t.doc_id
+"""
+
+
 QUERIES = {
+    "curate_join": curate_join,
     "corpus_curate": corpus_curate,
     "corpus_sample_stratified": corpus_sample_stratified,
     "tfidf_top_terms": tfidf_top_terms,
@@ -660,6 +712,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "curate_join": _curate_join_sql(),
     "corpus_curate": _curate_sql(),
     "corpus_contamination": CONTAMINATION_SQL,
     "corpus_pack_sequences": PACK_SEQUENCES_SQL,

@@ -678,6 +678,32 @@ def lsh_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.lookup(batch)
 
 
+def lsh_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly full-corpus dedup sweep THROUGH the persistent band
+    index — the index's second serving path, beside the per-ingest
+    :func:`lsh_index_lookup`: candidate near-duplicate pairs across
+    the standing corpus, off the PERSISTED bands with no re-signature
+    (``LSHIndex.self_pairs``). Row-for-row the ``minhash_lsh_pairs``
+    contract restricted to the indexed (non-ingest) slice.
+
+    Scale: at 100 TB the recompute path re-signatures the whole
+    corpus per sweep; this path paid the signature once at build and
+    the sweep is a self-join CO-PARTITIONED on the persisted
+    (band, bucket) layout — no pre-shuffle before the band join
+    (plan-gated), no all-pairs product, ids-only output."""
+    idx = _standing_lsh_index(spark, sf_dir)
+    return idx.self_pairs()
+
+
+# the standing index covers documents with doc_id % INGEST_MOD != 0
+# (the ingest slice is the lookup batch), so the sweep's oracle is the
+# pairs contract with both endpoints in the indexed slice
+LSH_SELF_PAIRS_SQL = f"""
+SELECT doc_a, doc_b FROM ({LSH_PAIRS_SQL}) p
+WHERE doc_a % {INGEST_MOD} != 0 AND doc_b % {INGEST_MOD} != 0
+"""
+
+
 SIMHASH_MAX_HAMMING = 1   # near-dup predicate: popcount(xor) <= 1
 SIMHASH_BAND_CAP = 256    # band groups above this are excluded (documented)
 
@@ -1007,6 +1033,7 @@ WHERE levenshtein(a.title, b.title) <= {FUZZY_MAX_DIST}
 
 
 QUERIES = {
+    "lsh_self_pairs": lsh_self_pairs,
     "lsh_index_lookup": lsh_index_lookup,
     "dedup_incremental": dedup_incremental,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -1069,6 +1096,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 ORACLE_SQL = {
     # the persisted-index path must produce EXACTLY the recompute
     # path's rows, so it shares dedup_incremental's oracle text
+    "lsh_self_pairs": LSH_SELF_PAIRS_SQL,
     "lsh_index_lookup": DEDUP_INCREMENTAL_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "minhash_lsh_pairs": LSH_PAIRS_SQL,

@@ -792,3 +792,67 @@ def test_q16_plan_anti_join_count_distinct(spark, sf_dir):
     assert "partial_count" in plan
     assert "PushedFilters" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q9_plan_broadcast_part_no_product(spark, sf_dir):
+    """Q9: the name-filtered part slice broadcasts into the fact scan
+    (its LIKE predicate pushes to the part scan), the derived cost
+    table joins back WITHOUT a second fact-side shuffle chain of
+    products, and the profit aggregate partial-aggregates map-side.
+    No product joins anywhere in the 5-way tree, JVM end to end."""
+    plan = _plan(all_queries()["q9_product_type_profit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan and "p_name" in plan
+    assert "partial_sum" in plan or "partial_min" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q12_plan_single_fact_scan_conditional_agg(spark, sf_dir):
+    """Q12: ONE lineitem scan (both conditional SUMs ride the same
+    CASE — no second pass for the low/high split), the ship-date
+    window pushed into that scan, partial aggregation before the
+    3-row result, and no product joins."""
+    plan = _plan(all_queries()["q12_shipmode_priority"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lsh_self_pairs_rides_persisted_bands(spark, sf_dir):
+    """The weekly sweep reads the STANDING band index only: both join
+    sides scan the persisted bands.parquet and the raw documents
+    table appears nowhere (no re-signature — the md5/shingle pipeline
+    is absent from the plan), the candidate join is an equi-join on
+    the band key (never a product), ids-only output."""
+    plan = _plan(all_queries()["lsh_self_pairs"](spark, sf_dir))
+    assert "bands.parquet" in plan
+    assert "documents.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_curate_join_reuses_both_standing_artifacts(spark, sf_dir):
+    """The cross-modal gate composes two already-materialized
+    verdicts: the vector side rides the persisted IVF lists (raw
+    embeddings table absent — no re-assignment, no re-quantization
+    from source), the text side rides the session-materialized
+    cluster map, and the composition adds ONE equi-join — no
+    products, no Python eval. The text pipeline carries two benign
+    1-row scalar broadcasts (corpus_curate's mixture/keep-best
+    thresholds) that plan as BroadcastNestedLoopJoin; the gate is
+    RELATIVE — the composition must add zero BNLs of its own."""
+    plan = _plan(all_queries()["curate_join"](spark, sf_dir))
+    base = _plan(all_queries()["corpus_curate"](spark, sf_dir))
+    assert "lists.parquet" in plan
+    assert "embeddings.parquet" not in plan, plan
+    assert "documents.parquet" in plan  # the text verdicts need text
+    assert "CartesianProduct" not in plan
+    assert (plan.count("BroadcastNestedLoopJoin")
+            == base.count("BroadcastNestedLoopJoin"))
+    assert "BatchEvalPython" not in plan
