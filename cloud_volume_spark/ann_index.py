@@ -703,6 +703,150 @@ class IVFIndex:
                     ["vec_id", "q", "sq", "cent_id"])
         return n
 
+    def retrain(self, sample_frac: float = 0.25, rounds: int = 3,
+                move_threshold: float = 0.01) -> dict:
+        """Re-center drifted lists — the lifecycle op for an index
+        whose :meth:`add` stream has shifted the data distribution
+        away from the FROZEN build-time centroids (lists skew, recall
+        at fixed nprobe decays; :meth:`list_stats` is the
+        observable). Warm-start spherical Lloyd (the build's own
+        :func:`_lloyd_refine`) on a deterministic md5-keyspace sample
+        of the indexed vectors, then delta-bounded like add/remove:
+
+        - centroids whose unit direction moved more than
+          ``move_threshold`` (cosine distance) take their new
+          position; the rest keep their EXACT old vector, so unmoved
+          lists' stored assignments stay argmax-consistent;
+        - ONLY the moved lists' vectors are reassigned (against the
+          full updated centroid table, through the shared
+          ``rank_centroids`` contract); the touched partition set
+          (moved sources ∪ migration targets) is rewritten in ONE
+          dynamic-partition-overwrite job — a crash can tear nothing
+          mid-migration — and every untouched list's files stay
+          byte-identical;
+        - on an int8 index the codes sidecar mirrors the same touched
+          set (re-quantized from the persisted floats).
+
+        Vectors in unmoved lists are NOT revisited even when a moved
+        centroid ends nearer — that is the bounded-cost tradeoff; the
+        recall restoration is contract-tested (drift leg in
+        tests/test_ann_index.py and ``scripts/bench_scale.py
+        --ivf-recall``). Returns ``{"moved": [...], "reassigned": n,
+        "emptied": [...], "touched": [...]}``; a retrain below the
+        threshold writes NOTHING and returns empty sets."""
+        from cloud_volume_spark.operators.similarity import (
+            _dot, _with_norm, rank_centroids,
+        )
+
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(
+                f"sample_frac must be in (0, 1], got {sample_frac}")
+        dim = int(self.meta["dim"])
+        with self._mutation_lock() as fs:
+            lists = self.lists()
+            unit = lists.select(
+                "vec_id",
+                F.transform("embedding",
+                            lambda x: x / F.col("nrm")).alias("v"))
+            if sample_frac < 1.0:
+                # md5-keyspace slice (the corpus-sampling house rule:
+                # never RAND) — first hex byte under the fraction's
+                # 1/256 threshold
+                thresh = format(max(1, int(round(sample_frac * 256))),
+                                "02x")
+                unit = unit.where(
+                    F.substring(F.md5(F.concat(
+                        F.lit("retrain|"),
+                        F.col("vec_id").cast("string"))), 1, 2)
+                    < F.lit(thresh))
+
+            old = {int(r["cent_id"]): (list(r["cvec"]), float(r["cnrm"]))
+                   for r in self.centroids().collect()}
+            old_unit = {c: [x / n for x in v] if n > 0 else v
+                        for c, (v, n) in old.items()}
+            cents_work = {c: list(v) for c, v in old_unit.items()}
+            work = unit.persist()
+            try:
+                _lloyd_refine(work, cents_work, rounds, dim)
+            finally:
+                work.unpersist()
+
+            def _cos_dist(a, b):
+                return 1.0 - sum(x * y for x, y in zip(a, b))
+
+            moved = sorted(
+                c for c in old
+                if _cos_dist(old_unit[c], cents_work[c]) > move_threshold)
+            if not moved:
+                return {"moved": [], "reassigned": 0, "emptied": [],
+                        "touched": []}
+
+            # moved centroids take the refined unit vector; unmoved
+            # keep their exact persisted bytes (scale is irrelevant —
+            # rank_centroids divides by cnrm)
+            rows = []
+            for c in sorted(old):
+                if c in moved:
+                    rows.append((c, cents_work[c]))
+                else:
+                    rows.append((c, old[c][0]))
+            cents_new = _with_norm(self.spark.createDataFrame(
+                rows, "cent_id long, cvec array<double>"), "cvec", "cnrm")
+            # the old centroid parquet is an input of the refinement
+            # already collected above; safe to overwrite now, and the
+            # reassignment must read the PERSISTED table (the build's
+            # convention: search sees byte-identical cvecs)
+            cents_new.coalesce(1).write.mode("overwrite").parquet(
+                f"{self.path}/centroids.parquet")
+            cents_p = self.centroids()
+
+            movers = lists.where(F.col("cent_id").isin(moved)).select(
+                "vec_id", "embedding", "nrm")
+            assign = (
+                rank_centroids(movers, cents_p)
+                .where(F.col("crnk") == 1)
+                .select("vec_id", "embedding", "nrm", "cent_id")
+                .localCheckpoint(eager=True))
+            n_movers = assign.count()
+            targets = sorted(int(r["cent_id"]) for r in
+                             assign.select("cent_id").distinct().collect())
+            touched = sorted(set(moved) | set(targets))
+            # ONE overwrite job over the touched set: unmoved targets
+            # contribute their existing rows verbatim, movers land at
+            # their new assignment — materialized first (Spark refuses
+            # a write into a path its plan reads)
+            keep = lists.where(F.col("cent_id").isin(
+                [t for t in touched if t not in moved])).select(
+                "vec_id", "embedding", "nrm", "cent_id")
+            content = keep.unionByName(assign).localCheckpoint(eager=True)
+            (content.repartition("cent_id")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("cent_id")
+             .parquet(f"{self.path}/lists.parquet"))
+            # dynamic overwrite replaces only partitions PRESENT in
+            # the frame: moved lists drained to zero keep their stale
+            # files unless dropped explicitly (remove()'s rule)
+            emptied = sorted(set(moved) - set(targets))
+            for c in emptied:
+                fs.rmtree(f"{self.path}/lists.parquet/cent_id={c}")
+            if self.int8:
+                fresh = _codes_frame(
+                    self.lists().where(F.col("cent_id").isin(touched))
+                ).localCheckpoint(eager=True)
+                (fresh.repartition("cent_id")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("cent_id")
+                 .parquet(f"{self.path}/codes.parquet"))
+                for c in emptied:
+                    fs.rmtree(f"{self.path}/codes.parquet/cent_id={c}")
+            self.meta = {**self.meta,
+                         "retrains": int(self.meta.get("retrains", 0)) + 1}
+            self._write_meta(fs)
+        return {"moved": moved, "reassigned": int(n_movers),
+                "emptied": emptied, "touched": touched}
+
     def search(self, queries: DataFrame, k: int = 5,
                nprobe: int = 4,
                exclude_self: bool = True) -> DataFrame:

@@ -867,3 +867,136 @@ def test_brute_force_topk_dim_mismatch_refused(spark, sf_dir):
         [(1, [1.0, 2.0, 3.0])], "query_id long, qvec array<double>")
     with pytest.raises(ValueError, match="dimension"):
         brute_force_topk(emb, q, k=3).collect()
+
+
+def _file_census(base):
+    """{partition dir: sorted [(name, size, mtime_ns)]} — byte-level
+    identity proxy for the untouched-lists contract."""
+    import os
+
+    out = {}
+    for d in os.listdir(base):
+        if not d.startswith("cent_id="):
+            continue
+        full = os.path.join(base, d)
+        out[d] = sorted(
+            (f, os.path.getsize(os.path.join(full, f)),
+             os.stat(os.path.join(full, f)).st_mtime_ns)
+            for f in os.listdir(full) if f.endswith(".parquet"))
+    return out
+
+
+def test_retrain_restores_recall_after_drift(spark, sf_dir, tmp_path):
+    """The retrain lifecycle contract: a drifted add() stream decays
+    recall at fixed nprobe (frozen centroids); retrain() warm-starts
+    Lloyd on the indexed vectors, moves only drifted centroids, and
+    restores recall to the fresh-build value — while every untouched
+    list's files stay byte-identical (delta-bounded like add/remove)
+    and the int8 sidecar stays in sync."""
+    from cloud_volume_spark.ann_index import (
+        _codes_frame, brute_force_topk, recall_at_k,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # drifted regime: negated vectors under fresh ids — maximally far
+    # from every build-time centroid on the sphere
+    drift = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"))
+    idx = build_ivf_index(emb, str(tmp_path / "drift"), nlist=8,
+                          centroid_base_id=100, centroids="kmeans",
+                          kmeans_rounds=3, int8=True)
+    idx.add(drift)
+
+    q = drift.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"))
+    full = emb.unionByName(drift)
+    truth = brute_force_topk(full, q, k=5)
+    pre = recall_at_k(
+        idx.search(q, k=5, nprobe=2).select("query_id", "neighbor_id"),
+        truth)
+
+    res = idx.retrain(sample_frac=1.0, rounds=3, move_threshold=0.01)
+    assert res["moved"], "drift this large must move centroids"
+    assert res["reassigned"] > 0
+    post = recall_at_k(
+        idx.search(q, k=5, nprobe=2).select("query_id", "neighbor_id"),
+        truth)
+
+    fresh = build_ivf_index(full, str(tmp_path / "fresh"), nlist=8,
+                            centroid_base_id=100, centroids="kmeans",
+                            kmeans_rounds=3)
+    ref = recall_at_k(
+        fresh.search(q, k=5, nprobe=2).select("query_id", "neighbor_id"),
+        truth)
+    assert post > pre, (pre, post, ref)
+    # warm-started Lloyd converges to a (slightly) different local
+    # optimum than the fresh seed — equality is not structural; the
+    # contract is "restored to the fresh-build value" within the
+    # resolution of this corpus (65 truth pairs => 0.05 ≈ 3 pairs).
+    # Measured here: pre 0.385, post 0.446-0.462, fresh 0.477.
+    assert post >= ref - 0.05, (pre, post, ref)
+
+    # lifecycle invariants: count unchanged, codes ≡ fresh
+    # quantization of the persisted lists, meta records the retrain
+    assert idx.meta["count"] == full.count() == idx.lists().count()
+    assert idx.meta["retrains"] == 1
+    got = sorted((r["vec_id"], r["cent_id"])
+                 for r in idx.codes().collect())
+    want = sorted((r["vec_id"], r["cent_id"])
+                  for r in _codes_frame(idx.lists()).collect())
+    assert got == want
+
+
+def test_retrain_is_delta_bounded_and_below_threshold_noop(
+        spark, sf_dir, tmp_path):
+    """Untouched lists' files are BYTE-IDENTICAL after a retrain (the
+    plan-gate analog at the storage layer), and a retrain on an
+    undrifted index writes nothing at all."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # LOCALIZED drift — 30 antipodal vectors concentrate in a couple
+    # of lists. Boundary reshuffling still nudges every centroid
+    # ~0.02-0.05 (measured), so the 0.05 threshold isolates the lists
+    # with real drifted mass (0.078 on this data) and leaves the rest
+    # unmoved
+    drift = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"))
+    idx = build_ivf_index(emb, str(tmp_path / "db"), nlist=16,
+                          centroid_base_id=100, centroids="kmeans",
+                          kmeans_rounds=3)
+    idx.add(drift)
+    before = _file_census(f"{idx.path}/lists.parquet")
+    res = idx.retrain(sample_frac=1.0, rounds=3, move_threshold=0.05)
+    # measured on this data: moved=2, touched=4, reassigned=58 — the
+    # delta-bounded shape (at nlist=8 the migrants scatter into every
+    # list and nothing is untouched, which proves nothing)
+    assert res["moved"] and len(res["moved"]) < 16, res
+    after = _file_census(f"{idx.path}/lists.parquet")
+    touched = {f"cent_id={c}" for c in res["touched"]}
+    untouched = set(before) - touched
+    assert untouched, "retrain touched every list — test needs a " \
+                      "bigger corpus to be meaningful"
+    for d in untouched:
+        assert after[d] == before[d], f"untouched list {d} rewritten"
+    for c in res["emptied"]:
+        assert f"cent_id={c}" not in after
+    assert idx.lists().count() == idx.meta["count"]
+
+    # below-threshold retrain: exact no-op — nothing moves, nothing
+    # is written, the index stays byte-identical
+    cents_before = sorted(map(tuple, (
+        (r["cent_id"], tuple(r["cvec"])) for r in
+        idx.centroids().collect())))
+    again = idx.retrain(sample_frac=1.0, rounds=3, move_threshold=0.9)
+    assert again == {"moved": [], "reassigned": 0, "emptied": [],
+                     "touched": []}
+    assert _file_census(f"{idx.path}/lists.parquet") == after
+    cents_after = sorted(map(tuple, (
+        (r["cent_id"], tuple(r["cvec"])) for r in
+        idx.centroids().collect())))
+    assert cents_after == cents_before
+
+    with pytest.raises(ValueError, match="sample_frac"):
+        idx.retrain(sample_frac=0.0)
