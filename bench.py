@@ -97,7 +97,6 @@ BENCH_QUERIES = [
     "mm_video_frame_sample",
     "mm_audio_features",
     "mm_asset_stats",
-    "orders_above_customer_avg",
     "nations_customers_no_suppliers",
     "customer_spend_deciles",
     "largest_order_per_customer",
@@ -125,6 +124,7 @@ BENCH_QUERIES = [
     "q12_shipmode_priority",
     "lsh_self_pairs",
     "curate_join",
+    "pq_ann_topk",
     "simhash_hamming_k_pairs",
     "dedup_cluster_size_stats",
     "doc_bigram_logprob",

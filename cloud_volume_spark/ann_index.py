@@ -64,6 +64,45 @@ _LISTS_SCHEMA = ("vec_id bigint, embedding array<double>, "
 _CODES_SCHEMA = ("vec_id bigint, q array<smallint>, sq bigint, "
                  "cent_id bigint")
 
+# the OPTIONAL product-quantization sidecar (full IVF-PQ): 1-byte
+# codes per subspace against a frozen sample-mode codebook, plus the
+# TRUE float norm (ADC divides by it, and it rides along at 8 bytes
+# so the approximate cosine never needs the float lists). At the
+# default 8x16 geometry a dim-64 float64 vector's 512 bytes become 8
+# code bytes + the norm — a ~30x scan-IO cut where int8 gives 4x.
+_PQ_SCHEMA = ("vec_id bigint, pq array<tinyint>, nrm double, "
+              "cent_id bigint")
+
+
+def _cb_from_rows(rows, m: int, ksub: int) -> list:
+    """Assemble the driver-side nested codebook ``cb[mi][j]`` from
+    persisted ``pq_codebook.parquet`` rows, refusing holes loudly (an
+    underfull codebook would argmin over None entries)."""
+    cb = [[None] * ksub for _ in range(m)]
+    for r in rows:
+        cb[int(r["mi"])][int(r["j"])] = [float(x) for x in r["sub"]]
+    missing = [(mi, j) for mi in range(m) for j in range(ksub)
+               if cb[mi][j] is None]
+    if missing:
+        raise ValueError(
+            f"pq codebook underfull at (mi, j) {missing[:4]} — the "
+            f"build corpus had fewer than pq_ksub={ksub} vectors; "
+            "rebuild with a smaller pq_ksub")
+    return cb
+
+
+def _pq_frame(lists_df: DataFrame, cb: list) -> DataFrame:
+    """(vec_id, pq, nrm, cent_id) for a lists-shaped frame — THE
+    encode contract (``similarity.pq_encode_col``: 6-dp rounded L2
+    argmin per subspace, j-asc ties), shared with the oracle-gated
+    ``pq_ann_topk`` so a tie-break edit cannot diverge a persisted
+    sidecar from the query the driver validates."""
+    from cloud_volume_spark.operators.similarity import pq_encode_col
+
+    return lists_df.select(
+        "vec_id", pq_encode_col("embedding", cb).alias("pq"),
+        "nrm", "cent_id")
+
 
 def _codes_frame(lists_df: DataFrame) -> DataFrame:
     """(vec_id, q, sq, cent_id) for a lists-shaped frame — THE
@@ -156,19 +195,37 @@ def build_ivf_index(
     centroids: str = "sample",
     kmeans_rounds: int = 5,
     int8: bool = False,
+    pq: bool = False,
+    pq_m: int | None = None,
+    pq_ksub: int | None = None,
 ) -> "IVFIndex":
     """Build and persist an IVF index over ``emb`` (vec_id long,
     embedding array<numeric>). One validation job + one assignment job
     + one partitioned write; the centroid table is tiny (nlist rows)
-    and lands as a single parquet. Returns the opened index."""
+    and lands as a single parquet. Returns the opened index.
+
+    ``pq=True`` additionally trains a sample-mode PQ codebook
+    (``pq_m`` subspaces x ``pq_ksub`` entries, defaults
+    ``similarity.PQ_M``/``PQ_KSUB``) on the build batch, freezes it as
+    ``pq_codebook.parquet``, and writes the ``pq.parquet`` codes
+    sidecar — :meth:`IVFIndex.search_pq` then scans ~1-byte codes
+    instead of 8-byte doubles inside the probed lists. ``int8`` and
+    ``pq`` are independent sidecars and may coexist."""
     from cloud_volume_spark.operators.similarity import (
-        _as_double, _centroid_frame, _with_norm, rank_centroids,
+        PQ_KSUB, PQ_M, _as_double, _centroid_frame, _with_norm,
+        rank_centroids,
     )
 
     if centroids not in ("sample", "kmeans"):
         raise ValueError(f"unknown centroid mode {centroids!r}")
     if nlist < 1:
         raise ValueError(f"nlist must be >= 1, got {nlist}")
+    p_m = int(pq_m) if pq_m is not None else PQ_M
+    p_k = int(pq_ksub) if pq_ksub is not None else PQ_KSUB
+    if pq and not 1 <= p_k <= 127:
+        raise ValueError(
+            f"pq_ksub must be in [1, 127] (codes are tinyint), "
+            f"got {p_k}")
     spark = emb.sparkSession
     fs = PathOps(out_path, spark)
     e = _with_norm(emb.select(
@@ -177,6 +234,10 @@ def build_ivf_index(
     # contract add() enforces, so a bad vector can't slip in through
     # the initial build either
     n_total, dim = _validate_embedding_frame(e)
+    if pq and (p_m < 1 or dim % p_m != 0):
+        raise ValueError(
+            f"pq_m={p_m} must divide the embedding dimension {dim} "
+            "evenly — pick a subspace count that tiles the vector")
 
     if centroids == "kmeans":
         cents = _kmeans_centroids(e, nlist, centroid_base_id,
@@ -211,6 +272,25 @@ def build_ivf_index(
         (_codes_frame(persisted).repartition("cent_id")
          .write.mode("overwrite").partitionBy("cent_id")
          .parquet(f"{out_path}/codes.parquet"))
+    if pq:
+        from cloud_volume_spark.operators.similarity import (
+            pq_codebook_frame,
+        )
+        persisted = (spark.read.schema(_LISTS_SCHEMA)
+                     .parquet(f"{out_path}/lists.parquet"))
+        # freeze the codebook FROM the persisted floats, then encode
+        # against the PERSISTED codebook parquet's driver copy — one
+        # source of truth for every later add/sync re-encode
+        (pq_codebook_frame(persisted, p_m, p_k)
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{out_path}/pq_codebook.parquet"))
+        cb = _cb_from_rows(
+            spark.read.parquet(
+                f"{out_path}/pq_codebook.parquet").collect(),
+            p_m, p_k)
+        (_pq_frame(persisted, cb).repartition("cent_id")
+         .write.mode("overwrite").partitionBy("cent_id")
+         .parquet(f"{out_path}/pq.parquet"))
 
     # count + dim come from the validated input: every validated row
     # yields exactly one crnk==1 row (NULL/mixed-dim rows — the only
@@ -219,7 +299,10 @@ def build_ivf_index(
     meta = {"version": _META_VERSION, "nlist": int(nlist),
             "dim": dim, "count": n_total, "centroids": centroids,
             "centroid_base_id": int(centroid_base_id),
-            "int8": bool(int8)}
+            "int8": bool(int8), "pq": bool(pq)}
+    if pq:
+        meta["pq_m"] = p_m
+        meta["pq_ksub"] = p_k
     fs.write_bytes(f"{out_path}/ivf_meta.json",
                    json.dumps(meta, sort_keys=True).encode())
     return IVFIndex.open(spark, out_path)
@@ -355,6 +438,40 @@ class IVFIndex:
         return (self.spark.read.schema(_CODES_SCHEMA)
                 .parquet(f"{self.path}/codes.parquet"))
 
+    @property
+    def pq(self) -> bool:
+        return bool(self.meta.get("pq"))
+
+    def pq_codes(self) -> DataFrame:
+        """The product-quantization sidecar (built with ``pq=True``):
+        1-byte-per-subspace codes plus the true norm, partitioned
+        like the float lists."""
+        if not self.pq:
+            raise ValueError(
+                "this index has no PQ codes — rebuild with "
+                "build_ivf_index(..., pq=True)")
+        return (self.spark.read.schema(_PQ_SCHEMA)
+                .parquet(f"{self.path}/pq.parquet"))
+
+    def pq_codebook(self) -> DataFrame:
+        """The frozen sample-mode codebook (mi, j, sub)."""
+        if not self.pq:
+            raise ValueError(
+                "this index has no PQ codebook — rebuild with "
+                "build_ivf_index(..., pq=True)")
+        return self.spark.read.parquet(
+            f"{self.path}/pq_codebook.parquet")
+
+    def _pq_cb(self) -> list:
+        """Driver-side nested codebook, loaded once per handle —
+        m·ksub·dsub doubles (1 KiB-scale), frozen at build so the
+        cache can never go stale within a handle's lifetime."""
+        if getattr(self, "_pq_cb_cache", None) is None:
+            self._pq_cb_cache = _cb_from_rows(
+                self.pq_codebook().collect(),
+                int(self.meta["pq_m"]), int(self.meta["pq_ksub"]))
+        return self._pq_cb_cache
+
     def list_stats(self) -> DataFrame:
         """Per-inverted-list row counts — the list-balance observable
         (a skewed list is the IVF failure mode: its probes degrade
@@ -463,6 +580,45 @@ class IVFIndex:
                     fs.rmtree(f"{self.path}/codes.parquet/cent_id={c}")
         return len(bad)
 
+    def sync_pq(self, break_lock: bool = False) -> int:
+        """:meth:`sync_codes` for the PQ sidecar: re-encode (against
+        the FROZEN codebook) every inverted list whose ``pq.parquet``
+        partition's row count disagrees with its float lists partition
+        — the heal for the two-write crash window on a ``pq=True``
+        index (lists job commits, pq job doesn't; ``search_pq``
+        silently lags ``search``). Returns partitions healed; 0 means
+        consistent. ``break_lock=True`` steals a confirmed-dead
+        writer's ``.ivf-lock``."""
+        if not self.pq:
+            raise ValueError(
+                "sync_pq() needs a PQ index — rebuild with "
+                "build_ivf_index(..., pq=True)")
+        with self._mutation_lock(break_lock=break_lock) as fs:
+            l_ct = {int(r["cent_id"]): int(r["n"]) for r in
+                    self.lists().groupBy("cent_id")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+            p_ct = {int(r["cent_id"]): int(r["n"]) for r in
+                    self.pq_codes().groupBy("cent_id")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+            bad = sorted(c for c in set(l_ct) | set(p_ct)
+                         if l_ct.get(c) != p_ct.get(c))
+            if not bad:
+                return 0
+            rewrite = [c for c in bad if c in l_ct]
+            if rewrite:
+                fresh = _pq_frame(
+                    self.lists().where(F.col("cent_id").isin(rewrite)),
+                    self._pq_cb()).localCheckpoint(eager=True)
+                (fresh.repartition("cent_id")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("cent_id")
+                 .parquet(f"{self.path}/pq.parquet"))
+            for c in bad:
+                if c not in l_ct:
+                    fs.rmtree(f"{self.path}/pq.parquet/cent_id={c}")
+        return len(bad)
+
     def add(self, emb: DataFrame) -> int:
         """Incrementally index new vectors — the consumer of a corpus
         delta (``corpus.snapshot_diff``'s added set → embed → add)
@@ -532,6 +688,13 @@ class IVFIndex:
                 (_codes_frame(assign).repartition("cent_id")
                  .write.mode("append").partitionBy("cent_id")
                  .parquet(f"{self.path}/codes.parquet"))
+            if self.pq:
+                # frozen codebook, delta-only encode — map-only like
+                # the int8 mirror (crash window healed by sync_pq)
+                (_pq_frame(assign, self._pq_cb())
+                 .repartition("cent_id")
+                 .write.mode("append").partitionBy("cent_id")
+                 .parquet(f"{self.path}/pq.parquet"))
             # O(delta) bookkeeping: the batch was validated disjoint
             # from the on-disk ids and drop-free, so count grows by
             # exactly n_new — recounting the whole index here would
@@ -643,6 +806,22 @@ class IVFIndex:
                  .parquet(f"{self.path}/codes.parquet"))
                 for c in emptied:
                     fs.rmtree(f"{self.path}/codes.parquet/cent_id={c}")
+            if self.pq:
+                # same affected/emptied partition set (vec_id→cent_id
+                # identical by construction) — dynamic overwrite
+                pq_survivors = (
+                    self.pq_codes()
+                    .where(F.col("cent_id").isin(affected))
+                    .join(F.broadcast(ids), "vec_id", "left_anti")
+                    .select("vec_id", "pq", "nrm", "cent_id")
+                    .localCheckpoint(eager=True))
+                (pq_survivors.repartition("cent_id")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("cent_id")
+                 .parquet(f"{self.path}/pq.parquet"))
+                for c in emptied:
+                    fs.rmtree(f"{self.path}/pq.parquet/cent_id={c}")
             self.meta = {**self.meta, "count":
                          int(self.meta["count"]) - n_hit}
             self._write_meta(fs)
@@ -701,6 +880,12 @@ class IVFIndex:
                 self.last_codes_compacted = _compact(
                     fs, f"{self.path}/codes.parquet", self.codes,
                     ["vec_id", "q", "sq", "cent_id"])
+            self.last_pq_compacted = 0
+            if self.pq:
+                # same rule for the PQ sidecar, same separate counter
+                self.last_pq_compacted = _compact(
+                    fs, f"{self.path}/pq.parquet", self.pq_codes,
+                    ["vec_id", "pq", "nrm", "cent_id"])
         return n
 
     def retrain(self, sample_frac: float = 0.25, rounds: int = 3,
@@ -841,6 +1026,20 @@ class IVFIndex:
                  .parquet(f"{self.path}/codes.parquet"))
                 for c in emptied:
                     fs.rmtree(f"{self.path}/codes.parquet/cent_id={c}")
+            if self.pq:
+                # the CODEBOOK stays frozen across retrain (codes are
+                # centroid-independent); only the touched partitions'
+                # rows migrate, re-encoded from the persisted floats
+                fresh_pq = _pq_frame(
+                    self.lists().where(F.col("cent_id").isin(touched)),
+                    self._pq_cb()).localCheckpoint(eager=True)
+                (fresh_pq.repartition("cent_id")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("cent_id")
+                 .parquet(f"{self.path}/pq.parquet"))
+                for c in emptied:
+                    fs.rmtree(f"{self.path}/pq.parquet/cent_id={c}")
             self.meta = {**self.meta,
                          "retrains": int(self.meta.get("retrains", 0)) + 1}
             self._write_meta(fs)
@@ -952,6 +1151,82 @@ class IVFIndex:
         # exact rerank: the <= Q*r candidate frame broadcasts into the
         # float lists (same pruned partitions, embedding column read
         # only here)
+        lists = (self.lists().where(F.col("cent_id").isin(probed))
+                 .select("vec_id", "embedding", "nrm"))
+        sim = _dot(F.col("embedding"), F.col("qvec")) / (
+            F.col("nrm") * F.col("qnrm"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            lists.join(F.broadcast(top_r), on="vec_id")
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round(sim, 6).alias("sim"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= int(k))
+        )
+
+    def search_pq(self, queries: DataFrame, k: int = 5,
+                  nprobe: int = 4, rerank_r: int | None = None,
+                  exclude_self: bool = True) -> DataFrame:
+        """Top-k via the PQ sidecar (full IVF-PQ serving): candidate
+        affinity inside the probed lists is the ADC approximation —
+        each query precomputes an m·ksub lookup table against the
+        frozen codebook (``similarity.pq_lut_col``, map-side), and a
+        candidate costs m one-byte code lookups over ``pq.parquet``
+        (~30x less scan IO than the float lists at the default 8x16
+        geometry, vs int8's 4x). The top ``rerank_r`` per query
+        (default ``4*k``) join back to the float lists — broadcast
+        candidate set, same partition pruning — for the exact cosine
+        rerank with :meth:`search`'s tie rules.
+
+        With ``rerank_r >=`` the probed candidate count the ADC stage
+        prunes nothing and the result equals :meth:`search` exactly
+        (contract-tested); finite ``rerank_r`` trades recall for IO —
+        the ``--ivf-recall`` leg tables PQ rows next to int8's."""
+        from cloud_volume_spark.operators.similarity import (
+            _as_double, _dot, _with_norm, pq_adc_col, pq_lut_col,
+            rank_centroids,
+        )
+
+        if not self.pq:
+            raise ValueError(
+                "search_pq needs a PQ index — rebuild with "
+                "build_ivf_index(..., pq=True)")
+        r = int(rerank_r) if rerank_r is not None else 4 * int(k)
+        if r < int(k):
+            raise ValueError(
+                f"rerank_r ({r}) must be >= k ({k}) — fewer reranked "
+                "candidates than results requested")
+        cb = self._pq_cb()
+        m, ksub = len(cb), len(cb[0])
+        q = _with_norm(queries.select(
+            "query_id", _as_double("qvec").alias("qvec")), "qvec", "qnrm")
+        q = q.withColumn("lut", pq_lut_col("qvec", cb))
+        probe = (
+            rank_centroids(q, self.centroids(), "query_id", "qvec",
+                           "qnrm")
+            .where(F.col("crnk") <= int(nprobe))
+            .select("query_id", "qvec", "qnrm", "lut", "cent_id")
+        )
+        probed = [row["cent_id"] for row in
+                  probe.select("cent_id").distinct().collect()]
+        codes = self.pq_codes().where(F.col("cent_id").isin(probed))
+        cand = codes.join(F.broadcast(probe), on="cent_id")
+        if exclude_self:
+            cand = cand.where(F.col("vec_id") != F.col("query_id"))
+        psim = F.round(
+            pq_adc_col("pq", "lut", m, ksub)
+            / (F.col("nrm") * F.col("qnrm")), 6)
+        w_r = Window.partitionBy("query_id").orderBy(
+            F.desc("psim"), F.asc("vec_id"))
+        top_r = (cand.withColumn("psim", psim)
+                 .dropDuplicates(["query_id", "vec_id"])
+                 .withColumn("_rq", F.row_number().over(w_r))
+                 .where(F.col("_rq") <= r)
+                 .select("query_id", "vec_id", "qvec", "qnrm"))
+        # exact rerank: the <= Q*r candidate frame broadcasts into the
+        # float lists (same pruned partitions; the embedding column is
+        # read only here)
         lists = (self.lists().where(F.col("cent_id").isin(probed))
                  .select("vec_id", "embedding", "nrm"))
         sim = _dot(F.col("embedding"), F.col("qvec")) / (

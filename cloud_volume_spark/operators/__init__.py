@@ -30,17 +30,19 @@ from cloud_volume_spark import multimodal
 #
 # ROUND-14 ROTATION (executing round-13's precomputed prescription):
 # the front is the r13 out-of-window set (last driver row r12) in
-# registry order, MINUS the four retired to the local-parity tier
+# registry order, MINUS the five retired to the local-parity tier
 # this round — doc_entropy (⊂ doc_perplexity's map-agg shape),
 # customers_without_orders (⊂ q22's anti join),
 # urgent_orders_with_lineitems (⊂ q4, its docstring's own citation),
-# brand_type_pivot (SUM(CASE) pivot, carried by q12/q14) — leaving 46
-# stale keys; the four NEW round-14 queries take the freed slots at
-# the head: window = 4 + 46 = 50 exactly, the out-of-window set is
-# EXACTLY r13's 50-key window (all green in CORRECTNESS_r13), so the
-# r13∪r14 union covers the whole registry with no leftovers.
+# brand_type_pivot (SUM(CASE) pivot, carried by q12/q14),
+# orders_above_customer_avg (decorrelated per-group AVG, carried by
+# q17/q22) — leaving 45 stale keys; the five NEW round-14 queries
+# take the freed slots at the head: window = 5 + 45 = 50 exactly,
+# the out-of-window set is EXACTLY r13's 50-key window (all green in
+# CORRECTNESS_r13), so the r13∪r14 union covers the whole registry
+# with no leftovers.
 #
-# CAPACITY: registry = 100 - 4 retired + 4 new = 100 — still at the
+# CAPACITY: registry = 100 - 5 retired + 5 new = 100 — still at the
 # two-round ceiling. Round 15 MUST front exactly the 50 queries
 # outside this round's window (== the r14 additions + the r13-window
 # keys, i.e. this file's previous DRIVER_FRONT with the r14 head
@@ -74,6 +76,7 @@ DRIVER_FRONT = [
     "q12_shipmode_priority",
     "lsh_self_pairs",
     "curate_join",
+    "pq_ann_topk",
     # voxel: last driver row r12
     "vox_changes_feed",
     "vox_label_histogram",
@@ -96,7 +99,6 @@ DRIVER_FRONT = [
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
-    "orders_above_customer_avg",
     "nations_customers_no_suppliers",
     "customer_spend_deciles",
     "largest_order_per_customer",

@@ -2362,7 +2362,6 @@ QUERIES.update({
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "q18_large_volume_customer": q18_large_volume_customer,
     "q19_discounted_revenue": q19_discounted_revenue,
-    "orders_above_customer_avg": orders_above_customer_avg,
     "nations_customers_no_suppliers": nations_customers_no_suppliers,
     "customer_spend_deciles": customer_spend_deciles,
     "largest_order_per_customer": largest_order_per_customer,
@@ -2373,7 +2372,6 @@ ORACLE_SQL.update({
     "q7_nation_trade": Q7_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q10_returned_items": Q10_SQL,
-    "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
     "nations_customers_no_suppliers": NATIONS_EXCEPT_SQL,
     "customer_spend_deciles": DECILES_SQL,
     "largest_order_per_customer": LARGEST_ORDER_SQL,
@@ -2414,14 +2412,20 @@ ORACLE_SQL.update({
 # - brand_type_pivot: SUM(CASE) conditional-agg pivot with integer
 #   cents; the shape is carried by q12_shipmode_priority (conditional
 #   agg over a join) and q14_promo_revenue (conditional ratio)
+# - orders_above_customer_avg (retired r14, slot freed for
+#   pq_ann_topk): decorrelated per-group AVG broadcast back into the
+#   fact scan — the shape q17_small_qty_revenue runs per part and
+#   q22_global_sales_opportunity runs as a scalar cut
 RETIRED_QUERIES = {
     "customers_without_orders": customers_without_orders,
     "urgent_orders_with_lineitems": urgent_orders_with_lineitems,
     "brand_type_pivot": brand_type_pivot,
+    "orders_above_customer_avg": orders_above_customer_avg,
 }
 
 RETIRED_ORACLE_SQL = {
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "urgent_orders_with_lineitems": URGENT_ORDERS_SQL,
     "brand_type_pivot": BRAND_PIVOT_SQL,
+    "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
 }

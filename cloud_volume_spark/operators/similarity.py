@@ -810,6 +810,282 @@ IVF_INT8_SQL = IVF_INT8_SQL.format(
 )
 
 
+# -- product quantization (the 30x-compression scale path) ------------------
+
+PQ_M = 8                 # subspaces per vector
+PQ_DSUB = DIM // PQ_M    # components per subspace
+PQ_KSUB = 16             # codebook entries per subspace (4-bit codes)
+PQ_RERANK_R = 10         # ADC candidates surviving to the float rerank
+
+
+def pq_codebook_frame(emb: DataFrame, m: int = PQ_M,
+                      ksub: int = PQ_KSUB) -> DataFrame:
+    """Deterministic sample-mode PQ codebook as a DataFrame
+    ``(mi int, j int, sub array<double>)``: subspace ``mi``'s entries
+    are the subvectors of the ``ksub`` corpus vectors ranked first by
+    ``md5('pq|' || mi || ':' || vec_id)`` — the repo's md5-keyspace
+    sampling house rule (never RAND), with a different slice per
+    subspace so entries decorrelate across subspaces. Sample mode is
+    what keeps the whole operator SQL-expressible (the ``centroids=
+    "sample"`` IVF precedent); the serving index freezes this codebook
+    at build time. ``emb`` must carry ``vec_id`` and a double-cast
+    ``embedding``.
+
+    Scale: the ranking shuffles ids-only rows (N·m keys, no vectors);
+    the ksub·m winners join back to the corpus broadcast. A codebook
+    is derived once per build — this is build-time cost, not serving
+    cost."""
+    spark = emb.sparkSession
+    mis = spark.range(m).select(F.col("id").cast("int").alias("mi"))
+    keyed = (emb.select("vec_id").crossJoin(F.broadcast(mis))
+             .withColumn("k", F.md5(F.concat(
+                 F.lit("pq|"), F.col("mi").cast("string"),
+                 F.lit(":"), F.col("vec_id").cast("string")))))
+    w = Window.partitionBy("mi").orderBy("k", "vec_id")
+    seeds = (keyed.withColumn("j", F.row_number().over(w) - 1)
+             .where(F.col("j") < ksub)
+             .select("mi", "j", "vec_id"))
+    dsub = F.floor(F.size("embedding") / m).cast("int")
+    return (seeds.join(emb.select("vec_id", "embedding"), "vec_id")
+            .select("mi", "j",
+                    F.slice("embedding",
+                            F.col("mi") * dsub + 1, dsub).alias("sub")))
+
+
+def collect_pq_codebook(emb: DataFrame, m: int = PQ_M,
+                        ksub: int = PQ_KSUB) -> list:
+    """Driver-side nested list ``cb[mi][j] -> [dsub floats]`` of the
+    sample-mode codebook — m·ksub·dsub doubles (1024 at the default
+    8x16x8), the ``embedding_kmeans`` centroids-as-literals pattern."""
+    rows = pq_codebook_frame(emb, m, ksub).collect()
+    cb = [[None] * ksub for _ in range(m)]
+    for r in rows:
+        cb[int(r["mi"])][int(r["j"])] = [float(x) for x in r["sub"]]
+    missing = [(mi, j) for mi in range(m) for j in range(ksub)
+               if cb[mi][j] is None]
+    if missing:
+        raise ValueError(
+            f"PQ codebook underfull at {missing[:4]}... — the corpus "
+            f"has fewer than ksub={ksub} vectors; shrink ksub or grow "
+            "the corpus")
+    return cb
+
+
+def pq_encode_col(vec_col, cb) -> F.Column:
+    """Encode an ``array<double>`` column into PQ codes
+    (``array<tinyint>``, one code per subspace) against the literal
+    codebook ``cb[mi][j]`` — a pure map-side Catalyst fold, the
+    ``_assign_fold`` argmin shape per subspace: squared L2 distance
+    rounded to 6 dp (the engines' last-bit summation differences can
+    never flip a code), earliest ``j`` wins ties. The SAME expression
+    encodes the oracle-gated operator, the persisted sidecar
+    (``ann_index.py``), and every mutation's re-encode — one contract,
+    no drift."""
+    m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    outs = []
+    for mi in range(m):
+        sub = F.slice(vec, mi * dsub + 1, dsub)
+        entries = F.array(*[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                F.array(*[F.lit(float(x))
+                          for x in cb[mi][j]]).alias("cv"))
+            for j in range(ksub)])
+        init = F.struct(F.lit(-1).cast("int").alias("j"),
+                        F.lit(None).cast("double").alias("d"))
+
+        # closure factory, NOT a default arg: pyspark reads the
+        # merge lambda's arity from its signature, and a bound
+        # `sub=sub` default would make this a 3-arg lambda
+        def make_step(sub):
+            def step(acc, ent):
+                d = F.round(
+                    F.aggregate(
+                        F.zip_with(sub, ent["cv"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, x: a + x),
+                    6)
+                better = acc["d"].isNull() | (d < acc["d"])
+                return F.when(better, F.struct(
+                    ent["j"].alias("j"), d.alias("d"))).otherwise(acc)
+            return step
+
+        outs.append(
+            F.aggregate(entries, init,
+                        make_step(sub))["j"].cast("tinyint"))
+    return F.array(*outs)
+
+
+def pq_recon_col(pq_col, cb) -> F.Column:
+    """Reconstruct the PQ approximation (``array<double>``, full
+    width) from a codes column: per subspace, ``element_at`` into that
+    subspace's literal entry table, flattened in subspace order — so a
+    dot product against the reconstruction sums components in exactly
+    the order the duckdb oracle's ``FLATTEN(LIST(sub ORDER BY mi))``
+    does (bit-identical affinities)."""
+    m, ksub = len(cb), len(cb[0])
+    pq = F.col(pq_col) if isinstance(pq_col, str) else pq_col
+    parts = []
+    for mi in range(m):
+        table = F.array(*[
+            F.array(*[F.lit(float(x)) for x in cb[mi][j]])
+            for j in range(ksub)])
+        parts.append(F.element_at(
+            table, F.element_at(pq, mi + 1).cast("int") + 1))
+    return F.flatten(F.array(*parts))
+
+
+def pq_lut_col(qvec_col, cb) -> F.Column:
+    """Per-query ADC lookup table (``array<double>``, m·ksub entries,
+    mi-major): entry ``mi·ksub + j`` is the dot of the query's
+    ``mi``-th subvector with codebook entry ``j`` — computed once per
+    query row, map-side. A candidate's approximate dot is then m
+    array lookups (:func:`pq_adc_col`) instead of a dim-wide fold:
+    the serving path's per-candidate cost is O(m), and the scan reads
+    1-byte codes instead of 8-byte doubles."""
+    qvec = F.col(qvec_col) if isinstance(qvec_col, str) else qvec_col
+    m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
+    return F.array(*[
+        _dot(F.slice(qvec, mi * dsub + 1, dsub),
+             F.array(*[F.lit(float(x)) for x in cb[mi][j]]))
+        for mi in range(m) for j in range(ksub)])
+
+
+def pq_adc_col(pq_col, lut_col, m: int, ksub: int) -> F.Column:
+    """Approximate dot product: sum over subspaces of the LUT entry
+    the candidate's code selects — O(m) per candidate, all JVM."""
+    pq = F.col(pq_col) if isinstance(pq_col, str) else pq_col
+    lut = F.col(lut_col) if isinstance(lut_col, str) else lut_col
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, mi: acc + F.element_at(
+            lut, mi * ksub + F.element_at(pq, mi + 1).cast("int") + 1))
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: every vector is encoded into PQ_M 4-bit
+    codes against a deterministic sample-mode codebook (PQ_KSUB
+    entries per subspace), candidates are scored by the APPROXIMATE
+    cosine of the query against the codebook RECONSTRUCTION, the top
+    PQ_RERANK_R per query survive to an exact float rerank — the
+    oracle-gated miniature of the persisted PQ sidecar
+    (``ann_index.py``: pq.parquet scanned for ADC affinity at ~1 byte
+    per subspace vs 8-byte doubles, lists.parquet joined only for the
+    rerank — a ~30x scan-IO cut vs float64 where int8 gives 4x).
+
+    Determinism: codes are the :func:`pq_encode_col` contract (6-dp
+    rounded L2 argmin, j-asc ties); the approximate sim divides the
+    reconstruction dot by the TRUE stored norms and rounds to 6 dp;
+    the rerank reuses the exact brute-force tie rules. Reference for
+    the serving shape this miniaturizes: Jégou et al., "Product
+    Quantization for Nearest Neighbor Search" (TPAMI 2011) — public
+    literature, not reference-repo code."""
+    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    ))
+    cb = collect_pq_codebook(emb)
+    enc = emb.select(
+        "vec_id", "embedding", "nrm",
+        pq_encode_col("embedding", cb).alias("pq"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # broadcast of the N_QUERIES-row query set (the brute-ANN shape)
+    pairs = enc.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id"))
+    psim = F.round(
+        _dot(pq_recon_col("pq", cb), F.col("qvec"))
+        / (F.col("nrm") * F.col("qnrm")), 6)
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.desc("psim"), F.asc("vec_id"))
+    top_r = (pairs.withColumn("psim", psim)
+             .withColumn("_rq", F.row_number().over(w_r))
+             .where(F.col("_rq") <= PQ_RERANK_R))
+    sim = _dot(F.col("embedding"), F.col("qvec")) / (
+        F.col("nrm") * F.col("qnrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        top_r.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            F.round(sim, 6).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+PQ_ANN_SQL = f"""
+WITH emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), mis AS (
+    SELECT CAST(range AS INT) AS mi FROM range({PQ_M})
+), seeds AS (
+    SELECT m.mi, e.vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY m.mi
+               ORDER BY MD5('pq|' || CAST(m.mi AS VARCHAR) || ':'
+                            || CAST(e.vec_id AS VARCHAR)),
+                        e.vec_id
+           ) AS rn
+    FROM emb e CROSS JOIN mis m
+), cb AS (
+    SELECT s.mi, s.rn - 1 AS j,
+           e.v[s.mi * {PQ_DSUB} + 1 : s.mi * {PQ_DSUB} + {PQ_DSUB}] AS sub
+    FROM seeds s JOIN emb e ON e.vec_id = s.vec_id
+    WHERE s.rn <= {PQ_KSUB}
+), enc0 AS (
+    SELECT e.vec_id, c.mi, c.j,
+           ROUND(LIST_SUM(LIST_TRANSFORM(
+               LIST_ZIP(e.v[c.mi * {PQ_DSUB} + 1 :
+                            c.mi * {PQ_DSUB} + {PQ_DSUB}], c.sub),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+    FROM emb e CROSS JOIN cb c
+), enc AS (
+    SELECT vec_id, mi, j FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, mi ORDER BY d ASC, j ASC) AS rn
+        FROM enc0
+    ) WHERE rn = 1
+), recon AS (
+    SELECT en.vec_id, FLATTEN(LIST(c.sub ORDER BY c.mi)) AS r
+    FROM enc en JOIN cb c ON c.mi = en.mi AND c.j = en.j
+    GROUP BY en.vec_id
+), q AS (
+    SELECT vec_id AS query_id, v AS qvec,
+           SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS qnrm
+    FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id, e.v AS nvec, q.qvec,
+           ROUND(
+             LIST_SUM(LIST_TRANSFORM(LIST_ZIP(r.r, q.qvec),
+                                     p -> p[1] * p[2]))
+             / (SQRT(LIST_SUM(LIST_TRANSFORM(e.v, x -> x * x)))
+                * q.qnrm), 6) AS psim
+    FROM emb e JOIN recon r ON r.vec_id = e.vec_id CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+), top_r AS (
+    SELECT query_id, neighbor_id, nvec, qvec FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY psim DESC, neighbor_id ASC
+        ) AS rq FROM scored
+    ) WHERE rq <= {PQ_RERANK_R}
+), rer AS (
+    SELECT query_id, neighbor_id,
+           {_COS_SQL.format(a='nvec', b='qvec')} AS sim
+    FROM top_r
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rnk
+    FROM rer
+)
+SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
 def _plane_sql(plane) -> str:
     return "[" + ", ".join(repr(float(v)) for v in plane) + "]"
 
@@ -1415,6 +1691,7 @@ EMBEDDING_CURATE_SQL = EMBEDDING_CURATE_SQL.format(
 QUERIES = {
     # new-this-round first: registration order feeds the driver's
     # 50-query window (see operators/__init__.py)
+    "pq_ann_topk": pq_ann_topk,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -1430,6 +1707,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "pq_ann_topk": PQ_ANN_SQL,
     "embedding_quantize_int8": QUANT_INT8_SQL,
     "ann_topk_cosine": ANN_TOPK_SQL,
     "embedding_neardup_pairs": NEARDUP_SQL,

@@ -602,6 +602,31 @@ if __name__ == "__main__":
                     "recall_vs_float": round(r_vs_float, 3),
                     "recall_vs_truth": round(r_vs_truth, 3),
                     "search_s": round(best, 3)}), flush=True)
+            # PQ sidecar (r14): same protocol as int8 — recall vs the
+            # float search at nprobe=nlist isolates what the 4-bit ADC
+            # top-R cut costs as rerank_r shrinks, at ~30x less scan
+            # IO than the float lists (int8: 4x)
+            path = f"/tmp/cvs_ivfrec_{tag}_pq"
+            shutil.rmtree(path, ignore_errors=True)
+            idxpq = build_ivf_index(emb, path, nlist=NLIST,
+                                    centroids="sample", pq=True)
+            for rr in (K, 2 * K, 4 * K, 8 * K):
+                got = idxpq.search_pq(q, k=K, nprobe=NLIST,
+                                      rerank_r=rr)
+                r_vs_float = recall_at_k(got, fref)
+                r_vs_truth = recall_at_k(got, truth)
+                best = None
+                for _ in range(2):
+                    t0 = _t.monotonic()
+                    got.count()
+                    dt = _t.monotonic() - t0
+                    best = dt if best is None else min(best, dt)
+                print(json.dumps({
+                    "leg": "ivf_pq_recall", "corpus": tag,
+                    "rerank_r": rr, "k": K,
+                    "recall_vs_float": round(r_vs_float, 3),
+                    "recall_vs_truth": round(r_vs_truth, 3),
+                    "search_s": round(best, 3)}), flush=True)
             fref.unpersist()
             truth.unpersist()
 

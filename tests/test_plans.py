@@ -856,3 +856,17 @@ def test_curate_join_reuses_both_standing_artifacts(spark, sf_dir):
     assert (plan.count("BroadcastNestedLoopJoin")
             == base.count("BroadcastNestedLoopJoin"))
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_ann_plan_adc_then_rerank(spark, sf_dir):
+    """pq_ann_topk: codebook argmin and ADC scoring are literal-fold
+    Catalyst expressions (no per-row Python anywhere), the only
+    non-equi join is the broadcast of the N_QUERIES-row query set
+    (the brute-ANN shape every ann_topk gate accepts), and both the
+    ADC top-R and rerank top-k windows push WindowGroupLimit below
+    the exchange so no task ever ranks unbounded candidates."""
+    plan = _plan(all_queries()["pq_ann_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
