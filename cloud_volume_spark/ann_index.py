@@ -68,8 +68,10 @@ _CODES_SCHEMA = ("vec_id bigint, q array<smallint>, sq bigint, "
 # codes per subspace against a frozen sample-mode codebook, plus the
 # TRUE float norm (ADC divides by it, and it rides along at 8 bytes
 # so the approximate cosine never needs the float lists). At the
-# default 8x16 geometry a dim-64 float64 vector's 512 bytes become 8
-# code bytes + the norm — a ~30x scan-IO cut where int8 gives 4x.
+# default 32x16 geometry (see the sweep note at similarity.PQ_M) a
+# dim-64 float64 vector's 512 bytes become 32 code bytes + the norm
+# — a ~13x scan-IO cut where int8 gives 4x, at 0.97 recall@10 with
+# rerank_r at 1.6% of the candidate pool.
 _PQ_SCHEMA = ("vec_id bigint, pq array<tinyint>, nrm double, "
               "cent_id bigint")
 
@@ -1173,8 +1175,9 @@ class IVFIndex:
         each query precomputes an m·ksub lookup table against the
         frozen codebook (``similarity.pq_lut_col``, map-side), and a
         candidate costs m one-byte code lookups over ``pq.parquet``
-        (~30x less scan IO than the float lists at the default 8x16
-        geometry, vs int8's 4x). The top ``rerank_r`` per query
+        (~13x less scan IO than the float lists at the default 32x16
+        geometry — the sweep note at ``similarity.PQ_M`` — vs int8's
+        4x). The top ``rerank_r`` per query
         (default ``4*k``) join back to the float lists — broadcast
         candidate set, same partition pruning — for the exact cosine
         rerank with :meth:`search`'s tie rules.

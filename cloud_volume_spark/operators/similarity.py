@@ -810,9 +810,18 @@ IVF_INT8_SQL = IVF_INT8_SQL.format(
 )
 
 
-# -- product quantization (the 30x-compression scale path) ------------------
+# -- product quantization (the order-of-magnitude-compression scale path) ---
 
-PQ_M = 8                 # subspaces per vector
+# Geometry: FINE subspaces win on weakly-clustered data — the r14
+# sweep on the sf0.1 corpus (recall@10 vs the float search, rerank_r
+# = 80 of a 5k-candidate pool): 8x16 0.42, 8x64 0.64, 16x16 0.69,
+# 32x16 0.97. With dsub = 2 a 16-entry codebook tiles each 2-d
+# subspace densely enough that ADC ranking survives even i.i.d.-ish
+# vectors, while 32 one-byte codes + the stored norm still cut the
+# affinity scan ~13x vs float64 lists (int8: 4x). At higher dims the
+# same m keeps dsub proportional (dim 768 -> dsub 24) where the data's
+# own structure carries the approximation (0.93 recall at 8x16 there).
+PQ_M = 32                # subspaces per vector
 PQ_DSUB = DIM // PQ_M    # components per subspace
 PQ_KSUB = 16             # codebook entries per subspace (4-bit codes)
 PQ_RERANK_R = 10         # ADC candidates surviving to the float rerank
@@ -856,7 +865,7 @@ def collect_pq_codebook(emb: DataFrame, m: int = PQ_M,
                         ksub: int = PQ_KSUB) -> list:
     """Driver-side nested list ``cb[mi][j] -> [dsub floats]`` of the
     sample-mode codebook — m·ksub·dsub doubles (1024 at the default
-    8x16x8), the ``embedding_kmeans`` centroids-as-literals pattern."""
+    32x16x2), the ``embedding_kmeans`` centroids-as-literals pattern."""
     rows = pq_codebook_frame(emb, m, ksub).collect()
     cb = [[None] * ksub for _ in range(m)]
     for r in rows:
@@ -972,7 +981,8 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated miniature of the persisted PQ sidecar
     (``ann_index.py``: pq.parquet scanned for ADC affinity at ~1 byte
     per subspace vs 8-byte doubles, lists.parquet joined only for the
-    rerank — a ~30x scan-IO cut vs float64 where int8 gives 4x).
+    rerank — a ~13x scan-IO cut vs float64 where int8 gives 4x; see
+    the geometry note at ``PQ_M``).
 
     Determinism: codes are the :func:`pq_encode_col` contract (6-dp
     rounded L2 argmin, j-asc ties); the approximate sim divides the

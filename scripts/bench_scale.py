@@ -196,6 +196,8 @@ TPCH_QUERIES = [
     "q20_potential_promotion",
     "q22_global_sales_opportunity",
     "q16_parts_supplier_relationship",
+    "q9_product_type_profit",
+    "q12_shipmode_priority",
 ]
 
 
@@ -550,7 +552,7 @@ if __name__ == "__main__":
         SPARK = get_spark()
         K, NQ, NLIST = 10, 50, 16
 
-        def leg(tag, emb):
+        def leg(tag, emb, pq_m=None):
             q = emb.where(F.col("vec_id") < NQ).select(
                 F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qvec"))
@@ -604,12 +606,17 @@ if __name__ == "__main__":
                     "search_s": round(best, 3)}), flush=True)
             # PQ sidecar (r14): same protocol as int8 — recall vs the
             # float search at nprobe=nlist isolates what the 4-bit ADC
-            # top-R cut costs as rerank_r shrinks, at ~30x less scan
+            # top-R cut costs as rerank_r shrinks, at ~13x less scan
             # IO than the float lists (int8: 4x)
             path = f"/tmp/cvs_ivfrec_{tag}_pq"
             shutil.rmtree(path, ignore_errors=True)
+            # geometry is per-corpus (the similarity.PQ_M sweep note):
+            # the default 32x16 wins on the weakly-clustered dim-64
+            # corpus; structured high-dim corpora do better AND run a
+            # far smaller ADC LUT with coarser subspaces
             idxpq = build_ivf_index(emb, path, nlist=NLIST,
-                                    centroids="sample", pq=True)
+                                    centroids="sample", pq=True,
+                                    pq_m=pq_m)
             for rr in (K, 2 * K, 4 * K, 8 * K):
                 got = idxpq.search_pq(q, k=K, nprobe=NLIST,
                                       rerank_r=rr)
@@ -640,7 +647,7 @@ if __name__ == "__main__":
             F.transform(
                 F.sequence(F.lit(0), F.lit(767)),
                 lambda p: F.sin(F.col("id") * 0.7 + p * 0.13),
-            ).alias("embedding")))
+            ).alias("embedding")), pq_m=8)
 
         # ---- retrain drift leg (r14): recall decay under a drifted
         # add() stream and its restoration by the warm-start retrain,
