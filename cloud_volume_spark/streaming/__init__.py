@@ -19,6 +19,8 @@ from cloud_volume_spark.streaming.windowed import (  # noqa: F401
     streaming_conversion_lag,
     streaming_exact_dedup,
     streaming_incremental_dedup,
+    streaming_ingest_gate,
+    streaming_ivf_semantic_dedup,
     streaming_lsh_index_dedup,
     streaming_quality_filter,
     streaming_funnel,

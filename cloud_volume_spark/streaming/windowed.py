@@ -340,6 +340,20 @@ def streaming_lsh_index_dedup(docs_stream: DataFrame,
         band_frame, signature_frame_maponly,
     )
 
+    return (_lsh_dup_candidates(docs_stream, index)
+            .dropDuplicates(["doc_id"]))
+
+
+def _lsh_dup_candidates(docs_stream: DataFrame, index) -> DataFrame:
+    """(doc_id, dup_of) candidate rows from the stream-static join
+    against the persisted band table — stateless (pre-dedup), so a
+    composite gate can union it with other branches and pay ONE
+    terminal dropDuplicates instead of stacking stateful operators."""
+    from cloud_volume_spark.lsh_index import _band_bucket
+    from cloud_volume_spark.operators.dedup import (
+        band_frame, signature_frame_maponly,
+    )
+
     static_bands = index.bands().select(
         F.col("doc_id").alias("dup_of"), "band", "band_hash", "bucket")
     new_bands = band_frame(signature_frame_maponly(docs_stream)) \
@@ -348,7 +362,122 @@ def streaming_lsh_index_dedup(docs_stream: DataFrame,
     return (
         new_bands.join(static_bands, ["band", "bucket", "band_hash"])
         .select("doc_id", "dup_of")
-        .dropDuplicates(["doc_id"])
+    )
+
+
+def _ivf_sem_candidates(emb_frame: DataFrame, index,
+                        threshold: float) -> DataFrame:
+    """(vec_id, dup_of) candidate rows: assign each incoming vector to
+    its nearest FROZEN index centroid with the literal-argmin fold
+    (``similarity._assign_fold`` — pure map expressions; streaming
+    frames cannot run ``rank_centroids``'s window, and on unit vectors
+    the rounded-sqdist argmin is the cosine argmin, ``||u-c||² =
+    2-2cos``, up to 6-dp rounding knife-edges), then flag cosine ≥
+    ``threshold`` against the persisted inverted list of THAT cluster
+    only — the SemDeDup cluster-bounding, with the static side the
+    on-disk lists (stream-static equi-join on the partition column;
+    no corpus-wide product, no re-assignment of the corpus)."""
+    from cloud_volume_spark.operators.similarity import (
+        _as_double, _assign_fold, _dot, _with_norm,
+    )
+
+    cents = {int(r["cent_id"]):
+             [float(x) / float(r["cnrm"]) for x in r["cvec"]]
+             for r in index.centroids().collect()}
+    q = _with_norm(emb_frame.select(
+        "vec_id", _as_double("embedding").alias("embedding")))
+    unit = q.withColumn(
+        "v", F.transform("embedding", lambda x: x / F.col("nrm")))
+    assign = _assign_fold(unit, cents).select(
+        "vec_id", "embedding", "nrm",
+        F.col("cluster").alias("cent_id"))
+    lists = index.lists().select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").alias("ie"),
+        F.col("nrm").alias("inrm"), "cent_id")
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("ie"))
+        / (F.col("nrm") * F.col("inrm")), 6)
+    return (
+        assign.join(lists, "cent_id")
+        .where(F.col("vec_id") != F.col("dup_of"))
+        .where(sim >= float(threshold))
+        .select("vec_id", "dup_of")
+    )
+
+
+def streaming_ivf_semantic_dedup(emb_stream: DataFrame, index,
+                                 threshold: float | None = None)\
+        -> DataFrame:
+    """Stream-static SemDeDup THROUGH the persisted IVF index
+    (:class:`cloud_volume_spark.ann_index.IVFIndex`) — the vector
+    mirror of :func:`streaming_lsh_index_dedup`: an incoming stream of
+    ``(vec_id, embedding)`` is flagged when a vector in ITS assigned
+    cluster's on-disk inverted list sits at cosine ≥ ``threshold``
+    (default ``similarity.SEMDEDUP_T``). The index's frozen centroids
+    collapse to driver-side literals at setup (nlist·dim doubles), so
+    assignment is stateless map work per micro-batch; the candidate
+    join is cluster-bounded against the persisted lists — the corpus
+    is never re-assigned and never re-scanned beyond the equi-join.
+
+    Output: one ``vec_id, dup_of`` row per semantically-duplicate
+    incoming vector (``dup_of`` an arbitrary matching indexed vector —
+    the ``streaming_incremental_dedup`` caveat; the batch
+    ``semantic_dedup`` owns the canonical keep-rule)."""
+    from cloud_volume_spark.operators.similarity import SEMDEDUP_T
+
+    t = SEMDEDUP_T if threshold is None else float(threshold)
+    return (_ivf_sem_candidates(emb_stream, index, t)
+            .dropDuplicates(["vec_id"]))
+
+
+def streaming_ingest_gate(docs_stream: DataFrame, lsh_index, ivf_index,
+                          embeddings_static: DataFrame,
+                          threshold: float | None = None) -> DataFrame:
+    """The on-ingest cross-modal gate — the streaming twin of the
+    batch ``corpus.curate_join`` composition, scoped to what a single
+    pass over arriving documents can decide: emit the EXCLUSION stream
+    ``(doc_id, reason)`` with one row per violated rule —
+
+    - ``quality``: fails the Gopher rules (the batch
+      ``quality_filter_frame`` plan fragment, map-only);
+    - ``text_dup``: near-matches an indexed corpus doc through the
+      persisted LSH band table;
+    - ``semantic_dup``: the doc's embedding (looked up in the STATIC
+      embedding store — a stream-stream join with a live embedder
+      would need watermarked event time) sits at cosine ≥
+      ``threshold`` of an indexed vector in its assigned IVF cluster.
+
+    A kill-list, not a verdict table: production gates subtract it
+    from the corpus, reasons stay auditable per rule, and docs without
+    a vector simply contribute no ``semantic_dup`` row (the batch
+    composition's ``has_vector`` caveat). All three branches are
+    stateless map/stream-static work unioned into ONE terminal
+    ``dropDuplicates`` — a single stateful operator, not a stack
+    (stacked stateful ops constrain output modes), and never a
+    stream-stream join."""
+    from cloud_volume_spark.operators.similarity import SEMDEDUP_T
+    from cloud_volume_spark.operators.text import quality_filter_frame
+
+    t = SEMDEDUP_T if threshold is None else float(threshold)
+    bad_quality = (
+        quality_filter_frame(docs_stream)
+        .where(F.col("passes") == 0)
+        .select("doc_id", F.lit("quality").alias("reason")))
+    text_dup = (
+        _lsh_dup_candidates(docs_stream, lsh_index)
+        .select("doc_id", F.lit("text_dup").alias("reason")))
+    emb = embeddings_static.select(
+        F.col("vec_id").alias("doc_id"), "embedding")
+    with_vec = docs_stream.select("doc_id").join(emb, "doc_id").select(
+        F.col("doc_id").alias("vec_id"), "embedding")
+    sem_dup = (
+        _ivf_sem_candidates(with_vec, ivf_index, t)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.lit("semantic_dup").alias("reason")))
+    return (
+        bad_quality.unionByName(text_dup).unionByName(sem_dup)
+        .dropDuplicates(["doc_id", "reason"])
     )
 
 

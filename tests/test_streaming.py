@@ -1066,3 +1066,151 @@ def test_streaming_lsh_index_dedup_matches_batch(spark, sf_dir, tmp_path):
     )
     indexed = set(r.doc_id for r in idx.indexed_ids().collect())
     assert dup_of <= indexed
+
+
+def test_streaming_ivf_semantic_dedup_matches_batch(spark, sf_dir,
+                                                    tmp_path):
+    """The persisted-IVF streaming twin: a two-file arrival of
+    incoming vectors, each checked against its assigned cluster's
+    ON-DISK inverted list, must flag exactly the vectors a batch
+    assignment (shared rank_centroids contract) + cluster-bounded
+    cosine join flags — and every dup_of must be an indexed vector."""
+    from cloud_volume_spark.ann_index import build_ivf_index
+    from cloud_volume_spark.operators.dedup import INGEST_MOD
+    from cloud_volume_spark.operators.similarity import (
+        _as_double, _dot, _with_norm, rank_centroids,
+    )
+    from cloud_volume_spark.streaming import streaming_ivf_semantic_dedup
+
+    T = 0.3  # the cross-split same-cluster cosine tops out at ~0.43
+    # on this corpus, so the gate threshold must sit inside the
+    # distribution for a non-empty contract check
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % INGEST_MOD != 0)
+    incoming = emb.where(F.col("vec_id") % INGEST_MOD == 0)
+    idx = build_ivf_index(corpus, str(tmp_path / "ivfsem"), nlist=4,
+                          centroid_base_id=101, centroids="kmeans",
+                          kmeans_rounds=2)
+
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    pdf = incoming.toPandas()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(d / "part-0.parquet"))
+    pdf.iloc[half:].to_parquet(str(d / "part-1.parquet"))
+    schema = spark.read.parquet(str(d)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+
+    q = (streaming_ivf_semantic_dedup(stream, idx, threshold=T)
+         .writeStream.format("memory").queryName("sivfsem")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = set(r.vec_id for r in
+              spark.sql("select vec_id from sivfsem").collect())
+
+    qb = _with_norm(incoming.select(
+        "vec_id", _as_double("embedding").alias("embedding")))
+    assign = (rank_centroids(qb, idx.centroids())
+              .where(F.col("crnk") == 1)
+              .select("vec_id", "embedding", "nrm", "cent_id"))
+    lists = idx.lists().select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").alias("ie"), F.col("nrm").alias("inrm"),
+        "cent_id")
+    sim = F.round(_dot(F.col("embedding"), F.col("ie"))
+                  / (F.col("nrm") * F.col("inrm")), 6)
+    want = set(r.vec_id for r in
+               assign.join(lists, "cent_id")
+               .where(F.col("vec_id") != F.col("dup_of"))
+               .where(sim >= T)
+               .select("vec_id").distinct().collect())
+    assert got == want and len(want) > 0
+    dup_of = set(r.dup_of for r in
+                 spark.sql("select dup_of from sivfsem").collect())
+    indexed = set(r.vec_id for r in
+                  idx.lists().select("vec_id").collect())
+    assert dup_of <= indexed
+
+
+def test_streaming_ingest_gate_matches_batch_composition(spark, sf_dir,
+                                                         tmp_path):
+    """The cross-modal exclusion stream: quality ∨ text-dup ∨
+    semantic-dup reasons over a two-file document arrival must equal
+    the batch composition of the three rules on the same split — and
+    the whole gate runs as ONE streaming query (single terminal
+    dedup, no stream-stream join)."""
+    from cloud_volume_spark.ann_index import build_ivf_index
+    from cloud_volume_spark.lsh_index import build_lsh_index
+    from cloud_volume_spark.operators.dedup import (
+        INGEST_MOD, band_frame, signature_frame_maponly,
+    )
+    from cloud_volume_spark.operators.similarity import (
+        _as_double, _dot, _with_norm, rank_centroids,
+    )
+    from cloud_volume_spark.operators.text import quality_filter_frame
+    from cloud_volume_spark.streaming import (
+        read_documents_stream, streaming_ingest_gate,
+    )
+
+    T = 0.3
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    corpus_docs = docs.where(F.col("doc_id") % INGEST_MOD != 0)
+    incoming = docs.where(F.col("doc_id") % INGEST_MOD == 0)
+    lsh = build_lsh_index(corpus_docs.select("doc_id", "text"),
+                          str(tmp_path / "glsh"))
+    ivf = build_ivf_index(emb.where(F.col("vec_id") % INGEST_MOD != 0),
+                          str(tmp_path / "givf"), nlist=4,
+                          centroid_base_id=101, centroids="kmeans",
+                          kmeans_rounds=2)
+
+    d = tmp_path / "gate_stream"
+    d.mkdir()
+    pdf = incoming.toPandas()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(str(d / "part-0.parquet"))
+    pdf.iloc[half:].to_parquet(str(d / "part-1.parquet"))
+
+    q = (streaming_ingest_gate(
+            read_documents_stream(spark, str(d)), lsh, ivf, emb,
+            threshold=T)
+         .writeStream.format("memory").queryName("singest")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = set((r.doc_id, r.reason) for r in
+              spark.sql("select * from singest").collect())
+
+    want = set()
+    for r in (quality_filter_frame(incoming)
+              .where(F.col("passes") == 0).select("doc_id").collect()):
+        want.add((r.doc_id, "quality"))
+    inc_bands = band_frame(signature_frame_maponly(incoming))
+    cor_bands = band_frame(signature_frame_maponly(
+        corpus_docs.select("doc_id", "text"))).select(
+        F.col("doc_id").alias("dup_of"), "band", "band_hash")
+    for r in (inc_bands.join(cor_bands, ["band", "band_hash"])
+              .select("doc_id").distinct().collect()):
+        want.add((r.doc_id, "text_dup"))
+    inc_vec = emb.join(
+        incoming.select(F.col("doc_id").alias("vec_id")), "vec_id")
+    qb = _with_norm(inc_vec.select(
+        "vec_id", _as_double("embedding").alias("embedding")))
+    assign = (rank_centroids(qb, ivf.centroids())
+              .where(F.col("crnk") == 1)
+              .select("vec_id", "embedding", "nrm", "cent_id"))
+    lists = ivf.lists().select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("embedding").alias("ie"), F.col("nrm").alias("inrm"),
+        "cent_id")
+    sim = F.round(_dot(F.col("embedding"), F.col("ie"))
+                  / (F.col("nrm") * F.col("inrm")), 6)
+    for r in (assign.join(lists, "cent_id")
+              .where(F.col("vec_id") != F.col("dup_of"))
+              .where(sim >= T)
+              .select("vec_id").distinct().collect()):
+        want.add((r.vec_id, "semantic_dup"))
+    assert got == want
+    # every rule contributes at least one exclusion on this corpus
+    assert {reason for _, reason in want} == {
+        "quality", "text_dup", "semantic_dup"}
