@@ -12,6 +12,7 @@ driver's 2,000-char stdout tail:
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -181,6 +182,25 @@ VOL_BASE_PASSES = 4
 VOL_MAX_PASSES = 8
 
 _MT_POOL = None
+
+
+def _drain_mt_pool() -> None:
+    """Terminate the probe pool explicitly at exit: left to GC-time
+    ``Pool.__del__`` during interpreter teardown, the worker handles
+    are half-dead and CPython prints an 'Exception ignored' traceback
+    to stderr AFTER the final JSON line — noise in the artifact's
+    tail."""
+    global _MT_POOL
+    if _MT_POOL is not None:
+        try:
+            _MT_POOL.terminate()
+            _MT_POOL.join()
+        except Exception:
+            pass
+        _MT_POOL = None
+
+
+atexit.register(_drain_mt_pool)
 
 
 def _spin(n: int) -> int:

@@ -320,7 +320,12 @@ def audio_features(assets: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def assets_from_documents(spark, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread (guide §2.5): every mm_* query funnels through a
+    # mapInPandas decode whose per-row Python cost dominates; on the
+    # single-split test parquet that stage otherwise runs as ONE task
+    from cloud_volume_spark.operators.common import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.element_at(

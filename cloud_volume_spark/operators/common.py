@@ -78,6 +78,55 @@ def drain_cache(cache: dict, evict=None) -> None:
             evict(v)
 
 
+def _est_input_splits(spark: SparkSession, path: str) -> int:
+    """Estimate how many scan partitions Spark will plan for ``path``
+    from file sizes alone (``size / maxPartitionBytes`` per file, the
+    planner's own split arithmetic, ignoring openCost — an optimistic
+    upper bound: single-row-group files cannot actually split at all,
+    so the true parallelism is never higher than this estimate)."""
+    max_pb = int(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)))
+    total = 0
+    try:
+        if os.path.isdir(path):
+            for root, _, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files)
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        return 1
+    return max(1, -(-total // max_pb))
+
+
+def load_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``load`` + an explicit round-robin repartition to the cluster's
+    core parallelism WHEN the input layout plans fewer splits than
+    cores — guide §2.5's "one huge unsplittable file → repartition
+    immediately after the read". The test tables are single-file,
+    single-row-group parquet, so every scan otherwise runs as ONE task
+    and all map-side heavy work (md5 shingling, token explodes,
+    Arrow-batched decodes, wide interpreted folds) serializes on one
+    core of N.
+
+    Scale-correct by construction: the trigger is the *estimated split
+    count vs defaultParallelism*, so a production table whose layout
+    already feeds every core is returned untouched (no wasted corpus
+    shuffle), and the target adapts to the cluster (defaultParallelism,
+    not a constant). The explicit numPartitions keeps AQE from
+    coalescing the spread back to one task; Spark's default
+    sort-before-repartition keeps the row→partition assignment
+    deterministic under task retry. Use this for operators whose
+    per-row compute dominates; pure map-side filters (mixture_sample)
+    and plan-gated map-only paths keep plain ``load``."""
+    df = load(spark, sf_dir, table)
+    p = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if _est_input_splits(spark, path) < p:
+        df = df.repartition(p)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized

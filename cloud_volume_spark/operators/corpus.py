@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.operators.common import load, load_spread
 from cloud_volume_spark.operators.curation import word_gram_ctes_sql
 from cloud_volume_spark.operators.dedup import (
     CC_CTES_SQL,
@@ -90,7 +90,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     points. Two shuffles: per-(doc,term) counts, then a join against
     the term-level doc-frequency aggregate — which is vocabulary-sized,
     not corpus-sized, so it broadcasts at any realistic scale."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
     )
@@ -169,7 +169,7 @@ def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits a content hash per window rather than the window text — the
     row stays ~50 bytes no matter the window size. Bounded explode
     (~n_tokens/stride rows per doc), all JVM built-ins."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " ")
     n_tok = F.size(toks)
     windows = docs.select(
@@ -230,7 +230,7 @@ def doc_policy_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit runs) and policy-keyword matches per document, with a flag
     for any PII hit — the filter/redaction precursor every corpus
     pipeline runs. Pure map-side regex counting, no shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     n_email = F.size(F.expr(f"regexp_extract_all(text, '{PAT_EMAIL}', 0)"))
     n_number = F.size(F.expr(f"regexp_extract_all(text, '{PAT_NUMBER}', 0)"))
     n_keyword = F.size(F.expr(f"regexp_extract_all(text, '{PAT_KEYWORD}', 0)"))
@@ -301,6 +301,9 @@ def pii_redact(docs: DataFrame) -> DataFrame:
 
 
 def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain load: the plan gate pins redaction as a pure map (no
+    # exchange anywhere) — a spread would trade that contract for
+    # parallelism the cheap regex pass does not need
     return pii_redact(load(spark, sf_dir, "documents"))
 
 
@@ -377,7 +380,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     may straddle bins, as in GPT-style packing). The running sum is a
     per-source window — packing parallelizes across shards exactly as
     production pipelines pack per input file, no global order needed."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     n_toks = F.size(F.split(F.trim("text"), " "))
     w = (
         Window.partitionBy("source")
@@ -444,7 +447,7 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n²/2⁶⁵ ≈ a few thousand docs across a 10¹³-gram corpus."""
     from cloud_volume_spark.operators.curation import _word_grams
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     grams = _word_grams(docs, CONTAM_NGRAM)
     bench = (
         grams.where(F.col("doc_id") % CONTAM_MOD == 0)
@@ -557,6 +560,9 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered instance of :func:`snapshot_diff` over two derived
     snapshots of the documents table (see the derivation constants
     above)."""
+    # plain load: the diff's contract (plan-gated) is that ONLY
+    # digests cross an exchange — a pre-digest spread would shuffle
+    # the text column itself
     docs = load(spark, sf_dir, "documents")
     old = docs.where(_snap_hex1("snapA|") < _SNAP_MEMBER_HEX)
     new = docs.where(_snap_hex1("snapB|") < _SNAP_MEMBER_HEX).withColumn(
@@ -614,7 +620,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloud_volume_spark.operators.curation import mixture_sample
     from cloud_volume_spark.operators.text import doc_quality_filter
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     qf = doc_quality_filter(spark, sf_dir).where(
         F.col("passes") == 1
     ).select("doc_id")

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.operators.common import load, load_spread
 
 # ---------------------------------------------------------------------------
 # cross-document boilerplate n-grams
@@ -122,7 +122,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes and only duplicates cheap, embarrassingly-parallel map CPU —
     while gaining partials + skew-splitting that no window variant
     (salted or not) can offer for the row-preserving count."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     grams = _word_grams(docs, BOILER_NGRAM)
     cnt = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     boiler = (
@@ -301,7 +301,7 @@ def token_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing planner's input — bucket populations decide bin size and
     expected padding waste). Map-side-combine aggregate to a
     handful of rows; no meaningful shuffle at any scale."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     n = F.size(F.split(F.trim("text"), " "))
     bucket = F.lit(f"ge{_BUCKETS[-1]:04d}")
     for b in reversed(_BUCKETS):
@@ -369,7 +369,7 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     5M-word book) and overflowed bigint for doc_ids beyond ~9.2e12,
     corrupting global first-occurrence attribution (both engines
     shared the encoding, so the oracle could not catch it)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " ")
     n = F.size(toks)
     nsegs = F.ceil(n / F.lit(LINE_W)).cast("int")
@@ -482,7 +482,7 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort). Replaces the suffix array — whose construction is
     the part that does not distribute — with gram chaining at the cost
     of missing repeats shorter than SPAN_L."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), " ")
     h, idxs, gram = _rolling_gram(SPAN_L)
     grams = docs.select(
@@ -606,7 +606,7 @@ def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain. One (doc_id, term) shuffle with map-side partials, then a
     per-doc aggregate; term cardinality per doc is bounded by doc
     length, so no skew beyond the longest document."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
     )
@@ -657,7 +657,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     small and shuffle-joins on ``term`` otherwise; the corpus side is one
     (doc, term) count shuffle with map-side partials plus the per-doc
     aggregate — the same two-shuffle shape as tf-idf."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
     )
@@ -737,7 +737,7 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines regardless."""
     from cloud_volume_spark.operators.relational import global_row_number
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
     # portable hex→int: 15 nibbles via ascii arithmetic (no CONV in
     # DuckDB, no STRTOL in Spark — this chain is identical in both)

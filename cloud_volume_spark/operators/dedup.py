@@ -23,7 +23,7 @@ import atexit
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.operators.common import load, load_spread
 
 N_HASHES = 8
 SHINGLE_W = 8  # character shingle width
@@ -41,7 +41,9 @@ SHINGLES_SQL = f"""
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread: the shingle explode + 2 md5/shingle is the hottest
+    # map-side work in the module, otherwise single-task (guide §2.5)
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         "text",
@@ -493,7 +495,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash over word tokens: bit b of the fingerprint is the sign of
     the sum of ±1 votes from each token's md5 hex digit b (high bit of
     the nibble)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias(
             "tok"
@@ -645,7 +647,7 @@ def _standing_lsh_index(spark: SparkSession, sf_dir: str):
     )
 
     def build():
-        corpus = load(spark, sf_dir, "documents").where(
+        corpus = load_spread(spark, sf_dir, "documents").where(
             F.col("doc_id") % INGEST_MOD != 0)
         return build_lsh_index(
             corpus, tempfile.mkdtemp(prefix="cvs_lsh_idx_"))
@@ -673,7 +675,9 @@ def lsh_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle. The 10x leg (scripts/bench_scale.py --lsh) shows ingest
     cost scaling with the DELTA, not the corpus."""
     idx = _standing_lsh_index(spark, sf_dir)
-    batch = load(spark, sf_dir, "documents").where(
+    # spread: the batch's map-side signature (per-row transform-md5
+    # folds) is the lookup's dominant compute
+    batch = load_spread(spark, sf_dir, "documents").where(
         F.col("doc_id") % INGEST_MOD == 0)
     return idx.lookup(batch)
 
@@ -778,7 +782,7 @@ def _simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests (30 hex digits each) so the print is wide enough that band
     groups stay tiny on a shared vocabulary — the production regime
     the 16-bit miniature saturates out of."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = (docs.select(
         "doc_id",
         F.explode(F.split(F.trim("text"), " ")).alias("tok"))

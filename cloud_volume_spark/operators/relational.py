@@ -25,7 +25,21 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.operators.common import load as _plain_load
+from cloud_volume_spark.operators.common import load_spread
+
+# Fact tables get the under-split-input spread (guide §2.5): the
+# single-file test parquet plans ONE scan task, so the probe side of
+# every broadcast join and every map-side partial aggregation ran on
+# one core of N. Dimension tables stay plain — they are broadcast
+# builds where a repartition would only add an exchange.
+_SPREAD_TABLES = frozenset({"lineitem", "orders", "events"})
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table in _SPREAD_TABLES:
+        return load_spread(spark, sf_dir, table)
+    return _plain_load(spark, sf_dir, table)
 
 
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.operators.common import load, load_spread
 
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query set
@@ -82,7 +82,7 @@ def _with_norm(df: DataFrame, vec_col: str = "embedding",
 
 
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
+    emb = _with_norm(load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -195,7 +195,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over N_QUERIES bounded partitions. No corpus-sized shuffle
     anywhere — at 100 TB the cost is one scan at int8 bandwidth,
     which is the point of the operator."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v"))
     emb = int8_codes(emb, "v").select("vec_id", "q", "sq")
     qset = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -268,6 +268,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant's sizing note; tests/test_plans.py pins full recall on a
     planted-duplicate fixture). The sf-bounded duckdb oracle remains
     the exact all-pairs SQL."""
+    # plain load, not load_spread (r14 A/B): the Arrow UDF hashes the
+    # whole corpus in one vectorized matmul, and the exact rerank runs
+    # AFTER the candidate shuffle (already all-cores) — spreading the
+    # scan only multiplied per-task Python/Arrow overhead
     emb = _with_norm(load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
@@ -460,7 +464,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike :func:`embedding_dedup_keep` (global LSH graph + connected
     components), the keep decision here is local to a cluster — the
     trade the SemDeDup paper makes for linear scaling."""
-    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
+    emb = _with_norm(load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
     # the assignment (scan + broadcast-centroid argmin + per-vector
@@ -530,7 +534,7 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector to an SRP_BITS bucket; queries search only their bucket,
     with exact cosine rerank. Bucket join replaces the cross join —
     at 1000 executors this shuffles on bucket id, not N×Q."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
 
     bucket = F.lit(0)
     for j in range(SRP_BITS):
@@ -576,7 +580,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full duckdb oracle. At scale: assignment is O(N·NLIST) map-side
     work against broadcast centroids; the candidate join shuffles on
     centroid id — inverted lists, never the N×Q product."""
-    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
+    emb = _with_norm(load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
     assign = _assign_nearest_centroid(emb, 100, NLIST)
@@ -683,7 +687,7 @@ def ivf_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses ``ivf_ann_topk``'s exact tie rules — both stages compare
     bit-identical values on both engines, so the approximation is the
     SAME approximation everywhere."""
-    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
+    emb = _with_norm(load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
     assign = _assign_nearest_centroid(emb, 100, NLIST)
@@ -880,6 +884,27 @@ def collect_pq_codebook(emb: DataFrame, m: int = PQ_M,
     return cb
 
 
+def _sql_name(col, what: str) -> str:
+    """The PQ expression builders are literal-heavy (m·ksub embedded
+    codebook entries): constructed as Column objects they cost ~10 s
+    of driver-side py4j round trips PER CALL (r14 measurement: the
+    dominant cost of pq_ann_topk), so they emit ONE SQL string parsed
+    server-side instead. That requires plain column names as inputs —
+    every caller passes names."""
+    if not isinstance(col, str):
+        raise TypeError(
+            f"{what} requires a column NAME (SQL-string expression "
+            f"builder), got {type(col).__name__}")
+    return f"`{col}`"
+
+
+def _dlit(x) -> str:
+    """Shortest-round-trip double literal: repr() digits re-parse to
+    the identical IEEE double on the SQL side (D suffix keeps the type
+    double, never decimal)."""
+    return f"{float(x)!r}D"
+
+
 def pq_encode_col(vec_col, cb) -> F.Column:
     """Encode an ``array<double>`` column into PQ codes
     (``array<tinyint>``, one code per subspace) against the literal
@@ -889,41 +914,28 @@ def pq_encode_col(vec_col, cb) -> F.Column:
     never flip a code), earliest ``j`` wins ties. The SAME expression
     encodes the oracle-gated operator, the persisted sidecar
     (``ann_index.py``), and every mutation's re-encode — one contract,
-    no drift."""
+    no drift. Emitted as one server-parsed SQL string (see
+    :func:`_sql_name`); the fold semantics are unchanged."""
     m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vec = _sql_name(vec_col, "pq_encode_col")
     outs = []
     for mi in range(m):
-        sub = F.slice(vec, mi * dsub + 1, dsub)
-        entries = F.array(*[
-            F.struct(
-                F.lit(j).cast("int").alias("j"),
-                F.array(*[F.lit(float(x))
-                          for x in cb[mi][j]]).alias("cv"))
-            for j in range(ksub)])
-        init = F.struct(F.lit(-1).cast("int").alias("j"),
-                        F.lit(None).cast("double").alias("d"))
-
-        # closure factory, NOT a default arg: pyspark reads the
-        # merge lambda's arity from its signature, and a bound
-        # `sub=sub` default would make this a 3-arg lambda
-        def make_step(sub):
-            def step(acc, ent):
-                d = F.round(
-                    F.aggregate(
-                        F.zip_with(sub, ent["cv"],
-                                   lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0), lambda a, x: a + x),
-                    6)
-                better = acc["d"].isNull() | (d < acc["d"])
-                return F.when(better, F.struct(
-                    ent["j"].alias("j"), d.alias("d"))).otherwise(acc)
-            return step
-
+        sub = f"slice({vec}, {mi * dsub + 1}, {dsub})"
+        entries = ", ".join(
+            "named_struct('j', {j}, 'cv', array({cv}))".format(
+                j=j, cv=", ".join(_dlit(x) for x in cb[mi][j]))
+            for j in range(ksub))
+        d = (f"round(aggregate(zip_with({sub}, ent.cv, "
+             "(x, y) -> (x - y) * (x - y)), 0.0D, "
+             "(acc2, x) -> acc2 + x), 6)")
         outs.append(
-            F.aggregate(entries, init,
-                        make_step(sub))["j"].cast("tinyint"))
-    return F.array(*outs)
+            "CAST(aggregate("
+            f"array({entries}), "
+            "named_struct('j', -1, 'd', CAST(NULL AS DOUBLE)), "
+            f"(acc, ent) -> CASE WHEN acc.d IS NULL OR {d} < acc.d "
+            f"THEN named_struct('j', ent.j, 'd', {d}) ELSE acc END"
+            ").j AS TINYINT)")
+    return F.expr(f"array({', '.join(outs)})")
 
 
 def pq_recon_col(pq_col, cb) -> F.Column:
@@ -934,15 +946,16 @@ def pq_recon_col(pq_col, cb) -> F.Column:
     the order the duckdb oracle's ``FLATTEN(LIST(sub ORDER BY mi))``
     does (bit-identical affinities)."""
     m, ksub = len(cb), len(cb[0])
-    pq = F.col(pq_col) if isinstance(pq_col, str) else pq_col
+    pq = _sql_name(pq_col, "pq_recon_col")
     parts = []
     for mi in range(m):
-        table = F.array(*[
-            F.array(*[F.lit(float(x)) for x in cb[mi][j]])
-            for j in range(ksub)])
-        parts.append(F.element_at(
-            table, F.element_at(pq, mi + 1).cast("int") + 1))
-    return F.flatten(F.array(*parts))
+        table = ", ".join(
+            "array({})".format(", ".join(_dlit(x) for x in cb[mi][j]))
+            for j in range(ksub))
+        parts.append(
+            f"element_at(array({table}), "
+            f"CAST(element_at({pq}, {mi + 1}) AS INT) + 1)")
+    return F.expr(f"flatten(array({', '.join(parts)}))")
 
 
 def pq_lut_col(qvec_col, cb) -> F.Column:
@@ -953,12 +966,17 @@ def pq_lut_col(qvec_col, cb) -> F.Column:
     array lookups (:func:`pq_adc_col`) instead of a dim-wide fold:
     the serving path's per-candidate cost is O(m), and the scan reads
     1-byte codes instead of 8-byte doubles."""
-    qvec = F.col(qvec_col) if isinstance(qvec_col, str) else qvec_col
+    qvec = _sql_name(qvec_col, "pq_lut_col")
     m, ksub, dsub = len(cb), len(cb[0]), len(cb[0][0])
-    return F.array(*[
-        _dot(F.slice(qvec, mi * dsub + 1, dsub),
-             F.array(*[F.lit(float(x)) for x in cb[mi][j]]))
-        for mi in range(m) for j in range(ksub)])
+    ents = []
+    for mi in range(m):
+        sub = f"slice({qvec}, {mi * dsub + 1}, {dsub})"
+        for j in range(ksub):
+            cv = ", ".join(_dlit(x) for x in cb[mi][j])
+            ents.append(
+                f"aggregate(zip_with({sub}, array({cv}), "
+                "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+    return F.expr(f"array({', '.join(ents)})")
 
 
 def pq_adc_col(pq_col, lut_col, m: int, ksub: int) -> F.Column:
@@ -991,23 +1009,36 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the serving shape this miniaturizes: Jégou et al., "Product
     Quantization for Nearest Neighbor Search" (TPAMI 2011) — public
     literature, not reference-repo code."""
-    emb = _with_norm(load(spark, sf_dir, "embeddings").select(
+    emb = _with_norm(load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
     cb = collect_pq_codebook(emb)
-    enc = emb.select(
+    # Encode AND reconstruct once per corpus vector, then materialize
+    # (r14, guide §1.2/§4): the encode is a ~32x16-entry interpreted
+    # argmin fold per row — the most expensive expression in the suite
+    # — and the reconstruction another m-way literal gather. Left
+    # inline, CollapseProject folds BOTH into the post-crossJoin
+    # projection, so every (vector, query) PAIR re-paid them
+    # (N_QUERIES x the work: 18-39 s per bench pass at sf0.1). The
+    # eager localCheckpoint pins a corpus-sized frame with codes and
+    # reconstruction computed exactly once on the spread (all-cores)
+    # scan; the pair stage then evaluates only the plain 64-wide
+    # recon·q dot — the brute-force ann_topk shape.
+    rec = emb.select(
         "vec_id", "embedding", "nrm",
-        pq_encode_col("embedding", cb).alias("pq"))
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        pq_encode_col("embedding", cb).alias("pq"),
+    ).withColumn("recon", pq_recon_col("pq", cb)).localCheckpoint(
+        eager=True)
+    q = rec.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("nrm").alias("qnrm"),
     )
     # broadcast of the N_QUERIES-row query set (the brute-ANN shape)
-    pairs = enc.crossJoin(F.broadcast(q)).where(
+    pairs = rec.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id"))
     psim = F.round(
-        _dot(pq_recon_col("pq", cb), F.col("qvec"))
+        _dot(F.col("recon"), F.col("qvec"))
         / (F.col("nrm") * F.col("qnrm")), 6)
     w_r = Window.partitionBy("query_id").orderBy(
         F.desc("psim"), F.asc("vec_id"))
@@ -1246,7 +1277,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build():
-        emb = load(spark, sf_dir, "embeddings").select(
+        emb = load_spread(spark, sf_dir, "embeddings").select(
             "vec_id", _as_double("embedding").alias("v")
         )
         # iterative algorithm: the parsed/casted vectors are read once
@@ -1390,7 +1421,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND (the kmeans recipe — double partial-agg summation order
     could flip the 6dp rounding); std derives from the ROUNDED mean by
     the identical op chain in both engines."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_spread(spark, sf_dir, "embeddings").select(
         _as_double("embedding").alias("v"))
     x = emb.select(F.posexplode("v").alias("pos", "x"))
     n = F.count(F.lit(1))
@@ -1534,7 +1565,7 @@ def _standing_ivf_index(spark: SparkSession, sf_dir: str):
     )
 
     def build():
-        emb = load(spark, sf_dir, "embeddings").select(
+        emb = load_spread(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding")
         return build_ivf_index(
             emb, tempfile.mkdtemp(prefix="cvs_ivf_idx_"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cloud_volume_spark.operators.common import load
+from cloud_volume_spark.operators.common import load, load_spread
 
 STOPWORDS = ("the", "a", "of", "in", "to")
 
@@ -33,7 +33,7 @@ def _tokens(col):
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, mean token
     length (the BPE-ish regex variant is ``doc_subword_count``)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -62,7 +62,7 @@ def doc_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries (an approximation of byte-pair merges with a fixed
     merge budget), plus chars-per-subword — the usual "token budget"
     estimator for LLM corpora."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     # each word of length L contributes ceil(L/4) subwords
     subwords = F.aggregate(
@@ -94,7 +94,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score: length saturation × (1 − stopword
     ratio), plus its components — the filter most pipelines run before
     training-data inclusion."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -135,7 +135,7 @@ FROM scored
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document fingerprint over normalized text —
     the content-addressing primitive exact dedup builds on."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     # explicit class, not \s: Java \s includes vertical tab \x0B,
     # RE2 (DuckDB) \s does not — a \x0B in any document diverged the
     # two engines' fingerprints. [ \t\n\r\f] means the same in both.
@@ -159,7 +159,7 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language vote (n-gram-heuristic family): score per
     language = number of that language's marker tokens present;
     deterministic argmax with fixed tie-break order en>es>fr>de>zh."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens(F.col("text")))
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -231,7 +231,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream of training. JVM-side only: bigrams are built with
     transform over an index sequence, no Python UDF; fractions are
     ratios of exact integer counts rounded identically in the oracle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     step = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
     m = F.greatest(n - 1, F.lit(0))
@@ -351,7 +351,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side built-ins, map-only — the shape of every production
     pretraining filter pass. Float comparisons are made on ROUND(_, 4)
     values so any engine computing the same closed form agrees."""
-    return quality_filter_frame(load(spark, sf_dir, "documents"))
+    return quality_filter_frame(load_spread(spark, sf_dir, "documents"))
 
 
 QUALITY_FILTER_SQL = f"""
@@ -466,7 +466,7 @@ def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays; sub-2-token docs contribute nothing. Shared by the model
     head (:func:`bigram_lm_top`) and the per-doc scorer
     (:func:`doc_bigram_logprob`)."""
-    docs = load(spark, sf_dir, "documents").where(
+    docs = load_spread(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
     toks = F.split(F.trim(F.regexp_replace(F.col("text"),
                                            r"\s+", " ")), " ")
