@@ -421,9 +421,15 @@ class LSHIndex:
         read; the batch side broadcasts into the candidate equi-join,
         so the corpus is never shuffled and never re-signatured."""
         d = docs.select("doc_id", "text")
+        # materialize the batch bands ONCE (r14): the per-row
+        # transform-md5 signature fold is the lookup's dominant
+        # compute, and it used to run twice — once under the touched-
+        # buckets collect and again to build the broadcast side of the
+        # candidate join. The eager localCheckpoint pins the flyweight
+        # (batch-sized) band table; both consumers read it.
         new_b = _doc_bands(d, int(self.meta["n_buckets"])).select(
             F.col("doc_id").alias("new_id"), "band", "band_hash",
-            "bucket")
+            "bucket").localCheckpoint(eager=True)
         touched = [(int(r["band"]), int(r["bucket"]))
                    for r in new_b.select("band", "bucket")
                    .distinct().collect()]

@@ -60,13 +60,24 @@ class FakeCodec:
     every mm_* driver query therefore carries a full cross-engine
     oracle."""
 
+    _SUFFIXES: dict = {}  # reps -> [b"0", b"1", ...] (shared per task)
+
     @staticmethod
     def stream(seed_hex: str, n: int) -> np.ndarray:
+        # hot loop (one md5 per 16 output bytes): the block-index byte
+        # strings are constant across rows of one kind, so they are
+        # built once per worker, and the per-block work is a bytes
+        # concat + md5 — no per-block str(i) conversion or re-encode.
+        # Digests unchanged: (seed + '|' + str(i)).encode() == prefix
+        # bytes + suffix bytes.
         reps = (n + 15) // 16
-        raw = b"".join(
-            hashlib.md5((seed_hex + "|" + str(i)).encode("ascii")).digest()
-            for i in range(reps)
-        )
+        sufs = FakeCodec._SUFFIXES.get(reps)
+        if sufs is None:
+            sufs = [str(i).encode("ascii") for i in range(reps)]
+            FakeCodec._SUFFIXES[reps] = sufs
+        pre = (seed_hex + "|").encode("ascii")
+        md5 = hashlib.md5
+        raw = b"".join([md5(pre + s).digest() for s in sufs])
         return np.frombuffer(raw, dtype=np.uint8)[:n]
 
     @staticmethod

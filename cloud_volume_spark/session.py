@@ -61,8 +61,15 @@ def get_spark(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # chunk rows carry MB-scale blobs; keep Arrow batches bounded
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+        # r14 (guide §4.2): bound Arrow batches by BYTES, not rows —
+        # the old 32-row cap protected MB-scale chunk blobs but forced
+        # ~150x more Python batch dispatches on narrow rows (text docs,
+        # embeddings). 1024 rows or 16 MB, whichever binds first: blob
+        # paths land at ~8-32 rows/batch exactly as before, narrow-row
+        # mapInPandas paths batch 32x larger
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(16 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
