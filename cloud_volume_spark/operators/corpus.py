@@ -95,11 +95,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        toks.distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # r14 (guide §2.4): df derives FROM the tf aggregate — tf already
+    # holds one row per (doc, term), so COUNT per term IS the document
+    # frequency. Before, df was a second full explode + distinct over
+    # the token stream; now both df and the probe side share the one
+    # (doc_id, term) aggregation subtree (identical children, so the
+    # exchange is reused), and the distinct's corpus-sized shuffle is
+    # gone.
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         # df_ is VOCABULARY-sized (Heaps' law: unbounded on raw web
@@ -614,25 +617,39 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: quality + mixture are map-only predicates; keep-best rides
     the materialized cluster map (computed once per session/dataset).
-    The three semi-join-shaped intersections hash-join on doc_id —
-    at 100 TB each side is a projected id set, a fraction of corpus
-    width, and AQE picks broadcast when a stage filters hard."""
-    from cloud_volume_spark.operators.curation import mixture_sample
-    from cloud_volume_spark.operators.text import doc_quality_filter
+
+    r14 (guide §2.4): the quality and mixture verdicts are FUSED into
+    the main scan as filters instead of doc_id self-joins — both are
+    exactly-one-row-per-doc frames, so inner-join ≡ filter, row for
+    row. The quality flags compute map-side on the same scan
+    (quality_filter_frame with source/lang passed through); the
+    mixture decision is the broadcast #sources-row threshold table +
+    the md5-slot predicate (its inner join on ``source`` also drops
+    NULL-source docs, exactly as mixture_sample's own join did). Only
+    the keep-best intersection remains a doc_id join — its verdict
+    needs the cluster-map window. Plan diff: 3 doc_id hash joins + 3
+    extra documents scans → 1 join + 1 broadcast source join over ONE
+    predicate-fused scan."""
+    from cloud_volume_spark.operators.curation import (
+        mixture_key, mixture_thresholds,
+    )
+    from cloud_volume_spark.operators.text import quality_filter_frame
 
     docs = load_spread(spark, sf_dir, "documents")
-    qf = doc_quality_filter(spark, sf_dir).where(
-        F.col("passes") == 1
-    ).select("doc_id")
+    qualified = (
+        quality_filter_frame(docs, keep=("source", "lang"))
+        .where(F.col("passes") == 1)
+        .select("doc_id", "source", "lang")
+    )
+    thresh = mixture_thresholds(load(spark, sf_dir, "documents"))
     kb = dedup_keep_best(spark, sf_dir).where(
         F.col("is_kept") == 1
     ).select("doc_id")
-    mx = mixture_sample(spark, sf_dir).select("doc_id")
     return (
-        docs.select("doc_id", "source", "lang")
-        .join(qf, "doc_id")
+        qualified.join(F.broadcast(thresh), "source")
+        .where(mixture_key() < F.col("t_hex"))
         .join(kb, "doc_id")
-        .join(mx, "doc_id")
+        .select("doc_id", "source", "lang")
     )
 
 

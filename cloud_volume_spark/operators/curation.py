@@ -210,6 +210,60 @@ MIX_DEFAULT_W = 1
 MIX_BUDGET_DEN = 4  # sample ~1/4 of the corpus overall
 
 
+def mixture_key() -> "F.Column":
+    """The deterministic per-doc mixture slot: first md5 hex byte of
+    ``md5('mix|'||doc_id)`` — shared by :func:`mixture_sample` and the
+    fused corpus_curate predicate."""
+    return F.substring(
+        F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 2
+    )
+
+
+def mixture_thresholds(docs: DataFrame) -> DataFrame:
+    """The per-source keep-rate table (source, t_hex) — #sources rows,
+    built from ONE corpus aggregate (r14: the corpus-wide totals are an
+    unpartitioned window over the counts frame, not a second aggregate
+    + broadcast cross; see mixture_sample for the threshold formula).
+    Broadcast by every consumer, so the corpus side of the mixture
+    decision is always a map-side filter."""
+    # W_total over *sources present* is data-dependent; fold the default
+    # weight in via the count table instead of a constant.
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c_s"))
+    wcol = F.lit(MIX_DEFAULT_W)
+    for src, w in MIX_WEIGHTS.items():
+        wcol = F.when(F.col("source") == src, F.lit(w)).otherwise(wcol)
+    counts = counts.withColumn("w_s", wcol.cast("bigint"))
+    # r14 (guide §2.4): the corpus-wide totals are an unpartitioned
+    # window over the #sources-row counts frame, not a second aggregate
+    # + broadcast cross — before, the counts subtree (a full corpus
+    # scan + groupBy) was evaluated twice, once per consumer. The
+    # window runs on a single task over a handful of rows; the corpus
+    # is scanned once for counts and once for the filter itself.
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    thresh = counts.select(
+        "source", "c_s", "w_s",
+        F.sum("c_s").over(wall).alias("n_total"),
+        F.sum("w_s").over(wall).alias("w_total"),
+    ).select(
+        "source",
+        F.least(
+            F.lit(255).cast("bigint"),
+            # `div`, not `/`+floor: double division goes lossy past
+            # 2^53 (≈1.2e13 docs at w=3) and would break the documented
+            # exact-integer threshold — identically in both engines, so
+            # the parity gate could never catch it
+            F.expr(
+                f"(256 * w_s * n_total) div "
+                f"({MIX_BUDGET_DEN} * w_total * c_s)"
+            ).cast("bigint"),
+        ).alias("t_s"),
+    ).select(
+        "source", F.format_string("%02x", F.col("t_s").cast("int")).alias("t_hex")
+    )
+    return thresh
+
+
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture sampling: pick a deterministic subset whose
     source composition approaches target weights under a global budget.
@@ -226,38 +280,9 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side filter — no shuffle of the data, no driver state, and the
     same doc set regardless of partitioning."""
     docs = load(spark, sf_dir, "documents")
-    # W_total over *sources present* is data-dependent; fold the default
-    # weight in via the count table instead of a constant.
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c_s"))
-    wcol = F.lit(MIX_DEFAULT_W)
-    for src, w in MIX_WEIGHTS.items():
-        wcol = F.when(F.col("source") == src, F.lit(w)).otherwise(wcol)
-    counts = counts.withColumn("w_s", wcol.cast("bigint"))
-    totals = counts.agg(
-        F.sum("c_s").alias("n_total"), F.sum("w_s").alias("w_total")
-    )
-    thresh = counts.crossJoin(F.broadcast(totals)).select(
-        "source",
-        F.least(
-            F.lit(255).cast("bigint"),
-            # `div`, not `/`+floor: double division goes lossy past
-            # 2^53 (≈1.2e13 docs at w=3) and would break the documented
-            # exact-integer threshold — identically in both engines, so
-            # the parity gate could never catch it
-            F.expr(
-                f"(256 * w_s * n_total) div "
-                f"({MIX_BUDGET_DEN} * w_total * c_s)"
-            ).cast("bigint"),
-        ).alias("t_s"),
-    ).select(
-        "source", F.format_string("%02x", F.col("t_s").cast("int")).alias("t_hex")
-    )
-    key = F.substring(
-        F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 2
-    )
     return (
-        docs.join(F.broadcast(thresh), "source")
-        .withColumn("mix_key", key)
+        docs.join(F.broadcast(mixture_thresholds(docs)), "source")
+        .withColumn("mix_key", mixture_key())
         .where(F.col("mix_key") < F.col("t_hex"))
         .select("doc_id", "source", "mix_key", "t_hex")
     )
@@ -664,7 +689,13 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("c")
     )
-    vocab = counts.groupBy("term").agg(F.sum("c").alias("cg"))
+    # r14 (guide §1.2): vocab feeds TWO consumers (the scored join and
+    # the n_total scalar) and each used to re-derive the corpus-sized
+    # counts subtree — lazily checkpointed (vocabulary-sized rows, the
+    # Q15 view pattern), so counts is evaluated for the join probe and
+    # ONCE for the model side.
+    vocab = counts.groupBy("term").agg(F.sum("c").alias("cg")) \
+        .localCheckpoint(eager=False)
     total = vocab.agg(F.sum("cg").alias("n_total"))
     # No broadcast hint on vocab: Heaps' law means raw-web unigram
     # vocabulary keeps growing with corpus size (typos/URLs/numbers), so
@@ -739,14 +770,12 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_spread(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
-    # portable hex→int: 15 nibbles via ascii arithmetic (no CONV in
-    # DuckDB, no STRTOL in Spark — this chain is identical in both)
-    key = F.lit(0).cast("bigint")
-    for i in range(SHUFFLE_NIBBLES):
-        c = F.ascii(F.substring(h, i + 1, 1))
-        nib = (c - 48 - F.when(c >= 97, F.lit(39)).otherwise(F.lit(0))
-               ).cast("bigint")
-        key = key * 16 + nib
+    # r14 (guide §1.2 per-task work): Spark-side the 15-nibble value is
+    # ONE conv(hex, 16, 10) — bit-identical to the ascii fold (60 bits
+    # < 2^63, md5 hex is lowercase) at 1/15th the per-row expression
+    # count. The DuckDB oracle keeps the ascii-arithmetic chain (no
+    # CONV there); parity pins the equivalence.
+    key = F.conv(F.substring(h, 1, SHUFFLE_NIBBLES), 16, 10)
     keyed = docs.select(
         "doc_id", "source", key.cast("bigint").alias("shuffle_key")
     )

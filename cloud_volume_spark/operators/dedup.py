@@ -78,27 +78,50 @@ FROM documents GROUP BY MD5(text)
 
 def _signature_cols():
     # hash j = 8-hex slice (j%4) of md5(salt(j//4) | shingle): two md5
-    # evaluations per shingle feed all N_HASHES minima
+    # evaluations per shingle feed all N_HASHES minima.
+    # r14 (guide §2.3 "narrower types"): the minima aggregate LONGs
+    # (conv of the 8-hex slice), not the hex strings — MIN(string) has
+    # no mutable agg buffer, so Spark planned the whole exploded
+    # shingle stream through SortAggregate (partial+final sorts on
+    # BOTH sides of the doc_id exchange); MIN(long) hash-aggregates
+    # with map-side partials. Lexicographic min over fixed-width
+    # lowercase hex == numeric min of its value, so the signatures
+    # (reconverted in minhash_signatures) are bit-identical.
     cols = []
     for j in range(N_HASHES):
         salt = "ab"[j // 4]
         off = 1 + 8 * (j % 4)
         cols.append(
             F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{salt}|"), F.col("shingle"))),
-                    off, 8,
-                )
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{salt}|"), F.col("shingle"))),
+                        off, 8,
+                    ), 16, 10,
+                ).cast("long")
             ).alias(f"h{j}")
         )
     return cols
 
 
+def _hex8(col) -> "F.Column":
+    """The inverse of _signature_cols' conv: a long < 2^32 back to its
+    8-char lowercase hex (md5 hex is lowercase, so this round-trips the
+    original substring exactly)."""
+    return F.lower(F.lpad(F.hex(col), 8, "0"))
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: shingle → N_HASHES salted-md5 minima per doc
-    (string-min permutation approximation of Jaccard)."""
+    (string-min permutation approximation of Jaccard; aggregated as
+    longs for the hash-agg fast path, emitted as the original 8-hex
+    slices)."""
     sh = _shingles(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(*_signature_cols())
+    agg = sh.groupBy("doc_id").agg(*_signature_cols())
+    return agg.select(
+        "doc_id",
+        *[_hex8(F.col(f"h{j}")).alias(f"h{j}") for j in range(N_HASHES)],
+    )
 
 
 _SIG_SQL_COLS = ", ".join(
@@ -117,9 +140,17 @@ FROM shingles GROUP BY doc_id
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding over the MinHash signatures: 4 bands × 2 rows; docs
     sharing any band hash become candidate near-duplicate pairs. The
-    join key is the band hash — buckets, not an all-pairs product."""
+    join key is the band hash — buckets, not an all-pairs product.
+
+    r14 (guide §1.2): the band frame is materialized ONCE (eager
+    localCheckpoint of doc_id + 2 small columns) before the self-join —
+    the planner otherwise evaluated the full shingle→md5→signature
+    subtree once per join side (the broadcast build side cannot reuse
+    the stream side's exchange), doubling the dominant map work. At
+    100 TB this materialization IS the production shape: the standing
+    band table (lsh_index.py) persists exactly this frame."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = band_frame(sig)
+    bands = band_frame(sig).localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -560,9 +591,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly broadcast; the corpus band side streams map-only through
     the broadcast hash join — no corpus shuffle, no corpus self-join.
     (A standing corpus would keep its band table materialized; here
-    both sides derive from the same parquet for oracle parity.)"""
+    both sides derive from the same parquet for oracle parity.)
+
+    r14 (guide §1.2): the band frame is computed ONCE (eager
+    localCheckpoint) and both join sides filter the materialized rows
+    — the broadcast build side otherwise re-evaluated the whole
+    shingle→signature subtree a second time."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = band_frame(sig)
+    bands = band_frame(sig).localCheckpoint(eager=True)
     is_new = F.col("doc_id") % INGEST_MOD == 0
     new_b = bands.where(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "band_hash"
@@ -783,20 +819,34 @@ def _simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups stay tiny on a shared vocabulary — the production regime
     the 16-bit miniature saturates out of."""
     docs = load_spread(spark, sf_dir, "documents")
+    # r14 (guide §1.2 per-task work): the 60 per-bit votes used to be
+    # 60 substring+ascii string ops per token row; now each digest's
+    # 30 hex digits are parsed ONCE into two 60-bit longs (conv of 15
+    # hex chars each) and every vote is a shift+mask on them — the
+    # high bit of hex digit p (1-based) of a 15-char half sits at bit
+    # 59 - 4*(p-1) of that half's value, so the votes (hence prints,
+    # hence pairs) are bit-identical to the ascii form the oracle
+    # keeps.
     toks = (docs.select(
         "doc_id",
         F.explode(F.split(F.trim("text"), " ")).alias("tok"))
         .select("doc_id",
                 F.md5(F.concat(F.lit("w0|"), F.col("tok"))).alias("h0"),
-                F.md5(F.concat(F.lit("w1|"), F.col("tok"))).alias("h1")))
-    votes = [
-        F.sum(
-            F.when(
-                F.ascii(F.substring(f"h{b // 30}", b % 30 + 1, 1)) >= 56, 1
-            ).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(SIMHASH_K_BITS)
-    ]
+                F.md5(F.concat(F.lit("w1|"), F.col("tok"))).alias("h1"))
+        .select(
+            "doc_id",
+            *[F.conv(F.substring(f"h{d}", off, 15), 16, 10).cast("long")
+              .alias(f"p{2 * d + (0 if off == 1 else 1)}")
+              for d in (0, 1) for off in (1, 16)]))
+    votes = []
+    for b in range(SIMHASH_K_BITS):
+        pos = b % 30                      # 0-based hex position in digest
+        part = (b // 30) * 2 + pos // 15  # which 15-char half
+        pp = pos % 15                     # 0-based position in the half
+        bit = F.shiftright(F.col(f"p{part}"), 59 - 4 * pp) \
+            .bitwiseAND(F.lit(1))
+        votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
     agg = toks.groupBy("doc_id").agg(*votes)
     simhash = None
     for b in range(SIMHASH_K_BITS):
@@ -820,7 +870,14 @@ def simhash_hamming_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion (at 15-bit bands over realistic corpora the cap is
     headroom, not a binding filter; the 10x leg in SCALE.md checks
     that). The fingerprint aggregate is 60 SUM(CASE) partials over two
-    md5 digests per token — map-side, one (doc_id) shuffle."""
+    md5 digests per token — map-side, one (doc_id) shuffle.
+
+    r14 (guide §1.2): the capped band frame is materialized ONCE
+    (eager localCheckpoint of 4 numeric columns × 4 bands per doc)
+    before the self-join — the broadcast build side otherwise
+    re-evaluated the ENTIRE print pipeline (token explode + 2 md5 per
+    token + the 60-way vote aggregate + the cap window) a second
+    time, doubling the query's dominant stage."""
     sims = _simhash_wide(spark, sf_dir)
     bands = sims.select(
         "doc_id", "simhash",
@@ -834,7 +891,8 @@ def simhash_hamming_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "b.band_id", "b.band_val")
     w = Window.partitionBy("band_id", "band_val")
     ok = (bands.withColumn("_n", F.count(F.lit(1)).over(w))
-          .where(F.col("_n") <= SIMHASH_K_BAND_CAP).drop("_n"))
+          .where(F.col("_n") <= SIMHASH_K_BAND_CAP).drop("_n")
+          .localCheckpoint(eager=True))
     a = ok.select(F.col("doc_id").alias("doc_a"),
                   F.col("simhash").alias("sh_a"), "band_id", "band_val")
     b = ok.select(F.col("doc_id").alias("doc_b"),

@@ -975,36 +975,60 @@ def funnel(events: DataFrame, stages: Sequence[str],
     key that reached stage 0, with ``<stage>_epoch`` (floored seconds,
     NULL when unreached) per stage and ``funnel_depth``.
 
-    Scale shape: N groupBy(key) partial aggregations over the
-    (filtered) event stream; each later stage joins events against a
-    PER-KEY aggregate (one row per converting key — orders of
-    magnitude smaller than the event log), so AQE broadcasts it while
-    it fits and falls back to a co-partitioned shuffle join beyond.
-    Raw-timestamp comparisons (microsecond exact); epochs floored only
-    at the output edge, per the module convention."""
+    Scale shape (r14 rewrite, guide §1.2 "the distributed algorithm"):
+    ONE pass. Before, each stage re-scanned the event log, joined it
+    against the previous stage's per-key aggregate and re-shuffled —
+    N scans, N shuffles, N-1 joins plus the final left-join chain
+    (before plan: 6 events scans, 20 Exchanges for 3 stages). The
+    sequential dependency only needs, per key, stage 0's minimum and
+    each later stage's timestamp MULTISET — so one groupBy(key) over
+    the stage-filtered stream collects exactly that (min for stage 0,
+    collect_list per later stage), and the chained minima fold as
+    array_min(filter(list, >= prev)) — pure map work over the
+    aggregate, no joins. The event log is scanned ONCE and shuffled
+    ONCE (the same (key, ts) rows the old stage joins shuffled, now in
+    one exchange). Join-on-key semantics are preserved exactly: a NULL
+    key never matched the old per-stage equi-joins, so later stages
+    are NULL-guarded on the key; stage-0 membership is "has a stage-0
+    event" (a key whose stage-0 timestamps are all NULL still appears,
+    with NULL epoch — the old groupBy kept that group too); a NULL
+    prev instant yields an empty filter, reproducing the old
+    ``_ts >= NULL`` reject. Raw-timestamp comparisons (microsecond
+    exact); epochs floored only at the output edge, per the module
+    convention."""
     if not stages:
         raise ValueError("funnel: need at least one stage")
     if len(set(stages)) != len(stages):
         # a repeated stage would build two <stage>_ts frames whose
         # join raises AMBIGUOUS_REFERENCE at best — refuse clearly
         raise ValueError(f"funnel: duplicate stage in {tuple(stages)}")
-    reached = (
-        events.where(F.col(stage_col) == stages[0])
-        .groupBy(key).agg(F.min(ts).alias(f"{stages[0]}_ts"))
-    )
-    per_stage = [reached]
-    for prev, stage in zip(stages, stages[1:]):
-        reached = (
-            events.where(F.col(stage_col) == stage)
-            .select(key, F.col(ts).alias("_ts"))
-            .join(per_stage[-1].select(key, f"{prev}_ts"), key)
-            .where(F.col("_ts") >= F.col(f"{prev}_ts"))
-            .groupBy(key).agg(F.min("_ts").alias(f"{stage}_ts"))
+    aggs = [
+        F.min(F.when(F.col(stage_col) == stages[0], F.col(ts)))
+        .alias(f"{stages[0]}_ts"),
+        F.count(F.when(F.col(stage_col) == stages[0], F.lit(1)))
+        .alias("_n0"),
+    ]
+    for stage in stages[1:]:
+        aggs.append(
+            F.collect_list(F.when(F.col(stage_col) == stage, F.col(ts)))
+            .alias(f"_l_{stage}")
         )
-        per_stage.append(reached)
-    out = per_stage[0]
-    for nxt in per_stage[1:]:
-        out = out.join(nxt, key, "left")
+    out = (
+        events.where(F.col(stage_col).isin(list(stages)))
+        .groupBy(key).agg(*aggs)
+        .where(F.col("_n0") > 0).drop("_n0")
+    )
+    prev = f"{stages[0]}_ts"
+    for stage in stages[1:]:
+        chained = F.array_min(
+            F.filter(f"_l_{stage}", lambda x: x >= F.col(prev))
+        )
+        out = out.withColumn(
+            f"{stage}_ts",
+            # the old per-stage equi-join never matched a NULL key
+            F.when(F.col(key).isNotNull(), chained),
+        ).drop(f"_l_{stage}")
+        prev = f"{stage}_ts"
     depth = F.lit(1)
     for stage in stages[1:]:
         depth = depth + F.col(f"{stage}_ts").isNotNull().cast("int")
@@ -1282,7 +1306,13 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     all co-located — then a day-keyed window over day-sized groups and
     a day-cardinality aggregate. NULL ts/user_id drop at the edge
     (the NULLS FIRST/LAST divergence)."""
-    lag = conversion_lag_frame(load(spark, sf_dir, "events"))
+    # r14 (guide §1.2): the per-user lag frame feeds BOTH the median
+    # branch and the stats branch — lazily checkpointed (the Q15 /
+    # doc_bigram_logprob view pattern) so the 2-shuffle + 3-scan
+    # first-view/first-purchase derivation runs once, not once per
+    # branch (before plan: 6 events scans, 8 Exchanges).
+    lag = conversion_lag_frame(load(spark, sf_dir, "events")) \
+        .localCheckpoint(eager=False)
     w = Window.partitionBy("day_idx").orderBy("lag_s", "user_id")
     wn = Window.partitionBy("day_idx")
     ranked = (lag.withColumn("rn", F.row_number().over(w))
@@ -1851,11 +1881,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") / F.col("l_quantity"), 4))
                 .alias("supplycost")))
     rc = cost.join(supp, cost.l_suppkey == supp.s_suppkey)
-    minc = (rc.groupBy(F.col("l_partkey").alias("_mk"))
-            .agg(F.min("supplycost").alias("_min_cost")))
+    # r14 (guide §2.4): the per-part minimum is a window over rc, not a
+    # groupBy + join-back — before, rc's WHOLE subtree (the broadcast
+    # part slice into the fact scan, the cost partial-agg, the supplier
+    # chain) was evaluated twice, once per consumer (11 scans / 2
+    # SortMergeJoins in the before plan). A min().over(partkey) +
+    # equality filter computes the identical keep-all-ties set (NULL
+    # never equals the min in either form) in ONE pass of the
+    # dimension-bounded rc — one partkey Exchange replaces the second
+    # subtree, the two SMJ exchanges, and the join itself.
+    w = Window.partitionBy("l_partkey")
     return (
-        rc.join(minc, (rc.l_partkey == minc._mk)
-                & (rc.supplycost == minc._min_cost))
+        rc.withColumn("_min_cost", F.min("supplycost").over(w))
+        .where(F.col("supplycost") == F.col("_min_cost"))
         .join(F.broadcast(part), rc.l_partkey == part.p_partkey)
         .select("s_acctbal", "s_name", "n_name",
                 F.col("l_partkey").alias("p_partkey"), "p_type",
@@ -1993,16 +2031,29 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
     red_li = li.join(F.broadcast(redp), li.l_partkey == redp.p_partkey)
-    ps = (red_li.groupBy("l_partkey", "l_suppkey")
-          .agg(F.sum("l_quantity").alias("_qty")))
-    half = (red_li.where(
+    # r14 (guide §2.4): ONE fact pass, not two. The all-time and 1996
+    # sums fuse into a single (partkey, suppkey) conditional aggregate
+    # (quantities are integral doubles, so partial-sum regrouping is
+    # fp-exact); the per-part 0.5× market total then derives from the
+    # already-reduced frame as a partkey window — sum ignores NULL _q96
+    # rows and yields NULL when NO supplier shipped the part in 1996,
+    # so the `_qty > _half` filter reproduces the old inner-join-on-
+    # partkey restriction exactly. The `.distinct()` the old join-back
+    # needed is gone too — the LEFT SEMI below is membership already.
+    # Plan diff: 2 fact scans + 2 partial-agg shuffles + 1 join + 1
+    # distinct Exchange → 1 fact scan + 1 partial-agg shuffle + 1
+    # dimension-sized window Exchange.
+    in96 = (
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01")))
-        .groupBy(F.col("l_partkey").alias("_hk"))
-        .agg((F.sum("l_quantity") * 0.5).alias("_half")))
-    qual = (ps.join(half, ps.l_partkey == half._hk)
-            .where(F.col("_qty") > F.col("_half"))
-            .select("l_suppkey").distinct())
+    ps = (red_li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("_qty"),
+               F.sum(F.when(in96, F.col("l_quantity"))).alias("_q96")))
+    qual = (ps.withColumn(
+        "_half",
+        (F.sum("_q96").over(Window.partitionBy("l_partkey")) * 0.5))
+        .where(F.col("_qty") > F.col("_half"))
+        .select("l_suppkey"))
     nat = (load(spark, sf_dir, "nation")
            .join(F.broadcast(load(spark, sf_dir, "region")
                              .where(F.col("r_name") == Q20_REGION)),

@@ -295,10 +295,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(codes))
 
     # candidates carry ids only — vectors re-join by id afterwards, so
-    # the band shuffle moves 12-byte rows, not 512-byte embeddings
+    # the band shuffle moves 12-byte rows, not 512-byte embeddings.
+    # r14 (guide §1.2): materialized ONCE (eager localCheckpoint,
+    # 3 numeric cols × NEARDUP_BANDS rows per vector) — the self-join's
+    # broadcast build side otherwise re-ran the Arrow matmul UDF and
+    # the band explode a second time (two ArrowEvalPython nodes in the
+    # before plan)
     banded = emb.select(
         "vec_id", F.posexplode(band_codes_udf("embedding")).alias("band", "code")
-    )
+    ).localCheckpoint(eager=True)
     a = banded.select(
         F.col("vec_id").alias("id_a"), "band", "code"
     )
@@ -437,16 +442,55 @@ def rank_centroids(frame: DataFrame, cents: DataFrame,
     )
 
 
+def assign_fold(frame: DataFrame, cents: DataFrame,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                nrm_col: str = "nrm") -> DataFrame:
+    """The crnk == 1 specialization of :func:`rank_centroids` as ONE
+    map-side fold (r14, guide §2.4): the centroid table collapses to a
+    single array row (cent_id-sorted), every vector folds over it
+    keeping the entry with the strictly higher rounded-6dp cosine —
+    iterating cent_id-ascending with a strict ``>`` reproduces the
+    window's (sim DESC, cent_id ASC) tie rule bit-for-bit (NULL sims
+    lose to any non-NULL later entry, the window's NULLS-LAST). What
+    it removes vs the window form: the nlist× row explosion AND the
+    full-corpus Exchange+Sort the per-vector window needed — the
+    assignment becomes a pure map over the scan, which is what O(N·k)
+    against broadcast centroids is supposed to cost. Probing (crnk <=
+    nprobe, a top-n) stays on :func:`rank_centroids` — it runs on the
+    query rows only. Equality with the window form is pinned by
+    tests/test_kmeans_assign.py::test_assign_fold_matches_rank_centroids."""
+    carr = cents.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("cent_id"), F.col("cvec"), F.col("cnrm")))).alias("_cents"))
+    init = F.struct(
+        F.lit(-1).cast("long").alias("cid"),
+        F.lit(None).cast("double").alias("best"),
+    )
+
+    def step(acc, c):
+        sim = F.round(
+            _dot(F.col(vec_col), c["cvec"]) / (F.col(nrm_col) * c["cnrm"]),
+            6)
+        better = acc["best"].isNull() | (sim > acc["best"])
+        return F.when(
+            better, F.struct(c["cent_id"].alias("cid"), sim.alias("best"))
+        ).otherwise(acc)
+
+    return (
+        frame.crossJoin(F.broadcast(carr))
+        .withColumn("_b", F.aggregate("_cents", init, step))
+        .withColumn("cent_id", F.col("_b.cid"))
+        .drop("_b", "_cents")
+    )
+
+
 def _assign_nearest_centroid(emb: DataFrame, base_id: int,
                              nlist: int) -> DataFrame:
     """(vec_id, embedding, nrm, cent_id): each vector assigned to its
-    nearest coarse centroid — crnk == 1 of :func:`rank_centroids`."""
+    nearest coarse centroid — crnk == 1 of :func:`rank_centroids`,
+    executed by the map-side :func:`assign_fold` (bit-identical)."""
     cents = _centroid_frame(emb, base_id, nlist)
-    return (
-        rank_centroids(emb, cents)
-        .where(F.col("crnk") == 1)
-        .select("vec_id", "embedding", "nrm", "cent_id")
-    )
+    return assign_fold(emb, cents).select(
+        "vec_id", "embedding", "nrm", "cent_id")
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

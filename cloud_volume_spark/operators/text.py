@@ -316,11 +316,15 @@ GOPHER_MAX_MEAN_WLEN = 10.0
 GOPHER_MIN_DISTINCT_RATIO = 0.2
 
 
-def quality_filter_frame(docs: DataFrame) -> DataFrame:
+def quality_filter_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """The Gopher rule columns over any documents frame — map-only
     built-ins, so the same plan fragment runs in batch and inside a
     Structured Streaming micro-batch (see
-    :func:`~cloud_volume_spark.streaming.streaming_quality_filter`)."""
+    :func:`~cloud_volume_spark.streaming.streaming_quality_filter`).
+
+    ``keep`` passes extra source columns through unchanged (r14:
+    lets corpus_curate fuse the verdict into its own scan instead of
+    self-joining the documents table on doc_id)."""
     toks = _tokens(F.col("text"))
     n = F.size(toks)
     mean_wlen = F.round((F.length(F.trim("text")) - n + 1) / n, 4)
@@ -328,6 +332,7 @@ def quality_filter_frame(docs: DataFrame) -> DataFrame:
     stop_hit = F.exists(toks, lambda t: t.isin(*STOPWORDS)).cast("int")
     df = docs.select(
         "doc_id",
+        *keep,
         n.alias("n_words"),
         mean_wlen.alias("mean_word_len"),
         distinct_ratio.alias("distinct_ratio"),

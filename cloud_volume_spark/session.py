@@ -78,6 +78,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.maxResultSize", "4g")
+        # dump a native traceback if a Python worker dies (zero cost
+        # until a crash; "Python worker exited unexpectedly" is
+        # undebuggable without it)
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled",
+                "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -54,3 +54,34 @@ def test_fold_assignment_large_k_matches_numpy(spark, sf_dir):
         (ids[i], cids[arg[i]], float(d[i, arg[i]])) for i in range(len(ids))
     }
     assert got == want
+
+
+def test_assign_fold_matches_rank_centroids(spark, sf_dir):
+    """The map-side assign_fold (r14) must reproduce the window form
+    (rank_centroids crnk == 1) exactly: same rounded-6dp cosine argmax,
+    same lowest-cent_id tie rule — on the real embeddings table."""
+    from pyspark.sql import functions as F
+
+    from cloud_volume_spark.operators.common import load
+    from cloud_volume_spark.operators.similarity import (
+        SEMDEDUP_NLIST, _as_double, _centroid_frame, _with_norm,
+        assign_fold, rank_centroids,
+    )
+
+    emb = _with_norm(
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("embedding"))
+    )
+    cents = _centroid_frame(emb, 100, SEMDEDUP_NLIST)
+    via_window = {
+        (r.vec_id, r.cent_id)
+        for r in rank_centroids(emb, cents)
+        .where(F.col("crnk") == 1)
+        .select("vec_id", "cent_id").collect()
+    }
+    via_fold = {
+        (r.vec_id, r.cent_id)
+        for r in assign_fold(emb, cents)
+        .select("vec_id", "cent_id").collect()
+    }
+    assert via_fold == via_window

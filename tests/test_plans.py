@@ -380,15 +380,19 @@ def test_vox_changes_feed_plan_partial_agg_no_product(spark, sf_dir):
 
 
 def test_events_funnel_plan_shape(spark, sf_dir):
-    """The funnel's later stages join the event stream against per-user
-    aggregates (a converting-user row each) — equi-joins only (AQE
-    picks broadcast vs shuffle by measured size), never a product, and
-    no window (the sequential mins are partial-aggregating groupBys)."""
+    """r14 single-pass funnel: ONE scan of the event log, ONE shuffle
+    (a partial-aggregating groupBy collecting stage-0 min + later-stage
+    timestamp lists), chained minima folded map-side — no joins of any
+    kind, no window, never a product."""
     plan = _plan(all_queries()["events_funnel"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert "partial_min" in plan
+    # formatted explain prints each scan twice (tree line + detail
+    # section) — one physical scan node == exactly two mentions
+    assert plan.count("Scan parquet") == 2, "funnel must scan events once"
+    assert "Join" not in plan, "funnel is join-free since r14"
 
 
 def test_event_props_extract_stays_jvm_side(spark, sf_dir):
