@@ -78,12 +78,17 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.maxResultSize", "4g")
-        # dump a native traceback if a Python worker dies (zero cost
-        # until a crash; "Python worker exited unexpectedly" is
-        # undebuggable without it)
-        .config("spark.python.worker.faulthandler.enabled", "true")
+        # dump a native traceback if a Python worker dies ("Python
+        # worker exited unexpectedly" is undebuggable without it).
+        # Default OFF: a 3-leg quiet-window A/B (OPTIMIZATION_r14.md)
+        # measured it costing up to ~1 s/query on worker-heavy paths
+        # (it changes worker lifecycle), so benches run without it;
+        # tests/conftest.py turns it on, where the flaky worker crash
+        # actually lives.
+        .config("spark.python.worker.faulthandler.enabled",
+                os.environ.get("SPARK_GRAFT_FAULTHANDLER", "false"))
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled",
-                "true")
+                os.environ.get("SPARK_GRAFT_FAULTHANDLER", "false"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

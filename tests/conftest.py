@@ -11,6 +11,11 @@ from cloud_volume_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
+    # faulthandler ON for tests (default off for benches): the
+    # inherited flaky "Python worker exited unexpectedly" crash lives
+    # in the suite, and the next occurrence should print its native
+    # stack (see OPTIMIZATION_r14.md "Inherited state").
+    os.environ.setdefault("SPARK_GRAFT_FAULTHANDLER", "true")
     spark = get_spark(app_name="cvs-tests", shuffle_partitions=8)
     yield spark
 
