@@ -389,12 +389,33 @@ def make_seg_blocks(spark, shape, chunk_size):
     return make_blocks(spark, shape, chunk_size, _seg_content)
 
 
+QUERY_BASE_PASSES = 2
+QUERY_MAX_PASSES = 4
+
+
 def bench_queries(spark, sf_dir: str) -> tuple:
-    """Each query runs twice; the reported time is the min (steady
-    state: the first pass absorbs one-time whole-stage-codegen and any
-    transient host contention — this VM shares a box and single runs
-    swing up to 4x with zero code change). Both passes are emitted in
-    ``queries_runs`` (side payload) so the raw data stays visible."""
+    """Each query runs at least twice; the reported time is the min
+    over PROBE-QUIET passes when any exist (else over all, flagged).
+
+    r15: the query phase is steal-probe bracketed like the volume
+    legs — the r14 driver artifact recorded 37 "regressions" on
+    untouched queries because the whole 32-core query phase ran inside
+    an external steal burst (its own b-block: vq..pq quiet counts 0,
+    while the same code at 8 cores ran 2.2x faster) and the bare
+    min-of-2 had no way to say so. Mechanism: one st+mt probe between
+    consecutive passes (shared boundary — the probe after pass i
+    brackets both pass i and pass i+1, and runs while OUR executors
+    are idle between actions, so its 32-process spin directly senses
+    external core contention); a pass is quiet when both its brackets
+    are quiet; a query with no quiet base pass gets bounded extra
+    passes (QUERY_MAX_PASSES total). Per-query load1 is deliberately
+    NOT gated: the 60 s EMA counts our own just-finished 32-way
+    stage, so a mid-phase load gate would flag a genuinely idle host;
+    the mt probe is the contention signal (it is exactly what the
+    r14-build work added because load1+1-thread probes were blind).
+    Raw passes stay in ``queries_runs``; per-query quiet-pass counts
+    in ``queries_quiet``; min-of-2 semantics are unchanged whenever
+    the host is quiet (quiet == all passes -> min over all)."""
     from cloud_volume_spark.operators import all_queries
     from cloud_volume_spark.operators.dedup import clear_cluster_cache
 
@@ -404,20 +425,41 @@ def bench_queries(spark, sf_dir: str) -> tuple:
     # compute-once pipeline semantic stays covered by pytest.
     resets = {"dedup_clusters": clear_cluster_cache}
 
+    # settle once at phase entry (our warmup keeps the EMA high);
+    # recorded for forensics, not gated per query (see docstring)
+    entry_load1 = round(_settle_load(), 2)
+
     qs = all_queries()
-    times, runs = {}, {}
+    times, runs, quiet_counts = {}, {}, {}
+    p_prev = _probe()
     for name in BENCH_QUERIES:
-        per = []
-        for _ in range(2):
+        per, probes = [], []
+        while True:
             if name in resets:
                 resets[name]()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             per.append(round(time.perf_counter() - t0, 3))
+            p_now = _probe()
+            probes.append((p_prev, p_now))
+            p_prev = p_now
+            quiet = _quiet_pass_ids(probes)
+            if (len(per) >= QUERY_BASE_PASSES and quiet) \
+                    or len(per) >= QUERY_MAX_PASSES:
+                break
         runs[name] = per
-        times[name] = min(per)
-    return times, runs
+        quiet_counts[name] = len(quiet)
+        use = quiet or list(range(len(per)))
+        times[name] = min(per[i] for i in use)
+    qmeta = {
+        "entry_load1": entry_load1,
+        "quiet_passes": quiet_counts,
+        "steal_flagged": sorted(k for k, n in quiet_counts.items()
+                                if n == 0),
+        "queries_quiet": sum(1 for n in quiet_counts.values() if n > 0),
+    }
+    return times, runs, qmeta
 
 
 def bench_volume(spark) -> dict:
@@ -726,12 +768,12 @@ TAIL_BUDGET = 1985  # >= 14 chars of margin inside the 2,000-char tail
 
 def fit_tail_line(times, total, sf, b_priority, budget=None):
     """Build the driver-facing final JSON line under the stdout-tail
-    budget. Ladder: 2-decimal query seconds IF the fifteen cross-round
+    budget. Ladder: 2-decimal query seconds IF the sixteen cross-round
     signal keys (l1 + the four BASELINE throughput rows + the
     vq/sq/iq/nq/pq steal verdicts + the vl/sl/il/nl/pl per-leg entry
-    loads) still fit, else 1 decimal; extras
-    added most-critical-first; terminal rung
-    RESERVES all fifteen signal keys and sheds the FASTEST query rows
+    loads + the qq query-phase quiet count) still fit, else 1 decimal;
+    extras added most-critical-first; terminal rung
+    RESERVES all sixteen signal keys and sheds the FASTEST query rows
     instead (slow ones are the informative ones, and the signal keys
     are the only cross-round comparands) with a qdropped count rather
     than ever printing an unparseable over-budget line. Unit-tested in
@@ -740,8 +782,11 @@ def fit_tail_line(times, total, sf, b_priority, budget=None):
     # l1 + vw/vr/sw/sr + the vq/sq/iq/nq/pq steal verdicts (r13: one
     # verdict per bracketed leg family) + the vl/sl/il/nl/pl per-leg
     # entry-load marks (r14: a quiet claim without its entry load is
-    # exactly the indefensible artifact BENCH_r13's seg row was)
-    signal = b_priority[:15]
+    # exactly the indefensible artifact BENCH_r13's seg row was) + qq,
+    # the query-phase quiet count (r15: #queries with >=1 probe-quiet
+    # pass — without it the 100 per-query seconds carry no steal
+    # verdict at all, which is how BENCH_r14 read as 37 regressions)
+    signal = b_priority[:16]
 
     def _fit(ndigits):
         compact = {
@@ -847,7 +892,7 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    times, runs = bench_queries(spark, sf_dir)
+    times, runs, qmeta = bench_queries(spark, sf_dir)
     t_vol = time.perf_counter()
     vol_stats = bench_volume(spark)
     vol_wall = time.perf_counter() - t_vol
@@ -879,8 +924,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
-        "queries_method": "min_of_2_runs",
+        "queries_method": "min_of_quiet_passes_else_all",
         "queries_runs": runs,
+        "queries_quiet": qmeta["quiet_passes"],
+        "queries_steal_flagged": qmeta["steal_flagged"],
+        "queries_entry_load1": qmeta["entry_load1"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "volume": vol_stats,
         "volume_seg": seg_stats,
@@ -906,7 +954,8 @@ def main() -> None:
     # ae/aq = annotation export / bbox-query sec, l1/cp = load1 /
     # cpu-probe sec, vq/sq/iq/nq/pq = quiet (steal-free) pass counts
     # per leg, vl/sl/il/nl/pl = per-leg entry load1 (the hard quiet
-    # gate). Full names live in BENCH_FULL.json / FULL line.
+    # gate), qq/ql = query-phase quiet-query count / entry load1.
+    # Full names live in BENCH_FULL.json / FULL line.
     b_priority = [
         ("l1", env["load1"]),
         ("vw", round(vol_stats["write_mbps"])),
@@ -935,6 +984,14 @@ def main() -> None:
         ("il", round(spatial_stats["entry_load1"], 1)),
         ("nl", round(anno_stats["entry_load1"], 1)),
         ("pl", round(point_stats["entry_load1"], 1)),
+        # r15: the QUERY phase's steal verdict — #queries (of the 100)
+        # with at least one probe-quiet pass. 0 here means every
+        # per-query second above was recorded inside an external burst
+        # (the BENCH_r14 failure mode); reserved with the other signal
+        # keys so the verdict can never be shed.
+        ("qq", int(qmeta["queries_quiet"])),
+        # query-phase entry load (post-settle, forensic, not gated)
+        ("ql", round(qmeta["entry_load1"], 1)),
         ("su", round(seg_stats["unique_sec"], 2)),
         ("ib", round(spatial_stats["build_sec"], 2)),
         ("im", round(spatial_stats["index_mb"])),

@@ -28,106 +28,103 @@ from cloud_volume_spark import multimodal
 # DRIVER_FRONT, keep it at <= 50 entries, and let the module order pad
 # the window.
 #
-# ROUND-14 ROTATION (executing round-13's precomputed prescription):
-# the front is the r13 out-of-window set (last driver row r12) in
-# registry order, MINUS the five retired to the local-parity tier
-# this round — doc_entropy (⊂ doc_perplexity's map-agg shape),
-# customers_without_orders (⊂ q22's anti join),
-# urgent_orders_with_lineitems (⊂ q4, its docstring's own citation),
-# brand_type_pivot (SUM(CASE) pivot, carried by q12/q14),
-# orders_above_customer_avg (decorrelated per-group AVG, carried by
-# q17/q22) — leaving 45 stale keys; the five NEW round-14 queries
-# take the freed slots at the head: window = 5 + 45 = 50 exactly,
-# the out-of-window set is EXACTLY r13's 50-key window (all green in
-# CORRECTNESS_r13), so the r13∪r14 union covers the whole registry
-# with no leftovers.
+# ROUND-15 ROTATION (executing round-14's precomputed prescription
+# verbatim — the r14 verdict marks this mandatory because most of the
+# round-14 rewrites, q2/q20/the minhash family/the ivf pair/the
+# embedding family/semantic_dedup/events_conversion_lag, sat OUTSIDE
+# the r14 window and must be driver-re-certified): the front is
+# exactly the r14 out-of-window set (last driver row r13) in registry
+# order — 50 keys, so the window is the front verbatim and the
+# out-of-window set is EXACTLY r14's 50-key window (all green in
+# CORRECTNESS_r14); the r14∪r15 union covers the whole registry with
+# no leftovers. No queries added or retired this round (optimization
+# round).
 #
-# CAPACITY: registry = 100 - 5 retired + 5 new = 100 — still at the
-# two-round ceiling. Round 15 MUST front exactly the 50 queries
-# outside this round's window (== the r14 additions + the r13-window
-# keys, i.e. this file's previous DRIVER_FRONT with the r14 head
-# prepended... precisely: the ROUND-15 FRONT, precomputed (== this
-# round's out-of-window set, in registry order; any r15 retirement
-# drops from here, any new query inserts at the head)):
-#   q2_min_cost_supplier, q11_important_stock, q20_potential_promotion,
-#   q22_global_sales_opportunity, q16_parts_supplier_relationship,
-#   lsh_index_lookup, ivf_ann_topk_int8, embedding_curate,
-#   vox_label_envelope, vox_point_lookup, vox_remap, vox_exists,
-#   vox_downsample, graphene_label_decode, dedup_incremental,
-#   minhash_lsh_pairs, dedup_clusters, fuzzy_neardup_titles,
-#   dedup_rate_by_source, doc_token_stats, doc_subword_count,
-#   doc_quality_score, doc_fingerprint, doc_langid, doc_repetition,
-#   doc_quality_filter, source_mixture_stats, bigram_lm_top,
-#   embedding_quantize_int8, ann_topk_cosine, embedding_neardup_pairs,
-#   embedding_dedup_keep, semantic_dedup, srp_ann_topk, ivf_ann_topk,
-#   embedding_kmeans, embedding_dim_stats, q10_returned_items,
-#   events_conversion_lag, q8_market_share, q13_customer_distribution,
-#   q1_pricing_summary, q3_shipping_priority, q5_local_supplier,
-#   q6_revenue_forecast, top_customers_per_nation, rollup_revenue,
-#   events_running_total, events_sessionize, events_asof_latest_order
+# CAPACITY: registry = 100 — still at the two-round ceiling. Round 16
+# MUST front exactly the 50 queries outside this round's window,
+# i.e. the ROUND-16 FRONT, precomputed (== this round's out-of-window
+# set == the round-14 DRIVER_FRONT, in that order; any r16 retirement
+# drops from here, any new query inserts at the head):
+#   q9_product_type_profit, q12_shipmode_priority, lsh_self_pairs,
+#   curate_join, pq_ann_topk, vox_changes_feed, vox_label_histogram,
+#   vox_unique_bbox, simhash_hamming_k_pairs, dedup_cluster_size_stats,
+#   doc_bigram_logprob, embedding_outliers, q7_nation_trade,
+#   q14_promo_revenue, events_funnel, event_props_extract,
+#   events_cohort_retention, events_top_paths, q4_order_priority,
+#   q21_suppliers_waiting, q15_top_supplier, q17_small_qty_revenue,
+#   q18_large_volume_customer, q19_discounted_revenue,
+#   nations_customers_no_suppliers, customer_spend_deciles,
+#   largest_order_per_customer, event_type_share, boilerplate_ngrams,
+#   line_dedup, repeated_spans, mixture_sample, token_bucket_stats,
+#   doc_perplexity, corpus_shuffle, corpus_curate,
+#   corpus_sample_stratified, tfidf_top_terms, doc_context_windows,
+#   doc_policy_scan, doc_pii_redact, dedup_keep_best,
+#   corpus_pack_sequences, corpus_contamination, corpus_snapshot_diff,
+#   mm_image_features, mm_image_resize, mm_video_frame_sample,
+#   mm_audio_features, mm_asset_stats
 ALL_MODULES = [
     voxel_rel, dedup, text, similarity, relational, curation, corpus,
     multimodal,
 ]
 
 DRIVER_FRONT = [
-    # new in round 14 — first driver rows
-    "q9_product_type_profit",
-    "q12_shipmode_priority",
-    "lsh_self_pairs",
-    "curate_join",
-    "pq_ann_topk",
-    # voxel: last driver row r12
-    "vox_changes_feed",
-    "vox_label_histogram",
-    "vox_unique_bbox",
-    # dedup/text: last driver row r12
-    "simhash_hamming_k_pairs",
-    "dedup_cluster_size_stats",
-    "doc_bigram_logprob",
-    "embedding_outliers",
-    # relational/events: last driver row r12
-    "q7_nation_trade",
-    "q14_promo_revenue",
-    "events_funnel",
-    "event_props_extract",
-    "events_cohort_retention",
-    "events_top_paths",
-    "q4_order_priority",
-    "q21_suppliers_waiting",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "nations_customers_no_suppliers",
-    "customer_spend_deciles",
-    "largest_order_per_customer",
-    "event_type_share",
-    # curation: last driver row r12
-    "boilerplate_ngrams",
-    "line_dedup",
-    "repeated_spans",
-    "mixture_sample",
-    "token_bucket_stats",
-    "doc_perplexity",
-    "corpus_shuffle",
-    # corpus: last driver row r12
-    "corpus_curate",
-    "corpus_sample_stratified",
-    "tfidf_top_terms",
-    "doc_context_windows",
-    "doc_policy_scan",
-    "doc_pii_redact",
-    "dedup_keep_best",
-    "corpus_pack_sequences",
-    "corpus_contamination",
-    "corpus_snapshot_diff",
-    # multimodal: last driver row r12
-    "mm_image_features",
-    "mm_image_resize",
-    "mm_video_frame_sample",
-    "mm_audio_features",
-    "mm_asset_stats",
+    # r14-rewritten TPC-H forms — first driver row on the new code
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "q22_global_sales_opportunity",
+    "q16_parts_supplier_relationship",
+    # serving/index paths: last driver row r13
+    "lsh_index_lookup",
+    "ivf_ann_topk_int8",
+    "embedding_curate",
+    # voxel: last driver row r13
+    "vox_label_envelope",
+    "vox_point_lookup",
+    "vox_remap",
+    "vox_exists",
+    "vox_downsample",
+    "graphene_label_decode",
+    # dedup (minhash family rewritten r14): last driver row r13
+    "dedup_incremental",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
+    "fuzzy_neardup_titles",
+    "dedup_rate_by_source",
+    # text/doc: last driver row r13
+    "doc_token_stats",
+    "doc_subword_count",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "doc_langid",
+    "doc_repetition",
+    "doc_quality_filter",
+    "source_mixture_stats",
+    "bigram_lm_top",
+    # similarity (ivf/embedding family rewritten r14)
+    "embedding_quantize_int8",
+    "ann_topk_cosine",
+    "embedding_neardup_pairs",
+    "embedding_dedup_keep",
+    "semantic_dedup",
+    "srp_ann_topk",
+    "ivf_ann_topk",
+    "embedding_kmeans",
+    "embedding_dim_stats",
+    # relational/events: last driver row r13
+    "q10_returned_items",
+    "events_conversion_lag",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "top_customers_per_nation",
+    "rollup_revenue",
+    "events_running_total",
+    "events_sessionize",
+    "events_asof_latest_order",
 ]
 
 

@@ -689,13 +689,17 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("c")
     )
-    # r14 (guide §1.2): vocab feeds TWO consumers (the scored join and
-    # the n_total scalar) and each used to re-derive the corpus-sized
-    # counts subtree — lazily checkpointed (vocabulary-sized rows, the
-    # Q15 view pattern), so counts is evaluated for the join probe and
-    # ONCE for the model side.
-    vocab = counts.groupBy("term").agg(F.sum("c").alias("cg")) \
-        .localCheckpoint(eager=False)
+    # r15 (guide §2.4, replacing r14's lazy checkpoint): a checkpoint
+    # hides its lineage in a separate RDD, so the scoring branch below
+    # could never share the model branch's shuffle and the corpus
+    # explode ran TWICE (the r14 floors measured the checkpointed form
+    # 0.37 s SLOWER than r13). Unchekpointed, every consumer (the
+    # scored join probe, vocab, and the n_total scalar through it)
+    # sits above the one Exchange hashpartitioning(doc_id, term) —
+    # the planner collapses the repeats into ReusedExchange nodes and
+    # the corpus is tokenized, exploded and shuffled exactly once;
+    # only the vocab-sized final aggregates re-execute per consumer.
+    vocab = counts.groupBy("term").agg(F.sum("c").alias("cg"))
     total = vocab.agg(F.sum("cg").alias("n_total"))
     # No broadcast hint on vocab: Heaps' law means raw-web unigram
     # vocabulary keeps growing with corpus size (typos/URLs/numbers), so

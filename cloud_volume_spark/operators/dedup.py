@@ -142,19 +142,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing any band hash become candidate near-duplicate pairs. The
     join key is the band hash — buckets, not an all-pairs product.
 
-    r14 (guide §1.2): the band frame is materialized ONCE (eager
-    localCheckpoint of doc_id + 2 small columns) before the self-join —
-    the planner otherwise evaluated the full shingle→md5→signature
-    subtree once per join side (the broadcast build side cannot reuse
-    the stream side's exchange), doubling the dominant map work. At
-    100 TB this materialization IS the production shape: the standing
-    band table (lsh_index.py) persists exactly this frame."""
+    r15 (guide §2.4 "two operations keyed the same way can often share
+    one exchange"): the self-join is FORCED to a shuffle join (merge
+    hint) so both sides plan the identical
+    ``Exchange hashpartitioning(band, band_hash)`` over the identical
+    signature subtree and the planner collapses the second into a
+    ``ReusedExchange`` — the full shingle→md5→signature pipeline runs
+    ONCE and its shuffle files are read twice. This replaces r14's
+    eager ``localCheckpoint`` (same single evaluation, but that form
+    inserted a blocking materialize-then-join barrier, pinned the
+    band frame in executor storage for the life of the session —
+    the measured +0.2 s/query drag on session neighbors — and
+    truncated lineage, so an executor loss on a real cluster could
+    not recompute). Under AQE a runtime broadcast conversion still
+    reads the already-written shuffle files, so the single evaluation
+    survives whichever join strategy wins. At 100 TB the standing
+    band table (lsh_index.py) remains the production shape for
+    repeated lookups; this is the one-shot recompute path."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = band_frame(sig).localCheckpoint(eager=True)
+    bands = band_frame(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        a.join(
+        a.hint("merge").join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -593,12 +603,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A standing corpus would keep its band table materialized; here
     both sides derive from the same parquet for oracle parity.)
 
-    r14 (guide §1.2): the band frame is computed ONCE (eager
-    localCheckpoint) and both join sides filter the materialized rows
-    — the broadcast build side otherwise re-evaluated the whole
-    shingle→signature subtree a second time."""
+    r15 (replacing r14's eager localCheckpoint): the two join sides
+    filter on DISJOINT doc_id slices (``% INGEST_MOD``), and that
+    filter pushes below the per-doc signature aggregate (its grouping
+    key) down to the scan — so the "duplicated" subtree in the plan is
+    really the pipeline split over two disjoint slices: the new side
+    shingles 1/INGEST_MOD of the docs, the old side the rest, and the
+    TOTAL shingle/md5/min work equals one full pass with no
+    materialization barrier, no pinned blocks, and the corpus band
+    side still streaming map-only through the broadcast hash join.
+    The r14 checkpoint computed the full pipeline, blocked, stored
+    the frame, then read it back twice — strictly more work at every
+    scale (the scan is read twice here, but a pruned columnar scan is
+    the cheap end of this query)."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = band_frame(sig).localCheckpoint(eager=True)
+    bands = band_frame(sig)
     is_new = F.col("doc_id") % INGEST_MOD == 0
     new_b = bands.where(is_new).select(
         F.col("doc_id").alias("new_id"), "band", "band_hash"
@@ -872,12 +891,16 @@ def simhash_hamming_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that). The fingerprint aggregate is 60 SUM(CASE) partials over two
     md5 digests per token — map-side, one (doc_id) shuffle.
 
-    r14 (guide §1.2): the capped band frame is materialized ONCE
-    (eager localCheckpoint of 4 numeric columns × 4 bands per doc)
-    before the self-join — the broadcast build side otherwise
-    re-evaluated the ENTIRE print pipeline (token explode + 2 md5 per
-    token + the 60-way vote aggregate + the cap window) a second
-    time, doubling the query's dominant stage."""
+    r15 (guide §2.4, replacing r14's eager localCheckpoint): the
+    band-cap window already shuffles by the join key (band_id,
+    band_val), so with the self-join FORCED to a shuffle join (merge
+    hint) both sides plan the identical Exchange over the identical
+    print pipeline and the second collapses to a ReusedExchange — the
+    ENTIRE expensive subtree (token explode + 2 md5 per token + the
+    60-way vote aggregate) runs once and only the cheap post-shuffle
+    window+filter re-executes per side over the same shuffle files.
+    No blocking materialization, no session-pinned blocks, lineage
+    preserved for cluster recompute."""
     sims = _simhash_wide(spark, sf_dir)
     bands = sims.select(
         "doc_id", "simhash",
@@ -891,15 +914,14 @@ def simhash_hamming_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash", "b.band_id", "b.band_val")
     w = Window.partitionBy("band_id", "band_val")
     ok = (bands.withColumn("_n", F.count(F.lit(1)).over(w))
-          .where(F.col("_n") <= SIMHASH_K_BAND_CAP).drop("_n")
-          .localCheckpoint(eager=True))
+          .where(F.col("_n") <= SIMHASH_K_BAND_CAP).drop("_n"))
     a = ok.select(F.col("doc_id").alias("doc_a"),
                   F.col("simhash").alias("sh_a"), "band_id", "band_val")
     b = ok.select(F.col("doc_id").alias("doc_b"),
                   F.col("simhash").alias("sh_b"), "band_id", "band_val")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, ["band_id", "band_val"])
+        a.hint("merge").join(b, ["band_id", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b",
                 hamming.cast("int").alias("hamming"))

@@ -1009,8 +1009,23 @@ def funnel(events: DataFrame, stages: Sequence[str],
         .alias("_n0"),
     ]
     for stage in stages[1:]:
+        # collect_SET, not collect_list (r15 skew guard, guide §5):
+        # the chained minimum min(filter(l, >= prev)) is duplicate-
+        # insensitive, so deduping inside the aggregation buffer is
+        # result-identical while bounding per-key state by DISTINCT
+        # timestamps — a bot replaying the same events a million
+        # times (the realistic hot-key pathology: retries, refresh
+        # loops, at-least-once delivery) now costs one buffer entry
+        # per distinct (stage, ts), not one per event, map-side
+        # partials included. A key with millions of DISTINCT stage
+        # timestamps still grows the buffer — that residual bound is
+        # documented here deliberately: the exact funnel needs those
+        # values (any of them can be the first-at-or-after instant),
+        # and the join-free single-pass shape is worth more at 100 TB
+        # than a lossy cap; tests/test_event_ops.py pins the hot-key
+        # behavior.
         aggs.append(
-            F.collect_list(F.when(F.col(stage_col) == stage, F.col(ts)))
+            F.collect_set(F.when(F.col(stage_col) == stage, F.col(ts)))
             .alias(f"_l_{stage}")
         )
     out = (
@@ -1306,13 +1321,15 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     all co-located — then a day-keyed window over day-sized groups and
     a day-cardinality aggregate. NULL ts/user_id drop at the edge
     (the NULLS FIRST/LAST divergence)."""
-    # r14 (guide §1.2): the per-user lag frame feeds BOTH the median
-    # branch and the stats branch — lazily checkpointed (the Q15 /
-    # doc_bigram_logprob view pattern) so the 2-shuffle + 3-scan
-    # first-view/first-purchase derivation runs once, not once per
-    # branch (before plan: 6 events scans, 8 Exchanges).
-    lag = conversion_lag_frame(load(spark, sf_dir, "events")) \
-        .localCheckpoint(eager=False)
+    # r15 (guide §2.4, replacing r14's lazy checkpoint — its floors
+    # measured ~flat while pinning blocks for the session): the
+    # per-user lag frame feeds BOTH the median branch and the stats
+    # branch, and the whole first-view/first-purchase derivation sits
+    # below user_id exchanges that are IDENTICAL in the two branches —
+    # AQE's runtime stage reuse collapses the repeats, the event log
+    # is scanned/shuffled once, and only the converted-users-sized
+    # join + day-level tail re-executes per branch.
+    lag = conversion_lag_frame(load(spark, sf_dir, "events"))
     w = Window.partitionBy("day_idx").orderBy("lag_s", "user_id")
     wn = Window.partitionBy("day_idx")
     ranked = (lag.withColumn("rn", F.row_number().over(w))
@@ -1641,21 +1658,29 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical sum chain on both engines, and the max-equality compare
     happens on the ROUNDED value, so a last-ulp summation-order
     difference cannot select different winners."""
+    # the explicit isnotnull matters for the exchange reuse below: the
+    # supplier equi-join infers isnotnull(l_suppkey) and pushes it
+    # into the ROWS branch's scan only, which would make the two
+    # branch subtrees canonically different and block the reuse.
+    # Filtering at the edge puts the identical predicate in both
+    # (l_suppkey is a non-null fact FK in this schema — TESTDATA.md —
+    # so no group is dropped; the repo's NULL-at-the-operator-edge
+    # convention).
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        & F.col("l_suppkey").isNotNull())
     rev = li.groupBy("l_suppkey").agg(
         F.round(F.sum(F.col("l_extendedprice")
                       * (1 - F.col("l_discount"))), 4)
         .alias("total_revenue"))
     # TPC-H defines rev as a VIEW consumed twice (per-supplier rows +
-    # the scalar max); Spark recomputes an unmaterialized subtree per
-    # consumer — a second fact scan. A LAZY local checkpoint
-    # materializes the dimension-sized aggregate on first use inside
-    # the same job, so the max branch reads the cached rows and
-    # lineitem is scanned ONCE (plan-gated), with no eager work at
-    # query-construction time.
-    rev = rev.localCheckpoint(eager=False)
+    # the scalar max). r15: both consumers sit above the identical
+    # Exchange hashpartitioning(l_suppkey), which AQE's runtime stage
+    # reuse collapses into a ReusedExchange — lineitem is scanned once
+    # (plan-gated on the executed plan) with no checkpoint, no pinned
+    # blocks, and the lineage visible; only the supplier-sized final
+    # aggregate re-executes for the max branch.
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -1972,9 +1997,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.round(F.sum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))), 4)
                 .alias("value")))
-    # the per-part aggregate feeds both the rows and the scalar —
-    # materialize it once (the Q15 lesson) so lineitem scans ONCE
-    val = val.localCheckpoint(eager=False)
+    # r15: the per-part aggregate feeds both the rows and the scalar,
+    # and BOTH branches sit above the identical
+    # Exchange hashpartitioning(l_partkey) — AQE's runtime stage reuse
+    # collapses the second into a ReusedExchange, so lineitem scans
+    # once with no checkpoint (r14's lazy localCheckpoint hid the
+    # lineage in a separate RDD, which both blinded the plan gate and
+    # pinned the frame in executor storage; only the part-sized final
+    # aggregate re-executes per branch now)
     total = val.agg(
         (F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
          / F.count(F.lit(1)) * F.lit(Q11_MEAN_MULT)).alias("_thresh"))
@@ -2111,16 +2141,23 @@ def q16_parts_supplier_relationship(spark: SparkSession,
     hash join (s_suppkey is never NULL, so the semantics coincide —
     the anti join IS how engines decorrelate a null-free NOT IN).
 
-    Scale: the derived partsupp is a (partkey, suppkey) distinct over
-    a two-column pruned scan (map-side partial dedup before the
-    exchange); the excluded-supplier set is dimension-tiny behind a
-    pushed acctbal filter; the part slice broadcasts behind pushed
-    brand/type/size filters; COUNT DISTINCT shuffles once on the
-    (brand, type, size) group key with the distinct piggybacked."""
-    ps = (load(spark, sf_dir, "lineitem")
-          .select(F.col("l_partkey").alias("ps_partkey"),
-                  F.col("l_suppkey").alias("ps_suppkey"))
-          .distinct())
+    Scale (r15, guide §2.4 "a distinct on data that is already
+    unique" — here, a distinct UNDER a count-distinct): the derived
+    partsupp's ``.distinct()`` was redundant — duplicate (partkey,
+    suppkey) pairs collapse to the same (brand, type, size, suppkey)
+    row, which COUNT DISTINCT dedups anyway — yet it cost a full
+    Exchange of every distinct pair BEFORE the part slice filtered
+    anything. Dropped: the broadcast part join (pushed brand/type/size
+    filters) and the anti join now run MAP-SIDE over the raw two-column
+    scan, and the count-distinct's own partial aggregate dedups
+    (brand, type, size, suppkey) before the one remaining
+    pair-carrying Exchange — one less corpus-pair shuffle, and the
+    surviving shuffle carries only part-slice-filtered rows. The
+    excluded-supplier set stays dimension-tiny behind a pushed acctbal
+    filter."""
+    ps = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"))
     excl = load(spark, sf_dir, "supplier").where(
         F.col("s_acctbal") < 0).select("s_suppkey")
     part = load(spark, sf_dir, "part").where(
@@ -2129,8 +2166,8 @@ def q16_parts_supplier_relationship(spark: SparkSession,
         & F.col("p_size").isin(*Q16_SIZES)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        ps.join(excl, ps.ps_suppkey == excl.s_suppkey, "left_anti")
-        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(excl, ps.ps_suppkey == excl.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")

@@ -60,6 +60,16 @@ def _as_double(col):
 
 
 def _dot(a, b):
+    # r15 NOTE (measured, kept deliberately): an unrolled 64-term
+    # element_at expression (identical fp op chain, codegen-friendly
+    # in principle) was A/B'd against this fold on ann_topk_cosine in
+    # an interleaved equal-steal window and LOST (min-of-6 1.52 s vs
+    # 1.03 s): the heavy dots in this module live in projections above
+    # BroadcastNestedLoopJoin/window stages where the 192-node tree
+    # walks evaluate interpreted per pair, which is slower than the
+    # fold's single tight loop over the zipped array. Guide §1
+    # ("a fresh implementation of the ideal plan is usually slower
+    # at first") — the fold stays.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -296,14 +306,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # candidates carry ids only — vectors re-join by id afterwards, so
     # the band shuffle moves 12-byte rows, not 512-byte embeddings.
-    # r14 (guide §1.2): materialized ONCE (eager localCheckpoint,
-    # 3 numeric cols × NEARDUP_BANDS rows per vector) — the self-join's
-    # broadcast build side otherwise re-ran the Arrow matmul UDF and
-    # the band explode a second time (two ArrowEvalPython nodes in the
-    # before plan)
+    # r15 (guide §2.4, replacing r14's eager localCheckpoint): the
+    # self-join is forced to a shuffle join (merge hint) so both sides
+    # plan the identical Exchange hashpartitioning(band, code) over
+    # the identical scan→ArrowEval(matmul)→posexplode subtree and the
+    # second side collapses to a ReusedExchange — the 180-plane Arrow
+    # matmul UDF runs ONCE below the one exchange, with no blocking
+    # materialization and no session-pinned checkpoint blocks.
     banded = emb.select(
         "vec_id", F.posexplode(band_codes_udf("embedding")).alias("band", "code")
-    ).localCheckpoint(eager=True)
+    )
     a = banded.select(
         F.col("vec_id").alias("id_a"), "band", "code"
     )
@@ -311,7 +323,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_b"), "band", "code"
     )
     cand = (
-        a.join(b, on=["band", "code"])
+        a.hint("merge").join(b, on=["band", "code"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -450,8 +462,13 @@ def assign_fold(frame: DataFrame, cents: DataFrame,
     single array row (cent_id-sorted), every vector folds over it
     keeping the entry with the strictly higher rounded-6dp cosine —
     iterating cent_id-ascending with a strict ``>`` reproduces the
-    window's (sim DESC, cent_id ASC) tie rule bit-for-bit (NULL sims
-    lose to any non-NULL later entry, the window's NULLS-LAST). What
+    window's (sim DESC NULLS LAST, cent_id ASC) tie rule bit-for-bit
+    in EVERY case (r15, closing the r14 advice note): the first
+    entry is always taken (the window always ranks someone first), a
+    non-NULL sim displaces a NULL-sim holder (NULLS LAST), and
+    otherwise only a strictly greater sim wins — so an all-NULL row
+    gets the LOWEST cent_id exactly as the window orders it, instead
+    of the last. What
     it removes vs the window form: the nlist× row explosion AND the
     full-corpus Exchange+Sort the per-vector window needed — the
     assignment becomes a pure map over the scan, which is what O(N·k)
@@ -470,7 +487,13 @@ def assign_fold(frame: DataFrame, cents: DataFrame,
         sim = F.round(
             _dot(F.col(vec_col), c["cvec"]) / (F.col(nrm_col) * c["cnrm"]),
             6)
-        better = acc["best"].isNull() | (sim > acc["best"])
+        # window-exact: take the first entry unconditionally, then a
+        # non-NULL sim beats a NULL holder (NULLS LAST), then strict >
+        better = (
+            (acc["cid"] == F.lit(-1).cast("long"))
+            | (acc["best"].isNull() & sim.isNotNull())
+            | (sim > acc["best"])
+        )
         return F.when(
             better, F.struct(c["cent_id"].alias("cid"), sim.alias("best"))
         ).otherwise(acc)
@@ -511,36 +534,44 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(load_spread(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("embedding")
     ))
-    # the assignment (scan + broadcast-centroid argmin + per-vector
-    # window shuffle) feeds THREE consumers below (both self-join sides
-    # and the final left join); without pinning it, Spark re-runs the
-    # whole subtree per consumer — kmeans persists at the same point
-    # for the same reason
-    assign = _assign_nearest_centroid(
-        emb, 100, SEMDEDUP_NLIST
-    ).localCheckpoint(eager=True)
+    # r15 (guide §2.4, replacing r14's eager localCheckpoint + third
+    # consumer): the per-item verdict IS a grouped count over the
+    # cluster-local LEFT self-join — every item keeps its row whether
+    # or not a lower-id near-duplicate matches, so the old
+    # inner-join → count → re-join-to-assign chain (three assignment
+    # consumers, pinned behind a checkpoint) collapses to ONE left
+    # join + ONE aggregate over TWO consumers. The merge hint forces a
+    # shuffle join so both sides plan the identical
+    # Exchange hashpartitioning(cent_id) over the identical
+    # scan→assign_fold subtree and the second collapses to a
+    # ReusedExchange — the assignment is computed once, with no
+    # blocking materialization, no session-pinned blocks, and lineage
+    # preserved for cluster recompute.
+    assign = _assign_nearest_centroid(emb, 100, SEMDEDUP_NLIST)
     a = assign.select(
         "cent_id", F.col("vec_id").alias("id_hi"),
         F.col("embedding").alias("e_hi"), F.col("nrm").alias("n_hi"),
     )
     b = assign.select(
-        "cent_id", F.col("vec_id").alias("id_lo"),
+        F.col("cent_id").alias("cent_b"), F.col("vec_id").alias("id_lo"),
         F.col("embedding").alias("e_lo"), F.col("nrm").alias("n_lo"),
     )
     sim = F.round(
         _dot(F.col("e_hi"), F.col("e_lo")) / (F.col("n_hi") * F.col("n_lo")), 6
     )
-    dups = (
-        a.join(b, on="cent_id")
-        .where(F.col("id_hi") > F.col("id_lo"))
-        .where(sim >= SEMDEDUP_T)
-        .groupBy(F.col("id_hi").alias("vec_id"))
-        .agg(F.count(F.lit(1)).alias("n_dups"))
+    cond = (
+        (F.col("cent_id") == F.col("cent_b"))
+        & (F.col("id_hi") > F.col("id_lo"))
+        & (sim >= SEMDEDUP_T)
     )
-    return assign.join(dups, "vec_id", "left").select(
-        "vec_id", "cent_id",
-        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
-        (F.coalesce("n_dups", F.lit(0)) == 0).cast("int").alias("is_kept"),
+    return (
+        a.hint("merge").join(b, cond, "left")
+        .groupBy(F.col("id_hi").alias("vec_id"), F.col("cent_id"))
+        .agg(F.count("id_lo").alias("n_dups"))
+        .select(
+            "vec_id", "cent_id", F.col("n_dups").cast("long").alias("n_dups"),
+            (F.col("n_dups") == 0).cast("int").alias("is_kept"),
+        )
     )
 
 
@@ -899,9 +930,14 @@ def pq_codebook_frame(emb: DataFrame, m: int = PQ_M,
                  F.lit("pq|"), F.col("mi").cast("string"),
                  F.lit(":"), F.col("vec_id").cast("string")))))
     w = Window.partitionBy("mi").orderBy("k", "vec_id")
-    seeds = (keyed.withColumn("j", F.row_number().over(w) - 1)
-             .where(F.col("j") < ksub)
-             .select("mi", "j", "vec_id"))
+    # filter on the RAW row_number with <= (r15): that exact pattern
+    # plans as a WindowGroupLimit — each map task keeps only its local
+    # top-ksub rows per mi before the exchange — where the old
+    # `row_number() - 1 < ksub` derived-column filter shipped every
+    # (vec_id, mi) row into the sort
+    seeds = (keyed.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") <= ksub)
+             .select("mi", (F.col("_rn") - 1).alias("j"), "vec_id"))
     dsub = F.floor(F.size("embedding") / m).cast("int")
     return (seeds.join(emb.select("vec_id", "embedding"), "vec_id")
             .select("mi", "j",
@@ -1057,27 +1093,34 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("embedding")
     ))
     cb = collect_pq_codebook(emb)
-    # Encode AND reconstruct once per corpus vector, then materialize
-    # (r14, guide §1.2/§4): the encode is a ~32x16-entry interpreted
-    # argmin fold per row — the most expensive expression in the suite
-    # — and the reconstruction another m-way literal gather. Left
-    # inline, CollapseProject folds BOTH into the post-crossJoin
-    # projection, so every (vector, query) PAIR re-paid them
-    # (N_QUERIES x the work: 18-39 s per bench pass at sf0.1). The
-    # eager localCheckpoint pins a corpus-sized frame with codes and
-    # reconstruction computed exactly once on the spread (all-cores)
-    # scan; the pair stage then evaluates only the plain 64-wide
-    # recon·q dot — the brute-force ann_topk shape.
-    rec = emb.select(
-        "vec_id", "embedding", "nrm",
-        pq_encode_col("embedding", cb).alias("pq"),
-    ).withColumn("recon", pq_recon_col("pq", cb)).localCheckpoint(
-        eager=True)
-    q = rec.where(F.col("vec_id") < N_QUERIES).select(
+    # r15 restructure (guide §8 "decide with small rows, move big rows
+    # once" + §1.2), replacing r14's eager corpus-sized localCheckpoint
+    # (embedding + codes + recon pinned in executor storage for the
+    # session):
+    #  - the QUERY side derives from the raw scan — queries never pay
+    #    the encode, and the encoded frame keeps exactly ONE consumer,
+    #    so the ~32x16-entry argmin runs once per corpus vector with
+    #    no materialization (nothing can re-trigger it);
+    #  - the encoded frame carries only (vec_id, recon, nrm) into the
+    #    pair stage — the raw embedding never rides the candidate path;
+    #  - the ADC top-R window consumes (query_id, vec_id, psim) rows
+    #    only (row_number <= R plans as a WindowGroupLimit: map-side
+    #    top-R per task before the exchange), and the exact rerank
+    #    re-joins the R survivors per query back to the cheap raw scan
+    #    by id — the §8 attach step, 100 rows against a broadcast.
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("nrm").alias("qnrm"),
     )
+    # two stacked projections: the recon gather references the code
+    # array once per subspace, and CollapseProject refuses to inline a
+    # multiply-referenced non-trivial alias — so the encode argmin
+    # stays its own projection, evaluated once per vector, with the
+    # raw embedding dropped right after it
+    rec = emb.select(
+        "vec_id", "nrm", pq_encode_col("embedding", cb).alias("pq"),
+    ).select("vec_id", "nrm", pq_recon_col("pq", cb).alias("recon"))
     # broadcast of the N_QUERIES-row query set (the brute-ANN shape)
     pairs = rec.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id"))
@@ -1086,17 +1129,21 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("nrm") * F.col("qnrm")), 6)
     w_r = Window.partitionBy("query_id").orderBy(
         F.desc("psim"), F.asc("vec_id"))
-    top_r = (pairs.withColumn("psim", psim)
+    top_r = (pairs.select("query_id", "vec_id", psim.alias("psim"))
              .withColumn("_rq", F.row_number().over(w_r))
-             .where(F.col("_rq") <= PQ_RERANK_R))
-    sim = _dot(F.col("embedding"), F.col("qvec")) / (
-        F.col("nrm") * F.col("qnrm"))
+             .where(F.col("_rq") <= PQ_RERANK_R)
+             .select("query_id", F.col("vec_id").alias("neighbor_id")))
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nvec"), F.col("nrm").alias("nnrm"))
+    sim = _dot(F.col("nvec"), F.col("qvec")) / (
+        F.col("nnrm") * F.col("qnrm"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id"))
     return (
-        top_r.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"),
-            F.round(sim, 6).alias("sim"))
+        top_r.join(nb, "neighbor_id")
+        .join(q, "query_id")
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
     )

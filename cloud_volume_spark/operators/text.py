@@ -559,18 +559,30 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce(n_w1, 0)`` — here the model derives from the same docs,
     so every bigram hits and the inner join is lossless."""
     bg = _doc_bigrams(spark, sf_dir)
-    # materialize the vocab²-sized model base ONCE (lazy checkpoint,
-    # the Q15 view pattern): c1, the model join, and the V scalar all
-    # derive from it — without this each consumer re-derives the
-    # corpus-sized bigram stream, turning two corpus passes into four
-    c2 = (bg.groupBy("w1", "w2")
-          .agg(F.count(F.lit(1)).alias("n_bigram"))
-          .localCheckpoint(eager=False))
+    # r15 (guide §2.4/§1.2, replacing r14's lazy checkpoint of c2):
+    # the corpus tokenize+explode used to run TWICE — once under the
+    # checkpointed model base, once for the per-doc counts (a
+    # checkpoint hides its lineage in a separate RDD, so the scoring
+    # branch could not share the model branch's shuffle). Now the
+    # model base derives FROM the per-doc counts (n_bigram == SUM of
+    # per-doc c_doc — exact integer regrouping), so ONE corpus explode
+    # + one (doc_id, w1, w2) shuffle feeds everything. The checkpoint
+    # moves DOWN to dbg, the one genuinely multi-consumer corpus
+    # frame: relying on AQE runtime exchange reuse instead was
+    # measured fragile here — the c1/v branches sit one level above a
+    # branch that holds the ORIGINAL dbg exchange while they hold its
+    # ReusedExchange, and those canonical forms do not match, so one
+    # branch silently re-ran the explode (the doc_perplexity cascade
+    # works because its original-holder has no exchange above it).
+    # Lazy (no barrier job), and the pinned frame is the aggregated
+    # per-doc counts, not the raw token stream.
+    dbg = (bg.groupBy("doc_id", "w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c_doc"))
+           .localCheckpoint(eager=False))
+    c2 = dbg.groupBy("w1", "w2").agg(F.sum("c_doc").alias("n_bigram"))
     c1 = c2.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
     model = c2.join(c1, "w1")
     v = c1.agg(F.count(F.lit(1)).alias("v"))
-    dbg = (bg.groupBy("doc_id", "w1", "w2")
-           .agg(F.count(F.lit(1)).alias("c_doc")))
     logp = F.log(
         (F.col("n_bigram") + 1).cast("double")
         / (F.col("n_w1") + F.col("v")).cast("double"))

@@ -15,12 +15,13 @@ from bench import BENCH_QUERIES, TAIL_BUDGET, fit_tail_line
 from scripts.bench_scale import ensure_scaled
 
 
-# the r14 fifteen-key signal: l1 + the four BASELINE throughput rows +
+# the r15 sixteen-key signal: l1 + the four BASELINE throughput rows +
 # one steal verdict per bracketed leg family (vq/sq/iq/nq/pq) + the
-# per-leg entry loads (vl/sl/il/nl/pl) — must mirror main()'s
-# b_priority head and fit_tail_line's reserve
+# per-leg entry loads (vl/sl/il/nl/pl) + the query-phase quiet count
+# (qq) — must mirror main()'s b_priority head and fit_tail_line's
+# reserve
 SIGNAL_KEYS = ("l1", "vw", "vr", "sw", "sr", "vq", "sq",
-               "iq", "nq", "pq", "vl", "sl", "il", "nl", "pl")
+               "iq", "nq", "pq", "vl", "sl", "il", "nl", "pl", "qq")
 
 
 def _b_priority(l1=7.5):
@@ -28,6 +29,7 @@ def _b_priority(l1=7.5):
         ("l1", l1), ("vw", 62), ("vr", 135), ("sw", 143), ("sr", 864),
         ("vq", 4), ("sq", 4), ("iq", 2), ("nq", 2), ("pq", 2),
         ("vl", 1.4), ("sl", 2.2), ("il", 3.1), ("nl", 2.8), ("pl", 1.9),
+        ("qq", 97), ("ql", 2.1),
         ("su", 0.38), ("ib", 14.8), ("im", 294), ("ae", 4.41),
         ("aq", 1.55), ("cp", 0.19),
     ]

@@ -114,6 +114,49 @@ def test_pii_redact_planted_spans(spark):
         expected3.encode()).hexdigest()
 
 
+def test_funnel_hot_key_bounded_state(spark, tmp_path):
+    """r15 skew guard (guide §5): a single pathological user replaying
+    the same later-stage events at scale (retries / refresh loops /
+    at-least-once delivery — the realistic hot key) must not blow up
+    the per-key aggregation buffer. The later-stage accumulator is a
+    collect_SET: 200k click events over 40 distinct timestamps cost 40
+    buffer entries, not 200k, and the funnel result is exactly what
+    the 40 distinct instants imply. (A key with unboundedly many
+    DISTINCT timestamps still grows the buffer — documented in
+    funnel(); this test pins the dedup guard and the exactness of the
+    chained minimum under heavy duplication.)"""
+    from pyspark.sql import functions as F
+
+    from cloud_volume_spark.operators.relational import funnel
+
+    hot = spark.range(200_000).select(
+        (F.col("id") + 100).alias("event_id"),
+        # 40 distinct minutes, each repeated 5k times
+        F.to_timestamp(F.concat(
+            F.lit("2024-01-01 01:"),
+            F.lpad(((F.col("id") % 40) + 10).cast("string"), 2, "0"),
+            F.lit(":00"))).alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.lit("click").cast("string").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    head = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1, 0, 0), 7, "view", 0.0, "{}"),
+         (2, datetime(2024, 1, 1, 2, 0, 0), 7, "purchase", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string")
+    events = head.unionByName(hot)
+    got = {r["user_id"]: r for r in funnel(
+        events, ("view", "click", "purchase")).collect()}
+    # first click at-or-after the 01:00 view is 01:10; purchase after
+    assert got[7]["funnel_depth"] == 3
+    assert got[7]["click_epoch"] == int(
+        datetime(2024, 1, 1, 1, 10, 0).timestamp())
+    assert got[7]["purchase_epoch"] == int(
+        datetime(2024, 1, 1, 2, 0, 0).timestamp())
+
+
 def test_funnel_generalizes_to_n_stages(spark, tmp_path):
     """The N-stage core: a 4-stage funnel enforces the same
     at-or-after chain at every hop, with per-stage epochs and depth."""

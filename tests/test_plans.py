@@ -16,6 +16,17 @@ def _plan(df) -> str:
     )
 
 
+def _final_plan(df) -> str:
+    """Execute df and return the FINAL adaptive plan section only.
+    AQE's runtime stage reuse (ReusedExchange — how the r15
+    checkpoint-free shared-subtree queries get their single
+    evaluation) is invisible in the static explain, which prints
+    isFinalPlan=false; only the executed plan shows it."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_cutout_scan_is_pruned(spark, rng, tmp_path):
     arr = rng.integers(0, 99, size=(128, 128, 64, 1)).astype(np.uint32)
     vol = Volume.from_numpy(spark, arr, str(tmp_path / "p"), chunk_size=(64, 64, 64))
@@ -262,11 +273,14 @@ def test_embedding_dedup_keep_planted_components(spark, tmp_path):
 def test_semantic_dedup_plan_bounded_joins(spark, sf_dir):
     """Centroid assignment must be a broadcast product against the
     NLIST-row centroid table (never vector x vector), and the
-    within-cluster self-join must be a hash join on cent_id.
-    semantic_dedup checkpoints the assignment (it feeds three
-    consumers), which truncates the visible lineage — so the
-    assignment subtree is gated directly and the final plan is gated
-    on what remains after the checkpoint."""
+    within-cluster self-join must be a SHUFFLE join on cent_id (the
+    merge hint: both sides plan the identical Exchange over the
+    identical assignment subtree, which AQE collapses to a
+    ReusedExchange at runtime — single evaluation with no checkpoint).
+    r15: the checkpoint is gone, so the FULL lineage is visible in the
+    plan (the r14 advice's blind spot is closed): the only
+    BroadcastNestedLoopJoins allowed are the assignment's 1-row
+    centroid-ARRAY broadcast crosses, one per self-join side."""
     from cloud_volume_spark.operators.common import load
     from cloud_volume_spark.operators.similarity import (
         SEMDEDUP_NLIST, _as_double, _assign_nearest_centroid, _with_norm,
@@ -283,7 +297,12 @@ def test_semantic_dedup_plan_bounded_joins(spark, sf_dir):
 
     plan = _plan(all_queries()["semantic_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan  # self-join is equi
+    # the self-join itself must be the cent_id merge join, never a
+    # product; the assignment's 1-row array broadcast appears once per
+    # (statically duplicated) side and nowhere else
+    assert "SortMergeJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") \
+        == 2 * aplan.count("BroadcastNestedLoopJoin")
     assert plan.count("pythonUDF") == 0
 
 
@@ -389,9 +408,13 @@ def test_events_funnel_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert "partial_min" in plan
-    # formatted explain prints each scan twice (tree line + detail
-    # section) — one physical scan node == exactly two mentions
-    assert plan.count("Scan parquet") == 2, "funnel must scan events once"
+    # count UNIQUE scan node ids in the detail section ("(n) Scan
+    # parquet") — the raw substring count encodes the formatted-
+    # explain quirk of printing each scan twice, which a Spark
+    # version bump could flip (r14 advice)
+    import re
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, "funnel must scan events once"
     assert "Join" not in plan, "funnel is join-free since r14"
 
 
@@ -621,17 +644,17 @@ def test_doc_bigram_logprob_plan_aggregated_model_joins(spark, sf_dir):
 
 def test_q15_plan_single_fact_scan_broadcast_max(spark, sf_dir):
     """Q15: the quarter-filtered lineitem aggregates ONCE into the
-    lazily-checkpointed revenue view; both consumers (the per-supplier
-    rows and the scalar max) read the materialized RDD, so the fact
-    table never appears twice — or at all — in the visible plan; the
-    scalar max is a 1-row broadcast cross (never a
-    CartesianProduct)."""
-    plan = _plan(all_queries()["q15_top_supplier"](spark, sf_dir))
+    revenue view; both consumers (the per-supplier rows and the
+    scalar max) sit above the identical Exchange(l_suppkey), which
+    AQE's runtime stage reuse collapses to a ReusedExchange — so the
+    EXECUTED plan's final section scans the fact table exactly once
+    (r15: the lazy checkpoint is gone; lineage is visible again)."""
+    df = all_queries()["q15_top_supplier"](spark, sf_dir)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
-    # the rev view is materialized: its two consumers scan the SAME
-    # checkpointed RDD instead of re-deriving from parquet
-    assert plan.count("Scan ExistingRDD") >= 2, plan
-    assert plan.count("lineitem.parquet") == 0, plan
+    fin = _final_plan(df)
+    assert "ReusedExchange" in fin, fin
+    assert fin.count("lineitem.parquet") == 1, fin
 
 
 def test_q17_plan_decorrelated_avg_broadcast_part(spark, sf_dir):
@@ -710,14 +733,18 @@ def test_q2_plan_decorrelated_min_broadcast_part(spark, sf_dir):
 
 
 def test_q11_plan_single_fact_scan_broadcast_scalar(spark, sf_dir):
-    """Q11: the per-part value aggregate is lazily checkpointed and
-    feeds BOTH the rows and the global scalar, so lineitem never
-    appears twice (or at all) in the visible plan; the threshold is a
-    1-row broadcast cross, never a CartesianProduct."""
-    plan = _plan(all_queries()["q11_important_stock"](spark, sf_dir))
+    """Q11: the per-part value aggregate feeds BOTH the rows and the
+    global scalar above the identical Exchange(l_partkey); AQE's
+    runtime stage reuse collapses the second into a ReusedExchange,
+    so the EXECUTED plan's final section scans lineitem exactly once
+    (r15: the lazy checkpoint is gone; lineage is visible again); the
+    threshold is a 1-row broadcast cross, never a CartesianProduct."""
+    df = all_queries()["q11_important_stock"](spark, sf_dir)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("Scan ExistingRDD") >= 2, plan
-    assert plan.count("lineitem.parquet") == 0, plan
+    fin = _final_plan(df)
+    assert "ReusedExchange" in fin, fin
+    assert fin.count("lineitem.parquet") == 1, fin
 
 
 def test_q20_plan_nested_semi_no_product(spark, sf_dir):
