@@ -478,6 +478,17 @@ def assign_fold(frame: DataFrame, cents: DataFrame,
     tests/test_kmeans_assign.py::test_assign_fold_matches_rank_centroids."""
     carr = cents.agg(F.array_sort(F.collect_list(F.struct(
         F.col("cent_id"), F.col("cvec"), F.col("cnrm")))).alias("_cents"))
+    return (
+        frame.crossJoin(F.broadcast(carr))
+        .withColumn("_b", _fold_best("_cents", vec_col, nrm_col))
+        .withColumn("cent_id", F.col("_b.cid"))
+        .drop("_b", "_cents")
+    )
+
+
+def _fold_best(cents_col, vec_col: str, nrm_col: str) -> F.Column:
+    """The shared argmax-cosine fold over a (cent_id, cvec, cnrm)
+    struct array — window-exact tie rule (see :func:`assign_fold`)."""
     init = F.struct(
         F.lit(-1).cast("long").alias("cid"),
         F.lit(None).cast("double").alias("best"),
@@ -498,12 +509,7 @@ def assign_fold(frame: DataFrame, cents: DataFrame,
             better, F.struct(c["cent_id"].alias("cid"), sim.alias("best"))
         ).otherwise(acc)
 
-    return (
-        frame.crossJoin(F.broadcast(carr))
-        .withColumn("_b", F.aggregate("_cents", init, step))
-        .withColumn("cent_id", F.col("_b.cid"))
-        .drop("_b", "_cents")
-    )
+    return F.aggregate(cents_col, init, step)
 
 
 def _assign_nearest_centroid(emb: DataFrame, base_id: int,
@@ -546,7 +552,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan→assign_fold subtree and the second collapses to a
     # ReusedExchange — the assignment is computed once, with no
     # blocking materialization, no session-pinned blocks, and lineage
-    # preserved for cluster recompute.
+    # preserved for cluster recompute. (A literal-centroid variant —
+    # collect NLIST rows at construction, embed as literals — was
+    # built and A/B'd this round: it reads 1.4 s SLOWER in-list at
+    # equal steal, the 16x64-double literal array evidently rebuilt
+    # per row by the interpreted fold; the broadcast-array form keeps
+    # the materialized array. Measured, rejected.)
     assign = _assign_nearest_centroid(emb, 100, SEMDEDUP_NLIST)
     a = assign.select(
         "cent_id", F.col("vec_id").alias("id_hi"),
